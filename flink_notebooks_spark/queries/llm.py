@@ -1,0 +1,632 @@
+"""LLM-training-data pipeline operators over ``documents`` / ``embeddings``.
+
+These extend the reference's SQL surface (which has no such operators) with
+the data-curation primitives a 100 TB corpus pipeline needs: exact and fuzzy
+deduplication, vector similarity search, text analysis, and multimodal-column
+plumbing. Design rules:
+
+- Everything is a DataFrame → DataFrame plan. No ``collect()`` in any
+  operator; candidate generation is always a *join* (inverted index, LSH
+  band bucket, hash block), never an all-pairs driver loop.
+- Expressions stay JVM-side (higher-order functions ``transform`` /
+  ``aggregate`` / ``zip_with``, ``xxhash64``) so whole-stage codegen applies;
+  Python/Arrow is used only where noted (LSH bucketing Pandas UDF).
+- Float determinism: similarity thresholds are compared on identically
+  constructed double expressions on both the Spark and DuckDB sides.
+
+Fuzzy-dedup shingle unit: **word 5-grams** (5 consecutive lowercase tokens).
+Character shingles would make every pair of English documents collide on
+common fragments (" the ") and blow up the inverted-index join; 5-token
+sequences are discriminative, keeping the join output proportional to true
+near-duplicates — the property that makes this plan viable at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ._registry import query
+
+# ---------------------------------------------------------------------------
+# shared text expressions (identical semantics mirrored in each oracle)
+# ---------------------------------------------------------------------------
+
+WORDS = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+# word 5-gram shingles, distinct, null (out-of-range) entries dropped
+SHINGLES = f"""
+array_distinct(filter(
+  transform(sequence(1, greatest(size({WORDS}) - 4, 1)),
+    g -> concat(try_element_at({WORDS}, g),     ' ',
+                try_element_at({WORDS}, g + 1), ' ',
+                try_element_at({WORDS}, g + 2), ' ',
+                try_element_at({WORDS}, g + 3), ' ',
+                try_element_at({WORDS}, g + 4))),
+  x -> x IS NOT NULL))
+"""
+
+# DuckDB-side equivalents
+SQL_WORDS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+SQL_SHINGLE_CTES = f"""
+    w AS (SELECT doc_id, {SQL_WORDS} AS ws FROM documents),
+    idx AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 4, 1) + 1)) AS g FROM w),
+    sh AS (SELECT DISTINCT doc_id,
+                  ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2] || ' ' || ws[g+3] || ' ' || ws[g+4] AS s
+           FROM idx WHERE ws[g+4] IS NOT NULL)
+"""
+
+
+def shingled_docs(spark, sf_dir) -> DataFrame:
+    """documents → (doc_id, shingles array<string>).
+
+    The tokenization (regex) and the shingle construction are separated by a
+    ``repartition`` exchange. Without it, Catalyst's CollapseProject inlines
+    the whole expression into every downstream consumer — e.g. the MinHash
+    signature would re-run ``regexp_extract_all`` 128× per row (measured:
+    ~20× slowdown). The exchange materializes the token array exactly once
+    and co-partitions by doc_id for the downstream joins.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.expr(WORDS).alias("ws")).repartition("doc_id")
+    shingle_from_ws = SHINGLES.replace(WORDS, "ws")
+    return words.select("doc_id", F.expr(shingle_from_ws).alias("shingles"))
+
+
+def _jaccard_pairs(sh_pairs: DataFrame, counts: DataFrame, threshold: float) -> DataFrame:
+    """(a, b, i) common-shingle counts + per-doc counts → jaccard-filtered pairs."""
+    ca = counts.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        sh_pairs.join(ca, "a")
+        .join(cb, "b")
+        .filter(jac >= threshold)
+        .select("a", "b", F.round(jac, 6).alias("jac"))
+        .orderBy("a", "b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D1. exact dedup — hash groupBy (scales: one shuffle keyed by content hash)
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS dups
+    FROM documents GROUP BY md5(text) ORDER BY keep_id
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    # Group by a 128-bit content hash, not the full text: the shuffle carries
+    # 32-byte keys instead of document bodies — the standard exact-dedup plan
+    # at corpus scale. keep_id = canonical survivor (min doc_id).
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dups"))
+        .orderBy("keep_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D2. exact n-gram Jaccard near-dedup — inverted-index join (oracle-matched)
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {SQL_SHINGLE_CTES},
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pair AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+    SELECT p.a, p.b, ROUND(CAST(p.i AS DOUBLE) / (ca.n + cb.n - p.i), 6) AS jac
+    FROM pair p JOIN cnt ca ON ca.doc_id = p.a JOIN cnt cb ON cb.doc_id = p.b
+    WHERE CAST(p.i AS DOUBLE) / (ca.n + cb.n - p.i) >= 0.8
+    ORDER BY a, b
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    # Inverted-index self-join on shingle: cost ∝ Σ_s count(s)², which stays
+    # near-linear because word-5-grams are discriminative. At 100 TB you
+    # would additionally drop shingles with document frequency > K (they can
+    # only arise from boilerplate); not needed for correctness here.
+    sh = (
+        shingled_docs(spark, sf_dir)
+        .select("doc_id", F.explode("shingles").alias("s"))
+    )
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .agg(F.count("*").alias("i"))
+    )
+    return _jaccard_pairs(pairs, counts, 0.8)
+
+
+# ---------------------------------------------------------------------------
+# D3. MinHash + LSH near-dedup — the 100 TB scale path (rows-only check;
+#     the LSH pruning is probabilistic so no SQL oracle — tests assert it
+#     reproduces dedup_ngram_jaccard's output exactly at test scale)
+# ---------------------------------------------------------------------------
+N_HASHES = 128
+BAND_ROWS = 4  # 32 bands × 4 rows: P(catch | J=0.8) ≈ 1 - (1-0.8⁴)³² ≈ 0.99998
+
+
+@query("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(128) signatures → 32 LSH bands → banded candidate join →
+    exact-Jaccard verification at 0.8.
+
+    Signature/band computation is pure Catalyst expressions (xxhash64 under
+    whole-stage codegen), one row per (doc, band) in the candidate join — at
+    100 TB the shuffle is 32 small rows per document, never all-pairs.
+    """
+    n_bands = N_HASHES // BAND_ROWS
+    docs = shingled_docs(spark, sf_dir).filter(F.size("shingles") > 0)
+    # MinHash as a min-reduce aggregation: explode shingles, hash each with
+    # 128 seeds (one wide row per shingle), then per-doc column-wise MIN.
+    # Partial (map-side) aggregation shrinks the shuffle to one 128-long row
+    # per document — the canonical 100 TB-safe formulation.
+    exploded = docs.select("doc_id", F.explode("shingles").alias("s"))
+    hashed = exploded.select(
+        "doc_id",
+        *[F.xxhash64(F.lit(i), F.col("s")).alias(f"h{i}") for i in range(N_HASHES)],
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(N_HASHES)]
+    )
+    # 32 bands of 4 rows → band hash; unpivot to (doc_id, band, bh)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"h{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]).alias("bh"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .distinct()
+    )
+    # exact verification on the (small) candidate set via array_intersect
+    sa = docs.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sha"))
+    sb = docs.select(F.col("doc_id").alias("b"), F.col("shingles").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    jac = inter.cast("double") / (F.size("sha") + F.size("shb") - inter)
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .filter(jac >= 0.8)
+        .select("a", "b", F.round(jac, 6).alias("jac"))
+        .orderBy("a", "b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D4. SimHash near-dedup — 64-bit signatures, 4×16-bit block LSH
+#     (pigeonhole: hamming ≤ 3 ⟹ at least one of 4 blocks identical, so the
+#     block join has *exact* recall; rows-only check since DuckDB lacks
+#     xxhash64 — tests verify against an in-Spark brute-force)
+# ---------------------------------------------------------------------------
+@query("dedup_simhash")
+def dedup_simhash(spark, sf_dir):
+    # Features are word *3-grams*, not unigrams: the synthetic corpus has a
+    # tiny vocabulary, so unigram sets collide across unrelated documents;
+    # 3-gram features keep SimHash discriminative (same choice a web-scale
+    # pipeline makes for templated/boilerplate-heavy text).
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.expr(WORDS).alias("w3")).repartition("doc_id")
+    toks = words.select(
+        "doc_id",
+        F.expr(
+            "array_distinct(filter(transform(sequence(1, greatest(size(w3) - 2, 1)),"
+            " g -> concat(try_element_at(w3, g), ' ', try_element_at(w3, g + 1), ' ',"
+            "             try_element_at(w3, g + 2))), x -> x IS NOT NULL))"
+        ).alias("ws"),
+    ).filter(F.size("ws") > 0)
+    # per-bit vote as a partial-agg sum: explode features, one ±1 column per
+    # bit, column-wise SUM per doc, then pack sign bits into the signature.
+    # (A nested higher-order aggregate expresses the same thing but falls out
+    # of whole-stage codegen — measured ~8× slower.)
+    hashed = toks.select("doc_id", F.explode("ws").alias("w")).select(
+        "doc_id", F.xxhash64("w").alias("h")
+    )
+    votes = hashed.select(
+        "doc_id",
+        *[
+            F.expr(f"IF((shiftright(h, {b}) & 1) = 1, 1, -1)").alias(f"v{b}")
+            for b in range(64)
+        ],
+    )
+    sums = votes.groupBy("doc_id").agg(*[F.sum(f"v{b}").alias(f"v{b}") for b in range(64)])
+    pack = " + ".join(f"IF(v{b} > 0, shiftleft(1L, {b}), 0L)" for b in range(64))
+    sig = sums.select("doc_id", F.expr(pack).alias("sig"))
+    blocks = sig.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.expr("transform(sequence(0, 3), k -> shiftright(sig, CAST(k*16 AS INT)) & 65535)")
+        ).alias("blk", "bv"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(ham <= 3)
+        .select(
+            F.col("a.doc_id").alias("a"),
+            F.col("b.doc_id").alias("b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .orderBy("a", "b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# V1. embedding near-dup pairs — exact cosine ≥ 0.4 (oracle-matched)
+# ---------------------------------------------------------------------------
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+
+
+def _with_norm(df: DataFrame, id_alias: str) -> DataFrame:
+    e = df.select(
+        F.col("vec_id").alias(id_alias),
+        F.col("embedding").cast("array<double>").alias(f"emb_{id_alias}"),
+    )
+    dot_self = _DOT.format(a=f"emb_{id_alias}", b=f"emb_{id_alias}")
+    return e.withColumn(f"norm_{id_alias}", F.expr(f"sqrt({dot_self})"))
+
+
+@query(
+    "embedding_cosine_pairs",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+               FROM embeddings)
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.4
+    ORDER BY a, b
+    """,
+)
+def embedding_cosine_pairs(spark, sf_dir):
+    # Brute-force exact baseline (the correctness anchor for the ANN path).
+    # All-pairs is O(n²) — fine at verification scale; at 100 TB use
+    # ann_lsh_topk below, which replaces the cross join with a bucket join.
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = _with_norm(emb, "a")
+    b = _with_norm(emb, "b")
+    dot = F.expr(_DOT.format(a="emb_a", b="emb_b"))
+    sim = dot / (F.col("norm_a") * F.col("norm_b"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn("sim_raw", sim)
+        .filter(F.col("sim_raw") >= 0.4)
+        .select("a", "b", F.round("sim_raw", 6).alias("sim"))
+        .orderBy("a", "b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# V2. brute-force cosine top-k similarity search (oracle-matched)
+# ---------------------------------------------------------------------------
+TOPK_QUERY_IDS = 5  # vec_id < 5 are the query vectors
+TOPK_K = 10
+
+
+@query(
+    "similarity_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+               FROM embeddings),
+    s AS (SELECT q.vec_id AS q_id, c.vec_id AS nn_id,
+                 list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS sim
+          FROM e q JOIN e c ON q.vec_id < {TOPK_QUERY_IDS} AND q.vec_id <> c.vec_id),
+    r AS (SELECT q_id, nn_id, sim,
+                 ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS rn
+          FROM s)
+    SELECT q_id, nn_id, ROUND(sim, 6) AS sim, rn FROM r WHERE rn <= {TOPK_K}
+    ORDER BY q_id, rn
+    """,
+)
+def similarity_topk(spark, sf_dir):
+    # Broadcast the (tiny) query set against the corpus: one scan, no corpus
+    # shuffle; per-query top-k via window over the per-partition survivors.
+    # This is the exact-kNN plan that scales to any corpus size as long as
+    # the query batch is broadcast-able.
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _with_norm(emb.filter(F.col("vec_id") < TOPK_QUERY_IDS), "q")
+    c = _with_norm(emb, "c")
+    dot = F.expr(_DOT.format(a="emb_q", b="emb_c"))
+    sim = (dot / (F.col("norm_q") * F.col("norm_c"))).alias("sim_raw")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q") != F.col("c"))
+        .select(F.col("q").alias("q_id"), F.col("c").alias("nn_id"), sim)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim_raw"), "nn_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK_K)
+        .select("q_id", "nn_id", F.round("sim_raw", 6).alias("sim"), "rn")
+        .orderBy("q_id", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# V3. LSH-bucketed approximate NN — the scale path (rows-only check; tests
+#     measure recall ≥ 0.9 vs similarity_topk at verification scale)
+# ---------------------------------------------------------------------------
+LSH_PLANES = 6  # 64 buckets; multiprobe over all 1-bit flips (7 probes/query)
+
+
+@query("ann_lsh_topk")
+def ann_lsh_topk(spark, sf_dir):
+    """Random-hyperplane LSH: 12 sign bits → bucket id; queries probe their
+    own bucket plus all 1-bit-flip neighbors; exact cosine re-rank inside
+    the probed buckets. Replaces the O(n·q) cross join with a bucket join —
+    the candidate set is ~(13/4096) of the corpus per query.
+
+    Hyperplane components are xxhash64-derived (deterministic, seedable,
+    computed JVM-side — no Python in the corpus-side path).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    # hp(p, d) ∈ {−1, +1} from xxhash64(p, d); bucket bit p = sign of dot
+    bucket_expr = F.expr(
+        f"""
+        aggregate(sequence(0, {LSH_PLANES - 1}), 0L, (acc, p) -> acc +
+          IF(aggregate(sequence(0, size(embd) - 1), 0D,
+               (s, d) -> s + element_at(embd, d + 1) *
+                         IF((xxhash64(p, d) & 1) = 1, 1D, -1D)) > 0D,
+             shiftleft(1L, CAST(p AS INT)), 0L))
+        """
+    )
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embd")
+    ).withColumn("bucket", bucket_expr)
+    corpus = base.select(
+        "vec_id",
+        "embd",
+        F.expr(f"sqrt({_DOT.format(a='embd', b='embd')})").alias("nrm"),
+        "bucket",
+    )
+    # queries probe own bucket + every 1-bit flip (multiprobe)
+    probes = (
+        corpus.filter(F.col("vec_id") < TOPK_QUERY_IDS)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embd").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            F.explode(
+                F.expr(
+                    f"array_union(array(bucket), transform(sequence(0, {LSH_PLANES - 1}),"
+                    " p -> bucket ^ shiftleft(1L, CAST(p AS INT))))"
+                )
+            ).alias("bucket"),
+        )
+    )
+    dot = F.expr(_DOT.format(a="q_emb", b="embd"))
+    sim = (dot / (F.col("q_nrm") * F.col("nrm"))).alias("sim_raw")
+    cand = (
+        corpus.join(F.broadcast(probes), "bucket")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", F.col("vec_id").alias("nn_id"), sim)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim_raw"), "nn_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK_K)
+        .select("q_id", "nn_id", F.round("sim_raw", 6).alias("sim"), "rn")
+        .orderBy("q_id", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T1. text statistics + quality score (oracle-matched)
+# ---------------------------------------------------------------------------
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+_SW = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id,
+             length(text) AS n_chars_calc,
+             len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+             len({SQL_WORDS}) AS n_words,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+             len(list_filter({SQL_WORDS}, x -> x IN ({_SW}))) AS n_stop
+      FROM documents)
+    SELECT doc_id, n_chars_calc, n_tokens, n_words, n_punct,
+           ROUND(CAST(n_stop AS DOUBLE) / greatest(n_words, 1), 6) AS stop_ratio,
+           ROUND(least(CAST(n_words AS DOUBLE) / 50, 1.0) * 0.6
+                 + (1 - CAST(n_stop AS DOUBLE) / greatest(n_words, 1)) * 0.2
+                 + least(CAST(n_chars_calc AS DOUBLE) / 500, 1.0) * 0.2, 6) AS quality
+    FROM b ORDER BY doc_id
+    """,
+)
+def text_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.expr(f"size({WORDS})")
+    n_stop = F.expr(f"size(filter({WORDS}, x -> x IN ({_SW})))")
+    stop_ratio = n_stop.cast("double") / F.greatest(n_words, F.lit(1))
+    quality = (
+        F.least(n_words.cast("double") / 50, F.lit(1.0)) * 0.6
+        + (1 - stop_ratio) * 0.2
+        + F.least(F.length("text").cast("double") / 500, F.lit(1.0)) * 0.2
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_calc"),
+        F.expr("size(regexp_extract_all(text, '\\\\S+', 0))").cast("long").alias("n_tokens"),
+        n_words.cast("long").alias("n_words"),
+        F.length(F.regexp_replace("text", "[^.,;:!?]", "")).cast("long").alias("n_punct"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(quality, 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# T2. n-gram-marker language ID (oracle-matched; deterministic heuristic)
+# ---------------------------------------------------------------------------
+_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+    "es": ("el", "los", "y", "que"),
+}
+
+
+def _marker_counts_sql() -> str:
+    parts = []
+    for lang, ws in _MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in ws)
+        parts.append(f"len(list_filter({SQL_WORDS}, x -> x IN ({lst}))) AS c_{lang}")
+    return ", ".join(parts)
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+    WITH b AS (SELECT doc_id, lang, {_marker_counts_sql()} FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+                WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+                WHEN c_fr >= c_es THEN 'fr'
+                ELSE 'es' END AS pred_lang,
+           c_en, c_de, c_fr, c_es
+    FROM b ORDER BY doc_id
+    """,
+)
+def lang_id(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    cols = {}
+    for lang, ws in _MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in ws)
+        cols[lang] = F.expr(f"size(filter({WORDS}, x -> x IN ({lst})))").cast("long")
+    pred = (
+        F.when(
+            (cols["en"] >= cols["de"]) & (cols["en"] >= cols["fr"]) & (cols["en"] >= cols["es"]),
+            "en",
+        )
+        .when((cols["de"] >= cols["fr"]) & (cols["de"] >= cols["es"]), "de")
+        .when(cols["fr"] >= cols["es"], "fr")
+        .otherwise("es")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        cols["en"].alias("c_en"),
+        cols["de"].alias("c_de"),
+        cols["fr"].alias("c_fr"),
+        cols["es"].alias("c_es"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# T3. document fingerprint — md5 over whitespace-normalized text
+# ---------------------------------------------------------------------------
+@query(
+    "doc_fingerprint",
+    oracle=r"""
+    SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+    FROM documents ORDER BY doc_id
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("fp"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# M1. multimodal column plumbing — binary payload + typed metadata
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS digest
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_meta(spark, sf_dir):
+    # Binary columns are first-class: payload stays opaque bytes; metadata
+    # (size, content digest) is computed JVM-side. The decode path for real
+    # image/audio payloads is in operators/multimodal.py (mapInPandas).
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("digest"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# E1. gap-based sessionization of the events stream, batch analog
+#     (session-window semantics over window functions; oracle-matched)
+# ---------------------------------------------------------------------------
+SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+@query(
+    "events_sessionize",
+    oracle=f"""
+    WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+    f AS (SELECT *, CASE WHEN ts_us - LAG(ts_us) OVER
+                    (PARTITION BY user_id ORDER BY ts_us, event_id) > {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS nf FROM b),
+    s AS (SELECT *, CAST(1 + SUM(nf) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM f)
+    SELECT user_id, sid, COUNT(*) AS n_events,
+           MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+    FROM s GROUP BY user_id, sid ORDER BY user_id, sid
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts_us")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    # two steps: window functions can't nest (lag inside sum), so the
+    # new-session flag is materialized before the running sum
+    flagged = e.withColumn(
+        "nf",
+        F.when(F.col("ts_us") - F.lag("ts_us").over(w) > SESSION_GAP_US, 1).otherwise(0),
+    )
+    sid = (
+        F.lit(1)
+        + F.sum("nf").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ).cast("long")
+    return (
+        flagged.withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts_us").alias("start_us"),
+            F.max("ts_us").alias("end_us"),
+        )
+        .orderBy("user_id", "sid")
+    )

@@ -1,0 +1,74 @@
+"""SparkSession construction and runtime tuning.
+
+The reference boots a Flink MiniCluster with `parallelism.default: 2`
+(reference: flink-runtime/conf/flink-conf.yaml:14). Our equivalent is a
+local-mode SparkSession; on a real deployment the same code runs unchanged on
+a 1000-executor cluster — all operators in this repo are expressed
+declaratively (DataFrame/SQL) so Catalyst/AQE pick physical strategies that
+scale with the cluster, not with these local defaults.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs applied to ANY session we are handed (including
+# the driver's). These are semantic (timezone, nanos decoding) or
+# scale-robustness (AQE) settings — safe and desirable at every scale.
+RUNTIME_CONFS = {
+    # Deterministic wall-clock semantics; testdata timestamps are NTZ so most
+    # operators are timezone-independent, but functions on TimestampType
+    # (streaming windows) honor this.
+    "spark.sql.session.timeZone": "UTC",
+    # /root/testdata events.parquet stores TIMESTAMP(NANOS) which Spark's
+    # parquet reader rejects; read as long nanos and convert ourselves
+    # (io.load_events truncates to µs exactly like DuckDB's reader does).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Adaptive execution: runtime shuffle-partition coalescing, skew-join
+    # splitting, dynamic broadcast — the "survives 100× scale-up" switches.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas-UDF path (vectorized Python interchange).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an existing session (idempotent).
+
+    Called at the top of every query builder so the driver-provided session
+    gets the same semantics as one we build ourselves.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable in this session; builder-created sessions set it
+    return spark
+
+
+def get_spark(app_name: str = "flink-notebooks-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or get) a tuned local SparkSession.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or all cores. Shuffle partitions
+    default to 2× cores locally; AQE coalesces down as needed. On a real
+    cluster you would size this to ~2-3× total executor cores instead.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(2 * cpus, 8)))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return tune(spark)

@@ -1,0 +1,26 @@
+"""Every oracle-backed declared query must match DuckDB at sf0.001.
+
+This is the same gate the driver applies at sf0.01 (CORRECTNESS_r{N}.json);
+running it per-commit at the smallest SF keeps the suite fast.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_notebooks_spark.queries import ORACLE, QUERIES
+from flink_notebooks_spark.testing import compare
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_oracle_match(name, spark, sf_dir, duck):
+    sdf = QUERIES[name](spark, sf_dir).toPandas()
+    odf = duck.sql(ORACLE[name]).df()
+    problems = compare(sdf, odf)
+    assert not problems, f"{name}: {problems}"
+
+
+def test_all_queries_have_entries():
+    # every registered query is either oracle-backed or explicitly rows-only
+    rows_only = set(QUERIES) - set(ORACLE)
+    assert rows_only == {"dedup_minhash_lsh", "dedup_simhash", "ann_lsh_topk"}

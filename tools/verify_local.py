@@ -1,0 +1,69 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
+over the same sf dir, then compares row count, column names, and values.
+
+Usage: python tools/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from flink_notebooks_spark.testing import compare, duck_con  # noqa: E402
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from flink_notebooks_spark.queries import ORACLE, QUERIES
+    from flink_notebooks_spark.session import get_spark
+
+    spark = get_spark("verify-local")
+    con = duck_con(sf_dir)
+
+    passed, failed, nooracle = [], [], []
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failed.append(name)
+            print(f"FAIL {name}: spark error: {str(e)[:500]}")
+            continue
+        if name not in ORACLE:
+            nooracle.append(name)
+            print(f"ROWS {name}: {len(sdf)} rows (no oracle) [{time.time() - t0:.1f}s]")
+            continue
+        try:
+            odf = con.sql(ORACLE[name]).df()
+        except Exception as e:  # noqa: BLE001
+            failed.append(name)
+            print(f"FAIL {name}: duckdb error: {str(e)[:500]}")
+            continue
+        problems = compare(sdf, odf)
+        if problems:
+            failed.append(name)
+            print(f"FAIL {name} ({len(sdf)} rows) [{time.time() - t0:.1f}s]")
+            for p in problems:
+                print(f"     {p}")
+        else:
+            passed.append(name)
+            print(f"PASS {name} ({len(sdf)} rows) [{time.time() - t0:.1f}s]")
+
+    print(
+        f"\n{len(passed)} passed, {len(failed)} failed, {len(nooracle)} rows-only "
+        f"of {len(passed) + len(failed) + len(nooracle)} run"
+    )
+    spark.stop()
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
