@@ -1,0 +1,279 @@
+"""Statement classifier + Flink-DDL dialect parser.
+
+This is the only parser we write (SURVEY.md §7.1 step 2): the Flink-specific
+DDL surface — ``CREATE TABLE ... WITH ('connector'=..., ...)`` with WATERMARK
+/ computed columns / PRIMARY KEY, ``DROP TABLE``, ``USE [CATALOG]``,
+``SHOW ...``, ``DESCRIBE``, ``SET 'k'='v'`` — everything else passes through
+to Spark SQL untouched (Catalyst is the real parser/planner).
+
+Grammar evidence from the reference:
+- streaming DDL with WATERMARK: examples/01-datagen-streaming.flinknb:12
+- bounded DDL + SET runtime-mode: examples/02-datagen-batch.flinknb:12,43
+- complex types: examples/02-datagen-batch.flinknb:83
+- statement detection for DDL/jobs: vscode-extension/src/providers/
+  catalogTreeProvider.ts:46-71, jobMonitorProvider.ts:41-48
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+
+from .types import _split_top, parse_type
+
+
+@dataclass
+class ColumnDef:
+    name: str
+    data_type: T.DataType | None = None  # None for computed columns
+    nullable: bool = True
+    computed_expr: str | None = None  # SQL expression for computed cols
+    comment: str | None = None
+
+
+@dataclass
+class WatermarkDef:
+    column: str
+    expr: str  # full watermark expression, e.g. "event_time - INTERVAL '5' SECOND"
+    delay: str | None  # parsed bounded-out-of-orderness, e.g. "5 seconds"
+
+
+@dataclass
+class TableDef:
+    name: str
+    columns: list[ColumnDef] = field(default_factory=list)
+    watermark: WatermarkDef | None = None
+    primary_key: list[str] = field(default_factory=list)
+    options: dict[str, str] = field(default_factory=dict)
+    if_not_exists: bool = False
+
+    @property
+    def connector(self) -> str:
+        return self.options.get("connector", "")
+
+    def spark_schema(self) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField(c.name, c.data_type, c.nullable)
+                for c in self.columns
+                if c.data_type is not None and c.computed_expr is None
+            ]
+        )
+
+
+@dataclass
+class Parsed:
+    kind: str  # create_table | drop_table | use | use_catalog | show | describe |
+    #            set | reset | insert | query | explain | add_jar | statement_set
+    table: TableDef | None = None
+    name: str | None = None
+    key: str | None = None
+    value: str | None = None
+    sql: str = ""
+    if_exists: bool = False
+    show_what: str | None = None
+    overwrite: bool = False
+
+
+_INTERVAL_UNITS = {
+    "SECOND": "seconds",
+    "SECONDS": "seconds",
+    "MINUTE": "minutes",
+    "MINUTES": "minutes",
+    "HOUR": "hours",
+    "HOURS": "hours",
+    "DAY": "days",
+    "DAYS": "days",
+    "MILLISECOND": "milliseconds",
+}
+
+
+def strip_comments(sql: str) -> str:
+    sql = re.sub(r"--[^\n]*", " ", sql)
+    sql = re.sub(r"/\*.*?\*/", " ", sql, flags=re.DOTALL)
+    return sql.strip().rstrip(";").strip()
+
+
+def _parse_watermark(body: str) -> WatermarkDef:
+    m = re.match(r"WATERMARK\s+FOR\s+(`?)(\w+)\1\s+AS\s+(.+)", body, re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise ValueError(f"bad WATERMARK clause: {body!r}")
+    col, expr = m.group(2), m.group(3).strip()
+    delay = None
+    dm = re.search(
+        r"-\s*INTERVAL\s+'(\d+(?:\.\d+)?)'\s+(\w+)", expr, re.IGNORECASE
+    )
+    if dm:
+        unit = _INTERVAL_UNITS.get(dm.group(2).upper())
+        if unit:
+            delay = f"{dm.group(1)} {unit}"
+    return WatermarkDef(column=col, expr=expr, delay=delay)
+
+
+def _parse_schema_items(body: str, table: TableDef) -> None:
+    for item in _split_top(body):
+        item = item.strip()
+        if not item:
+            continue
+        up = item.upper()
+        if up.startswith("WATERMARK"):
+            table.watermark = _parse_watermark(item)
+            continue
+        if up.startswith("PRIMARY KEY"):
+            m = re.match(r"PRIMARY\s+KEY\s*\(([^)]*)\)", item, re.IGNORECASE)
+            if m:
+                table.primary_key = [c.strip().strip("`") for c in m.group(1).split(",")]
+            continue
+        if re.match(r"(UNIQUE|CONSTRAINT)\b", up):
+            continue  # tolerated, unenforced
+        # computed column:  name AS expr
+        m = re.match(r"(`?)([\w]+)\1\s+AS\s+(.+)", item, re.IGNORECASE | re.DOTALL)
+        if m and not re.match(
+            r"(`?)\w+\1\s+(ARRAY|MAP|ROW|MULTISET)\s*<", item, re.IGNORECASE
+        ):
+            table.columns.append(ColumnDef(name=m.group(2), computed_expr=m.group(3).strip()))
+            continue
+        # regular column:  name TYPE [NOT NULL] [COMMENT '...']
+        m = re.match(r"(`?)([\w]+)\1\s+(.+)", item, re.DOTALL)
+        if not m:
+            raise ValueError(f"bad column definition: {item!r}")
+        name, rest = m.group(2), m.group(3).strip()
+        comment = None
+        cm = re.search(r"\s+COMMENT\s+'([^']*)'\s*$", rest, re.IGNORECASE)
+        if cm:
+            comment = cm.group(1)
+            rest = rest[: cm.start()].strip()
+        nullable = True
+        nm = re.search(r"\s+NOT\s+NULL\s*$", rest, re.IGNORECASE)
+        if nm:
+            nullable = False
+            rest = rest[: nm.start()].strip()
+        table.columns.append(
+            ColumnDef(name=name, data_type=parse_type(rest), nullable=nullable, comment=comment)
+        )
+
+
+def _parse_with_options(s: str) -> dict[str, str]:
+    return {
+        m.group(1): m.group(2)
+        for m in re.finditer(r"'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'", s)
+    }
+
+
+def parse_statement(sql: str) -> Parsed:
+    """Classify one SQL statement; DDL in our dialect is fully parsed,
+    queries/INSERT/EXPLAIN pass through with light metadata."""
+    sql = strip_comments(sql)
+    up = sql.upper()
+
+    m = re.match(
+        r"CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(`?)([\w.]+)\2\s*\(",
+        sql,
+        re.IGNORECASE,
+    )
+    if m:
+        # balanced-paren scan: regex can't split schema body from WITH(...)
+        # because both may nest parens (DECIMAL(10,2), quoted options)
+        body_start = m.end()  # just after the '('
+        depth, i = 1, body_start
+        while i < len(sql) and depth > 0:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        if depth != 0:
+            raise ValueError("unbalanced parentheses in CREATE TABLE")
+        schema_body = sql[body_start : i - 1]
+        rest = sql[i:].strip()
+        options = {}
+        wm = re.match(r"(?:COMMENT\s+'[^']*'\s*)?WITH\s*\((.*)\)\s*$", rest, re.IGNORECASE | re.DOTALL)
+        if wm:
+            options = _parse_with_options(wm.group(1))
+        elif rest:
+            raise ValueError(f"unexpected trailing DDL: {rest[:80]!r}")
+        table = TableDef(
+            name=m.group(3).split(".")[-1],
+            if_not_exists=bool(m.group(1)),
+            options=options,
+        )
+        _parse_schema_items(schema_body, table)
+        return Parsed(kind="create_table", table=table, sql=sql)
+
+    m = re.match(r"DROP\s+(?:TEMPORARY\s+)?TABLE\s+(IF\s+EXISTS\s+)?(`?)([\w.]+)\2\s*$", sql, re.IGNORECASE)
+    if m:
+        return Parsed(kind="drop_table", name=m.group(3).split(".")[-1], if_exists=bool(m.group(1)), sql=sql)
+
+    m = re.match(r"USE\s+CATALOG\s+(`?)([\w]+)\1\s*$", sql, re.IGNORECASE)
+    if m:
+        return Parsed(kind="use_catalog", name=m.group(2), sql=sql)
+    m = re.match(r"USE\s+(`?)([\w.]+)\1\s*$", sql, re.IGNORECASE)
+    if m:
+        return Parsed(kind="use", name=m.group(2), sql=sql)
+
+    m = re.match(r"SHOW\s+(CATALOGS|DATABASES|TABLES|VIEWS|FUNCTIONS|JARS)\s*$", up)
+    if m:
+        return Parsed(kind="show", show_what=m.group(1).lower(), sql=sql)
+
+    m = re.match(r"(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?(?:EXTENDED\s+)?(`?)([\w.]+)\1\s*$", sql, re.IGNORECASE)
+    if m:
+        return Parsed(kind="describe", name=m.group(2).split(".")[-1], sql=sql)
+
+    # SET 'key' = 'value'  |  SET key = value  |  SET (list)  |  RESET
+    m = re.match(r"SET\s*$", up)
+    if m:
+        return Parsed(kind="show", show_what="set", sql=sql)
+    m = re.match(r"SET\s+'([^']+)'\s*=\s*'([^']*)'\s*$", sql, re.IGNORECASE)
+    if m:
+        return Parsed(kind="set", key=m.group(1), value=m.group(2), sql=sql)
+    m = re.match(r"SET\s+([\w.\-]+)\s*=\s*(.+?)\s*$", sql, re.IGNORECASE)
+    if m:
+        return Parsed(kind="set", key=m.group(1), value=m.group(2).strip("'\""), sql=sql)
+    m = re.match(r"RESET(?:\s+'?([\w.\-]+)'?)?\s*$", sql, re.IGNORECASE)
+    if m:
+        return Parsed(kind="reset", key=m.group(1), sql=sql)
+
+    m = re.match(r"ADD\s+JAR\s+'([^']+)'\s*$", sql, re.IGNORECASE)
+    if m:
+        return Parsed(kind="add_jar", name=m.group(1), sql=sql)
+
+    m = re.match(r"INSERT\s+(INTO|OVERWRITE)\s+(`?)([\w.]+)\2\s+(.*)$", sql, re.IGNORECASE | re.DOTALL)
+    if m:
+        return Parsed(
+            kind="insert",
+            name=m.group(3).split(".")[-1],
+            overwrite=m.group(1).upper() == "OVERWRITE",
+            sql=m.group(4).strip(),
+        )
+
+    if up.startswith("EXPLAIN"):
+        return Parsed(kind="explain", sql=sql)
+    if re.match(r"EXECUTE\s+STATEMENT\s+SET", up):
+        return Parsed(kind="statement_set", sql=sql)
+
+    return Parsed(kind="query", sql=sql)
+
+
+def split_statements(text: str) -> list[str]:
+    """Split a cell/script into statements on top-level semicolons."""
+    out, cur, in_str = [], [], False
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if ch == "'":
+            in_str = not in_str
+            cur.append(ch)
+        elif ch == ";" and not in_str:
+            stmt = "".join(cur).strip()
+            if stmt:
+                out.append(stmt)
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    last = "".join(cur).strip()
+    if last:
+        out.append(last)
+    return out

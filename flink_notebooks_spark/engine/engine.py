@@ -1,0 +1,327 @@
+"""The engine: session + statement execution (SURVEY.md §3.1, §7.1 steps 1-4).
+
+``Engine`` is the Spark-native equivalent of one SQL-gateway *session*
+(reference sqlGatewayClient.ts:71-85): it owns session properties (including
+``execution.runtime-mode`` — reference examples/02-datagen-batch.flinknb:43,
+flinkNotebookController.ts:950-957), a logical-table registry populated by
+our Flink-DDL dialect, and ``execute_sql() -> Statement`` with the paged
+result protocol. Queries pass through to Spark SQL — Catalyst replaces the
+Flink planner wholesale (SURVEY.md §4).
+
+``SessionManager`` mirrors the gateway's session map: N sessions share one
+SparkSession (= one MiniCluster) but have independent registries/properties.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..session import get_spark, tune
+from ..sources import build_source, connectors
+from ..sources import filesystem as fs_sink
+from .ddl import Parsed, TableDef, parse_statement, split_statements
+from .statement import (
+    BatchStatement,
+    ColumnInfo,
+    ImmediateStatement,
+    Statement,
+    StreamingStatement,
+    ok_statement,
+)
+
+BATCH = "batch"
+STREAMING = "streaming"
+
+
+class Engine:
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        properties: dict[str, str] | None = None,
+    ):
+        self.spark = tune(spark) if spark is not None else get_spark("flink-notebooks-spark")
+        self.session_handle = uuid.uuid4().hex
+        self.properties: dict[str, str] = {"execution.runtime-mode": STREAMING}
+        self.properties.update(properties or {})
+        self.tables: dict[str, TableDef] = {}
+        self.statements: list[Statement] = []
+        self._checkpoint_root = tempfile.mkdtemp(prefix="fns-ckpt-")
+
+    # ------------------------------------------------------------------ mode
+    @property
+    def runtime_mode(self) -> str:
+        return self.properties.get("execution.runtime-mode", STREAMING).lower()
+
+    # ----------------------------------------------------------- table layer
+    def _is_bounded(self, table: TableDef) -> bool:
+        if table.connector == "datagen":
+            return "number-of-rows" in table.options
+        return False
+
+    def _materialize(self, table: TableDef, streaming: bool) -> DataFrame:
+        df = build_source(self.spark, table, streaming=streaming)
+        for c in table.columns:
+            if c.computed_expr is not None:
+                df = df.selectExpr("*", f"{c.computed_expr} AS {c.name}")
+        if streaming and table.watermark is not None and table.watermark.delay:
+            # Spark watermarks require TIMESTAMP (LTZ); Flink TIMESTAMP(3) maps
+            # to NTZ (SURVEY.md §1.2) — promote the event-time column here.
+            wm_col = table.watermark.column
+            if isinstance(df.schema[wm_col].dataType, T.TimestampNTZType):
+                df = df.withColumn(wm_col, F.col(wm_col).cast("timestamp"))
+            df = df.withWatermark(wm_col, table.watermark.delay)
+        return df
+
+    def _register_view(self, table: TableDef) -> None:
+        streaming = (
+            self.properties.get("execution.runtime-mode", STREAMING).lower() == STREAMING
+            and not self._is_bounded(table)
+        )
+        try:
+            df = self._materialize(table, streaming)
+        except ValueError:
+            if streaming:  # connector without stream support → batch form
+                df = self._materialize(table, False)
+            else:
+                raise
+        df.createOrReplaceTempView(table.name)
+
+    def _refresh_views(self) -> None:
+        """Re-materialize every registered table under the current runtime
+        mode (SET 'execution.runtime-mode' arrives mid-session — SURVEY §7.4)."""
+        for t in self.tables.values():
+            self._register_view(t)
+
+    # -------------------------------------------------------------- execute
+    def execute_sql(self, sql: str) -> Statement:
+        """Execute ONE statement; returns a Statement with paged results."""
+        parsed = parse_statement(sql)
+        handler = getattr(self, f"_exec_{parsed.kind}", None)
+        if handler is None:
+            raise ValueError(f"unsupported statement kind: {parsed.kind}")
+        stmt = handler(parsed)
+        self.statements.append(stmt)
+        return stmt
+
+    def execute_script(self, text: str) -> list[Statement]:
+        """Execute a multi-statement script/cell (top-level ';' split)."""
+        return [self.execute_sql(s) for s in split_statements(text)]
+
+    # ---- DDL ----------------------------------------------------------------
+    def _exec_create_table(self, p: Parsed) -> Statement:
+        t = p.table
+        if t.name in self.tables and t.if_not_exists:
+            return ok_statement("OK")
+        if not t.connector:
+            raise ValueError(
+                f"table {t.name}: a 'connector' option is required "
+                f"(one of {', '.join(connectors())})"
+            )
+        self.tables[t.name] = t
+        self._register_view(t)
+        return ok_statement("OK")
+
+    def _exec_drop_table(self, p: Parsed) -> Statement:
+        if p.name not in self.tables:
+            if p.if_exists:
+                return ok_statement("OK")
+            raise ValueError(f"table not found: {p.name}")
+        del self.tables[p.name]
+        self.spark.catalog.dropTempView(p.name)
+        return ok_statement("OK")
+
+    # ---- session properties ---------------------------------------------
+    def _exec_set(self, p: Parsed) -> Statement:
+        self.properties[p.key] = p.value
+        if p.key == "execution.runtime-mode":
+            self._refresh_views()
+        elif p.key.startswith("spark."):
+            try:
+                self.spark.conf.set(p.key, p.value)
+            except Exception:  # noqa: BLE001  (static confs are not settable)
+                pass
+        return ok_statement("OK")
+
+    def _exec_reset(self, p: Parsed) -> Statement:
+        if p.key:
+            self.properties.pop(p.key, None)
+        else:
+            self.properties = {"execution.runtime-mode": STREAMING}
+        return ok_statement("OK")
+
+    # ---- catalog surface (reference catalogService.ts:126-221) ------------
+    def _exec_show(self, p: Parsed) -> Statement:
+        what = p.show_what
+        if what == "catalogs":
+            rows = [[c.name] for c in self.spark.catalog.listCatalogs()]
+            return ImmediateStatement([ColumnInfo("catalog name", "STRING")], rows)
+        if what == "databases":
+            rows = [[d.name] for d in self.spark.catalog.listDatabases()]
+            return ImmediateStatement([ColumnInfo("database name", "STRING")], rows)
+        if what in ("tables", "views"):
+            names = set(self.tables)
+            names.update(t.name for t in self.spark.catalog.listTables())
+            return ImmediateStatement(
+                [ColumnInfo("table name", "STRING")], [[n] for n in sorted(names)]
+            )
+        if what == "functions":
+            rows = [[f.name] for f in self.spark.catalog.listFunctions()]
+            return ImmediateStatement([ColumnInfo("function name", "STRING")], rows)
+        if what == "jars":
+            jars = self.spark.sparkContext._jsc.sc().listJars()  # noqa: SLF001
+            rows = [[j] for j in [jars.apply(i) for i in range(jars.size())]]
+            return ImmediateStatement([ColumnInfo("jar", "STRING")], rows)
+        if what == "set":
+            rows = [[k, v] for k, v in sorted(self.properties.items())]
+            return ImmediateStatement(
+                [ColumnInfo("key", "STRING"), ColumnInfo("value", "STRING")], rows
+            )
+        raise ValueError(f"SHOW {what} not supported")
+
+    def _exec_describe(self, p: Parsed) -> Statement:
+        cols = [
+            ColumnInfo("name", "STRING"),
+            ColumnInfo("type", "STRING"),
+            ColumnInfo("null", "STRING"),
+            ColumnInfo("key", "STRING"),
+            ColumnInfo("extras", "STRING"),
+            ColumnInfo("watermark", "STRING"),
+        ]
+        t = self.tables.get(p.name)
+        if t is not None:
+            rows = []
+            for c in t.columns:
+                wm = ""
+                if t.watermark and t.watermark.column == c.name:
+                    wm = t.watermark.expr
+                rows.append(
+                    [
+                        c.name,
+                        (c.data_type.simpleString().upper() if c.data_type else "COMPUTED"),
+                        "TRUE" if c.nullable else "FALSE",
+                        "PRI" if c.name in t.primary_key else "",
+                        f"AS {c.computed_expr}" if c.computed_expr else "",
+                        wm,
+                    ]
+                )
+            return ImmediateStatement(cols, rows)
+        df = self.spark.table(p.name)
+        rows = [
+            [f.name, f.dataType.simpleString().upper(), "TRUE" if f.nullable else "FALSE", "", "", ""]
+            for f in df.schema.fields
+        ]
+        return ImmediateStatement(cols, rows)
+
+    def _exec_use_catalog(self, p: Parsed) -> Statement:
+        self.spark.catalog.setCurrentCatalog(p.name)
+        return ok_statement("OK")
+
+    def _exec_use(self, p: Parsed) -> Statement:
+        self.spark.catalog.setCurrentDatabase(p.name)
+        return ok_statement("OK")
+
+    def _exec_add_jar(self, p: Parsed) -> Statement:
+        self.spark.sql(f"ADD JAR '{p.name}'")
+        return ok_statement("OK")
+
+    # ---- queries ----------------------------------------------------------
+    def _exec_query(self, p: Parsed) -> Statement:
+        df = self.spark.sql(p.sql)
+        if df.isStreaming:
+            return self._start_streaming_select(df)
+        return BatchStatement(df)
+
+    def _exec_explain(self, p: Parsed) -> Statement:
+        return BatchStatement(self.spark.sql(p.sql))
+
+    def _start_streaming_select(self, df: DataFrame) -> StreamingStatement:
+        ckpt = f"{self._checkpoint_root}/{uuid.uuid4().hex}"
+
+        def start(on_batch):
+            last_err = None
+            # append works for non-aggregating plans; update for aggregates;
+            # complete for sorted/limited aggregates — mirrors Flink's
+            # changelog modes (SURVEY.md §1.1 changelog rows).
+            for mode in ("append", "update", "complete"):
+                try:
+                    return (
+                        df.writeStream.outputMode(mode)
+                        .option("checkpointLocation", f"{ckpt}-{mode}")
+                        .foreachBatch(on_batch)
+                        .start()
+                    )
+                except Exception as e:  # noqa: BLE001
+                    last_err = e
+            raise last_err
+
+        return StreamingStatement(df, start)
+
+    # ---- INSERT INTO jobs (reference jobMonitorProvider.ts:41-43) ---------
+    def _exec_insert(self, p: Parsed) -> Statement:
+        target = self.tables.get(p.name)
+        if target is None:
+            raise ValueError(f"INSERT target not registered: {p.name}")
+        df = self.spark.sql(p.sql)
+        if df.isStreaming:
+            ckpt = f"{self._checkpoint_root}/{uuid.uuid4().hex}"
+            if target.connector == "filesystem":
+                query = fs_sink.write_stream(df, target, ckpt)
+            elif target.connector == "kafka":
+                from ..sources import kafka
+
+                query = kafka.write_stream(df, target, ckpt)
+            else:
+                raise ValueError(
+                    f"streaming INSERT into connector {target.connector!r} unsupported"
+                )
+            # the sink query is already started; the statement just tracks it
+            return StreamingStatement(df, lambda _on_batch: query)
+        if target.connector == "filesystem":
+            fs_sink.write_batch(df, target, p.overwrite)
+        elif target.connector == "jdbc":
+            from ..sources import jdbc
+
+            jdbc.write_batch(df, target, p.overwrite)
+        else:
+            raise ValueError(f"batch INSERT into connector {target.connector!r} unsupported")
+        # sink now has data on disk — re-materialize its readable view
+        self._register_view(target)
+        return ok_statement(f"INSERT {'OVERWRITE' if p.overwrite else 'INTO'} {p.name}: OK")
+
+    def _exec_statement_set(self, p: Parsed) -> Statement:
+        raise ValueError("EXECUTE STATEMENT SET: run the inner INSERTs separately")
+
+    # ---- teardown ----------------------------------------------------------
+    def close(self) -> None:
+        for s in self.statements:
+            if isinstance(s, StreamingStatement) and s.state == "RUNNING":
+                try:
+                    s.cancel()
+                except Exception:  # noqa: BLE001
+                    pass
+
+
+class SessionManager:
+    """Gateway-style session map (reference sqlGatewayClient.ts:71-95)."""
+
+    def __init__(self, spark: SparkSession | None = None):
+        self.spark = spark if spark is not None else get_spark("flink-notebooks-spark")
+        self.sessions: dict[str, Engine] = {}
+
+    def open_session(self, properties: dict[str, str] | None = None) -> Engine:
+        eng = Engine(self.spark, properties)
+        self.sessions[eng.session_handle] = eng
+        return eng
+
+    def get(self, handle: str) -> Engine:
+        return self.sessions[handle]
+
+    def close_session(self, handle: str) -> None:
+        eng = self.sessions.pop(handle, None)
+        if eng is not None:
+            eng.close()

@@ -1,0 +1,250 @@
+"""Statement lifecycle + token-paged result delivery (SURVEY.md §3.1).
+
+Mirrors the reference's SQL-gateway operation/result protocol:
+
+- operation states PENDING/RUNNING/FINISHED/ERROR/CANCELED
+  (reference vscode-extension/src/providers/flinkNotebookController.ts:145-153,
+  flinkJobClient.ts:7-17)
+- paged result fetch with tokens, ≤100 rows/page, result types
+  NOT_READY / PAYLOAD / EOS
+  (reference sqlGatewayClient.ts:124-140, flinkNotebookController.ts:165-241)
+- rows carry a changelog ``kind`` alongside positional ``fields``
+  (reference models/types.ts:24-27)
+- streaming results buffer up to 10,000 rows — the reference client's cap
+  (flinkNotebookController.ts:428)
+- pause / resume / cancel of a running streaming statement
+  (flinkNotebookController.ts:748-850)
+
+Spark mapping: a batch statement pages ``toLocalIterator`` (nothing is
+materialized on the driver beyond the current page — large results stream
+partition-by-partition); a streaming statement is a ``foreachBatch`` query
+appending to a bounded in-memory buffer the client drains with the same
+token protocol.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+PAGE_SIZE = 100  # reference sqlGatewayClient.ts:128
+MAX_STREAM_ROWS = 10_000  # reference flinkNotebookController.ts:428
+
+PENDING = "PENDING"
+RUNNING = "RUNNING"
+FINISHED = "FINISHED"
+ERROR = "ERROR"
+CANCELED = "CANCELED"
+
+
+@dataclass
+class ColumnInfo:
+    name: str
+    type: str
+    nullable: bool = True
+
+
+@dataclass
+class ResultPage:
+    result_type: str  # NOT_READY | PAYLOAD | EOS
+    columns: list[ColumnInfo] = field(default_factory=list)
+    data: list[dict[str, Any]] = field(default_factory=list)  # {kind, fields}
+    next_token: int | None = None
+
+
+def _columns_of(df: DataFrame) -> list[ColumnInfo]:
+    return [
+        ColumnInfo(f.name, f.dataType.simpleString().upper(), f.nullable)
+        for f in df.schema.fields
+    ]
+
+
+def _rows(batch: list, kind: str = "INSERT") -> list[dict[str, Any]]:
+    return [{"kind": kind, "fields": list(r)} for r in batch]
+
+
+class Statement:
+    """Base statement: immediate (DDL/SET) results."""
+
+    def __init__(self, statement_id: str | None = None):
+        self.statement_id = statement_id or uuid.uuid4().hex[:16]
+        self.state = PENDING
+        self.error: str | None = None
+        self.started_at = time.time()
+        self.finished_at: float | None = None
+        self.is_streaming = False
+
+    # --- protocol surface -------------------------------------------------
+    def status(self) -> str:
+        return self.state
+
+    def fetch(self, token: int = 0, max_rows: int = PAGE_SIZE) -> ResultPage:
+        raise NotImplementedError
+
+    def cancel(self) -> None:
+        if self.state in (PENDING, RUNNING):
+            self.state = CANCELED
+            self.finished_at = time.time()
+
+    def duration(self) -> float:
+        return (self.finished_at or time.time()) - self.started_at
+
+
+class ImmediateStatement(Statement):
+    """DDL / SET / SHOW results: fully known at construction."""
+
+    def __init__(self, columns: list[ColumnInfo], rows: list[list[Any]]):
+        super().__init__()
+        self._columns = columns
+        self._rows = rows
+        self.state = FINISHED
+        self.finished_at = time.time()
+
+    def fetch(self, token: int = 0, max_rows: int = PAGE_SIZE) -> ResultPage:
+        start = token * max_rows
+        page = self._rows[start : start + max_rows]
+        if not page and start >= len(self._rows):
+            return ResultPage("EOS", self._columns, [], None)
+        return ResultPage("PAYLOAD", self._columns, _rows(page), token + 1)
+
+
+def ok_statement(message: str = "OK") -> ImmediateStatement:
+    return ImmediateStatement([ColumnInfo("result", "STRING", False)], [[message]])
+
+
+class BatchStatement(Statement):
+    """A batch query: pages toLocalIterator, PAGE_SIZE rows per token."""
+
+    def __init__(self, df: DataFrame):
+        super().__init__()
+        self.df = df
+        self._columns = _columns_of(df)
+        self._iter = None
+        self._pages: dict[int, list] = {}
+        self._done_token: int | None = None
+        self.state = RUNNING
+        self._lock = threading.Lock()
+
+    def fetch(self, token: int = 0, max_rows: int = PAGE_SIZE) -> ResultPage:
+        with self._lock:
+            if self.state == CANCELED:
+                return ResultPage("EOS", self._columns, [], None)
+            try:
+                if self._iter is None:
+                    # toLocalIterator streams partitions to the driver one at
+                    # a time — no full materialization even for huge results.
+                    self._iter = self.df.toLocalIterator(prefetchPartitions=True)
+                if self._done_token is not None and token >= self._done_token:
+                    self.state = FINISHED
+                    self.finished_at = self.finished_at or time.time()
+                    return ResultPage("EOS", self._columns, [], None)
+                if token in self._pages:  # idempotent retry
+                    return ResultPage(
+                        "PAYLOAD", self._columns, _rows(self._pages[token]), token + 1
+                    )
+                batch = []
+                for row in self._iter:
+                    batch.append(row)
+                    if len(batch) >= max_rows:
+                        break
+                if not batch:
+                    self._done_token = token
+                    self.state = FINISHED
+                    self.finished_at = time.time()
+                    return ResultPage("EOS", self._columns, [], None)
+                self._pages[token] = batch
+                # retain only the latest page for retry (bound driver memory)
+                for k in list(self._pages):
+                    if k < token:
+                        del self._pages[k]
+                return ResultPage("PAYLOAD", self._columns, _rows(batch), token + 1)
+            except Exception as e:  # noqa: BLE001
+                self.state = ERROR
+                self.error = str(e)
+                self.finished_at = time.time()
+                raise
+
+
+class StreamingStatement(Statement):
+    """A streaming query: foreachBatch appends to a bounded buffer; the
+    client drains it with the same token protocol (NOT_READY while the
+    query is live but no new rows)."""
+
+    def __init__(self, df: DataFrame, start_fn):
+        """``start_fn(foreach_batch) -> StreamingQuery`` so the engine
+        controls trigger/output-mode selection."""
+        super().__init__()
+        self.is_streaming = True
+        self._columns = _columns_of(df)
+        self._buffer: list = []
+        self._lock = threading.Lock()
+        self._paused = False
+        self.truncated = False
+
+        def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+            rows = batch_df.collect()
+            with self._lock:
+                room = MAX_STREAM_ROWS - len(self._buffer)
+                if room <= 0:
+                    self.truncated = True
+                    return
+                if len(rows) > room:
+                    self.truncated = True
+                    rows = rows[:room]
+                self._buffer.extend(rows)
+
+        try:
+            self.query = start_fn(on_batch)
+            self.state = RUNNING
+        except Exception as e:  # noqa: BLE001
+            self.state = ERROR
+            self.error = str(e)
+            self.finished_at = time.time()
+            raise
+
+    # --- lifecycle (reference T5) ------------------------------------------
+    def pause(self) -> None:
+        self._paused = True
+
+    def resume(self) -> None:
+        self._paused = False
+
+    def cancel(self) -> None:
+        try:
+            self.query.stop()
+        finally:
+            self.state = CANCELED
+            self.finished_at = time.time()
+
+    def await_termination(self, timeout: float | None = None) -> None:
+        self.query.awaitTermination(timeout)
+
+    def fetch(self, token: int = 0, max_rows: int = PAGE_SIZE) -> ResultPage:
+        if self._paused:
+            return ResultPage("NOT_READY", self._columns, [], token)
+        active = self.query.isActive
+        if not active and self.state == RUNNING:
+            self.state = FINISHED if self.query.exception() is None else ERROR
+            if self.state == ERROR:
+                self.error = str(self.query.exception())
+            self.finished_at = time.time()
+        with self._lock:
+            start = token * max_rows
+            page = self._buffer[start : start + max_rows]
+            buffered = len(self._buffer)
+        if page:
+            return ResultPage("PAYLOAD", self._columns, _rows(page), token + 1)
+        if active:
+            return ResultPage("NOT_READY", self._columns, [], token)
+        if start >= buffered:
+            return ResultPage("EOS", self._columns, [], None)
+        return ResultPage("EOS", self._columns, [], None)
+
+    def rows_fetched_cap(self) -> int:
+        with self._lock:
+            return len(self._buffer)

@@ -1,0 +1,260 @@
+"""Engine layer tests: DDL dialect, datagen, result protocol, sessions.
+
+The acceptance flow mirrors the reference's example notebooks (its de-facto
+test corpus, SURVEY.md §5): examples/02-datagen-batch.flinknb (bounded
+datagen → scan → agg → top-N → complex types → drop) and the smoke query
+from SETUP.md:76.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_notebooks_spark.engine import Engine, SessionManager, parse_statement
+from flink_notebooks_spark.engine.types import parse_type
+
+
+@pytest.fixture()
+def engine(spark):
+    eng = Engine(spark)
+    yield eng
+    eng.close()
+
+
+def drain(stmt, max_pages=200):
+    rows = []
+    token = 0
+    for _ in range(max_pages):
+        page = stmt.fetch(token)
+        if page.result_type == "EOS":
+            break
+        if page.result_type == "PAYLOAD":
+            rows.extend(page.data)
+            token = page.next_token
+    return rows
+
+
+# --------------------------------------------------------------------- types
+def test_type_parser_covers_flink_universe():
+    assert parse_type("INT").simpleString() == "int"
+    assert parse_type("DECIMAL(10,2)").simpleString() == "decimal(10,2)"
+    assert parse_type("TIMESTAMP(3)").simpleString() == "timestamp_ntz"
+    assert parse_type("TIMESTAMP_LTZ(3)").simpleString() == "timestamp"
+    assert parse_type("ROW<category STRING, brand STRING>").simpleString() == (
+        "struct<category:string,brand:string>"
+    )
+    assert parse_type("ARRAY<STRING>").simpleString() == "array<string>"
+    assert parse_type("MAP<STRING, INT>").simpleString() == "map<string,int>"
+    assert parse_type("VARCHAR(255)").simpleString() == "string"
+
+
+def test_ddl_parse_watermark_and_options():
+    p = parse_statement(
+        """
+        CREATE TABLE clickstream (
+          user_id INT,
+          page_id INT,
+          action STRING,
+          event_time TIMESTAMP(3),
+          WATERMARK FOR event_time AS event_time - INTERVAL '5' SECOND
+        ) WITH (
+          'connector' = 'datagen',
+          'rows-per-second' = '2',
+          'fields.user_id.min' = '1',
+          'fields.user_id.max' = '100'
+        )
+        """
+    )
+    assert p.kind == "create_table"
+    t = p.table
+    assert [c.name for c in t.columns] == ["user_id", "page_id", "action", "event_time"]
+    assert t.watermark.column == "event_time"
+    assert t.watermark.delay == "5 seconds"
+    assert t.options["rows-per-second"] == "2"
+    assert t.connector == "datagen"
+
+
+# ----------------------------------------------------------- smoke (SETUP.md)
+def test_smoke_select_hello(engine):
+    stmt = engine.execute_sql("SELECT 1 as id, 'Hello Flink!' as message")
+    rows = drain(stmt)
+    assert rows == [{"kind": "INSERT", "fields": [1, "Hello Flink!"]}]
+    assert stmt.status() == "FINISHED"
+
+
+# ------------------------------------------ examples/02-datagen-batch replay
+BATCH_DDL = """
+CREATE TABLE orders_batch (
+    order_id INT,
+    customer_id INT,
+    product_id INT,
+    quantity INT,
+    price DECIMAL(10,2),
+    order_time TIMESTAMP(3)
+) WITH (
+    'connector' = 'datagen',
+    'number-of-rows' = '100',
+    'rows-per-second' = '1000',
+    'fields.order_id.kind' = 'sequence',
+    'fields.order_id.start' = '1',
+    'fields.order_id.end' = '100',
+    'fields.customer_id.min' = '1',
+    'fields.customer_id.max' = '50',
+    'fields.product_id.min' = '1',
+    'fields.product_id.max' = '20',
+    'fields.quantity.min' = '1',
+    'fields.quantity.max' = '10',
+    'fields.price.min' = '10',
+    'fields.price.max' = '500'
+)
+"""
+
+
+def test_notebook02_batch_flow(engine):
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    assert engine.properties["execution.runtime-mode"] == "batch"
+    engine.execute_sql(BATCH_DDL)
+
+    # full scan: exactly 100 rows (observed total_rows_fetched, examples/02:31)
+    rows = drain(engine.execute_sql("SELECT * FROM orders_batch"))
+    assert len(rows) == 100
+    assert all(r["kind"] == "INSERT" for r in rows)
+
+    # deterministic sequence field
+    ids = sorted(r["fields"][0] for r in rows)
+    assert ids == list(range(1, 101))
+
+    # revenue agg per product (examples/02:54)
+    agg = drain(
+        engine.execute_sql(
+            "SELECT product_id, COUNT(*) AS order_count, SUM(price * quantity) AS revenue "
+            "FROM orders_batch GROUP BY product_id ORDER BY revenue DESC"
+        )
+    )
+    assert 1 <= len(agg) <= 20
+
+    # top-10 customers, multi-key ORDER BY + LIMIT (examples/02:71)
+    top = drain(
+        engine.execute_sql(
+            "SELECT customer_id, COUNT(*) AS order_count, SUM(price*quantity) AS total_spent "
+            "FROM orders_batch GROUP BY customer_id "
+            "ORDER BY order_count DESC, total_spent DESC LIMIT 10"
+        )
+    )
+    assert len(top) == 10
+
+    # ranges honored
+    for r in rows:
+        assert 1 <= r["fields"][1] <= 50
+        assert 1 <= r["fields"][3] <= 10
+
+    engine.execute_sql("DROP TABLE orders_batch")
+    assert "orders_batch" not in engine.tables
+
+
+def test_notebook02_complex_types(engine):
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql(
+        """
+        CREATE TABLE products_with_metadata (
+            product_id INT,
+            product_name STRING,
+            details ROW<category STRING, brand STRING>,
+            tags ARRAY<STRING>,
+            created_at TIMESTAMP(3)
+        ) WITH (
+            'connector' = 'datagen',
+            'number-of-rows' = '50',
+            'fields.product_id.kind' = 'sequence',
+            'fields.product_id.start' = '1',
+            'fields.product_id.end' = '50',
+            'fields.product_name.length' = '15'
+        )
+        """
+    )
+    rows = drain(
+        engine.execute_sql(
+            "SELECT product_id, product_name, details.category, tags[1] AS t0 "
+            "FROM products_with_metadata ORDER BY product_id"
+        )
+    )
+    assert len(rows) == 50  # observed total_rows_fetched, examples/02:99
+    assert len(rows[0]["fields"]) == 4
+    engine.execute_sql("DROP TABLE products_with_metadata")
+
+
+# ----------------------------------------------------------- result protocol
+def test_paged_fetch_and_retry(engine):
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql(
+        BATCH_DDL.replace("orders_batch", "orders_pages").replace("'100'", "'250'")
+    )
+    stmt = engine.execute_sql("SELECT order_id FROM orders_pages ORDER BY order_id")
+    p0 = stmt.fetch(0)
+    assert p0.result_type == "PAYLOAD"
+    assert len(p0.data) == 100  # reference page size
+    p0_again = stmt.fetch(0)  # idempotent retry of the same token
+    assert [r["fields"] for r in p0_again.data] == [r["fields"] for r in p0.data]
+    p1 = stmt.fetch(p0.next_token)
+    assert len(p1.data) == 100
+    p2 = stmt.fetch(p1.next_token)
+    assert len(p2.data) == 50
+    assert stmt.fetch(p2.next_token).result_type == "EOS"
+    assert stmt.status() == "FINISHED"
+    engine.execute_sql("DROP TABLE orders_pages")
+
+
+def test_filesystem_connector_roundtrip(engine, sf_dir, tmp_path):
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql(
+        f"""
+        CREATE TABLE orders_fs (
+          o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+          o_totalprice DOUBLE, o_orderdate TIMESTAMP(3), o_orderpriority STRING
+        ) WITH ('connector'='filesystem','path'='{sf_dir}/orders.parquet','format'='parquet')
+        """
+    )
+    rows = drain(engine.execute_sql("SELECT COUNT(*) AS c FROM orders_fs"))
+    assert rows[0]["fields"][0] == 1500
+
+    # INSERT INTO a filesystem sink (S10)
+    engine.execute_sql(
+        f"""
+        CREATE TABLE orders_out (
+          o_orderkey BIGINT, o_totalprice DOUBLE
+        ) WITH ('connector'='filesystem','path'='{tmp_path}/out','format'='parquet')
+        """
+    )
+    stmt = engine.execute_sql(
+        "INSERT INTO orders_out SELECT o_orderkey, o_totalprice FROM orders_fs WHERE o_totalprice > 100000"
+    )
+    assert stmt.status() == "FINISHED"
+    back = drain(engine.execute_sql("SELECT COUNT(*) AS c FROM orders_out"))
+    assert back[0]["fields"][0] > 0
+
+
+# ------------------------------------------------------------------ sessions
+def test_session_isolation(spark):
+    mgr = SessionManager(spark)
+    s1 = mgr.open_session({"execution.runtime-mode": "batch"})
+    s2 = mgr.open_session({"execution.runtime-mode": "batch"})
+    s1.execute_sql(BATCH_DDL.replace("orders_batch", "iso_t1"))
+    assert "iso_t1" in s1.tables
+    assert "iso_t1" not in s2.tables
+    assert s1.properties is not s2.properties
+    mgr.close_session(s1.session_handle)
+    mgr.close_session(s2.session_handle)
+
+
+def test_show_and_describe(engine):
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql(BATCH_DDL.replace("orders_batch", "show_me"))
+    tables = [r["fields"][0] for r in drain(engine.execute_sql("SHOW TABLES"))]
+    assert "show_me" in tables
+    desc = drain(engine.execute_sql("DESCRIBE show_me"))
+    names = [r["fields"][0] for r in desc]
+    assert names == ["order_id", "customer_id", "product_id", "quantity", "price", "order_time"]
+    assert desc[4]["fields"][1] == "DECIMAL(10,2)"
+    props = drain(engine.execute_sql("SET"))
+    assert ["execution.runtime-mode", "batch"] in [r["fields"] for r in props]
+    engine.execute_sql("DROP TABLE show_me")

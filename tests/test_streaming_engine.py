@@ -1,0 +1,123 @@
+"""Streaming engine tests: notebook-01 replay (streaming datagen, watermark,
+tumbling window), result polling with NOT_READY/PAYLOAD, pause/cancel (T5),
+and the job monitor (T6/T7)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from flink_notebooks_spark.engine import Engine
+from flink_notebooks_spark.streaming import JobMonitor
+
+STREAM_DDL = """
+CREATE TABLE clickstream (
+    user_id INT,
+    page_id INT,
+    action STRING,
+    event_time TIMESTAMP(3),
+    WATERMARK FOR event_time AS event_time - INTERVAL '5' SECOND
+) WITH (
+    'connector' = 'datagen',
+    'rows-per-second' = '200',
+    'fields.user_id.min' = '1',
+    'fields.user_id.max' = '100',
+    'fields.page_id.min' = '1',
+    'fields.page_id.max' = '20',
+    'fields.action.length' = '10'
+)
+"""
+
+
+@pytest.fixture()
+def engine(spark):
+    eng = Engine(spark)  # default runtime mode: streaming
+    yield eng
+    eng.close()
+
+
+def poll_rows(stmt, want: int, timeout: float = 60.0):
+    rows, token, t0 = [], 0, time.time()
+    while len(rows) < want and time.time() - t0 < timeout:
+        page = stmt.fetch(token)
+        if page.result_type == "PAYLOAD":
+            rows.extend(page.data)
+            token = page.next_token
+        elif page.result_type == "EOS":
+            break
+        else:
+            time.sleep(0.5)  # reference streaming poll interval
+    return rows
+
+
+def test_notebook01_streaming_select_and_cancel(engine):
+    engine.execute_sql(STREAM_DDL)
+    assert engine.tables["clickstream"].watermark.delay == "5 seconds"
+
+    # streaming SELECT: rows arrive incrementally (examples/01:29)
+    stmt = engine.execute_sql("SELECT user_id, page_id, action FROM clickstream")
+    assert stmt.is_streaming
+    rows = poll_rows(stmt, want=20)
+    assert len(rows) >= 20
+    assert all(1 <= r["fields"][0] <= 100 for r in rows)
+    assert all(1 <= r["fields"][1] <= 20 for r in rows)
+    assert all(len(r["fields"][2]) == 10 for r in rows)
+
+    # pause → NOT_READY regardless of data; resume → data again (T5)
+    stmt.pause()
+    assert stmt.fetch(0).result_type == "NOT_READY"
+    stmt.resume()
+
+    # cancel (T5): query stops, state CANCELED
+    stmt.cancel()
+    assert stmt.status() == "CANCELED"
+    assert not stmt.query.isActive
+    engine.execute_sql("DROP TABLE clickstream")
+
+
+def test_notebook01_tumbling_window_agg(engine):
+    engine.execute_sql(STREAM_DDL)
+    # examples/01:47 — 10s tumble per page_id; seconds-scale windows so the
+    # test completes quickly (update mode emits windows as they develop)
+    stmt = engine.execute_sql(
+        "SELECT window(event_time, '10 seconds').start AS ws, page_id, COUNT(*) AS views "
+        "FROM clickstream GROUP BY window(event_time, '10 seconds'), page_id"
+    )
+    rows = poll_rows(stmt, want=5, timeout=90)
+    assert len(rows) >= 5
+    assert all(len(r["fields"]) == 3 for r in rows)
+    stmt.cancel()
+    engine.execute_sql("DROP TABLE clickstream")
+
+
+def test_job_monitor_sees_streaming_query(engine):
+    engine.execute_sql(STREAM_DDL.replace("clickstream", "monitored"))
+    stmt = engine.execute_sql("SELECT user_id FROM monitored")
+    mon = JobMonitor(engine.spark)
+    try:
+        poll_rows(stmt, want=1)
+        jobs = mon.streaming_jobs()
+        assert any(j.state == "RUNNING" for j in jobs)
+        j = next(j for j in jobs if j.state == "RUNNING")
+        assert "numRecordsIn" in j.metrics
+        # cancel through the monitor (job-level cancel, flinkJobClient.ts:164-175)
+        assert mon.cancel(j.job_id)
+        time.sleep(1)
+        assert stmt.query.isActive is False
+    finally:
+        stmt.cancel()
+        engine.execute_sql("DROP TABLE monitored")
+
+
+def test_runtime_mode_switch_rematerializes(engine):
+    engine.execute_sql(STREAM_DDL.replace("clickstream", "modal"))
+    # streaming mode: unbounded view
+    assert engine.spark.table("modal").isStreaming
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    # batch mode: same table is now a bounded DataFrame (SURVEY §7.4)
+    assert not engine.spark.table("modal").isStreaming
+    rows_stmt = engine.execute_sql("SELECT COUNT(*) AS c FROM modal")
+    page = rows_stmt.fetch(0)
+    assert page.result_type == "PAYLOAD"
+    engine.execute_sql("DROP TABLE modal")
