@@ -1,0 +1,21 @@
+"""Reusable DataFrame → DataFrame operators beyond stock Spark SQL.
+
+These fill the gaps in the reference's declared surface (SURVEY.md §2) where
+Spark has no single built-in: as-of/temporal joins (J7), interval joins as a
+batch analog (J6), HOP and CUMULATE windows (W2), and MATCH_RECOGNIZE-lite
+sequence patterns (W9). Every operator is a composition of built-in
+expressions — one shuffle keyed by the join/group key, no Python row loops —
+so the plans scale to arbitrary input sizes.
+"""
+
+from .cep import sequence_pattern
+from .joins import asof_join, interval_join
+from .windows import cumulate_window, hop_window
+
+__all__ = [
+    "asof_join",
+    "interval_join",
+    "hop_window",
+    "cumulate_window",
+    "sequence_pattern",
+]

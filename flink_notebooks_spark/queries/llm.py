@@ -488,6 +488,45 @@ def text_stats(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# T1b. token counting — whitespace + BPE-ish regex segmentation
+# ---------------------------------------------------------------------------
+# letter runs | single digits | single non-alphanumeric marks (GPT-2-flavored
+# pre-tokenization, minus byte-level merges — deterministic + JVM-regex-able)
+BPE_PAT = r"[a-z]+|[0-9]|[^a-z0-9\s]"
+
+
+@query(
+    "token_count",
+    oracle=rf"""
+    WITH b AS (
+      SELECT doc_id, length(text) AS n_chars_calc,
+             len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+             len(regexp_extract_all(lower(text), '{BPE_PAT}')) AS n_bpe_tokens
+      FROM documents)
+    SELECT doc_id, n_chars_calc, n_ws_tokens, n_bpe_tokens,
+           ROUND(CAST(n_chars_calc AS DOUBLE) / greatest(n_bpe_tokens, 1), 6)
+             AS chars_per_token
+    FROM b ORDER BY doc_id
+    """,
+)
+def token_count(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    n_ws = F.expr(r"size(regexp_extract_all(text, '\\S+', 0))").cast("long")
+    n_bpe = F.expr(rf"size(regexp_extract_all(lower(text), '{BPE_PAT.replace(chr(92), chr(92) * 2)}', 0))").cast(
+        "long"
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_calc"),
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(
+            F.length("text").cast("double") / F.greatest(n_bpe, F.lit(1)), 6
+        ).alias("chars_per_token"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # T2. n-gram-marker language ID (oracle-matched; deterministic heuristic)
 # ---------------------------------------------------------------------------
 _MARKERS = {

@@ -1,0 +1,289 @@
+"""Extended relational coverage: Q19–Q27 (SURVEY.md §2 Tier-B operators).
+
+Fills the declared-operator gaps beyond §2.11's Q1–Q18: analytic window
+functions (W5/W6), CUBE + GROUPING (A7), UNNEST/explode (J9), scalar-library
+breadth (§2.7), interval joins (J6), as-of/temporal joins (J7), HOP and
+CUMULATE windows (W2), and MATCH_RECOGNIZE-lite sequence patterns (W9).
+Custom time/join/pattern semantics live in ``..operators`` — each a
+one-shuffle composition of built-in expressions (see that module's docstrings
+for the 100 TB cost argument); everything here stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators import asof_join, cumulate_window, hop_window, interval_join, sequence_pattern
+from ._registry import dsum, query, sql_dsum
+
+# --- Q19: analytic OVER functions (W5, W6) ----------------------------------
+@query(
+    "q19_window_analytics",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           LEAD(o_totalprice) OVER w AS next_price,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pr
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q19_window_analytics(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+# --- Q20: CUBE + GROUPING (A7) ----------------------------------------------
+@query(
+    "q20_cube",
+    oracle=f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+           COUNT(*) AS cnt, {sql_dsum("l_quantity", "sq")}
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    ORDER BY gid, rf, ls
+    """,
+)
+def q20_cube(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            # grouping() is only resolvable inside the grouping aggregate
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+            .cast("int")
+            .alias("gid"),
+            F.count("*").alias("cnt"),
+            dsum("l_quantity", "sq"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "gid",
+            "cnt",
+            "sq",
+        )
+        .orderBy("gid", "rf", "ls")
+    )
+
+
+# --- Q21: UNNEST / explode (J9) ---------------------------------------------
+@query(
+    "q21_unnest_words",
+    oracle="""
+    SELECT w AS word, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS nd
+    FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+          FROM documents)
+    GROUP BY w ORDER BY word
+    """,
+)
+def q21_unnest_words(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.explode(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias("word"),
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("nd"))
+        .orderBy("word")
+    )
+
+
+# --- Q22: scalar-library breadth (§2.7) --------------------------------------
+@query(
+    "q22_scalar_breadth",
+    oracle="""
+    SELECT o_orderkey,
+           lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS okey_pad,
+           CAST(regexp_extract(o_orderpriority, '([0-9])', 1) AS INT) AS prio_num,
+           translate(o_orderstatus, 'OFP', 'XYZ') AS stat_x,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS dd,
+           date_trunc('month', o_orderdate) AS mth,
+           concat_ws('/', o_orderstatus, o_orderpriority) AS cw,
+           CAST(o_orderkey % 7 AS BIGINT) AS m7,
+           strpos(o_orderpriority, '-') AS pos,
+           reverse(o_orderpriority) AS rev
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def q22_scalar_breadth(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("okey_pad"),
+        F.regexp_extract("o_orderpriority", r"([0-9])", 1).cast("int").alias("prio_num"),
+        F.translate("o_orderstatus", "OFP", "XYZ").alias("stat_x"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias("dd"),
+        F.date_trunc("month", "o_orderdate").alias("mth"),
+        F.concat_ws("/", "o_orderstatus", "o_orderpriority").alias("cw"),
+        F.pmod("o_orderkey", F.lit(7)).cast("long").alias("m7"),
+        F.instr("o_orderpriority", "-").alias("pos"),
+        F.reverse("o_orderpriority").alias("rev"),
+    ).orderBy("o_orderkey")
+
+
+# --- Q23: interval join, batch analog (J6) -----------------------------------
+TEN_MIN_US = 600_000_000
+
+
+@query(
+    "q23_interval_join",
+    oracle=f"""
+    SELECT p.event_id AS p_id, p.user_id, COUNT(c.ts) AS n_clicks
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND epoch_us(c.ts) >= epoch_us(p.ts) - {TEN_MIN_US}
+     AND epoch_us(c.ts) < epoch_us(p.ts)
+    GROUP BY p.event_id, p.user_id ORDER BY p_id
+    """,
+)
+def q23_interval_join(spark, sf_dir):
+    """Clicks in the 10 minutes before each purchase, per user."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), F.col("ts_us").alias("p_us")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_us").alias("c_us")
+    )
+    j = interval_join(
+        purchases, clicks, "user_id", "p_us", "c_us", lower=-TEN_MIN_US, upper=0, how="left"
+    )
+    return (
+        j.groupBy("p_id", "user_id")
+        .agg(F.count("c_us").alias("n_clicks"))
+        .select("p_id", "user_id", "n_clicks")
+        .orderBy("p_id")
+    )
+
+
+# --- Q24: as-of / temporal join (J7) -----------------------------------------
+@query(
+    "q24_asof_join",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           (SELECT p.event_id FROM events p
+            WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+              AND epoch_us(p.ts) <= epoch_us(e.ts)
+            ORDER BY epoch_us(p.ts) DESC, p.event_id DESC LIMIT 1) AS last_purchase
+    FROM events e ORDER BY e.event_id
+    """,
+)
+def q24_asof_join(spark, sf_dir):
+    """For every event: the latest preceding purchase by the same user
+    (FOR SYSTEM_TIME AS OF semantics over an event-sourced 'versioned table')."""
+    e = load_table(spark, sf_dir, "events")
+    probe = e.select("user_id", "event_id", "ts_us")
+    build = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts_us").alias("p_us")
+    )
+    j = asof_join(
+        probe, build, on="user_id", probe_time="ts_us", build_time="p_us",
+        payload=["purchase_id"],
+    )
+    return j.select(
+        "event_id", "user_id", F.col("purchase_id").alias("last_purchase")
+    ).orderBy("event_id")
+
+
+# --- Q25: HOP / sliding window (W2) ------------------------------------------
+@query(
+    "q25_hop_window",
+    oracle=f"""
+    WITH x AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+    h AS (
+      SELECT (us // 10000000) * 10000000 AS ws, event_type, value FROM x
+      UNION ALL
+      SELECT ((us - 5000000) // 10000000) * 10000000 + 5000000 AS ws, event_type, value FROM x
+    )
+    SELECT ws // 1000000 AS w, event_type, COUNT(*) AS c, {sql_dsum("value", "sv")}
+    FROM h GROUP BY 1, 2 ORDER BY w, event_type
+    """,
+)
+def q25_hop_window(spark, sf_dir):
+    """10s windows sliding every 5s (each event lands in 2 windows)."""
+    e = load_table(spark, sf_dir, "events")
+    h = hop_window(e, "ts_us", width_us=10_000_000, slide_us=5_000_000)
+    return (
+        h.groupBy("w_start_us", "event_type")
+        .agg(F.count("*").alias("c"), dsum("value", "sv"))
+        .select(
+            F.expr("w_start_us div 1000000").alias("w"), "event_type", "c", "sv"
+        )
+        .orderBy("w", "event_type")
+    )
+
+
+# --- Q26: CUMULATE window (W2) -----------------------------------------------
+@query(
+    "q26_cumulate_window",
+    oracle=f"""
+    WITH x AS (SELECT epoch_us(ts) AS us, value FROM events),
+    c AS (SELECT (us // 60000000) * 60000000 AS ws, us, value FROM x),
+    k AS (SELECT ws, value,
+                 unnest(range(((us - ws) // 10000000) + 1, 7)) AS kk
+          FROM c)
+    SELECT ws // 1000000 AS w_s, (ws + kk * 10000000) // 1000000 AS w_e,
+           COUNT(*) AS c, {sql_dsum("value", "sv")}
+    FROM k GROUP BY 1, 2 ORDER BY w_s, w_e
+    """,
+)
+def q26_cumulate_window(spark, sf_dir):
+    """Growing 10s-step windows over a 60s span (Flink CUMULATE TVF)."""
+    e = load_table(spark, sf_dir, "events")
+    cm = cumulate_window(e, "ts_us", step_us=10_000_000, span_us=60_000_000)
+    return (
+        cm.groupBy("w_start_us", "w_end_us")
+        .agg(F.count("*").alias("c"), dsum("value", "sv"))
+        .select(
+            F.expr("w_start_us div 1000000").alias("w_s"),
+            F.expr("w_end_us div 1000000").alias("w_e"),
+            "c",
+            "sv",
+        )
+        .orderBy("w_s", "w_e")
+    )
+
+
+# --- Q27: MATCH_RECOGNIZE-lite sequence pattern (W9) --------------------------
+@query(
+    "q27_cep_pattern",
+    oracle="""
+    WITH s AS (SELECT user_id,
+                      string_agg(substr(event_type, 1, 1), '' ORDER BY epoch_us(ts), event_id) AS seq
+               FROM events GROUP BY user_id)
+    SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+           CAST((length(seq) - length(replace(seq, 'vp', ''))) // 2 AS BIGINT) AS n_matches
+    FROM s ORDER BY user_id
+    """,
+)
+def q27_cep_pattern(spark, sf_dir):
+    """Count view→purchase adjacencies per user over the time-ordered
+    event-type sequence (the common MATCH_RECOGNIZE workload)."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts_us", "event_id", "event_type")
+    m = sequence_pattern(
+        e, key="user_id", order_cols=["ts_us", "event_id"],
+        symbol="substring(event_type, 1, 1)", pattern="vp",
+    )
+    return m.select(
+        "user_id", F.length("seq").cast("long").alias("seq_len"), "n_matches"
+    ).orderBy("user_id")
