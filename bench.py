@@ -34,6 +34,30 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     spark = get_spark("bench", cpus=cpus)
 
+    # warm-up: JIT/codegen caches, parquet footer reads, Python worker pool —
+    # so per-query numbers measure steady-state execution, not JVM warm-up
+    from flink_notebooks_spark.io import load_all
+
+    for df in load_all(spark, SF_DIR).values():
+        df.limit(1).write.format("noop").mode("overwrite").save()
+    # spin up the Python worker pool (Arrow + numpy/pandas imports) so the
+    # first pandas-UDF query doesn't pay per-worker interpreter startup
+    from pyspark.sql import functions as F  # noqa: N812
+
+    def _noop_pd(it):
+        import numpy  # noqa: F401
+
+        yield from it
+
+    (
+        spark.range(0, cpus * 4, 1, cpus * 4)
+        .withColumn("p", F.col("id"))
+        .mapInPandas(_noop_pd, "id long, p long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
         t0 = time.time()

@@ -34,17 +34,15 @@ from ._registry import query
 # ---------------------------------------------------------------------------
 
 WORDS = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
-# word 5-gram shingles, distinct, null (out-of-range) entries dropped
-SHINGLES = f"""
-array_distinct(filter(
-  transform(sequence(1, greatest(size({WORDS}) - 4, 1)),
-    g -> concat(try_element_at({WORDS}, g),     ' ',
-                try_element_at({WORDS}, g + 1), ' ',
-                try_element_at({WORDS}, g + 2), ' ',
-                try_element_at({WORDS}, g + 3), ' ',
-                try_element_at({WORDS}, g + 4))),
-  x -> x IS NOT NULL))
-"""
+# distinct word k-grams over a token array column; slice+array_join is 2
+# interpreted calls per gram vs 5 try_element_at + concat (~2× faster), with
+# identical output: docs shorter than k produce no grams
+NGRAMS = (
+    "IF(size({ws}) >= {k}, "
+    "array_distinct(transform(sequence(1, size({ws}) - {k} + 1), "
+    "g -> array_join(slice({ws}, g, {k}), ' '))), "
+    "array())"
+)
 
 # DuckDB-side equivalents
 SQL_WORDS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -57,20 +55,40 @@ SQL_SHINGLE_CTES = f"""
 """
 
 
-def shingled_docs(spark, sf_dir) -> DataFrame:
-    """documents → (doc_id, shingles array<string>).
+def tokenized_docs(spark, sf_dir) -> DataFrame:
+    """documents → (doc_id, ws array<string>), persisted.
 
-    The tokenization (regex) and the shingle construction are separated by a
-    ``repartition`` exchange. Without it, Catalyst's CollapseProject inlines
-    the whole expression into every downstream consumer — e.g. the MinHash
-    signature would re-run ``regexp_extract_all`` 128× per row (measured:
-    ~20× slowdown). The exchange materializes the token array exactly once
-    and co-partitions by doc_id for the downstream joins.
+    One regex pass shared by every text operator (jaccard, MinHash, SimHash —
+    Spark's cache manager matches this plan subtree across separate queries
+    in a session, so the corpus is tokenized once per dataset, not per op).
+
+    The explicit partition count BEFORE the regex projection matters: the raw
+    table may arrive as few (or one) file splits, and AQE's size-based
+    coalescing would otherwise serialize this CPU-bound stage — bytes are a
+    bad proxy for regex cost. An explicit-count exchange is exempt from AQE
+    coalescing; the count scales with the cluster, not the data. The exchange
+    also stops Catalyst's CollapseProject from inlining the regex into every
+    downstream consumer (e.g. re-running it 128× inside MinHash — measured
+    ~20× slowdown), and MEMORY_AND_DISK persistence spills rather than OOMs
+    (token arrays ≪ raw corpus size).
     """
+    from pyspark import StorageLevel
+
     d = load_table(spark, sf_dir, "documents")
-    words = d.select("doc_id", F.expr(WORDS).alias("ws")).repartition("doc_id")
-    shingle_from_ws = SHINGLES.replace(WORDS, "ws")
-    return words.select("doc_id", F.expr(shingle_from_ws).alias("shingles"))
+    n = spark.sparkContext.defaultParallelism * 2
+    out = d.repartition(n, "doc_id").select("doc_id", F.expr(WORDS).alias("ws"))
+    return out.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def shingled_docs(spark, sf_dir) -> DataFrame:
+    """documents → (doc_id, shingles array<string>), persisted (referenced
+    from ≥2 plan branches by every dedup operator: signature + verification,
+    or the two sides of a self-join)."""
+    from pyspark import StorageLevel
+
+    t = tokenized_docs(spark, sf_dir)
+    out = t.select("doc_id", F.expr(NGRAMS.format(ws="ws", k=5)).alias("shingles"))
+    return out.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def _jaccard_pairs(sh_pairs: DataFrame, counts: DataFrame, threshold: float) -> DataFrame:
@@ -169,10 +187,15 @@ def dedup_minhash_lsh(spark, sf_dir):
     # 128 seeds (one wide row per shingle), then per-doc column-wise MIN.
     # Partial (map-side) aggregation shrinks the shuffle to one 128-long row
     # per document — the canonical 100 TB-safe formulation.
-    exploded = docs.select("doc_id", F.explode("shingles").alias("s"))
+    # hash each shingle STRING once to a fixed-width long, then derive the
+    # 128 signature hashes from the long (8-byte input) — ~4× cheaper than
+    # re-hashing the full shingle text per seed, identical LSH guarantees
+    exploded = docs.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", F.xxhash64("s").alias("s64")
+    )
     hashed = exploded.select(
         "doc_id",
-        *[F.xxhash64(F.lit(i), F.col("s")).alias(f"h{i}") for i in range(N_HASHES)],
+        *[F.xxhash64(F.lit(i), F.col("s64")).alias(f"h{i}") for i in range(N_HASHES)],
     )
     sig = hashed.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(N_HASHES)]
@@ -185,9 +208,11 @@ def dedup_minhash_lsh(spark, sf_dir):
         )
         for b in range(n_bands)
     ]
-    bands = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    bands = (
+        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+        .persist()  # both sides of the candidate self-join; 32 rows/doc
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -225,16 +250,11 @@ def dedup_simhash(spark, sf_dir):
     # tiny vocabulary, so unigram sets collide across unrelated documents;
     # 3-gram features keep SimHash discriminative (same choice a web-scale
     # pipeline makes for templated/boilerplate-heavy text).
-    d = load_table(spark, sf_dir, "documents")
-    words = d.select("doc_id", F.expr(WORDS).alias("w3")).repartition("doc_id")
-    toks = words.select(
-        "doc_id",
-        F.expr(
-            "array_distinct(filter(transform(sequence(1, greatest(size(w3) - 2, 1)),"
-            " g -> concat(try_element_at(w3, g), ' ', try_element_at(w3, g + 1), ' ',"
-            "             try_element_at(w3, g + 2))), x -> x IS NOT NULL))"
-        ).alias("ws"),
-    ).filter(F.size("ws") > 0)
+    toks = (
+        tokenized_docs(spark, sf_dir)
+        .select("doc_id", F.expr(NGRAMS.format(ws="ws", k=3)).alias("ws"))
+        .filter(F.size("ws") > 0)
+    )
     # per-bit vote as a partial-agg sum: explode features, one ±1 column per
     # bit, column-wise SUM per doc, then pack sign bits into the signature.
     # (A nested higher-order aggregate expresses the same thing but falls out
@@ -258,7 +278,7 @@ def dedup_simhash(spark, sf_dir):
         F.posexplode(
             F.expr("transform(sequence(0, 3), k -> shiftright(sig, CAST(k*16 AS INT)) & 65535)")
         ).alias("blk", "bv"),
-    )
+    ).persist()  # both sides of the block self-join; 4 rows/doc
     a, b = blocks.alias("a"), blocks.alias("b")
     ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
     return (
@@ -282,6 +302,15 @@ def dedup_simhash(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # V1. embedding near-dup pairs — exact cosine ≥ 0.4 (oracle-matched)
 # ---------------------------------------------------------------------------
+# nb(nb+1)/2 block-pair GEMM tasks; nb ≈ sqrt(4 × cores) targets ~2 tasks
+# per core so tasks saturate executors while per-vector replication stays
+# O(nb) and each block is large enough to amortize the Arrow/worker overhead.
+
+
+def _gemm_blocks(spark) -> int:
+    import math
+
+    return max(4, int(math.sqrt(4 * spark.sparkContext.defaultParallelism)))
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
 
 
@@ -308,21 +337,76 @@ def _with_norm(df: DataFrame, id_alias: str) -> DataFrame:
     """,
 )
 def embedding_cosine_pairs(spark, sf_dir):
-    # Brute-force exact baseline (the correctness anchor for the ANN path).
-    # All-pairs is O(n²) — fine at verification scale; at 100 TB use
-    # ann_lsh_topk below, which replaces the cross join with a bucket join.
+    """Exact all-pairs cosine ≥ 0.4 via *block* matrix multiplication.
+
+    The naive row-pair join evaluates an interpreted 64-term fold per pair —
+    O(n²·d) scalar ops outside codegen. Instead: hash vectors into nb blocks,
+    replicate each vector to the nb block-pair tasks it participates in, and
+    run one vectorized float64 GEMM per task inside ``applyInPandas``. Same
+    O(n²·d) FLOPs, but executed as BLAS — orders of magnitude faster — with
+    shuffle volume O(n·nb) rows, never the O(n²) pair stream. This is the
+    standard outer-product blocking that scales the exact baseline to large
+    corpora; the ANN paths below avoid O(n²) entirely.
+    """
+    import numpy as np
+    import pandas as pd
+
+    nb = _gemm_blocks(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    a = _with_norm(emb, "a")
-    b = _with_norm(emb, "b")
-    dot = F.expr(_DOT.format(a="emb_a", b="emb_b"))
-    sim = dot / (F.col("norm_a") * F.col("norm_b"))
-    return (
-        a.join(b, F.col("a") < F.col("b"))
-        .withColumn("sim_raw", sim)
-        .filter(F.col("sim_raw") >= 0.4)
-        .select("a", "b", F.round("sim_raw", 6).alias("sim"))
-        .orderBy("a", "b")
+    e = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        (F.col("vec_id") % nb).cast("int").alias("blk"),
     )
+    # a-side: block i serves tasks (i, j≥i); b-side: block j serves (i≤j, j)
+    tasks_a = e.select(
+        F.col("blk").alias("bi"),
+        F.explode(F.expr(f"sequence(blk, {nb - 1})")).alias("bj"),
+        F.lit(0).alias("side"),
+        "vec_id",
+        "emb",
+    )
+    tasks_b = e.select(
+        F.explode(F.expr("sequence(0, blk)")).alias("bi"),
+        F.col("blk").alias("bj"),
+        F.lit(1).alias("side"),
+        "vec_id",
+        "emb",
+    )
+
+    def gemm(key, pdf):
+        bi, bj = key
+        A, B = pdf[pdf["side"] == 0], pdf[pdf["side"] == 1]
+        if len(A) == 0 or len(B) == 0:
+            return pd.DataFrame({"a": [], "b": [], "sim": []})
+        ida, idb = A["vec_id"].to_numpy(), B["vec_id"].to_numpy()
+        Ma, Mb = np.vstack(A["emb"].to_numpy()), np.vstack(B["emb"].to_numpy())
+        S = (Ma @ Mb.T) / np.outer(
+            np.sqrt((Ma * Ma).sum(1)), np.sqrt((Mb * Mb).sum(1))
+        )
+        mask = S >= 0.4
+        if bi == bj:  # same block on both sides: keep each unordered pair once
+            mask &= ida[:, None] < idb[None, :]
+        ii, jj = np.nonzero(mask)
+        return pd.DataFrame(
+            {
+                "a": np.minimum(ida[ii], idb[jj]),
+                "b": np.maximum(ida[ii], idb[jj]),
+                "sim": S[ii, jj],
+            }
+        )
+
+    # pre-partition on the task key with an explicit count: the groupBy's
+    # ClusteredDistribution is already satisfied, so no AQE-coalescible
+    # exchange is inserted and every GEMM task can run in parallel (the
+    # shuffle is tiny in bytes but each task is a dense matmul)
+    pairs = (
+        tasks_a.unionByName(tasks_b)
+        .repartition(nb * (nb + 1) // 2, "bi", "bj")
+        .groupBy("bi", "bj")
+        .applyInPandas(gemm, "a long, b long, sim double")
+    )
+    return pairs.select("a", "b", F.round("sim", 6).alias("sim")).orderBy("a", "b")
 
 
 # ---------------------------------------------------------------------------

@@ -45,17 +45,29 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
-    """Run a bounded streaming query into a memory sink; return the table."""
-    name = "strm_" + uuid.uuid4().hex[:12]
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    """Run a bounded streaming query into a memory sink; return the table.
+
+    Stateful streaming instantiates one state store per shuffle partition;
+    for these bounded single-file replays 64 stores are pure overhead, so the
+    partition count is scoped down around query start (the conf is captured
+    at start, so restoring it immediately after is safe). On a real cluster
+    size this to the executor count via spark.sql.shuffle.partitions.
+    """
     spark = df.sparkSession
+    name = "strm_" + uuid.uuid4().hex[:12]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
     return spark.table(name)
 
 
