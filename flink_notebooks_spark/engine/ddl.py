@@ -257,7 +257,10 @@ def parse_statement(sql: str) -> Parsed:
 
 
 def split_statements(text: str) -> list[str]:
-    """Split a cell/script into statements on top-level semicolons."""
+    """Split a cell/script into statements on top-level semicolons.
+
+    ``EXECUTE STATEMENT SET BEGIN …; …; END`` blocks contain semicolons and
+    stay one statement (split ends only after the closing END)."""
     out, cur, in_str = [], [], False
     i = 0
     while i < len(text):
@@ -267,9 +270,13 @@ def split_statements(text: str) -> list[str]:
             cur.append(ch)
         elif ch == ";" and not in_str:
             stmt = "".join(cur).strip()
-            if stmt:
-                out.append(stmt)
-            cur = []
+            up = re.sub(r"\s+", " ", stmt.upper())
+            if up.startswith("EXECUTE STATEMENT SET") and not up.endswith(" END"):
+                cur.append(ch)  # still inside the BEGIN…END block
+            else:
+                if stmt:
+                    out.append(stmt)
+                cur = []
         else:
             cur.append(ch)
         i += 1

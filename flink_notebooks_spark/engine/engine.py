@@ -294,7 +294,26 @@ class Engine:
         return ok_statement(f"INSERT {'OVERWRITE' if p.overwrite else 'INTO'} {p.name}: OK")
 
     def _exec_statement_set(self, p: Parsed) -> Statement:
-        raise ValueError("EXECUTE STATEMENT SET: run the inner INSERTs separately")
+        """EXECUTE STATEMENT SET BEGIN insert; [insert;]... END — the
+        reference's multi-sink job (SURVEY.md D8, detected at
+        jobMonitorProvider.ts:46-48). Each INSERT runs as its own Spark job
+        (streaming inserts start their own queries and keep running)."""
+        import re as _re
+
+        m = _re.search(r"BEGIN\b(.*?)\bEND\s*$", p.sql, _re.IGNORECASE | _re.DOTALL)
+        if not m:
+            raise ValueError("EXECUTE STATEMENT SET requires BEGIN ... END")
+        inner = [s for s in split_statements(m.group(1)) if s]
+        if not inner:
+            raise ValueError("empty STATEMENT SET")
+        n = 0
+        for s in inner:
+            parsed = parse_statement(s)
+            if parsed.kind != "insert":
+                raise ValueError(f"STATEMENT SET allows only INSERT, got: {s[:60]!r}")
+            self._exec_insert(parsed)
+            n += 1
+        return ok_statement(f"STATEMENT SET: {n} INSERT jobs submitted")
 
     # ---- teardown ----------------------------------------------------------
     def close(self) -> None:

@@ -525,6 +525,79 @@ def ann_lsh_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# V4. IVF approximate NN — coarse quantizer + cell probing (rows-only; tests
+#     measure recall vs similarity_topk)
+# ---------------------------------------------------------------------------
+IVF_CELLS = 16
+IVF_NPROBE = 4
+
+
+@query("ann_ivf_topk")
+def ann_ivf_topk(spark, sf_dir):
+    """IVF: partition the corpus into cells around a small deterministic
+    centroid set (the first ``IVF_CELLS`` vectors — a stand-in for trained
+    k-means centroids, which would be a separate offline job); each query
+    scans only its ``IVF_NPROBE`` nearest cells. The centroid table is
+    broadcast both for assignment and probing, so the corpus-side plan is
+    scan → broadcast-join → per-cell shuffle — no O(n·q) cross join, and the
+    cell assignment is reusable across query batches (in a real deployment
+    it is precomputed and bucketed on cell id)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embd"))
+    corpus = base.withColumn(
+        "nrm", F.expr(f"sqrt({_DOT.format(a='embd', b='embd')})")
+    )
+    cents = (
+        corpus.filter(F.col("vec_id") < IVF_CELLS)
+        .select(
+            F.col("vec_id").alias("cell"),
+            F.col("embd").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
+    )
+    c_sim = F.expr(_DOT.format(a="embd", b="c_emb")) / (F.col("nrm") * F.col("c_nrm"))
+    # nearest-centroid assignment: broadcast the centroids, max_by per vector
+    assigned = (
+        corpus.join(F.broadcast(cents))
+        .withColumn("c_sim", c_sim)
+        .groupBy("vec_id")
+        .agg(
+            F.expr("max_by(cell, named_struct('s', c_sim, 'c', -cell))").alias("cell"),
+        )
+        .withColumnRenamed("vec_id", "a_id")
+    )
+    assigned = assigned.join(
+        corpus.select(F.col("vec_id").alias("a_id"), "embd", "nrm"), "a_id"
+    )
+    # queries probe their NPROBE nearest cells
+    probe_rank = Window.partitionBy("q_id").orderBy(F.desc("p_sim"), "cell")
+    probes = (
+        corpus.filter(F.col("vec_id") < TOPK_QUERY_IDS)
+        .select(F.col("vec_id").alias("q_id"), F.col("embd").alias("q_emb"), F.col("nrm").alias("q_nrm"))
+        .join(F.broadcast(cents))
+        .withColumn("p_sim", F.expr(_DOT.format(a="q_emb", b="c_emb")) / (F.col("q_nrm") * F.col("c_nrm")))
+        .withColumn("pr", F.row_number().over(probe_rank))
+        .filter(F.col("pr") <= IVF_NPROBE)
+        .select("q_id", "q_emb", "q_nrm", "cell")
+    )
+    sim = (
+        F.expr(_DOT.format(a="q_emb", b="embd")) / (F.col("q_nrm") * F.col("nrm"))
+    ).alias("sim_raw")
+    cand = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("q_id") != F.col("a_id"))
+        .select("q_id", F.col("a_id").alias("nn_id"), sim)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim_raw"), "nn_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK_K)
+        .select("q_id", "nn_id", F.round("sim_raw", 6).alias("sim"), "rn")
+        .orderBy("q_id", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
 # T1. text statistics + quality score (oracle-matched)
 # ---------------------------------------------------------------------------
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
@@ -707,6 +780,42 @@ def multimodal_meta(spark, sf_dir):
         F.octet_length(payload).cast("long").alias("n_bytes"),
         F.sha2(payload, 256).alias("digest"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# M2. multimodal decode + feature pipeline (rows-only: the stub decode is
+#     hash-derived, not SQL-expressible; unit tests pin exact values)
+# ---------------------------------------------------------------------------
+@query("multimodal_decode")
+def multimodal_decode(spark, sf_dir):
+    """Binary payload → mapInPandas decode → feature extraction → join.
+
+    The full multimodal shape: payloads stay executor-side as binary columns,
+    decode and feature stages are Arrow-batched (operators/multimodal.py),
+    and the result is a per-document typed record. Text bytes stand in for
+    image payloads (no codecs in this environment; decode is a deterministic
+    stub)."""
+    from ..operators import multimodal as mm
+
+    d = load_table(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    payloads = mm.attach_payload(
+        d.repartition(n, "doc_id").withColumn("img", F.encode("text", "UTF-8")), "img"
+    )
+    decoded = mm.decode(payloads)
+    feats = mm.extract_features(payloads)
+    return (
+        decoded.join(feats, "doc_id")
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            "channels",
+            F.round("mean_intensity", 6).alias("mean_intensity"),
+            F.round(F.element_at("features", 1), 6).alias("f0"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -264,6 +264,62 @@ def q26_cumulate_window(spark, sf_dir):
     )
 
 
+# --- Q28: CDC — Debezium envelope decode + changelog apply (S6) ---------------
+@query(
+    "q28_cdc_apply",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS price,
+           o_orderstatus
+    FROM orders WHERE o_orderkey % 97 <> 0 ORDER BY o_orderkey
+    """,
+)
+def q28_cdc_apply(spark, sf_dir):
+    """A deterministic Debezium change stream derived from ``orders`` —
+    create for every row, an update (+1 price) for keys ≡0 (mod 10), a delete
+    for keys ≡0 (mod 97) — serialized to envelope JSON, decoded with
+    ``sources.cdc.parse_debezium``, materialized with ``apply_changelog``.
+    The oracle computes the equivalent final state directly."""
+    from pyspark.sql import types as T
+
+    from ..sources import cdc
+
+    row_type = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+            T.StructField("o_orderstatus", T.StringType()),
+        ]
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("price"), "o_orderstatus"
+    )
+    row = F.struct("o_orderkey", "price", "o_orderstatus")
+
+    def env(before, after, op, ts):
+        return F.to_json(
+            F.struct(
+                before.alias("before"), after.alias("after"),
+                F.lit(op).alias("op"), F.lit(ts).cast("long").alias("ts_ms"),
+            )
+        ).alias("value")
+
+    null_row = F.lit(None).cast(row_type)
+    creates = o.select(env(null_row, row, "c", 1))
+    updates = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("price", F.col("price") + 1.0)
+        .select(env(null_row, F.struct("o_orderkey", "price", "o_orderstatus"), "u", 2))
+    )
+    deletes = o.filter(F.col("o_orderkey") % 97 == 0).select(env(row, null_row, "d", 3))
+
+    raw = creates.unionByName(updates).unionByName(deletes)
+    changes = cdc.parse_debezium(raw, "value", row_type)
+    state = cdc.apply_changelog(changes, keys=["o_orderkey"])
+    return state.select("o_orderkey", "price", "o_orderstatus").orderBy("o_orderkey")
+
+
 # --- Q27: MATCH_RECOGNIZE-lite sequence pattern (W9) --------------------------
 @query(
     "q27_cep_pattern",

@@ -122,6 +122,140 @@ def streaming_dedup_keys(spark, sf_dir):
     return out.orderBy("user_id", "event_type")
 
 
+SESSION_GAP_S = 1800  # 30 min, matches the batch events_sessionize analog
+
+
+@query(
+    "streaming_session_window",
+    oracle=f"""
+    WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+    f AS (SELECT *, CASE WHEN ts_us - LAG(ts_us) OVER
+                    (PARTITION BY user_id ORDER BY ts_us, event_id) > {SESSION_GAP_S * 1_000_000}
+                    THEN 1 ELSE 0 END AS nf FROM b),
+    s AS (SELECT *, SUM(nf) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f)
+    SELECT user_id, COUNT(*) AS n_events,
+           MIN(ts_us) AS start_us, MAX(ts_us) + {SESSION_GAP_S * 1_000_000} AS end_us
+    FROM s GROUP BY user_id, sid ORDER BY user_id, start_us
+    """,
+)
+def streaming_session_window(spark, sf_dir):
+    """Native session windows (SURVEY.md W3): ``F.session_window`` with a 30
+    min gap on a streaming DataFrame — Flink's SESSION(...) group window.
+    session_window.end = last event + gap, mirrored in the oracle."""
+    stream = _read_events_stream(spark, sf_dir).withWatermark("ev_time", "5 seconds")
+    agg = stream.groupBy(
+        F.session_window("ev_time", f"{SESSION_GAP_S} seconds").alias("win"), "user_id"
+    ).agg(F.count("*").alias("n_events"))
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        "user_id",
+        "n_events",
+        F.unix_micros("win.start").alias("start_us"),
+        F.unix_micros("win.end").alias("end_us"),
+    ).orderBy("user_id", "start_us")
+
+
+TEN_MIN_S = 600
+
+
+@query(
+    "streaming_interval_join",
+    oracle=f"""
+    SELECT p.event_id AS p_id, COUNT(*) AS n_clicks
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND epoch_us(c.ts) >= epoch_us(p.ts) - {TEN_MIN_S * 1_000_000}
+     AND epoch_us(c.ts) < epoch_us(p.ts)
+    GROUP BY p.event_id ORDER BY p_id
+    """,
+)
+def streaming_interval_join(spark, sf_dir):
+    """Stream-stream interval join (SURVEY.md J6): two watermarked streams
+    joined on key + event-time range — Flink's interval join, native in
+    Structured Streaming. The joined pairs land in the sink; the count-per-
+    purchase is display-side post-processing on the sink table."""
+    p = (
+        _read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("p_id"), F.col("ev_time").alias("p_time"))
+        .withWatermark("p_time", "10 seconds")
+    )
+    c = (
+        _read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_uid"), F.col("ev_time").alias("c_time"))
+        .withWatermark("c_time", "10 seconds")
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_uid"))
+        & (F.col("c_time") >= F.col("p_time") - F.expr(f"INTERVAL {TEN_MIN_S} SECONDS"))
+        & (F.col("c_time") < F.col("p_time")),
+        "inner",
+    )
+    out = _run_to_memory(joined.select("p_id"), "append")
+    return out.groupBy("p_id").agg(F.count("*").alias("n_clicks")).orderBy("p_id")
+
+
+@query(
+    "streaming_stateful_sessionize",
+    oracle=f"""
+    WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+    f AS (SELECT *, CASE WHEN ts_us - LAG(ts_us) OVER
+                    (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000
+                    THEN 1 ELSE 0 END AS nf FROM b),
+    s AS (SELECT *, CAST(1 + SUM(nf) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM f)
+    SELECT user_id, sid, COUNT(*) AS n_events, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+    FROM s GROUP BY user_id, sid ORDER BY user_id, sid
+    """,
+)
+def streaming_stateful_sessionize(spark, sf_dir):
+    """Custom stateful streaming operator (SURVEY.md T9/W9 class):
+    ``applyInPandasWithState`` sessionization — arbitrary per-key state, the
+    escape hatch for operators Spark SQL can't express. The bounded
+    AvailableNow replay delivers each key in one batch, so sessions close
+    deterministically at end-of-input (an unbounded run would emit on
+    watermark timeouts instead; same state logic)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = _read_events_stream(spark, sf_dir).select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("ts_us")
+    )
+
+    gap = 1_800_000_000
+
+    def sessionize(key, pdfs, state):
+        rows = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
+        sessions, sid, n, start, last = [], 0, 0, None, None
+        for ts in rows["ts_us"]:
+            if last is None or ts - last > gap:
+                if n:
+                    sessions.append((key[0], sid, n, start, last))
+                sid, n, start = sid + 1, 0, ts
+            n += 1
+            last = ts
+        if n:
+            sessions.append((key[0], sid, n, start, last))
+        yield pd.DataFrame(
+            sessions, columns=["user_id", "sid", "n_events", "start_us", "end_us"]
+        )
+
+    out_schema = "user_id long, sid long, n_events long, start_us long, end_us long"
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        out_schema,
+        "last_us long",  # state schema (persisted key state across batches)
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_memory(sessions, "update")
+    return out.orderBy("user_id", "sid")
+
+
 @query(
     "streaming_topn",
     oracle=f"""

@@ -258,3 +258,34 @@ def test_show_and_describe(engine):
     props = drain(engine.execute_sql("SET"))
     assert ["execution.runtime-mode", "batch"] in [r["fields"] for r in props]
     engine.execute_sql("DROP TABLE show_me")
+
+
+# ------------------------------------------------------- statement sets (D8)
+def test_execute_statement_set(engine, sf_dir, tmp_path):
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql(
+        f"""
+        CREATE TABLE o_src (
+          o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING
+        ) WITH ('connector'='filesystem','path'='{sf_dir}/orders.parquet','format'='parquet')
+        """
+    )
+    for name in ("sink_a", "sink_b"):
+        engine.execute_sql(
+            f"""
+            CREATE TABLE {name} (o_orderkey BIGINT, o_totalprice DOUBLE)
+            WITH ('connector'='filesystem','path'='{tmp_path}/{name}','format'='parquet')
+            """
+        )
+    stmts = engine.execute_script(
+        """
+        EXECUTE STATEMENT SET BEGIN
+          INSERT INTO sink_a SELECT o_orderkey, o_totalprice FROM o_src WHERE o_orderstatus = 'F';
+          INSERT INTO sink_b SELECT o_orderkey, o_totalprice FROM o_src WHERE o_totalprice > 100000;
+        END
+        """
+    )
+    assert len(stmts) == 1 and stmts[0].status() == "FINISHED"
+    a = drain(engine.execute_sql("SELECT COUNT(*) AS c FROM sink_a"))[0]["fields"][0]
+    b = drain(engine.execute_sql("SELECT COUNT(*) AS c FROM sink_b"))[0]["fields"][0]
+    assert a > 0 and b > 0

@@ -52,6 +52,21 @@ def test_ann_returns_full_topk_with_positive_recall(spark, sf_dir):
     assert recall >= 0.2, f"ANN recall {recall:.2f} below floor"
 
 
+def test_ivf_recall_beats_lsh_floor(spark, sf_dir):
+    """IVF with nprobe=4 of 16 cells scans ~25% of the corpus but recall
+    should be far above that fraction (cells concentrate true neighbors)."""
+    exact = QUERIES["similarity_topk"](spark, sf_dir).toPandas()
+    ivf = QUERIES["ann_ivf_topk"](spark, sf_dir).toPandas()
+    counts = ivf.groupby("q_id").size()
+    assert len(counts) == TOPK_QUERY_IDS and (counts == TOPK_K).all()
+    exact_sets = exact.groupby("q_id")["nn_id"].apply(set)
+    ivf_sets = ivf.groupby("q_id")["nn_id"].apply(set)
+    recall = sum(len(exact_sets[q] & ivf_sets[q]) for q in exact_sets.index) / (
+        TOPK_QUERY_IDS * TOPK_K
+    )
+    assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
+
+
 def test_dedup_exact_keeps_one_row_per_content(spark, sf_dir):
     d = QUERIES["dedup_exact"](spark, sf_dir)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

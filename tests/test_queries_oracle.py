@@ -23,4 +23,10 @@ def test_oracle_match(name, spark, sf_dir, duck):
 def test_all_queries_have_entries():
     # every registered query is either oracle-backed or explicitly rows-only
     rows_only = set(QUERIES) - set(ORACLE)
-    assert rows_only == {"dedup_minhash_lsh", "dedup_simhash", "ann_lsh_topk"}
+    assert rows_only == {
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "ann_lsh_topk",
+        "ann_ivf_topk",
+        "multimodal_decode",
+    }
