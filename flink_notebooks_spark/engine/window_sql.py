@@ -1,0 +1,93 @@
+"""Flink group-window SQL → Spark SQL rewrite.
+
+The reference's flagship streaming query uses Flink's legacy group-window
+syntax (reference examples/01-datagen-streaming.flinknb:47):
+
+    SELECT page_id, COUNT(*), TUMBLE_START(event_time, INTERVAL '10' SECOND)
+    FROM clickstream GROUP BY page_id, TUMBLE(event_time, INTERVAL '10' SECOND)
+
+Spark SQL expresses the same plan with ``window()`` / ``session_window()``
+grouping expressions and ``window.start`` / ``window.end`` selectors. This
+module rewrites the Flink spellings textually — a pure dialect translation;
+planning and execution stay entirely in Catalyst:
+
+    TUMBLE(c, INTERVAL 'n' U)            → window(c, 'n u')
+    HOP(c, INTERVAL 's' U, INTERVAL 'w' U) → window(c, 'w u', 's u')
+      (Flink argument order is (time, slide, size); Spark is (time, size,
+       slide))
+    SESSION(c, INTERVAL 'g' U)           → session_window(c, 'g u')
+    TUMBLE_START/TUMBLE_END(...)         → window.start / window.end
+    HOP_START/HOP_END(...)               → window.start / window.end
+    SESSION_START/SESSION_END(...)       → session_window.start / .end
+"""
+
+from __future__ import annotations
+
+import re
+
+_UNITS = {
+    "SECOND": "seconds",
+    "SECONDS": "seconds",
+    "MINUTE": "minutes",
+    "MINUTES": "minutes",
+    "HOUR": "hours",
+    "HOURS": "hours",
+    "DAY": "days",
+    "DAYS": "days",
+    "MILLISECOND": "milliseconds",
+    "MILLISECONDS": "milliseconds",
+}
+
+_IVL = r"INTERVAL\s+'([\d.]+)'\s+(\w+)"
+_COL = r"([`\w.]+)"
+
+
+def _dur(n: str, unit: str) -> str:
+    u = _UNITS.get(unit.upper())
+    if u is None:
+        raise ValueError(f"unsupported window interval unit: {unit}")
+    return f"'{n} {u}'"
+
+
+def rewrite_group_windows(sql: str) -> str:
+    """Rewrite Flink TUMBLE/HOP/SESSION group-window calls to Spark SQL.
+    Returns the input unchanged when no group-window syntax is present."""
+    if not re.search(r"\b(TUMBLE|HOP|SESSION)(_START|_END)?\s*\(", sql, re.IGNORECASE):
+        return sql
+
+    # selectors first (TUMBLE_START before TUMBLE so prefixes don't collide)
+    def sel(prefix: str, target: str) -> None:
+        nonlocal sql
+        sql = re.sub(
+            rf"\b{prefix}_(START|END)\s*\(([^()]*)\)",
+            lambda m: f"{target}.{'start' if m.group(1).upper() == 'START' else 'end'}",
+            sql,
+            flags=re.IGNORECASE,
+        )
+
+    sel("TUMBLE", "window")
+    sel("HOP", "window")
+    sel("SESSION", "session_window")
+
+    sql = re.sub(
+        rf"\bTUMBLE\s*\(\s*{_COL}\s*,\s*{_IVL}\s*\)",
+        lambda m: f"window({m.group(1)}, {_dur(m.group(2), m.group(3))})",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    sql = re.sub(
+        rf"\bHOP\s*\(\s*{_COL}\s*,\s*{_IVL}\s*,\s*{_IVL}\s*\)",
+        lambda m: (
+            f"window({m.group(1)}, {_dur(m.group(4), m.group(5))}, "
+            f"{_dur(m.group(2), m.group(3))})"
+        ),
+        sql,
+        flags=re.IGNORECASE,
+    )
+    sql = re.sub(
+        rf"\bSESSION\s*\(\s*{_COL}\s*,\s*{_IVL}\s*\)",
+        lambda m: f"session_window({m.group(1)}, {_dur(m.group(2), m.group(3))})",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    return sql

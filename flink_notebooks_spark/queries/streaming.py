@@ -257,6 +257,31 @@ def streaming_stateful_sessionize(spark, sf_dir):
 
 
 @query(
+    "streaming_lookup_join",
+    oracle="""
+    SELECT e.event_id, c.c_nationkey, c.c_mktsegment
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    ORDER BY e.event_id
+    """,
+)
+def streaming_lookup_join(spark, sf_dir):
+    """Lookup join (SURVEY.md J8): a stream enriched against a batch
+    dimension table. Spark broadcast-joins the dim side into every
+    micro-batch — the same shape as Flink's JDBC lookup join (per-batch
+    refresh happens when the dim is re-read; a static dim is a single
+    broadcast reused across batches)."""
+    from ..io import load_table as _lt
+
+    stream = _read_events_stream(spark, sf_dir).select("event_id", "user_id")
+    dim = _lt(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_mktsegment")
+    joined = stream.join(
+        F.broadcast(dim), stream["user_id"] == dim["c_custkey"], "inner"
+    ).select("event_id", "c_nationkey", "c_mktsegment")
+    out = _run_to_memory(joined, "append")
+    return out.orderBy("event_id")
+
+
+@query(
     "streaming_topn",
     oracle=f"""
     SELECT user_id, {sql_dsum("value", "total")}, COUNT(*) AS n

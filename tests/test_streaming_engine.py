@@ -121,3 +121,29 @@ def test_runtime_mode_switch_rematerializes(engine):
     page = rows_stmt.fetch(0)
     assert page.result_type == "PAYLOAD"
     engine.execute_sql("DROP TABLE modal")
+
+
+def test_notebook01_verbatim_flink_sql(engine):
+    """The reference's flagship cell SQL, verbatim (examples/01:47) — the
+    Flink group-window dialect is rewritten to Spark window()/selectors."""
+    engine.execute_sql(STREAM_DDL)
+    stmt = engine.execute_sql(
+        "SELECT \n"
+        "  page_id,\n"
+        "  COUNT(*) as click_count,\n"
+        "  TUMBLE_START(event_time, INTERVAL '10' SECOND) as window_start,\n"
+        "  TUMBLE_END(event_time, INTERVAL '10' SECOND) as window_end\n"
+        "FROM clickstream\n"
+        "GROUP BY \n"
+        "  page_id,\n"
+        "  TUMBLE(event_time, INTERVAL '10' SECOND)"
+    )
+    rows = poll_rows(stmt, want=5, timeout=90)
+    assert len(rows) >= 5
+    # page_id, count, window_start, window_end
+    for r in rows:
+        assert len(r["fields"]) == 4
+        assert 1 <= r["fields"][0] <= 20
+        assert r["fields"][1] >= 1
+    stmt.cancel()
+    engine.execute_sql("DROP TABLE clickstream")

@@ -1,0 +1,40 @@
+"""Unit tests for the Flink group-window → Spark SQL dialect rewrite."""
+
+from __future__ import annotations
+
+from flink_notebooks_spark.engine.window_sql import rewrite_group_windows as rw
+
+
+def test_tumble():
+    assert (
+        rw("GROUP BY TUMBLE(ts, INTERVAL '10' SECOND)")
+        == "GROUP BY window(ts, '10 seconds')"
+    )
+
+
+def test_tumble_selectors():
+    s = rw("SELECT TUMBLE_START(ts, INTERVAL '10' SECOND), TUMBLE_END(ts, INTERVAL '10' SECOND)")
+    assert s == "SELECT window.start, window.end"
+
+
+def test_hop_swaps_slide_and_size():
+    # Flink: HOP(time, slide, size); Spark: window(time, size, slide)
+    assert (
+        rw("GROUP BY HOP(ts, INTERVAL '5' SECOND, INTERVAL '10' SECOND)")
+        == "GROUP BY window(ts, '10 seconds', '5 seconds')"
+    )
+
+
+def test_session():
+    assert (
+        rw("GROUP BY SESSION(ts, INTERVAL '30' MINUTE)")
+        == "GROUP BY session_window(ts, '30 minutes')"
+    )
+    assert rw("SELECT SESSION_START(ts, INTERVAL '30' MINUTE)") == (
+        "SELECT session_window.start"
+    )
+
+
+def test_no_window_syntax_untouched():
+    q = "SELECT a, COUNT(*) FROM t GROUP BY a"
+    assert rw(q) is q
