@@ -149,14 +149,17 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # near-linear because word-5-grams are discriminative. At 100 TB you
     # would additionally drop shingles with document frequency > K (they can
     # only arise from boilerplate); not needed for correctness here.
-    sh = (
-        shingled_docs(spark, sf_dir)
-        .select("doc_id", F.explode("shingles").alias("s"))
-    )
+    # join on the 64-bit hash of each shingle, not the ~30-char string: the
+    # inverted-index shuffle carries 8-byte keys and compares longs. A hash
+    # collision would need two distinct shingles in the same corpus to share
+    # an xxhash64 (P ≈ n²/2⁶⁴ — negligible at any realistic shingle count).
+    sh = shingled_docs(spark, sf_dir).select(
+        "doc_id", F.explode("shingles").alias("s")
+    ).select("doc_id", F.xxhash64("s").alias("h"))
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
         .agg(F.count("*").alias("i"))
     )

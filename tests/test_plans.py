@@ -1,0 +1,76 @@
+"""Physical-plan regression tests — the 100 TB design contract.
+
+These assert the *shape* of the plan, not its output: filters reach the
+parquet scan, scans are column-pruned, small dimensions broadcast, top-k
+compiles to TakeOrderedAndProject, and no Python row-at-a-time UDFs appear
+in JVM-only pipelines. A correctness-preserving change that breaks one of
+these is a scale regression, not a refactor.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from flink_notebooks_spark.queries import QUERIES
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q03_filter_project")
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]" in p
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q02_scan_limit")
+    # 2-column projection → 2-column ReadSchema, never the full table
+    assert "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>" in p
+
+
+def test_small_dims_broadcast(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q06_join_agg_topk")
+    assert p.count("BroadcastHashJoin") >= 2  # nation and customer sides
+    assert "SortMergeJoin" not in p
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q02_scan_limit")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_scalar_pipeline_stays_jvm_side(spark, sf_dir):
+    # (codegen stages only materialize in AQE's final plan, so assert the
+    # logical contract: a single scan→project pipeline, no Python eval nodes)
+    p = plan_of(spark, sf_dir, "q15_scalars")
+    import re
+
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Scan parquet" in p
+    # exactly one exchange (the final sort); formatted output repeats each
+    # node as a "(n) Name" detail block, so count those headers
+    assert len(re.findall(r"\n\(\d+\) Exchange", p)) == 1
+
+
+def test_agg_has_partial_phase(spark, sf_dir):
+    # partial (map-side) aggregation before the exchange: two HashAggregate
+    # nodes around one Exchange
+    p = plan_of(spark, sf_dir, "q04_group_agg")
+    assert p.count("HashAggregate") >= 2
+    assert "Exchange" in p
+
+
+@pytest.mark.parametrize("name", ["q05_join_inner", "q17_theta_join"])
+def test_no_cartesian_in_equi_or_bounded_joins(spark, sf_dir, name):
+    p = plan_of(spark, sf_dir, name)
+    # q17 is a theta join over two tiny tables — nested-loop is fine, but a
+    # full CartesianProduct (shuffle-based) must not appear in either plan
+    assert "CartesianProduct" not in p
