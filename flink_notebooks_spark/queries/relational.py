@@ -320,6 +320,37 @@ def q28_cdc_apply(spark, sf_dir):
     return state.select("o_orderkey", "price", "o_orderstatus").orderBy("o_orderkey")
 
 
+# --- Q29: JSON function breadth (§2.7 JSON family) ----------------------------
+@query(
+    "q29_json_breadth",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           json_valid(props) AS ok,
+           CAST(json_extract_string(json_object('v', value), '$.v') AS DOUBLE) AS v_round,
+           json_array_length(json_array(user_id, event_id)) AS arr_len
+    FROM events ORDER BY event_id
+    """,
+)
+def q29_json_breadth(spark, sf_dir):
+    """JSON scalar family (Flink JSON_VALUE/JSON_OBJECT/JSON_EXISTS ↔ Spark
+    get_json_object/to_json/from_json): extract, validate-by-parse, build an
+    object and round-trip it, build an array and measure it."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        # JSON_EXISTS analog: a parse that yields a non-null struct
+        F.from_json("props", "k long").isNotNull().alias("ok"),
+        F.get_json_object(F.to_json(F.struct(F.col("value").alias("v"))), "$.v")
+        .cast("double")
+        .alias("v_round"),
+        F.expr("size(from_json(to_json(array(user_id, event_id)), 'array<long>'))").alias(
+            "arr_len"
+        ),
+    ).orderBy("event_id")
+
+
 # --- Q27: MATCH_RECOGNIZE-lite sequence pattern (W9) --------------------------
 @query(
     "q27_cep_pattern",

@@ -74,3 +74,39 @@ def test_no_cartesian_in_equi_or_bounded_joins(spark, sf_dir, name):
     # q17 is a theta join over two tiny tables — nested-loop is fine, but a
     # full CartesianProduct (shuffle-based) must not appear in either plan
     assert "CartesianProduct" not in p
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both join sides on the key co-locates them: the sort-merge
+    join reads pre-bucketed files with NO Exchange on either side — the
+    pattern that turns a repeated 100 TB join into a scan-side merge."""
+    import re
+
+    from flink_notebooks_spark.io import load_table
+
+    # warehouse dir is a static conf; use an explicit LOCATION instead
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{tmp_path}/bkt.db'")
+    try:
+        load_table(spark, sf_dir, "orders").write.bucketBy(4, "o_custkey").sortBy(
+            "o_custkey"
+        ).mode("overwrite").saveAsTable("bkt.orders_b")
+        load_table(spark, sf_dir, "customer").selectExpr(
+            "c_custkey AS o_custkey", "c_nationkey"
+        ).write.bucketBy(4, "o_custkey").sortBy("o_custkey").mode("overwrite").saveAsTable(
+            "bkt.customer_b"
+        )
+        # disable broadcast so the join strategy must be SMJ over buckets
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bkt.orders_b").join(spark.table("bkt.customer_b"), "o_custkey")
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        p = buf.getvalue()
+        assert "SortMergeJoin" in p
+        assert len(re.findall(r"\n\(\d+\) Exchange", p)) == 0, p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP DATABASE IF EXISTS bkt CASCADE")
