@@ -786,6 +786,102 @@ def multimodal_meta(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# T4. quality gate — threshold filter over the quality score (the curation
+#     decision a training pipeline applies before dedup; oracle-matched)
+# ---------------------------------------------------------------------------
+QUALITY_MIN = 0.5
+MIN_WORDS = 10
+
+
+@query(
+    "quality_filter",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lang, source, length(text) AS n_chars_calc,
+             len({SQL_WORDS}) AS n_words,
+             len(list_filter({SQL_WORDS}, x -> x IN ({_SW}))) AS n_stop
+      FROM documents),
+    q AS (
+      SELECT *, least(CAST(n_words AS DOUBLE) / 50, 1.0) * 0.6
+              + (1 - CAST(n_stop AS DOUBLE) / greatest(n_words, 1)) * 0.2
+              + least(CAST(n_chars_calc AS DOUBLE) / 500, 1.0) * 0.2 AS quality
+      FROM b)
+    SELECT source, COUNT(*) AS n_kept,
+           ROUND(SUM(quality) / COUNT(*), 6) AS avg_quality
+    FROM q WHERE quality >= {QUALITY_MIN} AND n_words >= {MIN_WORDS}
+    GROUP BY source ORDER BY source
+    """,
+)
+def quality_filter(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.expr(f"size({WORDS})")
+    n_stop = F.expr(f"size(filter({WORDS}, x -> x IN ({_SW})))")
+    quality = (
+        F.least(n_words.cast("double") / 50, F.lit(1.0)) * 0.6
+        + (1 - n_stop.cast("double") / F.greatest(n_words, F.lit(1))) * 0.2
+        + F.least(F.length("text").cast("double") / 500, F.lit(1.0)) * 0.2
+    )
+    return (
+        d.withColumn("quality", quality)
+        .filter((F.col("quality") >= QUALITY_MIN) & (n_words >= MIN_WORDS))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.round(F.sum("quality") / F.count("*"), 6).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D5. dedup materialization — the surviving corpus after exact + fuzzy dedup
+#     (pairs → loser set → anti-join; the end-to-end curation step)
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_materialize",
+    oracle=f"""
+    WITH exact_losers AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents) WHERE rn > 1),
+    {SQL_SHINGLE_CTES},
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pair AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+    fuzzy_losers AS (
+      SELECT DISTINCT p.b AS doc_id
+      FROM pair p JOIN cnt ca ON ca.doc_id = p.a JOIN cnt cb ON cb.doc_id = p.b
+      WHERE CAST(p.i AS DOUBLE) / (ca.n + cb.n - p.i) >= 0.8),
+    losers AS (SELECT doc_id FROM exact_losers UNION SELECT doc_id FROM fuzzy_losers)
+    SELECT d.source, COUNT(*) AS n_surviving
+    FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def dedup_materialize(spark, sf_dir):
+    """Pairs → canonical-survivor corpus: exact-dup losers (all but the min
+    doc_id per content hash) plus fuzzy losers (the larger id of every
+    Jaccard-≥0.8 pair) are anti-joined away. At scale the loser set is tiny
+    relative to the corpus, so the anti-join broadcasts."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact_losers = (
+        d.select("doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") > 1)
+        .select("doc_id")
+    )
+    fuzzy_losers = dedup_ngram_jaccard(spark, sf_dir).select(F.col("b").alias("doc_id"))
+    losers = exact_losers.union(fuzzy_losers).distinct()
+    return (
+        d.join(F.broadcast(losers), "doc_id", "left_anti")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_surviving"))
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # M2. multimodal decode + feature pipeline (rows-only: the stub decode is
 #     hash-derived, not SQL-expressible; unit tests pin exact values)
 # ---------------------------------------------------------------------------

@@ -147,3 +147,26 @@ def test_notebook01_verbatim_flink_sql(engine):
         assert r["fields"][1] >= 1
     stmt.cancel()
     engine.execute_sql("DROP TABLE clickstream")
+
+
+def test_runner_file_sink_drain(spark, sf_dir, tmp_path):
+    """streaming/runner.py: checkpointed bounded drain to a parquet sink."""
+    from flink_notebooks_spark.io import EVENTS_RAW_SCHEMA
+    from flink_notebooks_spark.session import tune
+    from flink_notebooks_spark.streaming import SinkSpec, drain
+
+    tune(spark)
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("event_id", "user_id", "event_type")
+    )
+    spec = SinkSpec(
+        fmt="parquet",
+        path=f"{tmp_path}/out",
+        checkpoint=f"{tmp_path}/ckpt",
+    )
+    drain(stream, spec, query_name="runner_test")
+    back = spark.read.parquet(f"{tmp_path}/out")
+    assert back.count() == spark.read.parquet(f"{sf_dir}/events.parquet").count()
