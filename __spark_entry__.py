@@ -1,11 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` — flagship query smoke check at sf0.001.
-``queries()``   — every implemented operator from SURVEY.md §2 (Q1–Q18 +
-                  LLM-pipeline + streaming), each ``(spark, sf_dir) → DataFrame``.
+``queries()``   — every implemented operator from SURVEY.md §2 (Q1–Q29 +
+                  LLM-pipeline + streaming; see COVERAGE.md for the full
+                  inventory map), each ``(spark, sf_dir) → DataFrame``.
 ``oracle_sql()``— DuckDB-equivalent SQL per query (omitted only for the
-                  probabilistic LSH/SimHash ops, which get rows-only checks;
-                  tests verify those against exact in-Spark baselines).
+                  probabilistic/hash-stub ops — MinHash-LSH, SimHash,
+                  LSH/IVF ANN, multimodal decode — which get rows-only
+                  checks; tests pin those against exact in-Spark baselines
+                  or recall floors).
 """
 
 from __future__ import annotations

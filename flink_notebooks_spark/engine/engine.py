@@ -230,6 +230,24 @@ class Engine:
         self.spark.sql(f"ADD JAR '{p.name}'")
         return ok_statement("OK")
 
+    def catalog_tree(self) -> dict[str, dict[str, list[str]]]:
+        """catalog → database → [tables], the browser-tree shape the
+        reference builds via sequential SHOW statements (reference
+        catalogService.ts:226-285). Session-registered logical tables appear
+        under the current catalog/database alongside Spark-catalog tables."""
+        tree: dict[str, dict[str, list[str]]] = {}
+        cur_cat = self.spark.catalog.currentCatalog()
+        cur_db = self.spark.catalog.currentDatabase()
+        for cat in self.spark.catalog.listCatalogs():
+            tree[cat.name] = {}
+        tree.setdefault(cur_cat, {})
+        for db in self.spark.catalog.listDatabases():
+            names = {t.name for t in self.spark.catalog.listTables(db.name)}
+            if db.name == cur_db:
+                names.update(self.tables)
+            tree[cur_cat][db.name] = sorted(names)
+        return tree
+
     # ---- queries ----------------------------------------------------------
     def _exec_query(self, p: Parsed) -> Statement:
         df = self.spark.sql(rewrite_group_windows(p.sql))

@@ -289,3 +289,18 @@ def test_execute_statement_set(engine, sf_dir, tmp_path):
     a = drain(engine.execute_sql("SELECT COUNT(*) AS c FROM sink_a"))[0]["fields"][0]
     b = drain(engine.execute_sql("SELECT COUNT(*) AS c FROM sink_b"))[0]["fields"][0]
     assert a > 0 and b > 0
+
+
+def test_catalog_tree(engine, sf_dir):
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql(
+        f"""
+        CREATE TABLE tree_t (o_orderkey BIGINT) WITH
+        ('connector'='filesystem','path'='{sf_dir}/orders.parquet','format'='parquet')
+        """
+    )
+    tree = engine.catalog_tree()
+    cur_cat = engine.spark.catalog.currentCatalog()
+    cur_db = engine.spark.catalog.currentDatabase()
+    assert "tree_t" in tree[cur_cat][cur_db]
+    engine.execute_sql("DROP TABLE tree_t")
