@@ -49,6 +49,27 @@ def _dur(n: str, unit: str) -> str:
     return f"'{n} {u}'"
 
 
+def rewrite_temporal_join(sql: str) -> str:
+    """``JOIN dim FOR SYSTEM_TIME AS OF x.t`` → plain join (snapshot
+    semantics).
+
+    Flink's temporal join resolves each probe row against the dim table's
+    version at the row's event time. When the dim side is a *static
+    snapshot* — the only dim shape this engine's connectors materialize —
+    the version at any time IS the snapshot, so the clause reduces to a
+    regular join. True versioned-history lookups are the
+    ``operators.joins.asof_join`` DataFrame operator (one shuffle, no row
+    explosion); wiring that into arbitrary SQL would need a Catalyst rule,
+    documented as the J7 limitation in SURVEY.md §7.3.
+    """
+    return re.sub(
+        r"\bFOR\s+SYSTEM_TIME\s+AS\s+OF\s+[`\w.]+(\s*\(\s*\))?",
+        " ",
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+
 def rewrite_group_windows(sql: str) -> str:
     """Rewrite Flink TUMBLE/HOP/SESSION group-window calls to Spark SQL.
     Returns the input unchanged when no group-window syntax is present."""

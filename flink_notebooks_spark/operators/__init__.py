@@ -10,11 +10,13 @@ so the plans scale to arbitrary input sizes.
 
 from .cep import sequence_pattern
 from .joins import asof_join, interval_join
+from .skew import salted_join
 from .windows import cumulate_window, hop_window
 
 __all__ = [
     "asof_join",
     "interval_join",
+    "salted_join",
     "hop_window",
     "cumulate_window",
     "sequence_pattern",

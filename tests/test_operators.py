@@ -69,3 +69,28 @@ def test_sequence_pattern_counts(spark):
     out = sequence_pattern(df, "k", ["t", "eid"], "sym", "vp")
     got = {r["k"]: (r["seq"], r["n_matches"]) for r in out.collect()}
     assert got == {1: ("vpvp", 2), 2: ("x", 0)}
+
+
+def test_salted_join_equals_plain_join(spark):
+    from flink_notebooks_spark.operators import salted_join
+
+    # skewed: 90% of left rows share key 1
+    left = spark.createDataFrame(
+        [(1, i) for i in range(90)] + [(2, i) for i in range(10)], "k int, lv int"
+    )
+    right = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, rv string")
+    got = sorted(
+        (r["k"], r["lv"], r["rv"]) for r in salted_join(left, right, "k").collect()
+    )
+    want = sorted((r["k"], r["lv"], r["rv"]) for r in left.join(right, "k").collect())
+    assert got == want
+    # left-outer keeps unmatched probe rows
+    l2 = left.union(spark.createDataFrame([(9, 0)], "k int, lv int"))
+    got_l = sorted(
+        (r["k"], r["lv"], r["rv"])
+        for r in salted_join(l2, right, "k", how="left").collect()
+    )
+    want_l = sorted(
+        (r["k"], r["lv"], r["rv"]) for r in l2.join(right, "k", "left").collect()
+    )
+    assert got_l == want_l

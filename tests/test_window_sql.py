@@ -38,3 +38,15 @@ def test_session():
 def test_no_window_syntax_untouched():
     q = "SELECT a, COUNT(*) FROM t GROUP BY a"
     assert rw(q) is q
+
+
+def test_temporal_join_snapshot_rewrite():
+    from flink_notebooks_spark.engine.window_sql import rewrite_temporal_join
+
+    sql = (
+        "SELECT o.id, d.name FROM orders o "
+        "JOIN dim FOR SYSTEM_TIME AS OF o.proc_time AS d ON o.k = d.k"
+    )
+    out = rewrite_temporal_join(sql)
+    assert "SYSTEM_TIME" not in out
+    assert "JOIN dim" in out and "AS d ON o.k = d.k" in out
