@@ -31,11 +31,24 @@ def _jdbc_batch(spark: SparkSession, table) -> DataFrame:
     return jdbc.build_batch(spark, table)
 
 
+def _iceberg_batch(spark: SparkSession, table) -> DataFrame:
+    from . import iceberg
+
+    return iceberg.build_batch(spark, table)
+
+
+def _iceberg_stream(spark: SparkSession, table) -> DataFrame:
+    from . import iceberg
+
+    return iceberg.build_stream(spark, table)
+
+
 _REGISTRY = {
     "datagen": (datagen.build_batch, datagen.build_stream),
     "filesystem": (filesystem.build_batch, filesystem.build_stream),
     "kafka": (_kafka_batch, _kafka_stream),
     "jdbc": (_jdbc_batch, None),
+    "iceberg": (_iceberg_batch, _iceberg_stream),
 }
 
 

@@ -108,8 +108,17 @@ def _field_opts(options: dict[str, str], field: str) -> dict[str, str]:
 
 
 def build_batch(spark: SparkSession, table) -> DataFrame:
-    """Bounded datagen: exactly number-of-rows rows via spark.range."""
+    """Bounded datagen: exactly number-of-rows rows via spark.range.
+
+    A ``sequence`` field with ``start``/``end`` also bounds the source
+    (Flink's datagen terminates when any sequence is exhausted), so the row
+    count is min(number-of-rows, shortest sequence length)."""
     n = int(table.options.get("number-of-rows", "1000"))
+    for c in table.columns:
+        opts = _field_opts(table.options, c.name)
+        if opts.get("kind") == "sequence" and "end" in opts:
+            start = int(opts.get("start", "1"))
+            n = min(n, int(opts["end"]) - start + 1)
     base_epoch = int(table.options.get("base-epoch", str(DEFAULT_BASE_EPOCH)))
     parallelism = spark.sparkContext.defaultParallelism
     df = spark.range(0, n, 1, min(parallelism, max(n, 1)))

@@ -304,3 +304,35 @@ def test_catalog_tree(engine, sf_dir):
     cur_db = engine.spark.catalog.currentDatabase()
     assert "tree_t" in tree[cur_cat][cur_db]
     engine.execute_sql("DROP TABLE tree_t")
+
+
+def test_datagen_sequence_end_caps_rows(engine):
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql(
+        """
+        CREATE TABLE seq_capped (id INT) WITH (
+          'connector' = 'datagen',
+          'number-of-rows' = '1000',
+          'fields.id.kind' = 'sequence',
+          'fields.id.start' = '5',
+          'fields.id.end' = '24'
+        )
+        """
+    )
+    rows = drain(engine.execute_sql("SELECT id FROM seq_capped ORDER BY id"))
+    assert [r["fields"][0] for r in rows] == list(range(5, 25))
+    engine.execute_sql("DROP TABLE seq_capped")
+
+
+def test_iceberg_requires_runtime_jar(engine):
+    with pytest.raises(Exception, match="iceberg-spark-runtime"):
+        engine.execute_sql(
+            "CREATE TABLE ice (a INT) WITH ('connector'='iceberg','table-name'='c.db.t')"
+        )
+
+
+def test_bad_query_surfaces_error_state(engine):
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    with pytest.raises(Exception):
+        stmt = engine.execute_sql("SELECT * FROM table_that_does_not_exist")
+        stmt.fetch(0)
