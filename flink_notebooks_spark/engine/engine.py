@@ -25,7 +25,7 @@ from ..session import get_spark, tune
 from ..sources import build_source, connectors
 from ..sources import filesystem as fs_sink
 from .ddl import Parsed, TableDef, parse_statement, split_statements
-from .window_sql import rewrite_group_windows, rewrite_temporal_join
+from .window_sql import rewrite_group_windows, rewrite_temporal_join, rewrite_window_tvfs
 from .statement import (
     BatchStatement,
     ColumnInfo,
@@ -250,13 +250,13 @@ class Engine:
 
     # ---- queries ----------------------------------------------------------
     def _exec_query(self, p: Parsed) -> Statement:
-        df = self.spark.sql(rewrite_group_windows(rewrite_temporal_join(p.sql)))
+        df = self.spark.sql(rewrite_group_windows(rewrite_window_tvfs(rewrite_temporal_join(p.sql))))
         if df.isStreaming:
             return self._start_streaming_select(df)
         return BatchStatement(df)
 
     def _exec_explain(self, p: Parsed) -> Statement:
-        return BatchStatement(self.spark.sql(rewrite_group_windows(rewrite_temporal_join(p.sql))))
+        return BatchStatement(self.spark.sql(rewrite_group_windows(rewrite_window_tvfs(rewrite_temporal_join(p.sql)))))
 
     def _start_streaming_select(self, df: DataFrame) -> StreamingStatement:
         ckpt = f"{self._checkpoint_root}/{uuid.uuid4().hex}"
@@ -285,7 +285,7 @@ class Engine:
         target = self.tables.get(p.name)
         if target is None:
             raise ValueError(f"INSERT target not registered: {p.name}")
-        df = self.spark.sql(rewrite_group_windows(rewrite_temporal_join(p.sql)))
+        df = self.spark.sql(rewrite_group_windows(rewrite_window_tvfs(rewrite_temporal_join(p.sql))))
         if df.isStreaming:
             ckpt = f"{self._checkpoint_root}/{uuid.uuid4().hex}"
             if target.connector == "filesystem":

@@ -70,6 +70,44 @@ def rewrite_temporal_join(sql: str) -> str:
     )
 
 
+_TVF = re.compile(
+    r"TABLE\s*\(\s*(TUMBLE|HOP)\s*\(\s*(?:TABLE\s+)?([`\w.]+)\s*,\s*"
+    r"DESCRIPTOR\s*\(\s*([`\w.]+)\s*\)\s*,\s*" + _IVL + r"(?:\s*,\s*" + _IVL + r")?\s*\)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def rewrite_window_tvfs(sql: str) -> str:
+    """Flink 1.20 windowing TVFs → Spark subqueries.
+
+    ``TABLE(TUMBLE(TABLE t, DESCRIPTOR(c), INTERVAL 'n' U))`` becomes a
+    subquery projecting ``window_start``/``window_end`` (the TVF's output
+    columns) from a per-row ``window()`` assignment — Spark evaluates
+    ``window()`` in SELECT position, expanding each row to its windows, so
+    HOP works the same way with Flink's (slide, size) argument order mapped
+    to Spark's (size, slide). CUMULATE TVF is not rewritten (use
+    ``operators.windows.cumulate_window`` — documented gap in NOTES.md).
+    """
+
+    def repl(m: re.Match) -> str:
+        fn, tbl, col = m.group(1).upper(), m.group(2), m.group(3)
+        if fn == "TUMBLE":
+            win = f"window({col}, {_dur(m.group(4), m.group(5))})"
+        else:  # HOP(time, slide, size) → window(time, size, slide)
+            if not m.group(6):
+                raise ValueError("HOP TVF requires slide and size intervals")
+            win = (
+                f"window({col}, {_dur(m.group(6), m.group(7))}, "
+                f"{_dur(m.group(4), m.group(5))})"
+            )
+        return (
+            f"(SELECT * EXCEPT (__w), __w.start AS window_start, "
+            f"__w.end AS window_end FROM (SELECT *, {win} AS __w FROM {tbl}))"
+        )
+
+    return _TVF.sub(repl, sql)
+
+
 def rewrite_group_windows(sql: str) -> str:
     """Rewrite Flink TUMBLE/HOP/SESSION group-window calls to Spark SQL.
     Returns the input unchanged when no group-window syntax is present."""

@@ -336,3 +336,25 @@ def test_bad_query_surfaces_error_state(engine):
     with pytest.raises(Exception):
         stmt = engine.execute_sql("SELECT * FROM table_that_does_not_exist")
         stmt.fetch(0)
+
+
+def test_tumble_tvf_end_to_end(engine):
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql(
+        """
+        CREATE TABLE ev_tvf (id INT, ts TIMESTAMP_LTZ(3)) WITH (
+          'connector' = 'datagen', 'number-of-rows' = '40',
+          'fields.id.kind' = 'sequence', 'fields.id.start' = '1'
+        )
+        """
+    )
+    rows = drain(
+        engine.execute_sql(
+            "SELECT window_start, COUNT(*) AS c FROM "
+            "TABLE(TUMBLE(TABLE ev_tvf, DESCRIPTOR(ts), INTERVAL '10' SECOND)) "
+            "GROUP BY window_start ORDER BY window_start"
+        )
+    )
+    # datagen event time advances 1s/row → 40 rows span four 10s windows
+    assert [r["fields"][1] for r in rows] == [10, 10, 10, 10]
+    engine.execute_sql("DROP TABLE ev_tvf")

@@ -50,3 +50,26 @@ def test_temporal_join_snapshot_rewrite():
     out = rewrite_temporal_join(sql)
     assert "SYSTEM_TIME" not in out
     assert "JOIN dim" in out and "AS d ON o.k = d.k" in out
+
+
+def test_tumble_tvf_rewrite():
+    from flink_notebooks_spark.engine.window_sql import rewrite_window_tvfs
+
+    out = rewrite_window_tvfs(
+        "SELECT window_start, COUNT(*) FROM "
+        "TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '10' SECOND)) "
+        "GROUP BY window_start"
+    )
+    assert "TABLE(" not in out
+    assert "window(ts, '10 seconds')" in out
+    assert "AS window_start" in out
+
+
+def test_hop_tvf_swaps_args():
+    from flink_notebooks_spark.engine.window_sql import rewrite_window_tvfs
+
+    out = rewrite_window_tvfs(
+        "SELECT * FROM TABLE(HOP(TABLE e, DESCRIPTOR(ts), "
+        "INTERVAL '5' SECOND, INTERVAL '10' SECOND))"
+    )
+    assert "window(ts, '10 seconds', '5 seconds')" in out
