@@ -71,10 +71,25 @@ def rewrite_temporal_join(sql: str) -> str:
 
 
 _TVF = re.compile(
-    r"TABLE\s*\(\s*(TUMBLE|HOP)\s*\(\s*(?:TABLE\s+)?([`\w.]+)\s*,\s*"
+    r"TABLE\s*\(\s*(TUMBLE|HOP|CUMULATE)\s*\(\s*(?:TABLE\s+)?([`\w.]+)\s*,\s*"
     r"DESCRIPTOR\s*\(\s*([`\w.]+)\s*\)\s*,\s*" + _IVL + r"(?:\s*,\s*" + _IVL + r")?\s*\)\s*\)",
     re.IGNORECASE,
 )
+
+_US_PER = {
+    "seconds": 1_000_000,
+    "minutes": 60_000_000,
+    "hours": 3_600_000_000,
+    "days": 86_400_000_000,
+    "milliseconds": 1_000,
+}
+
+
+def _us(n: str, unit: str) -> int:
+    u = _UNITS.get(unit.upper())
+    if u is None:
+        raise ValueError(f"unsupported window interval unit: {unit}")
+    return int(float(n) * _US_PER[u])
 
 
 def rewrite_window_tvfs(sql: str) -> str:
@@ -93,12 +108,28 @@ def rewrite_window_tvfs(sql: str) -> str:
         fn, tbl, col = m.group(1).upper(), m.group(2), m.group(3)
         if fn == "TUMBLE":
             win = f"window({col}, {_dur(m.group(4), m.group(5))})"
-        else:  # HOP(time, slide, size) → window(time, size, slide)
+        elif fn == "HOP":  # HOP(time, slide, size) → window(time, size, slide)
             if not m.group(6):
                 raise ValueError("HOP TVF requires slide and size intervals")
             win = (
                 f"window({col}, {_dur(m.group(6), m.group(7))}, "
                 f"{_dur(m.group(4), m.group(5))})"
+            )
+        else:  # CUMULATE(time, step, span): growing windows, explode on ends
+            if not m.group(6):
+                raise ValueError("CUMULATE TVF requires step and span intervals")
+            step = _us(m.group(4), m.group(5))
+            span = _us(m.group(6), m.group(7))
+            if span % step != 0:
+                raise ValueError("CUMULATE: span must be a multiple of step")
+            us = f"unix_micros(CAST({col} AS TIMESTAMP))"
+            start = f"(({us}) div {span}) * {span}"
+            return (
+                f"(SELECT * EXCEPT (__k), timestamp_micros({start}) AS window_start, "
+                f"timestamp_micros({start} + __k * {step}) AS window_end "
+                f"FROM {tbl} "
+                f"LATERAL VIEW explode(sequence((({us} - ({start})) div {step}) + 1, "
+                f"{span // step})) AS __k)"
             )
         return (
             f"(SELECT * EXCEPT (__w), __w.start AS window_start, "

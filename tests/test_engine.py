@@ -358,3 +358,27 @@ def test_tumble_tvf_end_to_end(engine):
     # datagen event time advances 1s/row → 40 rows span four 10s windows
     assert [r["fields"][1] for r in rows] == [10, 10, 10, 10]
     engine.execute_sql("DROP TABLE ev_tvf")
+
+
+def test_cumulate_tvf_end_to_end(engine):
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql(
+        """
+        CREATE TABLE ev_cml (id INT, ts TIMESTAMP_LTZ(3)) WITH (
+          'connector' = 'datagen', 'number-of-rows' = '60',
+          'fields.id.kind' = 'sequence', 'fields.id.start' = '1'
+        )
+        """
+    )
+    rows = drain(
+        engine.execute_sql(
+            "SELECT window_end, COUNT(*) AS c FROM "
+            "TABLE(CUMULATE(TABLE ev_cml, DESCRIPTOR(ts), "
+            "INTERVAL '10' SECOND, INTERVAL '60' SECOND)) "
+            "GROUP BY window_end ORDER BY window_end"
+        )
+    )
+    # 60 rows at 1s spacing fill one span: growing windows of 10..60s
+    # contain 10, 20, ..., 60 events
+    assert [r["fields"][1] for r in rows] == [10, 20, 30, 40, 50, 60]
+    engine.execute_sql("DROP TABLE ev_cml")
