@@ -306,6 +306,10 @@ class Engine:
             from ..sources import jdbc
 
             jdbc.write_batch(df, target, p.overwrite)
+        elif target.connector == "kafka":
+            from ..sources import kafka
+
+            kafka.write_batch(df, target, p.overwrite)
         else:
             raise ValueError(f"batch INSERT into connector {target.connector!r} unsupported")
         # sink now has data on disk — re-materialize its readable view

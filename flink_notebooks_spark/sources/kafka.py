@@ -52,6 +52,21 @@ def build_stream(spark: SparkSession, table) -> DataFrame:
     return _decode(reader.load(), table)
 
 
+def write_batch(df: DataFrame, table, overwrite: bool) -> None:
+    """Batch INSERT INTO a Kafka topic (overwrite is meaningless for a log
+    sink and ignored, matching Flink's append-only Kafka sink)."""
+    payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    (
+        payload.write.format("kafka")
+        .option(
+            "kafka.bootstrap.servers",
+            table.options.get("properties.bootstrap.servers", "localhost:9092"),
+        )
+        .option("topic", table.options.get("topic", table.name))
+        .save()
+    )
+
+
 def write_stream(df: DataFrame, table, checkpoint: str):
     payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
     return (

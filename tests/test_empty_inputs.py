@@ -1,0 +1,53 @@
+"""Pipeline operators on EMPTY inputs — a 100 TB pipeline sees empty
+partitions/shards constantly; operators must return empty results, not
+throw (min/max over nothing, explode of nothing, GEMM with a zero side)."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_notebooks_spark.queries import QUERIES
+
+EMPTY_QUERIES = [
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_cosine_pairs",
+    "similarity_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "text_stats",
+    "lang_id",
+    "token_count",
+    "doc_fingerprint",
+    "quality_filter",
+    "dedup_materialize",
+    "multimodal_decode",
+    "events_sessionize",
+    "q27_cep_pattern",
+    "q25_hop_window",
+    "q26_cumulate_window",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(tmp_path_factory):
+    """A sf_dir whose documents/embeddings/events tables have 0 rows but the
+    real schemas (taken from the sf0.001 fixtures)."""
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    out = tmp_path_factory.mktemp("sf_empty")
+    for t in ("documents", "embeddings", "events"):
+        tbl = pq.read_table(f"{src}/{t}.parquet")
+        # slice(0,0) keeps the exact arrow schema (incl. timestamp[ns]),
+        # version 2.6 writes it back as parquet TIMESTAMP(NANOS) like the
+        # originals
+        pq.write_table(tbl.slice(0, 0), f"{out}/{t}.parquet", version="2.6")
+    return str(out)
+
+
+@pytest.mark.parametrize("name", EMPTY_QUERIES)
+def test_query_on_empty_input_returns_empty(name, spark, empty_sf_dir):
+    assert QUERIES[name](spark, empty_sf_dir).count() == 0
