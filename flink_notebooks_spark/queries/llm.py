@@ -528,6 +528,50 @@ def ann_lsh_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# V5. int8 embedding quantization — the storage-reduction step of an
+#     embedding pipeline (4× smaller vectors; oracle-matched)
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_quantize",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    s AS (SELECT vec_id, emb,
+                 greatest(list_aggregate(list_transform(emb, x -> abs(x)), 'max'), 1e-12) AS mx
+          FROM e)
+    SELECT vec_id, ROUND(mx / 127, 9) AS scale,
+           CAST(list_sum(list_transform(emb, x -> CAST(round(x * 127 / mx) AS BIGINT))) AS BIGINT)
+             AS q_checksum,
+           CAST(list_aggregate(list_transform(emb, x -> abs(CAST(round(x * 127 / mx) AS BIGINT))), 'max') AS BIGINT)
+             AS q_max
+    FROM s ORDER BY vec_id
+    """,
+)
+def embedding_quantize(spark, sf_dir):
+    """Symmetric per-vector int8 quantization: q = round(x·127/max|x|),
+    dequantize with the stored scale. Pure higher-order expressions — at
+    corpus scale this is a map-only stage (no shuffle) that cuts vector
+    storage 4× before ANN indexing. The checksum/max columns make the
+    quantized array oracle-comparable without materializing it in the
+    result hash."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    mx = F.greatest(
+        F.expr("array_max(transform(emb, x -> abs(x)))"), F.lit(1e-12)
+    )
+    q = "transform(emb, x -> CAST(round(x * 127 / __mx) AS BIGINT))"
+    return (
+        e.withColumn("__mx", mx)
+        .select(
+            "vec_id",
+            F.round(F.col("__mx") / 127, 9).alias("scale"),
+            F.expr(f"aggregate({q}, 0L, (a, v) -> a + v)").alias("q_checksum"),
+            F.expr(f"array_max(transform({q}, v -> abs(v)))").alias("q_max"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # V4. IVF approximate NN — coarse quantizer + cell probing (rows-only; tests
 #     measure recall vs similarity_topk)
 # ---------------------------------------------------------------------------
