@@ -51,6 +51,7 @@ class Engine:
         self.properties.update(properties or {})
         self.tables: dict[str, TableDef] = {}
         self.statements: list[Statement] = []
+        self._listeners: list = []
         self._checkpoint_root = tempfile.mkdtemp(prefix="fns-ckpt-")
 
     # ------------------------------------------------------------------ mode
@@ -99,6 +100,14 @@ class Engine:
             self._register_view(t)
 
     # -------------------------------------------------------------- execute
+    def on_statement_executed(self, callback) -> None:
+        """Register ``callback(sql, kind)`` fired after each successful
+        statement — the reference's catalog-tree auto-refresh hook
+        (flinkNotebookController.ts:27-33 → catalogTreeProvider.ts:46-71
+        refreshes on DDL). Listener errors are swallowed: observers must
+        not fail statements."""
+        self._listeners.append(callback)
+
     def execute_sql(self, sql: str) -> Statement:
         """Execute ONE statement; returns a Statement with paged results."""
         parsed = parse_statement(sql)
@@ -107,6 +116,11 @@ class Engine:
             raise ValueError(f"unsupported statement kind: {parsed.kind}")
         stmt = handler(parsed)
         self.statements.append(stmt)
+        for cb in getattr(self, "_listeners", []):
+            try:
+                cb(sql, parsed.kind)
+            except Exception:  # noqa: BLE001
+                pass
         return stmt
 
     def execute_script(self, text: str) -> list[Statement]:

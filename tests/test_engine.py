@@ -382,3 +382,19 @@ def test_cumulate_tvf_end_to_end(engine):
     # contain 10, 20, ..., 60 events
     assert [r["fields"][1] for r in rows] == [10, 20, 30, 40, 50, 60]
     engine.execute_sql("DROP TABLE ev_cml")
+
+
+def test_statement_executed_event(engine):
+    seen = []
+    engine.on_statement_executed(lambda sql, kind: seen.append(kind))
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql(
+        "CREATE TABLE evt_t (id INT) WITH ('connector'='datagen','number-of-rows'='1')"
+    )
+    engine.execute_sql("SELECT 1 AS x")
+    engine.execute_sql("DROP TABLE evt_t")
+    assert seen == ["set", "create_table", "query", "drop_table"]
+    # failing statements do not fire the event
+    with pytest.raises(Exception):
+        engine.execute_sql("CREATE TABLE bad (id INT) WITH ('connector'='nope')")
+    assert len(seen) == 4
