@@ -100,8 +100,10 @@ def rewrite_window_tvfs(sql: str) -> str:
     columns) from a per-row ``window()`` assignment — Spark evaluates
     ``window()`` in SELECT position, expanding each row to its windows, so
     HOP works the same way with Flink's (slide, size) argument order mapped
-    to Spark's (size, slide). CUMULATE TVF is not rewritten (use
-    ``operators.windows.cumulate_window`` — documented gap in NOTES.md).
+    to Spark's (size, slide). CUMULATE expands each row to its growing
+    windows with a LATERAL VIEW explode over window ends. SESSION (with
+    optional ``PARTITION BY``) is rewritten to a gap-merge over window
+    functions — see ``_session_tvf_subquery``.
     """
 
     def repl(m: re.Match) -> str:
@@ -136,7 +138,56 @@ def rewrite_window_tvfs(sql: str) -> str:
             f"__w.end AS window_end FROM (SELECT *, {win} AS __w FROM {tbl}))"
         )
 
-    return _TVF.sub(repl, sql)
+    return _SESSION_TVF.sub(_session_tvf_subquery, _TVF.sub(repl, sql))
+
+
+# Flink 1.20 session TVF: SESSION(TABLE t [PARTITION BY k1, k2],
+# DESCRIPTOR(ts), INTERVAL 'g' U)  (FLIP-403; streaming-only in Flink — we
+# also give it batch semantics, which Flink defines for the other TVFs).
+_SESSION_TVF = re.compile(
+    r"TABLE\s*\(\s*SESSION\s*\(\s*(?:TABLE\s+)?([`\w.]+)"
+    r"(?:\s+PARTITION\s+BY\s+([`\w.]+(?:\s*,\s*[`\w.]+)*))?\s*,\s*"
+    r"DESCRIPTOR\s*\(\s*([`\w.]+)\s*\)\s*,\s*" + _IVL + r"\s*\)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _session_tvf_subquery(m: re.Match) -> str:
+    """Session-window assignment as a gap-merge over window functions.
+
+    A session starts at any row whose gap to the previous row (per partition
+    key) exceeds the gap interval; a running sum of those starts numbers the
+    sessions, and min/max over (keys, session) give window_start /
+    window_end (= last event + gap, Flink's definition). Three window
+    functions over the same (keys, time) sort → Catalyst plans ONE shuffle +
+    sort per partition-key set; rows never expand. Without PARTITION BY the
+    merge is a single global sort — same serial semantics Flink has (its
+    session TVF requires partition keys for parallelism too), so declare
+    keys for scale.
+
+    Batch runtime mode only: Structured Streaming rejects lag() over a
+    stream, so streaming session aggregation goes through the group-window
+    form ``GROUP BY SESSION(col, INTERVAL ...)`` → ``session_window`` (see
+    ``rewrite_group_windows``), which is Spark's native streaming-merge
+    session operator.
+    """
+    tbl, keys, col = m.group(1), m.group(2), m.group(3)
+    gap_us = _us(m.group(4), m.group(5))
+    ks = [k.strip() for k in keys.split(",")] if keys else []
+    by = ", ".join(ks)
+    part = f"PARTITION BY {by} " if ks else ""
+    sess_part = f"PARTITION BY {by}, __sid" if ks else "PARTITION BY __sid"
+    return (
+        f"(SELECT * EXCEPT (__us, __new, __sid), "
+        f"timestamp_micros(min(__us) OVER ({sess_part})) AS window_start, "
+        f"timestamp_micros(max(__us) OVER ({sess_part}) + {gap_us}) AS window_end "
+        f"FROM (SELECT *, SUM(__new) OVER ({part}ORDER BY __us "
+        f"ROWS UNBOUNDED PRECEDING) AS __sid "
+        f"FROM (SELECT *, CASE WHEN __us - lag(__us) OVER ({part}ORDER BY __us) "
+        f"<= {gap_us} THEN 0 ELSE 1 END AS __new "
+        f"FROM (SELECT *, unix_micros(CAST({col} AS TIMESTAMP)) AS __us "
+        f"FROM {tbl}))))"
+    )
 
 
 def rewrite_group_windows(sql: str) -> str:

@@ -73,3 +73,39 @@ def test_hop_tvf_swaps_args():
         "INTERVAL '5' SECOND, INTERVAL '10' SECOND))"
     )
     assert "window(ts, '10 seconds', '5 seconds')" in out
+
+
+def test_session_tvf_rewrite_shape():
+    from flink_notebooks_spark.engine.window_sql import rewrite_window_tvfs
+
+    out = rewrite_window_tvfs(
+        "SELECT k, window_start, window_end, COUNT(*) AS c FROM "
+        "TABLE(SESSION(TABLE e PARTITION BY k, DESCRIPTOR(ts), INTERVAL '5' SECOND)) "
+        "GROUP BY k, window_start, window_end"
+    )
+    assert "TABLE(" not in out and "SESSION" not in out.upper().replace("__SID", "")
+    assert "PARTITION BY k, __sid" in out and "AS window_start" in out
+
+
+def test_session_tvf_executes_gap_merge(spark):
+    from flink_notebooks_spark.engine.window_sql import rewrite_window_tvfs
+
+    # key a: events at 0,3,6 (one session, gaps ≤5s) then 20 (new session);
+    # key b: single event at 100.
+    rows = [("a", 0), ("a", 3), ("a", 6), ("a", 20), ("b", 100)]
+    spark.createDataFrame(
+        [(k, t * 1_000_000) for k, t in rows], "k string, us long"
+    ).selectExpr("k", "timestamp_micros(us) AS ts").createOrReplaceTempView("sess_ev")
+    out = spark.sql(
+        rewrite_window_tvfs(
+            "SELECT k, unix_timestamp(window_start) AS ws, "
+            "unix_timestamp(window_end) AS we, COUNT(*) AS c FROM "
+            "TABLE(SESSION(TABLE sess_ev PARTITION BY k, DESCRIPTOR(ts), "
+            "INTERVAL '5' SECOND)) GROUP BY k, window_start, window_end ORDER BY k, ws"
+        )
+    ).collect()
+    assert [tuple(r) for r in out] == [
+        ("a", 0, 11, 3),   # window_end = last event (6) + gap (5)
+        ("a", 20, 25, 1),
+        ("b", 100, 105, 1),
+    ]
