@@ -9,6 +9,10 @@ runtime mode. Formats: parquet (default), csv, json.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..session import tune
 
 _FORMATS = {"parquet", "csv", "json", "orc", "text", "avro"}
 
@@ -45,28 +49,118 @@ def _exists(spark: SparkSession, path: str) -> bool:
     return fs.exists(hpath)
 
 
+def _nanos_ts_cols(path: str) -> set[str]:
+    """Column names stored as parquet TIMESTAMP(NANOS), read from the footer.
+
+    Spark cannot map nanos to TimestampType (µs); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it reads them as raw-nano longs,
+    so a user-declared TIMESTAMP column needs an explicit ns→µs conversion
+    (`_align`). Footer sniffing uses pyarrow on one file — local paths only;
+    remote stores (s3a://...) skip the probe and fall back to plain casts.
+    """
+    try:
+        import glob
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if "://" in path and not path.startswith("file:"):
+            return set()
+        p = path.removeprefix("file:")
+        if os.path.isdir(p):
+            files = glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
+            if not files:
+                return set()
+            p = files[0]
+        sch = pq.read_schema(p)
+        return {
+            f.name for f in sch if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        }
+    except Exception:
+        return set()
+
+
+_TS_TYPES = (T.TimestampType, T.TimestampNTZType)
+
+
+def _align(df: DataFrame, schema: T.StructType, ns_cols: set[str]) -> DataFrame:
+    """Project ``df`` onto the declared schema, casting where types differ.
+
+    Plain column references stay plain (pruning/pushdown reach the scan);
+    only mismatched columns get a cast. Raw-nano longs declared as TIMESTAMP
+    convert with integer division (µs truncation — same as DuckDB's reader).
+    Declared columns missing from the file surface as typed nulls, matching
+    the permissiveness of a forced reader schema.
+    """
+    cols = []
+    for f in schema.fields:
+        if f.name not in df.columns:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            continue
+        native = df.schema[f.name].dataType
+        c = F.col(f.name)
+        if native != f.dataType:
+            if (
+                f.name in ns_cols
+                and isinstance(native, T.LongType)
+                and isinstance(f.dataType, _TS_TYPES)
+            ):
+                c = F.expr(
+                    f"timestampadd(MICROSECOND, `{f.name}` div 1000, "
+                    f"TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ).cast(f.dataType)
+            else:
+                c = c.cast(f.dataType)
+        cols.append(c.alias(f.name))
+    return df.select(*cols)
+
+
 def build_batch(spark: SparkSession, table) -> DataFrame:
+    tune(spark)
     schema = table.spark_schema()
     # A sink-only table may be declared before its path exists (reference
     # allows CREATE then INSERT INTO); surface it as an empty typed relation.
     if schema.fields and not _exists(spark, _path(table)):
         return spark.createDataFrame([], schema)
     reader = spark.read.format(_fmt(table)).options(**_reader_opts(table))
-    if schema.fields:
-        reader = reader.schema(schema)
-    return reader.load(_path(table))
+    if not schema.fields:
+        return reader.load(_path(table))
+    if _fmt(table) == "parquet":
+        # Parquet is self-describing: read the file's own schema, then align
+        # by cast. Forcing the declared schema onto the reader instead fails
+        # on representational mismatches (e.g. TIMESTAMP(NANOS) vs µs).
+        return _align(
+            reader.load(_path(table)), schema, _nanos_ts_cols(_path(table))
+        )
+    return reader.schema(schema).load(_path(table))
 
 
 def build_stream(spark: SparkSession, table) -> DataFrame:
+    tune(spark)
     schema = table.spark_schema()
     if not schema.fields:
         raise ValueError("filesystem streaming source requires a declared schema")
-    return (
+    ns_cols = _nanos_ts_cols(_path(table)) if _fmt(table) == "parquet" else set()
+    read_schema = schema
+    if ns_cols:
+        # readStream requires an explicit schema; declare nanos columns as
+        # long for the scan, then convert to the declared timestamp type.
+        read_schema = T.StructType(
+            [
+                T.StructField(f.name, T.LongType(), f.nullable)
+                if f.name in ns_cols and isinstance(f.dataType, _TS_TYPES)
+                else f
+                for f in schema.fields
+            ]
+        )
+    df = (
         spark.readStream.format(_fmt(table))
         .options(**_reader_opts(table))
-        .schema(schema)
+        .schema(read_schema)
         .load(_path(table))
     )
+    return _align(df, schema, ns_cols) if ns_cols else df
 
 
 def write_batch(df: DataFrame, table, overwrite: bool) -> None:

@@ -233,6 +233,37 @@ def test_filesystem_connector_roundtrip(engine, sf_dir, tmp_path):
     assert back[0]["fields"][0] > 0
 
 
+def test_filesystem_nanos_timestamp_declared_as_timestamp(engine, sf_dir):
+    """events.parquet stores ts as TIMESTAMP(NANOS); a user-declared TIMESTAMP
+    column must still read (ns → µs truncation), not fail on the reader's
+    physical-type check. Regression: forced reader schema raised
+    PARQUET_COLUMN_DATA_TYPE_MISMATCH."""
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql(
+        f"""
+        CREATE TABLE ev_ns (
+          event_id BIGINT, ts TIMESTAMP(3), user_id BIGINT,
+          event_type STRING, value DOUBLE, props STRING
+        ) WITH ('connector'='filesystem','path'='{sf_dir}/events.parquet','format'='parquet')
+        """
+    )
+    rows = drain(
+        engine.execute_sql(
+            "SELECT event_id, ts FROM ev_ns ORDER BY event_id LIMIT 3"
+        )
+    )
+    assert len(rows) == 3
+    assert all(r["fields"][1] is not None for r in rows)
+    # a window query over the declared timestamp plans and runs
+    agg = drain(
+        engine.execute_sql(
+            "SELECT TUMBLE_START(ts, INTERVAL '10' SECOND) AS w, COUNT(*) AS c "
+            "FROM ev_ns GROUP BY TUMBLE(ts, INTERVAL '10' SECOND) ORDER BY w LIMIT 5"
+        )
+    )
+    assert len(agg) > 0
+
+
 # ------------------------------------------------------------------ sessions
 def test_session_isolation(spark):
     mgr = SessionManager(spark)
