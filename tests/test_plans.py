@@ -110,3 +110,20 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP DATABASE IF EXISTS bkt CASCADE")
+
+
+def test_tpch_q3_pushes_filters_and_takes_ordered(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q31_tpch_q3")
+    # each of the three date/segment filters reaches its parquet scan
+    assert "EqualTo(c_mktsegment,BUILDING)" in p
+    assert "GreaterThan(l_shipdate,1998-03-15" in p
+    assert "LessThan(o_orderdate,1998-03-15" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_tpch_q5_broadcasts_fixed_dims(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q32_tpch_q5")
+    # nation + region are schema-fixed ≤25 rows → broadcast, never SMJ
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
