@@ -39,6 +39,41 @@ BATCH = "batch"
 STREAMING = "streaming"
 
 
+def _grouping_cols(df: DataFrame) -> list[str] | None:
+    """Grouping-key column names of a streaming aggregate, or None.
+
+    Walks the analyzed logical plan to the first Aggregate node and returns
+    its grouping attributes IF they all survive into the output schema by
+    name — the condition under which per-key changelog diffing (statement.
+    changelog_entries) is sound. Plans that rename/drop keys (e.g. window
+    aggs projecting window.start) fall back to INSERT-only kinds, which is
+    what the reference client renders anyway (it ignores ``kind`` —
+    flinkNotebookController.ts:347-358)."""
+    try:
+        from collections import deque
+
+        q = deque([df._jdf.queryExecution().analyzed()])  # noqa: SLF001
+        while q:
+            node = q.popleft()
+            if node.getClass().getSimpleName() == "Aggregate":
+                exprs = node.groupingExpressions()
+                names = []
+                for i in range(exprs.size()):
+                    e = exprs.apply(i)
+                    if not hasattr(e, "toAttribute"):
+                        return None
+                    names.append(e.toAttribute().name())
+                if names and all(n in df.columns for n in names):
+                    return names
+                return None
+            ch = node.children()
+            for i in range(ch.size()):
+                q.append(ch.apply(i))
+        return None
+    except Exception:  # noqa: BLE001 — py4j plan shapes vary; kinds degrade
+        return None
+
+
 class Engine:
     def __init__(
         self,
@@ -274,6 +309,7 @@ class Engine:
 
     def _start_streaming_select(self, df: DataFrame) -> StreamingStatement:
         ckpt = f"{self._checkpoint_root}/{uuid.uuid4().hex}"
+        mode_holder: dict = {}
 
         def start(on_batch):
             last_err = None
@@ -281,6 +317,8 @@ class Engine:
             # complete for sorted/limited aggregates — mirrors Flink's
             # changelog modes (SURVEY.md §1.1 changelog rows).
             for mode in ("append", "update", "complete"):
+                mode_holder["mode"] = mode  # set BEFORE start: first micro-
+                # batch can fire as soon as start() returns
                 try:
                     return (
                         df.writeStream.outputMode(mode)
@@ -292,7 +330,9 @@ class Engine:
                     last_err = e
             raise last_err
 
-        return StreamingStatement(df, start)
+        return StreamingStatement(
+            df, start, changelog_keys=_grouping_cols(df), mode_holder=mode_holder
+        )
 
     # ---- INSERT INTO jobs (reference jobMonitorProvider.ts:41-43) ---------
     def _exec_insert(self, p: Parsed) -> Statement:

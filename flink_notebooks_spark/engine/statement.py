@@ -68,6 +68,45 @@ def _rows(batch: list, kind: str = "INSERT") -> list[dict[str, Any]]:
     return [{"kind": kind, "fields": list(r)} for r in batch]
 
 
+def changelog_entries(
+    rows: list[list[Any]],
+    key_idx: list[int],
+    mode: str,
+    seen: dict[tuple, list[Any]],
+) -> list[dict[str, Any]]:
+    """Reconstruct Flink's changelog row kinds from micro-batch output.
+
+    Flink encodes updating results as INSERT / UPDATE_BEFORE / UPDATE_AFTER /
+    DELETE rows on the wire (reference models/types.ts:24-27). Spark's
+    ``update`` output mode emits only the *new* value of each changed group,
+    so the statement keeps the last-seen row per grouping key (``seen``,
+    mutated in place) and diffs: new key → INSERT, changed key →
+    UPDATE_BEFORE(old) + UPDATE_AFTER(new). In ``complete`` mode the batch is
+    the whole result, so groups that vanished additionally emit DELETE and
+    unchanged groups are not re-emitted. State is one row per distinct group
+    key — the same cardinality the 10k-row client buffer already bounds.
+    """
+    out: list[dict[str, Any]] = []
+    snapshot: set[tuple] = set()
+    for r in rows:
+        fields = list(r)
+        key = tuple(fields[i] for i in key_idx)
+        snapshot.add(key)
+        old = seen.get(key)
+        if old is None:
+            out.append({"kind": "INSERT", "fields": fields})
+            seen[key] = fields
+        elif old != fields:
+            out.append({"kind": "UPDATE_BEFORE", "fields": old})
+            out.append({"kind": "UPDATE_AFTER", "fields": fields})
+            seen[key] = fields
+        # unchanged (complete-mode re-emission): nothing to report
+    if mode == "complete":
+        for key in [k for k in seen if k not in snapshot]:
+            out.append({"kind": "DELETE", "fields": seen.pop(key)})
+    return out
+
+
 class Statement:
     """Base statement: immediate (DDL/SET) results."""
 
@@ -175,28 +214,53 @@ class StreamingStatement(Statement):
     client drains it with the same token protocol (NOT_READY while the
     query is live but no new rows)."""
 
-    def __init__(self, df: DataFrame, start_fn):
+    def __init__(
+        self,
+        df: DataFrame,
+        start_fn,
+        changelog_keys: list[str] | None = None,
+        mode_holder: dict | None = None,
+    ):
         """``start_fn(foreach_batch) -> StreamingQuery`` so the engine
-        controls trigger/output-mode selection."""
+        controls trigger/output-mode selection. ``changelog_keys`` (grouping
+        columns present in the output) enable UPDATE_BEFORE/UPDATE_AFTER/
+        DELETE kind reconstruction for update/complete-mode results;
+        ``mode_holder['mode']`` is set by the engine's start_fn to whichever
+        output mode the planner accepted."""
         super().__init__()
         self.is_streaming = True
         self._columns = _columns_of(df)
-        self._buffer: list = []
+        self._buffer: list[dict[str, Any]] = []
         self._lock = threading.Lock()
         self._paused = False
         self.truncated = False
+        # identity matters: the engine mutates this dict from its start_fn
+        # (it is empty at construction time, so no truthiness shortcuts)
+        self._mode_holder = mode_holder if mode_holder is not None else {}
+        cols = df.columns
+        self._key_idx = (
+            [cols.index(k) for k in changelog_keys]
+            if changelog_keys and all(k in cols for k in changelog_keys)
+            else None
+        )
+        self._seen: dict[tuple, list[Any]] = {}
 
         def on_batch(batch_df: DataFrame, batch_id: int) -> None:
             rows = batch_df.collect()
+            mode = self._mode_holder.get("mode", "append")
+            if self._key_idx is not None and mode in ("update", "complete"):
+                entries = changelog_entries(rows, self._key_idx, mode, self._seen)
+            else:
+                entries = _rows(rows)
             with self._lock:
                 room = MAX_STREAM_ROWS - len(self._buffer)
                 if room <= 0:
                     self.truncated = True
                     return
-                if len(rows) > room:
+                if len(entries) > room:
                     self.truncated = True
-                    rows = rows[:room]
-                self._buffer.extend(rows)
+                    entries = entries[:room]
+                self._buffer.extend(entries)
 
         try:
             self.query = start_fn(on_batch)
@@ -238,7 +302,7 @@ class StreamingStatement(Statement):
             page = self._buffer[start : start + max_rows]
             buffered = len(self._buffer)
         if page:
-            return ResultPage("PAYLOAD", self._columns, _rows(page), token + 1)
+            return ResultPage("PAYLOAD", self._columns, page, token + 1)
         if active:
             return ResultPage("NOT_READY", self._columns, [], token)
         if start >= buffered:

@@ -170,3 +170,49 @@ def test_runner_file_sink_drain(spark, sf_dir, tmp_path):
     drain(stream, spec, query_name="runner_test")
     back = spark.read.parquet(f"{tmp_path}/out")
     assert back.count() == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+
+# ------------------------------------------------- changelog kinds (§1.1)
+def test_changelog_entries_pure():
+    from flink_notebooks_spark.engine.statement import changelog_entries
+
+    seen = {}
+    # batch 1: two new groups
+    out = changelog_entries([["a", 1], ["b", 2]], [0], "update", seen)
+    assert [e["kind"] for e in out] == ["INSERT", "INSERT"]
+    # batch 2: group a changes → -U(old) +U(new); b unchanged (re-emitted)
+    out = changelog_entries([["a", 5], ["b", 2]], [0], "update", seen)
+    assert out == [
+        {"kind": "UPDATE_BEFORE", "fields": ["a", 1]},
+        {"kind": "UPDATE_AFTER", "fields": ["a", 5]},
+    ]
+    # complete mode: b vanishes → DELETE
+    out = changelog_entries([["a", 5]], [0], "complete", seen)
+    assert out == [{"kind": "DELETE", "fields": ["b", 2]}]
+    assert set(seen) == {("a",)}
+
+
+def test_streaming_agg_emits_update_kinds(engine):
+    """A continuous GROUP BY count over streaming datagen runs in update
+    mode; as keys repeat, the result pages must carry Flink's changelog
+    encoding: first INSERT per key, then UPDATE_BEFORE/UPDATE_AFTER pairs
+    (reference models/types.ts:24-27)."""
+    engine.execute_sql(STREAM_DDL)
+    stmt = engine.execute_sql(
+        "SELECT user_id, COUNT(*) AS c FROM clickstream GROUP BY user_id"
+    )
+    try:
+        rows = poll_rows(stmt, want=150, timeout=90)
+        kinds = [r["kind"] for r in rows]
+        assert "INSERT" in kinds and "UPDATE_AFTER" in kinds
+        # every UPDATE_BEFORE is immediately followed by its UPDATE_AFTER,
+        # for the same key, with the count strictly growing
+        for i, r in enumerate(rows):
+            if r["kind"] == "UPDATE_BEFORE":
+                nxt = rows[i + 1]
+                assert nxt["kind"] == "UPDATE_AFTER"
+                assert nxt["fields"][0] == r["fields"][0]
+                assert nxt["fields"][1] > r["fields"][1]
+    finally:
+        stmt.cancel()
+        engine.execute_sql("DROP TABLE clickstream")
