@@ -299,6 +299,11 @@ class Engine:
 
     # ---- queries ----------------------------------------------------------
     def _exec_query(self, p: Parsed) -> Statement:
+        from ..operators import sql_match_recognize
+
+        mr = sql_match_recognize(self.spark, p.sql)
+        if mr is not None:
+            return BatchStatement(mr)
         df = self.spark.sql(rewrite_group_windows(rewrite_window_tvfs(rewrite_temporal_join(p.sql))))
         if df.isStreaming:
             return self._start_streaming_select(df)

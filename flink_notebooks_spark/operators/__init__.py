@@ -9,6 +9,7 @@ so the plans scale to arbitrary input sizes.
 """
 
 from .cep import sequence_pattern
+from .match_recognize import match_recognize, parse_match_recognize, sql_match_recognize
 from .joins import asof_join, interval_join
 from .skew import salted_join
 from .windows import cumulate_window, hop_window
@@ -20,4 +21,7 @@ __all__ = [
     "hop_window",
     "cumulate_window",
     "sequence_pattern",
+    "match_recognize",
+    "parse_match_recognize",
+    "sql_match_recognize",
 ]

@@ -1,0 +1,397 @@
+"""MATCH_RECOGNIZE (row-pattern recognition) for batch tables.
+
+Reference capability: Flink SQL ``MATCH_RECOGNIZE`` (SURVEY.md §2.5 W9 —
+declared by the planner dependency, reference flink-runtime/build.gradle:37).
+Supported surface (the clauses Flink's own docs demo):
+
+    MATCH_RECOGNIZE (
+      [PARTITION BY k1, k2]
+      ORDER BY ts [, tiebreak]
+      MEASURES expr AS name [, ...]
+      [ONE ROW PER MATCH]
+      [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
+      PATTERN (A B+ C* D? E{2,3})
+      DEFINE A AS <condition>, B AS <condition> [, ...]
+    )
+
+Measure expressions: ``V.col`` (first row of V), ``FIRST(V.col)``,
+``LAST(V.col)``, ``COUNT(V.*)``, ``COUNT(*)``, ``SUM/MIN/MAX/AVG(V.col)``.
+Not supported (raise): pattern alternation ``|``, ``PERMUTE``, cross-variable
+DEFINE references (``B AS B.v > A.v``), ``ALL ROWS PER MATCH``, streaming
+input (batch relations only — streaming pattern needs are covered by
+``sequence_pattern`` and ``applyInPandasWithState`` sessionization).
+
+Scale design (the 100 TB argument):
+
+- DEFINE predicates are compiled to Spark SQL boolean columns BEFORE the
+  shuffle — they run in whole-stage codegen over the full table; Python
+  never evaluates a predicate.
+- The only shuffle is ``groupBy(partition keys)``; matching is a single
+  linear backtracking pass per key inside ``applyInPandas`` (Arrow-batched),
+  reading precomputed booleans. State per key = that key's rows, the same
+  bound Flink's CEP operator has (keyed state over the sort buffer).
+- Quantifiers are greedy with backtracking, so worst case is exponential in
+  PATTERN LENGTH (tiny, user-written) — never in row count: each start row
+  attempts one anchored match and SKIP PAST LAST ROW advances past consumed
+  rows.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --------------------------------------------------------------------- parse
+
+_QUANT = re.compile(r"^(\w+)(\+|\*|\?|\{(\d+)(,(\d*))?\})?$")
+
+
+@dataclass
+class PatternTerm:
+    var: str
+    lo: int
+    hi: int | None  # None = unbounded
+
+
+@dataclass
+class MatchSpec:
+    partition_by: list[str]
+    order_by: list[str]
+    measures: list[tuple[str, str]]  # (expression, alias)
+    pattern: list[PatternTerm]
+    define: dict[str, str]
+    skip_past_last: bool = True
+    variables: list[str] = field(default_factory=list)
+
+    def __post_init__(self):
+        seen: list[str] = []
+        for t in self.pattern:
+            if t.var not in seen:
+                seen.append(t.var)
+        self.variables = seen
+
+
+def _extract_clause(sql: str, name: str, stop: str) -> str | None:
+    m = re.search(rf"\b{name}\b(.*?)(?={stop}|$)", sql, re.IGNORECASE | re.DOTALL)
+    return m.group(1).strip() if m else None
+
+
+_STOPS = (
+    r"\bORDER\s+BY\b|\bMEASURES\b|\bONE\s+ROW\b|\bALL\s+ROWS\b|"
+    r"\bAFTER\s+MATCH\b|\bPATTERN\b|\bDEFINE\b"
+)
+
+
+def parse_match_recognize(clause: str) -> MatchSpec:
+    """Parse the text INSIDE ``MATCH_RECOGNIZE ( ... )``."""
+    if re.search(r"\bALL\s+ROWS\s+PER\s+MATCH\b", clause, re.IGNORECASE):
+        raise NotImplementedError("MATCH_RECOGNIZE: ALL ROWS PER MATCH unsupported")
+
+    part = _extract_clause(clause, r"PARTITION\s+BY", _STOPS)
+    order = _extract_clause(clause, r"ORDER\s+BY", _STOPS)
+    if not order:
+        raise ValueError("MATCH_RECOGNIZE requires ORDER BY")
+    meas = _extract_clause(clause, r"MEASURES", _STOPS)
+    if not meas:
+        raise ValueError("MATCH_RECOGNIZE requires MEASURES")
+
+    pat_m = re.search(r"\bPATTERN\s*\(([^)]*)\)", clause, re.IGNORECASE)
+    if not pat_m:
+        raise ValueError("MATCH_RECOGNIZE requires PATTERN (...)")
+    pat_src = pat_m.group(1)
+    if "|" in pat_src:
+        raise NotImplementedError("MATCH_RECOGNIZE: pattern alternation unsupported")
+    pattern: list[PatternTerm] = []
+    for tok in pat_src.split():
+        q = _QUANT.match(tok)
+        if not q:
+            raise ValueError(f"MATCH_RECOGNIZE: bad pattern token {tok!r}")
+        var, quant = q.group(1), q.group(2)
+        if quant is None:
+            lo, hi = 1, 1
+        elif quant == "+":
+            lo, hi = 1, None
+        elif quant == "*":
+            lo, hi = 0, None
+        elif quant == "?":
+            lo, hi = 0, 1
+        else:  # {n} / {n,} / {n,m}
+            lo = int(q.group(3))
+            hi = lo if q.group(4) is None else (int(q.group(5)) if q.group(5) else None)
+        pattern.append(PatternTerm(var.upper(), lo, hi))
+
+    def_m = re.search(r"\bDEFINE\b(.*)$", clause, re.IGNORECASE | re.DOTALL)
+    define: dict[str, str] = {}
+    if def_m:
+        # split on commas at depth 0 (conditions may contain function calls)
+        parts, depth, cur = [], 0, []
+        for ch in def_m.group(1):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        parts.append("".join(cur))
+        for p in parts:
+            dm = re.match(r"\s*(\w+)\s+AS\s+(.*)$", p.strip(), re.IGNORECASE | re.DOTALL)
+            if not dm:
+                raise ValueError(f"MATCH_RECOGNIZE: bad DEFINE entry {p!r}")
+            define[dm.group(1).upper()] = dm.group(2).strip()
+
+    measures = []
+    for p in _split_top_level(meas):
+        mm = re.match(r"(.*?)\s+AS\s+(\w+)\s*$", p.strip(), re.IGNORECASE | re.DOTALL)
+        if not mm:
+            raise ValueError(f"MATCH_RECOGNIZE: measure needs AS alias: {p!r}")
+        measures.append((mm.group(1).strip(), mm.group(2)))
+
+    skip_past = not re.search(
+        r"AFTER\s+MATCH\s+SKIP\s+TO\s+NEXT\s+ROW", clause, re.IGNORECASE
+    )
+    return MatchSpec(
+        partition_by=[c.strip() for c in part.split(",")] if part else [],
+        order_by=[c.strip() for c in order.split(",")],
+        measures=measures,
+        pattern=pattern,
+        define=define,
+        skip_past_last=skip_past,
+    )
+
+
+def _split_top_level(s: str) -> list[str]:
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return [p for p in (x.strip() for x in parts) if p]
+
+
+# ------------------------------------------------------------------ measures
+
+_MEAS = re.compile(
+    r"^(?:(FIRST|LAST|COUNT|SUM|MIN|MAX|AVG)\s*\(\s*)?"
+    r"(?:(\w+)\.)?(\w+|\*)\s*\)?\s*$",
+    re.IGNORECASE,
+)
+
+
+@dataclass
+class Measure:
+    func: str  # FIRST/LAST/COUNT/SUM/MIN/MAX/AVG
+    var: str | None  # None = whole match
+    col: str | None  # None = * (count)
+    alias: str
+
+
+def _parse_measure(expr: str, alias: str, variables: list[str]) -> Measure:
+    m = _MEAS.match(expr)
+    if not m:
+        raise NotImplementedError(f"MATCH_RECOGNIZE: unsupported measure {expr!r}")
+    func, var, col = m.group(1), m.group(2), m.group(3)
+    func = (func or "FIRST").upper()
+    if var is not None and var.upper() not in variables:
+        raise ValueError(f"MATCH_RECOGNIZE: measure references unknown variable {var!r}")
+    if col == "*":
+        if func != "COUNT":
+            raise NotImplementedError(f"MATCH_RECOGNIZE: {func}(*) unsupported")
+        return Measure("COUNT", var.upper() if var else None, None, alias)
+    return Measure(func, var.upper() if var else None, col, alias)
+
+
+def _measure_type(m: Measure, schema: T.StructType) -> T.DataType:
+    if m.func == "COUNT":
+        return T.LongType()
+    if m.col not in schema.names:
+        raise ValueError(f"MATCH_RECOGNIZE: measure column {m.col!r} not in input")
+    t = schema[m.col].dataType
+    if m.func == "AVG":
+        return T.DoubleType()
+    if m.func == "SUM":
+        return T.LongType() if isinstance(t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)) else T.DoubleType()
+    return t
+
+
+# ------------------------------------------------------------------- execute
+
+
+def _compile_defines(df: DataFrame, spec: MatchSpec) -> DataFrame:
+    """Add one boolean column per pattern variable, evaluated JVM-side."""
+    other = {v for v in spec.variables}
+    for v in spec.variables:
+        cond = spec.define.get(v)
+        if cond is None:
+            df = df.withColumn(f"__mr_{v}", F.lit(True))
+            continue
+        for o in other - {v}:
+            if re.search(rf"\b{o}\s*\.", cond):
+                raise NotImplementedError(
+                    f"MATCH_RECOGNIZE: DEFINE {v} references other variable {o} "
+                    "(cross-variable conditions unsupported)"
+                )
+        # self-qualified columns (A.col) → bare columns
+        bare = re.sub(rf"\b{v}\s*\.\s*", "", cond)
+        df = df.withColumn(f"__mr_{v}", F.expr(bare).cast("boolean"))
+    return df
+
+
+def _match_starting_at(bools, pattern: list[PatternTerm], n: int, start: int):
+    """Greedy backtracking anchored match. Returns (end_exclusive, spans) or
+    None; spans[i] = (first_row, last_row_exclusive) of pattern term i."""
+    spans = [None] * len(pattern)
+
+    def rec(pi: int, pos: int):
+        if pi == len(pattern):
+            return pos
+        term = pattern[pi]
+        col = bools[term.var]
+        cnt = 0
+        cap = (term.hi - 0) if term.hi is not None else (n - pos)
+        while cnt < cap and pos + cnt < n and col[pos + cnt]:
+            cnt += 1
+        for take in range(cnt, term.lo - 1, -1):
+            spans[pi] = (pos, pos + take)
+            end = rec(pi + 1, pos + take)
+            if end is not None:
+                return end
+        spans[pi] = None
+        return None
+
+    end = rec(0, start)
+    return (end, list(spans)) if end is not None and end > start else None
+
+
+def match_recognize(df: DataFrame, clause_or_spec) -> DataFrame:
+    """Apply MATCH_RECOGNIZE to a batch DataFrame → one row per match.
+
+    ``clause_or_spec``: the text inside ``MATCH_RECOGNIZE ( ... )`` or a
+    pre-parsed ``MatchSpec``. Output columns: partition keys + measures.
+    """
+    spec = (
+        clause_or_spec
+        if isinstance(clause_or_spec, MatchSpec)
+        else parse_match_recognize(clause_or_spec)
+    )
+    if df.isStreaming:
+        raise NotImplementedError("MATCH_RECOGNIZE on streaming input unsupported")
+    measures = [
+        _parse_measure(e, a, spec.variables) for e, a in spec.measures
+    ]
+    out_fields = [df.schema[c] for c in spec.partition_by] + [
+        T.StructField(m.alias, _measure_type(m, df.schema), True) for m in measures
+    ]
+    out_schema = T.StructType(out_fields)
+    prepared = _compile_defines(df, spec)
+    pattern = spec.pattern
+    order_cols = spec.order_by
+    part_cols = spec.partition_by
+    skip_past = spec.skip_past_last
+
+    def run(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        bools = {
+            v: pdf[f"__mr_{v}"].fillna(False).to_numpy() for v in spec.variables
+        }
+        keys = [pdf[c].iloc[0] for c in part_cols] if n else []
+        out_rows = []
+        i = 0
+        while i < n:
+            hit = _match_starting_at(bools, pattern, n, i)
+            if hit is None:
+                i += 1
+                continue
+            end, spans = hit
+            # merge term spans per variable (a var may repeat in the pattern)
+            var_rows: dict[str, list[int]] = {}
+            for term, sp in zip(pattern, spans):
+                if sp is not None:
+                    var_rows.setdefault(term.var, []).extend(range(sp[0], sp[1]))
+            all_rows = sorted(set().union(*var_rows.values())) if var_rows else []
+            vals = []
+            for m in measures:
+                rows = var_rows.get(m.var, []) if m.var else all_rows
+                if m.func == "COUNT":
+                    vals.append(len(rows))
+                elif not rows:
+                    vals.append(None)
+                else:
+                    series = pdf[m.col].iloc[rows]
+                    if m.func == "FIRST":
+                        vals.append(series.iloc[0])
+                    elif m.func == "LAST":
+                        vals.append(series.iloc[-1])
+                    elif m.func == "SUM":
+                        vals.append(series.sum())
+                    elif m.func == "MIN":
+                        vals.append(series.min())
+                    elif m.func == "MAX":
+                        vals.append(series.max())
+                    else:  # AVG
+                        vals.append(float(series.mean()))
+            out_rows.append(keys + vals)
+            i = end if skip_past else i + 1
+        return pd.DataFrame(out_rows, columns=[f.name for f in out_fields])
+
+    if part_cols:
+        return prepared.groupBy(*part_cols).applyInPandas(run, schema=out_schema)
+    # no PARTITION BY: single global sequence (serial, same as Flink)
+    return prepared.withColumn("__mr_g", F.lit(1)).groupBy("__mr_g").applyInPandas(
+        lambda pdf: run(pdf.drop(columns="__mr_g")), schema=out_schema
+    )
+
+
+# ------------------------------------------------------------ SQL integration
+
+_MR_HEAD = re.compile(
+    r"^\s*SELECT\s+\*\s+FROM\s+([`\w.]+)\s+MATCH_RECOGNIZE\s*\(",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def sql_match_recognize(spark, sql: str) -> DataFrame | None:
+    """Execute ``SELECT * FROM t MATCH_RECOGNIZE (...) [AS x] [ORDER BY/
+    LIMIT ...]`` against registered tables; None when the statement is not a
+    MATCH_RECOGNIZE query (caller falls through to Catalyst)."""
+    m = _MR_HEAD.search(sql)
+    if m is None:
+        return None
+    start = m.end() - 1  # index of the opening paren
+    depth = 0
+    end = -1
+    for i in range(start, len(sql)):
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+            if depth == 0:
+                end = i
+                break
+    if end < 0:
+        raise ValueError("MATCH_RECOGNIZE: unbalanced parentheses")
+    clause = sql[start + 1 : end]
+    rest = sql[end + 1 :].strip().rstrip(";").strip()
+    rest = re.sub(r"^AS\s+\w+", "", rest, flags=re.IGNORECASE).strip()
+    out = match_recognize(spark.table(m.group(1)), clause)
+    if rest:
+        out.createOrReplaceTempView("__mr_result")
+        return spark.sql(f"SELECT * FROM __mr_result {rest}")
+    return out

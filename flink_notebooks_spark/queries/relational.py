@@ -489,6 +489,53 @@ def q32_tpch_q5(spark, sf_dir):
     )
 
 
+# --- Q33: MATCH_RECOGNIZE funnel (W9 full row-pattern recognition) ------------
+@query(
+    "q33_match_recognize",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    ), nxt AS (
+      SELECT l.user_id, l.rn AS lrn, l.ts_us AS start_us,
+             (SELECT MIN(rn) FROM s x WHERE x.user_id = l.user_id
+                AND x.rn > l.rn AND x.event_type <> 'click') AS nrn
+      FROM s l WHERE l.event_type = 'view')
+    SELECT n.user_id, n.start_us, p.ts_us AS end_us,
+           (n.nrn - n.lrn - 1) AS n_clicks
+    FROM nxt n JOIN s p ON p.user_id = n.user_id AND p.rn = n.nrn
+    WHERE p.event_type = 'purchase' AND n.nrn - n.lrn >= 2
+    ORDER BY n.user_id, n.start_us
+    """,
+)
+def q33_match_recognize(spark, sf_dir):
+    """MATCH_RECOGNIZE view→click+→purchase funnel per user. The oracle is a
+    window-function reformulation: for this pattern a match span holds exactly
+    one 'view' (its first row), so greedy matches can never overlap and SKIP
+    PAST LAST ROW suppresses nothing — making the semantics SQL-expressible.
+    DEFINE predicates evaluate JVM-side; only the linear span scan runs in
+    Arrow-batched pandas (operators/match_recognize.py)."""
+    from ..operators import match_recognize
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts_us", "event_type"
+    )
+    return match_recognize(
+        e,
+        """
+        PARTITION BY user_id
+        ORDER BY ts_us, event_id
+        MEASURES A.ts_us AS start_us, LAST(C.ts_us) AS end_us,
+                 COUNT(B.*) AS n_clicks
+        PATTERN (A B+ C)
+        DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click',
+               C AS C.event_type = 'purchase'
+        """,
+    ).orderBy("user_id", "start_us")
+
+
 # --- Q29: JSON function breadth (§2.7 JSON family) ----------------------------
 @query(
     "q29_json_breadth",

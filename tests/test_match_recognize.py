@@ -1,0 +1,160 @@
+"""MATCH_RECOGNIZE (SURVEY.md §2.5 W9): parser, matcher, engine SQL surface.
+
+Semantics pinned against Flink's documented behavior: greedy quantifiers,
+ONE ROW PER MATCH, AFTER MATCH SKIP PAST LAST ROW (default) / TO NEXT ROW,
+measures FIRST/LAST/COUNT/SUM/MIN/MAX/AVG, undefined variables always match.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_notebooks_spark.operators import (
+    match_recognize,
+    parse_match_recognize,
+    sql_match_recognize,
+)
+
+CLAUSE = """
+  PARTITION BY user_id
+  ORDER BY ts
+  MEASURES A.ts AS start_ts, LAST(C.ts) AS end_ts, COUNT(B.*) AS n_b
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (A B+ C)
+  DEFINE A AS A.etype = 'login', B AS B.etype = 'click', C AS C.etype = 'buy'
+"""
+
+
+def test_parser_full_clause():
+    spec = parse_match_recognize(CLAUSE)
+    assert spec.partition_by == ["user_id"]
+    assert spec.order_by == ["ts"]
+    assert [(t.var, t.lo, t.hi) for t in spec.pattern] == [
+        ("A", 1, 1), ("B", 1, None), ("C", 1, 1)
+    ]
+    assert spec.define["B"] == "B.etype = 'click'"
+    assert [a for _, a in spec.measures] == ["start_ts", "end_ts", "n_b"]
+    assert spec.skip_past_last
+
+
+def test_parser_quantifiers():
+    spec = parse_match_recognize(
+        "ORDER BY t MEASURES COUNT(*) AS n PATTERN (A* B? C{2} D{2,} E{2,4}) "
+        "DEFINE A AS A.x = 1"
+    )
+    assert [(t.lo, t.hi) for t in spec.pattern] == [
+        (0, None), (0, 1), (2, 2), (2, None), (2, 4)
+    ]
+
+
+def test_parser_rejects_alternation():
+    with pytest.raises(NotImplementedError):
+        parse_match_recognize(
+            "ORDER BY t MEASURES COUNT(*) AS n PATTERN (A | B) DEFINE A AS A.x=1"
+        )
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "user_id int, ts int, etype string")
+
+
+def test_funnel_matches_and_skip_past(spark):
+    # user 1: login(1) click(2) click(3) buy(4)  → one match, n_b=2
+    #         login(5) buy(6)                    → no match (B+ needs ≥1)
+    # user 2: login(1) click(2) buy(3) login(4) click(5) buy(6) → two matches
+    df = _events(spark, [
+        (1, 1, "login"), (1, 2, "click"), (1, 3, "click"), (1, 4, "buy"),
+        (1, 5, "login"), (1, 6, "buy"),
+        (2, 1, "login"), (2, 2, "click"), (2, 3, "buy"),
+        (2, 4, "login"), (2, 5, "click"), (2, 6, "buy"),
+    ])
+    out = match_recognize(df, CLAUSE).orderBy("user_id", "start_ts").collect()
+    assert [tuple(r) for r in out] == [
+        (1, 1, 4, 2), (2, 1, 3, 1), (2, 4, 6, 1)
+    ]
+
+
+def test_greedy_backtracking(spark):
+    # B matches both 'click' rows; pattern A B* C with C = 'click' forces
+    # the greedy B* to give one row back.
+    df = _events(spark, [(1, 1, "login"), (1, 2, "click"), (1, 3, "click")])
+    out = match_recognize(
+        df,
+        "PARTITION BY user_id ORDER BY ts "
+        "MEASURES COUNT(B.*) AS n_b, LAST(C.ts) AS c_ts "
+        "PATTERN (A B* C) "
+        "DEFINE A AS A.etype = 'login', B AS B.etype = 'click', "
+        "C AS C.etype = 'click'",
+    ).collect()
+    assert [tuple(r) for r in out] == [(1, 1, 3)]
+
+
+def test_skip_to_next_row_overlaps(spark):
+    # A = any row, B = next row: SKIP TO NEXT ROW re-attempts at every row
+    df = _events(spark, [(1, 1, "x"), (1, 2, "x"), (1, 3, "x")])
+    out = match_recognize(
+        df,
+        "PARTITION BY user_id ORDER BY ts MEASURES A.ts AS a_ts "
+        "AFTER MATCH SKIP TO NEXT ROW PATTERN (A B) "
+        "DEFINE A AS A.etype = 'x', B AS B.etype = 'x'",
+    ).orderBy("a_ts").collect()
+    assert [r["a_ts"] for r in out] == [1, 2]  # matches at rows 1-2 and 2-3
+
+
+def test_measures_sum_min_max_avg(spark):
+    df = _events(spark, [(1, 1, "a"), (1, 2, "a"), (1, 3, "b")])
+    out = match_recognize(
+        df,
+        "PARTITION BY user_id ORDER BY ts "
+        "MEASURES SUM(A.ts) AS s, MIN(A.ts) AS mn, MAX(A.ts) AS mx, "
+        "AVG(A.ts) AS av, COUNT(*) AS n "
+        "PATTERN (A+ B) DEFINE A AS A.etype = 'a', B AS B.etype = 'b'",
+    ).collect()
+    assert [tuple(r) for r in out] == [(1, 3, 1, 2, 1.5, 3)]
+
+
+def test_undefined_variable_always_matches(spark):
+    df = _events(spark, [(1, 1, "a"), (1, 2, "zzz")])
+    out = match_recognize(
+        df,
+        "PARTITION BY user_id ORDER BY ts MEASURES LAST(W.ts) AS w_ts "
+        "PATTERN (A W) DEFINE A AS A.etype = 'a'",
+    ).collect()
+    assert [tuple(r) for r in out] == [(1, 2)]
+
+
+def test_cross_variable_define_rejected(spark):
+    df = _events(spark, [(1, 1, "a")])
+    with pytest.raises(NotImplementedError):
+        match_recognize(
+            df,
+            "PARTITION BY user_id ORDER BY ts MEASURES COUNT(*) AS n "
+            "PATTERN (A B) DEFINE A AS A.etype = 'a', B AS B.ts > A.ts",
+        ).collect()
+
+
+def test_sql_surface_through_engine(spark):
+    from flink_notebooks_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    _events(spark, [
+        (1, 1, "login"), (1, 2, "click"), (1, 3, "buy"),
+    ]).createOrReplaceTempView("mr_events")
+    stmt = eng.execute_sql(
+        "SELECT * FROM mr_events MATCH_RECOGNIZE ("
+        "  PARTITION BY user_id ORDER BY ts"
+        "  MEASURES A.ts AS start_ts, LAST(C.ts) AS end_ts, COUNT(B.*) AS n_b"
+        "  PATTERN (A B+ C)"
+        "  DEFINE A AS A.etype = 'login', B AS B.etype = 'click',"
+        "         C AS C.etype = 'buy'"
+        ") ORDER BY user_id, start_ts"
+    )
+    page = stmt.fetch()
+    assert [r["fields"] for r in page.data] == [[1, 1, 3, 1]]
+    eng.close()
+
+
+def test_non_mr_sql_returns_none(spark):
+    assert sql_match_recognize(spark, "SELECT 1 AS x") is None
