@@ -304,10 +304,93 @@ class Engine:
         mr = sql_match_recognize(self.spark, p.sql)
         if mr is not None:
             return BatchStatement(mr)
+        tj = self._try_versioned_temporal_join(p.sql)
+        if tj is not None:
+            if tj.isStreaming:
+                return self._start_streaming_select(tj)
+            return BatchStatement(tj)
         df = self.spark.sql(rewrite_group_windows(rewrite_window_tvfs(rewrite_temporal_join(p.sql))))
         if df.isStreaming:
             return self._start_streaming_select(df)
         return BatchStatement(df)
+
+    _TJOIN = __import__("re").compile(
+        r"^\s*SELECT\s+(?P<sel>.*?)\s+FROM\s+(?P<probe>[`\w.]+)"
+        r"(?:\s+(?:AS\s+)?(?P<palias>(?!LEFT\b|JOIN\b)\w+))?\s+"
+        r"(?P<jtype>LEFT\s+)?JOIN\s+(?P<dim>[`\w.]+)\s+"
+        r"FOR\s+SYSTEM_TIME\s+AS\s+OF\s+(?P<tref>[`\w.]+)"
+        r"(?:\s+(?:AS\s+)?(?P<dalias>(?!ON\b)\w+))?\s+ON\s+(?P<cond>.+?)"
+        r"(?P<rest>\s+(?:WHERE|GROUP|ORDER|LIMIT)\b.*)?\s*;?\s*$",
+        __import__("re").IGNORECASE | __import__("re").DOTALL,
+    )
+
+    def _try_versioned_temporal_join(self, sql: str) -> DataFrame | None:
+        """Event-time versioned temporal join (SURVEY.md J7, full semantics).
+
+        Canonical Flink form —
+        ``SELECT ... FROM probe [p] JOIN dim FOR SYSTEM_TIME AS OF p.t [d]
+        ON p.k = d.k [WHERE/ORDER BY/LIMIT ...]`` — resolves each probe row
+        against the dim *version* current at the row's event time, when the
+        dim table declares a version column (its WATERMARK column, Flink's
+        rule for versioned tables). Executes via ``operators.asof_join``
+        (union-tag + running last: ONE shuffle, zero row explosion — the
+        lateral-subquery rewrite Catalyst would decorrelate plans a
+        cartesian of distinct probe times × dim, which dies at scale).
+        Returns None → caller falls back to snapshot semantics for dims
+        without a version column, matching this engine's connector model.
+        """
+        import re as _re
+
+        from ..operators import asof_join
+
+        m = self._TJOIN.match(sql)
+        if m is None:
+            return None
+        dim_def = self.tables.get(m.group("dim"))
+        if dim_def is None or dim_def.watermark is None:
+            return None  # no version column → snapshot semantics path
+        palias = m.group("palias") or m.group("probe")
+        dalias = m.group("dalias") or m.group("dim")
+        tref = m.group("tref").split(".")[-1]
+        version_col = dim_def.watermark.column
+
+        def side_of(ref: str) -> tuple[str, str]:
+            parts = ref.split(".")
+            return (parts[0], parts[-1]) if len(parts) > 1 else ("", parts[-1])
+
+        probe_keys, dim_keys = [], []
+        for clause in _re.split(r"\bAND\b", m.group("cond"), flags=_re.IGNORECASE):
+            eq = clause.split("=")
+            if len(eq) != 2:
+                return None  # non-equi temporal condition → fall back
+            (qa, ca), (qb, cb) = side_of(eq[0].strip()), side_of(eq[1].strip())
+            if qa == dalias or (qb == palias and qa != palias):
+                qa, ca, qb, cb = qb, cb, qa, ca
+            probe_keys.append(ca)
+            dim_keys.append(cb)
+        probe_df = self.spark.table(m.group("probe"))
+        dim_df = self.spark.table(m.group("dim"))
+        # align dim key names onto probe key names (asof_join joins by name)
+        for pk, dk in zip(probe_keys, dim_keys):
+            if pk != dk:
+                dim_df = dim_df.withColumnRenamed(dk, pk)
+        payload = [c for c in dim_df.columns if c not in probe_keys]
+        clash = [c for c in payload if c in probe_df.columns]
+        if clash:
+            raise ValueError(
+                f"temporal join: column name collision {clash}; alias dim columns"
+            )
+        out = asof_join(
+            probe_df, dim_df, probe_keys, tref, version_col, payload=payload
+        )
+        if not m.group("jtype"):  # INNER: drop probe rows with no version yet
+            out = out.filter(F.col(version_col).isNotNull())
+        out.createOrReplaceTempView("__tj_result")
+        sel = _re.sub(rf"\b({palias}|{dalias})\s*\.\s*", "", m.group("sel"))
+        rest = _re.sub(
+            rf"\b({palias}|{dalias})\s*\.\s*", "", m.group("rest") or ""
+        )
+        return self.spark.sql(f"SELECT {sel} FROM __tj_result {rest}")
 
     def _exec_explain(self, p: Parsed) -> Statement:
         return BatchStatement(self.spark.sql(rewrite_group_windows(rewrite_window_tvfs(rewrite_temporal_join(p.sql)))))

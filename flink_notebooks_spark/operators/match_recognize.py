@@ -313,8 +313,23 @@ def match_recognize(df: DataFrame, clause_or_spec) -> DataFrame:
         }
         keys = [pdf[c].iloc[0] for c in part_cols] if n else []
         out_rows = []
+        # fast path: when the first term is mandatory, only its true rows
+        # can start a match — scan candidate starts, not every row
+        first = pattern[0]
+        starts = None
+        if first.lo >= 1:
+            import numpy as np
+
+            starts = np.flatnonzero(bools[first.var])
+        si = 0
         i = 0
         while i < n:
+            if starts is not None:
+                while si < len(starts) and starts[si] < i:
+                    si += 1
+                if si >= len(starts):
+                    break
+                i = int(starts[si])
             hit = _match_starting_at(bools, pattern, n, i)
             if hit is None:
                 i += 1
@@ -352,6 +367,12 @@ def match_recognize(df: DataFrame, clause_or_spec) -> DataFrame:
         return pd.DataFrame(out_rows, columns=[f.name for f in out_fields])
 
     if part_cols:
+        # explicit-count repartition on the grouping keys: satisfies the
+        # groupBy's distribution requirement, so applyInPandas adds no new
+        # exchange and AQE cannot coalesce the CPU-bound pandas stage down
+        # to one task (single-file inputs otherwise serialize here).
+        n = df.sparkSession.sparkContext.defaultParallelism * 2
+        prepared = prepared.repartition(n, *part_cols)
         return prepared.groupBy(*part_cols).applyInPandas(run, schema=out_schema)
     # no PARTITION BY: single global sequence (serial, same as Flink)
     return prepared.withColumn("__mr_g", F.lit(1)).groupBy("__mr_g").applyInPandas(

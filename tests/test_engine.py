@@ -429,3 +429,59 @@ def test_statement_executed_event(engine):
     with pytest.raises(Exception):
         engine.execute_sql("CREATE TABLE bad (id INT) WITH ('connector'='nope')")
     assert len(seen) == 4
+
+
+def test_versioned_temporal_join(engine, tmp_path):
+    """FOR SYSTEM_TIME AS OF against a dim with a version column (its
+    WATERMARK column) resolves each probe row to the dim version current at
+    the row's event time — full J7 semantics, not the snapshot fallback."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({
+            "currency": ["EUR", "EUR", "USD"],
+            "rate": [1.10, 1.20, 1.00],
+            "rt": [pa.scalar(t, pa.timestamp("ms")) for t in (1000, 5000, 1000)],
+        }),
+        str(tmp_path / "rates.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "order_id": [1, 2, 3],
+            "currency": ["EUR", "EUR", "CHF"],
+            "amount": [10.0, 10.0, 7.0],
+            "ot": [pa.scalar(t, pa.timestamp("ms")) for t in (2000, 6000, 2000)],
+        }),
+        str(tmp_path / "orders.parquet"),
+    )
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql(
+        f"""CREATE TABLE rates (currency STRING, rate DOUBLE, rt TIMESTAMP(3),
+            PRIMARY KEY (currency) NOT ENFORCED,
+            WATERMARK FOR rt AS rt - INTERVAL '5' SECOND)
+            WITH ('connector'='filesystem','path'='{tmp_path}/rates.parquet','format'='parquet')"""
+    )
+    engine.execute_sql(
+        f"""CREATE TABLE ord_t (order_id BIGINT, currency STRING, amount DOUBLE,
+            ot TIMESTAMP(3))
+            WITH ('connector'='filesystem','path'='{tmp_path}/orders.parquet','format'='parquet')"""
+    )
+    stmt = engine.execute_sql(
+        "SELECT o.order_id, o.amount, r.rate FROM ord_t o "
+        "JOIN rates FOR SYSTEM_TIME AS OF o.ot AS r ON o.currency = r.currency "
+        "ORDER BY o.order_id"
+    )
+    rows = [r["fields"] for r in stmt.fetch().data]
+    # order 1 @2s → EUR rate 1.10 (v@1s); order 2 @6s → 1.20 (v@5s);
+    # order 3: CHF has no version → dropped (inner temporal join)
+    assert rows == [[1, 10.0, 1.1], [2, 10.0, 1.2]]
+
+    # LEFT variant keeps the unmatched probe row with a null rate
+    stmt = engine.execute_sql(
+        "SELECT o.order_id, r.rate FROM ord_t o "
+        "LEFT JOIN rates FOR SYSTEM_TIME AS OF o.ot AS r ON o.currency = r.currency "
+        "ORDER BY o.order_id"
+    )
+    rows = [r["fields"] for r in stmt.fetch().data]
+    assert rows == [[1, 1.1], [2, 1.2], [3, None]]
