@@ -12,6 +12,7 @@ from .cep import sequence_pattern
 from .match_recognize import match_recognize, parse_match_recognize, sql_match_recognize
 from .joins import asof_join, interval_join
 from .skew import salted_join
+from .text import pii_counts, scrub_pii
 from .windows import cumulate_window, hop_window
 
 __all__ = [
@@ -24,4 +25,6 @@ __all__ = [
     "match_recognize",
     "parse_match_recognize",
     "sql_match_recognize",
+    "scrub_pii",
+    "pii_counts",
 ]

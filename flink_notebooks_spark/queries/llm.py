@@ -1005,3 +1005,94 @@ def events_sessionize(spark, sf_dir):
         )
         .orderBy("user_id", "sid")
     )
+
+
+# ---------------------------------------------------------------------------
+# D6. deterministic corpus split — train/val/test by a portable content hash
+#     (lower 64 bits of md5 over the stable doc key; DuckDB exposes the same
+#     value as md5_number_lower, Spark reconstructs it with conv over the
+#     byte-reversed hex tail — verified bit-identical)
+# ---------------------------------------------------------------------------
+_SPLIT_HASH = (
+    "CAST(conv(concat_ws('', transform(sequence(15, 0, -1), "
+    "i -> substring(md5(CAST(doc_id AS STRING)), 17 + i*2, 2))), 16, 10) "
+    "AS DECIMAL(20,0))"
+)
+
+
+@query(
+    "curation_split",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, len({SQL_WORDS}) AS n_tokens,
+             md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 AS bucket
+      FROM documents)
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens
+    FROM b GROUP BY 1 ORDER BY split
+    """,
+)
+def curation_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split. Hashing the stable key
+    (not a random()) makes the split reproducible across runs, engines, and
+    repartitioning — the property a training pipeline needs so no document
+    ever migrates between splits. Map-only until the 3-group aggregate;
+    scales embarrassingly."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_SPLIT_HASH) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), F.expr(f"size({WORDS})").alias("n_tokens"))
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("sum_tokens"))
+        .orderBy("split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D7. token-balanced shard packing — assign docs to fixed-token-budget shards
+#     (sequential bin packing per source partition: running token cumsum /
+#     capacity; the per-source window keeps the sort parallel across sources,
+#     never a global single-partition sort)
+# ---------------------------------------------------------------------------
+SHARD_TOKENS = 4096
+
+
+@query(
+    "shard_pack",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id, len({SQL_WORDS}) AS n_tokens FROM documents),
+    c AS (
+      SELECT source, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT source, CAST(FLOOR((cum - n_tokens) / {SHARD_TOKENS}) AS BIGINT) AS shard,
+           COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens
+    FROM c GROUP BY source, shard ORDER BY source, shard
+    """,
+)
+def shard_pack(spark, sf_dir):
+    """Greedy sequential packing: a doc opens a new shard when the running
+    token count crosses the budget. PARTITION BY source bounds each sort to
+    one source's rows — shards are computed in parallel across sources and
+    the plan has exactly one shuffle (the window partitioning). A global
+    ORDER BY doc_id instead would serialize the cumsum at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("source", "doc_id", F.expr(f"size({WORDS})").alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        t.withColumn("shard", F.floor((cum - F.col("n_tokens")) / SHARD_TOKENS))
+        .groupBy("source", "shard")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("sum_tokens"))
+        .orderBy("source", "shard")
+    )
