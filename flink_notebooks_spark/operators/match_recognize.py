@@ -15,11 +15,13 @@ Supported surface (the clauses Flink's own docs demo):
     )
 
 Measure expressions: ``V.col`` (first row of V), ``FIRST(V.col)``,
-``LAST(V.col)``, ``COUNT(V.*)``, ``COUNT(*)``, ``SUM/MIN/MAX/AVG(V.col)``.
-Not supported (raise): pattern alternation ``|``, ``PERMUTE``, cross-variable
-DEFINE references (``B AS B.v > A.v``), ``ALL ROWS PER MATCH``, streaming
-input (batch relations only — streaming pattern needs are covered by
-``sequence_pattern`` and ``applyInPandasWithState`` sessionization).
+``LAST(V.col)``, ``COUNT(V.*)``, ``COUNT(*)``, ``SUM/MIN/MAX/AVG(V.col)``,
+``MATCH_NUMBER()``, ``CLASSIFIER()``. ``ALL ROWS PER MATCH`` emits every
+matched input row plus measures with FINAL semantics (RUNNING per-row
+evaluation is not implemented). Not supported (raise): pattern alternation
+``|``, ``PERMUTE``, cross-variable DEFINE references (``B AS B.v > A.v``),
+streaming input (batch relations only — streaming pattern needs are covered
+by ``sequence_pattern`` and ``applyInPandasWithState`` sessionization).
 
 Scale design (the 100 TB argument):
 
@@ -65,6 +67,7 @@ class MatchSpec:
     pattern: list[PatternTerm]
     define: dict[str, str]
     skip_past_last: bool = True
+    all_rows: bool = False  # ALL ROWS PER MATCH (FINAL measure semantics)
     variables: list[str] = field(default_factory=list)
 
     def __post_init__(self):
@@ -88,8 +91,7 @@ _STOPS = (
 
 def parse_match_recognize(clause: str) -> MatchSpec:
     """Parse the text INSIDE ``MATCH_RECOGNIZE ( ... )``."""
-    if re.search(r"\bALL\s+ROWS\s+PER\s+MATCH\b", clause, re.IGNORECASE):
-        raise NotImplementedError("MATCH_RECOGNIZE: ALL ROWS PER MATCH unsupported")
+    all_rows = bool(re.search(r"\bALL\s+ROWS\s+PER\s+MATCH\b", clause, re.IGNORECASE))
 
     part = _extract_clause(clause, r"PARTITION\s+BY", _STOPS)
     order = _extract_clause(clause, r"ORDER\s+BY", _STOPS)
@@ -163,6 +165,7 @@ def parse_match_recognize(clause: str) -> MatchSpec:
         pattern=pattern,
         define=define,
         skip_past_last=skip_past,
+        all_rows=all_rows,
     )
 
 
@@ -201,6 +204,11 @@ class Measure:
 
 
 def _parse_measure(expr: str, alias: str, variables: list[str]) -> Measure:
+    compact = expr.upper().replace(" ", "")
+    if compact == "MATCH_NUMBER()":
+        return Measure("MATCH_NUMBER", None, None, alias)
+    if compact == "CLASSIFIER()":
+        return Measure("CLASSIFIER", None, None, alias)
     m = _MEAS.match(expr)
     if not m:
         raise NotImplementedError(f"MATCH_RECOGNIZE: unsupported measure {expr!r}")
@@ -216,6 +224,10 @@ def _parse_measure(expr: str, alias: str, variables: list[str]) -> Measure:
 
 
 def _measure_type(m: Measure, schema: T.StructType) -> T.DataType:
+    if m.func == "MATCH_NUMBER":
+        return T.LongType()
+    if m.func == "CLASSIFIER":
+        return T.StringType()
     if m.func == "COUNT":
         return T.LongType()
     if m.col not in schema.names:
@@ -293,9 +305,17 @@ def match_recognize(df: DataFrame, clause_or_spec) -> DataFrame:
     measures = [
         _parse_measure(e, a, spec.variables) for e, a in spec.measures
     ]
-    out_fields = [df.schema[c] for c in spec.partition_by] + [
+    input_cols = list(df.columns)
+    meas_fields = [
         T.StructField(m.alias, _measure_type(m, df.schema), True) for m in measures
     ]
+    if spec.all_rows:
+        # ALL ROWS PER MATCH: every matched input row + measures (FINAL
+        # semantics — evaluated over the complete match, Flink's FINAL
+        # keyword; RUNNING per-row evaluation is not implemented).
+        out_fields = [df.schema[c] for c in input_cols] + meas_fields
+    else:
+        out_fields = [df.schema[c] for c in spec.partition_by] + meas_fields
     out_schema = T.StructType(out_fields)
     prepared = _compile_defines(df, spec)
     pattern = spec.pattern
@@ -313,6 +333,7 @@ def match_recognize(df: DataFrame, clause_or_spec) -> DataFrame:
         }
         keys = [pdf[c].iloc[0] for c in part_cols] if n else []
         out_rows = []
+        match_num = 0
         # fast path: when the first term is mandatory, only its true rows
         # can start a match — scan candidate starts, not every row
         first = pattern[0]
@@ -335,16 +356,26 @@ def match_recognize(df: DataFrame, clause_or_spec) -> DataFrame:
                 i += 1
                 continue
             end, spans = hit
+            match_num += 1
             # merge term spans per variable (a var may repeat in the pattern)
             var_rows: dict[str, list[int]] = {}
+            row_var: dict[int, str] = {}  # each row belongs to exactly 1 term
             for term, sp in zip(pattern, spans):
                 if sp is not None:
                     var_rows.setdefault(term.var, []).extend(range(sp[0], sp[1]))
+                    for r in range(sp[0], sp[1]):
+                        row_var[r] = term.var
             all_rows = sorted(set().union(*var_rows.values())) if var_rows else []
             vals = []
             for m in measures:
                 rows = var_rows.get(m.var, []) if m.var else all_rows
-                if m.func == "COUNT":
+                if m.func == "MATCH_NUMBER":
+                    vals.append(match_num)
+                elif m.func == "CLASSIFIER":
+                    # per-row in ALL ROWS mode (patched below); the last
+                    # matched row's variable in ONE ROW mode (Flink's rule)
+                    vals.append(row_var[all_rows[-1]] if all_rows else None)
+                elif m.func == "COUNT":
                     vals.append(len(rows))
                 elif not rows:
                     vals.append(None)
@@ -362,7 +393,15 @@ def match_recognize(df: DataFrame, clause_or_spec) -> DataFrame:
                         vals.append(series.max())
                     else:  # AVG
                         vals.append(float(series.mean()))
-            out_rows.append(keys + vals)
+            if spec.all_rows:
+                for r in all_rows:
+                    rvals = [
+                        row_var[r] if m.func == "CLASSIFIER" else v
+                        for m, v in zip(measures, vals)
+                    ]
+                    out_rows.append(list(pdf.iloc[r][input_cols]) + rvals)
+            else:
+                out_rows.append(keys + vals)
             i = end if skip_past else i + 1
         return pd.DataFrame(out_rows, columns=[f.name for f in out_fields])
 

@@ -158,3 +158,37 @@ def test_sql_surface_through_engine(spark):
 
 def test_non_mr_sql_returns_none(spark):
     assert sql_match_recognize(spark, "SELECT 1 AS x") is None
+
+
+def test_all_rows_per_match_with_classifier(spark):
+    df = _events(spark, [
+        (1, 1, "login"), (1, 2, "click"), (1, 3, "buy"), (1, 4, "noise"),
+        (1, 5, "login"), (1, 6, "click"), (1, 7, "buy"),
+    ])
+    out = match_recognize(
+        df,
+        "PARTITION BY user_id ORDER BY ts "
+        "MEASURES MATCH_NUMBER() AS mn, CLASSIFIER() AS cls, "
+        "LAST(C.ts) AS end_ts "
+        "ALL ROWS PER MATCH "
+        "PATTERN (A B+ C) "
+        "DEFINE A AS A.etype = 'login', B AS B.etype = 'click', "
+        "C AS C.etype = 'buy'",
+    ).orderBy("ts").collect()
+    # every matched row comes back (noise row 4 does not), measures FINAL
+    assert [(r["ts"], r["mn"], r["cls"], r["end_ts"]) for r in out] == [
+        (1, 1, "A", 3), (2, 1, "B", 3), (3, 1, "C", 3),
+        (5, 2, "A", 7), (6, 2, "B", 7), (7, 2, "C", 7),
+    ]
+    assert out[0]["etype"] == "login"  # input columns pass through
+
+
+def test_match_number_one_row_mode(spark):
+    df = _events(spark, [(1, 1, "a"), (1, 2, "a")])
+    out = match_recognize(
+        df,
+        "PARTITION BY user_id ORDER BY ts "
+        "MEASURES MATCH_NUMBER() AS mn, CLASSIFIER() AS cls, A.ts AS t "
+        "PATTERN (A) DEFINE A AS A.etype = 'a'",
+    ).orderBy("t").collect()
+    assert [(r["mn"], r["cls"], r["t"]) for r in out] == [(1, "A", 1), (2, "A", 2)]
