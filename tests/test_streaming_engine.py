@@ -216,3 +216,40 @@ def test_streaming_agg_emits_update_kinds(engine):
     finally:
         stmt.cancel()
         engine.execute_sql("DROP TABLE clickstream")
+
+
+def test_streaming_cumulate_tvf(engine):
+    """CUMULATE windowing TVF on an unbounded table: the explode rewrite is
+    stateless, the downstream agg runs in update mode, and counts for a
+    given window only grow as events accumulate (cumulative semantics)."""
+    engine.execute_sql(
+        """CREATE TABLE cml (user_id INT, event_time TIMESTAMP(3),
+           WATERMARK FOR event_time AS event_time - INTERVAL '2' SECOND)
+           WITH ('connector'='datagen','rows-per-second'='200',
+                 'fields.user_id.min'='1','fields.user_id.max'='10')"""
+    )
+    stmt = engine.execute_sql(
+        "SELECT window_start, window_end, COUNT(*) AS c FROM "
+        "TABLE(CUMULATE(TABLE cml, DESCRIPTOR(event_time), "
+        "INTERVAL '2' SECOND, INTERVAL '10' SECOND)) "
+        "GROUP BY window_start, window_end"
+    )
+    try:
+        rows = poll_rows(stmt, want=15, timeout=90)
+        assert len(rows) >= 15
+        spans = set()
+        for r in rows:
+            ws, we = r["fields"][0], r["fields"][1]
+            delta = (we - ws).total_seconds()
+            assert delta % 2 == 0 and 2 <= delta <= 10  # grown in step units
+            spans.add(delta)
+        assert len(spans) > 1  # multiple growing spans of the same window
+        # changelog semantics: an update never shrinks a cumulative count
+        for i, r in enumerate(rows):
+            if r["kind"] == "UPDATE_BEFORE":
+                nxt = rows[i + 1]
+                assert nxt["kind"] == "UPDATE_AFTER"
+                assert nxt["fields"][2] >= r["fields"][2]
+    finally:
+        stmt.cancel()
+        engine.execute_sql("DROP TABLE cml")
