@@ -18,8 +18,10 @@ Measure expressions: ``V.col`` (first row of V), ``FIRST(V.col)``,
 ``LAST(V.col)``, ``COUNT(V.*)``, ``COUNT(*)``, ``SUM/MIN/MAX/AVG(V.col)``,
 ``MATCH_NUMBER()``, ``CLASSIFIER()``. ``ALL ROWS PER MATCH`` emits every
 matched input row plus measures with FINAL semantics (RUNNING per-row
-evaluation is not implemented). Not supported (raise): pattern alternation
-``|``, ``PERMUTE``, cross-variable DEFINE references (``B AS B.v > A.v``),
+evaluation is not implemented). Alternation is supported as variable groups
+``(A|B)`` with optional quantifiers — rows classify as the first listed
+variable whose predicate holds. Not supported (raise): nested groups /
+``PERMUTE``, cross-variable DEFINE references (``B AS B.v > A.v``),
 streaming input (batch relations only — streaming pattern needs are covered
 by ``sequence_pattern`` and ``applyInPandasWithState`` sessionization).
 
@@ -49,14 +51,21 @@ from pyspark.sql import types as T
 
 # --------------------------------------------------------------------- parse
 
-_QUANT = re.compile(r"^(\w+)(\+|\*|\?|\{(\d+)(,(\d*))?\})?$")
+_PAT_TOKEN = re.compile(
+    r"(\w+|\(\s*\w+(?:\s*\|\s*\w+)+\s*\))"  # VAR or (A|B|C)
+    r"(\+|\*|\?|\{(\d+)(,(\d*))?\})?"
+)
 
 
 @dataclass
 class PatternTerm:
-    var: str
+    vars: list[str]  # >1 entries = alternation group (A|B|...)
     lo: int
     hi: int | None  # None = unbounded
+
+    @property
+    def var(self) -> str:  # single-var convenience (measure mapping)
+        return self.vars[0]
 
 
 @dataclass
@@ -73,8 +82,9 @@ class MatchSpec:
     def __post_init__(self):
         seen: list[str] = []
         for t in self.pattern:
-            if t.var not in seen:
-                seen.append(t.var)
+            for v in t.vars:
+                if v not in seen:
+                    seen.append(v)
         self.variables = seen
 
 
@@ -101,18 +111,34 @@ def parse_match_recognize(clause: str) -> MatchSpec:
     if not meas:
         raise ValueError("MATCH_RECOGNIZE requires MEASURES")
 
-    pat_m = re.search(r"\bPATTERN\s*\(([^)]*)\)", clause, re.IGNORECASE)
-    if not pat_m:
+    pat_h = re.search(r"\bPATTERN\s*\(", clause, re.IGNORECASE)
+    if not pat_h:
         raise ValueError("MATCH_RECOGNIZE requires PATTERN (...)")
-    pat_src = pat_m.group(1)
-    if "|" in pat_src:
-        raise NotImplementedError("MATCH_RECOGNIZE: pattern alternation unsupported")
+    depth, pend = 0, -1
+    for j in range(pat_h.end() - 1, len(clause)):
+        if clause[j] == "(":
+            depth += 1
+        elif clause[j] == ")":
+            depth -= 1
+            if depth == 0:
+                pend = j
+                break
+    if pend < 0:
+        raise ValueError("MATCH_RECOGNIZE: unbalanced PATTERN parens")
+    pat_src = clause[pat_h.end() : pend]
     pattern: list[PatternTerm] = []
-    for tok in pat_src.split():
-        q = _QUANT.match(tok)
-        if not q:
-            raise ValueError(f"MATCH_RECOGNIZE: bad pattern token {tok!r}")
-        var, quant = q.group(1), q.group(2)
+    consumed = 0
+    for q in _PAT_TOKEN.finditer(pat_src):
+        if pat_src[consumed : q.start()].strip():
+            raise ValueError(
+                f"MATCH_RECOGNIZE: bad pattern near {pat_src[consumed:q.start()]!r}"
+            )
+        consumed = q.end()
+        token, quant = q.group(1), q.group(2)
+        if token.startswith("("):  # alternation group (A|B|...)
+            vars_ = [v.strip().upper() for v in token.strip("() \t").split("|")]
+        else:
+            vars_ = [token.upper()]
         if quant is None:
             lo, hi = 1, 1
         elif quant == "+":
@@ -124,7 +150,11 @@ def parse_match_recognize(clause: str) -> MatchSpec:
         else:  # {n} / {n,} / {n,m}
             lo = int(q.group(3))
             hi = lo if q.group(4) is None else (int(q.group(5)) if q.group(5) else None)
-        pattern.append(PatternTerm(var.upper(), lo, hi))
+        pattern.append(PatternTerm(vars_, lo, hi))
+    if pat_src[consumed:].strip():
+        raise ValueError(f"MATCH_RECOGNIZE: bad pattern near {pat_src[consumed:]!r}")
+    if not pattern:
+        raise ValueError("MATCH_RECOGNIZE: empty PATTERN")
 
     def_m = re.search(r"\bDEFINE\b(.*)$", clause, re.IGNORECASE | re.DOTALL)
     define: dict[str, str] = {}
@@ -263,16 +293,18 @@ def _compile_defines(df: DataFrame, spec: MatchSpec) -> DataFrame:
     return df
 
 
-def _match_starting_at(bools, pattern: list[PatternTerm], n: int, start: int):
+def _match_starting_at(term_bools, pattern: list[PatternTerm], n: int, start: int):
     """Greedy backtracking anchored match. Returns (end_exclusive, spans) or
-    None; spans[i] = (first_row, last_row_exclusive) of pattern term i."""
+    None; spans[i] = (first_row, last_row_exclusive) of pattern term i.
+    ``term_bools[i]`` is the per-row match array of term i (alternation
+    groups pre-OR'd)."""
     spans = [None] * len(pattern)
 
     def rec(pi: int, pos: int):
         if pi == len(pattern):
             return pos
         term = pattern[pi]
-        col = bools[term.var]
+        col = term_bools[pi]
         cnt = 0
         cap = (term.hi - 0) if term.hi is not None else (n - pos)
         while cnt < cap and pos + cnt < n and col[pos + cnt]:
@@ -331,17 +363,23 @@ def match_recognize(df: DataFrame, clause_or_spec) -> DataFrame:
         bools = {
             v: pdf[f"__mr_{v}"].fillna(False).to_numpy() for v in spec.variables
         }
+        # per-term arrays; alternation groups OR their variables' columns
+        term_bools = []
+        for t in pattern:
+            col = bools[t.vars[0]]
+            for v in t.vars[1:]:
+                col = col | bools[v]
+            term_bools.append(col)
         keys = [pdf[c].iloc[0] for c in part_cols] if n else []
         out_rows = []
         match_num = 0
         # fast path: when the first term is mandatory, only its true rows
         # can start a match — scan candidate starts, not every row
-        first = pattern[0]
         starts = None
-        if first.lo >= 1:
+        if pattern[0].lo >= 1:
             import numpy as np
 
-            starts = np.flatnonzero(bools[first.var])
+            starts = np.flatnonzero(term_bools[0])
         si = 0
         i = 0
         while i < n:
@@ -351,7 +389,7 @@ def match_recognize(df: DataFrame, clause_or_spec) -> DataFrame:
                 if si >= len(starts):
                     break
                 i = int(starts[si])
-            hit = _match_starting_at(bools, pattern, n, i)
+            hit = _match_starting_at(term_bools, pattern, n, i)
             if hit is None:
                 i += 1
                 continue
@@ -361,10 +399,15 @@ def match_recognize(df: DataFrame, clause_or_spec) -> DataFrame:
             var_rows: dict[str, list[int]] = {}
             row_var: dict[int, str] = {}  # each row belongs to exactly 1 term
             for term, sp in zip(pattern, spans):
-                if sp is not None:
-                    var_rows.setdefault(term.var, []).extend(range(sp[0], sp[1]))
-                    for r in range(sp[0], sp[1]):
-                        row_var[r] = term.var
+                if sp is None:
+                    continue
+                for r in range(sp[0], sp[1]):
+                    # alternation: the row classifies as the first listed
+                    # variable whose predicate holds there (Flink resolves
+                    # preferring pattern order)
+                    v = next((x for x in term.vars if bools[x][r]), term.vars[0])
+                    var_rows.setdefault(v, []).append(r)
+                    row_var[r] = v
             all_rows = sorted(set().union(*var_rows.values())) if var_rows else []
             vals = []
             for m in measures:

@@ -48,11 +48,39 @@ def test_parser_quantifiers():
     ]
 
 
-def test_parser_rejects_alternation():
-    with pytest.raises(NotImplementedError):
+def test_parser_alternation_group():
+    spec = parse_match_recognize(
+        "ORDER BY t MEASURES COUNT(*) AS n PATTERN (A (B|C)+ D) DEFINE A AS A.x=1"
+    )
+    assert [(t.vars, t.lo, t.hi) for t in spec.pattern] == [
+        (["A"], 1, 1), (["B", "C"], 1, None), (["D"], 1, 1)
+    ]
+    assert spec.variables == ["A", "B", "C", "D"]
+
+
+def test_parser_rejects_garbage_pattern():
+    with pytest.raises(ValueError):
         parse_match_recognize(
-            "ORDER BY t MEASURES COUNT(*) AS n PATTERN (A | B) DEFINE A AS A.x=1"
+            "ORDER BY t MEASURES COUNT(*) AS n PATTERN (A ^^ B) DEFINE A AS A.x=1"
         )
+
+
+def test_alternation_executes_with_classifier(spark):
+    # browse = view|click interleaved, then buy; COUNT per branch variable
+    df = _events(spark, [
+        (1, 1, "login"), (1, 2, "view"), (1, 3, "click"), (1, 4, "view"),
+        (1, 5, "buy"),
+    ])
+    out = match_recognize(
+        df,
+        "PARTITION BY user_id ORDER BY ts "
+        "MEASURES COUNT(V.*) AS n_view, COUNT(C.*) AS n_click, "
+        "LAST(Z.ts) AS end_ts "
+        "PATTERN (A (V|C)+ Z) "
+        "DEFINE A AS A.etype = 'login', V AS V.etype = 'view', "
+        "C AS C.etype = 'click', Z AS Z.etype = 'buy'",
+    ).collect()
+    assert [tuple(r) for r in out] == [(1, 2, 1, 5)]
 
 
 def _events(spark, rows):
