@@ -536,6 +536,73 @@ def q33_match_recognize(spark, sf_dir):
     ).orderBy("user_id", "start_us")
 
 
+# --- Q34: explicit GROUPING SETS (A7 beyond ROLLUP/CUBE) ----------------------
+@query(
+    "q34_grouping_sets",
+    oracle="""
+    SELECT COALESCE(o_orderstatus,'ALL') AS st, COALESCE(o_orderpriority,'ALL') AS pr,
+           CAST(GROUPING(o_orderstatus)*2 + GROUPING(o_orderpriority) AS INT) AS gid,
+           COUNT(*) AS cnt
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority), ())
+    ORDER BY gid, st, pr
+    """,
+)
+def q34_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS through Spark SQL — Catalyst expands to a
+    single Expand + hash aggregate (one pass over the fact table regardless
+    of how many sets are requested; at 100 TB this beats N separate
+    aggregations unioned)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus,'ALL') AS st,
+               COALESCE(o_orderpriority,'ALL') AS pr,
+               CAST(GROUPING(o_orderstatus)*2 + GROUPING(o_orderpriority) AS INT) AS gid,
+               COUNT(*) AS cnt
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority), ())
+        ORDER BY gid, st, pr
+        """
+    )
+
+
+# --- Q35: ordered string aggregation (LISTAGG family, §2.7) -------------------
+@query(
+    "q35_string_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS keys_csv,
+           COUNT(*) AS n
+    FROM (SELECT * FROM orders WHERE o_orderkey < 500)
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q35_string_agg(spark, sf_dir):
+    """LISTAGG/string_agg with deterministic ORDER BY inside the aggregate:
+    collect_list + array_sort + array_join keeps it one hash aggregate (the
+    sort happens per group on the collected array, never a global sort).
+    The key filter bounds per-group array size — the pattern to insist on at
+    100 TB, where unbounded collect_list is an OOM."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.col("o_orderkey"))),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("keys_csv"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 # --- Q29: JSON function breadth (§2.7 JSON family) ----------------------------
 @query(
     "q29_json_breadth",
