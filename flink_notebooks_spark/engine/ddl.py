@@ -46,6 +46,7 @@ class TableDef:
     columns: list[ColumnDef] = field(default_factory=list)
     watermark: WatermarkDef | None = None
     primary_key: list[str] = field(default_factory=list)
+    partitioned_by: list[str] = field(default_factory=list)
     options: dict[str, str] = field(default_factory=dict)
     if_not_exists: bool = False
 
@@ -189,6 +190,15 @@ def parse_statement(sql: str) -> Parsed:
         schema_body = sql[body_start : i - 1]
         rest = sql[i:].strip()
         options = {}
+        partitioned: list[str] = []
+        pm = re.match(
+            r"(?:COMMENT\s+'[^']*'\s*)?PARTITIONED\s+BY\s*\(([^)]*)\)\s*(.*)$",
+            rest,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if pm:  # Flink filesystem-connector partitioned tables
+            partitioned = [c.strip().strip("`") for c in pm.group(1).split(",")]
+            rest = pm.group(2).strip()
         wm = re.match(r"(?:COMMENT\s+'[^']*'\s*)?WITH\s*\((.*)\)\s*$", rest, re.IGNORECASE | re.DOTALL)
         if wm:
             options = _parse_with_options(wm.group(1))
@@ -197,6 +207,7 @@ def parse_statement(sql: str) -> Parsed:
         table = TableDef(
             name=m.group(3).split(".")[-1],
             if_not_exists=bool(m.group(1)),
+            partitioned_by=partitioned,
             options=options,
         )
         _parse_schema_items(schema_body, table)

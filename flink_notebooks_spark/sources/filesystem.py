@@ -164,17 +164,20 @@ def build_stream(spark: SparkSession, table) -> DataFrame:
 
 
 def write_batch(df: DataFrame, table, overwrite: bool) -> None:
-    (
-        df.write.format(_fmt(table))
-        .mode("overwrite" if overwrite else "append")
-        .save(_path(table))
-    )
+    w = df.write.format(_fmt(table)).mode("overwrite" if overwrite else "append")
+    if getattr(table, "partitioned_by", None):
+        # hive-style directory layout: downstream reads get partition
+        # pruning for free when filtering on the partition columns
+        w = w.partitionBy(*table.partitioned_by)
+    w.save(_path(table))
 
 
 def write_stream(df: DataFrame, table, checkpoint: str):
-    return (
+    w = (
         df.writeStream.format(_fmt(table))
         .option("path", _path(table))
         .option("checkpointLocation", checkpoint)
-        .start()
     )
+    if getattr(table, "partitioned_by", None):
+        w = w.partitionBy(*table.partitioned_by)
+    return w.start()

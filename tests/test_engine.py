@@ -485,3 +485,45 @@ def test_versioned_temporal_join(engine, tmp_path):
     )
     rows = [r["fields"] for r in stmt.fetch().data]
     assert rows == [[1, 1.1], [2, 1.2], [3, None]]
+
+
+def test_partitioned_table_roundtrip_and_pruning(engine, sf_dir, tmp_path):
+    """PARTITIONED BY writes hive-style directories, and a filter on the
+    partition column prunes at the scan (PartitionFilters, not a full read)."""
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql(
+        f"""CREATE TABLE ord_src (o_orderkey BIGINT, o_totalprice DOUBLE,
+            o_orderstatus STRING)
+            WITH ('connector'='filesystem','path'='{sf_dir}/orders.parquet','format'='parquet')"""
+    )
+    engine.execute_sql(
+        f"""CREATE TABLE ord_part (o_orderkey BIGINT, o_totalprice DOUBLE,
+            o_orderstatus STRING) PARTITIONED BY (o_orderstatus)
+            WITH ('connector'='filesystem','path'='{tmp_path}/part','format'='parquet')"""
+    )
+    engine.execute_sql(
+        "INSERT INTO ord_part SELECT o_orderkey, o_totalprice, o_orderstatus FROM ord_src"
+    )
+    import os
+
+    assert any(d.startswith("o_orderstatus=") for d in os.listdir(f"{tmp_path}/part"))
+
+    rows = drain(
+        engine.execute_sql(
+            "SELECT COUNT(*) AS c FROM ord_part WHERE o_orderstatus = 'F'"
+        )
+    )
+    src = drain(
+        engine.execute_sql(
+            "SELECT COUNT(*) AS c FROM ord_src WHERE o_orderstatus = 'F'"
+        )
+    )
+    assert rows[0]["fields"][0] == src[0]["fields"][0] > 0
+
+    plan = drain(
+        engine.execute_sql(
+            "EXPLAIN SELECT COUNT(*) FROM ord_part WHERE o_orderstatus = 'F'"
+        )
+    )
+    plan_text = "\n".join(str(r["fields"][0]) for r in plan)
+    assert "PartitionFilters" in plan_text and "o_orderstatus" in plan_text
