@@ -104,7 +104,16 @@ class Engine:
         df = build_source(self.spark, table, streaming=streaming)
         for c in table.columns:
             if c.computed_expr is not None:
-                df = df.selectExpr("*", f"{c.computed_expr} AS {c.name}")
+                # Flink's processing-time attribute → Spark's batch/
+                # micro-batch evaluation time (same semantics: "now" as of
+                # when the row is processed)
+                expr = __import__("re").sub(
+                    r"\bPROCTIME\s*\(\s*\)",
+                    "CURRENT_TIMESTAMP",
+                    c.computed_expr,
+                    flags=__import__("re").IGNORECASE,
+                )
+                df = df.selectExpr("*", f"{expr} AS {c.name}")
         if streaming and table.watermark is not None and table.watermark.delay:
             # Spark watermarks require TIMESTAMP (LTZ); Flink TIMESTAMP(3) maps
             # to NTZ (SURVEY.md §1.2) — promote the event-time column here.

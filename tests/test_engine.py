@@ -527,3 +527,17 @@ def test_partitioned_table_roundtrip_and_pruning(engine, sf_dir, tmp_path):
     )
     plan_text = "\n".join(str(r["fields"][0]) for r in plan)
     assert "PartitionFilters" in plan_text and "o_orderstatus" in plan_text
+
+
+def test_proctime_computed_column(engine):
+    """Flink's `pt AS PROCTIME()` processing-time attribute evaluates to the
+    processing wall-clock (CURRENT_TIMESTAMP) in both runtime modes."""
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql(
+        """CREATE TABLE pt_t (id INT, pt AS PROCTIME()) WITH (
+           'connector'='datagen','number-of-rows'='3',
+           'fields.id.kind'='sequence','fields.id.start'='1','fields.id.end'='3')"""
+    )
+    rows = drain(engine.execute_sql("SELECT id, pt FROM pt_t ORDER BY id"))
+    assert len(rows) == 3
+    assert all(r["fields"][1] is not None for r in rows)
