@@ -603,6 +603,36 @@ def q35_string_agg(spark, sf_dir):
     )
 
 
+# --- Q36: conditional + safe-cast breadth (§2.7 conditional/casting family) ---
+@query(
+    "q36_conditional_breadth",
+    oracle="""
+    SELECT o_orderkey,
+      TRY_CAST(o_orderpriority AS INT) AS bad_cast,
+      TRY_CAST(substring(o_orderpriority,1,1) AS INT) AS pr_num,
+      NULLIF(o_orderstatus, 'O') AS st_n,
+      IF(o_totalprice > 100000, 'hi', 'lo') AS band,
+      o_orderstatus IS NOT DISTINCT FROM 'F' AS is_f,
+      COALESCE(TRY_CAST('x' AS INT), -1) AS fallback
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def q36_conditional_breadth(spark, sf_dir):
+    """TRY_CAST (null on failure — load-bearing under ANSI mode, where plain
+    CAST throws), NULLIF, IF, IS NOT DISTINCT FROM (null-safe equality <=>),
+    COALESCE fallback. All whole-stage codegen, map-only."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").try_cast("int").alias("bad_cast"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("pr_num"),
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("st_n"),
+        F.when(F.col("o_totalprice") > 100000, "hi").otherwise("lo").alias("band"),
+        F.col("o_orderstatus").eqNullSafe(F.lit("F")).alias("is_f"),
+        F.coalesce(F.lit("x").try_cast("int"), F.lit(-1)).alias("fallback"),
+    ).orderBy("o_orderkey")
+
+
 # --- Q29: JSON function breadth (§2.7 JSON family) ----------------------------
 @query(
     "q29_json_breadth",
