@@ -111,3 +111,79 @@ def test_hop_window_membership_invariants(spark, times, slide, mult):
         # exactly width/slide windows per event, all distinct
         starts = per_row[rid]
         assert len(starts) == mult and len(set(starts)) == mult
+
+
+# ------------------------------------------------- MATCH_RECOGNIZE property
+def _naive_match(symbols, pattern, skip_past=True):
+    """Independent greedy-backtracking matcher over a symbol string.
+    pattern: list of (symbol, lo, hi|None). Returns list of (start, end)."""
+    n = len(symbols)
+
+    def attempt(i):
+        spans_end = [None]
+
+        def rec(pi, pos):
+            if pi == len(pattern):
+                return pos
+            sym, lo, hi = pattern[pi]
+            cnt = 0
+            cap = hi if hi is not None else n - pos
+            while cnt < cap and pos + cnt < n and symbols[pos + cnt] == sym:
+                cnt += 1
+            for take in range(cnt, lo - 1, -1):
+                e = rec(pi + 1, pos + take)
+                if e is not None:
+                    return e
+            return None
+
+        e = rec(0, i)
+        return e if e is not None and e > i else None
+
+    out, i = [], 0
+    while i < n:
+        e = attempt(i)
+        if e is None:
+            i += 1
+        else:
+            out.append((i, e))
+            i = e if skip_past else i + 1
+    return out
+
+
+@given(
+    symbols=st.lists(st.sampled_from("abc"), min_size=0, max_size=14),
+    quant=st.sampled_from([(1, 1), (1, None), (0, None), (0, 1), (2, 3)]),
+    skip_past=st.booleans(),
+)
+@_slow
+def test_match_recognize_matches_naive(spark, symbols, quant, skip_past):
+    """Pattern A B{q} C over arbitrary abc-strings: the Spark operator's
+    match set equals an independent naive matcher's."""
+    from flink_notebooks_spark.operators import match_recognize
+
+    rows = [(1, i, s) for i, s in enumerate(symbols)]
+    df = spark.createDataFrame(rows, "k int, t int, sym string") if rows else None
+    lo, hi = quant
+    hi_txt = "" if (lo, hi) == (1, 1) else (
+        "+" if (lo, hi) == (1, None) else
+        "*" if (lo, hi) == (0, None) else
+        "?" if (lo, hi) == (0, 1) else "{2,3}"
+    )
+    expected = _naive_match(
+        "".join(symbols),
+        [("a", 1, 1), ("b", lo, hi), ("c", 1, 1)],
+        skip_past,
+    )
+    if df is None:
+        assert expected == []
+        return
+    skip = "SKIP PAST LAST ROW" if skip_past else "SKIP TO NEXT ROW"
+    out = match_recognize(
+        df,
+        f"PARTITION BY k ORDER BY t "
+        f"MEASURES A.t AS start_t, LAST(C.t) AS last_c "
+        f"AFTER MATCH {skip} PATTERN (A B{hi_txt} C) "
+        f"DEFINE A AS A.sym = 'a', B AS B.sym = 'b', C AS C.sym = 'c'",
+    ).orderBy("start_t").collect()
+    got = [(r["start_t"], r["last_c"] + 1) for r in out]
+    assert got == expected
