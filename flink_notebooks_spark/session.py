@@ -64,6 +64,11 @@ def get_spark(app_name: str = "flink-notebooks-spark", cpus: int | None = None) 
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(max(2 * cpus, 8)))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # a rare java.util.regex backtracking StackOverflowError was observed
+        # in stream-execution threads under rapid query churn (Spark-internal
+        # path matching); a deeper thread stack removes the flake when we own
+        # the JVM. Driver-provided sessions can't be changed at runtime.
+        .config("spark.driver.extraJavaOptions", "-Xss16m")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
