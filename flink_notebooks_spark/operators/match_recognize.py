@@ -453,7 +453,7 @@ def match_recognize(df: DataFrame, clause_or_spec) -> DataFrame:
         # groupBy's distribution requirement, so applyInPandas adds no new
         # exchange and AQE cannot coalesce the CPU-bound pandas stage down
         # to one task (single-file inputs otherwise serialize here).
-        n = df.sparkSession.sparkContext.defaultParallelism * 2
+        n = df.sparkSession.sparkContext.defaultParallelism
         prepared = prepared.repartition(n, *part_cols)
         return prepared.groupBy(*part_cols).applyInPandas(run, schema=out_schema)
     # no PARTITION BY: single global sequence (serial, same as Flink)

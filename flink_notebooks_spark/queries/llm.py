@@ -75,7 +75,10 @@ def tokenized_docs(spark, sf_dir) -> DataFrame:
     from pyspark import StorageLevel
 
     d = load_table(spark, sf_dir, "documents")
-    n = spark.sparkContext.defaultParallelism * 2
+    # 1× parallelism: one task wave. 2× measured 6× slower on the FIRST run
+    # (cold-thread wave effects dominate at notebook scale) for zero
+    # steady-state gain; the count still scales with the cluster.
+    n = spark.sparkContext.defaultParallelism
     out = d.repartition(n, "doc_id").select("doc_id", F.expr(WORDS).alias("ws"))
     return out.persist(StorageLevel.MEMORY_AND_DISK)
 
