@@ -217,6 +217,32 @@ def parse_statement(sql: str) -> Parsed:
     if m:
         return Parsed(kind="drop_table", name=m.group(3).split(".")[-1], if_exists=bool(m.group(1)), sql=sql)
 
+    # CREATE [OR REPLACE] [TEMPORARY] VIEW v AS <query> — session-scoped, like
+    # Flink views in the default in-memory catalog. The query part keeps
+    # ``value`` so the engine can apply the dialect rewrites before planning.
+    m = re.match(
+        r"CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+"
+        r"(?:IF\s+NOT\s+EXISTS\s+)?(`?)([\w.]+)\1\s+AS\s+(.*)$",
+        sql,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        return Parsed(
+            kind="create_view", name=m.group(2).split(".")[-1], value=m.group(3), sql=sql
+        )
+    m = re.match(
+        r"DROP\s+(?:TEMPORARY\s+)?VIEW\s+(IF\s+EXISTS\s+)?(`?)([\w.]+)\2\s*$",
+        sql,
+        re.IGNORECASE,
+    )
+    if m:
+        return Parsed(
+            kind="drop_view",
+            name=m.group(3).split(".")[-1],
+            if_exists=bool(m.group(1)),
+            sql=sql,
+        )
+
     m = re.match(r"USE\s+CATALOG\s+(`?)([\w]+)\1\s*$", sql, re.IGNORECASE)
     if m:
         return Parsed(kind="use_catalog", name=m.group(2), sql=sql)

@@ -284,6 +284,23 @@ class Engine:
         self.spark.catalog.setCurrentDatabase(p.name)
         return ok_statement("OK")
 
+    def _exec_create_view(self, p: Parsed) -> Statement:
+        """Session-scoped view over the dialect-rewritten query. Registered
+        as a Spark temp view so it can reference logical tables (themselves
+        temp views) — matching Flink's session views in the default
+        in-memory catalog; works for batch AND streaming relations."""
+        df = self.spark.sql(
+            rewrite_group_windows(rewrite_window_tvfs(rewrite_temporal_join(p.value)))
+        )
+        df.createOrReplaceTempView(p.name)
+        return ok_statement("OK")
+
+    def _exec_drop_view(self, p: Parsed) -> Statement:
+        dropped = self.spark.catalog.dropTempView(p.name)
+        if not dropped and not p.if_exists:
+            raise ValueError(f"view not found: {p.name}")
+        return ok_statement("OK")
+
     def _exec_add_jar(self, p: Parsed) -> Statement:
         self.spark.sql(f"ADD JAR '{p.name}'")
         return ok_statement("OK")

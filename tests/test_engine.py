@@ -541,3 +541,23 @@ def test_proctime_computed_column(engine):
     rows = drain(engine.execute_sql("SELECT id, pt FROM pt_t ORDER BY id"))
     assert len(rows) == 3
     assert all(r["fields"][1] is not None for r in rows)
+
+
+def test_create_view_over_logical_tables(engine):
+    """CREATE VIEW works over connector tables (session-scoped, Flink's
+    default-catalog view semantics); DROP VIEW removes it."""
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql(
+        """CREATE TABLE vt (id INT) WITH ('connector'='datagen',
+           'number-of-rows'='5','fields.id.kind'='sequence',
+           'fields.id.start'='1','fields.id.end'='5')"""
+    )
+    assert engine.execute_sql("CREATE VIEW v2 AS SELECT id * 2 AS d FROM vt").status() == "FINISHED"
+    rows = drain(engine.execute_sql("SELECT * FROM v2 ORDER BY d"))
+    assert [r["fields"][0] for r in rows] == [2, 4, 6, 8, 10]
+    assert engine.execute_sql("DROP VIEW v2").status() == "FINISHED"
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        engine.execute_sql("SELECT * FROM v2")
+    assert engine.execute_sql("DROP VIEW IF EXISTS v2").status() == "FINISHED"
