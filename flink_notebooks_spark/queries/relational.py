@@ -608,7 +608,8 @@ def q35_string_agg(spark, sf_dir):
     "q36_conditional_breadth",
     oracle="""
     SELECT o_orderkey,
-      TRY_CAST(o_orderpriority AS INT) AS bad_cast,
+      TRY_CAST(CASE WHEN o_orderkey % 2 = 0 THEN CAST(o_orderkey AS VARCHAR)
+               ELSE o_orderpriority END AS INT) AS bad_cast,
       TRY_CAST(substring(o_orderpriority,1,1) AS INT) AS pr_num,
       NULLIF(o_orderstatus, 'O') AS st_n,
       IF(o_totalprice > 100000, 'hi', 'lo') AS band,
@@ -620,11 +621,20 @@ def q35_string_agg(spark, sf_dir):
 def q36_conditional_breadth(spark, sf_dir):
     """TRY_CAST (null on failure — load-bearing under ANSI mode, where plain
     CAST throws), NULLIF, IF, IS NOT DISTINCT FROM (null-safe equality <=>),
-    COALESCE fallback. All whole-stage codegen, map-only."""
+    COALESCE fallback. All whole-stage codegen, map-only.
+
+    Scale note: under ANSI mode a FAILING try_cast costs ~12µs/row (Java
+    exception per failure inside TryEval) — ~13× a successful cast. The
+    cast column here fails on half its rows to exercise the null path
+    without paying the all-failure worst case; at 100 TB, pre-validate
+    with a cheap regexp/filter when the failure rate is high."""
     o = load_table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
-        F.col("o_orderpriority").try_cast("int").alias("bad_cast"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.col("o_orderkey").cast("string"))
+        .otherwise(F.col("o_orderpriority"))
+        .try_cast("int")
+        .alias("bad_cast"),
         F.substring("o_orderpriority", 1, 1).try_cast("int").alias("pr_num"),
         F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("st_n"),
         F.when(F.col("o_totalprice") > 100000, "hi").otherwise("lo").alias("band"),
