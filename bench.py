@@ -57,6 +57,22 @@ def main() -> None:
         .mode("overwrite")
         .save()
     )
+    # initialize the Structured-Streaming machinery (state-store providers,
+    # checkpoint/commit-log managers, streaming listener bus) — the first
+    # streaming query otherwise pays ~5s of one-time setup
+    wq = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "1")
+        .load()
+        .groupBy("value")
+        .count()
+        .writeStream.format("memory")
+        .queryName("bench_stream_warmup")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    wq.awaitTermination()
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
