@@ -274,8 +274,21 @@ def _measure_type(m: Measure, schema: T.StructType) -> T.DataType:
 
 
 def _compile_defines(df: DataFrame, spec: MatchSpec) -> DataFrame:
-    """Add one boolean column per pattern variable, evaluated JVM-side."""
+    """Add one boolean column per pattern variable, evaluated JVM-side.
+
+    ``PREV(col[, n])`` (SQL-standard row-pattern navigation; Flink's
+    V-shape idiom ``DOWN AS DOWN.price < PREV(DOWN.price)``) refers to the
+    previous row of the PARTITION in row order — independent of match
+    state — so it compiles to a ``lag()`` window over (keys, order): still
+    one shuffle, still codegen. Match-state navigation (FIRST/LAST inside
+    DEFINE) genuinely depends on the in-flight match and stays unsupported.
+    """
     other = {v for v in spec.variables}
+    over = (
+        ("PARTITION BY " + ", ".join(spec.partition_by) + " " if spec.partition_by else "")
+        + "ORDER BY "
+        + ", ".join(spec.order_by)
+    )
     for v in spec.variables:
         cond = spec.define.get(v)
         if cond is None:
@@ -287,8 +300,19 @@ def _compile_defines(df: DataFrame, spec: MatchSpec) -> DataFrame:
                     f"MATCH_RECOGNIZE: DEFINE {v} references other variable {o} "
                     "(cross-variable conditions unsupported)"
                 )
+        if re.search(r"\b(FIRST|LAST)\s*\(", cond, re.IGNORECASE):
+            raise NotImplementedError(
+                f"MATCH_RECOGNIZE: DEFINE {v} uses match-state navigation "
+                "(FIRST/LAST in DEFINE unsupported; PREV is supported)"
+            )
         # self-qualified columns (A.col) → bare columns
         bare = re.sub(rf"\b{v}\s*\.\s*", "", cond)
+        bare = re.sub(
+            r"\bPREV\s*\(\s*([^(),]+?)\s*(?:,\s*(\d+)\s*)?\)",
+            lambda m: f"lag({m.group(1)}, {m.group(2) or 1}) OVER ({over})",
+            bare,
+            flags=re.IGNORECASE,
+        )
         df = df.withColumn(f"__mr_{v}", F.expr(bare).cast("boolean"))
     return df
 

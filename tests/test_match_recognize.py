@@ -220,3 +220,32 @@ def test_match_number_one_row_mode(spark):
         "PATTERN (A) DEFINE A AS A.etype = 'a'",
     ).orderBy("t").collect()
     assert [(r["mn"], r["cls"], r["t"]) for r in out] == [(1, "A", 1), (2, "A", 2)]
+
+
+def test_prev_navigation_v_shape(spark):
+    """The canonical V-shape: price strictly falls (DOWN+) then strictly
+    rises (UP+). PREV compiles to a lag window — partition-row semantics,
+    per the SQL row-pattern standard."""
+    prices = [10, 8, 6, 7, 9, 12, 11]  # V bottom at index 2 (price 6)
+    df = spark.createDataFrame(
+        [(1, i, p) for i, p in enumerate(prices)], "k int, t int, price int"
+    )
+    out = match_recognize(
+        df,
+        "PARTITION BY k ORDER BY t "
+        "MEASURES STRT.t AS start_t, MIN(DOWN.price) AS bottom, LAST(UP.t) AS end_t "
+        "PATTERN (STRT DOWN+ UP+) "
+        "DEFINE DOWN AS DOWN.price < PREV(DOWN.price), "
+        "UP AS UP.price > PREV(UP.price)",
+    ).collect()
+    assert [tuple(r) for r in out] == [(1, 0, 6, 5)]
+
+
+def test_first_last_in_define_rejected(spark):
+    df = spark.createDataFrame([(1, 1, 2)], "k int, t int, price int")
+    with pytest.raises(NotImplementedError):
+        match_recognize(
+            df,
+            "PARTITION BY k ORDER BY t MEASURES COUNT(*) AS n "
+            "PATTERN (A B) DEFINE B AS B.price > LAST(B.price, 1)",
+        ).collect()
