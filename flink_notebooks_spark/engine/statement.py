@@ -237,6 +237,12 @@ class StreamingStatement(Statement):
         # identity matters: the engine mutates this dict from its start_fn
         # (it is empty at construction time, so no truthiness shortcuts)
         self._mode_holder = mode_holder if mode_holder is not None else {}
+        # token → buffer offset. Tokens are cursors over whatever rows were
+        # READY at serve time (gateway semantics), not fixed 100-row
+        # windows: a partial page must not strand the rows behind it until
+        # the buffer happens to cross a page boundary (at 2 rows/s a fixed
+        # window stalls the client for ~50 s — the reference's demo rate).
+        self._offsets: dict[int, int] = {0: 0}
         cols = df.columns
         self._key_idx = (
             [cols.index(k) for k in changelog_keys]
@@ -298,15 +304,20 @@ class StreamingStatement(Statement):
                 self.error = str(self.query.exception())
             self.finished_at = time.time()
         with self._lock:
-            start = token * max_rows
-            page = self._buffer[start : start + max_rows]
-            buffered = len(self._buffer)
+            start = self._offsets.get(token)
+            if start is None:  # out-of-order token: nothing was served there
+                return ResultPage("EOS", self._columns, [], None)
+            end = self._offsets.get(token + 1)
+            if end is not None:  # idempotent retry of an already-served page
+                page = self._buffer[start:end]
+            else:
+                page = self._buffer[start : start + max_rows]
+                if page:
+                    self._offsets[token + 1] = start + len(page)
         if page:
             return ResultPage("PAYLOAD", self._columns, page, token + 1)
         if active:
             return ResultPage("NOT_READY", self._columns, [], token)
-        if start >= buffered:
-            return ResultPage("EOS", self._columns, [], None)
         return ResultPage("EOS", self._columns, [], None)
 
     def rows_fetched_cap(self) -> int:

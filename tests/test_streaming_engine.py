@@ -253,3 +253,53 @@ def test_streaming_cumulate_tvf(engine):
     finally:
         stmt.cancel()
         engine.execute_sql("DROP TABLE cml")
+
+
+def test_partial_pages_do_not_strand_rows():
+    """Protocol regression: tokens are cursors over rows ready at serve
+    time. After a 2-row partial page, the NEXT token must yield the rows
+    that arrive right after — not wait for a 100-row boundary."""
+    from flink_notebooks_spark.engine.statement import StreamingStatement
+
+    class FakeQuery:
+        isActive = True
+
+        def exception(self):
+            return None
+
+        def stop(self):
+            self.isActive = False
+
+    stmt = StreamingStatement.__new__(StreamingStatement)
+    import threading
+
+    from flink_notebooks_spark.engine.statement import Statement
+
+    Statement.__init__(stmt)
+    stmt.is_streaming = True
+    stmt._columns = []
+    stmt._buffer = []
+    stmt._lock = threading.Lock()
+    stmt._paused = False
+    stmt.truncated = False
+    stmt._mode_holder = {}
+    stmt._key_idx = None
+    stmt._seen = {}
+    stmt._offsets = {0: 0}
+    stmt.query = FakeQuery()
+    stmt.state = "RUNNING"
+
+    stmt._buffer.extend({"kind": "INSERT", "fields": [i]} for i in range(2))
+    p0 = stmt.fetch(0)
+    assert p0.result_type == "PAYLOAD" and len(p0.data) == 2
+    # retry of the same token is byte-identical
+    assert [r["fields"] for r in stmt.fetch(0).data] == [[0], [1]]
+    # two more rows trickle in: the next token serves them immediately
+    stmt._buffer.extend({"kind": "INSERT", "fields": [i]} for i in (2, 3))
+    p1 = stmt.fetch(p0.next_token)
+    assert p1.result_type == "PAYLOAD"
+    assert [r["fields"] for r in p1.data] == [[2], [3]]
+    # nothing new yet → NOT_READY at the live head
+    assert stmt.fetch(p1.next_token).result_type == "NOT_READY"
+    stmt.query.stop()
+    assert stmt.fetch(p1.next_token).result_type == "EOS"
