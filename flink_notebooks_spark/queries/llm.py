@@ -648,6 +648,123 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# V5. product quantization ANN — PQ codebooks + ADC top-k (rows-only;
+#     recall floor pinned in tests/test_llm_ops.py)
+# ---------------------------------------------------------------------------
+PQ_M = 8  # subspaces (64-dim embeddings → 8 dims per subspace)
+PQ_K = 16  # centroids per subspace → 4-bit codes, 8 bytes per vector
+PQ_SAMPLE = 512  # training-sample cap (driver-side k-means input)
+
+
+def _pq_train(vectors):
+    """Per-subspace Lloyd k-means over a BOUNDED sample → (M, K, d/M) array.
+
+    Codebook training is the one deliberately driver-side step: the input is
+    a fixed-size sample (PQ_SAMPLE rows regardless of corpus size — at
+    100 TB you sample, never scan, for codebooks) and the artifact is tiny
+    (M·K·d/M floats), broadcast back to executors. Deterministic: first-K
+    init, fixed iteration count, no RNG.
+    """
+    import numpy as np
+
+    x = np.asarray(vectors, dtype=np.float64)
+    n, d = x.shape
+    sub = d // PQ_M
+    books = np.empty((PQ_M, PQ_K, sub))
+    for m in range(PQ_M):
+        xs = x[:, m * sub : (m + 1) * sub]
+        cents = xs[:PQ_K].copy()  # deterministic init: first K sample rows
+        for _ in range(8):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for k in range(PQ_K):
+                sel = xs[assign == k]
+                if len(sel):
+                    cents[k] = sel.mean(axis=0)
+        books[m] = cents
+    return books
+
+
+@query("ann_pq_topk")
+def ann_pq_topk(spark, sf_dir):
+    """PQ + asymmetric distance computation (ADC): vectors compress to 8
+    one-byte codes; each query builds an M×K lookup table of partial dot
+    products against the codebooks, so scoring a vector is M table lookups
+    — no float vector is touched at search time. The corpus-side plan is
+    encode (map-only, broadcast codebooks) → per-partition vectorized ADC
+    with a LOCAL top-k → global top-k; shuffle is partitions × queries × k
+    rows, independent of corpus size. Approximation error is pinned by the
+    recall test against the exact scan."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embd"))
+    sample = [
+        r["embd"] for r in base.filter(F.col("vec_id") < PQ_SAMPLE).collect()
+    ]
+    books = _pq_train(sample)
+    queries_rows = sorted(
+        (r["vec_id"], np.asarray(r["embd"]))
+        for r in base.filter(F.col("vec_id") < TOPK_QUERY_IDS).collect()
+    )
+    bc = spark.sparkContext.broadcast(
+        (books, [(q, v) for q, v in queries_rows])
+    )
+    n_parts = spark.sparkContext.defaultParallelism
+    sub = None  # derived inside workers from the codebook shape
+
+    def adc(iterator):
+        import numpy as np
+        import pandas as pd
+
+        books_, queries_ = bc.value
+        m, k, sub_ = books_.shape
+        # per-query ADC lookup tables + exact query norms
+        luts = {}
+        for qid, qv in queries_:
+            luts[qid] = np.stack(
+                [books_[i] @ qv[i * sub_ : (i + 1) * sub_] for i in range(m)]
+            )  # (M, K)
+        for pdf in iterator:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            x = np.stack(pdf["embd"].to_numpy())  # (n, d)
+            nrm = np.sqrt((x * x).sum(axis=1))
+            # encode: nearest codebook entry per subspace
+            codes = np.empty((len(ids), m), dtype=np.int64)
+            for i in range(m):
+                xs = x[:, i * sub_ : (i + 1) * sub_]
+                d2 = ((xs[:, None, :] - books_[i][None, :, :]) ** 2).sum(axis=2)
+                codes[:, i] = d2.argmin(axis=1)
+            out = []
+            for qid, qv in queries_:
+                qn = np.sqrt(qv @ qv)
+                approx = luts[qid][np.arange(m)[:, None], codes.T].sum(axis=0)
+                sim = approx / (qn * np.maximum(nrm, 1e-12))
+                keep = ids != qid
+                order = np.argsort(-sim[keep])[: TOPK_K]
+                sel_ids, sel_sim = ids[keep][order], sim[keep][order]
+                out.append(
+                    pd.DataFrame({"q_id": qid, "nn_id": sel_ids, "sim_raw": sel_sim})
+                )
+            if out:
+                yield pd.concat(out)
+
+    local = (
+        base.repartition(n_parts, "vec_id")
+        .mapInPandas(adc, "q_id long, nn_id long, sim_raw double")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim_raw"), "nn_id")
+    return (
+        local.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK_K)
+        .select("q_id", "nn_id", F.round("sim_raw", 6).alias("sim"), "rn")
+        .orderBy("q_id", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
 # T1. text statistics + quality score (oracle-matched)
 # ---------------------------------------------------------------------------
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")

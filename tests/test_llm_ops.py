@@ -72,3 +72,22 @@ def test_dedup_exact_keeps_one_row_per_content(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     assert d.count() == docs.select("text").distinct().count()
     assert d.agg(F.sum("dups")).collect()[0][0] == docs.count()
+
+
+def test_pq_ann_full_topk_with_recall_floor(spark, sf_dir):
+    """PQ/ADC returns full top-k per query and beats the random floor
+    against the exact scan (8 subspaces x 16 codes on 64-dim vectors)."""
+    from flink_notebooks_spark.queries.llm import TOPK_K, TOPK_QUERY_IDS
+
+    exact = QUERIES["similarity_topk"](spark, sf_dir).toPandas()
+    pq = QUERIES["ann_pq_topk"](spark, sf_dir).toPandas()
+    counts = pq.groupby("q_id").size()
+    assert len(counts) == TOPK_QUERY_IDS and (counts == TOPK_K).all()
+    assert not pq.duplicated(["q_id", "nn_id"]).any()
+    assert (pq["nn_id"] != pq["q_id"]).all()
+    exact_sets = exact.groupby("q_id")["nn_id"].apply(set)
+    pq_sets = pq.groupby("q_id")["nn_id"].apply(set)
+    recall = sum(len(exact_sets[q] & pq_sets[q]) for q in exact_sets.index) / (
+        TOPK_QUERY_IDS * TOPK_K
+    )
+    assert recall >= 0.2, f"PQ recall {recall:.2f} below floor"
