@@ -102,3 +102,37 @@ def test_errors_and_cancel(gw):
               {"statement": "SELECT 1 AS x"})["operationHandle"]
     assert call("DELETE", f"{gw}/v1/sessions/{h}/operations/{op}")["status"] == "CANCELED"
     assert call("GET", f"{gw}/v1/sessions/{h}/operations/{op}/status")["status"] == "CANCELED"
+
+
+def test_streaming_statement_over_rest(gw):
+    """Unbounded SELECT through the wire: NOT_READY retries the SAME token
+    (reference flinkNotebookController.ts:179-235), rows stream in pages,
+    DELETE cancels the operation."""
+    import time
+
+    h = call("POST", f"{gw}/v1/sessions", {})["sessionHandle"]  # streaming mode
+    call("POST", f"{gw}/v1/sessions/{h}/statements", {
+        "statement": (
+            "CREATE TABLE gw_clicks (user_id INT, event_time TIMESTAMP(3), "
+            "WATERMARK FOR event_time AS event_time - INTERVAL '5' SECOND) "
+            "WITH ('connector'='datagen','rows-per-second'='100',"
+            "'fields.user_id.min'='1','fields.user_id.max'='9')"
+        )
+    })
+    op = call("POST", f"{gw}/v1/sessions/{h}/statements",
+              {"statement": "SELECT user_id FROM gw_clicks"})["operationHandle"]
+    rows, url, t0 = [], f"{gw}/v1/sessions/{h}/operations/{op}/result/0", time.time()
+    while len(rows) < 5 and time.time() - t0 < 60:
+        page = call("GET", url)
+        if page["resultType"] == "PAYLOAD":
+            rows.extend(page["results"]["data"])
+            url = f"{gw}{page['nextResultUri']}"
+        elif page["resultType"] == "NOT_READY":
+            assert page["nextResultUri"].endswith(url.rsplit("/", 1)[-1])  # same token
+            time.sleep(0.5)
+        else:
+            break
+    assert len(rows) >= 5
+    assert all(1 <= r["fields"][0] <= 9 for r in rows)
+    assert call("DELETE", f"{gw}/v1/sessions/{h}/operations/{op}")["status"] == "CANCELED"
+    call("DELETE", f"{gw}/v1/sessions/{h}")
