@@ -1216,3 +1216,57 @@ def shard_pack(spark, sf_dir):
         .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("sum_tokens"))
         .orderBy("source", "shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# D8. table profiling — per-column null/distinct/extremes in ONE pass
+#     (data-quality gate before a corpus ships to training)
+# ---------------------------------------------------------------------------
+_PROFILE_COLS = ("doc_id", "lang", "source", "n_chars")
+
+
+@query(
+    "profile_table",
+    oracle=" UNION ALL ".join(
+        f"""SELECT '{c}' AS col, COUNT(*) AS n, COUNT({c}) AS n_nonnull,
+            COUNT(DISTINCT {c}) AS n_distinct,
+            CAST(MIN({c}) AS VARCHAR) AS min_v, CAST(MAX({c}) AS VARCHAR) AS max_v
+            FROM documents"""
+        for c in _PROFILE_COLS
+    )
+    + " ORDER BY col",
+)
+def profile_table(spark, sf_dir):
+    """Column profile (row count, non-null count, exact distinct, extremes)
+    for the curation dashboard. ONE aggregation pass computes every column's
+    stats (Catalyst plans the distincts via a single Expand), instead of one
+    job per column — the difference between 1 scan and N scans of a 100 TB
+    table. At real scale swap COUNT(DISTINCT) for approx_count_distinct and
+    keep the plan shape; exact distinct here keeps the DuckDB oracle
+    hash-matched."""
+    d = load_table(spark, sf_dir, "documents")
+    profiled = d.agg(
+        F.count("*").alias("n"),
+        *[
+            agg
+            for c in _PROFILE_COLS
+            for agg in (
+                F.count(c).alias(f"nn_{c}"),
+                F.countDistinct(c).alias(f"nd_{c}"),
+                F.min(c).cast("string").alias(f"mn_{c}"),
+                F.max(c).cast("string").alias(f"mx_{c}"),
+            )
+        ],
+    )
+    unpivoted = profiled.selectExpr(
+        "stack({n}, {args}) AS (col, n_nonnull, n_distinct, min_v, max_v)".format(
+            n=len(_PROFILE_COLS),
+            args=", ".join(
+                f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in _PROFILE_COLS
+            ),
+        ),
+        "n",
+    )
+    return unpivoted.select(
+        "col", "n", "n_nonnull", "n_distinct", "min_v", "max_v"
+    ).orderBy("col")

@@ -28,5 +28,6 @@ def test_all_queries_have_entries():
         "dedup_simhash",
         "ann_lsh_topk",
         "ann_ivf_topk",
+        "ann_pq_topk",
         "multimodal_decode",
     }
