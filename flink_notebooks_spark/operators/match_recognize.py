@@ -17,8 +17,9 @@ Supported surface (the clauses Flink's own docs demo):
 Measure expressions: ``V.col`` (first row of V), ``FIRST(V.col)``,
 ``LAST(V.col)``, ``COUNT(V.*)``, ``COUNT(*)``, ``SUM/MIN/MAX/AVG(V.col)``,
 ``MATCH_NUMBER()``, ``CLASSIFIER()``. ``ALL ROWS PER MATCH`` emits every
-matched input row plus measures with FINAL semantics (RUNNING per-row
-evaluation is not implemented). Alternation is supported as variable groups
+matched input row; measures there default to RUNNING per-row evaluation
+(Flink's rule) with explicit ``FINAL(...)`` / ``RUNNING(...)`` wrappers
+honored. Alternation is supported as variable groups
 ``(A|B)`` with optional quantifiers — rows classify as the first listed
 variable whose predicate holds. Not supported (raise): nested groups /
 ``PERMUTE``, cross-variable DEFINE references (``B AS B.v > A.v``),
@@ -76,7 +77,7 @@ class MatchSpec:
     pattern: list[PatternTerm]
     define: dict[str, str]
     skip_past_last: bool = True
-    all_rows: bool = False  # ALL ROWS PER MATCH (FINAL measure semantics)
+    all_rows: bool = False  # ALL ROWS PER MATCH (RUNNING measures by default)
     variables: list[str] = field(default_factory=list)
 
     def __post_init__(self):
@@ -231,9 +232,18 @@ class Measure:
     var: str | None  # None = whole match
     col: str | None  # None = * (count)
     alias: str
+    final: bool | None = None  # FINAL/RUNNING wrapper; None = unspecified
 
 
 def _parse_measure(expr: str, alias: str, variables: list[str]) -> Measure:
+    # FINAL(...)/RUNNING(...) semantic wrappers (SQL row-pattern standard;
+    # Flink defaults to RUNNING in ALL ROWS PER MATCH — the execution layer
+    # applies that default, the parser just records an explicit wrapper)
+    final = None
+    wm = re.match(r"^\s*(FINAL|RUNNING)\s*\((.*)\)\s*$", expr, re.IGNORECASE | re.DOTALL)
+    if wm:
+        final = wm.group(1).upper() == "FINAL"
+        expr = wm.group(2)
     compact = expr.upper().replace(" ", "")
     if compact == "MATCH_NUMBER()":
         return Measure("MATCH_NUMBER", None, None, alias)
@@ -249,8 +259,8 @@ def _parse_measure(expr: str, alias: str, variables: list[str]) -> Measure:
     if col == "*":
         if func != "COUNT":
             raise NotImplementedError(f"MATCH_RECOGNIZE: {func}(*) unsupported")
-        return Measure("COUNT", var.upper() if var else None, None, alias)
-    return Measure(func, var.upper() if var else None, col, alias)
+        return Measure("COUNT", var.upper() if var else None, None, alias, final)
+    return Measure(func, var.upper() if var else None, col, alias, final)
 
 
 def _measure_type(m: Measure, schema: T.StructType) -> T.DataType:
@@ -433,6 +443,25 @@ def match_recognize(df: DataFrame, clause_or_spec) -> DataFrame:
                     var_rows.setdefault(v, []).append(r)
                     row_var[r] = v
             all_rows = sorted(set().union(*var_rows.values())) if var_rows else []
+
+            def measure_val(m, rows):
+                if m.func == "COUNT":
+                    return len(rows)
+                if not rows:
+                    return None
+                series = pdf[m.col].iloc[rows]
+                if m.func == "FIRST":
+                    return series.iloc[0]
+                if m.func == "LAST":
+                    return series.iloc[-1]
+                if m.func == "SUM":
+                    return series.sum()
+                if m.func == "MIN":
+                    return series.min()
+                if m.func == "MAX":
+                    return series.max()
+                return float(series.mean())  # AVG
+
             vals = []
             for m in measures:
                 rows = var_rows.get(m.var, []) if m.var else all_rows
@@ -442,30 +471,23 @@ def match_recognize(df: DataFrame, clause_or_spec) -> DataFrame:
                     # per-row in ALL ROWS mode (patched below); the last
                     # matched row's variable in ONE ROW mode (Flink's rule)
                     vals.append(row_var[all_rows[-1]] if all_rows else None)
-                elif m.func == "COUNT":
-                    vals.append(len(rows))
-                elif not rows:
-                    vals.append(None)
                 else:
-                    series = pdf[m.col].iloc[rows]
-                    if m.func == "FIRST":
-                        vals.append(series.iloc[0])
-                    elif m.func == "LAST":
-                        vals.append(series.iloc[-1])
-                    elif m.func == "SUM":
-                        vals.append(series.sum())
-                    elif m.func == "MIN":
-                        vals.append(series.min())
-                    elif m.func == "MAX":
-                        vals.append(series.max())
-                    else:  # AVG
-                        vals.append(float(series.mean()))
+                    vals.append(measure_val(m, rows))
             if spec.all_rows:
                 for r in all_rows:
-                    rvals = [
-                        row_var[r] if m.func == "CLASSIFIER" else v
-                        for m, v in zip(measures, vals)
-                    ]
+                    rvals = []
+                    for m, v in zip(measures, vals):
+                        if m.func == "CLASSIFIER":
+                            rvals.append(row_var[r])
+                        elif m.func == "MATCH_NUMBER":
+                            rvals.append(v)
+                        elif not (m.final if m.final is not None else False):
+                            # RUNNING (Flink's ALL-ROWS default): evaluate
+                            # over matched rows up to and including this one
+                            rows = var_rows.get(m.var, []) if m.var else all_rows
+                            rvals.append(measure_val(m, [i for i in rows if i <= r]))
+                        else:
+                            rvals.append(v)
                     out_rows.append(list(pdf.iloc[r][input_cols]) + rvals)
             else:
                 out_rows.append(keys + vals)

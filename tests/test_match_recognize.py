@@ -197,16 +197,17 @@ def test_all_rows_per_match_with_classifier(spark):
         df,
         "PARTITION BY user_id ORDER BY ts "
         "MEASURES MATCH_NUMBER() AS mn, CLASSIFIER() AS cls, "
-        "LAST(C.ts) AS end_ts "
+        "FINAL(LAST(C.ts)) AS end_ts, COUNT(B.*) AS run_b "
         "ALL ROWS PER MATCH "
         "PATTERN (A B+ C) "
         "DEFINE A AS A.etype = 'login', B AS B.etype = 'click', "
         "C AS C.etype = 'buy'",
     ).orderBy("ts").collect()
-    # every matched row comes back (noise row 4 does not), measures FINAL
-    assert [(r["ts"], r["mn"], r["cls"], r["end_ts"]) for r in out] == [
-        (1, 1, "A", 3), (2, 1, "B", 3), (3, 1, "C", 3),
-        (5, 2, "A", 7), (6, 2, "B", 7), (7, 2, "C", 7),
+    # every matched row comes back (noise row 4 does not); FINAL(...) is
+    # match-constant while the unwrapped COUNT runs per-row (Flink default)
+    assert [(r["ts"], r["mn"], r["cls"], r["end_ts"], r["run_b"]) for r in out] == [
+        (1, 1, "A", 3, 0), (2, 1, "B", 3, 1), (3, 1, "C", 3, 1),
+        (5, 2, "A", 7, 0), (6, 2, "B", 7, 1), (7, 2, "C", 7, 1),
     ]
     assert out[0]["etype"] == "login"  # input columns pass through
 
