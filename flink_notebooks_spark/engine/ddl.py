@@ -254,6 +254,10 @@ def parse_statement(sql: str) -> Parsed:
     if m:
         return Parsed(kind="show", show_what=m.group(1).lower(), sql=sql)
 
+    m = re.match(r"SHOW\s+CREATE\s+TABLE\s+(`?)([\w.]+)\1\s*$", sql, re.IGNORECASE)
+    if m:
+        return Parsed(kind="show_create_table", name=m.group(2).split(".")[-1], sql=sql)
+
     m = re.match(r"(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?(?:EXTENDED\s+)?(`?)([\w.]+)\1\s*$", sql, re.IGNORECASE)
     if m:
         return Parsed(kind="describe", name=m.group(2).split(".")[-1], sql=sql)

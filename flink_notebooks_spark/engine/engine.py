@@ -301,6 +301,37 @@ class Engine:
             raise ValueError(f"view not found: {p.name}")
         return ok_statement("OK")
 
+    def _exec_show_create_table(self, p: Parsed) -> Statement:
+        """Reconstruct the Flink-dialect DDL of a registered logical table
+        (SHOW CREATE TABLE, supported in Flink SQL and used for catalog
+        inspection). Falls through to Spark SQL for catalog-managed tables."""
+        t = self.tables.get(p.name)
+        if t is None:
+            return BatchStatement(self.spark.sql(p.sql))
+        parts = []
+        for c in t.columns:
+            if c.computed_expr is not None:
+                parts.append(f"  `{c.name}` AS {c.computed_expr}")
+            else:
+                from .types import to_flink_type
+
+                typ = to_flink_type(c.data_type) if c.data_type else "STRING"
+                nn = "" if c.nullable else " NOT NULL"
+                parts.append(f"  `{c.name}` {typ}{nn}")
+        if t.primary_key:
+            parts.append(
+                "  PRIMARY KEY (" + ", ".join(f"`{k}`" for k in t.primary_key)
+                + ") NOT ENFORCED"
+            )
+        if t.watermark is not None:
+            parts.append(f"  WATERMARK FOR `{t.watermark.column}` AS {t.watermark.expr}")
+        ddl = f"CREATE TABLE `{t.name}` (\n" + ",\n".join(parts) + "\n)"
+        if t.partitioned_by:
+            ddl += " PARTITIONED BY (" + ", ".join(f"`{c}`" for c in t.partitioned_by) + ")"
+        opts = ",\n".join(f"  '{k}' = '{v}'" for k, v in sorted(t.options.items()))
+        ddl += " WITH (\n" + opts + "\n)"
+        return ImmediateStatement([ColumnInfo("result", "STRING", False)], [[ddl]])
+
     def _exec_add_jar(self, p: Parsed) -> Statement:
         self.spark.sql(f"ADD JAR '{p.name}'")
         return ok_statement("OK")

@@ -109,3 +109,32 @@ def parse_type(s: str) -> T.DataType:
 
 def spark_ddl_name(dt: T.DataType) -> str:
     return dt.simpleString()
+
+
+def to_flink_type(dt: T.DataType) -> str:
+    """Spark type → Flink SQL type name (inverse of parse_type, for
+    SHOW CREATE TABLE round-trips)."""
+    if isinstance(dt, T.TimestampNTZType):
+        return "TIMESTAMP(3)"
+    if isinstance(dt, T.TimestampType):
+        return "TIMESTAMP_LTZ(3)"
+    if isinstance(dt, T.LongType):
+        return "BIGINT"
+    if isinstance(dt, T.IntegerType):
+        return "INT"
+    if isinstance(dt, T.ShortType):
+        return "SMALLINT"
+    if isinstance(dt, T.ByteType):
+        return "TINYINT"
+    if isinstance(dt, T.DecimalType):
+        return f"DECIMAL({dt.precision},{dt.scale})"
+    if isinstance(dt, T.BinaryType):
+        return "BYTES"
+    if isinstance(dt, T.ArrayType):
+        return f"ARRAY<{to_flink_type(dt.elementType)}>"
+    if isinstance(dt, T.MapType):
+        return f"MAP<{to_flink_type(dt.keyType)}, {to_flink_type(dt.valueType)}>"
+    if isinstance(dt, T.StructType):
+        inner = ", ".join(f"{f.name} {to_flink_type(f.dataType)}" for f in dt.fields)
+        return f"ROW<{inner}>"
+    return dt.simpleString().upper()  # STRING/DOUBLE/FLOAT/BOOLEAN/DATE

@@ -561,3 +561,34 @@ def test_create_view_over_logical_tables(engine):
     with _pt.raises(Exception):
         engine.execute_sql("SELECT * FROM v2")
     assert engine.execute_sql("DROP VIEW IF EXISTS v2").status() == "FINISHED"
+
+
+def test_show_create_table_roundtrips(engine, sf_dir):
+    """SHOW CREATE TABLE reconstructs executable Flink-dialect DDL with
+    schema, PRIMARY KEY, WATERMARK, PARTITIONED BY, and options."""
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql(
+        f"""CREATE TABLE sct (o_orderkey BIGINT NOT NULL, o_orderstatus STRING,
+            o_orderdate TIMESTAMP(3),
+            PRIMARY KEY (o_orderkey) NOT ENFORCED,
+            WATERMARK FOR o_orderdate AS o_orderdate - INTERVAL '5' SECOND)
+            PARTITIONED BY (o_orderstatus)
+            WITH ('connector'='filesystem','path'='{sf_dir}/orders.parquet','format'='parquet')"""
+    )
+    ddl = drain(engine.execute_sql("SHOW CREATE TABLE sct"))[0]["fields"][0]
+    for frag in (
+        "CREATE TABLE `sct`", "`o_orderkey` BIGINT NOT NULL",
+        "PRIMARY KEY (`o_orderkey`) NOT ENFORCED",
+        "WATERMARK FOR `o_orderdate`", "PARTITIONED BY (`o_orderstatus`)",
+        "'connector' = 'filesystem'",
+    ):
+        assert frag in ddl, f"missing {frag!r} in:\n{ddl}"
+    # the reconstructed DDL executes verbatim in a fresh session
+    from flink_notebooks_spark.engine import Engine as _E
+
+    eng2 = _E(engine.spark)
+    eng2.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    eng2.execute_sql(ddl.replace("`sct`", "`sct2`"))
+    rows = drain(eng2.execute_sql("SELECT COUNT(*) AS c FROM sct2"))
+    assert rows[0]["fields"][0] > 0
+    eng2.close()
