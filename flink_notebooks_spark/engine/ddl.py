@@ -258,6 +258,20 @@ def parse_statement(sql: str) -> Parsed:
     if m:
         return Parsed(kind="show_create_table", name=m.group(2).split(".")[-1], sql=sql)
 
+    # ALTER TABLE t SET ('k'='v', ...) — Flink's option-update statement
+    m = re.match(
+        r"ALTER\s+TABLE\s+(`?)([\w.]+)\1\s+SET\s*\((.*)\)\s*$",
+        sql,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        return Parsed(
+            kind="alter_table_set",
+            name=m.group(2).split(".")[-1],
+            value=m.group(3),
+            sql=sql,
+        )
+
     m = re.match(r"(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?(?:EXTENDED\s+)?(`?)([\w.]+)\1\s*$", sql, re.IGNORECASE)
     if m:
         return Parsed(kind="describe", name=m.group(2).split(".")[-1], sql=sql)

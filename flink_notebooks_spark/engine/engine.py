@@ -332,6 +332,19 @@ class Engine:
         ddl += " WITH (\n" + opts + "\n)"
         return ImmediateStatement([ColumnInfo("result", "STRING", False)], [[ddl]])
 
+    def _exec_alter_table_set(self, p: Parsed) -> Statement:
+        """ALTER TABLE t SET ('k'='v'): merge options into the logical table
+        and re-materialize its view (Flink's table-option update). Unknown
+        tables pass through to Spark SQL (catalog-managed tables)."""
+        from .ddl import _parse_with_options
+
+        t = self.tables.get(p.name)
+        if t is None:
+            return BatchStatement(self.spark.sql(p.sql))
+        t.options.update(_parse_with_options(p.value))
+        self._register_view(t)
+        return ok_statement("OK")
+
     def _exec_add_jar(self, p: Parsed) -> Statement:
         self.spark.sql(f"ADD JAR '{p.name}'")
         return ok_statement("OK")
@@ -555,7 +568,11 @@ class SessionManager:
         self.sessions: dict[str, Engine] = {}
 
     def open_session(self, properties: dict[str, str] | None = None) -> Engine:
-        eng = Engine(self.spark, properties)
+        # newSession(): shared SparkContext/cluster, but an isolated SQL
+        # session — separate temp-view namespace and SQL conf — so one
+        # session's tables are invisible to another, like gateway sessions
+        # over one MiniCluster (reference sqlGatewayClient.ts:71-95).
+        eng = Engine(self.spark.newSession(), properties)
         self.sessions[eng.session_handle] = eng
         return eng
 

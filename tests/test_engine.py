@@ -592,3 +592,19 @@ def test_show_create_table_roundtrips(engine, sf_dir):
     rows = drain(eng2.execute_sql("SELECT COUNT(*) AS c FROM sct2"))
     assert rows[0]["fields"][0] > 0
     eng2.close()
+
+
+def test_alter_table_set_options(engine):
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql(
+        """CREATE TABLE alt_t (id INT) WITH ('connector'='datagen',
+           'number-of-rows'='3','fields.id.kind'='sequence',
+           'fields.id.start'='1','fields.id.end'='3')"""
+    )
+    assert len(drain(engine.execute_sql("SELECT * FROM alt_t"))) == 3
+    engine.execute_sql(
+        "ALTER TABLE alt_t SET ('number-of-rows'='7', 'fields.id.end'='7')"
+    )
+    assert engine.tables["alt_t"].options["number-of-rows"] == "7"
+    rows = drain(engine.execute_sql("SELECT * FROM alt_t ORDER BY id"))
+    assert [r["fields"][0] for r in rows] == [1, 2, 3, 4, 5, 6, 7]

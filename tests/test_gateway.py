@@ -136,3 +136,24 @@ def test_streaming_statement_over_rest(gw):
     assert all(1 <= r["fields"][0] <= 9 for r in rows)
     assert call("DELETE", f"{gw}/v1/sessions/{h}/operations/{op}")["status"] == "CANCELED"
     call("DELETE", f"{gw}/v1/sessions/{h}")
+
+
+def test_sessions_are_isolated_over_rest(gw):
+    """Two sessions share the cluster but not table registries — the
+    reference's session model (sqlGatewayClient.ts:71-95)."""
+    h1 = call("POST", f"{gw}/v1/sessions",
+              {"properties": {"execution.runtime-mode": "batch"}})["sessionHandle"]
+    h2 = call("POST", f"{gw}/v1/sessions",
+              {"properties": {"execution.runtime-mode": "batch"}})["sessionHandle"]
+    call("POST", f"{gw}/v1/sessions/{h1}/statements", {
+        "statement": "CREATE TABLE iso_t (id INT) WITH ('connector'='datagen',"
+        "'number-of-rows'='1','fields.id.kind'='sequence',"
+        "'fields.id.start'='1','fields.id.end'='1')"
+    })
+    op = call("POST", f"{gw}/v1/sessions/{h2}/statements",
+              {"statement": "SHOW TABLES"})["operationHandle"]
+    page = call("GET", f"{gw}/v1/sessions/{h2}/operations/{op}/result/0")
+    names = [r["fields"][0] for r in page["results"]["data"]]
+    assert "iso_t" not in names  # session 2 does not see session 1's table
+    call("DELETE", f"{gw}/v1/sessions/{h1}")
+    call("DELETE", f"{gw}/v1/sessions/{h2}")
