@@ -14,11 +14,19 @@ from pyspark.sql import types as T
 
 from ..session import tune
 
-_FORMATS = {"parquet", "csv", "json", "orc", "text", "avro"}
+# avro needs the external spark-avro module (not bundled in this
+# environment); listing it without the jar would fail at read time with a
+# confusing planner error, so it is gated here with a clear message.
+_FORMATS = {"parquet", "csv", "json", "orc", "text"}
 
 
 def _fmt(table) -> str:
     f = table.options.get("format", "parquet").lower()
+    if f == "avro":
+        raise ValueError(
+            "filesystem: format 'avro' requires the spark-avro module "
+            "(add the org.apache.spark:spark-avro jar to the session)"
+        )
     if f not in _FORMATS:
         raise ValueError(f"filesystem: unsupported format {f!r}")
     return f
