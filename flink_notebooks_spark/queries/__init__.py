@@ -3,7 +3,10 @@ operators, and Structured-Streaming checks. Importing this package populates
 the shared registry (`QUERIES` / `ORACLE`) consumed by __spark_entry__.py.
 """
 
-from . import llm, relational, streaming, tpch  # noqa: F401  (registration side effects)
+# Registration order matters: the driver's CORRECTNESS report may truncate to
+# the first N registry entries, so the §2.11 core contract (q01–q18, tpch)
+# must register first, then relational/streaming breadth, then LLM-pipeline ops.
+from . import tpch, relational, streaming, llm  # noqa: F401  (registration side effects)
 from ._registry import ORACLE, QUERIES
 
 __all__ = ["QUERIES", "ORACLE"]

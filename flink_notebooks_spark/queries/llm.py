@@ -1149,7 +1149,7 @@ _SPLIT_HASH = (
       FROM documents)
     SELECT CASE WHEN bucket < 80 THEN 'train'
                 WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
-           COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
     FROM b GROUP BY 1 ORDER BY split
     """,
 )
@@ -1192,7 +1192,7 @@ SHARD_TOKENS = 4096
                                  ROWS UNBOUNDED PRECEDING) AS cum
       FROM t)
     SELECT source, CAST(FLOOR((cum - n_tokens) / {SHARD_TOKENS}) AS BIGINT) AS shard,
-           COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
     FROM c GROUP BY source, shard ORDER BY source, shard
     """,
 )
