@@ -76,6 +76,7 @@ class Parsed:
     if_exists: bool = False
     show_what: str | None = None
     overwrite: bool = False
+    columns: list[str] | None = None  # INSERT INTO t (a, b) ... column list
 
 
 _INTERVAL_UNITS = {
@@ -294,13 +295,25 @@ def parse_statement(sql: str) -> Parsed:
     if m:
         return Parsed(kind="add_jar", name=m.group(1), sql=sql)
 
-    m = re.match(r"INSERT\s+(INTO|OVERWRITE)\s+(`?)([\w.]+)\2\s+(.*)$", sql, re.IGNORECASE | re.DOTALL)
+    # optional explicit column list: INSERT INTO t (a, b) SELECT ... — the
+    # lookahead keeps a parenthesized query `INSERT INTO t (SELECT ...)`
+    # out of the column-list capture.
+    m = re.match(
+        r"INSERT\s+(INTO|OVERWRITE)\s+(`?)([\w.]+)\2\s*"
+        r"(?:\((?!\s*(?:SELECT|VALUES|WITH)\b)([^()]*)\)\s*)?(.*)$",
+        sql,
+        re.IGNORECASE | re.DOTALL,
+    )
     if m:
+        cols = None
+        if m.group(4):
+            cols = [c.strip().strip("`") for c in m.group(4).split(",") if c.strip()]
         return Parsed(
             kind="insert",
             name=m.group(3).split(".")[-1],
             overwrite=m.group(1).upper() == "OVERWRITE",
-            sql=m.group(4).strip(),
+            columns=cols,
+            sql=m.group(5).strip(),
         )
 
     if up.startswith("EXPLAIN"):
@@ -315,11 +328,25 @@ def split_statements(text: str) -> list[str]:
     """Split a cell/script into statements on top-level semicolons.
 
     ``EXECUTE STATEMENT SET BEGIN …; …; END`` blocks contain semicolons and
-    stay one statement (split ends only after the closing END)."""
+    stay one statement (split ends only after the closing END). ``--`` and
+    ``/* */`` comment spans are kept with the current statement and never
+    split it — a ';' or apostrophe inside a comment is plain text."""
     out, cur, in_str = [], [], False
     i = 0
     while i < len(text):
         ch = text[i]
+        if not in_str and ch == "-" and text[i : i + 2] == "--":
+            end = text.find("\n", i)
+            end = len(text) if end == -1 else end
+            cur.append(text[i:end])
+            i = end
+            continue
+        if not in_str and ch == "/" and text[i : i + 2] == "/*":
+            end = text.find("*/", i + 2)
+            end = len(text) if end == -1 else end + 2
+            cur.append(text[i:end])
+            i = end
+            continue
         if ch == "'":
             in_str = not in_str
             cur.append(ch)
@@ -329,13 +356,13 @@ def split_statements(text: str) -> list[str]:
             if up.startswith("EXECUTE STATEMENT SET") and not up.endswith(" END"):
                 cur.append(ch)  # still inside the BEGIN…END block
             else:
-                if stmt:
+                if stmt and strip_comments(stmt).strip():
                     out.append(stmt)
                 cur = []
         else:
             cur.append(ch)
         i += 1
     last = "".join(cur).strip()
-    if last:
+    if last and strip_comments(last).strip():
         out.append(last)
     return out

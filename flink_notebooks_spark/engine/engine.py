@@ -74,6 +74,45 @@ def _grouping_cols(df: DataFrame) -> list[str] | None:
         return None
 
 
+def _align_positional(df: DataFrame, target: TableDef, cols: list[str] | None) -> DataFrame:
+    """Map a query's output onto an INSERT target POSITIONALLY, like Flink.
+
+    Flink INSERT matches the SELECT's columns to the sink's declared columns
+    by position (with an optional explicit column list), never by output
+    name — ``INSERT INTO sink SELECT count(*) FROM t`` fills the first sink
+    column regardless of its name. Our sinks write/read by name, so: check
+    arity, rename positionally to the declared physical names, cast to the
+    declared types, and fill unlisted columns with typed NULLs."""
+    phys = [c for c in target.columns if c.data_type is not None and c.computed_expr is None]
+    if not phys:
+        return df
+    by_name = {c.name: c for c in phys}
+    if cols:
+        unknown = [n for n in cols if n not in by_name]
+        if unknown:
+            raise ValueError(f"INSERT into {target.name}: unknown columns {unknown}")
+        named = [by_name[n] for n in cols]
+    else:
+        named = phys
+    if len(df.columns) != len(named):
+        raise ValueError(
+            f"INSERT into {target.name}: query returns {len(df.columns)} columns, "
+            f"target expects {len(named)}: {', '.join(c.name for c in named)}"
+        )
+    out = df.toDF(*[c.name for c in named])
+    listed = {c.name for c in named}
+    sel = []
+    for c in phys:
+        if c.name in listed:
+            col = F.col(c.name)
+            if out.schema[c.name].dataType != c.data_type:
+                col = col.cast(c.data_type)
+            sel.append(col.alias(c.name))
+        else:
+            sel.append(F.lit(None).cast(c.data_type).alias(c.name))
+    return out.select(*sel)
+
+
 class Engine:
     def __init__(
         self,
@@ -174,8 +213,12 @@ class Engine:
     # ---- DDL ----------------------------------------------------------------
     def _exec_create_table(self, p: Parsed) -> Statement:
         t = p.table
-        if t.name in self.tables and t.if_not_exists:
-            return ok_statement("OK")
+        if t.name in self.tables:
+            if t.if_not_exists:
+                return ok_statement("OK")
+            # Flink raises TableAlreadyExistException; silently replacing the
+            # old definition would hide duplicate DDL bugs.
+            raise ValueError(f"table already exists: {t.name}")
         if not t.connector:
             raise ValueError(
                 f"table {t.name}: a 'connector' option is required "
@@ -498,6 +541,7 @@ class Engine:
         if target is None:
             raise ValueError(f"INSERT target not registered: {p.name}")
         df = self.spark.sql(rewrite_group_windows(rewrite_window_tvfs(rewrite_temporal_join(p.sql))))
+        df = _align_positional(df, target, p.columns)
         if df.isStreaming:
             ckpt = f"{self._checkpoint_root}/{uuid.uuid4().hex}"
             if target.connector == "filesystem":
@@ -541,14 +585,19 @@ class Engine:
         inner = [s for s in split_statements(m.group(1)) if s]
         if not inner:
             raise ValueError("empty STATEMENT SET")
-        n = 0
+        children: list[Statement] = []
         for s in inner:
             parsed = parse_statement(s)
             if parsed.kind != "insert":
                 raise ValueError(f"STATEMENT SET allows only INSERT, got: {s[:60]!r}")
-            self._exec_insert(parsed)
-            n += 1
-        return ok_statement(f"STATEMENT SET: {n} INSERT jobs submitted")
+            child = self._exec_insert(parsed)
+            children.append(child)
+            # track child statements so close()/the gateway can see and
+            # cancel streaming INSERTs started inside the set
+            self.statements.append(child)
+        stmt = ok_statement(f"STATEMENT SET: {len(children)} INSERT jobs submitted")
+        stmt.children = children
+        return stmt
 
     # ---- teardown ----------------------------------------------------------
     def close(self) -> None:

@@ -35,11 +35,19 @@ from urllib.parse import parse_qs, urlparse
 
 from .engine import SessionManager
 from .engine.statement import Statement
+from .streaming.monitor import JobMonitor
 
 _ROUTES = {
     "info": re.compile(r"^/v1/info$"),
     "sessions": re.compile(r"^/v1/sessions$"),
     "session": re.compile(r"^/v1/sessions/(?P<h>[0-9a-f]+)$"),
+    # Flink JobManager REST API surface the reference client polls
+    # (flinkJobClient.ts:94-188) — served on the same endpoint.
+    "config": re.compile(r"^/config$"),
+    "jobs_overview": re.compile(r"^/jobs/overview$"),
+    "job": re.compile(r"^/jobs/(?P<jid>[\w-]+)$"),
+    "job_metrics": re.compile(r"^/jobs/(?P<jid>[\w-]+)/metrics$"),
+    "job_checkpoints": re.compile(r"^/jobs/(?P<jid>[\w-]+)/checkpoints$"),
     "statements": re.compile(r"^/v1/sessions/(?P<h>[0-9a-f]+)/statements/?$"),
     "status": re.compile(
         r"^/v1/sessions/(?P<h>[0-9a-f]+)/operations/(?P<op>[0-9a-f]+)/status$"
@@ -69,6 +77,10 @@ class Gateway:
 
     def __init__(self, spark=None):
         self.manager = SessionManager(spark)
+        self.monitor = JobMonitor(
+            self.manager.spark,
+            sessions=lambda: [e.spark for e in self.manager.sessions.values()],
+        )
         self.ops: dict[tuple[str, str], Statement] = {}
         self._lock = threading.Lock()
 
@@ -77,6 +89,12 @@ class Gateway:
     def open_session(self, properties: dict | None) -> dict:
         eng = self.manager.open_session(properties or {})
         return {"sessionHandle": eng.session_handle}
+
+    def get_session(self, h: str) -> dict:
+        """GET /v1/sessions/{h} — the reference client's getSession()
+        (sqlGatewayClient.ts:86-89)."""
+        eng = self.manager.get(h)
+        return {"sessionHandle": h, "properties": dict(eng.properties)}
 
     def close_session(self, h: str) -> dict:
         self.manager.close_session(h)
@@ -162,8 +180,44 @@ class _Handler(BaseHTTPRequestHandler):
                     200, g.open_session(self._body().get("properties"))
                 )
             m = _ROUTES["session"].match(path)
+            if method == "GET" and m:
+                return self._send(200, g.get_session(m.group("h")))
             if method == "DELETE" and m:
                 return self._send(200, g.close_session(m.group("h")))
+            # ---- JobManager REST surface (flinkJobClient.ts:94-188) -------
+            if method == "GET" and _ROUTES["config"].match(path):
+                return self._send(
+                    200, {"flink-version": "spark-native", "flink-revision": "n/a"}
+                )
+            if method == "GET" and _ROUTES["jobs_overview"].match(path):
+                return self._send(200, g.monitor.flink_overview())
+            m = _ROUTES["job_metrics"].match(path)
+            if method == "GET" and m:
+                qs = parse_qs(urlparse(self.path).query)
+                want = [x for v in qs.get("get", []) for x in v.split(",") if x]
+                metrics = g.monitor.flink_metrics(m.group("jid"), want or None)
+                if metrics is None:
+                    raise KeyError(f"unknown job {m.group('jid')}")
+                return self._send(200, metrics)
+            m = _ROUTES["job_checkpoints"].match(path)
+            if method == "GET" and m:
+                ckpt = g.monitor.flink_checkpoints(m.group("jid"))
+                if ckpt is None:
+                    raise KeyError(f"unknown job {m.group('jid')}")
+                return self._send(200, ckpt)
+            m = _ROUTES["job"].match(path)
+            if method == "GET" and m:
+                detail = g.monitor.flink_details(m.group("jid"))
+                if detail is None:
+                    raise KeyError(f"unknown job {m.group('jid')}")
+                return self._send(200, detail)
+            if method == "PATCH" and m:
+                qs = parse_qs(urlparse(self.path).query)
+                if qs.get("mode", ["cancel"])[0] != "cancel":
+                    raise ValueError("only mode=cancel is supported")
+                if not g.monitor.cancel(m.group("jid")):
+                    raise KeyError(f"unknown job {m.group('jid')}")
+                return self._send(202, {})
             m = _ROUTES["statements"].match(path)
             if method == "POST" and m:
                 return self._send(
@@ -202,6 +256,9 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_DELETE(self):  # noqa: N802
         self._dispatch("DELETE")
+
+    def do_PATCH(self):  # noqa: N802
+        self._dispatch("PATCH")
 
 
 def serve(spark=None, port: int = 0) -> tuple[ThreadingHTTPServer, Gateway]:

@@ -608,3 +608,96 @@ def test_alter_table_set_options(engine):
     assert engine.tables["alt_t"].options["number-of-rows"] == "7"
     rows = drain(engine.execute_sql("SELECT * FROM alt_t ORDER BY id"))
     assert [r["fields"][0] for r in rows] == [1, 2, 3, 4, 5, 6, 7]
+
+
+def test_insert_maps_columns_positionally(engine, tmp_path):
+    """Flink INSERT is positional: 'INSERT INTO sink SELECT count(*)' must
+    fill sink column `cnt` even though the query's output is named
+    'count(1)'. Name-based sink reads previously saw typed NULLs."""
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql(
+        """CREATE TABLE pos_src (id INT) WITH ('connector'='datagen',
+           'number-of-rows'='5','fields.id.kind'='sequence',
+           'fields.id.start'='1','fields.id.end'='5')"""
+    )
+    engine.execute_sql(
+        f"""CREATE TABLE pos_sink (cnt BIGINT, total DOUBLE)
+            WITH ('connector'='filesystem','path'='{tmp_path}/pos','format'='parquet')"""
+    )
+    engine.execute_sql("INSERT INTO pos_sink SELECT COUNT(*), SUM(id) FROM pos_src")
+    rows = drain(engine.execute_sql("SELECT cnt, total FROM pos_sink"))
+    assert rows[0]["fields"] == [5, 15.0]
+
+
+def test_insert_arity_mismatch_rejected(engine, tmp_path):
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql(
+        f"""CREATE TABLE ar_sink (a INT, b INT)
+            WITH ('connector'='filesystem','path'='{tmp_path}/ar','format'='parquet')"""
+    )
+    with pytest.raises(ValueError, match="1 column"):
+        engine.execute_sql("INSERT INTO ar_sink SELECT 1")
+
+
+def test_insert_with_explicit_column_list(engine, tmp_path):
+    """INSERT INTO t (b) SELECT ... — listed columns fill positionally,
+    unlisted ones become typed NULLs (Flink partial-insert semantics)."""
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql(
+        f"""CREATE TABLE cl_sink (a INT, b STRING)
+            WITH ('connector'='filesystem','path'='{tmp_path}/cl','format'='parquet')"""
+    )
+    engine.execute_sql("INSERT INTO cl_sink (b) SELECT 'hello'")
+    rows = drain(engine.execute_sql("SELECT a, b FROM cl_sink"))
+    assert rows[0]["fields"] == [None, "hello"]
+
+
+def test_create_table_duplicate_raises(engine):
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    ddl = (
+        "CREATE TABLE dup_t (id INT) WITH ('connector'='datagen',"
+        "'number-of-rows'='1')"
+    )
+    engine.execute_sql(ddl)
+    with pytest.raises(ValueError, match="already exists"):
+        engine.execute_sql(ddl)
+    # IF NOT EXISTS stays a no-op success
+    engine.execute_sql(ddl.replace("CREATE TABLE", "CREATE TABLE IF NOT EXISTS"))
+
+
+def test_split_statements_ignores_comments():
+    from flink_notebooks_spark.engine.ddl import split_statements
+
+    text = """
+    -- leading comment; with a semicolon and an apostrophe: don't split
+    SELECT 1 /* inline; 'quote' */ AS a;
+    SELECT 2 AS b; -- trailing'comment
+    """
+    stmts = split_statements(text)
+    assert len(stmts) == 2
+    assert stmts[0].endswith("AS a")
+    assert stmts[1].startswith("SELECT 2")
+
+
+def test_statement_set_tracks_children(engine, tmp_path):
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql(
+        """CREATE TABLE ss_src (id INT) WITH ('connector'='datagen',
+           'number-of-rows'='3','fields.id.kind'='sequence',
+           'fields.id.start'='1','fields.id.end'='3')"""
+    )
+    for name in ("ss_a", "ss_b"):
+        engine.execute_sql(
+            f"""CREATE TABLE {name} (id INT)
+                WITH ('connector'='filesystem','path'='{tmp_path}/{name}','format'='parquet')"""
+        )
+    before = len(engine.statements)
+    stmt = engine.execute_sql(
+        """EXECUTE STATEMENT SET BEGIN
+           INSERT INTO ss_a SELECT id FROM ss_src;
+           INSERT INTO ss_b SELECT id FROM ss_src WHERE id > 1;
+           END"""
+    )
+    assert len(stmt.children) == 2
+    # children are tracked on the engine so close()/gateway can reach them
+    assert len(engine.statements) == before + 3  # 2 children + the set itself

@@ -157,3 +157,70 @@ def test_sessions_are_isolated_over_rest(gw):
     assert "iso_t" not in names  # session 2 does not see session 1's table
     call("DELETE", f"{gw}/v1/sessions/{h1}")
     call("DELETE", f"{gw}/v1/sessions/{h2}")
+
+
+def test_get_session_returns_properties(gw):
+    h = call("POST", f"{gw}/v1/sessions",
+             {"properties": {"execution.runtime-mode": "batch"}})["sessionHandle"]
+    s = call("GET", f"{gw}/v1/sessions/{h}")
+    assert s["sessionHandle"] == h
+    assert s["properties"]["execution.runtime-mode"] == "batch"
+    call("DELETE", f"{gw}/v1/sessions/{h}")
+
+
+def test_job_monitor_endpoints(gw):
+    """The reference's job client polls the JobManager REST API
+    (flinkJobClient.ts:94-188): /config, /jobs/overview, /jobs/{jid},
+    /jobs/{jid}/metrics, /jobs/{jid}/checkpoints, PATCH cancel. Drive a
+    streaming statement and observe it through those routes."""
+    import time
+    import urllib.error
+
+    assert "flink-version" in call("GET", f"{gw}/config")
+
+    h = call("POST", f"{gw}/v1/sessions", {})["sessionHandle"]  # streaming
+    call("POST", f"{gw}/v1/sessions/{h}/statements", {
+        "statement": (
+            "CREATE TABLE jm_clicks (user_id INT, event_time TIMESTAMP(3), "
+            "WATERMARK FOR event_time AS event_time - INTERVAL '5' SECOND) "
+            "WITH ('connector'='datagen','rows-per-second'='50')"
+        )
+    })
+    op = call("POST", f"{gw}/v1/sessions/{h}/statements",
+              {"statement": "SELECT user_id FROM jm_clicks"})["operationHandle"]
+
+    jid, t0 = None, time.time()
+    while jid is None and time.time() - t0 < 60:
+        jobs = call("GET", f"{gw}/jobs/overview")["jobs"]
+        running = [j for j in jobs if j["state"] == "RUNNING"]
+        if running:
+            jid = running[0]["jid"]
+        else:
+            time.sleep(0.5)
+    assert jid, "streaming job never appeared in /jobs/overview"
+
+    detail = call("GET", f"{gw}/jobs/{jid}")
+    assert detail["jid"] == jid and detail["state"] == "RUNNING"
+    assert "vertices" in detail and "status-counts" in detail
+
+    ids = [m["id"] for m in call("GET", f"{gw}/jobs/{jid}/metrics")]
+    assert "numRecordsIn" in ids
+    got = call("GET", f"{gw}/jobs/{jid}/metrics?get=numRecordsIn,batchId")
+    assert {m["id"] for m in got} == {"numRecordsIn", "batchId"}
+    assert all("value" in m for m in got)
+
+    ckpt = call("GET", f"{gw}/jobs/{jid}/checkpoints")
+    assert ckpt["counts"]["failed"] == 0
+
+    # PATCH /jobs/{jid}?mode=cancel stops the query (flinkJobClient.ts:164-175)
+    req = urllib.request.Request(f"{gw}/jobs/{jid}?mode=cancel", method="PATCH")
+    with urllib.request.urlopen(req) as resp:
+        assert resp.status == 202
+    t0 = time.time()
+    while time.time() - t0 < 30:
+        if all(j["jid"] != jid or j["state"] != "RUNNING"
+               for j in call("GET", f"{gw}/jobs/overview")["jobs"]):
+            break
+        time.sleep(0.5)
+    call("DELETE", f"{gw}/v1/sessions/{h}/operations/{op}")
+    call("DELETE", f"{gw}/v1/sessions/{h}")
