@@ -94,14 +94,42 @@ def shingled_docs(spark, sf_dir) -> DataFrame:
     return out.persist(StorageLevel.MEMORY_AND_DISK)
 
 
-def _jaccard_pairs(sh_pairs: DataFrame, counts: DataFrame, threshold: float) -> DataFrame:
-    """(a, b, i) common-shingle counts + per-doc counts → jaccard-filtered pairs."""
-    ca = counts.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
-    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+# Candidate-generation document-frequency cap: a shingle occurring in more
+# than this many documents is boilerplate (header/license/template text) and
+# is dropped from the inverted index BEFORE the self-join — one hot shingle
+# with df=d would otherwise emit d² join rows on a single reducer, the one
+# quadratic failure mode of inverted-index dedup at 100 TB. Verification
+# still scores candidate pairs on their FULL shingle sets, so reported
+# jaccard values are exact; only pairs whose overlap is pure boilerplate
+# (true jaccard ≥0.8 with every shared shingle in >CAP docs) can be missed.
+JACCARD_DF_CAP = 64
+
+
+def _jaccard_candidates(sh: DataFrame, cap: int = JACCARD_DF_CAP) -> DataFrame:
+    """(doc_id, h) inverted index → distinct candidate pairs (a < b), with
+    shingles of document frequency > cap excluded from the index."""
+    rare = sh.join(
+        sh.groupBy("h").agg(F.count("*").alias("df")).filter(F.col("df") <= cap).select("h"),
+        "h",
+    )
+    a, b = rare.alias("a"), rare.alias("b")
     return (
-        sh_pairs.join(ca, "a")
-        .join(cb, "b")
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+def _verify_pairs(docs: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
+    """Exact jaccard over full shingle arrays for the (small) candidate set —
+    shared by the inverted-index and MinHash-LSH paths."""
+    sa = docs.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sha"))
+    sb = docs.select(F.col("doc_id").alias("b"), F.col("shingles").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    jac = inter.cast("double") / (F.size("sha") + F.size("shb") - inter)
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
         .filter(jac >= threshold)
         .select("a", "b", F.round(jac, 6).alias("jac"))
         .orderBy("a", "b")
@@ -133,14 +161,25 @@ def dedup_exact(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # D2. exact n-gram Jaccard near-dedup — inverted-index join (oracle-matched)
 # ---------------------------------------------------------------------------
+SQL_JACCARD_CAND_CTES = f"""
+    rare AS (SELECT sh.doc_id, sh.s FROM sh
+             JOIN (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {JACCARD_DF_CAP}) r
+             USING (s)),
+    cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+             FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pair AS (SELECT c.a, c.b, COUNT(*) AS i
+             FROM cand c JOIN sh x ON x.doc_id = c.a
+             JOIN sh y ON y.doc_id = c.b AND y.s = x.s
+             GROUP BY 1, 2)
+"""
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH {SQL_SHINGLE_CTES},
-    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    pair AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
-             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-             GROUP BY 1, 2)
+    {SQL_JACCARD_CAND_CTES}
     SELECT p.a, p.b, ROUND(CAST(p.i AS DOUBLE) / (ca.n + cb.n - p.i), 6) AS jac
     FROM pair p JOIN cnt ca ON ca.doc_id = p.a JOIN cnt cb ON cb.doc_id = p.b
     WHERE CAST(p.i AS DOUBLE) / (ca.n + cb.n - p.i) >= 0.8
@@ -148,25 +187,20 @@ def dedup_exact(spark, sf_dir):
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    # Inverted-index self-join on shingle: cost ∝ Σ_s count(s)², which stays
-    # near-linear because word-5-grams are discriminative. At 100 TB you
-    # would additionally drop shingles with document frequency > K (they can
-    # only arise from boilerplate); not needed for correctness here.
+    # Inverted-index self-join on shingle: candidate cost ∝ Σ_s df(s)² over
+    # the CAPPED index (df ≤ JACCARD_DF_CAP), so no single shingle can make
+    # a reducer quadratic; word-5-grams keep the sum near-linear. Scoring is
+    # exact on full shingle sets (_verify_pairs), so the cap only affects
+    # candidate recall for pure-boilerplate overlaps.
     # join on the 64-bit hash of each shingle, not the ~30-char string: the
     # inverted-index shuffle carries 8-byte keys and compares longs. A hash
     # collision would need two distinct shingles in the same corpus to share
     # an xxhash64 (P ≈ n²/2⁶⁴ — negligible at any realistic shingle count).
-    sh = shingled_docs(spark, sf_dir).select(
-        "doc_id", F.explode("shingles").alias("s")
-    ).select("doc_id", F.xxhash64("s").alias("h"))
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
-        .agg(F.count("*").alias("i"))
+    docs = shingled_docs(spark, sf_dir).filter(F.size("shingles") > 0)
+    sh = docs.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", F.xxhash64("s").alias("h")
     )
-    return _jaccard_pairs(pairs, counts, 0.8)
+    return _verify_pairs(docs, _jaccard_candidates(sh), 0.8)
 
 
 # ---------------------------------------------------------------------------
@@ -231,17 +265,7 @@ def dedup_minhash_lsh(spark, sf_dir):
         .distinct()
     )
     # exact verification on the (small) candidate set via array_intersect
-    sa = docs.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sha"))
-    sb = docs.select(F.col("doc_id").alias("b"), F.col("shingles").alias("shb"))
-    inter = F.size(F.array_intersect("sha", "shb"))
-    jac = inter.cast("double") / (F.size("sha") + F.size("shb") - inter)
-    return (
-        cand.join(sa, "a")
-        .join(sb, "b")
-        .filter(jac >= 0.8)
-        .select("a", "b", F.round(jac, 6).alias("jac"))
-        .orderBy("a", "b")
-    )
+    return _verify_pairs(docs, cand, 0.8)
 
 
 # ---------------------------------------------------------------------------
@@ -1009,10 +1033,7 @@ def quality_filter(spark, sf_dir):
         SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         FROM documents) WHERE rn > 1),
     {SQL_SHINGLE_CTES},
-    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    pair AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
-             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-             GROUP BY 1, 2),
+    {SQL_JACCARD_CAND_CTES},
     fuzzy_losers AS (
       SELECT DISTINCT p.b AS doc_id
       FROM pair p JOIN cnt ca ON ca.doc_id = p.a JOIN cnt cb ON cb.doc_id = p.b

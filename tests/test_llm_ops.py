@@ -91,3 +91,51 @@ def test_pq_ann_full_topk_with_recall_floor(spark, sf_dir):
         TOPK_QUERY_IDS * TOPK_K
     )
     assert recall >= 0.2, f"PQ recall {recall:.2f} below floor"
+
+
+def test_jaccard_df_cap_bounds_boilerplate_join(spark, tmp_path):
+    """One boilerplate 5-gram shared by 100 otherwise-unrelated docs must NOT
+    reach the candidate self-join (df cap) — without the cap it alone emits
+    C(100,2)=4950 join pairs on one reducer. True near-dups sharing rare
+    shingles are still found with exact jaccard scores."""
+    import pandas as pd
+
+    from flink_notebooks_spark.queries.llm import (
+        JACCARD_DF_CAP,
+        _jaccard_candidates,
+        dedup_ngram_jaccard,
+    )
+
+    boiler = "all rights reserved by the publisher"  # 6 words → 2 5-grams
+    rows = [
+        # 100 docs: shared boilerplate prefix + unique tail (jaccard ~0)
+        {"doc_id": i, "source": "web",
+         "text": f"{boiler} unique{i} alpha{i} beta{i} gamma{i} delta{i} eps{i}"}
+        for i in range(100)
+    ]
+    # one true near-dup pair via rare shingles (identical long body)
+    body = " ".join(f"word{j}" for j in range(30))
+    rows += [
+        {"doc_id": 1000, "source": "web", "text": body},
+        {"doc_id": 1001, "source": "web", "text": body + " tail"},
+    ]
+    pd.DataFrame(rows).to_parquet(f"{tmp_path}/documents.parquet")
+
+    out = dedup_ngram_jaccard(spark, str(tmp_path)).toPandas()
+    found = set(zip(out["a"], out["b"]))
+    assert (1000, 1001) in found  # true near-dup survives the cap
+    assert all(a >= 1000 for a, _ in found)  # boilerplate-only docs: no pairs
+
+    # the capped index keeps the hot shingle out of candidate generation
+    from pyspark.sql import functions as F
+
+    from flink_notebooks_spark.queries.llm import shingled_docs
+
+    docs = shingled_docs(spark, str(tmp_path)).filter(F.size("shingles") > 0)
+    sh = docs.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", F.xxhash64("s").alias("h")
+    )
+    capped = _jaccard_candidates(sh, JACCARD_DF_CAP).count()
+    uncapped = _jaccard_candidates(sh, 10**9).count()
+    assert capped == 1  # only the true near-dup pair
+    assert uncapped >= 4950  # the boilerplate shingle alone is quadratic
