@@ -21,10 +21,12 @@ matched input row; measures there default to RUNNING per-row evaluation
 (Flink's rule) with explicit ``FINAL(...)`` / ``RUNNING(...)`` wrappers
 honored. Alternation is supported as variable groups
 ``(A|B)`` with optional quantifiers — rows classify as the first listed
-variable whose predicate holds. Not supported (raise): nested groups /
-``PERMUTE``, cross-variable DEFINE references (``B AS B.v > A.v``),
-streaming input (batch relations only — streaming pattern needs are covered
-by ``sequence_pattern`` and ``applyInPandasWithState`` sessionization).
+variable whose predicate holds. Streaming input runs through
+``match_recognize_stream`` (keyed state over ``applyInPandasWithState``,
+watermark-frontier emission — see its docstring). Not supported (raise):
+nested groups / ``PERMUTE``, cross-variable DEFINE references
+(``B AS B.v > A.v``), and PREV in DEFINE on streaming input (compiles to a
+lag() window, which Structured Streaming rejects).
 
 Scale design (the 100 TB argument):
 
@@ -355,22 +357,14 @@ def _match_starting_at(term_bools, pattern: list[PatternTerm], n: int, start: in
     return (end, list(spans)) if end is not None and end > start else None
 
 
-def match_recognize(df: DataFrame, clause_or_spec) -> DataFrame:
-    """Apply MATCH_RECOGNIZE to a batch DataFrame → one row per match.
-
-    ``clause_or_spec``: the text inside ``MATCH_RECOGNIZE ( ... )`` or a
-    pre-parsed ``MatchSpec``. Output columns: partition keys + measures.
-    """
+def _prepare_spec(df: DataFrame, clause_or_spec):
+    """Shared batch/streaming setup: parse, measures, schemas, defines."""
     spec = (
         clause_or_spec
         if isinstance(clause_or_spec, MatchSpec)
         else parse_match_recognize(clause_or_spec)
     )
-    if df.isStreaming:
-        raise NotImplementedError("MATCH_RECOGNIZE on streaming input unsupported")
-    measures = [
-        _parse_measure(e, a, spec.variables) for e, a in spec.measures
-    ]
+    measures = [_parse_measure(e, a, spec.variables) for e, a in spec.measures]
     input_cols = list(df.columns)
     meas_fields = [
         T.StructField(m.alias, _measure_type(m, df.schema), True) for m in measures
@@ -382,117 +376,161 @@ def match_recognize(df: DataFrame, clause_or_spec) -> DataFrame:
         out_fields = [df.schema[c] for c in input_cols] + meas_fields
     else:
         out_fields = [df.schema[c] for c in spec.partition_by] + meas_fields
-    out_schema = T.StructType(out_fields)
-    prepared = _compile_defines(df, spec)
+    return spec, measures, input_cols, T.StructType(out_fields), _compile_defines(df, spec)
+
+
+def _run_matches(
+    pdf,
+    spec: MatchSpec,
+    measures,
+    input_cols,
+    out_names,
+    match_num0: int = 0,
+    require_closed: bool = False,
+):
+    """Matcher core over one partition's SORTED, reset-index pandas frame.
+
+    Returns ``(out_rows, n_emitted, keep_from)``. ``require_closed`` is the
+    streaming frontier rule: a match that consumes through the last visible
+    row is NOT emitted (a later row could still extend it under greedy
+    quantifiers) — processing stops there and ``keep_from`` marks the
+    position from which rows must be retained for the next micro-batch
+    (= resume position after the last emitted match).
+    """
     pattern = spec.pattern
+    skip_past = spec.skip_past_last
+    n = len(pdf)
+    bools = {
+        v: pdf[f"__mr_{v}"].fillna(False).to_numpy() for v in spec.variables
+    }
+    # per-term arrays; alternation groups OR their variables' columns
+    term_bools = []
+    for t in pattern:
+        col = bools[t.vars[0]]
+        for v in t.vars[1:]:
+            col = col | bools[v]
+        term_bools.append(col)
+    keys = [pdf[c].iloc[0] for c in spec.partition_by] if n else []
+    out_rows = []
+    match_num = match_num0
+    emitted = 0
+    keep_from = 0
+    # fast path: when the first term is mandatory, only its true rows
+    # can start a match — scan candidate starts, not every row
+    starts = None
+    if pattern[0].lo >= 1:
+        import numpy as np
+
+        starts = np.flatnonzero(term_bools[0])
+    si = 0
+    i = 0
+    while i < n:
+        if starts is not None:
+            while si < len(starts) and starts[si] < i:
+                si += 1
+            if si >= len(starts):
+                break
+            i = int(starts[si])
+        hit = _match_starting_at(term_bools, pattern, n, i)
+        if hit is None:
+            i += 1
+            continue
+        end, spans = hit
+        if require_closed and end >= n:
+            # the match reached the mature frontier: hold it (and every row
+            # from the resume position) for the next batch
+            break
+        match_num += 1
+        emitted += 1
+        # merge term spans per variable (a var may repeat in the pattern)
+        var_rows: dict[str, list[int]] = {}
+        row_var: dict[int, str] = {}  # each row belongs to exactly 1 term
+        for term, sp in zip(pattern, spans):
+            if sp is None:
+                continue
+            for r in range(sp[0], sp[1]):
+                # alternation: the row classifies as the first listed
+                # variable whose predicate holds there (Flink resolves
+                # preferring pattern order)
+                v = next((x for x in term.vars if bools[x][r]), term.vars[0])
+                var_rows.setdefault(v, []).append(r)
+                row_var[r] = v
+        all_rows = sorted(set().union(*var_rows.values())) if var_rows else []
+
+        def measure_val(m, rows):
+            if m.func == "COUNT":
+                return len(rows)
+            if not rows:
+                return None
+            series = pdf[m.col].iloc[rows]
+            if m.func == "FIRST":
+                return series.iloc[0]
+            if m.func == "LAST":
+                return series.iloc[-1]
+            if m.func == "SUM":
+                return series.sum()
+            if m.func == "MIN":
+                return series.min()
+            if m.func == "MAX":
+                return series.max()
+            return float(series.mean())  # AVG
+
+        vals = []
+        for m in measures:
+            rows = var_rows.get(m.var, []) if m.var else all_rows
+            if m.func == "MATCH_NUMBER":
+                vals.append(match_num)
+            elif m.func == "CLASSIFIER":
+                # per-row in ALL ROWS mode (patched below); the last
+                # matched row's variable in ONE ROW mode (Flink's rule)
+                vals.append(row_var[all_rows[-1]] if all_rows else None)
+            else:
+                vals.append(measure_val(m, rows))
+        if spec.all_rows:
+            for r in all_rows:
+                rvals = []
+                for m, v in zip(measures, vals):
+                    if m.func == "CLASSIFIER":
+                        rvals.append(row_var[r])
+                    elif m.func == "MATCH_NUMBER":
+                        rvals.append(v)
+                    elif not (m.final if m.final is not None else False):
+                        # RUNNING (Flink's ALL-ROWS default): evaluate
+                        # over matched rows up to and including this one
+                        rows = var_rows.get(m.var, []) if m.var else all_rows
+                        rvals.append(measure_val(m, [i for i in rows if i <= r]))
+                    else:
+                        rvals.append(v)
+                out_rows.append(list(pdf.iloc[r][input_cols]) + rvals)
+        else:
+            out_rows.append(keys + vals)
+        i = end if skip_past else i + 1
+        keep_from = i
+    return out_rows, emitted, keep_from
+
+
+def match_recognize(df: DataFrame, clause_or_spec) -> DataFrame:
+    """Apply MATCH_RECOGNIZE to a batch DataFrame → one row per match.
+
+    ``clause_or_spec``: the text inside ``MATCH_RECOGNIZE ( ... )`` or a
+    pre-parsed ``MatchSpec``. Output columns: partition keys + measures
+    (ALL ROWS PER MATCH: input columns + measures).
+    """
+    if df.isStreaming:
+        raise NotImplementedError(
+            "MATCH_RECOGNIZE on streaming input: use match_recognize_stream"
+        )
+    spec, measures, input_cols, out_schema, prepared = _prepare_spec(df, clause_or_spec)
+    out_names = [f.name for f in out_schema.fields]
     order_cols = spec.order_by
     part_cols = spec.partition_by
-    skip_past = spec.skip_past_last
 
     def run(pdf):
         import pandas as pd
 
         pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
-        n = len(pdf)
-        bools = {
-            v: pdf[f"__mr_{v}"].fillna(False).to_numpy() for v in spec.variables
-        }
-        # per-term arrays; alternation groups OR their variables' columns
-        term_bools = []
-        for t in pattern:
-            col = bools[t.vars[0]]
-            for v in t.vars[1:]:
-                col = col | bools[v]
-            term_bools.append(col)
-        keys = [pdf[c].iloc[0] for c in part_cols] if n else []
-        out_rows = []
-        match_num = 0
-        # fast path: when the first term is mandatory, only its true rows
-        # can start a match — scan candidate starts, not every row
-        starts = None
-        if pattern[0].lo >= 1:
-            import numpy as np
-
-            starts = np.flatnonzero(term_bools[0])
-        si = 0
-        i = 0
-        while i < n:
-            if starts is not None:
-                while si < len(starts) and starts[si] < i:
-                    si += 1
-                if si >= len(starts):
-                    break
-                i = int(starts[si])
-            hit = _match_starting_at(term_bools, pattern, n, i)
-            if hit is None:
-                i += 1
-                continue
-            end, spans = hit
-            match_num += 1
-            # merge term spans per variable (a var may repeat in the pattern)
-            var_rows: dict[str, list[int]] = {}
-            row_var: dict[int, str] = {}  # each row belongs to exactly 1 term
-            for term, sp in zip(pattern, spans):
-                if sp is None:
-                    continue
-                for r in range(sp[0], sp[1]):
-                    # alternation: the row classifies as the first listed
-                    # variable whose predicate holds there (Flink resolves
-                    # preferring pattern order)
-                    v = next((x for x in term.vars if bools[x][r]), term.vars[0])
-                    var_rows.setdefault(v, []).append(r)
-                    row_var[r] = v
-            all_rows = sorted(set().union(*var_rows.values())) if var_rows else []
-
-            def measure_val(m, rows):
-                if m.func == "COUNT":
-                    return len(rows)
-                if not rows:
-                    return None
-                series = pdf[m.col].iloc[rows]
-                if m.func == "FIRST":
-                    return series.iloc[0]
-                if m.func == "LAST":
-                    return series.iloc[-1]
-                if m.func == "SUM":
-                    return series.sum()
-                if m.func == "MIN":
-                    return series.min()
-                if m.func == "MAX":
-                    return series.max()
-                return float(series.mean())  # AVG
-
-            vals = []
-            for m in measures:
-                rows = var_rows.get(m.var, []) if m.var else all_rows
-                if m.func == "MATCH_NUMBER":
-                    vals.append(match_num)
-                elif m.func == "CLASSIFIER":
-                    # per-row in ALL ROWS mode (patched below); the last
-                    # matched row's variable in ONE ROW mode (Flink's rule)
-                    vals.append(row_var[all_rows[-1]] if all_rows else None)
-                else:
-                    vals.append(measure_val(m, rows))
-            if spec.all_rows:
-                for r in all_rows:
-                    rvals = []
-                    for m, v in zip(measures, vals):
-                        if m.func == "CLASSIFIER":
-                            rvals.append(row_var[r])
-                        elif m.func == "MATCH_NUMBER":
-                            rvals.append(v)
-                        elif not (m.final if m.final is not None else False):
-                            # RUNNING (Flink's ALL-ROWS default): evaluate
-                            # over matched rows up to and including this one
-                            rows = var_rows.get(m.var, []) if m.var else all_rows
-                            rvals.append(measure_val(m, [i for i in rows if i <= r]))
-                        else:
-                            rvals.append(v)
-                    out_rows.append(list(pdf.iloc[r][input_cols]) + rvals)
-            else:
-                out_rows.append(keys + vals)
-            i = end if skip_past else i + 1
-        return pd.DataFrame(out_rows, columns=[f.name for f in out_fields])
+        out_rows, _, _ = _run_matches(pdf, spec, measures, input_cols, out_names)
+        return pd.DataFrame(out_rows, columns=out_names)
 
     if part_cols:
         # explicit-count repartition on the grouping keys: satisfies the
@@ -505,6 +543,132 @@ def match_recognize(df: DataFrame, clause_or_spec) -> DataFrame:
     # no PARTITION BY: single global sequence (serial, same as Flink)
     return prepared.withColumn("__mr_g", F.lit(1)).groupBy("__mr_g").applyInPandas(
         lambda pdf: run(pdf.drop(columns="__mr_g")), schema=out_schema
+    )
+
+
+_DURATION = re.compile(r"^\s*(\d+(?:\.\d+)?)\s*(ms|milliseconds?|s|seconds?|m|minutes?|h|hours?)\s*$", re.IGNORECASE)
+_DUR_MS = {"ms": 1, "millisecond": 1, "s": 1000, "second": 1000, "m": 60_000, "minute": 60_000, "h": 3_600_000, "hour": 3_600_000}
+
+
+def _duration_ms(text: str) -> int:
+    m = _DURATION.match(text)
+    if not m:
+        raise ValueError(f"bad duration: {text!r}")
+    unit = m.group(2).lower().rstrip("s") or "s"
+    return int(float(m.group(1)) * _DUR_MS[unit])
+
+
+def match_recognize_stream(df: DataFrame, clause_or_spec, close_after: str | None = None) -> DataFrame:
+    """MATCH_RECOGNIZE over a STREAMING DataFrame (SURVEY.md W9 streaming —
+    the capability Flink declares via its CEP/planner runtime, reference
+    flink-runtime/build.gradle:37).
+
+    Keyed pattern matching via ``applyInPandasWithState``: per key, the
+    state holds the un-consumed row buffer (+ the match counter); every
+    micro-batch appends the key's new rows, re-runs the same matcher core
+    the batch operator uses over the MATURE prefix (rows with event time ≤
+    the current watermark — later input is guaranteed to sort after them),
+    and emits matches under the frontier rule:
+
+    - a match is emitted once it completes strictly BEFORE the mature
+      frontier — i.e. at least one mature row follows it that the greedy
+      matcher declined to consume. Such a match can never be extended or
+      altered by future rows, so emission is exactly-once (append mode).
+    - a match that consumes through the last buffered row stays open:
+      greedy quantifiers could extend it. It emits when a later row closes
+      it, or when ``close_after`` fires.
+    - ``close_after`` (e.g. ``'30 seconds'``): a key with no new events for
+      that long (measured in EVENT time via watermark timeout) concludes —
+      its open matches are finalized at the buffer end. This is the
+      practical analog of Flink CEP's WITHIN / idle-state retention; leave
+      it None for pure "wait for a closing row" semantics.
+
+    Requirements (same as Flink's streaming MATCH_RECOGNIZE): PARTITION BY
+    keys, and the first ORDER BY column must be the stream's watermarked
+    event-time column.
+
+    Scale design: DEFINE predicates compile to JVM boolean columns before
+    the shuffle (one groupBy exchange on the keys); per-key state is
+    bounded by the rows since the last emitted match — the same bound
+    Flink's keyed CEP operator carries. Divergence note: emission is
+    earliest-completed — a pathological pattern where an earlier, still
+    open attempt would (given future rows) overlap a later already-emitted
+    match resolves in favor of the emitted match; Flink's NFA makes the
+    same call for AFTER MATCH SKIP PAST LAST ROW.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if not df.isStreaming:
+        raise ValueError("match_recognize_stream requires a streaming DataFrame")
+    spec, measures, input_cols, out_schema, prepared = _prepare_spec(df, clause_or_spec)
+    if not spec.partition_by:
+        raise ValueError("streaming MATCH_RECOGNIZE requires PARTITION BY")
+    ocol = spec.order_by[0]
+    if not isinstance(df.schema[ocol].dataType, (T.TimestampType, T.TimestampNTZType)):
+        raise ValueError(
+            "streaming MATCH_RECOGNIZE: first ORDER BY column must be the "
+            f"watermarked event-time timestamp, got {df.schema[ocol].dataType}"
+        )
+    out_names = [f.name for f in out_schema.fields]
+    order_cols = spec.order_by
+    part_cols = spec.partition_by
+    close_ms = _duration_ms(close_after) if close_after else None
+    buf_cols = list(prepared.columns)
+
+    def run_stream(key, pdfs, state):
+        import pickle
+
+        import pandas as pd
+
+        new = [p for p in pdfs if len(p)]
+        if state.exists:
+            buf_bytes, mn = state.get
+            parts = [pickle.loads(bytes(buf_bytes))] + new
+        else:
+            mn = 0
+            parts = new
+        if not parts:
+            if state.exists:
+                state.remove()
+            return
+        rows = pd.concat(parts, ignore_index=True)
+        wm_ms = state.getCurrentWatermarkMs()
+        ts_ms = pd.to_datetime(rows[ocol]).values.view("int64") // 1_000_000
+        if state.hasTimedOut:
+            # close_after elapsed with no new events: conclude open matches
+            mature_mask = ts_ms <= ts_ms.max() if len(rows) else ts_ms <= 0
+            require_closed = False
+        else:
+            mature_mask = ts_ms <= wm_ms
+            require_closed = True
+        mature = (
+            rows[mature_mask]
+            .sort_values(order_cols, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        immature = rows[~mature_mask]
+        out_rows, emitted, keep_from = _run_matches(
+            mature, spec, measures, input_cols, out_names,
+            match_num0=mn, require_closed=require_closed,
+        )
+        keep = pd.concat([mature.iloc[keep_from:], immature], ignore_index=True)
+        if len(keep):
+            state.update((bytearray(pickle.dumps(keep[buf_cols])), mn + emitted))
+            if close_ms is not None:
+                # event-time inactivity deadline; must be beyond the watermark
+                deadline = int(pd.to_datetime(keep[ocol]).values.view("int64").max() // 1_000_000) + close_ms
+                state.setTimeoutTimestamp(max(deadline, wm_ms + 1))
+        else:
+            state.remove()
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=out_names)
+
+    return prepared.groupBy(*part_cols).applyInPandasWithState(
+        run_stream,
+        out_schema,
+        "buf binary, mn long",
+        "append",
+        GroupStateTimeout.EventTimeTimeout if close_ms is not None else GroupStateTimeout.NoTimeout,
     )
 
 
@@ -539,7 +703,12 @@ def sql_match_recognize(spark, sql: str) -> DataFrame | None:
     clause = sql[start + 1 : end]
     rest = sql[end + 1 :].strip().rstrip(";").strip()
     rest = re.sub(r"^AS\s+\w+", "", rest, flags=re.IGNORECASE).strip()
-    out = match_recognize(spark.table(m.group(1)), clause)
+    src = spark.table(m.group(1))
+    out = (
+        match_recognize_stream(src, clause)
+        if src.isStreaming
+        else match_recognize(src, clause)
+    )
     if rest:
         out.createOrReplaceTempView("__mr_result")
         return spark.sql(f"SELECT * FROM __mr_result {rest}")

@@ -257,6 +257,86 @@ def streaming_stateful_sessionize(spark, sf_dir):
 
 
 @query(
+    "streaming_match_recognize",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    ), nxt AS (
+      SELECT l.user_id, l.rn AS lrn, l.ts_us AS start_us,
+             (SELECT MIN(rn) FROM s x WHERE x.user_id = l.user_id
+                AND x.rn > l.rn AND x.event_type <> 'click') AS nrn
+      FROM s l WHERE l.event_type = 'view')
+    SELECT n.user_id, n.start_us, p.ts_us AS end_us,
+           (n.nrn - n.lrn - 1) AS n_clicks
+    FROM nxt n JOIN s p ON p.user_id = n.user_id AND p.rn = n.nrn
+    WHERE p.event_type = 'purchase' AND n.nrn - n.lrn >= 2
+    ORDER BY n.user_id, n.start_us
+    """,
+)
+def streaming_match_recognize(spark, sf_dir):
+    """Streaming MATCH_RECOGNIZE (SURVEY.md W9 streaming): the q33
+    view→click+→purchase funnel as a real streaming job over keyed state
+    (operators/match_recognize.py match_recognize_stream). Matches emit in
+    append mode once a mature row closes them; the replay stages the events
+    file plus a single far-future sentinel row — the bounded-input analog of
+    Flink's end-of-input MAX_WATERMARK — so the watermark passes every real
+    event and idle keys' close_after deadlines conclude tail matches.
+    Verified against the same window-function oracle as batch q33."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from ..operators.match_recognize import match_recognize_stream
+
+    tune(spark)
+    tmp = tempfile.mkdtemp(prefix="fns-mrstream-")
+    os.symlink(f"{sf_dir}/events.parquet", f"{tmp}/00_events.parquet")
+    # order the replay: events file first, sentinel file second (the file
+    # source orders by modification time)
+    os.utime(f"{tmp}/00_events.parquet", (0, 0), follow_symlinks=False)
+    max_ts = spark.read.parquet(f"{sf_dir}/events.parquet").agg(F.max("ts")).first()[0]
+    pd.DataFrame(
+        [{
+            "event_id": -1, "ts": max_ts + 3_600_000_000_000, "user_id": -1,
+            "event_type": "__close__", "value": 0.0, "props": "",
+        }]
+    ).to_parquet(f"{tmp}/99_sentinel.parquet")
+
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmp)
+    )
+    stream = (
+        raw.withColumn("ev_time", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts_us", F.expr("ts div 1000"))
+        .withWatermark("ev_time", "0 seconds")
+        .select("user_id", "event_id", "ev_time", "ts_us", "event_type")
+    )
+    matched = match_recognize_stream(
+        stream,
+        """
+        PARTITION BY user_id
+        ORDER BY ev_time, event_id
+        MEASURES A.ts_us AS start_us, LAST(C.ts_us) AS end_us,
+                 COUNT(B.*) AS n_clicks
+        PATTERN (A B+ C)
+        DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click',
+               C AS C.event_type = 'purchase'
+        """,
+        close_after="1 second",
+    )
+    out = _run_to_memory(matched, "append")
+    return out.select("user_id", "start_us", "end_us", "n_clicks").orderBy(
+        "user_id", "start_us"
+    )
+
+
+@query(
     "streaming_lookup_join",
     oracle="""
     SELECT e.event_id, c.c_nationkey, c.c_mktsegment

@@ -250,3 +250,103 @@ def test_first_last_in_define_rejected(spark):
             "PARTITION BY k ORDER BY t MEASURES COUNT(*) AS n "
             "PATTERN (A B) DEFINE B AS B.price > LAST(B.price, 1)",
         ).collect()
+
+
+def _mr_stream_run(spark, tmp_path, files, clause, close_after=None):
+    """Replay parquet `files` (list of row-dict lists) in order through
+    match_recognize_stream; returns the collected matches."""
+    import time
+
+    import pandas as pd
+
+    from flink_notebooks_spark.operators.match_recognize import match_recognize_stream
+
+    for i, rows in enumerate(files):
+        pdf = pd.DataFrame(rows)
+        pdf["ev_time"] = pd.to_datetime(pdf["ts_s"], unit="s").astype("datetime64[us]")
+        path = f"{tmp_path}/{i:02d}.parquet"
+        pdf.to_parquet(path)
+        now = time.time()
+        import os
+
+        os.utime(path, (now + i, now + i))  # replay order = file order
+    raw = (
+        spark.readStream.schema("user_id long, ts_s long, event_type string, ev_time timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path))
+    )
+    stream = raw.withWatermark("ev_time", "0 seconds")
+    matched = match_recognize_stream(stream, clause, close_after=close_after)
+    import uuid as _uuid
+
+    name = "mrs_" + _uuid.uuid4().hex[:10]
+    q = (
+        matched.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return {tuple(r) for r in spark.table(name).collect()}
+
+
+_FUNNEL = """
+    PARTITION BY user_id
+    ORDER BY ev_time
+    MEASURES FIRST(A.ts_s) AS start_s, LAST(C.ts_s) AS end_s, COUNT(B.*) AS n_clicks
+    PATTERN (A B+ C)
+    DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click',
+           C AS C.event_type = 'purchase'
+"""
+
+
+def test_streaming_mr_match_spans_micro_batches(spark, tmp_path):
+    """A match whose rows arrive across two files must assemble from keyed
+    state and emit exactly once — when a later mature row closes it."""
+    rows = _mr_stream_run(
+        spark,
+        tmp_path,
+        [
+            [dict(user_id=1, ts_s=10, event_type="view"),
+             dict(user_id=1, ts_s=20, event_type="click")],
+            [dict(user_id=1, ts_s=30, event_type="click"),
+             dict(user_id=1, ts_s=40, event_type="purchase"),
+             dict(user_id=1, ts_s=50, event_type="view")],
+            # advances the watermark past the closing row at t=50
+            [dict(user_id=1, ts_s=60, event_type="view")],
+        ],
+        _FUNNEL,
+    )
+    assert rows == {(1, 10, 40, 2)}
+
+
+def test_streaming_mr_frontier_holds_open_match(spark, tmp_path):
+    """Without close_after, a match that consumes to the buffer end stays
+    open (a later click could extend B+) — nothing may emit."""
+    rows = _mr_stream_run(
+        spark,
+        tmp_path,
+        [[dict(user_id=1, ts_s=10, event_type="view"),
+          dict(user_id=1, ts_s=20, event_type="click"),
+          dict(user_id=1, ts_s=30, event_type="purchase")]],
+        _FUNNEL,
+    )
+    assert rows == set()
+
+
+def test_streaming_mr_close_after_concludes_idle_key(spark, tmp_path):
+    """With close_after, an idle key concludes its open tail match once the
+    watermark passes its inactivity deadline (event time)."""
+    rows = _mr_stream_run(
+        spark,
+        tmp_path,
+        [
+            [dict(user_id=1, ts_s=10, event_type="view"),
+             dict(user_id=1, ts_s=20, event_type="click"),
+             dict(user_id=1, ts_s=30, event_type="purchase")],
+            # other-key traffic advances the watermark far past key 1's
+            # 1-second close_after deadline
+            [dict(user_id=2, ts_s=500, event_type="view")],
+        ],
+        _FUNNEL,
+        close_after="1 second",
+    )
+    assert rows == {(1, 10, 30, 1)}
