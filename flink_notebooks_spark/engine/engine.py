@@ -568,8 +568,11 @@ class Engine:
             kafka.write_batch(df, target, p.overwrite)
         else:
             raise ValueError(f"batch INSERT into connector {target.connector!r} unsupported")
-        # sink now has data on disk — re-materialize its readable view
-        self._register_view(target)
+        # data landed — re-materialize ALL views, not just the target's: a
+        # batch scan snapshots its file listing at plan time, so any other
+        # table over the same path/topic (e.g. a second consumer of an
+        # emulated Kafka topic) would keep serving the stale listing
+        self._refresh_views()
         return ok_statement(f"INSERT {'OVERWRITE' if p.overwrite else 'INTO'} {p.name}: OK")
 
     def _exec_statement_set(self, p: Parsed) -> Statement:

@@ -697,3 +697,56 @@ def q27_cep_pattern(spark, sf_dir):
     return m.select(
         "user_id", F.length("seq").cast("long").alias("seq_len"), "n_matches"
     ).orderBy("user_id")
+
+
+# --- Kafka connector round-trip (S4) -----------------------------------------
+@query(
+    "kafka_roundtrip",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n, {sql_dsum("o_totalprice", "total")}
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def kafka_roundtrip(spark, sf_dir):
+    """Kafka source/sink integration (SURVEY.md S4; reference
+    CONNECTORS.md:98-109) as a correctness query: publish a projection of
+    ``orders`` to a file-backed emulated topic, consume the topic back as
+    JSON records, aggregate. The record encode/decode (to_json → Kafka
+    record → from_json against the declared schema) is byte-identical to
+    the real-broker transport — only the record store differs; a broker
+    deployment swaps 'file:///…' for 'host:port' in the table options. At
+    scale the consumer is one map-only scan; the aggregate is the usual
+    partial-agg shuffle on o_orderstatus."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..engine.ddl import ColumnDef, TableDef
+    from ..sources import kafka
+
+    tmp = tempfile.mkdtemp(prefix="fns-kafka-")
+    topic = TableDef(
+        name="orders_topic",
+        columns=[
+            ColumnDef("o_orderkey", T.LongType()),
+            ColumnDef("o_orderstatus", T.StringType()),
+            ColumnDef("o_totalprice", T.DoubleType()),
+        ],
+        options={
+            "connector": "kafka",
+            "topic": "orders",
+            "properties.bootstrap.servers": f"file://{tmp}",
+            "format": "json",
+            "scan.startup.mode": "earliest-offset",
+        },
+    )
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    kafka.write_batch(src, topic, overwrite=False)
+    back = kafka.build_batch(spark, topic)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice", "total"))
+        .orderBy("o_orderstatus")
+    )

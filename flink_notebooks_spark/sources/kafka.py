@@ -1,24 +1,67 @@
 """Kafka connector adapter (SURVEY.md S4; reference CONNECTORS.md:98-109).
 
 Maps the Flink Kafka table options onto Spark's Kafka source with JSON
-payload decoding (`from_json` against the declared schema). Requires the
-``spark-sql-kafka`` package and a reachable broker — neither exists in the
-test container, so this module is exercised only for plan construction with
-a mocked format in tests.
+payload decoding (``from_json`` against the declared schema), including the
+``debezium-json`` changelog format the reference's CDC pipelines publish
+through Kafka (CONNECTORS.md:124-140).
+
+Transports:
+
+- **real broker** — ``properties.bootstrap.servers = host:port`` uses
+  Spark's ``kafka`` format (requires the spark-sql-kafka package and a
+  reachable broker; neither exists in the test container).
+- **file-backed emulation** — ``properties.bootstrap.servers =
+  file:///path`` stores each topic as a directory of parquet files in the
+  Kafka *record* shape (key/value bytes, topic, partition, offset,
+  timestamp). Everything above the transport — option mapping, JSON
+  encode/decode, the Debezium envelope path, batch + streaming reads,
+  INSERT INTO writes — is the same code, so integration tests exercise the
+  full adapter without a broker. The emulated log is append-only and
+  offset-ordered per partition, like the real thing.
 """
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# the wire record shape Spark's kafka source produces (value-relevant subset)
+KAFKA_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("timestampType", T.IntegerType()),
+    ]
+)
+
+
+def _topic(table) -> str:
+    return table.options.get("topic", table.name)
+
+
+def _servers(table) -> str:
+    return table.options.get("properties.bootstrap.servers", "localhost:9092")
+
+
+def _emulation_dir(table) -> str | None:
+    """file:///path bootstrap servers → the topic's directory, else None."""
+    srv = _servers(table)
+    if srv.startswith("file://"):
+        return os.path.join(srv[len("file://") :], _topic(table))
+    return None
 
 
 def _common(table) -> dict[str, str]:
     opts = {
-        "subscribe": table.options.get("topic", table.name),
-        "kafka.bootstrap.servers": table.options.get(
-            "properties.bootstrap.servers", "localhost:9092"
-        ),
+        "subscribe": _topic(table),
+        "kafka.bootstrap.servers": _servers(table),
     }
     mode = table.options.get("scan.startup.mode", "group-offsets")
     if mode == "earliest-offset":
@@ -31,51 +74,120 @@ def _common(table) -> dict[str, str]:
 def _decode(df: DataFrame, table) -> DataFrame:
     fmt = table.options.get("format", table.options.get("value.format", "json"))
     schema = table.spark_schema()
-    if fmt != "json":
-        raise ValueError(f"kafka: unsupported format {fmt!r} (json only)")
-    return df.select(
-        F.from_json(F.col("value").cast("string"), schema).alias("v")
-    ).select("v.*")
+    if fmt == "json":
+        return df.select(
+            F.from_json(F.col("value").cast("string"), schema).alias("v")
+        ).select("v.*")
+    if fmt == "debezium-json":
+        # changelog rows: op (c/u/d/r), ts_ms, flattened row image. Batch
+        # reads materialize the snapshot in build_batch; streaming reads
+        # surface the change rows (apply cdc.apply_changelog per micro-batch
+        # downstream — Spark append streams cannot retract).
+        from .cdc import parse_debezium
+
+        return parse_debezium(df, "value", schema)
+    raise ValueError(f"kafka: unsupported format {fmt!r} (json | debezium-json)")
+
+
+def _materialize_cdc(decoded: DataFrame, table) -> DataFrame:
+    """debezium-json batch read → latest-per-key snapshot (Flink's CDC table
+    semantics: querying the table sees the current state)."""
+    fmt = table.options.get("format", table.options.get("value.format", "json"))
+    if fmt == "debezium-json" and not decoded.isStreaming:
+        if not table.primary_key:
+            raise ValueError("kafka debezium-json table requires a PRIMARY KEY")
+        from .cdc import apply_changelog
+
+        return apply_changelog(decoded, table.primary_key)
+    return decoded
 
 
 def build_batch(spark: SparkSession, table) -> DataFrame:
+    emu = _emulation_dir(table)
+    if emu is not None:
+        # create the topic eagerly so the (lazy) scan plan stays valid for a
+        # topic that is declared first and produced to later — each query
+        # re-lists the directory, like a consumer polling the log
+        os.makedirs(emu, exist_ok=True)
+        raw = spark.read.schema(KAFKA_RECORD_SCHEMA).parquet(emu)
+        return _materialize_cdc(_decode(raw, table), table)
     reader = spark.read.format("kafka")
     for k, v in _common(table).items():
         reader = reader.option(k, v)
-    return _decode(reader.load(), table)
+    return _materialize_cdc(_decode(reader.load(), table), table)
 
 
 def build_stream(spark: SparkSession, table) -> DataFrame:
+    emu = _emulation_dir(table)
+    if emu is not None:
+        os.makedirs(emu, exist_ok=True)
+        raw = spark.readStream.schema(KAFKA_RECORD_SCHEMA).parquet(emu)
+        return _decode(raw, table)
     reader = spark.readStream.format("kafka")
     for k, v in _common(table).items():
         reader = reader.option(k, v)
     return _decode(reader.load(), table)
 
 
+def _to_records(df: DataFrame, table) -> DataFrame:
+    """rows → Kafka record shape with a JSON value payload (same encoding
+    for both transports). Keyed tables put the JSON-encoded primary key in
+    ``key``, like Flink's upsert-kafka."""
+    payload = F.to_json(F.struct(*df.columns)).cast("binary").alias("value")
+    key = (
+        F.to_json(F.struct(*table.primary_key)).cast("binary")
+        if getattr(table, "primary_key", None)
+        else F.lit(None).cast("binary")
+    ).alias("key")
+    offset = (
+        # not evaluable on streaming plans; the emulated log then orders by
+        # file arrival + row order, which is what the JSON/CDC paths use
+        F.lit(-1).cast("long")
+        if df.isStreaming
+        else F.monotonically_increasing_id()
+    )
+    return df.select(
+        key,
+        payload,
+        F.lit(_topic(table)).alias("topic"),
+        F.lit(0).cast("int").alias("partition"),
+        offset.alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+        F.lit(0).cast("int").alias("timestampType"),
+    )
+
+
 def write_batch(df: DataFrame, table, overwrite: bool) -> None:
     """Batch INSERT INTO a Kafka topic (overwrite is meaningless for a log
     sink and ignored, matching Flink's append-only Kafka sink)."""
+    emu = _emulation_dir(table)
+    if emu is not None:
+        _to_records(df, table).write.mode("append").parquet(emu)
+        return
     payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
     (
         payload.write.format("kafka")
-        .option(
-            "kafka.bootstrap.servers",
-            table.options.get("properties.bootstrap.servers", "localhost:9092"),
-        )
-        .option("topic", table.options.get("topic", table.name))
+        .option("kafka.bootstrap.servers", _servers(table))
+        .option("topic", _topic(table))
         .save()
     )
 
 
 def write_stream(df: DataFrame, table, checkpoint: str):
+    emu = _emulation_dir(table)
+    if emu is not None:
+        return (
+            _to_records(df, table)
+            .writeStream.format("parquet")
+            .option("path", emu)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
     payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
     return (
         payload.writeStream.format("kafka")
-        .option(
-            "kafka.bootstrap.servers",
-            table.options.get("properties.bootstrap.servers", "localhost:9092"),
-        )
-        .option("topic", table.options.get("topic", table.name))
+        .option("kafka.bootstrap.servers", _servers(table))
+        .option("topic", _topic(table))
         .option("checkpointLocation", checkpoint)
         .start()
     )

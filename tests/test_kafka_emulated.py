@@ -1,0 +1,139 @@
+"""Kafka connector end-to-end over the file-backed emulation transport
+(sources/kafka.py): INSERT INTO kafka → batch + streaming reads → values
+checked, plus the Debezium changelog path — the integration evidence for
+reference CONNECTORS.md:98-140 without a broker in the environment. The
+JSON/CDC encode-decode and option mapping are the same code the real-broker
+transport uses; only the record store differs."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from flink_notebooks_spark.engine import Engine
+
+
+@pytest.fixture()
+def engine(spark):
+    eng = Engine(spark)
+    yield eng
+    eng.close()
+
+
+def drain(stmt, max_pages=200):
+    rows, token = [], 0
+    for _ in range(max_pages):
+        page = stmt.fetch(token)
+        if page.result_type == "EOS":
+            break
+        rows.extend(page.data)
+        token = page.next_token if page.next_token is not None else token
+    return rows
+
+
+def _mk_source(engine, name, n):
+    engine.execute_sql(
+        f"""CREATE TABLE {name} (id INT) WITH ('connector'='datagen',
+            'number-of-rows'='{n}','fields.id.kind'='sequence',
+            'fields.id.start'='1','fields.id.end'='{n}')"""
+    )
+
+
+def test_kafka_roundtrip_insert_then_read(engine, tmp_path):
+    """INSERT INTO kafka topic → read the topic back through a second table
+    (same topic, different consumer) — exact values."""
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    _mk_source(engine, "kfk_src", 7)
+    servers = f"file://{tmp_path}/broker"
+    for t in ("kfk_sink", "kfk_reader"):
+        engine.execute_sql(
+            f"""CREATE TABLE {t} (id INT) WITH ('connector'='kafka',
+                'topic'='t_round', 'properties.bootstrap.servers'='{servers}',
+                'format'='json', 'scan.startup.mode'='earliest-offset')"""
+        )
+    engine.execute_sql("INSERT INTO kfk_sink SELECT id FROM kfk_src")
+    rows = drain(engine.execute_sql("SELECT id FROM kfk_reader ORDER BY id"))
+    assert [r["fields"][0] for r in rows] == list(range(1, 8))
+
+
+def test_kafka_streaming_read(engine, tmp_path):
+    """Produce to the topic, then consume it as an unbounded streaming
+    SELECT — the reference's primary streaming-source shape."""
+    servers = f"file://{tmp_path}/broker"
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    _mk_source(engine, "kstr_src", 9)
+    engine.execute_sql(
+        f"""CREATE TABLE kstr_topic (id INT) WITH ('connector'='kafka',
+            'topic'='t_stream', 'properties.bootstrap.servers'='{servers}',
+            'format'='json')"""
+    )
+    engine.execute_sql("INSERT INTO kstr_topic SELECT id FROM kstr_src")
+    engine.execute_sql("SET 'execution.runtime-mode' = 'streaming'")
+    stmt = engine.execute_sql("SELECT id FROM kstr_topic")
+    rows, t0 = [], time.time()
+    while len(rows) < 9 and time.time() - t0 < 60:
+        rows = drain(stmt, max_pages=1)
+        time.sleep(0.5)
+    assert sorted(r["fields"][0] for r in rows) == list(range(1, 10))
+    stmt.cancel()
+
+
+def test_kafka_streaming_insert(engine, tmp_path):
+    """Streaming INSERT INTO kafka (write_stream): an unbounded datagen
+    source publishes continuously; the topic accumulates records."""
+    servers = f"file://{tmp_path}/broker"
+    engine.execute_sql(
+        """CREATE TABLE kpub_src (id INT) WITH ('connector'='datagen',
+           'rows-per-second'='50','fields.id.min'='1','fields.id.max'='9')"""
+    )
+    engine.execute_sql(
+        f"""CREATE TABLE kpub_topic (id INT) WITH ('connector'='kafka',
+            'topic'='t_pub', 'properties.bootstrap.servers'='{servers}',
+            'format'='json')"""
+    )
+    stmt = engine.execute_sql("INSERT INTO kpub_topic SELECT id FROM kpub_src")
+    t0, got = time.time(), 0
+    while got < 5 and time.time() - t0 < 60:
+        # a batch scan snapshots the topic's file listing when the view is
+        # (re-)materialized — SET refreshes views, like a new consumer
+        engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+        got = len(drain(engine.execute_sql("SELECT id FROM kpub_topic")))
+        time.sleep(0.5)
+    stmt.cancel()
+    assert got >= 5
+
+
+def test_kafka_debezium_changelog_snapshot(engine, tmp_path):
+    """CDC through the topic: publish Debezium envelopes (insert, update,
+    delete), read through a debezium-json table with a PRIMARY KEY → the
+    materialized snapshot reflects the latest state per key."""
+    servers = f"file://{tmp_path}/broker"
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    # envelope producer: a json-format table on the SAME topic whose row
+    # type IS the debezium envelope
+    engine.execute_sql(
+        f"""CREATE TABLE dbz_pub (
+              before ROW<id INT, name STRING>, after ROW<id INT, name STRING>,
+              op STRING, ts_ms BIGINT
+            ) WITH ('connector'='kafka','topic'='t_cdc',
+                    'properties.bootstrap.servers'='{servers}','format'='json')"""
+    )
+    engine.execute_sql(
+        """INSERT INTO dbz_pub
+           SELECT * FROM VALUES
+             (CAST(NULL AS STRUCT<id INT, name STRING>), named_struct('id', 1, 'name', 'ada'),   'c', 1000),
+             (CAST(NULL AS STRUCT<id INT, name STRING>), named_struct('id', 2, 'name', 'bob'),   'c', 1001),
+             (named_struct('id', 1, 'name', 'ada'), named_struct('id', 1, 'name', 'ada2'),       'u', 1002),
+             (named_struct('id', 2, 'name', 'bob'), CAST(NULL AS STRUCT<id INT, name STRING>),   'd', 1003)
+           AS t(before, after, op, ts_ms)"""
+    )
+    engine.execute_sql(
+        f"""CREATE TABLE dbz_state (
+              id INT, name STRING, PRIMARY KEY (id) NOT ENFORCED
+            ) WITH ('connector'='kafka','topic'='t_cdc',
+                    'properties.bootstrap.servers'='{servers}',
+                    'format'='debezium-json')"""
+    )
+    rows = drain(engine.execute_sql("SELECT id, name FROM dbz_state ORDER BY id"))
+    assert [r["fields"] for r in rows] == [[1, "ada2"]]
