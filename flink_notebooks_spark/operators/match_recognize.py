@@ -631,8 +631,18 @@ def match_recognize_stream(df: DataFrame, clause_or_spec, close_after: str | Non
             if state.exists:
                 state.remove()
             return
-        rows = pd.concat(parts, ignore_index=True)
+        rows = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
         wm_ms = state.getCurrentWatermarkMs()
+        if wm_ms <= 0 and not state.hasTimedOut:
+            # nothing can be mature yet (first micro-batch: the watermark
+            # lags one batch) — just buffer, skip the sort/match entirely
+            state.update((bytearray(pickle.dumps(rows[buf_cols])), mn))
+            if close_ms is not None:
+                state.setTimeoutTimestamp(
+                    int(pd.to_datetime(rows[ocol]).values.view("int64").max() // 1_000_000)
+                    + close_ms
+                )
+            return
         ts_ms = pd.to_datetime(rows[ocol]).values.view("int64") // 1_000_000
         if state.hasTimedOut:
             # close_after elapsed with no new events: conclude open matches

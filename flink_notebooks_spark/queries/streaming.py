@@ -44,7 +44,7 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ev_time", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
+def _run_to_memory(df: DataFrame, mode: str, partitions: int = 8) -> DataFrame:
     """Run a bounded streaming query into a memory sink; return the table.
 
     Stateful streaming instantiates one state store per shuffle partition;
@@ -56,7 +56,7 @@ def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
     spark = df.sparkSession
     name = "strm_" + uuid.uuid4().hex[:12]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
     try:
         q = (
             df.writeStream.format("memory")
@@ -298,7 +298,17 @@ def streaming_match_recognize(spark, sf_dir):
     # order the replay: events file first, sentinel file second (the file
     # source orders by modification time)
     os.utime(f"{tmp}/00_events.parquet", (0, 0), follow_symlinks=False)
-    max_ts = spark.read.parquet(f"{sf_dir}/events.parquet").agg(F.max("ts")).first()[0]
+    # max event time from parquet row-group statistics — replay staging
+    # only, no Spark job
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata
+    ts_idx = meta.schema.names.index("ts")
+    max_ts = max(
+        meta.row_group(g).column(ts_idx).statistics.max for g in range(meta.num_row_groups)
+    )
+    if hasattr(max_ts, "timestamp"):  # datetime from ns-timestamp stats
+        max_ts = int(max_ts.timestamp() * 1_000_000) * 1000
     pd.DataFrame(
         [{
             "event_id": -1, "ts": max_ts + 3_600_000_000_000, "user_id": -1,
@@ -330,7 +340,9 @@ def streaming_match_recognize(spark, sf_dir):
         """,
         close_after="1 second",
     )
-    out = _run_to_memory(matched, "append")
+    # CPU-heavy keyed python stage: give it the full core count (more
+    # state stores, but the matcher dominates)
+    out = _run_to_memory(matched, "append", partitions=32)
     return out.select("user_id", "start_us", "end_us", "n_clicks").orderBy(
         "user_id", "start_us"
     )
