@@ -750,3 +750,53 @@ def kafka_roundtrip(spark, sf_dir):
         .agg(F.count("*").alias("n"), dsum("o_totalprice", "total"))
         .orderBy("o_orderstatus")
     )
+
+
+# --- JDBC connector round-trip (S5) ------------------------------------------
+@query(
+    "jdbc_roundtrip",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n, CAST(SUM(c_nationkey) AS BIGINT) AS nat_sum
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def jdbc_roundtrip(spark, sf_dir):
+    """JDBC source/sink integration (SURVEY.md S5; reference
+    CONNECTORS.md:113-121,144-152) as a correctness query: write a
+    projection of ``customer`` to the embedded Derby database Spark ships,
+    read it back over the same JDBC scan path, aggregate. The identical
+    adapter drives Postgres/MySQL by swapping url/driver table options; at
+    scale reads parallelize via scan.partition.* → Spark's
+    partitionColumn/numPartitions ranged scans (tests/test_jdbc_derby.py)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..engine.ddl import ColumnDef, TableDef
+    from ..sources import jdbc as jdbc_src
+
+    tmp = tempfile.mkdtemp(prefix="fns-jdbc-")
+    tbl = TableDef(
+        name="customer_jdbc",
+        columns=[
+            ColumnDef("c_custkey", T.LongType()),
+            ColumnDef("c_mktsegment", T.StringType()),
+            ColumnDef("c_nationkey", T.LongType()),
+        ],
+        options={
+            "connector": "jdbc",
+            "url": f"jdbc:derby:{tmp}/db;create=true",
+            "table-name": "CUSTOMER_RT",
+            "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+        },
+    )
+    src = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    jdbc_src.write_batch(src, tbl, overwrite=True)
+    back = jdbc_src.build_batch(spark, tbl)
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), F.sum("c_nationkey").alias("nat_sum"))
+        .orderBy("c_mktsegment")
+    )
