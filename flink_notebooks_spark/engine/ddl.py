@@ -212,7 +212,9 @@ def parse_statement(sql: str) -> Parsed:
             options=options,
         )
         _parse_schema_items(schema_body, table)
-        return Parsed(kind="create_table", table=table, sql=sql)
+        # name keeps the full (possibly catalog-qualified) identifier so the
+        # engine can route catalog-managed tables to Spark SQL
+        return Parsed(kind="create_table", table=table, name=m.group(3), sql=sql)
 
     m = re.match(r"DROP\s+(?:TEMPORARY\s+)?TABLE\s+(IF\s+EXISTS\s+)?(`?)([\w.]+)\2\s*$", sql, re.IGNORECASE)
     if m:
@@ -273,6 +275,66 @@ def parse_statement(sql: str) -> Parsed:
             sql=sql,
         )
 
+    # ALTER TABLE t RENAME TO t2 | ADD (cols…) | DROP (col)
+    m = re.match(
+        r"ALTER\s+TABLE\s+(`?)([\w.]+)\1\s+RENAME\s+TO\s+(`?)([\w.]+)\3\s*$",
+        sql,
+        re.IGNORECASE,
+    )
+    if m:
+        return Parsed(
+            kind="alter_table_rename",
+            name=m.group(2).split(".")[-1],
+            value=m.group(4).split(".")[-1],
+            sql=sql,
+        )
+    m = re.match(
+        r"ALTER\s+TABLE\s+(`?)([\w.]+)\1\s+ADD\s*\((.*)\)\s*$|"
+        r"ALTER\s+TABLE\s+(`?)([\w.]+)\4\s+ADD\s+(\w+\s+.+?)\s*$",
+        sql,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        return Parsed(
+            kind="alter_table_add",
+            name=(m.group(2) or m.group(5)).split(".")[-1],
+            value=m.group(3) or m.group(6),
+            sql=sql,
+        )
+    m = re.match(
+        r"ALTER\s+TABLE\s+(`?)([\w.]+)\1\s+DROP\s*\(?\s*(`?)(\w+)\3\s*\)?\s*$",
+        sql,
+        re.IGNORECASE,
+    )
+    if m:
+        return Parsed(
+            kind="alter_table_drop_col",
+            name=m.group(2).split(".")[-1],
+            value=m.group(4),
+            sql=sql,
+        )
+
+    # CREATE CATALOG c WITH ('type'='jdbc', …) | DROP CATALOG c  (D3)
+    m = re.match(
+        r"CREATE\s+CATALOG\s+(?:IF\s+NOT\s+EXISTS\s+)?(`?)(\w+)\1\s+WITH\s*\((.*)\)\s*$",
+        sql,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        return Parsed(
+            kind="create_catalog",
+            name=m.group(2),
+            value=m.group(3),
+            sql=sql,
+        )
+    m = re.match(
+        r"DROP\s+CATALOG\s+(IF\s+EXISTS\s+)?(`?)(\w+)\2\s*$", sql, re.IGNORECASE
+    )
+    if m:
+        return Parsed(
+            kind="drop_catalog", name=m.group(3), if_exists=bool(m.group(1)), sql=sql
+        )
+
     m = re.match(r"(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?(?:EXTENDED\s+)?(`?)([\w.]+)\1\s*$", sql, re.IGNORECASE)
     if m:
         return Parsed(kind="describe", name=m.group(2).split(".")[-1], sql=sql)
@@ -311,6 +373,7 @@ def parse_statement(sql: str) -> Parsed:
         return Parsed(
             kind="insert",
             name=m.group(3).split(".")[-1],
+            key=m.group(3),  # full (possibly catalog-qualified) identifier
             overwrite=m.group(1).upper() == "OVERWRITE",
             columns=cols,
             sql=m.group(5).strip(),

@@ -220,6 +220,11 @@ class Engine:
             # old definition would hide duplicate DDL bugs.
             raise ValueError(f"table already exists: {t.name}")
         if not t.connector:
+            # catalog-managed table (qualified name, or session sitting in a
+            # non-default catalog): Spark SQL owns the DDL — Flink's
+            # catalog-table form, which needs no connector options
+            if "." in (p.name or "") or self.spark.catalog.currentCatalog() != "spark_catalog":
+                return BatchStatement(self.spark.sql(p.sql))
             raise ValueError(
                 f"table {t.name}: a 'connector' option is required "
                 f"(one of {', '.join(connectors())})"
@@ -388,6 +393,123 @@ class Engine:
         self._register_view(t)
         return ok_statement("OK")
 
+    def _exec_alter_table_rename(self, p: Parsed) -> Statement:
+        """ALTER TABLE t RENAME TO t2 — registry move + view re-registration."""
+        t = self.tables.get(p.name)
+        if t is None:
+            return BatchStatement(self.spark.sql(p.sql))
+        if p.value in self.tables:
+            raise ValueError(f"table already exists: {p.value}")
+        del self.tables[p.name]
+        self.spark.catalog.dropTempView(p.name)
+        t.name = p.value
+        self.tables[t.name] = t
+        self._register_view(t)
+        return ok_statement("OK")
+
+    def _exec_alter_table_add(self, p: Parsed) -> Statement:
+        """ALTER TABLE t ADD (c TYPE, …) — appends columns; existing stored
+        data surfaces the new columns as typed NULLs (filesystem _align),
+        like Flink's ADD COLUMN on an external table."""
+        from .ddl import _parse_schema_items
+
+        t = self.tables.get(p.name)
+        if t is None:
+            return BatchStatement(self.spark.sql(p.sql))
+        probe = TableDef(name=t.name)
+        _parse_schema_items(p.value, probe)
+        dup = [c.name for c in probe.columns if any(x.name == c.name for x in t.columns)]
+        if dup:
+            raise ValueError(f"column(s) already exist: {dup}")
+        t.columns.extend(probe.columns)
+        if probe.watermark is not None:
+            t.watermark = probe.watermark
+        self._register_view(t)
+        return ok_statement("OK")
+
+    def _exec_alter_table_drop_col(self, p: Parsed) -> Statement:
+        t = self.tables.get(p.name)
+        if t is None:
+            return BatchStatement(self.spark.sql(p.sql))
+        col = p.value
+        if col in t.primary_key or col in t.partitioned_by or (
+            t.watermark is not None and t.watermark.column == col
+        ):
+            raise ValueError(f"cannot drop column {col}: used by key/partition/watermark")
+        before = len(t.columns)
+        t.columns = [c for c in t.columns if c.name != col]
+        if len(t.columns) == before:
+            raise ValueError(f"column not found: {col}")
+        self._register_view(t)
+        return ok_statement("OK")
+
+    # ---- catalogs (D3) — real catalogs over Spark's JDBCTableCatalog ------
+    _CATALOG_CLASS = "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog"
+    _DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+    def _exec_create_catalog(self, p: Parsed) -> Statement:
+        """CREATE CATALOG c WITH ('type'=…) (Flink catalog DDL,
+        reference catalogService.ts:126-221). Supported types:
+
+        - ``jdbc``: Flink's JdbcCatalog options (base-url/default-database/
+          username/password [+ driver]) map onto Spark's JDBCTableCatalog —
+          a real external catalog; tables live in the database.
+        - ``generic_in_memory``: an in-memory Derby database behind the same
+          JDBCTableCatalog (embedded, session-lifetime) — functional parity
+          with Flink's GenericInMemoryCatalog.
+
+        Catalog confs are runtime-settable; Spark instantiates the catalog
+        lazily on first reference (USE CATALOG c / c.db.t)."""
+        from .ddl import _parse_with_options
+
+        opts = _parse_with_options(p.value)
+        ctype = opts.get("type", "")
+        conf = self.spark.conf
+        base = f"spark.sql.catalog.{p.name}"
+        if ctype == "generic_in_memory":
+            conf.set(base, self._CATALOG_CLASS)
+            conf.set(f"{base}.url", f"jdbc:derby:memory:{p.name};create=true")
+            conf.set(f"{base}.driver", self._DERBY_DRIVER)
+        elif ctype == "jdbc":
+            url = opts.get("base-url", "").rstrip("/")
+            db = opts.get("default-database", "")
+            full = opts.get("url") or (f"{url}/{db}" if db else url)
+            if not full:
+                raise ValueError("jdbc catalog requires 'base-url' (+ 'default-database') or 'url'")
+            conf.set(base, self._CATALOG_CLASS)
+            conf.set(f"{base}.url", full)
+            for src, dst in (("username", "user"), ("password", "password"), ("driver", "driver")):
+                if src in opts:
+                    conf.set(f"{base}.{dst}", opts[src])
+        else:
+            raise ValueError(
+                f"CREATE CATALOG: unsupported type {ctype!r} (jdbc | generic_in_memory); "
+                "hive/iceberg catalogs need their runtime jars on the classpath"
+            )
+        return ok_statement("OK")
+
+    def _exec_drop_catalog(self, p: Parsed) -> Statement:
+        """Unregisters the catalog confs and leaves the current catalog sane.
+        Spark caches an already-instantiated catalog object in the session's
+        CatalogManager for the session lifetime; fresh sessions (and
+        catalogs never referenced) are fully gone."""
+        base = f"spark.sql.catalog.{p.name}"
+        try:
+            self.spark.conf.get(base)
+        except Exception:  # noqa: BLE001
+            if p.if_exists:
+                return ok_statement("OK")
+            raise ValueError(f"catalog not found: {p.name}") from None
+        if self.spark.catalog.currentCatalog() == p.name:
+            self.spark.catalog.setCurrentCatalog("spark_catalog")
+        self.spark.conf.unset(base)
+        for suffix in ("url", "driver", "user", "password"):
+            try:
+                self.spark.conf.unset(f"{base}.{suffix}")
+            except Exception:  # noqa: BLE001
+                pass
+        return ok_statement("OK")
+
     def _exec_add_jar(self, p: Parsed) -> Statement:
         self.spark.sql(f"ADD JAR '{p.name}'")
         return ok_statement("OK")
@@ -539,7 +661,13 @@ class Engine:
     def _exec_insert(self, p: Parsed) -> Statement:
         target = self.tables.get(p.name)
         if target is None:
-            raise ValueError(f"INSERT target not registered: {p.name}")
+            # not a session logical table — let Spark SQL resolve it in the
+            # current catalog (catalog-managed tables, e.g. a JDBC catalog)
+            full = p.key or p.name
+            cols = f" ({', '.join(p.columns)})" if p.columns else ""
+            return BatchStatement(self.spark.sql(
+                f"INSERT {'OVERWRITE' if p.overwrite else 'INTO'} {full}{cols} {p.sql}"
+            ))
         df = self.spark.sql(rewrite_group_windows(rewrite_window_tvfs(rewrite_temporal_join(p.sql))))
         df = _align_positional(df, target, p.columns)
         if df.isStreaming:

@@ -701,3 +701,75 @@ def test_statement_set_tracks_children(engine, tmp_path):
     assert len(stmt.children) == 2
     # children are tracked on the engine so close()/gateway can reach them
     assert len(engine.statements) == before + 3  # 2 children + the set itself
+
+
+def test_alter_table_rename_and_add_drop_column(engine, sf_dir, tmp_path):
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql(
+        f"""CREATE TABLE alt_fs (o_orderkey BIGINT, o_totalprice DOUBLE)
+            WITH ('connector'='filesystem','path'='{sf_dir}/orders.parquet','format'='parquet')"""
+    )
+    engine.execute_sql("ALTER TABLE alt_fs RENAME TO alt_fs2")
+    assert "alt_fs" not in engine.tables and "alt_fs2" in engine.tables
+    rows = drain(engine.execute_sql("SELECT COUNT(*) AS c FROM alt_fs2"))
+    assert rows[0]["fields"][0] == 1500
+    with pytest.raises(Exception):
+        drain(engine.execute_sql("SELECT * FROM alt_fs LIMIT 1"))
+
+    # ADD column not present in the file → typed NULLs (external-table form)
+    engine.execute_sql("ALTER TABLE alt_fs2 ADD (discount DOUBLE, note STRING)")
+    rows = drain(engine.execute_sql(
+        "SELECT o_orderkey, discount, note FROM alt_fs2 LIMIT 3"))
+    assert all(r["fields"][1] is None and r["fields"][2] is None for r in rows)
+
+    engine.execute_sql("ALTER TABLE alt_fs2 DROP (note)")
+    cols = [r["fields"][0] for r in drain(engine.execute_sql("DESCRIBE alt_fs2"))]
+    assert "note" not in cols and "discount" in cols
+
+
+def test_create_catalog_in_memory_end_to_end(engine):
+    """D3: CREATE CATALOG (generic_in_memory → embedded in-memory database
+    behind Spark's JDBCTableCatalog) — catalog-managed tables take the
+    Spark-SQL DDL/INSERT path, USE CATALOG switches context, DROP CATALOG
+    unregisters."""
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql("CREATE CATALOG memcat WITH ('type'='generic_in_memory')")
+    engine.execute_sql("CREATE TABLE memcat.APP.CT1 (id INT, name STRING)")
+    engine.execute_sql(
+        "INSERT INTO memcat.APP.CT1 SELECT * FROM VALUES (1,'a'), (2,'b') AS t(id, name)"
+    )
+    rows = drain(engine.execute_sql("SELECT id, name FROM memcat.APP.CT1 ORDER BY id"))
+    assert [r["fields"] for r in rows] == [[1, "a"], [2, "b"]]
+
+    # switch into the catalog; unqualified DDL goes to the catalog
+    engine.execute_sql("USE CATALOG memcat")
+    engine.execute_sql("USE APP")
+    engine.execute_sql("CREATE TABLE CT2 (x INT)")
+    names = [r["fields"][0] for r in drain(engine.execute_sql("SHOW TABLES"))]
+    assert "CT1" in names and "CT2" in names
+
+    engine.execute_sql("USE CATALOG spark_catalog")
+    engine.execute_sql("DROP CATALOG memcat")
+    # conf unregistered (Spark keeps the already-instantiated catalog object
+    # for the session's lifetime; a fresh session no longer sees it)
+    with pytest.raises(Exception):
+        engine.spark.conf.get("spark.sql.catalog.memcat")
+    with pytest.raises(ValueError, match="catalog not found"):
+        engine.execute_sql("DROP CATALOG memcat")
+    engine.execute_sql("DROP CATALOG IF EXISTS memcat")
+
+
+def test_create_catalog_jdbc_over_derby(engine, tmp_path):
+    """D3 jdbc catalog: Flink JdbcCatalog options (base-url +
+    default-database + driver) against an embedded Derby database."""
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql(
+        f"""CREATE CATALOG dbycat WITH ('type'='jdbc',
+             'base-url'='jdbc:derby:{tmp_path}', 'default-database'='cdb;create=true',
+             'driver'='org.apache.derby.jdbc.EmbeddedDriver')"""
+    )
+    engine.execute_sql("CREATE TABLE dbycat.APP.JT (id INT)")
+    engine.execute_sql("INSERT INTO dbycat.APP.JT SELECT * FROM VALUES (5), (6) AS t(id)")
+    rows = drain(engine.execute_sql("SELECT id FROM dbycat.APP.JT ORDER BY id"))
+    assert [r["fields"][0] for r in rows] == [5, 6]
+    engine.execute_sql("DROP CATALOG dbycat")
