@@ -357,6 +357,37 @@ def parse_statement(sql: str) -> Parsed:
     if m:
         return Parsed(kind="add_jar", name=m.group(1), sql=sql)
 
+    # CREATE [TEMPORARY] [SYSTEM] FUNCTION f AS 'class_or_callable'
+    # [LANGUAGE JAVA|SCALA|PYTHON]  (Flink function DDL)
+    m = re.match(
+        r"CREATE\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+"
+        r"(?:IF\s+NOT\s+EXISTS\s+)?(`?)([\w.]+)\1\s+AS\s+'([^']+)'"
+        r"(?:\s+LANGUAGE\s+(\w+))?\s*$",
+        sql,
+        re.IGNORECASE,
+    )
+    if m:
+        return Parsed(
+            kind="create_function",
+            name=m.group(2).split(".")[-1],
+            value=m.group(3),
+            key=(m.group(4) or "JAVA").upper(),
+            sql=sql,
+        )
+    m = re.match(
+        r"DROP\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+(IF\s+EXISTS\s+)?"
+        r"(`?)([\w.]+)\2\s*$",
+        sql,
+        re.IGNORECASE,
+    )
+    if m:
+        return Parsed(
+            kind="drop_function",
+            name=m.group(3).split(".")[-1],
+            if_exists=bool(m.group(1)),
+            sql=sql,
+        )
+
     # optional explicit column list: INSERT INTO t (a, b) SELECT ... — the
     # lookahead keeps a parenthesized query `INSERT INTO t (SELECT ...)`
     # out of the column-list capture.

@@ -514,6 +514,49 @@ class Engine:
         self.spark.sql(f"ADD JAR '{p.name}'")
         return ok_statement("OK")
 
+    # ---- function DDL (Flink CREATE FUNCTION … AS 'class' LANGUAGE …) ----
+    _PY_TYPE_MAP = {
+        "int": "bigint",
+        "float": "double",
+        "str": "string",
+        "bool": "boolean",
+    }
+
+    def _exec_create_function(self, p: Parsed) -> Statement:
+        """CREATE FUNCTION f AS 'impl' [LANGUAGE JAVA|SCALA|PYTHON].
+
+        JAVA/SCALA: ``impl`` is a class implementing Spark's UDF0..UDF22
+        interface, loaded from the session classpath (ADD JAR first) and
+        registered session-wide. PYTHON: ``impl`` is a dotted import path
+        ``pkg.module.callable``; the result type comes from the callable's
+        return annotation (int/float/str/bool), defaulting to string —
+        mirroring Flink's annotated Python UDFs."""
+        if p.key in ("JAVA", "SCALA"):
+            self.spark.udf.registerJavaFunction(p.name, p.value, None)
+            return ok_statement("OK")
+        if p.key == "PYTHON":
+            import importlib
+
+            mod_path, _, attr = p.value.rpartition(".")
+            if not mod_path:
+                raise ValueError(f"python function path must be module.callable: {p.value!r}")
+            fn = getattr(importlib.import_module(mod_path), attr)
+            ret = self._PY_TYPE_MAP.get(
+                getattr(getattr(fn, "__annotations__", {}).get("return"), "__name__", ""),
+                "string",
+            )
+            self.spark.udf.register(p.name, fn, ret)
+            return ok_statement("OK")
+        raise ValueError(f"CREATE FUNCTION: unsupported LANGUAGE {p.key}")
+
+    def _exec_drop_function(self, p: Parsed) -> Statement:
+        try:
+            self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {p.name}")
+        except Exception:  # noqa: BLE001
+            if not p.if_exists:
+                raise
+        return ok_statement("OK")
+
     def catalog_tree(self) -> dict[str, dict[str, list[str]]]:
         """catalog → database → [tables], the browser-tree shape the
         reference builds via sequential SHOW statements (reference

@@ -773,3 +773,54 @@ def test_create_catalog_jdbc_over_derby(engine, tmp_path):
     rows = drain(engine.execute_sql("SELECT id FROM dbycat.APP.JT ORDER BY id"))
     assert [r["fields"][0] for r in rows] == [5, 6]
     engine.execute_sql("DROP CATALOG dbycat")
+
+
+def test_create_function_java_via_add_jar(engine, tmp_path):
+    """D7 + function DDL end-to-end: compile a Java UDF, ADD JAR it, CREATE
+    FUNCTION ... LANGUAGE JAVA, call it from SQL — the reference's
+    user-jar workflow (Flink ADD JAR + CREATE FUNCTION)."""
+    import shutil
+    import subprocess
+
+    if not (shutil.which("javac") and shutil.which("jar")):
+        pytest.skip("no JDK compiler in environment")
+    import os
+
+    import pyspark
+
+    jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+    src = tmp_path / "TimesTen.java"
+    src.write_text(
+        "import org.apache.spark.sql.api.java.UDF1;\n"
+        "public class TimesTen implements UDF1<Integer, Integer> {\n"
+        "  @Override public Integer call(Integer x) { return x * 10; }\n"
+        "}\n"
+    )
+    subprocess.run(
+        ["javac", "-cp", f"{jars}/*", "TimesTen.java"], cwd=tmp_path, check=True
+    )
+    subprocess.run(
+        ["jar", "cf", "timesten.jar", "TimesTen.class"], cwd=tmp_path, check=True
+    )
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql(f"ADD JAR '{tmp_path}/timesten.jar'")
+    jars_shown = [r["fields"][0] for r in drain(engine.execute_sql("SHOW JARS"))]
+    assert any("timesten.jar" in j for j in jars_shown)
+    engine.execute_sql("CREATE TEMPORARY FUNCTION times_ten AS 'TimesTen' LANGUAGE JAVA")
+    rows = drain(engine.execute_sql("SELECT times_ten(7) AS v"))
+    assert rows[0]["fields"][0] == 70
+
+
+def test_create_function_python(engine):
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql(
+        "CREATE TEMPORARY FUNCTION triple AS 'tests.udf_fixture.triple' LANGUAGE PYTHON"
+    )
+    engine.execute_sql(
+        "CREATE TEMPORARY FUNCTION shout AS 'tests.udf_fixture.shout' LANGUAGE PYTHON"
+    )
+    rows = drain(engine.execute_sql("SELECT triple(14) AS t, shout('hey') AS s"))
+    assert rows[0]["fields"] == [42, "hey!"]
+    engine.execute_sql("DROP FUNCTION triple")
+    with pytest.raises(Exception):
+        drain(engine.execute_sql("SELECT triple(1)"))
