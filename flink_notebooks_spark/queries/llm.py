@@ -1291,3 +1291,184 @@ def profile_table(spark, sf_dir):
     return unpivoted.select(
         "col", "n", "n_nonnull", "n_distinct", "min_v", "max_v"
     ).orderBy("col")
+
+
+# ---------------------------------------------------------------------------
+# D8. benchmark decontamination — flag training docs sharing word-8-grams
+#     with an evaluation/benchmark set (the standard n-gram-collision
+#     decontamination pass run before every training job)
+# ---------------------------------------------------------------------------
+_SQL_G8_CTES = f"""
+    w AS (SELECT doc_id, {SQL_WORDS} AS ws FROM documents),
+    idx AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 7, 1) + 1)) AS g FROM w),
+    g8 AS (SELECT DISTINCT doc_id,
+                  ws[g]||' '||ws[g+1]||' '||ws[g+2]||' '||ws[g+3]||' '||
+                  ws[g+4]||' '||ws[g+5]||' '||ws[g+6]||' '||ws[g+7] AS s
+           FROM idx WHERE ws[g+7] IS NOT NULL)
+"""
+
+
+@query(
+    "decontaminate",
+    oracle=f"""
+    WITH {_SQL_G8_CTES},
+    bench AS (SELECT doc_id AS bench_id, s FROM g8 WHERE doc_id % 20 = 0),
+    train AS (SELECT doc_id, s FROM g8 WHERE doc_id % 20 <> 0)
+    SELECT t.doc_id, COUNT(DISTINCT t.s) AS n_grams_hit,
+           COUNT(DISTINCT b.bench_id) AS n_bench_docs
+    FROM train t JOIN bench b ON t.s = b.s
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+)
+def decontaminate(spark, sf_dir):
+    """Decontamination: training documents that share any word-8-gram with
+    the benchmark partition (here: every 20th doc_id stands in for the eval
+    set). 100 TB shape: benchmark sets are tiny (MBs of eval data against TBs
+    of corpus), so the benchmark's hashed-8-gram index BROADCASTS — the
+    collision check is a map-side hash probe over the corpus scan, no
+    shuffle until the tiny per-contaminated-doc aggregate. 8-gram hashes are
+    8-byte xxhash64 (collision P negligible; oracle joins the strings)."""
+    t = tokenized_docs(spark, sf_dir)
+    g8 = t.select(
+        "doc_id", F.explode(F.expr(NGRAMS.format(ws="ws", k=8))).alias("s")
+    ).select("doc_id", F.xxhash64("s").alias("h"))
+    bench = g8.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("bench_id"), "h"
+    )
+    train = g8.filter(F.col("doc_id") % 20 != 0)
+    return (
+        train.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("h").alias("n_grams_hit"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D9. duplicate-cluster connected components — min-label propagation over the
+#     near-dup pair graph (real pipelines keep ONE representative per dup
+#     CLUSTER, not per pair; a–b, b–c must collapse to one component)
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {SQL_SHINGLE_CTES},
+    {SQL_JACCARD_CAND_CTES},
+    jpairs AS (
+      SELECT p.a, p.b
+      FROM pair p JOIN cnt ca ON ca.doc_id = p.a JOIN cnt cb ON cb.doc_id = p.b
+      WHERE CAST(p.i AS DOUBLE) / (ca.n + cb.n - p.i) >= 0.8),
+    edges AS (SELECT a AS u, b AS v FROM jpairs UNION SELECT b, a FROM jpairs),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v)
+    SELECT u AS doc_id, CAST(LEAST(u, MIN(v)) AS BIGINT) AS component
+    FROM reach GROUP BY u ORDER BY doc_id
+    """,
+)
+def dedup_components(spark, sf_dir):
+    """Connected components over the jaccard-pair graph by iterative
+    min-label propagation: label(u) ← min(label(u), min label of u's
+    neighbors) until fixpoint; the component id is the minimum doc_id
+    reachable. Each round is one join + one aggregate on the EDGE list
+    (dup-pair edges are a vanishing fraction of the corpus, and dup-cluster
+    diameters are tiny — near-dup graphs are cliques-ish — so rounds ≈ 2-3;
+    production-scale alternative is large-star/small-star, same per-round
+    plan, O(log n) rounds guaranteed). localCheckpoint truncates the
+    iterative lineage so the plan does not grow per round. The driver loop
+    carries only a boolean (changed-count), never data."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("a", "b")
+    edges = pairs.union(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).toDF("u", "v").localCheckpoint()
+    labels = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("nmin"))
+        .select("u", F.least("u", "nmin").alias("lbl"))
+        .localCheckpoint()
+    )
+    for _ in range(30):
+        nbr = (
+            edges.join(labels.toDF("v", "vlbl"), "v")
+            .groupBy("u")
+            .agg(F.min("vlbl").alias("nlbl"))
+        )
+        new = (
+            labels.join(nbr, "u", "left")
+            .select("u", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.toDF("u", "new_lbl")
+            .join(labels, "u")
+            .filter(F.col("new_lbl") != F.col("lbl"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("doc_id"), F.col("lbl").alias("component")).orderBy(
+        "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# D10. mixture sampling — deterministic per-source sampling rates (data
+#      mixing: each source keeps a hash-stable fraction of its documents)
+# ---------------------------------------------------------------------------
+_DOC_HASH = (
+    "CAST(conv(concat_ws('', transform(sequence(15, 0, -1), "
+    "i -> substring(md5({key}), 17 + i*2, 2))), 16, 10) "
+    "AS DECIMAL(20,0))"
+)
+
+
+@query(
+    "corpus_mix_sample",
+    oracle=f"""
+    WITH r AS (
+      SELECT source,
+             20 + md5_number_lower(source) % 61 AS rate_pct
+      FROM (SELECT DISTINCT source FROM documents)),
+    b AS (
+      SELECT d.doc_id, d.source, r.rate_pct,
+             md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 100 AS bucket,
+             len({SQL_WORDS}) AS n_tokens
+      FROM documents d JOIN r USING (source))
+    SELECT source, CAST(MIN(rate_pct) AS BIGINT) AS rate_pct,
+           COUNT(*) FILTER (WHERE bucket < rate_pct) AS n_kept,
+           CAST(SUM(n_tokens) FILTER (WHERE bucket < rate_pct) AS BIGINT) AS kept_tokens
+    FROM b GROUP BY source ORDER BY source
+    """,
+)
+def corpus_mix_sample(spark, sf_dir):
+    """Data-mixing sampler: every source gets a deterministic sampling rate
+    (hash of the source name → 20–80%), and a document survives iff its own
+    stable hash bucket falls under the rate. Both hashes are content-derived
+    (no random()), so the sampled corpus is reproducible across runs,
+    engines, and repartitioning — and a document's fate never depends on
+    which executor saw it. Map-only until the per-source aggregate; the
+    source-rate table is tiny and computed inline (no driver collect)."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = (F.expr(_DOC_HASH.format(key="source")) % 61 + 20).alias("rate_pct")
+    bucket = F.expr(_DOC_HASH.format(key="CAST(doc_id AS STRING)")) % 100
+    b = d.select(
+        "source",
+        rate,
+        bucket.alias("bucket"),
+        F.expr(f"size({WORDS})").alias("n_tokens"),
+    )
+    kept = F.col("bucket") < F.col("rate_pct")
+    return (
+        b.groupBy("source")
+        .agg(
+            F.min("rate_pct").cast("long").alias("rate_pct"),
+            F.count(F.when(kept, 1)).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_tokens"))).cast("long").alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )

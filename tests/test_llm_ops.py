@@ -139,3 +139,26 @@ def test_jaccard_df_cap_bounds_boilerplate_join(spark, tmp_path):
     uncapped = _jaccard_candidates(sh, 10**9).count()
     assert capped == 1  # only the true near-dup pair
     assert uncapped >= 4950  # the boilerplate shingle alone is quadratic
+
+
+def test_dedup_components_merges_transitive_chain(spark, tmp_path):
+    """a~b and b~c above threshold but a~c below: components must still
+    merge all three via propagation (pairwise winner-picking cannot)."""
+    import pandas as pd
+
+    from flink_notebooks_spark.queries.llm import dedup_components, dedup_ngram_jaccard
+
+    words = [f"w{i}" for i in range(1, 46)]  # w1..w45
+    rows = [
+        {"doc_id": 1, "source": "s", "text": " ".join(words[0:40])},   # w1..w40
+        {"doc_id": 2, "source": "s", "text": " ".join(words[0:45])},   # w1..w45
+        {"doc_id": 3, "source": "s", "text": " ".join(words[5:45])},   # w6..w45
+        {"doc_id": 9, "source": "s", "text": "completely unrelated content here nine ten eleven"},
+    ]
+    pd.DataFrame(rows).to_parquet(f"{tmp_path}/documents.parquet")
+
+    pairs = {(r.a, r.b) for r in dedup_ngram_jaccard(spark, str(tmp_path)).collect()}
+    assert (1, 2) in pairs and (2, 3) in pairs and (1, 3) not in pairs
+
+    comp = {r.doc_id: r.component for r in dedup_components(spark, str(tmp_path)).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1}  # transitive closure, min-id representative
