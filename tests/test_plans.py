@@ -127,3 +127,62 @@ def test_tpch_q5_broadcasts_fixed_dims(spark, sf_dir):
     # nation + region are schema-fixed ≤25 rows → broadcast, never SMJ
     assert p.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_decontaminate_broadcasts_benchmark_index(spark, sf_dir):
+    """The eval-set gram index must broadcast: at 100 TB the corpus side is
+    TBs while benchmarks are MBs — a shuffle join here would shuffle the
+    whole corpus's 8-grams."""
+    p = plan_of(spark, sf_dir, "decontaminate")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_jaccard_has_no_cartesian_and_caps_index(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "dedup_ngram_jaccard")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_mix_sample_is_map_only_until_aggregate(spark, sf_dir):
+    """Hash-bucket sampling must not join or pre-shuffle: one scan, one
+    partial/final aggregate pair, one sort for the ordered output."""
+    p = plan_of(spark, sf_dir, "corpus_mix_sample")
+    import re
+
+    assert "Join" not in p
+    # exchanges: one for the aggregate, one for the final orderBy — never a
+    # third (a join or a non-partial aggregation would add one)
+    assert len(re.findall(r"\n\(\d+\) Exchange", p)) <= 2
+    assert "partial_" in p  # map-side combine before the shuffle
+
+
+def test_kafka_emulated_read_prunes_to_value(spark, tmp_path):
+    """The emulated-topic batch scan should only read the `value` column
+    when the query needs no record metadata (column pruning through
+    from_json)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from flink_notebooks_spark.engine.ddl import ColumnDef, TableDef
+    from flink_notebooks_spark.sources import kafka
+
+    tbl = TableDef(
+        name="t",
+        columns=[ColumnDef("id", T.LongType())],
+        options={
+            "connector": "kafka",
+            "topic": "plan_topic",
+            "properties.bootstrap.servers": f"file://{tmp_path}",
+            "format": "json",
+        },
+    )
+    kafka.write_batch(spark.range(3).select(F.col("id")), tbl, overwrite=False)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        kafka.build_batch(spark, tbl).explain("formatted")
+    p = buf.getvalue()
+    assert "ReadSchema: struct<value:binary>" in p
