@@ -186,6 +186,21 @@ SQL_JACCARD_CAND_CTES = f"""
     ORDER BY a, b
     """,
 )
+def jaccard_pairs_df(spark, sf_dir) -> DataFrame:
+    """Verified jaccard-≥0.8 pairs (a < b), persisted — consumed by the
+    jaccard query itself plus dedup_materialize (loser set) and
+    dedup_components (edge list): one candidate join + verification for all
+    three instead of three."""
+    from pyspark import StorageLevel
+
+    docs = shingled_docs(spark, sf_dir).filter(F.size("shingles") > 0)
+    sh = docs.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", F.xxhash64("s").alias("h")
+    )
+    out = _verify_pairs(docs, _jaccard_candidates(sh), 0.8)
+    return out.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def dedup_ngram_jaccard(spark, sf_dir):
     # Inverted-index self-join on shingle: candidate cost ∝ Σ_s df(s)² over
     # the CAPPED index (df ≤ JACCARD_DF_CAP), so no single shingle can make
@@ -196,11 +211,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # inverted-index shuffle carries 8-byte keys and compares longs. A hash
     # collision would need two distinct shingles in the same corpus to share
     # an xxhash64 (P ≈ n²/2⁶⁴ — negligible at any realistic shingle count).
-    docs = shingled_docs(spark, sf_dir).filter(F.size("shingles") > 0)
-    sh = docs.select("doc_id", F.explode("shingles").alias("s")).select(
-        "doc_id", F.xxhash64("s").alias("h")
-    )
-    return _verify_pairs(docs, _jaccard_candidates(sh), 0.8)
+    return jaccard_pairs_df(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -1056,7 +1067,7 @@ def dedup_materialize(spark, sf_dir):
         .filter(F.col("rn") > 1)
         .select("doc_id")
     )
-    fuzzy_losers = dedup_ngram_jaccard(spark, sf_dir).select(F.col("b").alias("doc_id"))
+    fuzzy_losers = jaccard_pairs_df(spark, sf_dir).select(F.col("b").alias("doc_id"))
     losers = exact_losers.union(fuzzy_losers).distinct()
     return (
         d.join(F.broadcast(losers), "doc_id", "left_anti")
@@ -1381,7 +1392,7 @@ def dedup_components(spark, sf_dir):
     plan, O(log n) rounds guaranteed). localCheckpoint truncates the
     iterative lineage so the plan does not grow per round. The driver loop
     carries only a boolean (changed-count), never data."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("a", "b")
+    pairs = jaccard_pairs_df(spark, sf_dir).select("a", "b")
     edges = pairs.union(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).toDF("u", "v").localCheckpoint()
