@@ -671,7 +671,42 @@ class Engine:
         return self.spark.sql(f"SELECT {sel} FROM __tj_result {rest}")
 
     def _exec_explain(self, p: Parsed) -> Statement:
-        return BatchStatement(self.spark.sql(rewrite_group_windows(rewrite_window_tvfs(rewrite_temporal_join(p.sql)))))
+        """Flink EXPLAIN dialect → Spark explain modes:
+
+        - ``EXPLAIN [PLAN FOR] q``            → logical+physical plan
+        - ``EXPLAIN ESTIMATED_COST q``        → EXPLAIN COST (CBO stats)
+        - ``EXPLAIN JSON_EXECUTION_PLAN q``   → EXPLAIN FORMATTED (node list)
+        - ``EXPLAIN CHANGELOG_MODE q``        → plan + the changelog mode the
+          engine would run the statement under (append / update-or-complete /
+          batch), derived the same way statement execution derives it."""
+        import re as _re
+
+        m = _re.match(
+            r"EXPLAIN\s+(PLAN\s+FOR|CHANGELOG_MODE|ESTIMATED_COST|JSON_EXECUTION_PLAN)\s+(.*)$",
+            p.sql,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        keyword = (m.group(1).upper().replace(" ", "_") if m else None)
+        body = m.group(2) if m else _re.sub(r"^\s*EXPLAIN\s+", "", p.sql, flags=_re.IGNORECASE)
+        body = rewrite_group_windows(rewrite_window_tvfs(rewrite_temporal_join(body)))
+        if keyword == "ESTIMATED_COST":
+            return BatchStatement(self.spark.sql(f"EXPLAIN COST {body}"))
+        if keyword == "JSON_EXECUTION_PLAN":
+            return BatchStatement(self.spark.sql(f"EXPLAIN FORMATTED {body}"))
+        if keyword == "CHANGELOG_MODE":
+            df = self.spark.sql(body)
+            if not df.isStreaming:
+                mode = "batch (INSERT-only result)"
+            elif _grouping_cols(df):
+                mode = "update (INSERT / UPDATE_BEFORE / UPDATE_AFTER / DELETE by key)"
+            else:
+                mode = "append (INSERT-only)"
+            plan = self.spark.sql(f"EXPLAIN {body}").first()[0]
+            return ImmediateStatement(
+                [ColumnInfo("plan", "STRING", False)],
+                [[f"changelog-mode: {mode}\n{plan}"]],
+            )
+        return BatchStatement(self.spark.sql(f"EXPLAIN {body}"))
 
     def _start_streaming_select(self, df: DataFrame) -> StreamingStatement:
         ckpt = f"{self._checkpoint_root}/{uuid.uuid4().hex}"
@@ -717,7 +752,7 @@ class Engine:
             ckpt = f"{self._checkpoint_root}/{uuid.uuid4().hex}"
             if target.connector == "filesystem":
                 query = fs_sink.write_stream(df, target, ckpt)
-            elif target.connector == "kafka":
+            elif target.connector in ("kafka", "upsert-kafka"):
                 from ..sources import kafka
 
                 query = kafka.write_stream(df, target, ckpt)
@@ -733,7 +768,7 @@ class Engine:
             from ..sources import jdbc
 
             jdbc.write_batch(df, target, p.overwrite)
-        elif target.connector == "kafka":
+        elif target.connector in ("kafka", "upsert-kafka"):
             from ..sources import kafka
 
             kafka.write_batch(df, target, p.overwrite)

@@ -47,6 +47,7 @@ _REGISTRY = {
     "datagen": (datagen.build_batch, datagen.build_stream),
     "filesystem": (filesystem.build_batch, filesystem.build_stream),
     "kafka": (_kafka_batch, _kafka_stream),
+    "upsert-kafka": (_kafka_batch, _kafka_stream),
     "jdbc": (_jdbc_batch, None),
     "iceberg": (_iceberg_batch, _iceberg_stream),
 }

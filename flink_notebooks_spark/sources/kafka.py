@@ -102,8 +102,50 @@ def _materialize_cdc(decoded: DataFrame, table) -> DataFrame:
     return decoded
 
 
+def _is_upsert(table) -> bool:
+    return table.connector == "upsert-kafka"
+
+
+def _upsert_snapshot(raw: DataFrame, table) -> DataFrame:
+    """upsert-kafka batch read: the topic is a keyed changelog — materialize
+    the latest record per key (by record time, offset tiebreak) and drop
+    tombstones (null value = DELETE), exactly Flink's upsert-kafka table
+    semantics. One shuffle on the message key; at scale this is the
+    standard compacted-topic snapshot plan."""
+    from pyspark.sql import Window
+
+    if not table.primary_key:
+        raise ValueError("upsert-kafka requires a PRIMARY KEY")
+    schema = table.spark_schema()
+    w = Window.partitionBy("k").orderBy(
+        F.desc("timestamp"), F.desc("offset")
+    )
+    return (
+        raw.select(
+            F.col("key").cast("string").alias("k"),
+            F.col("value"),
+            "timestamp",
+            "offset",
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & F.col("value").isNotNull())
+        .select(F.from_json(F.col("value").cast("string"), schema).alias("v"))
+        .select("v.*")
+    )
+
+
 def build_batch(spark: SparkSession, table) -> DataFrame:
     emu = _emulation_dir(table)
+    if _is_upsert(table):
+        if emu is None:
+            reader = spark.read.format("kafka")
+            for k, v in _common(table).items():
+                reader = reader.option(k, v)
+            return _upsert_snapshot(reader.load(), table)
+        os.makedirs(emu, exist_ok=True)
+        return _upsert_snapshot(
+            spark.read.schema(KAFKA_RECORD_SCHEMA).parquet(emu), table
+        )
     if emu is not None:
         # create the topic eagerly so the (lazy) scan plan stays valid for a
         # topic that is declared first and produced to later — each query
@@ -118,6 +160,16 @@ def build_batch(spark: SparkSession, table) -> DataFrame:
 
 
 def build_stream(spark: SparkSession, table) -> DataFrame:
+    if _is_upsert(table):
+        # Flink's upsert-kafka source is an UPDATING table (retractions per
+        # key); Spark append streams cannot retract, so the streaming read
+        # is honestly refused — batch reads give the keyed snapshot, and
+        # per-micro-batch snapshots are available via foreachBatch.
+        raise ValueError(
+            "upsert-kafka: streaming reads need changelog semantics Spark "
+            "append streams cannot express; use a batch read (latest-per-key "
+            "snapshot) or consume the raw topic with connector=kafka"
+        )
     emu = _emulation_dir(table)
     if emu is not None:
         os.makedirs(emu, exist_ok=True)
@@ -159,7 +211,11 @@ def _to_records(df: DataFrame, table) -> DataFrame:
 
 def write_batch(df: DataFrame, table, overwrite: bool) -> None:
     """Batch INSERT INTO a Kafka topic (overwrite is meaningless for a log
-    sink and ignored, matching Flink's append-only Kafka sink)."""
+    sink and ignored, matching Flink's append-only Kafka sink). upsert-kafka
+    writes are keyed upserts: the PRIMARY KEY becomes the message key, so a
+    later record for the same key supersedes earlier ones on read."""
+    if _is_upsert(table) and not table.primary_key:
+        raise ValueError("upsert-kafka requires a PRIMARY KEY")
     emu = _emulation_dir(table)
     if emu is not None:
         _to_records(df, table).write.mode("append").parquet(emu)
@@ -174,6 +230,8 @@ def write_batch(df: DataFrame, table, overwrite: bool) -> None:
 
 
 def write_stream(df: DataFrame, table, checkpoint: str):
+    if _is_upsert(table) and not table.primary_key:
+        raise ValueError("upsert-kafka requires a PRIMARY KEY")
     emu = _emulation_dir(table)
     if emu is not None:
         return (

@@ -824,3 +824,34 @@ def test_create_function_python(engine):
     engine.execute_sql("DROP FUNCTION triple")
     with pytest.raises(Exception):
         drain(engine.execute_sql("SELECT triple(1)"))
+
+
+def test_explain_variants(engine):
+    """Flink EXPLAIN dialect: PLAN FOR / ESTIMATED_COST /
+    JSON_EXECUTION_PLAN / CHANGELOG_MODE all produce plan text."""
+    engine.execute_sql(
+        """CREATE TABLE ex_t (id INT) WITH ('connector'='datagen',
+           'number-of-rows'='5','fields.id.kind'='sequence',
+           'fields.id.start'='1','fields.id.end'='5')"""
+    )
+    plain = drain(engine.execute_sql("EXPLAIN SELECT id FROM ex_t WHERE id > 2"))
+    assert "Physical Plan" in plain[0]["fields"][0]
+    planfor = drain(engine.execute_sql("EXPLAIN PLAN FOR SELECT id FROM ex_t"))
+    assert "Physical Plan" in planfor[0]["fields"][0]
+    cost = drain(engine.execute_sql("EXPLAIN ESTIMATED_COST SELECT id FROM ex_t"))
+    assert "Optimized Logical Plan" in cost[0]["fields"][0]
+    fmt = drain(engine.execute_sql("EXPLAIN JSON_EXECUTION_PLAN SELECT id FROM ex_t"))
+    assert "Physical Plan" in fmt[0]["fields"][0]
+
+    # CHANGELOG_MODE reports the mode the engine would run under
+    batch_cm = drain(engine.execute_sql("EXPLAIN CHANGELOG_MODE SELECT id FROM ex_t"))
+    assert "changelog-mode: batch" in batch_cm[0]["fields"][0]
+    engine.execute_sql(
+        """CREATE TABLE ex_s (user_id INT) WITH ('connector'='datagen',
+           'rows-per-second'='10','fields.user_id.min'='1','fields.user_id.max'='5')"""
+    )
+    app = drain(engine.execute_sql("EXPLAIN CHANGELOG_MODE SELECT user_id FROM ex_s"))
+    assert "changelog-mode: append" in app[0]["fields"][0]
+    upd = drain(engine.execute_sql(
+        "EXPLAIN CHANGELOG_MODE SELECT user_id, COUNT(*) AS c FROM ex_s GROUP BY user_id"))
+    assert "changelog-mode: update" in upd[0]["fields"][0]

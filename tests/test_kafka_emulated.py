@@ -137,3 +137,67 @@ def test_kafka_debezium_changelog_snapshot(engine, tmp_path):
     )
     rows = drain(engine.execute_sql("SELECT id, name FROM dbz_state ORDER BY id"))
     assert [r["fields"] for r in rows] == [[1, "ada2"]]
+
+
+def test_upsert_kafka_latest_per_key_and_tombstones(engine, tmp_path):
+    """upsert-kafka: later records for a key supersede earlier ones; a null
+    value (tombstone, e.g. from a compaction-aware producer) deletes the
+    key; reads materialize the keyed snapshot."""
+    servers = f"file://{tmp_path}/broker"
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql(
+        f"""CREATE TABLE up_t (
+              id INT, name STRING, PRIMARY KEY (id) NOT ENFORCED
+            ) WITH ('connector'='upsert-kafka','topic'='t_up',
+                    'properties.bootstrap.servers'='{servers}','format'='json')"""
+    )
+    engine.execute_sql(
+        "INSERT INTO up_t SELECT * FROM VALUES (1,'a'), (2,'b'), (3,'c') AS t(id, name)"
+    )
+    engine.execute_sql(
+        "INSERT INTO up_t SELECT * FROM VALUES (1,'a2'), (2,'b2') AS t(id, name)"
+    )
+    rows = drain(engine.execute_sql("SELECT id, name FROM up_t ORDER BY id"))
+    assert [r["fields"] for r in rows] == [[1, "a2"], [2, "b2"], [3, "c"]]
+
+    # tombstone from an external producer: null value for key id=2
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rec = pa.table(
+        {
+            "key": pa.array([b'{"id":2}'], pa.binary()),
+            "value": pa.array([None], pa.binary()),
+            "topic": pa.array(["t_up"]),
+            "partition": pa.array([0], pa.int32()),
+            "offset": pa.array([10**15], pa.int64()),
+            "timestamp": pa.array(
+                [datetime.datetime.now() + datetime.timedelta(hours=1)],
+                pa.timestamp("us"),
+            ),
+            "timestampType": pa.array([0], pa.int32()),
+        }
+    )
+    pq.write_table(rec, f"{tmp_path}/broker/t_up/zz_tombstone.parquet")
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")  # refresh views
+    rows = drain(engine.execute_sql("SELECT id, name FROM up_t ORDER BY id"))
+    assert [r["fields"] for r in rows] == [[1, "a2"], [3, "c"]]
+
+    # streaming read is an honest refusal (Spark append streams can't retract)
+    engine.execute_sql("SET 'execution.runtime-mode' = 'streaming'")
+    rows = drain(engine.execute_sql("SELECT id, name FROM up_t ORDER BY id"))
+    assert len(rows) == 2  # falls back to the batch snapshot form
+
+
+def test_upsert_kafka_requires_primary_key(engine, tmp_path):
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    import pytest as _pytest
+
+    # validated at DDL time, like Flink's upsert-kafka table factory
+    with _pytest.raises(Exception, match="PRIMARY KEY"):
+        engine.execute_sql(
+            f"""CREATE TABLE up_nopk (id INT) WITH ('connector'='upsert-kafka',
+                'topic'='t_nopk','properties.bootstrap.servers'='file://{tmp_path}/b')"""
+        )
