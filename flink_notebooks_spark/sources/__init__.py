@@ -43,12 +43,20 @@ def _iceberg_stream(spark: SparkSession, table) -> DataFrame:
     return iceberg.build_stream(spark, table)
 
 
+def _cdc_batch(spark: SparkSession, table) -> DataFrame:
+    from . import cdc
+
+    return cdc.build_batch(spark, table)
+
+
 _REGISTRY = {
     "datagen": (datagen.build_batch, datagen.build_stream),
     "filesystem": (filesystem.build_batch, filesystem.build_stream),
     "kafka": (_kafka_batch, _kafka_stream),
     "upsert-kafka": (_kafka_batch, _kafka_stream),
     "jdbc": (_jdbc_batch, None),
+    "postgres-cdc": (_cdc_batch, None),
+    "mysql-cdc": (_cdc_batch, None),
     "iceberg": (_iceberg_batch, _iceberg_stream),
 }
 

@@ -49,6 +49,59 @@ def parse_debezium(raw: DataFrame, value_col: str, row_type: T.StructType) -> Da
     ).select("op", "ts_ms", "row.*")
 
 
+# ---- CDC *connector* tables (postgres-cdc / mysql-cdc DDL shape) ----------
+# Flink's CDC connectors (reference CONNECTORS.md:124-140) tail the database
+# WAL via Debezium. Spark has no WAL tailer; the Spark-native mapping is:
+#   * batch read  = the CURRENT SNAPSHOT over JDBC — semantically what
+#     querying a Flink CDC table yields at any instant;
+#   * continuous  = route the change stream through a topic with
+#     'format'='debezium-json' (kafka.py), which this repo runs end-to-end.
+# The connector accepts Flink's hostname/port/database-name/schema-name/
+# table-name options; 'url'/'driver' overrides allow any JDBC database
+# (integration tests use Spark's embedded Derby).
+
+_CDC_URL = {
+    "postgres-cdc": "jdbc:postgresql://{host}:{port}/{db}",
+    "mysql-cdc": "jdbc:mysql://{host}:{port}/{db}",
+}
+_CDC_PORT = {"postgres-cdc": "5432", "mysql-cdc": "3306"}
+_CDC_DRIVER = {"postgres-cdc": "org.postgresql.Driver", "mysql-cdc": "com.mysql.cj.jdbc.Driver"}
+
+
+def build_batch(spark, table) -> DataFrame:
+    """Snapshot read of a CDC-declared table (PRIMARY KEY required, matching
+    Flink's CDC table factories). At scale the snapshot parallelizes with
+    scan.partition.* exactly like the jdbc connector (same reader)."""
+    if not table.primary_key:
+        raise ValueError(f"{table.connector} requires a PRIMARY KEY ... NOT ENFORCED")
+    o = table.options
+    url = o.get("url") or _CDC_URL[table.connector].format(
+        host=o.get("hostname", "localhost"),
+        port=o.get("port", _CDC_PORT[table.connector]),
+        db=o.get("database-name", ""),
+    )
+    name = o.get("table-name", table.name)
+    if table.connector == "postgres-cdc":
+        name = f"{o.get('schema-name', 'public')}.{name}"
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", name)
+        .option("driver", o.get("driver", _CDC_DRIVER[table.connector]))
+    )
+    for src, dst in (("username", "user"), ("password", "password")):
+        if src in o:
+            reader = reader.option(dst, o[src])
+    if "scan.partition.column" in o:
+        reader = (
+            reader.option("partitionColumn", o["scan.partition.column"])
+            .option("numPartitions", o.get("scan.partition.num", "4"))
+            .option("lowerBound", o.get("scan.partition.lower-bound", "0"))
+            .option("upperBound", o.get("scan.partition.upper-bound", "1000000"))
+        )
+    return reader.load()
+
+
 def apply_changelog(changes: DataFrame, keys: list[str]) -> DataFrame:
     """Materialize the current snapshot: keep each key's latest change
     (by ts_ms; op as a deterministic tiebreak within a transaction batch),

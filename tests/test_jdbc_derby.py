@@ -97,3 +97,42 @@ def test_jdbc_lookup_join_from_stream(engine, tmp_path):
     stmt.cancel()
     assert len(rows) >= 5
     assert all(r["fields"][1] == f"n{r['fields'][0]}" for r in rows)
+
+
+def test_cdc_connector_snapshot_over_derby(engine, tmp_path):
+    """The reference's postgres-cdc table shape (CONNECTORS.md:124-140):
+    batch reads of a CDC-declared table are the current snapshot; a change
+    in the database shows up on the next view refresh. Derby stands in for
+    Postgres via the url/driver overrides (same JDBC reader)."""
+    url = f"jdbc:derby:{tmp_path}/cdcdb;create=true"
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql(
+        f"""CREATE TABLE seedtbl (id INT, name STRING) WITH ('connector'='jdbc',
+            'url'='{url}', 'table-name'='USERS', 'driver'='{DRIVER}')"""
+    )
+    engine.execute_sql(
+        "INSERT OVERWRITE seedtbl SELECT * FROM VALUES (1,'ada'), (2,'bob') AS t(id, name)"
+    )
+    engine.execute_sql(
+        f"""CREATE TABLE users_cdc (
+              id INT, name STRING, PRIMARY KEY (id) NOT ENFORCED
+            ) WITH ('connector'='postgres-cdc', 'url'='{url}',
+                    'schema-name'='APP', 'table-name'='USERS', 'driver'='{DRIVER}')"""
+    )
+    rows = drain(engine.execute_sql("SELECT id, name FROM users_cdc ORDER BY id"))
+    assert [r["fields"] for r in rows] == [[1, "ada"], [2, "bob"]]
+
+    # database changes → next refresh sees the new state
+    engine.execute_sql("INSERT INTO seedtbl SELECT * FROM VALUES (3,'eve') AS t(id, name)")
+    rows = drain(engine.execute_sql("SELECT id, name FROM users_cdc ORDER BY id"))
+    assert [r["fields"] for r in rows] == [[1, "ada"], [2, "bob"], [3, "eve"]]
+
+
+def test_cdc_connector_requires_primary_key(engine, tmp_path):
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    with pytest.raises(Exception, match="PRIMARY KEY"):
+        engine.execute_sql(
+            f"""CREATE TABLE nopk_cdc (id INT) WITH ('connector'='postgres-cdc',
+                'url'='jdbc:derby:{tmp_path}/x;create=true', 'table-name'='T',
+                'driver'='{DRIVER}')"""
+        )
