@@ -1483,3 +1483,47 @@ def corpus_mix_sample(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# D11. corpus-frequency quality features — per-document term-frequency stats
+#      (rare-word ratio is the classic cheap quality signal: gibberish and
+#      boilerplate sit at the two extremes of mean corpus frequency)
+# ---------------------------------------------------------------------------
+@query(
+    "tf_quality_features",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, unnest({SQL_WORDS}) AS word FROM documents),
+    f AS (SELECT word, COUNT(*) AS n_occ FROM w GROUP BY word)
+    SELECT w.doc_id, COUNT(*) AS n_words,
+           ROUND(CAST(SUM(f.n_occ) AS DOUBLE) / COUNT(*), 6) AS mean_tf,
+           ROUND(CAST(COUNT(*) FILTER (WHERE f.n_occ <= 2) AS DOUBLE)
+                 / COUNT(*), 6) AS rare_ratio
+    FROM w JOIN f USING (word)
+    GROUP BY w.doc_id ORDER BY w.doc_id
+    """,
+)
+def tf_quality_features(spark, sf_dir):
+    """Two-pass corpus-frequency features: (1) build the term-frequency
+    table (one shuffle on word), (2) score each document against it. The TF
+    table is vocabulary-sized — even web-scale corpora have vocabularies
+    in the low hundreds of millions, and a capped top-K + OOV floor keeps
+    it broadcastable — so scoring is a map-side broadcast probe, no shuffle
+    of the corpus. All features derive from integer counts (sums exact in
+    doubles ≪ 2^53), so values are bit-stable at any parallelism — the same
+    determinism rule the money aggregates use (README scale notes)."""
+    t = tokenized_docs(spark, sf_dir)
+    w = t.select("doc_id", F.explode("ws").alias("word"))
+    freq = w.groupBy("word").agg(F.count("*").alias("n_occ"))
+    return (
+        w.join(F.broadcast(freq), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.round(F.sum("n_occ").cast("double") / F.count("*"), 6).alias("mean_tf"),
+            F.round(
+                F.count(F.when(F.col("n_occ") <= 2, 1)).cast("double") / F.count("*"), 6
+            ).alias("rare_ratio"),
+        )
+        .orderBy("doc_id")
+    )
