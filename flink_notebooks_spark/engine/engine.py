@@ -127,6 +127,37 @@ class Engine:
         self.statements: list[Statement] = []
         self._listeners: list = []
         self._checkpoint_root = tempfile.mkdtemp(prefix="fns-ckpt-")
+        self._register_flink_builtins()
+
+    # Flink SQL built-ins Spark lacks under those names, provided as
+    # session-scoped SQL UDFs (pure expressions — they inline into codegen,
+    # no Python). Each mirrors the Flink function's documented semantics.
+    _FLINK_BUILTINS = (
+        # SPLIT_INDEX: 0-based, LITERAL separator (\Q..\E quotes regex chars)
+        r"""SPLIT_INDEX(s STRING, sep STRING, i INT) RETURNS STRING
+            RETURN element_at(split(s, concat('\\Q', sep, '\\E')), i + 1)""",
+        r"""JSON_VALUE(j STRING, p STRING) RETURNS STRING
+            RETURN get_json_object(j, p)""",
+        r"""JSON_QUERY(j STRING, p STRING) RETURNS STRING
+            RETURN get_json_object(j, p)""",
+        # missing path and null value are both non-existent (Flink's default
+        # FALSE ON ERROR behavior for scalar paths)
+        r"""JSON_EXISTS(j STRING, p STRING) RETURNS BOOLEAN
+            RETURN get_json_object(j, p) IS NOT NULL""",
+        r"""TO_BASE64(s STRING) RETURNS STRING RETURN base64(encode(s, 'UTF-8'))""",
+        r"""FROM_BASE64(s STRING) RETURNS STRING RETURN decode(unbase64(s), 'UTF-8')""",
+        # numeric TRUNCATE(x, d): toward zero, like Flink/MySQL
+        r"""TRUNCATE(x DOUBLE, d INT) RETURNS DOUBLE
+            RETURN sign(x) * floor(abs(x) * pow(10, d)) / pow(10, d)""",
+        r"""REGEXP(s STRING, p STRING) RETURNS BOOLEAN RETURN s RLIKE p""",
+    )
+
+    def _register_flink_builtins(self) -> None:
+        for ddl in self._FLINK_BUILTINS:
+            try:
+                self.spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {ddl}")
+            except Exception:  # noqa: BLE001 — never block session creation
+                pass
 
     # ------------------------------------------------------------------ mode
     @property

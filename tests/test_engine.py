@@ -855,3 +855,22 @@ def test_explain_variants(engine):
     upd = drain(engine.execute_sql(
         "EXPLAIN CHANGELOG_MODE SELECT user_id, COUNT(*) AS c FROM ex_s GROUP BY user_id"))
     assert "changelog-mode: update" in upd[0]["fields"][0]
+
+
+def test_flink_builtin_compatibility_functions(engine):
+    """Flink SQL built-ins Spark lacks under those names, served as inlined
+    SQL UDFs: SPLIT_INDEX (0-based, literal separator), JSON_VALUE/QUERY/
+    EXISTS, TO_/FROM_BASE64, numeric TRUNCATE (toward zero), REGEXP."""
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    rows = drain(engine.execute_sql(
+        """SELECT SPLIT_INDEX('a.b.c', '.', 1) AS si,
+                  JSON_VALUE('{"k": {"v": 7}}', '$.k.v') AS jv,
+                  JSON_EXISTS('{"k": 1}', '$.k') AS je,
+                  JSON_EXISTS('{"k": 1}', '$.z') AS jn,
+                  TO_BASE64('hi') AS tb, FROM_BASE64('aGk=') AS fb,
+                  TRUNCATE(-4.567, 2) AS tr, TRUNCATE(4.567, 0) AS tz,
+                  REGEXP('hello', 'l+') AS re"""
+    ))
+    assert rows[0]["fields"] == [
+        "b", "7", True, False, "aGk=", "hi", -4.56, 4.0, True
+    ]
