@@ -187,3 +187,70 @@ def test_match_recognize_matches_naive(spark, symbols, quant, skip_past):
     ).orderBy("start_t").collect()
     got = [(r["start_t"], r["last_c"] + 1) for r in out]
     assert got == expected
+
+
+# --------------------------------------------------------------------- DDL
+_TYPES = [
+    "INT", "BIGINT", "DOUBLE", "FLOAT", "BOOLEAN", "STRING", "VARCHAR(40)",
+    "DECIMAL(10,2)", "TIMESTAMP(3)", "DATE", "ARRAY<STRING>",
+    "MAP<STRING, INT>", "ROW<a INT, b STRING>",
+]
+_ident = st.from_regex(r"[a-z][a-z0-9_]{0,14}", fullmatch=True)
+
+
+@given(
+    cols=st.lists(
+        st.tuples(_ident, st.sampled_from(_TYPES), st.booleans()),
+        min_size=1, max_size=8,
+        unique_by=lambda c: c[0],
+    ),
+    pk=st.booleans(),
+    opts=st.dictionaries(
+        st.from_regex(r"[a-z][a-z0-9.\-]{0,14}", fullmatch=True),
+        st.from_regex(r"[a-zA-Z0-9_/:.\-]{0,16}", fullmatch=True),
+        min_size=1, max_size=5,
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_ddl_parse_render_parse_fixpoint(cols, pk, opts):
+    """Property: parse(render(parse(ddl))) is a fixpoint — column names,
+    types, nullability, PRIMARY KEY, and options survive a round trip
+    through the parser and the SHOW CREATE TABLE renderer."""
+    from flink_notebooks_spark.engine.ddl import parse_statement
+    from flink_notebooks_spark.engine.types import to_flink_type
+
+    opts = {"connector": "filesystem", **opts}
+    body = ",\n".join(
+        f"`{n}` {t}{'' if nullable else ' NOT NULL'}" for n, t, nullable in cols
+    )
+    if pk:
+        body += f",\nPRIMARY KEY (`{cols[0][0]}`) NOT ENFORCED"
+    with_clause = ",\n".join(f"'{k}' = '{v}'" for k, v in opts.items())
+    ddl = f"CREATE TABLE t1 (\n{body}\n) WITH (\n{with_clause}\n)"
+
+    t = parse_statement(ddl).table
+    assert [c.name for c in t.columns] == [n for n, _, _ in cols]
+    assert [c.nullable for c in t.columns] == [nb for _, _, nb in cols]
+    assert t.options == opts
+    assert t.primary_key == ([cols[0][0]] if pk else [])
+
+    # re-render exactly the way SHOW CREATE TABLE does, re-parse, compare
+    parts = []
+    for c in t.columns:
+        nn = "" if c.nullable else " NOT NULL"
+        parts.append(f"  `{c.name}` {to_flink_type(c.data_type)}{nn}")
+    if t.primary_key:
+        parts.append(
+            "  PRIMARY KEY (" + ", ".join(f"`{k}`" for k in t.primary_key) + ") NOT ENFORCED"
+        )
+    rendered = (
+        "CREATE TABLE `t1` (\n" + ",\n".join(parts) + "\n) WITH (\n"
+        + ",\n".join(f"  '{k}' = '{v}'" for k, v in sorted(t.options.items()))
+        + "\n)"
+    )
+    t2 = parse_statement(rendered).table
+    assert [(c.name, c.data_type, c.nullable) for c in t2.columns] == [
+        (c.name, c.data_type, c.nullable) for c in t.columns
+    ]
+    assert t2.options == t.options
+    assert t2.primary_key == t.primary_key
