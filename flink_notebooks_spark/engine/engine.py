@@ -610,8 +610,14 @@ class Engine:
     def _exec_query(self, p: Parsed) -> Statement:
         from ..operators import sql_match_recognize
 
-        mr = sql_match_recognize(self.spark, p.sql)
+        mr = sql_match_recognize(
+            self.spark,
+            p.sql,
+            close_after=self.properties.get("match-recognize.close-after"),
+        )
         if mr is not None:
+            if mr.isStreaming:
+                return self._start_streaming_select(mr)
             return BatchStatement(mr)
         tj = self._try_versioned_temporal_join(p.sql)
         if tj is not None:

@@ -855,10 +855,13 @@ _MR_HEAD = re.compile(
 )
 
 
-def sql_match_recognize(spark, sql: str) -> DataFrame | None:
+def sql_match_recognize(spark, sql: str, close_after: str | None = None) -> DataFrame | None:
     """Execute ``SELECT * FROM t MATCH_RECOGNIZE (...) [AS x] [ORDER BY/
     LIMIT ...]`` against registered tables; None when the statement is not a
-    MATCH_RECOGNIZE query (caller falls through to Catalyst)."""
+    MATCH_RECOGNIZE query (caller falls through to Catalyst). Streaming
+    tables route to ``match_recognize_stream``; ``close_after`` (the
+    engine's 'match-recognize.close-after' session property) sets its idle
+    conclusion deadline."""
     m = _MR_HEAD.search(sql)
     if m is None:
         return None
@@ -880,7 +883,7 @@ def sql_match_recognize(spark, sql: str) -> DataFrame | None:
     rest = re.sub(r"^AS\s+\w+", "", rest, flags=re.IGNORECASE).strip()
     src = spark.table(m.group(1))
     out = (
-        match_recognize_stream(src, clause)
+        match_recognize_stream(src, clause, close_after=close_after)
         if src.isStreaming
         else match_recognize(src, clause)
     )

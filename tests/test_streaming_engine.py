@@ -303,3 +303,60 @@ def test_partial_pages_do_not_strand_rows():
     assert stmt.fetch(p1.next_token).result_type == "NOT_READY"
     stmt.query.stop()
     assert stmt.fetch(p1.next_token).result_type == "EOS"
+
+
+def test_streaming_match_recognize_through_sql(spark, tmp_path):
+    """MATCH_RECOGNIZE on a STREAMING table through the engine's SQL
+    surface: keyed state, frontier emission, and the
+    'match-recognize.close-after' session property concluding tail matches
+    once the watermark passes the idle deadline (the far-future noise row
+    advances it, like Flink's end-of-input watermark)."""
+    import time
+
+    import pandas as pd
+
+    from flink_notebooks_spark.engine import Engine
+
+    rows = [
+        # user 1 funnel: view(10) click(20) click(30) purchase(40)
+        {"user_id": 1, "ts_s": 10, "event_type": "view"},
+        {"user_id": 1, "ts_s": 20, "event_type": "click"},
+        {"user_id": 1, "ts_s": 30, "event_type": "click"},
+        {"user_id": 1, "ts_s": 40, "event_type": "purchase"},
+        # user 2: no purchase → no match
+        {"user_id": 2, "ts_s": 10, "event_type": "view"},
+        {"user_id": 2, "ts_s": 20, "event_type": "click"},
+        # far-future noise advances the watermark past every deadline
+        {"user_id": 99, "ts_s": 10_000, "event_type": "other"},
+    ]
+    pdf = pd.DataFrame(rows)
+    pdf["ev_time"] = pd.to_datetime(pdf["ts_s"], unit="s").astype("datetime64[us]")
+    pdf.to_parquet(f"{tmp_path}/events.parquet")
+
+    eng = Engine(spark)
+    eng.execute_sql("SET 'match-recognize.close-after' = '1 second'")
+    eng.execute_sql(
+        f"""CREATE TABLE mrstream (
+              user_id BIGINT, ts_s BIGINT, event_type STRING, ev_time TIMESTAMP_LTZ(3),
+              WATERMARK FOR ev_time AS ev_time - INTERVAL '0' SECOND
+            ) WITH ('connector'='filesystem','path'='{tmp_path}','format'='parquet')"""
+    )
+    stmt = eng.execute_sql(
+        """SELECT * FROM mrstream MATCH_RECOGNIZE (
+             PARTITION BY user_id
+             ORDER BY ev_time
+             MEASURES FIRST(A.ts_s) AS start_s, LAST(C.ts_s) AS end_s,
+                      COUNT(B.*) AS n_clicks
+             PATTERN (A B+ C)
+             DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click',
+                    C AS C.event_type = 'purchase'
+           )"""
+    )
+    got, t0 = [], time.time()
+    while not got and time.time() - t0 < 90:
+        page = stmt.fetch(0, max_rows=100)
+        got = [r["fields"] for r in page.data]
+        time.sleep(0.5)
+    stmt.cancel()
+    eng.close()
+    assert got == [[1, 10, 40, 2]]
