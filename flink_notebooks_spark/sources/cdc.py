@@ -49,6 +49,79 @@ def parse_debezium(raw: DataFrame, value_col: str, row_type: T.StructType) -> Da
     ).select("op", "ts_ms", "row.*")
 
 
+def canal_schema(row_type: T.StructType) -> T.StructType:
+    """Canal envelope: batched row images in ``data`` (also for DELETE),
+    ``type`` INSERT/UPDATE/DELETE (DDL events carry no data), ``ts`` ms."""
+    return T.StructType(
+        [
+            T.StructField("data", T.ArrayType(row_type)),
+            T.StructField("old", T.ArrayType(row_type)),
+            T.StructField("type", T.StringType()),
+            T.StructField("ts", T.LongType()),
+        ]
+    )
+
+
+def parse_canal(raw: DataFrame, value_col: str, row_type: T.StructType) -> DataFrame:
+    """canal-json → the same (op, ts_ms, row.*) change-row shape as
+    ``parse_debezium``: one output row per ``data`` element (a Canal message
+    batches rows), DML types mapped onto Debezium ops, DDL events (null
+    ``data``) dropped. Map-only — explode + projections, no shuffle."""
+    env = raw.withColumn(
+        "_env", F.from_json(F.col(value_col).cast("string"), canal_schema(row_type))
+    )
+    op = (
+        F.when(F.col("_env.type") == "INSERT", F.lit("c"))
+        .when(F.col("_env.type") == "UPDATE", F.lit("u"))
+        .when(F.col("_env.type") == "DELETE", F.lit("d"))
+    )
+    return (
+        env.filter(F.col("_env.data").isNotNull() & op.isNotNull())
+        .select(
+            op.alias("op"),
+            F.col("_env.ts").alias("ts_ms"),
+            F.explode(F.col("_env.data")).alias("row"),
+        )
+        .select("op", "ts_ms", "row.*")
+    )
+
+
+def maxwell_schema(row_type: T.StructType) -> T.StructType:
+    """Maxwell envelope: single row image in ``data`` (also for DELETE),
+    ``type`` insert/update/delete/bootstrap-insert, ``ts`` SECONDS."""
+    return T.StructType(
+        [
+            T.StructField("data", row_type),
+            T.StructField("old", row_type),
+            T.StructField("type", T.StringType()),
+            T.StructField("ts", T.LongType()),
+        ]
+    )
+
+
+def parse_maxwell(raw: DataFrame, value_col: str, row_type: T.StructType) -> DataFrame:
+    """maxwell-json → (op, ts_ms, row.*); ``bootstrap-insert`` maps to the
+    snapshot-read op 'r', seconds scale to ms. Map-only."""
+    env = raw.withColumn(
+        "_env", F.from_json(F.col(value_col).cast("string"), maxwell_schema(row_type))
+    )
+    op = (
+        F.when(F.col("_env.type") == "insert", F.lit("c"))
+        .when(F.col("_env.type") == "update", F.lit("u"))
+        .when(F.col("_env.type") == "delete", F.lit("d"))
+        .when(F.col("_env.type") == "bootstrap-insert", F.lit("r"))
+    )
+    return (
+        env.filter(F.col("_env.data").isNotNull() & op.isNotNull())
+        .select(
+            op.alias("op"),
+            (F.col("_env.ts") * F.lit(1000)).alias("ts_ms"),
+            F.col("_env.data").alias("row"),
+        )
+        .select("op", "ts_ms", "row.*")
+    )
+
+
 # ---- CDC *connector* tables (postgres-cdc / mysql-cdc DDL shape) ----------
 # Flink's CDC connectors (reference CONNECTORS.md:124-140) tail the database
 # WAL via Debezium. Spark has no WAL tailer; the Spark-native mapping is:

@@ -1,9 +1,10 @@
 """Kafka connector adapter (SURVEY.md S4; reference CONNECTORS.md:98-109).
 
-Maps the Flink Kafka table options onto Spark's Kafka source with JSON
-payload decoding (``from_json`` against the declared schema), including the
-``debezium-json`` changelog format the reference's CDC pipelines publish
-through Kafka (CONNECTORS.md:124-140).
+Maps the Flink Kafka table options onto Spark's Kafka source with payload
+formats ``json``, ``csv``, ``raw`` (single-column verbatim bytes), and the
+three changelog envelopes the reference's CDC pipelines publish through
+Kafka (CONNECTORS.md:124-140): ``debezium-json``, ``canal-json``,
+``maxwell-json`` — all decoded map-only against the declared schema.
 
 Transports:
 
@@ -71,31 +72,66 @@ def _common(table) -> dict[str, str]:
     return opts
 
 
+# changelog envelope formats → (op, ts_ms, row.*) parser (cdc.py). All three
+# decode map-only; batch reads then materialize the latest-per-key snapshot.
+CDC_FORMATS = ("debezium-json", "canal-json", "maxwell-json")
+_FORMATS = ("json", "csv", "raw") + CDC_FORMATS
+
+
+def _fmt(table) -> str:
+    return table.options.get("format", table.options.get("value.format", "json"))
+
+
+def _raw_column(table):
+    """Flink's ``raw`` format carries ONE physical column as the record
+    value verbatim; only string/binary payloads are byte-exact mappings."""
+    schema = table.spark_schema()
+    if len(schema.fields) != 1:
+        raise ValueError("kafka raw format requires exactly one physical column")
+    f = schema.fields[0]
+    if not isinstance(f.dataType, (T.StringType, T.BinaryType)):
+        raise ValueError("kafka raw format supports STRING or BYTES columns")
+    return f
+
+
 def _decode(df: DataFrame, table) -> DataFrame:
-    fmt = table.options.get("format", table.options.get("value.format", "json"))
+    fmt = _fmt(table)
     schema = table.spark_schema()
     if fmt == "json":
         return df.select(
             F.from_json(F.col("value").cast("string"), schema).alias("v")
         ).select("v.*")
-    if fmt == "debezium-json":
+    if fmt == "csv":
+        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+        return df.select(
+            F.from_csv(F.col("value").cast("string"), ddl).alias("v")
+        ).select("v.*")
+    if fmt == "raw":
+        f = _raw_column(table)
+        return df.select(F.col("value").cast(f.dataType).alias(f.name))
+    if fmt in CDC_FORMATS:
         # changelog rows: op (c/u/d/r), ts_ms, flattened row image. Batch
         # reads materialize the snapshot in build_batch; streaming reads
         # surface the change rows (apply cdc.apply_changelog per micro-batch
         # downstream — Spark append streams cannot retract).
-        from .cdc import parse_debezium
+        from . import cdc
 
-        return parse_debezium(df, "value", schema)
-    raise ValueError(f"kafka: unsupported format {fmt!r} (json | debezium-json)")
+        parse = {
+            "debezium-json": cdc.parse_debezium,
+            "canal-json": cdc.parse_canal,
+            "maxwell-json": cdc.parse_maxwell,
+        }[fmt]
+        return parse(df, "value", schema)
+    raise ValueError(f"kafka: unsupported format {fmt!r} (one of {', '.join(_FORMATS)})")
 
 
 def _materialize_cdc(decoded: DataFrame, table) -> DataFrame:
-    """debezium-json batch read → latest-per-key snapshot (Flink's CDC table
-    semantics: querying the table sees the current state)."""
-    fmt = table.options.get("format", table.options.get("value.format", "json"))
-    if fmt == "debezium-json" and not decoded.isStreaming:
+    """Changelog-format batch read → latest-per-key snapshot (Flink's CDC
+    table semantics: querying the table sees the current state)."""
+    fmt = _fmt(table)
+    if fmt in CDC_FORMATS and not decoded.isStreaming:
         if not table.primary_key:
-            raise ValueError("kafka debezium-json table requires a PRIMARY KEY")
+            raise ValueError(f"kafka {fmt} table requires a PRIMARY KEY")
         from .cdc import apply_changelog
 
         return apply_changelog(decoded, table.primary_key)
@@ -181,11 +217,58 @@ def build_stream(spark: SparkSession, table) -> DataFrame:
     return _decode(reader.load(), table)
 
 
+def _encode_value(df: DataFrame, table):
+    """rows → the record's value bytes per the table's format. INSERT into a
+    changelog-format topic encodes each row as an insert-only envelope
+    (Flink's sink behavior for append inputs). All encodings are map-only
+    JVM expressions."""
+    fmt = _fmt(table)
+    row = F.struct(*df.columns)
+    if fmt == "json":
+        enc = F.to_json(row)
+    elif fmt == "csv":
+        enc = F.to_csv(row)
+    elif fmt == "raw":
+        f = _raw_column(table)
+        if f.name not in df.columns:
+            raise ValueError(f"kafka raw write needs column {f.name!r}")
+        return F.col(f.name).cast("binary").alias("value")
+    elif fmt == "debezium-json":
+        enc = F.to_json(
+            F.struct(
+                F.lit(None).cast(table.spark_schema()).alias("before"),
+                row.alias("after"),
+                F.lit("c").alias("op"),
+                (F.unix_timestamp(F.current_timestamp()) * 1000).alias("ts_ms"),
+            )
+        )
+    elif fmt == "canal-json":
+        enc = F.to_json(
+            F.struct(
+                F.array(row).alias("data"),
+                F.lit(None).cast(T.ArrayType(table.spark_schema())).alias("old"),
+                F.lit("INSERT").alias("type"),
+                (F.unix_timestamp(F.current_timestamp()) * 1000).alias("ts"),
+            )
+        )
+    elif fmt == "maxwell-json":
+        enc = F.to_json(
+            F.struct(
+                row.alias("data"),
+                F.lit("insert").alias("type"),
+                F.unix_timestamp(F.current_timestamp()).alias("ts"),
+            )
+        )
+    else:
+        raise ValueError(f"kafka: unsupported format {fmt!r} (one of {', '.join(_FORMATS)})")
+    return enc.cast("binary").alias("value")
+
+
 def _to_records(df: DataFrame, table) -> DataFrame:
-    """rows → Kafka record shape with a JSON value payload (same encoding
-    for both transports). Keyed tables put the JSON-encoded primary key in
-    ``key``, like Flink's upsert-kafka."""
-    payload = F.to_json(F.struct(*df.columns)).cast("binary").alias("value")
+    """rows → Kafka record shape with a format-encoded value payload (same
+    encoding for both transports). Keyed tables put the JSON-encoded primary
+    key in ``key``, like Flink's upsert-kafka."""
+    payload = _encode_value(df, table)
     key = (
         F.to_json(F.struct(*table.primary_key)).cast("binary")
         if getattr(table, "primary_key", None)
@@ -220,7 +303,7 @@ def write_batch(df: DataFrame, table, overwrite: bool) -> None:
     if emu is not None:
         _to_records(df, table).write.mode("append").parquet(emu)
         return
-    payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    payload = df.select(_encode_value(df, table))
     (
         payload.write.format("kafka")
         .option("kafka.bootstrap.servers", _servers(table))
@@ -241,7 +324,7 @@ def write_stream(df: DataFrame, table, checkpoint: str):
             .option("checkpointLocation", checkpoint)
             .start()
         )
-    payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    payload = df.select(_encode_value(df, table))
     return (
         payload.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", _servers(table))

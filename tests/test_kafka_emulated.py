@@ -201,3 +201,116 @@ def test_upsert_kafka_requires_primary_key(engine, tmp_path):
             f"""CREATE TABLE up_nopk (id INT) WITH ('connector'='upsert-kafka',
                 'topic'='t_nopk','properties.bootstrap.servers'='file://{tmp_path}/b')"""
         )
+
+
+def test_kafka_canal_json_changelog_snapshot(engine, tmp_path):
+    """canal-json: batched row images in `data`, DML `type`, DDL events
+    ignored; a PK table materializes the latest state per key."""
+    servers = f"file://{tmp_path}/broker"
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql(
+        f"""CREATE TABLE canal_pub (
+              data ARRAY<ROW<id INT, name STRING>>, old ARRAY<ROW<id INT, name STRING>>,
+              type STRING, ts BIGINT
+            ) WITH ('connector'='kafka','topic'='t_canal',
+                    'properties.bootstrap.servers'='{servers}','format'='json')"""
+    )
+    engine.execute_sql(
+        """INSERT INTO canal_pub
+           SELECT * FROM VALUES
+             (array(named_struct('id', 1, 'name', 'ada'), named_struct('id', 2, 'name', 'bob')),
+              CAST(NULL AS ARRAY<STRUCT<id INT, name STRING>>), 'INSERT', 1000),
+             (array(named_struct('id', 1, 'name', 'ada2')),
+              array(named_struct('id', 1, 'name', 'ada')), 'UPDATE', 1001),
+             (array(named_struct('id', 2, 'name', 'bob')),
+              CAST(NULL AS ARRAY<STRUCT<id INT, name STRING>>), 'DELETE', 1002),
+             (CAST(NULL AS ARRAY<STRUCT<id INT, name STRING>>),
+              CAST(NULL AS ARRAY<STRUCT<id INT, name STRING>>), 'CREATE', 1003)
+           AS t(data, old, type, ts)"""
+    )
+    engine.execute_sql(
+        f"""CREATE TABLE canal_state (
+              id INT, name STRING, PRIMARY KEY (id) NOT ENFORCED
+            ) WITH ('connector'='kafka','topic'='t_canal',
+                    'properties.bootstrap.servers'='{servers}','format'='canal-json')"""
+    )
+    rows = drain(engine.execute_sql("SELECT id, name FROM canal_state ORDER BY id"))
+    assert [r["fields"] for r in rows] == [[1, "ada2"]]
+
+
+def test_kafka_maxwell_json_changelog_snapshot(engine, tmp_path):
+    """maxwell-json: single row image in `data`, lowercase `type`, seconds
+    timestamps, bootstrap-insert as snapshot read."""
+    servers = f"file://{tmp_path}/broker"
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql(
+        f"""CREATE TABLE mxw_pub (
+              data ROW<id INT, name STRING>, old ROW<id INT, name STRING>,
+              type STRING, ts BIGINT
+            ) WITH ('connector'='kafka','topic'='t_mxw',
+                    'properties.bootstrap.servers'='{servers}','format'='json')"""
+    )
+    engine.execute_sql(
+        """INSERT INTO mxw_pub
+           SELECT * FROM VALUES
+             (named_struct('id', 1, 'name', 'ada'), CAST(NULL AS STRUCT<id INT, name STRING>), 'bootstrap-insert', 10),
+             (named_struct('id', 2, 'name', 'bob'), CAST(NULL AS STRUCT<id INT, name STRING>), 'insert', 11),
+             (named_struct('id', 1, 'name', 'ada2'), named_struct('id', 1, 'name', 'ada'), 'update', 12),
+             (named_struct('id', 2, 'name', 'bob'), CAST(NULL AS STRUCT<id INT, name STRING>), 'delete', 13)
+           AS t(data, old, type, ts)"""
+    )
+    engine.execute_sql(
+        f"""CREATE TABLE mxw_state (
+              id INT, name STRING, PRIMARY KEY (id) NOT ENFORCED
+            ) WITH ('connector'='kafka','topic'='t_mxw',
+                    'properties.bootstrap.servers'='{servers}','format'='maxwell-json')"""
+    )
+    rows = drain(engine.execute_sql("SELECT id, name FROM mxw_state ORDER BY id"))
+    assert [r["fields"] for r in rows] == [[1, "ada2"]]
+
+
+def test_kafka_csv_roundtrip(engine, tmp_path):
+    """csv value format: INSERT encodes rows with to_csv, reads decode with
+    from_csv against the declared schema."""
+    servers = f"file://{tmp_path}/broker"
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    for t in ("csv_sink", "csv_reader"):
+        engine.execute_sql(
+            f"""CREATE TABLE {t} (id INT, name STRING) WITH ('connector'='kafka',
+                'topic'='t_csv','properties.bootstrap.servers'='{servers}',
+                'format'='csv')"""
+        )
+    engine.execute_sql(
+        "INSERT INTO csv_sink SELECT * FROM VALUES (1,'a'), (2,'b,c') AS t(id, name)"
+    )
+    rows = drain(engine.execute_sql("SELECT id, name FROM csv_reader ORDER BY id"))
+    assert [r["fields"] for r in rows] == [[1, "a"], [2, "b,c"]]
+
+
+def test_kafka_raw_roundtrip_and_single_column_rule(engine, tmp_path):
+    """raw value format: the single column IS the record value, byte-exact;
+    multi-column raw tables are rejected like Flink's raw format factory."""
+    servers = f"file://{tmp_path}/broker"
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    for t in ("raw_sink", "raw_reader"):
+        engine.execute_sql(
+            f"""CREATE TABLE {t} (line STRING) WITH ('connector'='kafka',
+                'topic'='t_raw','properties.bootstrap.servers'='{servers}',
+                'format'='raw')"""
+        )
+    engine.execute_sql(
+        "INSERT INTO raw_sink SELECT * FROM VALUES ('hello'), ('{\"not\":\"json\"}') AS t(line)"
+    )
+    rows = drain(engine.execute_sql("SELECT line FROM raw_reader ORDER BY line"))
+    assert [r["fields"][0] for r in rows] == ['hello', '{"not":"json"}']
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="one physical column"):
+        # the engine materializes the scan view at CREATE time
+        engine.execute_sql(
+            f"""CREATE TABLE raw_bad (a INT, b INT) WITH ('connector'='kafka',
+                'topic'='t_raw2','properties.bootstrap.servers'='{servers}',
+                'format'='raw')"""
+        )
+        drain(engine.execute_sql("SELECT * FROM raw_bad"))
