@@ -96,34 +96,51 @@ def main() -> None:
     )
     wq.awaitTermination()
 
-    timings: dict[str, float] = {}
-    for name, fn in QUERIES.items():
-        t0 = time.time()
-        try:
-            df = fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as e:  # noqa: BLE001
-            print(f"bench: {name} failed: {str(e)[:200]}", file=sys.stderr)
-            timings[name] = -1.0
+    # SPARK_GRAFT_BENCH_REPS>1 runs every query N times and reports the
+    # per-query median — used for controlled A/B comparisons where single-run
+    # variance (JIT, page cache, GC) would swamp the signal.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
+    runs: dict[str, list[float]] = {name: [] for name in QUERIES}
+    for _ in range(reps):
+        for name, fn in QUERIES.items():
+            t0 = time.time()
+            try:
+                df = fn(spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+                runs[name].append(round(time.time() - t0, 3))
+            except Exception as e:  # noqa: BLE001
+                print(f"bench: {name} failed: {str(e)[:200]}", file=sys.stderr)
+                runs[name].append(-1.0)
 
+    def median(xs: list[float]) -> float:
+        good = sorted(x for x in xs if x >= 0)
+        if not good:
+            return -1.0
+        mid = len(good) // 2
+        return good[mid] if len(good) % 2 else round((good[mid - 1] + good[mid]) / 2, 3)
+
+    timings = {name: median(xs) for name, xs in runs.items()}
     ok = {k: v for k, v in timings.items() if v >= 0}
     total = round(sum(ok.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_declared_query_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_of(SF_DIR),
-                "n_queries": len(timings),
-                "n_failed": len(timings) - len(ok),
-                "cpus": cpus,
-            }
-        )
-    )
+    summary = {
+        "metric": "total_declared_query_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_of(SF_DIR),
+        "n_queries": len(timings),
+        "n_failed": len(timings) - len(ok),
+        "cpus": cpus,
+        "reps": reps,
+    }
     spark.stop()
+    # Emit the summary as the sole, flushed, final stdout line: stop the
+    # session first (no more JVM output), flush stderr so buffered progress
+    # text can't interleave, then write the one JSON line.
+    sys.stderr.flush()
+    sys.stdout.flush()
+    sys.stdout.write(json.dumps(summary) + "\n")
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

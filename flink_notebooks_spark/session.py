@@ -70,6 +70,9 @@ def get_spark(app_name: str = "flink-notebooks-spark", cpus: int | None = None) 
         # the JVM. Driver-provided sessions can't be changed at runtime.
         .config("spark.driver.extraJavaOptions", "-Xss16m")
         .config("spark.ui.enabled", "false")
+        # keep stdout machine-readable: the console progress bar writes to
+        # stdout and can interleave with (and truncate) bench.py's JSON line
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
     for k, v in RUNTIME_CONFS.items():
