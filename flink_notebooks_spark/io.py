@@ -2,11 +2,21 @@
 
 All tables are plain parquet scans — Catalyst pushes filters/projections down
 to the scan, so callers should filter/select on the returned DataFrame rather
-than pre-materializing. ``events`` needs special handling: its ``ts`` column is
-parquet TIMESTAMP(NANOS), which Spark's reader rejects; with
-``spark.sql.legacy.parquet.nanosAsLong`` we read raw nanos and truncate to
-microseconds with *integer* division — exactly what DuckDB's reader does — so
-oracle comparisons are bit-exact.
+than pre-materializing. ``events`` needs special handling for its ``ts``
+column, whose parquet vintage has varied across driver regenerations:
+
+- **timestamp[us] (current)**: Spark reads it natively as TIMESTAMP_NTZ; we
+  derive ``ts_us`` (epoch microseconds, bigint) with ``timestampdiff`` on an
+  NTZ base — exact integer arithmetic, independent of session timezone.
+- **TIMESTAMP(NANOS) (older vintage)**: Spark's reader maps it to a raw-nano
+  long under ``spark.sql.legacy.parquet.nanosAsLong``; we truncate to µs with
+  integer division — exactly what DuckDB's reader does — and rebuild an NTZ
+  ``ts``.
+
+Both vintages yield the same normalized columns (``ts`` TIMESTAMP_NTZ at µs
+precision, ``ts_us`` bigint), so every downstream operator and oracle is
+vintage-agnostic. Dispatch is on the dtype Spark actually read — never on an
+assumption about the file.
 """
 
 from __future__ import annotations
@@ -29,25 +39,81 @@ TABLES = (
     "embeddings",
 )
 
-# Schema of events.parquet once nanos are read as long (for readStream, which
-# requires an explicit schema).
+# readStream requires an explicit schema; pick the right one for the file
+# vintage with events_stream_schema() (footer-driven).
 EVENTS_RAW_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
+EVENTS_RAW_SCHEMA_NANOS = (
     "event_id long, ts long, user_id long, event_type string, value double, props string"
 )
 
+_EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def events_stream_schema(events_path: str) -> str:
+    """Pick the readStream schema for an events parquet file from its footer.
+
+    timestamp[ns] vintage → declare ``ts long`` (raw nanos via nanosAsLong);
+    anything else (timestamp[us]/[ms], already-long) → the TIMESTAMP_NTZ
+    schema. Footer sniff is a local pyarrow read of one footer — no Spark job.
+    """
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pq.read_schema(events_path).field("ts").type
+        if pa.types.is_timestamp(t) and t.unit == "ns":
+            return EVENTS_RAW_SCHEMA_NANOS
+        if pa.types.is_integer(t):
+            return EVENTS_RAW_SCHEMA_NANOS
+    except Exception:
+        pass
+    return EVENTS_RAW_SCHEMA
+
 
 def _events_ts_cols(df: DataFrame) -> DataFrame:
-    """Derive µs-truncated time columns from the raw nano ``ts`` long.
+    """Normalize the raw ``ts`` column to (``ts`` NTZ µs, ``ts_us`` bigint).
 
-    - ``ts``      → TIMESTAMP_NTZ at µs precision (DuckDB-reader equivalent)
-    - ``ts_us``   → epoch microseconds (bigint; exact integer arithmetic)
-
-    ``timestampadd`` on an NTZ base stays NTZ, so this is independent of the
-    session timezone. ``div`` is integer division (no double rounding).
+    Dispatches on the dtype Spark actually read (see module docstring). The
+    expressions are pure JVM arithmetic — no UDFs, stays in codegen — and
+    timezone-independent (NTZ bases only).
     """
-    return df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
-        "ts", F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')")
+    dtype = dict(df.dtypes)["ts"]
+    if dtype == "bigint":
+        # raw-nano vintage: integer µs truncation (DuckDB-reader equivalent)
+        return df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
+            "ts", F.expr(f"timestampadd(MICROSECOND, ts div 1000, {_EPOCH_NTZ})")
+        )
+    if dtype.startswith("timestamp"):
+        # µs-timestamp vintage: keep ts (normalize tz-aware → NTZ), derive µs
+        df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        return df.withColumn(
+            "ts_us", F.expr(f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, ts)")
+        )
+    raise TypeError(
+        f"events.ts has unsupported dtype {dtype!r}; expected a timestamp or a "
+        "raw-nano bigint. The testdata vintage changed — teach io._events_ts_cols "
+        "about the new type."
     )
+
+
+def stream_ts_cols(df: DataFrame) -> DataFrame:
+    """Streaming analog of ``_events_ts_cols``: add ``ev_time`` + ``ts_us``.
+
+    ``ev_time`` is TimestampType (watermarks/windows operate on instants);
+    under the UTC session timezone (session.RUNTIME_CONFS) the NTZ→timestamp
+    cast is value-preserving, so both vintages produce identical instants.
+    """
+    dtype = dict(df.dtypes)["ts"]
+    if dtype == "bigint":
+        df = df.withColumn("ev_time", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype.startswith("timestamp"):
+        df = df.withColumn("ev_time", F.col("ts").cast("timestamp"))
+    else:  # pragma: no cover - guarded upstream by events_stream_schema
+        raise TypeError(f"unsupported streaming ts dtype {dtype!r}")
+    return df.withColumn("ts_us", F.unix_micros("ev_time"))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -56,6 +122,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = _events_ts_cols(df)
+        # post-condition: the normalization contract every event-time
+        # operator depends on. A testdata-vintage change fails HERE, loudly,
+        # not as silent wrong answers downstream.
+        got = dict(df.dtypes)
+        assert got.get("ts_us") == "bigint" and str(got.get("ts", "")).startswith(
+            "timestamp"
+        ), f"events normalization broken: {got}"
     return df
 
 

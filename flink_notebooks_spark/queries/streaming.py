@@ -21,27 +21,29 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import EVENTS_RAW_SCHEMA
+from ..io import events_stream_schema, stream_ts_cols
 from ..session import tune
 from ._registry import query, sql_dsum
 
 
 def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a bounded stream with an event-time column.
+    """events.parquet as a bounded stream with event-time columns.
 
-    ``ts`` arrives as raw nanos (nanosAsLong); we convert to TimestampType
-    (µs truncation via integer division — matches the batch/oracle readers).
+    The readStream schema is footer-driven (io.events_stream_schema) so both
+    testdata vintages — µs timestamps and raw-nano longs — replay correctly;
+    io.stream_ts_cols normalizes to ``ev_time`` (TimestampType) + ``ts_us``
+    (epoch-µs bigint), matching the batch/oracle readers exactly.
     maxFilesPerTrigger=1 keeps micro-batches deterministic.
     """
     tune(spark)
     # the file stream source wants a directory; glob-filter to the events file
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(events_stream_schema(f"{sf_dir}/events.parquet"))
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ev_time", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream_ts_cols(raw)
 
 
 def _run_to_memory(df: DataFrame, mode: str, partitions: int = 8) -> DataFrame:
@@ -222,9 +224,7 @@ def streaming_stateful_sessionize(spark, sf_dir):
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    stream = _read_events_stream(spark, sf_dir).select(
-        "user_id", "event_id", F.expr("ts div 1000").alias("ts_us")
-    )
+    stream = _read_events_stream(spark, sf_dir).select("user_id", "event_id", "ts_us")
 
     gap = 1_800_000_000
 
@@ -285,45 +285,65 @@ def streaming_match_recognize(spark, sf_dir):
     Flink's end-of-input MAX_WATERMARK — so the watermark passes every real
     event and idle keys' close_after deadlines conclude tail matches.
     Verified against the same window-function oracle as batch q33."""
+    import datetime
     import os
     import tempfile
 
-    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
+    from ..io import events_stream_schema, stream_ts_cols
     from ..operators.match_recognize import match_recognize_stream
 
     tune(spark)
+    events_path = f"{sf_dir}/events.parquet"
     tmp = tempfile.mkdtemp(prefix="fns-mrstream-")
-    os.symlink(f"{sf_dir}/events.parquet", f"{tmp}/00_events.parquet")
+    os.symlink(events_path, f"{tmp}/00_events.parquet")
     # order the replay: events file first, sentinel file second (the file
     # source orders by modification time)
     os.utime(f"{tmp}/00_events.parquet", (0, 0), follow_symlinks=False)
     # max event time from parquet row-group statistics — replay staging
     # only, no Spark job
-    import pyarrow.parquet as pq
-
-    meta = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata
+    meta = pq.ParquetFile(events_path).metadata
     ts_idx = meta.schema.names.index("ts")
     max_ts = max(
         meta.row_group(g).column(ts_idx).statistics.max for g in range(meta.num_row_groups)
     )
-    if hasattr(max_ts, "timestamp"):  # datetime from ns-timestamp stats
-        max_ts = int(max_ts.timestamp() * 1_000_000) * 1000
-    pd.DataFrame(
-        [{
-            "event_id": -1, "ts": max_ts + 3_600_000_000_000, "user_id": -1,
-            "event_type": "__close__", "value": 0.0, "props": "",
-        }]
-    ).to_parquet(f"{tmp}/99_sentinel.parquet")
+    if hasattr(max_ts, "timestamp"):  # datetime stats (timestamp vintage)
+        max_us = int(max_ts.timestamp() * 1_000_000)
+    else:  # raw-nano int stats
+        max_us = int(max_ts) // 1000
+    sentinel_us = max_us + 3_600_000_000  # one hour past the last real event
+    schema_str = events_stream_schema(events_path)
+    if "ts timestamp" in schema_str:
+        ts_arr = pa.array(
+            [datetime.datetime.fromtimestamp(sentinel_us / 1e6, datetime.timezone.utc)
+             .replace(tzinfo=None)],
+            pa.timestamp("us"),
+        )
+    else:
+        ts_arr = pa.array([sentinel_us * 1000], pa.int64())
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([-1], pa.int64()),
+                "ts": ts_arr,
+                "user_id": pa.array([-1], pa.int64()),
+                "event_type": pa.array(["__close__"], pa.string()),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array([""], pa.string()),
+            }
+        ),
+        f"{tmp}/99_sentinel.parquet",
+    )
 
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema_str)
         .option("maxFilesPerTrigger", "1")
         .parquet(tmp)
     )
     stream = (
-        raw.withColumn("ev_time", F.timestamp_micros(F.expr("ts div 1000")))
-        .withColumn("ts_us", F.expr("ts div 1000"))
+        stream_ts_cols(raw)
         .withWatermark("ev_time", "0 seconds")
         .select("user_id", "event_id", "ev_time", "ts_us", "event_type")
     )

@@ -22,9 +22,10 @@ RUNTIME_CONFS = {
     # operators are timezone-independent, but functions on TimestampType
     # (streaming windows) honor this.
     "spark.sql.session.timeZone": "UTC",
-    # /root/testdata events.parquet stores TIMESTAMP(NANOS) which Spark's
-    # parquet reader rejects; read as long nanos and convert ourselves
-    # (io.load_events truncates to µs exactly like DuckDB's reader does).
+    # If an events vintage stores TIMESTAMP(NANOS) (which Spark's reader
+    # rejects), read as long nanos and convert ourselves — io._events_ts_cols
+    # dispatches on the dtype actually read, so µs-timestamp vintages ignore
+    # this entirely.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Adaptive execution: runtime shuffle-partition coalescing, skew-join
     # splitting, dynamic broadcast — the "survives 100× scale-up" switches.
@@ -36,17 +37,31 @@ RUNTIME_CONFS = {
 }
 
 
+_TUNE_WARNED: set[str] = set()
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an existing session (idempotent).
 
     Called at the top of every query builder so the driver-provided session
-    gets the same semantics as one we build ourselves.
+    gets the same semantics as one we build ourselves. A conf that fails to
+    apply (removed/renamed in a newer Spark, or locked in this session) is
+    warned about ONCE — environment drift must be loud, not a silent source
+    of wrong answers.
     """
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
-        except Exception:
-            pass  # non-settable in this session; builder-created sessions set it
+        except Exception as exc:
+            if k not in _TUNE_WARNED:
+                _TUNE_WARNED.add(k)
+                import warnings
+
+                warnings.warn(
+                    f"runtime conf {k}={v} could not be applied: {exc}",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
     return spark
 
 
@@ -70,8 +85,8 @@ def get_spark(app_name: str = "flink-notebooks-spark", cpus: int | None = None) 
         # the JVM. Driver-provided sessions can't be changed at runtime.
         .config("spark.driver.extraJavaOptions", "-Xss16m")
         .config("spark.ui.enabled", "false")
-        # keep stdout machine-readable: the console progress bar writes to
-        # stdout and can interleave with (and truncate) bench.py's JSON line
+        # the console progress bar writes to stderr; disabled to reduce log
+        # noise in bench/test runs
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
     )

@@ -151,13 +151,13 @@ def test_notebook01_verbatim_flink_sql(engine):
 
 def test_runner_file_sink_drain(spark, sf_dir, tmp_path):
     """streaming/runner.py: checkpointed bounded drain to a parquet sink."""
-    from flink_notebooks_spark.io import EVENTS_RAW_SCHEMA
+    from flink_notebooks_spark.io import events_stream_schema
     from flink_notebooks_spark.session import tune
     from flink_notebooks_spark.streaming import SinkSpec, drain
 
     tune(spark)
     stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(events_stream_schema(f"{sf_dir}/events.parquet"))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
         .select("event_id", "user_id", "event_type")
