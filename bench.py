@@ -99,7 +99,14 @@ def main() -> None:
     # SPARK_GRAFT_BENCH_REPS>1 runs every query N times and reports the
     # per-query median — used for controlled A/B comparisons where single-run
     # variance (JIT, page cache, GC) would swamp the signal.
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
+    try:
+        reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
+    except ValueError:
+        print(
+            "bench: SPARK_GRAFT_BENCH_REPS is not an integer; falling back to 1",
+            file=sys.stderr,
+        )
+        reps = 1
     runs: dict[str, list[float]] = {name: [] for name in QUERIES}
     for _ in range(reps):
         for name, fn in QUERIES.items():
@@ -122,6 +129,11 @@ def main() -> None:
     timings = {name: median(xs) for name, xs in runs.items()}
     ok = {k: v for k, v in timings.items() if v >= 0}
     total = round(sum(ok.values()), 3)
+    # flaky queries (failed some but not all reps) still get a median, but
+    # the failure is surfaced here rather than only on stderr
+    rep_failures = {
+        name: sum(1 for x in xs if x < 0) for name, xs in runs.items() if any(x < 0 for x in xs)
+    }
     summary = {
         "metric": "total_declared_query_time",
         "value": total,
@@ -130,6 +142,7 @@ def main() -> None:
         "sf": sf_of(SF_DIR),
         "n_queries": len(timings),
         "n_failed": len(timings) - len(ok),
+        "rep_failures": rep_failures,
         "cpus": cpus,
         "reps": reps,
     }
