@@ -1504,19 +1504,41 @@ def corpus_mix_sample(spark, sf_dir):
     """,
 )
 def tf_quality_features(spark, sf_dir):
+    return _tf_quality_features(spark, sf_dir)
+
+
+# Broadcast at most this many vocabulary rows. 2M (word, count) rows is tens
+# of MB — safely under executor/driver broadcast budgets at any corpus size.
+TF_BROADCAST_CAP = 2_000_000
+
+
+def _tf_quality_features(spark, sf_dir, broadcast_cap: int = TF_BROADCAST_CAP):
     """Two-pass corpus-frequency features: (1) build the term-frequency
-    table (one shuffle on word), (2) score each document against it. The TF
-    table is vocabulary-sized — even web-scale corpora have vocabularies
-    in the low hundreds of millions, and a capped top-K + OOV floor keeps
-    it broadcastable — so scoring is a map-side broadcast probe, no shuffle
-    of the corpus. All features derive from integer counts (sums exact in
-    doubles ≪ 2^53), so values are bit-stable at any parallelism — the same
-    determinism rule the money aggregates use (README scale notes)."""
+    table (one shuffle on word), (2) score each document against it.
+
+    The TF table is vocabulary-sized — unbounded at web scale — so the
+    broadcast is CAPPED: the ``broadcast_cap`` most frequent words form a
+    broadcast "head" that resolves the overwhelming share of token
+    occurrences map-side (Zipf: the top 2M words cover ~all occurrences of
+    any natural-language corpus); the residual tail words — many keys, few
+    occurrences each — resolve through an ordinary shuffle join whose volume
+    is the tail occurrences only. Results are exactly the uncapped ones (the
+    tail join is exact, not an OOV approximation), so the oracle is
+    cap-invariant; tests pin head-path/tail-path equality.
+
+    All features derive from integer counts (sums exact in doubles ≪ 2^53),
+    so values are bit-stable at any parallelism — the same determinism rule
+    the money aggregates use (README scale notes)."""
     t = tokenized_docs(spark, sf_dir)
     w = t.select("doc_id", F.explode("ws").alias("word"))
     freq = w.groupBy("word").agg(F.count("*").alias("n_occ"))
+    # deterministic top-K head; above the TakeOrdered threshold this compiles
+    # to a parallel range sort + global limit, never a driver collect
+    head = freq.orderBy(F.desc("n_occ"), "word").limit(broadcast_cap)
+    hit = w.join(F.broadcast(head), "word")
+    miss = w.join(F.broadcast(head.select("word")), "word", "left_anti").join(freq, "word")
     return (
-        w.join(F.broadcast(freq), "word")
+        hit.unionByName(miss)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_words"),

@@ -162,3 +162,36 @@ def test_dedup_components_merges_transitive_chain(spark, tmp_path):
 
     comp = {r.doc_id: r.component for r in dedup_components(spark, str(tmp_path)).collect()}
     assert comp == {1: 1, 2: 1, 3: 1}  # transitive closure, min-id representative
+
+
+def test_tf_quality_features_cap_is_exact(spark, sf_dir):
+    """A vocabulary far larger than the broadcast cap must produce exactly
+    the uncapped result: the capped head resolves hot words map-side and the
+    residual tail shuffle-join is exact, never an OOV approximation."""
+    from flink_notebooks_spark.queries.llm import _tf_quality_features
+
+    uncapped = _tf_quality_features(spark, sf_dir, broadcast_cap=10_000_000).toPandas()
+    capped = _tf_quality_features(spark, sf_dir, broadcast_cap=7).toPandas()
+    assert capped.equals(uncapped)
+
+
+def test_tf_quality_features_broadcast_is_bounded(spark, sf_dir):
+    """The plan must broadcast only the limited head — the full vocabulary
+    table may appear only on the shuffle side of the residual join."""
+    import contextlib
+    import io as _io
+
+    from flink_notebooks_spark.queries.llm import _tf_quality_features
+
+    df = _tf_quality_features(spark, sf_dir, broadcast_cap=7)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    # every BroadcastExchange in the plan is fed by the global limit that
+    # enforces the cap; the unlimited freq aggregate never broadcasts
+    import re
+
+    n_bc = len(re.findall(r"\n\(\d+\) BroadcastExchange", p))
+    n_limit = len(re.findall(r"\n\(\d+\) (?:TakeOrderedAndProject|GlobalLimit)", p))
+    assert n_bc >= 1 and n_limit >= 1
