@@ -1382,49 +1382,80 @@ def decontaminate(spark, sf_dir):
     """,
 )
 def dedup_components(spark, sf_dir):
-    """Connected components over the jaccard-pair graph by iterative
-    min-label propagation: label(u) ← min(label(u), min label of u's
-    neighbors) until fixpoint; the component id is the minimum doc_id
-    reachable. Each round is one join + one aggregate on the EDGE list
-    (dup-pair edges are a vanishing fraction of the corpus, and dup-cluster
-    diameters are tiny — near-dup graphs are cliques-ish — so rounds ≈ 2-3;
-    production-scale alternative is large-star/small-star, same per-round
-    plan, O(log n) rounds guaranteed). localCheckpoint truncates the
-    iterative lineage so the plan does not grow per round. The driver loop
-    carries only a boolean (changed-count), never data."""
+    """Connected components over the jaccard-pair graph; the component id is
+    the minimum doc_id reachable. Uses alternating large-star/small-star
+    (see _connected_components) — O(log² n) rounds on ANY graph topology, so
+    a pathological long-chain dup graph cannot stall the pipeline the way
+    plain min-label propagation (O(diameter) rounds) would."""
     pairs = jaccard_pairs_df(spark, sf_dir).select("a", "b")
-    edges = pairs.union(
-        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).toDF("u", "v").localCheckpoint()
-    labels = (
-        edges.groupBy("u")
-        .agg(F.min("v").alias("nmin"))
-        .select("u", F.least("u", "nmin").alias("lbl"))
+    labels, _ = _connected_components(pairs)
+    return labels.orderBy("doc_id")
+
+
+def _connected_components(pairs: DataFrame, max_rounds: int = 25):
+    """Alternating large-star/small-star connected components.
+
+    The MapReduce CC algorithm of Kiveris et al., "Connected Components in
+    MapReduce and Beyond" (SoCC'14): each round rewires every node's
+    strictly-larger neighbors to its minimum neighbor (large-star), then
+    collapses each node's smaller neighbors onto that minimum (small-star).
+    The edge set converges to stars centered at component minima in
+    O(log² n) rounds regardless of graph diameter. Everything is joins +
+    aggregates on the edge list — no collect_list (a mega-hub's neighbor set
+    never materializes in one row), no driver-side data (the loop carries
+    only counts), and localCheckpoint truncates per-round lineage.
+
+    ``pairs`` is an undirected edge list with columns (a, b). Returns
+    (labels, rounds): labels has (doc_id, component) for every node incident
+    to an edge.
+    """
+    edges = (
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
         .localCheckpoint()
     )
-    for _ in range(30):
-        nbr = (
-            edges.join(labels.toDF("v", "vlbl"), "v")
-            .groupBy("u")
-            .agg(F.min("vlbl").alias("nlbl"))
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        # large-star: for each u, every neighbor v > u links to
+        # m = min({u} ∪ N(u)). Output edges all satisfy u > v.
+        b = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (
+            b.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("u", "mv").alias("m"))
         )
-        new = (
-            labels.join(nbr, "u", "left")
-            .select("u", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"))
+        large = (
+            b.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star on the (u > v)-oriented edges: all of u's neighbors —
+        # and u itself — collapse onto m = min(N(u) ∪ {u}).
+        m2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(m2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m2.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
             .localCheckpoint()
         )
-        changed = (
-            new.toDF("u", "new_lbl")
-            .join(labels, "u")
-            .filter(F.col("new_lbl") != F.col("lbl"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
+        changed = small.subtract(edges).count()
+        stale = edges.subtract(small).count() if changed == 0 else 1
+        edges = small
+        if changed == 0 and stale == 0:
             break
-    return labels.select(F.col("u").alias("doc_id"), F.col("lbl").alias("component")).orderBy(
-        "doc_id"
+    # fixpoint: edges are stars u → root; roots label themselves
+    labels = edges.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("component")
+    ).union(
+        edges.select(F.col("v").alias("doc_id"), F.col("v").alias("component")).distinct()
     )
+    return labels.distinct(), rounds
 
 
 # ---------------------------------------------------------------------------

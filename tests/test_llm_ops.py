@@ -195,3 +195,27 @@ def test_tf_quality_features_broadcast_is_bounded(spark, sf_dir):
     n_bc = len(re.findall(r"\n\(\d+\) BroadcastExchange", p))
     n_limit = len(re.findall(r"\n\(\d+\) (?:TakeOrderedAndProject|GlobalLimit)", p))
     assert n_bc >= 1 and n_limit >= 1
+
+
+def test_connected_components_chain_converges_log_rounds(spark):
+    """A 64-node chain is the adversarial case for min-label propagation
+    (O(diameter) = 63 rounds); large-star/small-star must collapse it to a
+    single star in O(log² n) — comfortably under 12 rounds — with every node
+    labeled by the component minimum."""
+    from flink_notebooks_spark.queries.llm import _connected_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(63)], "a long, b long")
+    labels, rounds = _connected_components(chain)
+    got = {r["doc_id"]: r["component"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(64)}
+    assert rounds <= 12
+
+
+def test_connected_components_multi_component(spark):
+    """Two cliques plus an isolated edge keep distinct minimum labels."""
+    from flink_notebooks_spark.queries.llm import _connected_components
+
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (20, 21)]
+    labels, _ = _connected_components(spark.createDataFrame(edges, "a long, b long"))
+    got = {r["doc_id"]: r["component"] for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
