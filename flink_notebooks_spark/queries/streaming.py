@@ -402,19 +402,71 @@ def streaming_lookup_join(spark, sf_dir):
 )
 def streaming_topn(spark, sf_dir):
     """Streaming Top-N (SURVEY.md W7): continuous per-user aggregation with
-    the top-10 recomputed per micro-batch — Flink's update-stream Top-N
-    rewritten as aggregation + complete-mode sort-limit.
-    """
+    an INCREMENTAL top-10 — Flink's update-stream Top-N. Update-mode
+    aggregation emits only the keys whose totals changed in each trigger;
+    _incremental_topn folds each micro-batch into a bounded candidate set
+    (per-trigger driver transfer ≤ N rows via TakeOrdered, never a global
+    re-sort of the full aggregate — the complete-mode anti-pattern this
+    replaced)."""
     stream = _read_events_stream(spark, sf_dir)
     agg = stream.groupBy("user_id").agg(
         F.sum(F.col("value").cast("decimal(18,2)")).alias("total_dec"),
         F.count("*").alias("n"),
     )
-    out = _run_to_memory(agg, "complete")
-    return (
-        out.select(
-            "user_id", F.col("total_dec").cast("double").alias("total"), "n"
-        )
-        .orderBy(F.desc("total"), "user_id")
-        .limit(10)
+    rows, _sizes = _incremental_topn(agg, n=10)
+    return spark.createDataFrame(
+        [(uid, float(total), cnt) for uid, total, cnt in rows],
+        "user_id long, total double, n long",
     )
+
+
+def _incremental_topn(agg_df: DataFrame, n: int, partitions: int = 8):
+    """Fold an update-mode streaming aggregation into a bounded top-N.
+
+    Per trigger, update mode emits only keys whose aggregate changed; each
+    batch's local top-N (a distributed TakeOrdered — ≤ n rows ever reach the
+    driver) merges into a candidate dict capped at n entries, replacing
+    stale totals for re-emitted keys. For monotone aggregates (per-key
+    totals never decrease — sums/counts of non-negative inputs) this is
+    EXACT: a key's full running total is re-emitted whenever it changes, so
+    it competes at its final value, and a key evicted by n better keys can
+    never re-enter without an update. This mirrors Flink's update-stream
+    Top-N emission: O(changed + n) per trigger, state bounded at n.
+
+    Returns (rows, batch_sizes): rows are (key, total, count) tuples sorted
+    (total DESC, key ASC); batch_sizes records per-trigger driver-transfer
+    row counts (tests assert boundedness).
+    """
+    spark = agg_df.sparkSession
+    key_col, total_col, cnt_col = agg_df.columns[:3]
+    cand: dict = {}
+    batch_sizes: list[int] = []
+
+    def merge(batch_df, _batch_id):
+        picked = (
+            batch_df.orderBy(F.desc(total_col), key_col).limit(n).collect()
+        )
+        batch_sizes.append(len(picked))
+        for r in picked:
+            cand[r[key_col]] = (r[total_col], r[cnt_col])
+        top = sorted(cand.items(), key=lambda kv: (-kv[1][0], kv[0]))[:n]
+        cand.clear()
+        cand.update(top)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    try:
+        q = (
+            agg_df.writeStream.foreachBatch(merge)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    rows = [
+        (k, v[0], v[1])
+        for k, v in sorted(cand.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    ]
+    return rows, batch_sizes

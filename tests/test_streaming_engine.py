@@ -360,3 +360,50 @@ def test_streaming_match_recognize_through_sql(spark, tmp_path):
     stmt.cancel()
     eng.close()
     assert got == [[1, 10, 40, 2]]
+
+
+def test_incremental_topn_bounded_per_trigger(spark, tmp_path):
+    """Streaming Top-N must be incremental: with several micro-batches, each
+    trigger transfers at most N rows to the merge (no complete-mode re-sort
+    of the full aggregate), and the folded result equals the batch top-N."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from flink_notebooks_spark.queries.streaming import _incremental_topn
+
+    # 3 files -> 3 triggers (maxFilesPerTrigger=1); 40 keys, values >= 0
+    rows_all = []
+    for f in range(3):
+        ks = list(range(40))
+        vs = [float((k * 7 + f * 13) % 50) for k in ks]
+        pq.write_table(
+            pa.table({"k": pa.array(ks, pa.int64()), "v": pa.array(vs, pa.float64())}),
+            str(tmp_path / f"f{f}.parquet"),
+        )
+        rows_all += list(zip(ks, vs))
+
+    stream = (
+        spark.readStream.schema("k long, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path))
+    )
+    agg = stream.groupBy("k").agg(
+        F.sum(F.col("v").cast("decimal(18,2)")).alias("total_dec"),
+        F.count("*").alias("n"),
+    )
+    rows, batch_sizes = _incremental_topn(agg, n=5)
+
+    assert len(batch_sizes) >= 3  # one per file trigger
+    assert all(b <= 5 for b in batch_sizes)  # bounded driver transfer
+
+    import collections
+
+    totals = collections.defaultdict(float)
+    counts = collections.defaultdict(int)
+    for k, v in rows_all:
+        totals[k] += v
+        counts[k] += 1
+    want = sorted(totals.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    got = [(k, float(t), c) for k, t, c in rows]
+    assert got == [(k, t, counts[k]) for k, t in want]
