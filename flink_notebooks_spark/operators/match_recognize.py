@@ -23,10 +23,13 @@ honored. Alternation is supported as variable groups
 ``(A|B)`` with optional quantifiers — rows classify as the first listed
 variable whose predicate holds. Streaming input runs through
 ``match_recognize_stream`` (keyed state over ``applyInPandasWithState``,
-watermark-frontier emission — see its docstring). Not supported (raise):
-nested groups / ``PERMUTE``, cross-variable DEFINE references
-(``B AS B.v > A.v``), and PREV in DEFINE on streaming input (compiles to a
-lag() window, which Structured Streaming rejects).
+watermark-frontier emission — see its docstring). ``PREV`` in DEFINE works
+on both inputs: batch compiles it to a ``lag()`` window (codegen); streaming
+defers it into the keyed-state matcher, where the per-key sorted buffer plus
+a bounded consumed-row carry make the previous row a pandas ``shift`` — the
+same place Flink CEP evaluates PREV (inside the keyed NFA). Not supported
+(raise): nested groups / ``PERMUTE``, cross-variable DEFINE references
+(``B AS B.v > A.v``), and FIRST/LAST in DEFINE (match-state navigation).
 
 Scale design (the 100 TB argument):
 
@@ -285,15 +288,30 @@ def _measure_type(m: Measure, schema: T.StructType) -> T.DataType:
 # ------------------------------------------------------------------- execute
 
 
-def _compile_defines(df: DataFrame, spec: MatchSpec) -> DataFrame:
+_PREV_RE = re.compile(
+    r"\bPREV\s*\(\s*([A-Za-z_]\w*)\s*(?:,\s*(\d+)\s*)?\)", re.IGNORECASE
+)
+
+
+def _compile_defines(df: DataFrame, spec: MatchSpec, defer_prev: bool = False):
     """Add one boolean column per pattern variable, evaluated JVM-side.
 
     ``PREV(col[, n])`` (SQL-standard row-pattern navigation; Flink's
     V-shape idiom ``DOWN AS DOWN.price < PREV(DOWN.price)``) refers to the
     previous row of the PARTITION in row order — independent of match
-    state — so it compiles to a ``lag()`` window over (keys, order): still
-    one shuffle, still codegen. Match-state navigation (FIRST/LAST inside
-    DEFINE) genuinely depends on the in-flight match and stays unsupported.
+    state — so on batch input it compiles to a ``lag()`` window over
+    (keys, order): still one shuffle, still codegen. On streaming input
+    (``defer_prev``) a lag window is rejected by Structured Streaming, so
+    PREV-bearing conditions are DEFERRED: the placeholder boolean stays
+    null and the keyed-state matcher evaluates the condition per key over
+    its sorted buffer (see _compile_deferred_prev / match_recognize_stream),
+    where the previous row is a pandas ``shift`` — Flink CEP evaluates PREV
+    in exactly that place (inside the keyed NFA operator). Match-state
+    navigation (FIRST/LAST inside DEFINE) genuinely depends on the
+    in-flight match and stays unsupported.
+
+    Returns ``(df, deferred)`` — deferred maps variable → bare condition
+    text (self-qualifiers stripped) for the streaming path.
     """
     other = {v for v in spec.variables}
     over = (
@@ -301,6 +319,7 @@ def _compile_defines(df: DataFrame, spec: MatchSpec) -> DataFrame:
         + "ORDER BY "
         + ", ".join(spec.order_by)
     )
+    deferred: dict[str, str] = {}
     for v in spec.variables:
         cond = spec.define.get(v)
         if cond is None:
@@ -319,14 +338,99 @@ def _compile_defines(df: DataFrame, spec: MatchSpec) -> DataFrame:
             )
         # self-qualified columns (A.col) → bare columns
         bare = re.sub(rf"\b{v}\s*\.\s*", "", cond)
-        bare = re.sub(
-            r"\bPREV\s*\(\s*([^(),]+?)\s*(?:,\s*(\d+)\s*)?\)",
-            lambda m: f"lag({m.group(1)}, {m.group(2) or 1}) OVER ({over})",
-            bare,
-            flags=re.IGNORECASE,
+        if defer_prev and _PREV_RE.search(bare):
+            deferred[v] = bare
+            df = df.withColumn(f"__mr_{v}", F.lit(None).cast("boolean"))
+            continue
+        bare = _PREV_RE.sub(
+            lambda m: f"lag({m.group(1)}, {m.group(2) or 1}) OVER ({over})", bare
         )
         df = df.withColumn(f"__mr_{v}", F.expr(bare).cast("boolean"))
-    return df
+    return df, deferred
+
+
+def _sql_bool_to_pandas(cond: str) -> str:
+    """Translate a simple SQL boolean expression to pandas.eval syntax.
+
+    Supported subset (enough for Flink's documented PREV idioms):
+    comparisons (=, <>, <, <=, >, >=) over columns / numeric and string
+    literals / arithmetic, combined with AND / OR / NOT and parentheses.
+    Comparison atoms are parenthesized (pandas ``&``/``|`` bind tighter
+    than comparisons). Anything fancier raises NotImplementedError at
+    eval time with the original text.
+    """
+
+    def split_top(text: str, word: str) -> list[str]:
+        parts, depth, last = [], 0, 0
+        for m in re.finditer(r"[()]|\b" + word + r"\b", text, re.IGNORECASE):
+            tok = m.group(0)
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                depth -= 1
+            elif depth == 0:
+                parts.append(text[last : m.start()])
+                last = m.end()
+        parts.append(text[last:])
+        return parts
+
+    def rewrite(text: str) -> str:
+        text = text.strip()
+        # strip one redundant outer paren pair
+        while text.startswith("(") and text.endswith(")"):
+            depth = 0
+            for i, ch in enumerate(text):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0 and i < len(text) - 1:
+                        break
+            else:
+                text = text[1:-1].strip()
+                continue
+            break
+        ors = split_top(text, "OR")
+        if len(ors) > 1:
+            return "(" + " | ".join(rewrite(p) for p in ors) + ")"
+        ands = split_top(text, "AND")
+        if len(ands) > 1:
+            return "(" + " & ".join(rewrite(p) for p in ands) + ")"
+        m = re.match(r"^\s*NOT\b(.*)$", text, re.IGNORECASE | re.DOTALL)
+        if m:
+            return "(~" + rewrite(m.group(1)) + ")"
+        atom = re.sub(r"<>", "!=", text)
+        atom = re.sub(r"(?<![<>!=])=(?!=)", "==", atom)
+        return "(" + atom + ")"
+
+    return rewrite(cond)
+
+
+def _compile_deferred_prev(deferred: dict[str, str]):
+    """Compile deferred PREV conditions for per-key pandas evaluation.
+
+    Returns ``(evals, carry_n)``: evals is a list of
+    ``(var, [(col, n), ...], pandas_expr)`` where each PREV(col, n) became
+    the helper column ``__prev_{n}_{col}`` (a ``shift(n)``), and carry_n is
+    the largest lookback — the number of CONSUMED rows the stream operator
+    must carry so shifts see across match and micro-batch boundaries.
+    SQL NULL semantics are preserved by forcing rows with a null PREV
+    operand to False (a NULL comparison is never true).
+    """
+    evals = []
+    carry_n = 0
+    for v, cond in deferred.items():
+        refs: list[tuple[str, int]] = []
+
+        def sub(m, refs=refs):
+            col, n = m.group(1), int(m.group(2) or 1)
+            refs.append((col, n))
+            return f"__prev_{n}_{col}"
+
+        replaced = _PREV_RE.sub(sub, cond)
+        carry_n = max(carry_n, max(n for _, n in refs))
+        evals.append((v, refs, _sql_bool_to_pandas(replaced)))
+    return evals, carry_n
 
 
 def _match_starting_at(term_bools, pattern: list[PatternTerm], n: int, start: int):
@@ -357,7 +461,7 @@ def _match_starting_at(term_bools, pattern: list[PatternTerm], n: int, start: in
     return (end, list(spans)) if end is not None and end > start else None
 
 
-def _prepare_spec(df: DataFrame, clause_or_spec):
+def _prepare_spec(df: DataFrame, clause_or_spec, defer_prev: bool = False):
     """Shared batch/streaming setup: parse, measures, schemas, defines."""
     spec = (
         clause_or_spec
@@ -376,7 +480,8 @@ def _prepare_spec(df: DataFrame, clause_or_spec):
         out_fields = [df.schema[c] for c in input_cols] + meas_fields
     else:
         out_fields = [df.schema[c] for c in spec.partition_by] + meas_fields
-    return spec, measures, input_cols, T.StructType(out_fields), _compile_defines(df, spec)
+    prepared, deferred = _compile_defines(df, spec, defer_prev=defer_prev)
+    return spec, measures, input_cols, T.StructType(out_fields), prepared, deferred
 
 
 def _fast_eligible(spec: MatchSpec, measures) -> bool:
@@ -685,7 +790,7 @@ def match_recognize(df: DataFrame, clause_or_spec) -> DataFrame:
         raise NotImplementedError(
             "MATCH_RECOGNIZE on streaming input: use match_recognize_stream"
         )
-    spec, measures, input_cols, out_schema, prepared = _prepare_spec(df, clause_or_spec)
+    spec, measures, input_cols, out_schema, prepared, _ = _prepare_spec(df, clause_or_spec)
     out_names = [f.name for f in out_schema.fields]
     order_cols = spec.order_by
     part_cols = spec.partition_by
@@ -765,7 +870,9 @@ def match_recognize_stream(df: DataFrame, clause_or_spec, close_after: str | Non
 
     if not df.isStreaming:
         raise ValueError("match_recognize_stream requires a streaming DataFrame")
-    spec, measures, input_cols, out_schema, prepared = _prepare_spec(df, clause_or_spec)
+    spec, measures, input_cols, out_schema, prepared, deferred = _prepare_spec(
+        df, clause_or_spec, defer_prev=True
+    )
     if not spec.partition_by:
         raise ValueError("streaming MATCH_RECOGNIZE requires PARTITION BY")
     ocol = spec.order_by[0]
@@ -779,6 +886,34 @@ def match_recognize_stream(df: DataFrame, clause_or_spec, close_after: str | Non
     part_cols = spec.partition_by
     close_ms = _duration_ms(close_after) if close_after else None
     buf_cols = list(prepared.columns)
+    prev_evals, carry_n = _compile_deferred_prev(deferred) if deferred else ([], 0)
+
+    def eval_deferred(mature, carry):
+        """Fill deferred PREV booleans over (carry ⊕ mature); carry rows are
+        the last consumed rows — they supply shift context only."""
+        import pandas as pd
+
+        nc = len(carry) if carry is not None else 0
+        frame = (
+            pd.concat([carry, mature], ignore_index=True) if nc else mature
+        )
+        local = {}
+        for _, refs, _expr in prev_evals:
+            for col, n in refs:
+                local[f"__prev_{n}_{col}"] = frame[col].shift(n)
+        for v, refs, expr in prev_evals:
+            try:
+                res = frame.assign(**local).eval(expr, engine="python")
+            except Exception as exc:  # noqa: BLE001
+                raise NotImplementedError(
+                    f"streaming MATCH_RECOGNIZE: DEFINE {v} condition "
+                    f"{deferred[v]!r} is outside the supported PREV subset: {exc}"
+                ) from exc
+            res = pd.Series(res, index=frame.index).fillna(False).astype(bool)
+            for col, n in refs:  # SQL NULL comparison is never true
+                res &= local[f"__prev_{n}_{col}"].notna()
+            frame[f"__mr_{v}"] = res
+        return frame.iloc[nc:].reset_index(drop=True)
 
     def run_stream(key, pdfs, state):
         import pickle
@@ -788,20 +923,28 @@ def match_recognize_stream(df: DataFrame, clause_or_spec, close_after: str | Non
         new = [p for p in pdfs if len(p)]
         if state.exists:
             buf_bytes, mn = state.get
-            parts = [pickle.loads(bytes(buf_bytes))] + new
+            buf, carry = pickle.loads(bytes(buf_bytes))
+            parts = ([buf] if buf is not None and len(buf) else []) + new
         else:
             mn = 0
+            carry = None
             parts = new
         if not parts:
             if state.exists:
                 state.remove()
             return
+
+        def save(keep_df, carry_df, mn_val):
+            state.update(
+                (bytearray(pickle.dumps((keep_df, carry_df))), mn_val)
+            )
+
         rows = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
         wm_ms = state.getCurrentWatermarkMs()
         if wm_ms <= 0 and not state.hasTimedOut:
             # nothing can be mature yet (first micro-batch: the watermark
             # lags one batch) — just buffer, skip the sort/match entirely
-            state.update((bytearray(pickle.dumps(rows[buf_cols])), mn))
+            save(rows[buf_cols], carry, mn)
             if close_ms is not None:
                 state.setTimeoutTimestamp(
                     int(pd.to_datetime(rows[ocol]).values.view("int64").max() // 1_000_000)
@@ -822,17 +965,32 @@ def match_recognize_stream(df: DataFrame, clause_or_spec, close_after: str | Non
             .reset_index(drop=True)
         )
         immature = rows[~mature_mask]
+        if prev_evals:
+            mature = eval_deferred(mature, carry)
         out_rows, emitted, keep_from = _run_matches(
             mature, spec, measures, input_cols, out_names,
             match_num0=mn, require_closed=require_closed,
         )
-        keep = pd.concat([mature.iloc[keep_from:], immature], ignore_index=True)
+        keep = pd.concat(
+            [mature.iloc[keep_from:][buf_cols], immature[buf_cols]], ignore_index=True
+        )
+        if carry_n:
+            # consumed rows the next batch's shifts still need: the last
+            # carry_n rows at or before the resume position (bounded state)
+            consumed = mature.iloc[:keep_from][buf_cols]
+            carry = (
+                pd.concat([carry, consumed], ignore_index=True)
+                if carry is not None and len(carry)
+                else consumed
+            ).tail(carry_n).reset_index(drop=True)
         if len(keep):
-            state.update((bytearray(pickle.dumps(keep[buf_cols])), mn + emitted))
+            save(keep, carry, mn + emitted)
             if close_ms is not None:
                 # event-time inactivity deadline; must be beyond the watermark
                 deadline = int(pd.to_datetime(keep[ocol]).values.view("int64").max() // 1_000_000) + close_ms
                 state.setTimeoutTimestamp(max(deadline, wm_ms + 1))
+        elif carry_n and carry is not None and len(carry):
+            save(keep, carry, mn + emitted)
         else:
             state.remove()
         if out_rows:

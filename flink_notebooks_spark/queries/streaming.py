@@ -315,6 +315,9 @@ def streaming_match_recognize(spark, sf_dir):
         max_us = int(max_ts) // 1000
     sentinel_us = max_us + 3_600_000_000  # one hour past the last real event
     schema_str = events_stream_schema(events_path)
+    # the sentinel is its own key (user_id=-1): processing it advances the
+    # GLOBAL watermark past every real key's close_after deadline, so idle
+    # keys' held tail matches conclude in the final no-data batch
     if "ts timestamp" in schema_str:
         ts_arr = pa.array(
             [datetime.datetime.fromtimestamp(sentinel_us / 1e6, datetime.timezone.utc)

@@ -8,6 +8,7 @@ measures FIRST/LAST/COUNT/SUM/MIN/MAX/AVG, undefined variables always match.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from flink_notebooks_spark.operators import (
     match_recognize,
@@ -252,7 +253,10 @@ def test_first_last_in_define_rejected(spark):
         ).collect()
 
 
-def _mr_stream_run(spark, tmp_path, files, clause, close_after=None):
+_MR_STREAM_SCHEMA = "user_id long, ts_s long, event_type string, ev_time timestamp"
+
+
+def _mr_stream_run(spark, tmp_path, files, clause, close_after=None, schema=None):
     """Replay parquet `files` (list of row-dict lists) in order through
     match_recognize_stream; returns the collected matches."""
     import time
@@ -271,7 +275,7 @@ def _mr_stream_run(spark, tmp_path, files, clause, close_after=None):
 
         os.utime(path, (now + i, now + i))  # replay order = file order
     raw = (
-        spark.readStream.schema("user_id long, ts_s long, event_type string, ev_time timestamp")
+        spark.readStream.schema(schema or _MR_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", "1")
         .parquet(str(tmp_path))
     )
@@ -457,3 +461,105 @@ def test_vectorized_matcher_throughput():
     rate = len(pdf) / (time.time() - t0)
     assert emitted > 0
     assert rate > 1_000_000, f"matcher throughput {rate/1e6:.2f}M rows/s < 1M"
+
+
+def test_sql_bool_to_pandas_translator():
+    from flink_notebooks_spark.operators.match_recognize import _sql_bool_to_pandas
+
+    assert _sql_bool_to_pandas("a > 1 AND (b < 2 OR NOT c = 3)") == (
+        "((a > 1) & ((b < 2) | (~(c == 3))))"
+    )
+    assert _sql_bool_to_pandas("x <> 'y'") == "(x != 'y')"
+    assert _sql_bool_to_pandas("(v >= 2)") == "(v >= 2)"
+
+
+_RISING = """
+    PARTITION BY user_id
+    ORDER BY ev_time
+    MEASURES FIRST(UP.v) AS start_v, LAST(UP.v) AS end_v, COUNT(UP.*) AS n_up
+    PATTERN (UP{2,})
+    DEFINE UP AS UP.v > PREV(UP.v)
+"""
+
+
+def test_streaming_prev_in_define_matches_batch(spark, tmp_path):
+    """PREV in DEFINE on a streaming input (deferred per-key evaluation)
+    must produce exactly the batch lag()-window result on replay."""
+    vs = [5, 3, 4, 6, 9, 2, 1, 7, 8]
+    rows = [dict(user_id=1, ts_s=10 * (i + 1), v=float(v)) for i, v in enumerate(vs)]
+
+    batch = spark.createDataFrame(
+        [(r["user_id"], r["ts_s"], r["v"]) for r in rows], "user_id long, ts_s long, v double"
+    ).withColumn("ev_time", F.timestamp_seconds("ts_s"))
+    want = {
+        tuple(r)
+        for r in match_recognize(
+            batch, _RISING.replace("ev_time", "ts_s")
+        ).collect()
+    }
+    assert want == {(1, 4.0, 9.0, 3), (1, 7.0, 8.0, 2)}
+
+    got = _mr_stream_run(
+        spark,
+        tmp_path,
+        [rows[:3], rows[3:5], rows[5:7], rows[7:],
+         # closer on a DIFFERENT key: advances the global watermark past
+         # key 1's close_after deadline so its held tail match concludes
+         [dict(user_id=99, ts_s=1000, v=0.0)]],
+        _RISING,
+        close_after="1 second",
+        schema="user_id long, ts_s long, v double, ev_time timestamp",
+    )
+    assert got == want
+
+
+def test_streaming_prev_carries_across_consumed_rows(spark, tmp_path):
+    """A row's PREV may reference a row CONSUMED by an earlier emitted match
+    in an earlier micro-batch — the keyed state must carry that context."""
+    got = _mr_stream_run(
+        spark,
+        tmp_path,
+        [
+            [dict(user_id=1, ts_s=10, v=1.0), dict(user_id=1, ts_s=20, v=2.0)],
+            [dict(user_id=1, ts_s=30, v=3.0)],
+            [dict(user_id=99, ts_s=1000, v=0.0)],
+        ],
+        """
+        PARTITION BY user_id
+        ORDER BY ev_time
+        MEASURES A.v AS val
+        PATTERN (A)
+        DEFINE A AS A.v > PREV(A.v)
+        """,
+        close_after="1 second",
+        schema="user_id long, ts_s long, v double, ev_time timestamp",
+    )
+    # v=2 rises over consumed v=1; v=3 rises over v=2, which was consumed in
+    # a PREVIOUS batch's emitted match — visible only through the carry
+    assert got == {(1, 2.0), (1, 3.0)}
+
+
+def test_streaming_prev_carries_across_consumed_rows_missing_second_closer(spark, tmp_path):
+    """close_after must conclude a held match even when the rising row's
+    PREV context row was consumed: timeout path also evaluates deferred
+    booleans with the carry."""
+    got = _mr_stream_run(
+        spark,
+        tmp_path,
+        [
+            [dict(user_id=1, ts_s=10, v=1.0), dict(user_id=1, ts_s=20, v=2.0)],
+            [dict(user_id=1, ts_s=30, v=3.0)],
+            [dict(user_id=99, ts_s=1000, v=0.0)],
+        ],
+        """
+        PARTITION BY user_id
+        ORDER BY ev_time
+        MEASURES A.v AS val
+        PATTERN (A B)
+        DEFINE A AS A.v > PREV(A.v), B AS B.v > PREV(B.v)
+        """,
+        close_after="1 second",
+        schema="user_id long, ts_s long, v double, ev_time timestamp",
+    )
+    # the single (2,3) rising pair: A=2 (over consumed... ) — 2>1 T, 3>2 T
+    assert got == {(1, 2.0)}
