@@ -93,9 +93,40 @@ _INTERVAL_UNITS = {
 
 
 def strip_comments(sql: str) -> str:
-    sql = re.sub(r"--[^\n]*", " ", sql)
-    sql = re.sub(r"/\*.*?\*/", " ", sql, flags=re.DOTALL)
-    return sql.strip().rstrip(";").strip()
+    """Strip ``--`` and ``/* */`` comments OUTSIDE string literals.
+
+    A blind regex eats ``--`` inside quoted option values (e.g.
+    ``'path' = '/a--b'``), silently corrupting the statement — found by the
+    DDL parse/render/parse property test. Single-quoted strings (with ``''``
+    escapes) are opaque to comment scanning, as in real SQL lexers.
+    """
+    out = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":  # '' escape
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+        elif ch == "-" and sql.startswith("--", i):
+            while i < n and sql[i] != "\n":
+                i += 1
+            out.append(" ")
+        elif ch == "/" and sql.startswith("/*", i):
+            end = sql.find("*/", i + 2)
+            i = n if end < 0 else end + 2
+            out.append(" ")
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out).strip().rstrip(";").strip()
 
 
 def _parse_watermark(body: str) -> WatermarkDef:

@@ -57,3 +57,14 @@ def test_jdbc_option_mapping_with_partitioned_scan():
     # the parallel-scan path: 8 partition splits over o_id ∈ [1, 1000]
     assert (opts["partitionColumn"], opts["numPartitions"]) == ("o_id", "8")
     assert (opts["lowerBound"], opts["upperBound"]) == ("1", "1000")
+
+
+def test_strip_comments_preserves_literals():
+    """Comment markers inside quoted strings are data, not comments
+    (hypothesis-found: an option value '--' vanished)."""
+    from flink_notebooks_spark.engine.ddl import strip_comments
+
+    assert strip_comments("SELECT '--' AS a -- trailing\n, '/*x*/' AS b") == (
+        "SELECT '--' AS a  \n, '/*x*/' AS b"
+    )
+    assert strip_comments("'it''s -- fine' /* gone */;") == "'it''s -- fine'"
