@@ -27,9 +27,13 @@ watermark-frontier emission — see its docstring). ``PREV`` in DEFINE works
 on both inputs: batch compiles it to a ``lag()`` window (codegen); streaming
 defers it into the keyed-state matcher, where the per-key sorted buffer plus
 a bounded consumed-row carry make the previous row a pandas ``shift`` — the
-same place Flink CEP evaluates PREV (inside the keyed NFA). Not supported
-(raise): nested groups / ``PERMUTE``, cross-variable DEFINE references
-(``B AS B.v > A.v``), and FIRST/LAST in DEFINE (match-state navigation).
+same place Flink CEP evaluates PREV (inside the keyed NFA). Cross-variable
+DEFINE references (``B AS B.v > A.v`` — other-var ref reads its LAST mapped
+row) and FIRST/LAST navigation in DEFINE (running semantics: the current row
+counts as mapped to its own variable) evaluate per candidate row inside the
+matcher — Flink's NFA-condition equivalent (_compile_stateful_cond documents
+the expression subset). Not supported (raise): nested groups / ``PERMUTE``,
+match-state conditions inside an alternation group.
 
 Scale design (the 100 TB argument):
 
@@ -320,22 +324,21 @@ def _compile_defines(df: DataFrame, spec: MatchSpec, defer_prev: bool = False):
         + ", ".join(spec.order_by)
     )
     deferred: dict[str, str] = {}
+    stateful: dict[str, object] = {}
     for v in spec.variables:
         cond = spec.define.get(v)
         if cond is None:
             df = df.withColumn(f"__mr_{v}", F.lit(True))
             continue
-        for o in other - {v}:
-            if re.search(rf"\b{o}\s*\.", cond):
-                raise NotImplementedError(
-                    f"MATCH_RECOGNIZE: DEFINE {v} references other variable {o} "
-                    "(cross-variable conditions unsupported)"
-                )
-        if re.search(r"\b(FIRST|LAST)\s*\(", cond, re.IGNORECASE):
-            raise NotImplementedError(
-                f"MATCH_RECOGNIZE: DEFINE {v} uses match-state navigation "
-                "(FIRST/LAST in DEFINE unsupported; PREV is supported)"
-            )
+        cross = any(re.search(rf"\b{o}\s*\.", cond) for o in other - {v})
+        nav = re.search(r"\b(FIRST|LAST)\s*\(", cond, re.IGNORECASE)
+        if cross or nav:
+            # condition depends on the in-flight match (other variables'
+            # mapped rows / FIRST/LAST navigation) — evaluated row-by-row
+            # inside the matcher, Flink's NFA-condition equivalent
+            stateful[v] = _compile_stateful_cond(v, cond, spec.variables)
+            df = df.withColumn(f"__mr_{v}", F.lit(None).cast("boolean"))
+            continue
         # self-qualified columns (A.col) → bare columns
         bare = re.sub(rf"\b{v}\s*\.\s*", "", cond)
         if defer_prev and _PREV_RE.search(bare):
@@ -346,7 +349,73 @@ def _compile_defines(df: DataFrame, spec: MatchSpec, defer_prev: bool = False):
             lambda m: f"lag({m.group(1)}, {m.group(2) or 1}) OVER ({over})", bare
         )
         df = df.withColumn(f"__mr_{v}", F.expr(bare).cast("boolean"))
-    return df, deferred
+    return df, deferred, stateful
+
+
+_PREV_QUAL_RE = re.compile(
+    r"\bPREV\s*\(\s*(?:([A-Za-z_]\w*)\s*\.\s*)?([A-Za-z_]\w*)\s*(?:,\s*(\d+)\s*)?\)",
+    re.IGNORECASE,
+)
+_NAV_RE = re.compile(
+    r"\b(FIRST|LAST)\s*\(\s*([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\s*(?:,\s*(\d+)\s*)?\)",
+    re.IGNORECASE,
+)
+
+
+def _compile_stateful_cond(var: str, cond: str, variables: list[str]):
+    """Compile a match-state DEFINE condition to a Python code object.
+
+    Semantics (SQL-standard row-pattern RUNNING evaluation, matching
+    Flink's NFA conditions):
+
+    - ``V.col`` for the variable BEING defined → the current row.
+    - ``X.col`` for another variable → ``LAST(X.col)`` — the most recent
+      row mapped to X so far; NULL (→ not satisfied) if X has no rows.
+    - ``FIRST(X.col[, k])`` / ``LAST(X.col[, k])`` navigate X's mapped
+      rows; while defining X, the current row counts as mapped (running
+      semantics), so ``LAST(X.c, 1)`` is the previous X row.
+    - ``PREV([X.]col[, n])`` → the n-th previous row of the partition,
+      regardless of variable mapping.
+
+    Supported expression subset: comparisons (=, <>, <, <=, >, >=),
+    arithmetic, AND/OR/NOT, parens, numeric/string literals, NULL.
+    Anything else raises NotImplementedError at compile time. NULL
+    operands make a comparison not-satisfied (TypeError → False at eval).
+    """
+    expr = _NAV_RE.sub(
+        lambda m: f"nav({m.group(2)!r}, {m.group(3)!r}, "
+        f"{m.group(1).lower()!r}, {int(m.group(4) or 0)})",
+        cond,
+    )
+    expr = _PREV_QUAL_RE.sub(
+        lambda m: f"prev({m.group(2)!r}, {int(m.group(3) or 1)})", expr
+    )
+    for v in variables:
+        if v == var:
+            expr = re.sub(
+                rf"\b{v}\s*\.\s*([A-Za-z_]\w*)", lambda m: f"cur({m.group(1)!r})", expr
+            )
+        else:
+            expr = re.sub(
+                rf"\b{v}\s*\.\s*([A-Za-z_]\w*)",
+                lambda m, v=v: f"nav({v!r}, {m.group(1)!r}, 'last', 0)",
+                expr,
+            )
+    expr = re.sub(r"\bIS\s+NOT\s+NULL\b", " is not None", expr, flags=re.IGNORECASE)
+    expr = re.sub(r"\bIS\s+NULL\b", " is None", expr, flags=re.IGNORECASE)
+    expr = re.sub(r"<>", "!=", expr)
+    expr = re.sub(r"(?<![<>!=])=(?!=)", "==", expr)
+    expr = re.sub(r"\bAND\b", " and ", expr, flags=re.IGNORECASE)
+    expr = re.sub(r"\bOR\b", " or ", expr, flags=re.IGNORECASE)
+    expr = re.sub(r"\bNOT\b(?!\s+None)", " not ", expr, flags=re.IGNORECASE)
+    expr = re.sub(r"\bNULL\b", "None", expr, flags=re.IGNORECASE)
+    try:
+        return compile(expr, f"<define {var}>", "eval")
+    except SyntaxError as exc:
+        raise NotImplementedError(
+            f"MATCH_RECOGNIZE: DEFINE {var} condition {cond!r} is outside the "
+            f"supported match-state subset ({exc})"
+        ) from exc
 
 
 def _sql_bool_to_pandas(cond: str) -> str:
@@ -433,11 +502,15 @@ def _compile_deferred_prev(deferred: dict[str, str]):
     return evals, carry_n
 
 
-def _match_starting_at(term_bools, pattern: list[PatternTerm], n: int, start: int):
+def _match_starting_at(
+    term_bools, pattern: list[PatternTerm], n: int, start: int, preds=None
+):
     """Greedy backtracking anchored match. Returns (end_exclusive, spans) or
     None; spans[i] = (first_row, last_row_exclusive) of pattern term i.
     ``term_bools[i]`` is the per-row match array of term i (alternation
-    groups pre-OR'd)."""
+    groups pre-OR'd); None means the term's condition is match-state
+    dependent and ``preds[i](r, spans, pos, cnt)`` decides row acceptance
+    given the spans assigned so far and the current term's partial run."""
     spans = [None] * len(pattern)
 
     def rec(pi: int, pos: int):
@@ -447,8 +520,13 @@ def _match_starting_at(term_bools, pattern: list[PatternTerm], n: int, start: in
         col = term_bools[pi]
         cnt = 0
         cap = (term.hi - 0) if term.hi is not None else (n - pos)
-        while cnt < cap and pos + cnt < n and col[pos + cnt]:
-            cnt += 1
+        if col is not None:
+            while cnt < cap and pos + cnt < n and col[pos + cnt]:
+                cnt += 1
+        else:
+            pred = preds[pi]
+            while cnt < cap and pos + cnt < n and pred(pos + cnt, spans, pos, cnt):
+                cnt += 1
         for take in range(cnt, term.lo - 1, -1):
             spans[pi] = (pos, pos + take)
             end = rec(pi + 1, pos + take)
@@ -480,8 +558,15 @@ def _prepare_spec(df: DataFrame, clause_or_spec, defer_prev: bool = False):
         out_fields = [df.schema[c] for c in input_cols] + meas_fields
     else:
         out_fields = [df.schema[c] for c in spec.partition_by] + meas_fields
-    prepared, deferred = _compile_defines(df, spec, defer_prev=defer_prev)
-    return spec, measures, input_cols, T.StructType(out_fields), prepared, deferred
+    prepared, deferred, stateful = _compile_defines(df, spec, defer_prev=defer_prev)
+    if stateful:
+        for t in spec.pattern:
+            if len(t.vars) > 1 and any(x in stateful for x in t.vars):
+                raise NotImplementedError(
+                    "MATCH_RECOGNIZE: match-state DEFINE conditions inside an "
+                    "alternation group are unsupported"
+                )
+    return spec, measures, input_cols, T.StructType(out_fields), prepared, deferred, stateful
 
 
 def _fast_eligible(spec: MatchSpec, measures) -> bool:
@@ -653,6 +738,7 @@ def _run_matches(
     match_num0: int = 0,
     require_closed: bool = False,
     _force_general: bool = False,
+    stateful=None,
 ):
     """Matcher core over one partition's SORTED, reset-index pandas frame.
 
@@ -662,8 +748,13 @@ def _run_matches(
     quantifiers) — processing stops there and ``keep_from`` marks the
     position from which rows must be retained for the next micro-batch
     (= resume position after the last emitted match).
+
+    ``stateful`` maps variables whose DEFINE depends on match state
+    (cross-variable refs, FIRST/LAST navigation) to compiled conditions
+    (_compile_stateful_cond); those evaluate per candidate row during
+    matching instead of from precomputed boolean columns.
     """
-    if not _force_general and _fast_eligible(spec, measures):
+    if not stateful and not _force_general and _fast_eligible(spec, measures):
         fast = _run_matches_fast(pdf, spec, measures, match_num0, require_closed)
         if fast is not None:
             return fast
@@ -673,9 +764,62 @@ def _run_matches(
     bools = {
         v: pdf[f"__mr_{v}"].fillna(False).to_numpy() for v in spec.variables
     }
-    # per-term arrays; alternation groups OR their variables' columns
+    # per-term arrays; alternation groups OR their variables' columns.
+    # Stateful terms get None + a per-row predicate (single-var only: a
+    # row's classification within an alternation group would itself depend
+    # on in-flight state).
+    colvals: dict[str, object] = {}
+
+    def colv(c):
+        if c not in colvals:
+            colvals[c] = pdf[c].to_numpy()
+        return colvals[c]
+
+    def _unbox(x):
+        return None if x is None or (isinstance(x, float) and x != x) else x
+
+    def make_pred(code, var, pi):
+        def nav(x, c, kind, k, spans, pos, cnt, r):
+            rows: list[int] = []
+            for pj, t2 in enumerate(pattern):
+                if x not in t2.vars:
+                    continue
+                if pj < pi and spans[pj] is not None:
+                    rows.extend(range(spans[pj][0], spans[pj][1]))
+                elif pj == pi and x == var:
+                    rows.extend(range(pos, pos + cnt))
+            if x == var and (not rows or rows[-1] != r):
+                rows.append(r)  # running semantics: the current row counts
+            if k >= len(rows):
+                return None
+            idx = rows[k] if kind == "first" else rows[-1 - k]
+            return _unbox(colv(c)[idx])
+
+        def pred(r, spans, pos, cnt):
+            env = {
+                "cur": lambda c: _unbox(colv(c)[r]),
+                "prev": lambda c, k: _unbox(colv(c)[r - k]) if r - k >= 0 else None,
+                "nav": lambda x, c, kind, k: nav(x, c, kind, k, spans, pos, cnt, r),
+            }
+            try:
+                return bool(eval(code, {"__builtins__": {}}, env))  # noqa: S307
+            except TypeError:
+                return False  # NULL operand: SQL comparison not satisfied
+
+        return pred
+
     term_bools = []
-    for t in pattern:
+    preds = {}
+    for pi, t in enumerate(pattern):
+        if stateful and any(x in stateful for x in t.vars):
+            if len(t.vars) > 1:
+                raise NotImplementedError(
+                    "MATCH_RECOGNIZE: match-state DEFINE conditions inside an "
+                    "alternation group are unsupported"
+                )
+            term_bools.append(None)
+            preds[pi] = make_pred(stateful[t.var], t.var, pi)
+            continue
         col = bools[t.vars[0]]
         for v in t.vars[1:]:
             col = col | bools[v]
@@ -688,7 +832,7 @@ def _run_matches(
     # fast path: when the first term is mandatory, only its true rows
     # can start a match — scan candidate starts, not every row
     starts = None
-    if pattern[0].lo >= 1:
+    if pattern[0].lo >= 1 and term_bools[0] is not None:
         import numpy as np
 
         starts = np.flatnonzero(term_bools[0])
@@ -701,7 +845,7 @@ def _run_matches(
             if si >= len(starts):
                 break
             i = int(starts[si])
-        hit = _match_starting_at(term_bools, pattern, n, i)
+        hit = _match_starting_at(term_bools, pattern, n, i, preds)
         if hit is None:
             i += 1
             continue
@@ -790,7 +934,9 @@ def match_recognize(df: DataFrame, clause_or_spec) -> DataFrame:
         raise NotImplementedError(
             "MATCH_RECOGNIZE on streaming input: use match_recognize_stream"
         )
-    spec, measures, input_cols, out_schema, prepared, _ = _prepare_spec(df, clause_or_spec)
+    spec, measures, input_cols, out_schema, prepared, _, stateful = _prepare_spec(
+        df, clause_or_spec
+    )
     out_names = [f.name for f in out_schema.fields]
     order_cols = spec.order_by
     part_cols = spec.partition_by
@@ -799,7 +945,9 @@ def match_recognize(df: DataFrame, clause_or_spec) -> DataFrame:
         import pandas as pd
 
         pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
-        out_rows, _, _ = _run_matches(pdf, spec, measures, input_cols, out_names)
+        out_rows, _, _ = _run_matches(
+            pdf, spec, measures, input_cols, out_names, stateful=stateful
+        )
         return pd.DataFrame(out_rows, columns=out_names)
 
     if part_cols:
@@ -870,7 +1018,7 @@ def match_recognize_stream(df: DataFrame, clause_or_spec, close_after: str | Non
 
     if not df.isStreaming:
         raise ValueError("match_recognize_stream requires a streaming DataFrame")
-    spec, measures, input_cols, out_schema, prepared, deferred = _prepare_spec(
+    spec, measures, input_cols, out_schema, prepared, deferred, stateful = _prepare_spec(
         df, clause_or_spec, defer_prev=True
     )
     if not spec.partition_by:
@@ -969,7 +1117,7 @@ def match_recognize_stream(df: DataFrame, clause_or_spec, close_after: str | Non
             mature = eval_deferred(mature, carry)
         out_rows, emitted, keep_from = _run_matches(
             mature, spec, measures, input_cols, out_names,
-            match_num0=mn, require_closed=require_closed,
+            match_num0=mn, require_closed=require_closed, stateful=stateful,
         )
         keep = pd.concat(
             [mature.iloc[keep_from:][buf_cols], immature[buf_cols]], ignore_index=True

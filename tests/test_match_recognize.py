@@ -153,14 +153,22 @@ def test_undefined_variable_always_matches(spark):
     assert [tuple(r) for r in out] == [(1, 2)]
 
 
-def test_cross_variable_define_rejected(spark):
-    df = _events(spark, [(1, 1, "a")])
-    with pytest.raises(NotImplementedError):
-        match_recognize(
-            df,
-            "PARTITION BY user_id ORDER BY ts MEASURES COUNT(*) AS n "
-            "PATTERN (A B) DEFINE A AS A.etype = 'a', B AS B.ts > A.ts",
-        ).collect()
+def test_cross_variable_define(spark):
+    """DEFINE referencing another variable reads its LAST mapped row
+    (Flink NFA-condition semantics): DOWN rows sit below A's price, UP
+    closes above it."""
+    prices = [10, 8, 6, 7, 9, 12, 11]
+    df = spark.createDataFrame(
+        [(1, i, p) for i, p in enumerate(prices)], "k int, t int, price int"
+    )
+    out = match_recognize(
+        df,
+        "PARTITION BY k ORDER BY t "
+        "MEASURES A.price AS ap, COUNT(DOWN.*) AS nd, LAST(UP.price) AS up "
+        "PATTERN (A DOWN+ UP) "
+        "DEFINE DOWN AS DOWN.price < A.price, UP AS UP.price > A.price",
+    ).collect()
+    assert [tuple(r) for r in out] == [(1, 10, 4, 12)]
 
 
 def test_sql_surface_through_engine(spark):
@@ -243,13 +251,31 @@ def test_prev_navigation_v_shape(spark):
     assert [tuple(r) for r in out] == [(1, 0, 6, 5)]
 
 
-def test_first_last_in_define_rejected(spark):
+def test_last_in_define_running_semantics(spark):
+    """Flink's strictly-rising idiom: LAST(B.price, 1) is the previous row
+    mapped to B (running semantics — the current row is B's LAST), NULL on
+    B's first row; IS NULL keeps the run startable."""
+    prices = [5, 3, 4, 6, 2]
+    df = spark.createDataFrame(
+        [(1, i, p) for i, p in enumerate(prices)], "k int, t int, price int"
+    )
+    out = match_recognize(
+        df,
+        "PARTITION BY k ORDER BY t "
+        "MEASURES FIRST(B.price) AS f, LAST(B.price) AS l, COUNT(B.*) AS n "
+        "PATTERN (B{2,}) "
+        "DEFINE B AS LAST(B.price, 1) IS NULL OR B.price > LAST(B.price, 1)",
+    ).collect()
+    assert [tuple(r) for r in out] == [(1, 3, 6, 3)]
+
+
+def test_stateful_define_in_alternation_rejected(spark):
     df = spark.createDataFrame([(1, 1, 2)], "k int, t int, price int")
     with pytest.raises(NotImplementedError):
         match_recognize(
             df,
             "PARTITION BY k ORDER BY t MEASURES COUNT(*) AS n "
-            "PATTERN (A B) DEFINE B AS B.price > LAST(B.price, 1)",
+            "PATTERN (A (B|C)+) DEFINE B AS B.price > A.price",
         ).collect()
 
 
@@ -563,3 +589,26 @@ def test_streaming_prev_carries_across_consumed_rows_missing_second_closer(spark
     )
     # the single (2,3) rising pair: A=2 (over consumed... ) — 2>1 T, 3>2 T
     assert got == {(1, 2.0)}
+
+
+def test_streaming_cross_variable_define(spark, tmp_path):
+    """Cross-variable DEFINE on streaming input: same keyed-state matcher,
+    same NFA-condition semantics, emitted under the frontier rule."""
+    rows = [dict(user_id=1, ts_s=10 * (i + 1), v=float(p))
+            for i, p in enumerate([10, 8, 6, 7, 9, 12, 11])]
+    got = _mr_stream_run(
+        spark,
+        tmp_path,
+        [rows[:2], rows[2:5], rows[5:],
+         [dict(user_id=99, ts_s=1000, v=0.0)]],
+        """
+        PARTITION BY user_id
+        ORDER BY ev_time
+        MEASURES A.v AS ap, COUNT(DOWN.*) AS nd, LAST(UP.v) AS up
+        PATTERN (A DOWN+ UP)
+        DEFINE DOWN AS DOWN.v < A.v, UP AS UP.v > A.v
+        """,
+        close_after="1 second",
+        schema="user_id long, ts_s long, v double, ev_time timestamp",
+    )
+    assert got == {(1, 10.0, 4, 12.0)}
