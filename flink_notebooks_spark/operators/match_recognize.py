@@ -9,7 +9,8 @@ Supported surface (the clauses Flink's own docs demo):
       ORDER BY ts [, tiebreak]
       MEASURES expr AS name [, ...]
       [ONE ROW PER MATCH]
-      [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
+      [AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW |
+       SKIP TO FIRST <var> | SKIP TO LAST <var>]
       PATTERN (A B+ C* D? E{2,3})
       DEFINE A AS <condition>, B AS <condition> [, ...]
     )
@@ -87,6 +88,7 @@ class MatchSpec:
     define: dict[str, str]
     skip_past_last: bool = True
     all_rows: bool = False  # ALL ROWS PER MATCH (RUNNING measures by default)
+    skip_to: tuple[str, str] | None = None  # ("first"|"last", VAR)
     variables: list[str] = field(default_factory=list)
 
     def __post_init__(self):
@@ -198,6 +200,17 @@ def parse_match_recognize(clause: str) -> MatchSpec:
     skip_past = not re.search(
         r"AFTER\s+MATCH\s+SKIP\s+TO\s+NEXT\s+ROW", clause, re.IGNORECASE
     )
+    skip_to = None
+    st = re.search(
+        r"AFTER\s+MATCH\s+SKIP\s+TO\s+(FIRST|LAST)\s+(\w+)", clause, re.IGNORECASE
+    )
+    if st:
+        skip_to = (st.group(1).lower(), st.group(2).upper())
+        if skip_to[1] not in {v for t in pattern for v in t.vars}:
+            raise ValueError(
+                f"MATCH_RECOGNIZE: AFTER MATCH SKIP TO {st.group(1).upper()} "
+                f"{st.group(2)}: unknown pattern variable"
+            )
     return MatchSpec(
         partition_by=[c.strip() for c in part.split(",")] if part else [],
         order_by=[c.strip() for c in order.split(",")],
@@ -206,6 +219,7 @@ def parse_match_recognize(clause: str) -> MatchSpec:
         define=define,
         skip_past_last=skip_past,
         all_rows=all_rows,
+        skip_to=skip_to,
     )
 
 
@@ -575,7 +589,7 @@ def _fast_eligible(spec: MatchSpec, measures) -> bool:
     one term, a mandatory first term, and measures limited to shapes
     computable from span boundaries + prefix sums. MIN/MAX/AVG need segment
     reductions — general path."""
-    if spec.all_rows:
+    if spec.all_rows or spec.skip_to:
         return False
     terms = spec.pattern
     if any(len(t.vars) != 1 for t in terms):
@@ -918,7 +932,27 @@ def _run_matches(
                 out_rows.append(list(pdf.iloc[r][input_cols]) + rvals)
         else:
             out_rows.append(keys + vals)
-        i = end if skip_past else i + 1
+        if spec.skip_to:
+            # AFTER MATCH SKIP TO FIRST|LAST <var>: resume AT that mapped
+            # row (overlapping matches allowed, Flink semantics)
+            kind, sv = spec.skip_to
+            rows_sv = var_rows.get(sv, [])
+            if not rows_sv:
+                raise ValueError(
+                    f"AFTER MATCH SKIP TO {kind.upper()} {sv}: the variable "
+                    "matched no rows in this match"
+                )
+            nxt = rows_sv[0] if kind == "first" else rows_sv[-1]
+            if nxt <= i:
+                raise ValueError(
+                    f"AFTER MATCH SKIP TO {kind.upper()} {sv} resumes at the "
+                    "match's own start row (infinite loop)"
+                )
+            i = nxt
+        elif skip_past:
+            i = end
+        else:
+            i = i + 1
         keep_from = i
     return out_rows, emitted, keep_from
 

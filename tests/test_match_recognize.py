@@ -612,3 +612,45 @@ def test_streaming_cross_variable_define(spark, tmp_path):
         schema="user_id long, ts_s long, v double, ev_time timestamp",
     )
     assert got == {(1, 10.0, 4, 12.0)}
+
+
+def test_skip_to_last_variable(spark):
+    """AFTER MATCH SKIP TO LAST UP resumes AT the previous match's last UP
+    row, so consecutive V-shapes share their peak row (Flink's documented
+    overlap semantics)."""
+    prices = [12, 10, 8, 9, 11, 7, 6, 8, 10]
+    df = spark.createDataFrame(
+        [(1, i, p) for i, p in enumerate(prices)], "k int, t int, price int"
+    )
+    out = match_recognize(
+        df,
+        "PARTITION BY k ORDER BY t "
+        "MEASURES STRT.price AS sp, MIN(DOWN.price) AS bottom, "
+        "LAST(UP.price) AS peak "
+        "AFTER MATCH SKIP TO LAST UP "
+        "PATTERN (STRT DOWN+ UP+) "
+        "DEFINE DOWN AS DOWN.price < PREV(DOWN.price), "
+        "UP AS UP.price > PREV(UP.price)",
+    ).orderBy("sp").collect()
+    # second V starts at the first V's peak (price 11): without SKIP TO
+    # LAST UP it would start at the 7 instead
+    assert sorted(tuple(r) for r in out) == [(1, 11, 6, 10), (1, 12, 8, 11)]
+
+
+def test_skip_to_first_self_loop_rejected(spark):
+    df = spark.createDataFrame([(1, 0, "a"), (1, 1, "b")], "k int, t int, s string")
+    with pytest.raises(Exception, match="infinite loop"):
+        match_recognize(
+            df,
+            "PARTITION BY k ORDER BY t MEASURES COUNT(*) AS n "
+            "AFTER MATCH SKIP TO FIRST A "
+            "PATTERN (A B) DEFINE A AS A.s = 'a', B AS B.s = 'b'",
+        ).collect()
+
+
+def test_skip_to_unknown_variable_rejected():
+    with pytest.raises(ValueError, match="unknown pattern variable"):
+        parse_match_recognize(
+            "ORDER BY t MEASURES COUNT(*) AS n AFTER MATCH SKIP TO LAST Q "
+            "PATTERN (A B) DEFINE A AS A.x = 1"
+        )

@@ -254,3 +254,44 @@ def test_ddl_parse_render_parse_fixpoint(cols, pk, opts):
     ]
     assert t2.options == t.options
     assert t2.primary_key == t.primary_key
+
+
+def test_stateful_define_equals_jvm_eval(spark):
+    """Equivalence fuzz: a self-referential DEFINE condition (no cross-var,
+    no navigation) must produce identical matches whether evaluated as a
+    precompiled JVM boolean column (normal path) or through the per-row
+    stateful evaluator (forced by appending an always-true cross-var
+    clause). Pins the SQL→Python translation: operators, precedence,
+    literals, NULL comparison semantics."""
+    import random
+
+    from flink_notebooks_spark.operators import match_recognize
+
+    rng = random.Random(11)
+    rows = [
+        (1, t, rng.choice([1, 2, 3, 4, 5]), rng.choice(["x", "y", "z"]))
+        for t in range(120)
+    ]
+    df = spark.createDataFrame(rows, "k int, t int, v int, s string")
+    conds = [
+        "B.v > 2",
+        "B.v >= 2 AND B.v < 5",
+        "B.s = 'x' OR B.v = 4",
+        "NOT B.s = 'z' AND (B.v = 1 OR B.v > 3)",
+        "B.v * 2 <= 6",
+        "B.s <> 'y'",
+    ]
+    for cond in conds:
+        plain = match_recognize(
+            df,
+            "PARTITION BY k ORDER BY t MEASURES A.t AS at, COUNT(B.*) AS nb "
+            f"PATTERN (A B+) DEFINE A AS A.s = 'x', B AS {cond}",
+        ).collect()
+        # A.t > -1 is always true but forces B through the stateful path
+        # (cross-variable reference); semantics must not change
+        forced = match_recognize(
+            df,
+            "PARTITION BY k ORDER BY t MEASURES A.t AS at, COUNT(B.*) AS nb "
+            f"PATTERN (A B+) DEFINE A AS A.s = 'x', B AS ({cond}) AND A.t > -1",
+        ).collect()
+        assert sorted(map(tuple, plain)) == sorted(map(tuple, forced)), cond
