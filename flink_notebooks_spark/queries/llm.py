@@ -378,6 +378,12 @@ def _with_norm(df: DataFrame, id_alias: str) -> DataFrame:
     """,
 )
 def embedding_cosine_pairs(spark, sf_dir):
+    return cosine_pairs_df(spark, sf_dir).select(
+        "a", "b", F.round("sim", 6).alias("sim")
+    ).orderBy("a", "b")
+
+
+def cosine_pairs_df(spark, sf_dir) -> DataFrame:
     """Exact all-pairs cosine ≥ 0.4 via *block* matrix multiplication.
 
     The naive row-pair join evaluates an interpreted 64-term fold per pair —
@@ -388,6 +394,9 @@ def embedding_cosine_pairs(spark, sf_dir):
     shuffle volume O(n·nb) rows, never the O(n²) pair stream. This is the
     standard outer-product blocking that scales the exact baseline to large
     corpora; the ANN paths below avoid O(n²) entirely.
+
+    Returns unordered (a < b) pairs with ``sim``; shared by
+    ``embedding_cosine_pairs`` and ``dedup_embedding_clusters``.
     """
     import numpy as np
     import pandas as pd
@@ -441,13 +450,49 @@ def embedding_cosine_pairs(spark, sf_dir):
     # ClusteredDistribution is already satisfied, so no AQE-coalescible
     # exchange is inserted and every GEMM task can run in parallel (the
     # shuffle is tiny in bytes but each task is a dense matmul)
-    pairs = (
+    return (
         tasks_a.unionByName(tasks_b)
         .repartition(nb * (nb + 1) // 2, "bi", "bj")
         .groupBy("bi", "bj")
         .applyInPandas(gemm, "a long, b long, sim double")
     )
-    return pairs.select("a", "b", F.round("sim", 6).alias("sim")).orderBy("a", "b")
+
+
+@query(
+    "dedup_embedding_clusters",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.4),
+    edges AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, x.v FROM reach r JOIN edges x ON x.u = r.v)
+    SELECT u AS vec_id, CAST(LEAST(u, MIN(v)) AS BIGINT) AS cluster
+    FROM reach GROUP BY u ORDER BY vec_id
+    """,
+)
+def dedup_embedding_clusters(spark, sf_dir):
+    """Embedding near-duplicate CLUSTERS: cosine-threshold pairs (exact
+    block-GEMM, cosine_pairs_df) fed into large-star/small-star connected
+    components (_connected_components) — one representative per semantic
+    dup cluster, the embedding analog of dedup_components' shingle
+    clusters. At 100 TB the same components step composes with the ANN
+    candidate generators (ann_lsh_topk et al.) instead of the exact O(n²)
+    pair source; the cluster id is the minimum vec_id reachable either
+    way."""
+    pairs = cosine_pairs_df(spark, sf_dir).select("a", "b")
+    labels, _ = _connected_components(pairs)
+    return labels.select(
+        F.col("doc_id").alias("vec_id"), F.col("component").alias("cluster")
+    ).orderBy("vec_id")
 
 
 # ---------------------------------------------------------------------------
