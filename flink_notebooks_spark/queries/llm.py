@@ -1460,11 +1460,15 @@ def _connected_components(pairs: DataFrame, max_rounds: int = 25):
         .distinct()
         .localCheckpoint()
     )
+    prev_n = edges.count()
     rounds = 0
     for _ in range(max_rounds):
         rounds += 1
         # large-star: for each u, every neighbor v > u links to
-        # m = min({u} ∪ N(u)). Output edges all satisfy u > v.
+        # m = min({u} ∪ N(u)). Output edges all satisfy u > v. Duplicate
+        # emissions are deliberately NOT deduped here — the aggregates below
+        # absorb them and the round's single distinct (on the small-star
+        # output) dedupes once, saving a shuffle per round.
         b = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         m = (
             b.groupBy("u")
@@ -1476,7 +1480,6 @@ def _connected_components(pairs: DataFrame, max_rounds: int = 25):
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
-            .distinct()
         )
         # small-star on the (u > v)-oriented edges: all of u's neighbors —
         # and u itself — collapse onto m = min(N(u) ∪ {u}).
@@ -1489,11 +1492,16 @@ def _connected_components(pairs: DataFrame, max_rounds: int = 25):
             .distinct()
             .localCheckpoint()
         )
-        changed = small.subtract(edges).count()
-        stale = edges.subtract(small).count() if changed == 0 else 1
+        # exact fixpoint test, cheapest-first: a changed distinct-count
+        # proves non-convergence without any join; only a plateaued count
+        # pays for the anti-join ((small ⊆ edges) ∧ equal counts ⇒ equal,
+        # both sides being distinct)
+        n_small = small.count()
+        converged = n_small == prev_n and small.subtract(edges).count() == 0
         edges = small
-        if changed == 0 and stale == 0:
+        if converged:
             break
+        prev_n = n_small
     # fixpoint: edges are stars u → root; roots label themselves
     labels = edges.select(
         F.col("u").alias("doc_id"), F.col("v").alias("component")
