@@ -383,6 +383,9 @@ def embedding_cosine_pairs(spark, sf_dir):
     ).orderBy("a", "b")
 
 
+_COSINE_PAIRS_MEMO: dict = {}
+
+
 def cosine_pairs_df(spark, sf_dir) -> DataFrame:
     """Exact all-pairs cosine ≥ 0.4 via *block* matrix multiplication.
 
@@ -400,6 +403,11 @@ def cosine_pairs_df(spark, sf_dir) -> DataFrame:
     """
     import numpy as np
     import pandas as pd
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _COSINE_PAIRS_MEMO.get(key)
+    if hit is not None:
+        return hit
 
     nb = _gemm_blocks(spark)
     emb = load_table(spark, sf_dir, "embeddings")
@@ -450,12 +458,23 @@ def cosine_pairs_df(spark, sf_dir) -> DataFrame:
     # ClusteredDistribution is already satisfied, so no AQE-coalescible
     # exchange is inserted and every GEMM task can run in parallel (the
     # shuffle is tiny in bytes but each task is a dense matmul)
-    return (
+    from pyspark import StorageLevel
+
+    # persisted + memoized (the cache manager can't plan-match two
+    # applyInPandas calls — each builds a fresh Python closure — so the
+    # memo hands both consumers the SAME DataFrame): the GEMM runs once
+    # per (session, dataset) across embedding_cosine_pairs and
+    # dedup_embedding_clusters. The pair set is a vanishing fraction of
+    # the corpus — MEMORY_AND_DISK spills rather than OOMs.
+    out = (
         tasks_a.unionByName(tasks_b)
         .repartition(nb * (nb + 1) // 2, "bi", "bj")
         .groupBy("bi", "bj")
         .applyInPandas(gemm, "a long, b long, sim double")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _COSINE_PAIRS_MEMO[key] = out
+    return out
 
 
 @query(
