@@ -1652,3 +1652,115 @@ def _tf_quality_features(spark, sf_dir, broadcast_cap: int = TF_BROADCAST_CAP):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# D12. intra-document repetition (Gopher-class quality filter: the fraction
+#      of word trigrams that are repeats — high values flag boilerplate,
+#      keyword stuffing, and degenerate generations)
+# ---------------------------------------------------------------------------
+@query(
+    "doc_repetition",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {SQL_WORDS} AS ws FROM documents),
+    g AS (SELECT doc_id,
+                 ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+          FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+          WHERE len(ws) >= 3)
+    SELECT doc_id, COUNT(*) AS n_grams,
+           COUNT(DISTINCT gram) AS n_distinct,
+           ROUND(1.0 - CAST(COUNT(DISTINCT gram) AS DOUBLE) / COUNT(*), 6)
+             AS rep_ratio
+    FROM g GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def doc_repetition(spark, sf_dir):
+    """Duplicate-trigram fraction per document (the Gopher/MassiveText
+    repetition signal). Trigram construction is a JVM higher-order
+    ``transform`` over the shared token array — no Python, map-side until
+    the per-(doc, gram) count; the only shuffle keys on (doc_id, gram), so
+    skew is bounded by a single document's length, not the corpus."""
+    t = tokenized_docs(spark, sf_dir)
+    g = (
+        t.filter(F.expr("size(ws) >= 3"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 3), "
+                    "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
+                )
+            ).alias("gram"),
+        )
+    )
+    return (
+        g.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.countDistinct("gram").alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_distinct",
+            F.round(1.0 - F.col("n_distinct").cast("double") / F.col("n_grams"), 6).alias(
+                "rep_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D13. PII scrubbing as a declared pipeline stage. The synthetic corpus has
+#      no real PII, so the query PLANTS deterministic PII derived from
+#      doc_id, then scrubs it — the oracle plants and scrubs identically, so
+#      redaction + audit counts are value-checked end-to-end.
+# ---------------------------------------------------------------------------
+_PII_SUFFIX_SQL = (
+    "' contact user' || doc_id || '@example.com from 10.0.' || "
+    "(doc_id % 256) || '.1 ssn 123-45-' || "
+    "lpad(CAST(doc_id % 10000 AS STRING), 4, '0')"  # STRING parses in Spark AND DuckDB
+)
+
+
+@query(
+    "pii_scrub",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text || {_PII_SUFFIX_SQL} AS text FROM documents)
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                 '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+               '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '<SSN>', 'g'),
+             '\\+?\\d[\\d().\\-\\s]{{6,}}\\d\\b', '<PHONE>', 'g') AS text,
+           len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_pii_email,
+           len(regexp_extract_all(text,
+             '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS n_pii_ipv4,
+           len(regexp_extract_all(text,
+             '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b')) AS n_pii_ssn,
+           len(regexp_extract_all(text,
+             '\\+?\\d[\\d().\\-\\s]{{6,}}\\d\\b')) AS n_pii_phone
+    FROM t ORDER BY doc_id
+    """,
+)
+def pii_scrub(spark, sf_dir):
+    """Declared PII redaction stage (operators/text.py scrub_pii): typed
+    placeholder substitution plus per-kind audit counts, all regexp
+    expressions in whole-stage codegen — map-only at any corpus size. The
+    planted-PII construction keeps the driver's value-hash oracle
+    meaningful on a PII-free synthetic corpus; tests/test_text_ops.py
+    covers the adversarial cases."""
+    from ..operators.text import scrub_pii
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(f"text || {_PII_SUFFIX_SQL}").alias("text")
+    )
+    out = scrub_pii(d, "text", kinds=("email", "ipv4", "ssn", "phone"))
+    return out.select(
+        "doc_id", "text", "n_pii_email", "n_pii_ipv4", "n_pii_ssn", "n_pii_phone"
+    ).orderBy("doc_id")
