@@ -1764,3 +1764,68 @@ def pii_scrub(spark, sf_dir):
     return out.select(
         "doc_id", "text", "n_pii_email", "n_pii_ipv4", "n_pii_ssn", "n_pii_phone"
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# D14. exact-substring dedup, stride-sampled (BigCode-class: documents that
+#      share a long verbatim character span — code/license boilerplate,
+#      copy-paste chains — that token-level jaccard can miss)
+# ---------------------------------------------------------------------------
+SUBSTR_W = 64  # gram window (chars)
+SUBSTR_S = 32  # sampling stride: any shared span >= W + S - 1 chars is
+#                guaranteed to contain an aligned sampled gram in both docs
+SUBSTR_DF_CAP = 64  # boilerplate guard, same rationale as jaccard's cap
+
+
+@query(
+    "dedup_substring",
+    oracle=f"""
+    WITH g AS (
+      SELECT DISTINCT doc_id, substr(text, i * {SUBSTR_S} + 1, {SUBSTR_W}) AS gram
+      FROM documents,
+           UNNEST(range(0, (len(text) - {SUBSTR_W}) // {SUBSTR_S} + 1)) AS t(i)
+      WHERE len(text) >= {SUBSTR_W}),
+    f AS (SELECT gram FROM g GROUP BY gram
+          HAVING COUNT(*) BETWEEN 2 AND {SUBSTR_DF_CAP})
+    SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+    FROM g a JOIN f USING (gram) JOIN g b USING (gram)
+    WHERE a.doc_id < b.doc_id
+    ORDER BY a, b
+    """,
+)
+def dedup_substring(spark, sf_dir):
+    """Document pairs sharing a sampled {W}-char gram (stride {S}): any
+    verbatim shared span of >= W + S - 1 chars is guaranteed detected —
+    the sampled-suffix shortcut to exact-substring dedup. All JVM
+    expressions: a higher-order ``transform`` emits ~len/S grams per doc
+    (corpus-linear, vs quadratic all-substrings), the inverted-index join
+    keys on the gram, and the df cap kills the quadratic hot-gram reducer
+    exactly as in dedup_ngram_jaccard — the cap is mirrored in the oracle,
+    so results stay value-checked."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.expr(f"length(text) >= {SUBSTR_W}")
+    )
+    g = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, (length(text) - {SUBSTR_W}) div {SUBSTR_S}), "
+                f"i -> substring(text, i * {SUBSTR_S} + 1, {SUBSTR_W}))"
+            )
+        ).alias("gram"),
+    ).distinct()
+    f = (
+        g.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= SUBSTR_DF_CAP))
+        .select("gram")
+    )
+    gk = g.join(f, "gram")
+    pairs = (
+        gk.alias("x")
+        .join(gk.alias("y"), "gram")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    return pairs.orderBy("a", "b")
