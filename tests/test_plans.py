@@ -186,3 +186,26 @@ def test_kafka_emulated_read_prunes_to_value(spark, tmp_path):
         kafka.build_batch(spark, tbl).explain("formatted")
     p = buf.getvalue()
     assert "ReadSchema: struct<value:binary>" in p
+
+
+def test_substring_dedup_stays_jvm_side(spark, sf_dir):
+    """Gram emission + inverted-index join compile to pure JVM expressions:
+    no Python eval nodes, no cartesian product."""
+    p = plan_of(spark, sf_dir, "dedup_substring")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_doc_repetition_stays_jvm_side(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "doc_repetition")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_pii_scrub_is_map_only(spark, sf_dir):
+    """Redaction is regexp expressions over the scan — no join, no
+    aggregate, at most the final sort's exchange."""
+    import re
+
+    p = plan_of(spark, sf_dir, "pii_scrub")
+    assert "Join" not in p and "HashAggregate" not in p
+    assert len(re.findall(r"\n\(\d+\) Exchange", p)) <= 1
