@@ -124,11 +124,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = _events_ts_cols(df)
         # post-condition: the normalization contract every event-time
         # operator depends on. A testdata-vintage change fails HERE, loudly,
-        # not as silent wrong answers downstream.
+        # not as silent wrong answers downstream. (A real raise, not assert —
+        # python -O must not strip the contract.)
         got = dict(df.dtypes)
-        assert got.get("ts_us") == "bigint" and str(got.get("ts", "")).startswith(
+        if got.get("ts_us") != "bigint" or not str(got.get("ts", "")).startswith(
             "timestamp"
-        ), f"events normalization broken: {got}"
+        ):
+            raise RuntimeError(f"events normalization broken: {got}")
     return df
 
 

@@ -34,7 +34,11 @@ row) and FIRST/LAST navigation in DEFINE (running semantics: the current row
 counts as mapped to its own variable) evaluate per candidate row inside the
 matcher — Flink's NFA-condition equivalent (_compile_stateful_cond documents
 the expression subset). Not supported (raise): nested groups / ``PERMUTE``,
-match-state conditions inside an alternation group.
+match-state conditions inside an alternation group, and on STREAMING input
+only: PREV over an expression argument, PREV combined with match-state
+navigation in one condition, and NOT over a PREV-bearing subexpression
+(each raises NotImplementedError rather than silently diverging from the
+batch lag()-window semantics).
 
 Scale design (the 100 TB argument):
 
@@ -307,8 +311,13 @@ def _measure_type(m: Measure, schema: T.StructType) -> T.DataType:
 
 
 _PREV_RE = re.compile(
-    r"\bPREV\s*\(\s*([A-Za-z_]\w*)\s*(?:,\s*(\d+)\s*)?\)", re.IGNORECASE
+    # the argument may be an expression (PREV(price * 2)) — the batch path
+    # passes it through to lag() verbatim; the deferred/stateful paths
+    # restrict it to a bare column and raise otherwise
+    r"\bPREV\s*\(\s*([^(),]+?)\s*(?:,\s*(\d+)\s*)?\)",
+    re.IGNORECASE,
 )
+_IDENT_RE = re.compile(r"[A-Za-z_]\w*$")
 
 
 def _compile_defines(df: DataFrame, spec: MatchSpec, defer_prev: bool = False):
@@ -392,13 +401,21 @@ def _compile_stateful_cond(var: str, cond: str, variables: list[str]):
       regardless of variable mapping.
 
     Supported expression subset: comparisons (=, <>, <, <=, >, >=),
-    arithmetic, AND/OR/NOT, parens, numeric/string literals, NULL.
-    Anything else raises NotImplementedError at compile time. NULL
-    operands make a comparison not-satisfied (TypeError → False at eval).
+    arithmetic, AND/OR, NOT over a parenthesized operand, IS [NOT] NULL,
+    parens, numeric/string literals, NULL. Anything else raises
+    NotImplementedError at compile time.
+
+    NULL semantics: helpers return the _SQL_NULL singleton for missing
+    values; comparisons and arithmetic against it propagate _SQL_NULL,
+    which is falsy — so a condition involving NULL is not satisfied, and
+    ``X OR <null-comparison>`` still honors X (SQL three-valued "is TRUE"
+    evaluation). One documented divergence: a comparison whose LEFT operand
+    is a concrete numpy scalar and right operand is NULL may collapse to
+    False rather than unknown, which only matters under NOT — where SQL
+    would also reject the row unless the inner result was strictly false.
     """
     expr = _NAV_RE.sub(
-        lambda m: f"nav({m.group(2)!r}, {m.group(3)!r}, "
-        f"{m.group(1).lower()!r}, {int(m.group(4) or 0)})",
+        lambda m: _nav_sub(m, variables, cond),
         cond,
     )
     expr = _PREV_QUAL_RE.sub(
@@ -407,22 +424,35 @@ def _compile_stateful_cond(var: str, cond: str, variables: list[str]):
     for v in variables:
         if v == var:
             expr = re.sub(
-                rf"\b{v}\s*\.\s*([A-Za-z_]\w*)", lambda m: f"cur({m.group(1)!r})", expr
+                rf"\b{v}\s*\.\s*([A-Za-z_]\w*)",
+                lambda m: f"cur({m.group(1)!r})",
+                expr,
+                flags=re.IGNORECASE,
             )
         else:
             expr = re.sub(
                 rf"\b{v}\s*\.\s*([A-Za-z_]\w*)",
                 lambda m, v=v: f"nav({v!r}, {m.group(1)!r}, 'last', 0)",
                 expr,
+                flags=re.IGNORECASE,
             )
-    expr = re.sub(r"\bIS\s+NOT\s+NULL\b", " is not None", expr, flags=re.IGNORECASE)
-    expr = re.sub(r"\bIS\s+NULL\b", " is None", expr, flags=re.IGNORECASE)
+    # IS [NOT] NULL first, as single tokens, so the NOT rewrite below cannot
+    # touch the 'not' inside 'is not'
+    expr = re.sub(r"\bIS\s+NOT\s+NULL\b", " is__not__null", expr, flags=re.IGNORECASE)
+    expr = re.sub(r"\bIS\s+NULL\b", " is__null", expr, flags=re.IGNORECASE)
     expr = re.sub(r"<>", "!=", expr)
     expr = re.sub(r"(?<![<>!=])=(?!=)", "==", expr)
     expr = re.sub(r"\bAND\b", " and ", expr, flags=re.IGNORECASE)
     expr = re.sub(r"\bOR\b", " or ", expr, flags=re.IGNORECASE)
-    expr = re.sub(r"\bNOT\b(?!\s+None)", " not ", expr, flags=re.IGNORECASE)
-    expr = re.sub(r"\bNULL\b", "None", expr, flags=re.IGNORECASE)
+    if re.search(r"\bNOT\b(?!\s*\()", expr, flags=re.IGNORECASE):
+        raise NotImplementedError(
+            f"MATCH_RECOGNIZE: DEFINE {var}: NOT must parenthesize its operand "
+            "in match-state conditions (NOT (...))"
+        )
+    # NOT (...) → the null-propagating sql_not(...) call
+    expr = re.sub(r"\bNOT\b", " sql_not", expr, flags=re.IGNORECASE)
+    expr = re.sub(r"\bNULL\b", "_N", expr, flags=re.IGNORECASE)
+    expr = expr.replace(" is__not__null", " is not _N").replace(" is__null", " is _N")
     try:
         return compile(expr, f"<define {var}>", "eval")
     except SyntaxError as exc:
@@ -430,6 +460,52 @@ def _compile_stateful_cond(var: str, cond: str, variables: list[str]):
             f"MATCH_RECOGNIZE: DEFINE {var} condition {cond!r} is outside the "
             f"supported match-state subset ({exc})"
         ) from exc
+
+
+def _nav_sub(m, variables: list[str], cond: str) -> str:
+    """FIRST/LAST(X.col) → nav(...), normalizing the variable's case to the
+    parser's uppercase convention; unknown variables raise instead of
+    silently evaluating to always-false."""
+    x = m.group(2).upper()
+    if x not in variables:
+        raise NotImplementedError(
+            f"MATCH_RECOGNIZE: {m.group(0)!r} navigates unknown pattern "
+            f"variable {m.group(2)!r} (condition {cond!r})"
+        )
+    return f"nav({x!r}, {m.group(3)!r}, {m.group(1).lower()!r}, {int(m.group(4) or 0)})"
+
+
+class _SqlNullType:
+    """SQL NULL for scalar condition evaluation: falsy, and it propagates
+    through comparisons and arithmetic (unknown AND/OR compose correctly via
+    Python's truthiness-based short-circuit)."""
+
+    _inst = None
+
+    def __new__(cls):
+        if cls._inst is None:
+            cls._inst = super().__new__(cls)
+        return cls._inst
+
+    def __bool__(self):
+        return False
+
+    def __hash__(self):
+        return 0
+
+    def _propagate(self, *_):
+        return self
+
+    __eq__ = __ne__ = __lt__ = __le__ = __gt__ = __ge__ = _propagate
+    __add__ = __radd__ = __sub__ = __rsub__ = _propagate
+    __mul__ = __rmul__ = __truediv__ = __rtruediv__ = _propagate
+    __mod__ = __rmod__ = __neg__ = _propagate
+
+    def __repr__(self):
+        return "SQL_NULL"
+
+
+_SQL_NULL = _SqlNullType()
 
 
 def _sql_bool_to_pandas(cond: str) -> str:
@@ -481,9 +557,24 @@ def _sql_bool_to_pandas(cond: str) -> str:
             return "(" + " & ".join(rewrite(p) for p in ands) + ")"
         m = re.match(r"^\s*NOT\b(.*)$", text, re.IGNORECASE | re.DOTALL)
         if m:
+            if "__prev_" in m.group(1):
+                # SQL: NOT(unknown) is unknown (→ not satisfied); 2-valued
+                # pandas eval can't express that under negation — reject
+                # rather than silently diverge from the batch lag() path
+                raise NotImplementedError(
+                    "streaming MATCH_RECOGNIZE: NOT over a PREV-bearing "
+                    "subexpression is unsupported"
+                )
             return "(~" + rewrite(m.group(1)) + ")"
         atom = re.sub(r"<>", "!=", text)
         atom = re.sub(r"(?<![<>!=])=(?!=)", "==", atom)
+        # SQL NULL semantics per ATOM: a comparison whose PREV operand is
+        # null is not satisfied — masked here so other disjuncts still count
+        # (masking the whole condition would break OR, e.g.
+        # `v > PREV(v) OR v > 100` on the partition's first row)
+        oks = sorted({f"__prevok{t[6:]}" for t in re.findall(r"__prev_\d+_\w+", atom)})
+        if oks:
+            return "((" + atom + ") & " + " & ".join(oks) + ")"
         return "(" + atom + ")"
 
     return rewrite(cond)
@@ -505,8 +596,14 @@ def _compile_deferred_prev(deferred: dict[str, str]):
     for v, cond in deferred.items():
         refs: list[tuple[str, int]] = []
 
-        def sub(m, refs=refs):
-            col, n = m.group(1), int(m.group(2) or 1)
+        def sub(m, refs=refs, v=v):
+            col, n = m.group(1).strip(), int(m.group(2) or 1)
+            if not _IDENT_RE.match(col):
+                raise NotImplementedError(
+                    f"streaming MATCH_RECOGNIZE: DEFINE {v} uses PREV over an "
+                    f"expression ({m.group(0)!r}); only PREV(column[, n]) is "
+                    "supported on streaming input"
+                )
             refs.append((col, n))
             return f"__prev_{n}_{col}"
 
@@ -790,7 +887,9 @@ def _run_matches(
         return colvals[c]
 
     def _unbox(x):
-        return None if x is None or (isinstance(x, float) and x != x) else x
+        if x is None or (isinstance(x, float) and x != x):
+            return _SQL_NULL
+        return x
 
     def make_pred(code, var, pi):
         def nav(x, c, kind, k, spans, pos, cnt, r):
@@ -805,20 +904,22 @@ def _run_matches(
             if x == var and (not rows or rows[-1] != r):
                 rows.append(r)  # running semantics: the current row counts
             if k >= len(rows):
-                return None
+                return _SQL_NULL
             idx = rows[k] if kind == "first" else rows[-1 - k]
             return _unbox(colv(c)[idx])
 
         def pred(r, spans, pos, cnt):
             env = {
                 "cur": lambda c: _unbox(colv(c)[r]),
-                "prev": lambda c, k: _unbox(colv(c)[r - k]) if r - k >= 0 else None,
+                "prev": lambda c, k: _unbox(colv(c)[r - k]) if r - k >= 0 else _SQL_NULL,
                 "nav": lambda x, c, kind, k: nav(x, c, kind, k, spans, pos, cnt, r),
+                "_N": _SQL_NULL,
+                "sql_not": lambda x: _SQL_NULL if x is _SQL_NULL else (not x),
             }
             try:
                 return bool(eval(code, {"__builtins__": {}}, env))  # noqa: S307
             except TypeError:
-                return False  # NULL operand: SQL comparison not satisfied
+                return False  # non-null operands of incompatible types
 
         return pred
 
@@ -826,11 +927,8 @@ def _run_matches(
     preds = {}
     for pi, t in enumerate(pattern):
         if stateful and any(x in stateful for x in t.vars):
-            if len(t.vars) > 1:
-                raise NotImplementedError(
-                    "MATCH_RECOGNIZE: match-state DEFINE conditions inside an "
-                    "alternation group are unsupported"
-                )
+            # single-var guaranteed: _prepare_spec rejects match-state
+            # conditions inside alternation groups at compile time
             term_bools.append(None)
             preds[pi] = make_pred(stateful[t.var], t.var, pi)
             continue
@@ -1057,6 +1155,14 @@ def match_recognize_stream(df: DataFrame, clause_or_spec, close_after: str | Non
     )
     if not spec.partition_by:
         raise ValueError("streaming MATCH_RECOGNIZE requires PARTITION BY")
+    for v in stateful or ():
+        if _PREV_RE.search(spec.define.get(v, "")):
+            raise NotImplementedError(
+                f"streaming MATCH_RECOGNIZE: DEFINE {v} combines PREV with "
+                "cross-variable/FIRST/LAST navigation — the consumed-row carry "
+                "only covers PREV-only conditions on streaming input (batch "
+                "supports the combination)"
+            )
     ocol = spec.order_by[0]
     if not isinstance(df.schema[ocol].dataType, (T.TimestampType, T.TimestampNTZType)):
         raise ValueError(
@@ -1082,7 +1188,12 @@ def match_recognize_stream(df: DataFrame, clause_or_spec, close_after: str | Non
         local = {}
         for _, refs, _expr in prev_evals:
             for col, n in refs:
-                local[f"__prev_{n}_{col}"] = frame[col].shift(n)
+                shifted = frame[col].shift(n)
+                local[f"__prev_{n}_{col}"] = shifted
+                # per-atom null mask (see _sql_bool_to_pandas): a comparison
+                # with a null PREV operand is not satisfied, but other
+                # disjuncts of the condition still count
+                local[f"__prevok_{n}_{col}"] = shifted.notna()
         for v, refs, expr in prev_evals:
             try:
                 res = frame.assign(**local).eval(expr, engine="python")
@@ -1091,10 +1202,7 @@ def match_recognize_stream(df: DataFrame, clause_or_spec, close_after: str | Non
                     f"streaming MATCH_RECOGNIZE: DEFINE {v} condition "
                     f"{deferred[v]!r} is outside the supported PREV subset: {exc}"
                 ) from exc
-            res = pd.Series(res, index=frame.index).fillna(False).astype(bool)
-            for col, n in refs:  # SQL NULL comparison is never true
-                res &= local[f"__prev_{n}_{col}"].notna()
-            frame[f"__mr_{v}"] = res
+            frame[f"__mr_{v}"] = pd.Series(res, index=frame.index).fillna(False).astype(bool)
         return frame.iloc[nc:].reset_index(drop=True)
 
     def run_stream(key, pdfs, state):

@@ -1521,6 +1521,13 @@ def _connected_components(pairs: DataFrame, max_rounds: int = 25):
         if converged:
             break
         prev_n = n_small
+    else:
+        # a non-converged edge set is NOT a star forest — the labels union
+        # below would emit conflicting components per node. Fail loudly.
+        raise RuntimeError(
+            f"connected components did not converge in {max_rounds} rounds "
+            "(O(log² n) expected — raise max_rounds or inspect the graph)"
+        )
     # fixpoint: edges are stars u → root; roots label themselves
     labels = edges.select(
         F.col("u").alias("doc_id"), F.col("v").alias("component")

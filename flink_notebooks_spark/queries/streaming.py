@@ -292,7 +292,6 @@ def streaming_match_recognize(spark, sf_dir):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from ..io import events_stream_schema, stream_ts_cols
     from ..operators.match_recognize import match_recognize_stream
 
     tune(spark)
@@ -310,7 +309,12 @@ def streaming_match_recognize(spark, sf_dir):
         meta.row_group(g).column(ts_idx).statistics.max for g in range(meta.num_row_groups)
     )
     if hasattr(max_ts, "timestamp"):  # datetime stats (timestamp vintage)
-        max_us = int(max_ts.timestamp() * 1_000_000)
+        # the stats datetime is naive NTZ: pin it to UTC before epoch
+        # conversion — bare .timestamp() would interpret it in the HOST
+        # timezone and shift the sentinel by the UTC offset
+        max_us = int(
+            max_ts.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000
+        )
     else:  # raw-nano int stats
         max_us = int(max_ts) // 1000
     sentinel_us = max_us + 3_600_000_000  # one hour past the last real event

@@ -654,3 +654,80 @@ def test_skip_to_unknown_variable_rejected():
             "ORDER BY t MEASURES COUNT(*) AS n AFTER MATCH SKIP TO LAST Q "
             "PATTERN (A B) DEFINE A AS A.x = 1"
         )
+
+
+def test_streaming_prev_with_or_disjunct_matches_batch(spark, tmp_path):
+    """A PREV-bearing comparison under OR: a null PREV kills only that
+    atom, not the whole condition (first row must still match via the
+    other disjunct, as the batch lag() path does)."""
+    vs = [200.0, 1.0, 2.0]
+    rows = [dict(user_id=1, ts_s=10 * (i + 1), v=v) for i, v in enumerate(vs)]
+    clause = """
+    PARTITION BY user_id
+    ORDER BY ev_time
+    MEASURES A.v AS val
+    PATTERN (A)
+    DEFINE A AS A.v > PREV(A.v) OR A.v > 100
+    """
+    batch = spark.createDataFrame(
+        [(r["user_id"], r["ts_s"], r["v"]) for r in rows], "user_id long, ts_s long, v double"
+    ).withColumn("ev_time", F.timestamp_seconds("ts_s"))
+    want = {tuple(r) for r in match_recognize(batch, clause.replace("ev_time", "ts_s")).collect()}
+    assert want == {(1, 200.0), (1, 2.0)}  # row 1 via >100 despite NULL PREV
+    got = _mr_stream_run(
+        spark, tmp_path,
+        [rows, [dict(user_id=99, ts_s=1000, v=0.0)]],
+        clause, close_after="1 second",
+        schema="user_id long, ts_s long, v double, ev_time timestamp",
+    )
+    assert got == want
+
+
+def test_batch_prev_expression_argument(spark):
+    """PREV over an expression still compiles to lag(expr) on batch input."""
+    df = spark.createDataFrame(
+        [(1, 0, 10), (1, 1, 4)], "k int, t int, price int"
+    )
+    out = match_recognize(
+        df,
+        "PARTITION BY k ORDER BY t MEASURES B.price AS bp "
+        "PATTERN (A B) DEFINE B AS B.price < PREV(B.price * 2) - 10",
+    ).collect()
+    # prev(price*2) - 10 = 10; 4 < 10 -> match
+    assert [tuple(r) for r in out] == [(1, 4)]
+
+
+def test_stateful_null_equality_not_satisfied(spark):
+    """SQL: NULL = NULL is unknown, never true — a cross-variable equality
+    over null columns must not match (Python None == None would)."""
+    df = spark.createDataFrame(
+        [(1, 0, None), (1, 1, None)], "k int, t int, s string"
+    )
+    out = match_recognize(
+        df,
+        "PARTITION BY k ORDER BY t MEASURES COUNT(*) AS n "
+        "PATTERN (A B) DEFINE B AS B.s = A.s",
+    ).collect()
+    assert out == []
+
+
+def test_stateful_nav_lowercase_variable(spark):
+    """FIRST/LAST navigation normalizes variable case to the parser's
+    uppercase convention instead of silently never matching."""
+    df = spark.createDataFrame(
+        [(1, 0, 3), (1, 1, 5)], "k int, t int, price int"
+    )
+    out = match_recognize(
+        df,
+        "PARTITION BY k ORDER BY t MEASURES COUNT(B.*) AS n "
+        "PATTERN (B{2}) DEFINE B AS last(b.price, 1) IS NULL OR B.price > LAST(b.price, 1)",
+    ).collect()
+    assert [tuple(r) for r in out] == [(1, 2)]
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    from flink_notebooks_spark.queries.llm import _connected_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(63)], "a long, b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _connected_components(chain, max_rounds=2)

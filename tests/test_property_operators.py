@@ -277,7 +277,7 @@ def test_stateful_define_equals_jvm_eval(spark):
         "B.v > 2",
         "B.v >= 2 AND B.v < 5",
         "B.s = 'x' OR B.v = 4",
-        "NOT B.s = 'z' AND (B.v = 1 OR B.v > 3)",
+        "NOT (B.s = 'z') AND (B.v = 1 OR B.v > 3)",
         "B.v * 2 <= 6",
         "B.s <> 'y'",
     ]
