@@ -11,7 +11,7 @@ Supported surface (the clauses Flink's own docs demo):
       [ONE ROW PER MATCH]
       [AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW |
        SKIP TO FIRST <var> | SKIP TO LAST <var>]
-      PATTERN (A B+ C* D? E{2,3})
+      PATTERN (A B+ C* D? E{2,3}) [WITHIN INTERVAL 'n' <unit>]
       DEFINE A AS <condition>, B AS <condition> [, ...]
     )
 
@@ -93,6 +93,7 @@ class MatchSpec:
     skip_past_last: bool = True
     all_rows: bool = False  # ALL ROWS PER MATCH (RUNNING measures by default)
     skip_to: tuple[str, str] | None = None  # ("first"|"last", VAR)
+    within_ms: int | None = None  # PATTERN (...) WITHIN INTERVAL bound
     variables: list[str] = field(default_factory=list)
 
     def __post_init__(self):
@@ -201,6 +202,24 @@ def parse_match_recognize(clause: str) -> MatchSpec:
             raise ValueError(f"MATCH_RECOGNIZE: measure needs AS alias: {p!r}")
         measures.append((mm.group(1).strip(), mm.group(2)))
 
+    # PATTERN (...) WITHIN INTERVAL 'n' UNIT (Flink CEP time bound)
+    within_ms = None
+    wm = re.search(
+        r"\)\s*WITHIN\s+INTERVAL\s+'(\d+(?:\.\d+)?)'\s+"
+        r"(MILLISECOND|SECOND|MINUTE|HOUR|DAY)S?\b",
+        clause,
+        re.IGNORECASE,
+    )
+    if wm:
+        unit_ms = {
+            "MILLISECOND": 1,
+            "SECOND": 1000,
+            "MINUTE": 60_000,
+            "HOUR": 3_600_000,
+            "DAY": 86_400_000,
+        }[wm.group(2).upper()]
+        within_ms = int(float(wm.group(1)) * unit_ms)
+
     skip_past = not re.search(
         r"AFTER\s+MATCH\s+SKIP\s+TO\s+NEXT\s+ROW", clause, re.IGNORECASE
     )
@@ -224,6 +243,7 @@ def parse_match_recognize(clause: str) -> MatchSpec:
         skip_past_last=skip_past,
         all_rows=all_rows,
         skip_to=skip_to,
+        within_ms=within_ms,
     )
 
 
@@ -614,14 +634,19 @@ def _compile_deferred_prev(deferred: dict[str, str]):
 
 
 def _match_starting_at(
-    term_bools, pattern: list[PatternTerm], n: int, start: int, preds=None
+    term_bools, pattern: list[PatternTerm], n: int, start: int, preds=None,
+    within_ok=None,
 ):
     """Greedy backtracking anchored match. Returns (end_exclusive, spans) or
     None; spans[i] = (first_row, last_row_exclusive) of pattern term i.
     ``term_bools[i]`` is the per-row match array of term i (alternation
     groups pre-OR'd); None means the term's condition is match-state
     dependent and ``preds[i](r, spans, pos, cnt)`` decides row acceptance
-    given the spans assigned so far and the current term's partial run."""
+    given the spans assigned so far and the current term's partial run.
+    ``within_ok(start, r)`` is the WITHIN time bound: a partial match can
+    never accept a row outside the window anchored at its first row —
+    pruning during construction, exactly Flink's CEP WITHIN semantics (the
+    backtracker still finds a shorter in-window parse when one exists)."""
     spans = [None] * len(pattern)
 
     def rec(pi: int, pos: int):
@@ -632,11 +657,21 @@ def _match_starting_at(
         cnt = 0
         cap = (term.hi - 0) if term.hi is not None else (n - pos)
         if col is not None:
-            while cnt < cap and pos + cnt < n and col[pos + cnt]:
+            while (
+                cnt < cap
+                and pos + cnt < n
+                and col[pos + cnt]
+                and (within_ok is None or within_ok(start, pos + cnt))
+            ):
                 cnt += 1
         else:
             pred = preds[pi]
-            while cnt < cap and pos + cnt < n and pred(pos + cnt, spans, pos, cnt):
+            while (
+                cnt < cap
+                and pos + cnt < n
+                and (within_ok is None or within_ok(start, pos + cnt))
+                and pred(pos + cnt, spans, pos, cnt)
+            ):
                 cnt += 1
         for take in range(cnt, term.lo - 1, -1):
             spans[pi] = (pos, pos + take)
@@ -669,6 +704,15 @@ def _prepare_spec(df: DataFrame, clause_or_spec, defer_prev: bool = False):
         out_fields = [df.schema[c] for c in input_cols] + meas_fields
     else:
         out_fields = [df.schema[c] for c in spec.partition_by] + meas_fields
+    if spec.within_ms is not None and not isinstance(
+        df.schema[spec.order_by[0].strip("`")].dataType,
+        (T.TimestampType, T.TimestampNTZType),
+    ):
+        raise ValueError(
+            "MATCH_RECOGNIZE: PATTERN ... WITHIN requires the first ORDER BY "
+            "column to be a timestamp (Flink's time-attribute requirement); "
+            f"got {df.schema[spec.order_by[0].strip('`')].dataType}"
+        )
     prepared, deferred, stateful = _compile_defines(df, spec, defer_prev=defer_prev)
     if stateful:
         for t in spec.pattern:
@@ -686,7 +730,7 @@ def _fast_eligible(spec: MatchSpec, measures) -> bool:
     one term, a mandatory first term, and measures limited to shapes
     computable from span boundaries + prefix sums. MIN/MAX/AVG need segment
     reductions — general path."""
-    if spec.all_rows or spec.skip_to:
+    if spec.all_rows or spec.skip_to or spec.within_ms:
         return False
     terms = spec.pattern
     if any(len(t.vars) != 1 for t in terms):
@@ -936,6 +980,16 @@ def _run_matches(
         for v in t.vars[1:]:
             col = col | bools[v]
         term_bools.append(col)
+    within_ok = None
+    if spec.within_ms is not None and n:
+        import pandas as pd
+
+        ts_ns = pd.to_datetime(pdf[spec.order_by[0]]).values.view("int64")
+        bound_ns = spec.within_ms * 1_000_000
+
+        def within_ok(start, r):  # noqa: F811
+            return ts_ns[r] - ts_ns[start] <= bound_ns
+
     keys = [pdf[c].iloc[0] for c in spec.partition_by] if n else []
     out_rows = []
     match_num = match_num0
@@ -957,7 +1011,7 @@ def _run_matches(
             if si >= len(starts):
                 break
             i = int(starts[si])
-        hit = _match_starting_at(term_bools, pattern, n, i, preds)
+        hit = _match_starting_at(term_bools, pattern, n, i, preds, within_ok)
         if hit is None:
             i += 1
             continue

@@ -731,3 +731,82 @@ def test_connected_components_nonconvergence_raises(spark):
     chain = spark.createDataFrame([(i, i + 1) for i in range(63)], "a long, b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         _connected_components(chain, max_rounds=2)
+
+
+def test_parser_within_clause():
+    spec = parse_match_recognize(
+        "ORDER BY t MEASURES COUNT(*) AS n "
+        "PATTERN (A B) WITHIN INTERVAL '10' MINUTE DEFINE A AS A.x = 1"
+    )
+    assert spec.within_ms == 600_000
+
+
+def _ts_events(spark, rows):
+    df = spark.createDataFrame(rows, "k int, ts_s int, etype string")
+    return df.withColumn("ev_time", F.timestamp_seconds("ts_s"))
+
+
+_WITHIN_FUNNEL = (
+    "PARTITION BY k ORDER BY ev_time "
+    "MEASURES A.ts_s AS a_s, LAST(C.ts_s) AS c_s, COUNT(B.*) AS nb "
+    "PATTERN (A B+ C){W} "
+    "DEFINE A AS A.etype = 'view', B AS B.etype = 'click', "
+    "C AS C.etype = 'purchase'"
+)
+
+
+def test_within_bound_rejects_and_admits(spark):
+    """WITHIN prunes rows outside the window anchored at the match start:
+    a funnel completing at +40s fails INTERVAL '30' SECOND but matches
+    without the bound."""
+    rows = [(1, 0, "view"), (1, 5, "click"), (1, 40, "purchase")]
+    slow = match_recognize(
+        _ts_events(spark, rows),
+        _WITHIN_FUNNEL.replace("{W}", " WITHIN INTERVAL '30' SECOND"),
+    ).collect()
+    assert slow == []
+    fast = match_recognize(
+        _ts_events(spark, rows), _WITHIN_FUNNEL.replace("{W}", "")
+    ).collect()
+    assert [tuple(r) for r in fast] == [(1, 0, 40, 1)]
+    # in-window funnel still matches under the bound
+    ok = match_recognize(
+        _ts_events(spark, [(1, 0, "view"), (1, 5, "click"), (1, 20, "purchase")]),
+        _WITHIN_FUNNEL.replace("{W}", " WITHIN INTERVAL '30' SECOND"),
+    ).collect()
+    assert [tuple(r) for r in ok] == [(1, 0, 20, 1)]
+
+
+def test_within_requires_timestamp_order(spark):
+    df = spark.createDataFrame([(1, 1, "view")], "k int, t int, etype string")
+    with pytest.raises(ValueError, match="WITHIN requires"):
+        match_recognize(
+            df,
+            "PARTITION BY k ORDER BY t MEASURES COUNT(*) AS n "
+            "PATTERN (A B) WITHIN INTERVAL '10' SECOND DEFINE A AS A.etype = 'view'",
+        )
+
+
+def test_streaming_within_matches_batch(spark, tmp_path):
+    rows = [
+        dict(user_id=1, ts_s=10, event_type="view"),
+        dict(user_id=1, ts_s=15, event_type="click"),
+        dict(user_id=1, ts_s=100, event_type="purchase"),  # outside 30s
+        dict(user_id=1, ts_s=110, event_type="view"),
+        dict(user_id=1, ts_s=115, event_type="click"),
+        dict(user_id=1, ts_s=120, event_type="purchase"),  # inside 30s
+    ]
+    got = _mr_stream_run(
+        spark, tmp_path,
+        [rows[:3], rows[3:], [dict(user_id=99, ts_s=1000, event_type="x")]],
+        """
+        PARTITION BY user_id
+        ORDER BY ev_time
+        MEASURES A.ts_s AS a_s, LAST(C.ts_s) AS c_s, COUNT(B.*) AS nb
+        PATTERN (A B+ C) WITHIN INTERVAL '30' SECOND
+        DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click',
+               C AS C.event_type = 'purchase'
+        """,
+        close_after="1 second",
+    )
+    assert got == {(1, 110, 120, 1)}
