@@ -386,6 +386,21 @@ def embedding_cosine_pairs(spark, sf_dir):
 _COSINE_PAIRS_MEMO: dict = {}
 
 
+def _memo_put(key: tuple, df: DataFrame) -> None:
+    """Bound the GEMM memo: keep only the latest dataset per live session.
+
+    Long-lived sessions touching many datasets would otherwise accumulate
+    persisted blocks and dead DataFrame references indefinitely; evicting the
+    displaced entry unpersists its cached blocks eagerly."""
+    app = key[0]
+    for stale in [k for k in _COSINE_PAIRS_MEMO if k[0] == app and k != key]:
+        try:
+            _COSINE_PAIRS_MEMO.pop(stale).unpersist()
+        except Exception:
+            pass  # session already stopped; blocks are gone with it
+    _COSINE_PAIRS_MEMO[key] = df
+
+
 def cosine_pairs_df(spark, sf_dir) -> DataFrame:
     """Exact all-pairs cosine ≥ 0.4 via *block* matrix multiplication.
 
@@ -473,7 +488,7 @@ def cosine_pairs_df(spark, sf_dir) -> DataFrame:
         .applyInPandas(gemm, "a long, b long, sim double")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    _COSINE_PAIRS_MEMO[key] = out
+    _memo_put(key, out)
     return out
 
 
@@ -499,19 +514,154 @@ def cosine_pairs_df(spark, sf_dir) -> DataFrame:
     """,
 )
 def dedup_embedding_clusters(spark, sf_dir):
-    """Embedding near-duplicate CLUSTERS: cosine-threshold pairs (exact
-    block-GEMM, cosine_pairs_df) fed into large-star/small-star connected
-    components (_connected_components) — one representative per semantic
-    dup cluster, the embedding analog of dedup_components' shingle
-    clusters. At 100 TB the same components step composes with the ANN
-    candidate generators (ann_lsh_topk et al.) instead of the exact O(n²)
-    pair source; the cluster id is the minimum vec_id reachable either
-    way."""
-    pairs = cosine_pairs_df(spark, sf_dir).select("a", "b")
+    """Embedding near-duplicate CLUSTERS, **exact pair source**: the
+    all-pairs block-GEMM (cosine_pairs_df) fed into large-star/small-star
+    connected components — the small-sf oracle baseline whose labels are
+    exact at any scale factor. The scale path is
+    ``embedding_clusters(source='lsh')`` / ``dedup_embedding_clusters_lsh``
+    below, which replaces the O(n²·d) GEMM with banded-LSH candidates +
+    exact verify; this exact form remains registered with the recursive-CTE
+    oracle precisely because its answer is deterministic."""
+    return embedding_clusters(spark, sf_dir, source="exact")
+
+
+def embedding_clusters(spark, sf_dir, source: str = "lsh") -> DataFrame:
+    """Cluster labels (vec_id, cluster) from a pluggable pair source.
+
+    ``source='lsh'`` (default — the 100 TB path): banded random-hyperplane
+    candidates with exact cosine verification inside each bucket
+    (cluster_pairs_lsh_df). ``source='exact'``: the all-pairs block-GEMM
+    (cosine_pairs_df) — exact at any scale, O(n²·d) FLOPs; the small-sf
+    oracle baseline. Either way the cluster id is the minimum vec_id
+    reachable through the pair graph."""
+    if source == "lsh":
+        pairs = cluster_pairs_lsh_df(spark, sf_dir).select("a", "b")
+    elif source == "exact":
+        pairs = cosine_pairs_df(spark, sf_dir).select("a", "b")
+    else:
+        raise ValueError(f"unknown pair source {source!r} (exact | lsh)")
     labels, _ = _connected_components(pairs)
     return labels.select(
         F.col("doc_id").alias("vec_id"), F.col("component").alias("cluster")
     ).orderBy("vec_id")
+
+
+# Banded-LSH geometry for the cluster candidate generator. Random-hyperplane
+# sign bits: P(bit agrees | cosine = s) = 1 - acos(s)/π, so an edge at the
+# threshold survives a band of `bits` planes with p = (1 - acos(t)/π)^bits
+# and is MISSED by all bands with (1 - p)^bands. At t = 0.4, bits = 6,
+# bands = 80: per-edge miss ≈ 0.5%. `bits` is the scale dial — it divides
+# expected bucket size by 2 per extra bit (verification work per band is
+# Σ_buckets s², the classic LSH hot-bucket quadratic); `bands` buys recall
+# linearly in signature cost. Planes are a seeded Rademacher (±1) matrix —
+# deterministic across runs/executors (NumPy PCG64 stream stability is a
+# documented API guarantee), BLAS-friendly, and identical on every batch.
+CLUSTER_LSH_BITS = 6
+CLUSTER_LSH_BANDS = 80
+CLUSTER_LSH_SEED = 0
+CLUSTER_SIM_T = 0.4  # mirrored in dedup_embedding_clusters' oracle SQL
+
+
+def cluster_pairs_lsh_df(
+    spark,
+    sf_dir,
+    threshold: float = CLUSTER_SIM_T,
+    bits: int = CLUSTER_LSH_BITS,
+    bands: int = CLUSTER_LSH_BANDS,
+) -> DataFrame:
+    """Near-duplicate pairs via banded-LSH candidates + exact in-bucket verify.
+
+    The scale-safe replacement for the exact all-pairs GEMM: a map-only
+    signature stage (one n×d · d×planes BLAS product per Arrow batch), a
+    shuffle of n·bands (band, sig) rows — never the O(n²) pair stream — and
+    per-bucket exact cosine verification, so every emitted pair satisfies
+    ``sim ≥ threshold`` exactly (no false positives; recall is the banded-LSH
+    probability above, measured 100% at verification scale for the default
+    geometry and pinned by tests/test_llm_ops.py parity tests). Work per
+    band-bucket is quadratic in bucket size — the standard LSH trade —
+    bounded by choosing `bits` so buckets stay small at the target corpus.
+
+    Pairs are deduped across co-colliding bands with one groupBy; output is
+    (a, b, sim) with a < b.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_planes = bits * bands
+    seed = CLUSTER_LSH_SEED
+    weights = 1 << np.arange(bits, dtype=np.int64)
+
+    def signatures(batches):
+        H = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.vstack(pdf["embd"].to_numpy())
+            if H is None:  # planes depend only on (seed, dim): identical everywhere
+                rng = np.random.default_rng(seed)
+                H = (
+                    rng.integers(0, 2, size=(n_planes, M.shape[1])) * 2 - 1
+                ).astype(np.float64)
+            bits_m = (M @ H.T > 0).astype(np.int64)  # n × planes sign bits
+            sigs = [
+                bits_m[:, k * bits : (k + 1) * bits] @ weights for k in range(bands)
+            ]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embd": pdf["embd"],
+                    "sigs": list(np.stack(sigs, axis=1)),
+                }
+            )
+
+    sigged = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embd")
+    ).mapInPandas(signatures, "vec_id long, embd array<double>, sigs array<long>")
+
+    buckets = sigged.select(
+        "vec_id", "embd", F.posexplode("sigs").alias("band", "sig")
+    )
+
+    def bucket_pairs(key, pdf):
+        if len(pdf) < 2:
+            return pd.DataFrame({"a": [], "b": [], "sim": []})
+        ids = pdf["vec_id"].to_numpy()
+        M = np.vstack(pdf["embd"].to_numpy())
+        nrm = np.sqrt((M * M).sum(1))
+        S = (M @ M.T) / np.outer(nrm, nrm)
+        ii, jj = np.nonzero(np.triu(S >= threshold, 1))
+        return pd.DataFrame(
+            {
+                "a": np.minimum(ids[ii], ids[jj]),
+                "b": np.maximum(ids[ii], ids[jj]),
+                "sim": S[ii, jj],
+            }
+        )
+
+    # explicit-count exchange on the grouping keys: satisfies the groupBy's
+    # ClusteredDistribution (no second shuffle) and is exempt from AQE
+    # size-based coalescing — each bucket GEMM is CPU-bound, bytes are a bad
+    # proxy (same rationale as cosine_pairs_df's pre-partition)
+    return (
+        buckets.repartition(
+            4 * spark.sparkContext.defaultParallelism, "band", "sig"
+        )
+        .groupBy("band", "sig")
+        .applyInPandas(bucket_pairs, "a long, b long, sim double")
+        .groupBy("a", "b")
+        .agg(F.max("sim").alias("sim"))
+    )
+
+
+@query("dedup_embedding_clusters_lsh")
+def dedup_embedding_clusters_lsh(spark, sf_dir):
+    """The default/scale form of embedding clustering: LSH candidates →
+    exact verify → components. No SQL oracle (banded-LSH recall is
+    probabilistic by construction — same contract as dedup_minhash_lsh);
+    pinned instead by exact label-parity tests against the GEMM baseline at
+    verification scale and a no-all-pairs plan test."""
+    return embedding_clusters(spark, sf_dir, source="lsh")
 
 
 # ---------------------------------------------------------------------------
@@ -1472,12 +1622,24 @@ def _connected_components(pairs: DataFrame, max_rounds: int = 25):
     ``pairs`` is an undirected edge list with columns (a, b). Returns
     (labels, rounds): labels has (doc_id, component) for every node incident
     to an edge.
+
+    Lineage truncation: when the session has a reliable checkpoint dir
+    configured (``sc.setCheckpointDir``), per-round state goes through
+    ``checkpoint()`` — executor loss on a real cluster then recovers from
+    the checkpoint files instead of killing the job, which matters for a
+    long iterative loop at 100 TB. Without one (local notebooks),
+    ``localCheckpoint()`` keeps the round cheap.
     """
-    edges = (
+    sc = pairs.sparkSession.sparkContext
+    reliable = sc.getCheckpointDir() is not None
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint()
+
+    edges = _truncate(
         pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
     )
     prev_n = edges.count()
     rounds = 0
@@ -1503,13 +1665,12 @@ def _connected_components(pairs: DataFrame, max_rounds: int = 25):
         # small-star on the (u > v)-oriented edges: all of u's neighbors —
         # and u itself — collapse onto m = min(N(u) ∪ {u}).
         m2 = large.groupBy("u").agg(F.min("v").alias("m"))
-        small = (
+        small = _truncate(
             large.join(m2, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(m2.select(F.col("u"), F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
         )
         # exact fixpoint test, cheapest-first: a changed distinct-count
         # proves non-convergence without any join; only a plateaued count

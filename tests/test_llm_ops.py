@@ -228,3 +228,72 @@ def test_connected_components_multi_component(spark):
     labels, _ = _connected_components(spark.createDataFrame(edges, "a long, b long"))
     got = {r["doc_id"]: r["component"] for r in labels.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_embedding_clusters_lsh_matches_exact_labels(spark, sf_dir):
+    """The banded-LSH default geometry (6 bits × 80 bands, seed 0) has
+    measured recall 1.0 on the verification corpora, so its cluster labels
+    must EQUAL the exact all-pairs GEMM baseline's — the exact-parity pin
+    for the probabilistic scale path (same contract as minhash vs jaccard)."""
+    from flink_notebooks_spark.queries.llm import embedding_clusters
+
+    exact = embedding_clusters(spark, sf_dir, source="exact").collect()
+    lsh = embedding_clusters(spark, sf_dir, source="lsh").collect()
+    assert lsh == exact
+
+
+def test_embedding_clusters_lsh_pairs_are_exact_subset(spark, sf_dir):
+    """Verification inside each bucket is exact cosine: the LSH pair set can
+    never contain a false positive — it is a subset of the exact threshold
+    pairs regardless of geometry."""
+    from flink_notebooks_spark.queries.llm import (
+        cluster_pairs_lsh_df,
+        cosine_pairs_df,
+    )
+
+    lsh_pairs = {(r.a, r.b) for r in cluster_pairs_lsh_df(spark, sf_dir).collect()}
+    exact_pairs = {
+        (r.a, r.b) for r in cosine_pairs_df(spark, sf_dir).select("a", "b").collect()
+    }
+    assert lsh_pairs <= exact_pairs
+    assert lsh_pairs  # non-trivial at test scale
+
+
+def test_embedding_clusters_lsh_never_builds_allpairs_gemm(spark, sf_dir, monkeypatch):
+    """Candidate mode must not touch the O(n²) block-GEMM pair source: the
+    whole LSH cluster pipeline runs to completion with cosine_pairs_df
+    poisoned."""
+    import flink_notebooks_spark.queries.llm as llm
+
+    def boom(*a, **k):
+        raise AssertionError("candidate mode reached the all-pairs GEMM")
+
+    monkeypatch.setattr(llm, "cosine_pairs_df", boom)
+    out = llm.embedding_clusters(spark, sf_dir, source="lsh")
+    assert out.count() > 0
+
+
+def test_connected_components_uses_reliable_checkpoint_when_configured(
+    spark, tmp_path
+):
+    """With sc.setCheckpointDir set, per-round lineage truncation must go
+    through reliable checkpoint files (cluster-survivable), and labels stay
+    correct."""
+    import os
+
+    from flink_notebooks_spark.queries.llm import _connected_components
+
+    ckpt = str(tmp_path / "ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    try:
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "a long, b long"
+        )
+        labels, _ = _connected_components(edges)
+        got = {r["doc_id"]: r["component"] for r in labels.collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+        wrote = any(files for _, _, files in os.walk(ckpt))
+        assert wrote, "no reliable checkpoint files written under the configured dir"
+    finally:
+        # restore the local-mode default for the rest of the session
+        spark.sparkContext._jsc.sc().setCheckpointDir(None)
