@@ -21,7 +21,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import events_stream_schema, stream_ts_cols
+from ..io import events_stream_schema, load_table, stream_ts_cols
 from ..session import tune
 from ._registry import query, sql_dsum
 
@@ -411,10 +411,29 @@ def streaming_topn(spark, sf_dir):
     """Streaming Top-N (SURVEY.md W7): continuous per-user aggregation with
     an INCREMENTAL top-10 — Flink's update-stream Top-N. Update-mode
     aggregation emits only the keys whose totals changed in each trigger;
-    _incremental_topn folds each micro-batch into a bounded candidate set
-    (per-trigger driver transfer ≤ N rows via TakeOrdered, never a global
-    re-sort of the full aggregate — the complete-mode anti-pattern this
-    replaced)."""
+    _incremental_topn folds each micro-batch into a bounded tracked set
+    (per-trigger driver transfer O(N + tracked), never a global re-sort of
+    the full aggregate — the complete-mode anti-pattern this replaced).
+
+    Oracle-exactness precondition: _incremental_topn is exact for monotone
+    totals and for retractions of keys that ever ranked; a NEVER-ranked key
+    promoted purely by others' retractions is the one uncovered case. Input
+    values are therefore required non-negative (totals monotone) — checked
+    loudly below so a testdata regeneration that introduces refunds fails
+    here, not as a silent oracle divergence."""
+    neg = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value") < 0)
+        .limit(1)
+        .count()
+    )
+    if neg:
+        raise RuntimeError(
+            "streaming_topn precondition violated: events.value contains "
+            "negative amounts, so per-key totals are not monotone and the "
+            "bounded incremental Top-N is no longer oracle-exact (see "
+            "_incremental_topn docstring for the uncovered retraction case)"
+        )
     stream = _read_events_stream(spark, sf_dir)
     agg = stream.groupBy("user_id").agg(
         F.sum(F.col("value").cast("decimal(18,2)")).alias("total_dec"),
@@ -428,17 +447,35 @@ def streaming_topn(spark, sf_dir):
 
 
 def _incremental_topn(agg_df: DataFrame, n: int, partitions: int = 8):
-    """Fold an update-mode streaming aggregation into a bounded top-N.
+    """Fold an update-mode streaming aggregation into a bounded top-N,
+    retraction-safe for keys that ever ranked.
 
-    Per trigger, update mode emits only keys whose aggregate changed; each
-    batch's local top-N (a distributed TakeOrdered — ≤ n rows ever reach the
-    driver) merges into a candidate dict capped at n entries, replacing
-    stale totals for re-emitted keys. For monotone aggregates (per-key
-    totals never decrease — sums/counts of non-negative inputs) this is
-    EXACT: a key's full running total is re-emitted whenever it changes, so
-    it competes at its final value, and a key evicted by n better keys can
-    never re-enter without an update. This mirrors Flink's update-stream
-    Top-N emission: O(changed + n) per trigger, state bounded at n.
+    Per trigger, update mode emits only keys whose aggregate changed. Each
+    batch contributes two bounded row sets to the driver-side merge:
+
+    1. the batch's local top-N (a distributed TakeOrdered — ≤ n rows), which
+       admits new keys into the tracked set, and
+    2. the current totals of already-tracked keys that changed this batch
+       (a pushed-down IN filter — ≤ |tracked| rows),
+
+    and tracked keys are NEVER evicted, only re-scored. So a leader whose
+    total later DECREASES (retraction / negative delta) competes at its
+    latest value, not a stale peak — Flink's update-stream Top-N semantics
+    for every key that ever ranked. Per-trigger driver transfer is
+    O(n + |tracked|), where |tracked| is bounded by lifetime top-N
+    membership churn, not by key cardinality. (At cluster scale, swap the
+    IN literal for a broadcast semi-join when churn is large.)
+
+    Exactness: for monotone aggregates (sums/counts of non-negative inputs)
+    this is exact, as before. With retractions it is exact whenever every
+    key of the true final top-N ranked in some batch where it changed — the
+    one residual gap is a key that NEVER ranked and rises into the top-N
+    purely through later retractions of untracked leaders; closing that
+    requires key-complete ranking state (what Flink's
+    RetractableTopNFunction keeps in its single rank task), which is the
+    O(all keys) state this operator deliberately bounds. streaming_topn
+    guards its oracle against that gap with a loud non-negativity
+    precondition check.
 
     Returns (rows, batch_sizes): rows are (key, total, count) tuples sorted
     (total DESC, key ASC); batch_sizes records per-trigger driver-transfer
@@ -446,19 +483,22 @@ def _incremental_topn(agg_df: DataFrame, n: int, partitions: int = 8):
     """
     spark = agg_df.sparkSession
     key_col, total_col, cnt_col = agg_df.columns[:3]
-    cand: dict = {}
+    tracked: dict = {}
     batch_sizes: list[int] = []
 
     def merge(batch_df, _batch_id):
         picked = (
             batch_df.orderBy(F.desc(total_col), key_col).limit(n).collect()
         )
-        batch_sizes.append(len(picked))
+        known = list(tracked)
+        updates = (
+            batch_df.filter(F.col(key_col).isin(known)).collect() if known else []
+        )
+        batch_sizes.append(len(picked) + len(updates))
+        for r in updates:
+            tracked[r[key_col]] = (r[total_col], r[cnt_col])
         for r in picked:
-            cand[r[key_col]] = (r[total_col], r[cnt_col])
-        top = sorted(cand.items(), key=lambda kv: (-kv[1][0], kv[0]))[:n]
-        cand.clear()
-        cand.update(top)
+            tracked[r[key_col]] = (r[total_col], r[cnt_col])
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
@@ -474,6 +514,6 @@ def _incremental_topn(agg_df: DataFrame, n: int, partitions: int = 8):
     q.awaitTermination()
     rows = [
         (k, v[0], v[1])
-        for k, v in sorted(cand.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        for k, v in sorted(tracked.items(), key=lambda kv: (-kv[1][0], kv[0]))[:n]
     ]
     return rows, batch_sizes

@@ -395,7 +395,12 @@ def test_incremental_topn_bounded_per_trigger(spark, tmp_path):
     rows, batch_sizes = _incremental_topn(agg, n=5)
 
     assert len(batch_sizes) >= 3  # one per file trigger
-    assert all(b <= 5 for b in batch_sizes)  # bounded driver transfer
+    # bounded driver transfer: per trigger ≤ n picked + |tracked| updates,
+    # where tracked grows by ≤ n per earlier trigger — far below the 40-key
+    # cardinality a complete-mode re-sort would ship every trigger
+    for i, b in enumerate(batch_sizes):
+        assert b <= 5 + 5 * i
+    assert max(batch_sizes) < 40
 
     import collections
 
@@ -407,3 +412,50 @@ def test_incremental_topn_bounded_per_trigger(spark, tmp_path):
     want = sorted(totals.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     got = [(k, float(t), c) for k, t, c in rows]
     assert got == [(k, t, counts[k]) for k, t in want]
+
+
+def test_incremental_topn_retraction_safe_for_ranked_keys(spark, tmp_path):
+    """Negative deltas: leaders whose totals DROP after ranking must compete
+    at their latest totals, not their stale peaks. Batch 1 ranks k1..k3 at
+    the top; batch 2 retracts them below five other keys — the final top-3
+    must equal the batch (full-recompute) answer, which the old
+    evict-and-forget candidate set got wrong by keeping peak totals."""
+    import collections
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from flink_notebooks_spark.queries.streaming import _incremental_topn
+
+    f0 = {1: 100.0, 2: 90.0, 3: 80.0, 4: 10.0, 5: 9.0, 6: 8.0, 7: 7.0, 8: 6.0}
+    f1 = {1: -99.0, 2: -89.0, 3: -79.5, 4: 0.1, 5: 0.1, 6: 0.1, 7: 0.1, 8: 0.1}
+    rows_all = []
+    for fi, data in enumerate((f0, f1)):
+        ks, vs = list(data), [data[k] for k in data]
+        pq.write_table(
+            pa.table({"k": pa.array(ks, pa.int64()), "v": pa.array(vs, pa.float64())}),
+            str(tmp_path / f"f{fi}.parquet"),
+        )
+        rows_all += list(zip(ks, vs))
+
+    stream = (
+        spark.readStream.schema("k long, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path))
+    )
+    agg = stream.groupBy("k").agg(
+        F.sum(F.col("v").cast("decimal(18,2)")).alias("total_dec"),
+        F.count("*").alias("n"),
+    )
+    rows, _ = _incremental_topn(agg, n=3)
+
+    totals = collections.defaultdict(float)
+    counts = collections.defaultdict(int)
+    for k, v in rows_all:
+        totals[k] += v
+        counts[k] += 1
+    want = sorted(totals.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert [(k, float(t), c) for k, t, c in rows] == [
+        (k, t, counts[k]) for k, t in want
+    ]
