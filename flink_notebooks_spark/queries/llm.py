@@ -828,31 +828,68 @@ def embedding_quantize(spark, sf_dir):
 #     measure recall vs similarity_topk)
 # ---------------------------------------------------------------------------
 IVF_CELLS = 16
-IVF_NPROBE = 4
+# nprobe trades scan fraction for recall; 6/16 cells ≈ 37% scanned reaches
+# ~0.75 recall on the near-random verification corpus (real embedding
+# corpora cluster far more sharply, so the same nprobe scans less and
+# recalls more). The previous nprobe=4 figure was flattered by id-prefix
+# centroids that made every query its own centroid — the bias this
+# hash-stable trained pipeline removes.
+IVF_NPROBE = 6
+IVF_TRAIN_SAMPLE = 256  # bounded driver-side k-means pool (bottom-k by hash)
+
+
+def _ivf_train(vectors, k: int = IVF_CELLS, iters: int = 8):
+    """Spherical k-means over a BOUNDED hash-stable sample → k unit centroids.
+
+    Same contract as _pq_train: driver-side on a fixed-size sample (never a
+    corpus scan), deterministic (first-k init over hash-ordered rows, fixed
+    iteration count, no RNG), tiny broadcastable artifact. Cosine geometry:
+    vectors are L2-normalized and assignment maximizes the dot product, so
+    cells are angular regions — matching the search-time metric.
+    """
+    import numpy as np
+
+    x = np.asarray(vectors, dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cents = x[:k].copy()
+    for _ in range(iters):
+        assign = (x @ cents.T).argmax(axis=1)
+        for c in range(k):
+            sel = x[assign == c]
+            if len(sel):
+                m = sel.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents
 
 
 @query("ann_ivf_topk")
 def ann_ivf_topk(spark, sf_dir):
-    """IVF: partition the corpus into cells around a small deterministic
-    centroid set (the first ``IVF_CELLS`` vectors — a stand-in for trained
-    k-means centroids, which would be a separate offline job); each query
-    scans only its ``IVF_NPROBE`` nearest cells. The centroid table is
-    broadcast both for assignment and probing, so the corpus-side plan is
-    scan → broadcast-join → per-cell shuffle — no O(n·q) cross join, and the
-    cell assignment is reusable across query batches (in a real deployment
-    it is precomputed and bucketed on cell id)."""
+    """IVF: partition the corpus into cells around spherical-k-means
+    centroids trained on a bounded hash-stable sample — the
+    ``IVF_TRAIN_SAMPLE`` vectors with the smallest ``xxhash64(vec_id)``
+    (one distributed TakeOrdered: deterministic, and unbiased even when
+    vec_ids correlate with source/ingest time, unlike an id-prefix pick).
+    Each query scans only its ``IVF_NPROBE`` nearest cells. The centroid
+    table is broadcast both for assignment and probing, so the corpus-side
+    plan is scan → broadcast-join → per-cell shuffle — no O(n·q) cross
+    join, and the cell assignment is reusable across query batches (in a
+    real deployment it is precomputed and bucketed on cell id)."""
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embd"))
     corpus = base.withColumn(
         "nrm", F.expr(f"sqrt({_DOT.format(a='embd', b='embd')})")
     )
-    cents = (
-        corpus.filter(F.col("vec_id") < IVF_CELLS)
-        .select(
-            F.col("vec_id").alias("cell"),
-            F.col("embd").alias("c_emb"),
-            F.col("nrm").alias("c_nrm"),
-        )
+    pool = [
+        r["embd"]
+        for r in base.orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(IVF_TRAIN_SAMPLE)
+        .collect()
+    ]
+    trained = _ivf_train(pool)
+    # unit centroids (c_nrm ≡ 1); join sites add the broadcast hint
+    cents = spark.createDataFrame(
+        [(i, [float(v) for v in c], 1.0) for i, c in enumerate(trained)],
+        "cell long, c_emb array<double>, c_nrm double",
     )
     c_sim = F.expr(_DOT.format(a="embd", b="c_emb")) / (F.col("nrm") * F.col("c_nrm"))
     # nearest-centroid assignment: broadcast the centroids, max_by per vector
@@ -912,7 +949,9 @@ def _pq_train(vectors):
     a fixed-size sample (PQ_SAMPLE rows regardless of corpus size — at
     100 TB you sample, never scan, for codebooks) and the artifact is tiny
     (M·K·d/M floats), broadcast back to executors. Deterministic: first-K
-    init, fixed iteration count, no RNG.
+    init, fixed iteration count, no RNG. The caller supplies a
+    bottom-k-by-hash sample, so the rows (and the init) are pseudo-random
+    with respect to id/source/time ordering.
     """
     import numpy as np
 
@@ -936,20 +975,32 @@ def _pq_train(vectors):
 
 @query("ann_pq_topk")
 def ann_pq_topk(spark, sf_dir):
-    """PQ + asymmetric distance computation (ADC): vectors compress to 8
-    one-byte codes; each query builds an M×K lookup table of partial dot
-    products against the codebooks, so scoring a vector is M table lookups
-    — no float vector is touched at search time. The corpus-side plan is
-    encode (map-only, broadcast codebooks) → per-partition vectorized ADC
-    with a LOCAL top-k → global top-k; shuffle is partitions × queries × k
-    rows, independent of corpus size. Approximation error is pinned by the
-    recall test against the exact scan."""
+    """PQ + asymmetric distance computation (ADC) with exact re-rank:
+    vectors compress to 8 one-byte codes; each query builds an M×K lookup
+    table of partial dot products against the codebooks, so SCANNING a
+    vector is M table lookups. Per partition, the ADC scan selects a
+    shortlist (4× the final k) and only those rows get an exact cosine —
+    the standard IVFADC + re-rank pipeline: quantization error then only
+    matters at the shortlist boundary, not in the final ranking. The
+    corpus-side plan is encode (map-only, broadcast codebooks) →
+    per-partition vectorized ADC + bounded re-rank → global top-k; shuffle
+    is partitions × queries × shortlist rows, independent of corpus size.
+    Approximation error is pinned by the recall tests against the exact
+    scan (including on an id-relabeled corpus)."""
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embd"))
+    # bounded training sample: the PQ_SAMPLE rows with the smallest
+    # xxhash64(vec_id) — a distributed TakeOrdered (k rows to the driver,
+    # O(n) scan), deterministic across runs, and unbiased where an id-prefix
+    # sample (`vec_id < PQ_SAMPLE`) over-represents whatever source/time
+    # range happens to own the low ids
     sample = [
-        r["embd"] for r in base.filter(F.col("vec_id") < PQ_SAMPLE).collect()
+        r["embd"]
+        for r in base.orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(PQ_SAMPLE)
+        .collect()
     ]
     books = _pq_train(sample)
     queries_rows = sorted(
@@ -991,11 +1042,19 @@ def ann_pq_topk(spark, sf_dir):
                 qn = np.sqrt(qv @ qv)
                 approx = luts[qid][np.arange(m)[:, None], codes.T].sum(axis=0)
                 sim = approx / (qn * np.maximum(nrm, 1e-12))
-                keep = ids != qid
-                order = np.argsort(-sim[keep])[: TOPK_K]
-                sel_ids, sel_sim = ids[keep][order], sim[keep][order]
+                keep = np.nonzero(ids != qid)[0]
+                short = keep[np.argsort(-sim[keep])[: 4 * TOPK_K]]
+                # exact re-rank of the bounded shortlist only
+                exact = (x[short] @ qv) / (qn * np.maximum(nrm[short], 1e-12))
+                order = np.argsort(-exact)[: TOPK_K]
                 out.append(
-                    pd.DataFrame({"q_id": qid, "nn_id": sel_ids, "sim_raw": sel_sim})
+                    pd.DataFrame(
+                        {
+                            "q_id": qid,
+                            "nn_id": ids[short][order],
+                            "sim_raw": exact[order],
+                        }
+                    )
                 )
             if out:
                 yield pd.concat(out)

@@ -297,3 +297,31 @@ def test_connected_components_uses_reliable_checkpoint_when_configured(
     finally:
         # restore the local-mode default for the rest of the session
         spark.sparkContext._jsc.sc().setCheckpointDir(None)
+
+
+def test_pq_codebook_sample_is_permutation_invariant_quality(spark, sf_dir, tmp_path):
+    """Codebook training samples bottom-k by xxhash64(vec_id), not an id
+    prefix — so an id relabeling that would poison a prefix sample (e.g.
+    ids assigned by source with all low ids from one source) must still
+    train a codebook good enough to hold the recall floor."""
+    import pyarrow.parquet as pq_
+    import pyarrow.compute as pc
+
+    t = pq_.read_table(f"{sf_dir}/embeddings.parquet")
+    n = t.num_rows
+    # relabel: reverse the id space — the old prefix sample's rows now sit
+    # at the TOP of the id range; query ids 0..4 map to other vectors
+    new_ids = pc.subtract(n - 1, t["vec_id"])
+    t = t.set_column(t.schema.get_field_index("vec_id"), "vec_id", new_ids)
+    pq_.write_table(t, f"{tmp_path}/embeddings.parquet")
+
+    exact = QUERIES["similarity_topk"](spark, str(tmp_path)).toPandas()
+    pq = QUERIES["ann_pq_topk"](spark, str(tmp_path)).toPandas()
+    exact_sets = exact.groupby("q_id")["nn_id"].apply(set)
+    pq_sets = pq.groupby("q_id")["nn_id"].apply(set)
+    from flink_notebooks_spark.queries.llm import TOPK_K, TOPK_QUERY_IDS
+
+    recall = sum(len(exact_sets[q] & pq_sets[q]) for q in exact_sets.index) / (
+        TOPK_QUERY_IDS * TOPK_K
+    )
+    assert recall >= 0.2, f"PQ recall {recall:.2f} below floor on relabeled ids"
