@@ -379,7 +379,9 @@ def _compile_defines(df: DataFrame, spec: MatchSpec, defer_prev: bool = False):
             # condition depends on the in-flight match (other variables'
             # mapped rows / FIRST/LAST navigation) — evaluated row-by-row
             # inside the matcher, Flink's NFA-condition equivalent
-            stateful[v] = _compile_stateful_cond(v, cond, spec.variables)
+            stateful[v] = _compile_stateful_cond(
+                v, cond, spec.variables, columns=df.columns
+            )
             df = df.withColumn(f"__mr_{v}", F.lit(None).cast("boolean"))
             continue
         # self-qualified columns (A.col) → bare columns
@@ -405,7 +407,9 @@ _NAV_RE = re.compile(
 )
 
 
-def _compile_stateful_cond(var: str, cond: str, variables: list[str]):
+def _compile_stateful_cond(
+    var: str, cond: str, variables: list[str], columns: list[str] | None = None
+):
     """Compile a match-state DEFINE condition to a Python code object.
 
     Semantics (SQL-standard row-pattern RUNNING evaluation, matching
@@ -419,6 +423,10 @@ def _compile_stateful_cond(var: str, cond: str, variables: list[str]):
       semantics), so ``LAST(X.c, 1)`` is the previous X row.
     - ``PREV([X.]col[, n])`` → the n-th previous row of the partition,
       regardless of variable mapping.
+    - an UNQUALIFIED column reference → the current row (Flink's DEFINE
+      semantics); validated against ``columns`` at compile time when the
+      input schema is provided, so a typo raises here, not as an executor
+      error mid-match.
 
     Supported expression subset: comparisons (=, <>, <, <=, >, >=),
     arithmetic, AND/OR, NOT over a parenthesized operand, IS [NOT] NULL,
@@ -473,13 +481,57 @@ def _compile_stateful_cond(var: str, cond: str, variables: list[str]):
     expr = re.sub(r"\bNOT\b", " sql_not", expr, flags=re.IGNORECASE)
     expr = re.sub(r"\bNULL\b", "_N", expr, flags=re.IGNORECASE)
     expr = expr.replace(" is__not__null", " is not _N").replace(" is__null", " is _N")
+    import ast
+
     try:
-        return compile(expr, f"<define {var}>", "eval")
+        tree = ast.parse(expr, mode="eval")
     except SyntaxError as exc:
         raise NotImplementedError(
             f"MATCH_RECOGNIZE: DEFINE {var} condition {cond!r} is outside the "
             f"supported match-state subset ({exc})"
         ) from exc
+    helpers = {"nav", "cur", "prev", "sql_not"}
+    by_lower = {c.lower(): c for c in columns} if columns is not None else None
+
+    class _Bare(ast.NodeTransformer):
+        """Residual bare identifiers are unqualified column references —
+        current-row semantics — and any call not to a known helper is an
+        unsupported SQL function: both resolved HERE so nothing survives to
+        fail as a raw NameError inside the executor."""
+
+        def visit_Call(self, node):
+            if not (isinstance(node.func, ast.Name) and node.func.id in helpers):
+                raise NotImplementedError(
+                    f"MATCH_RECOGNIZE: DEFINE {var}: function "
+                    f"{ast.unparse(node.func)!r} is outside the supported "
+                    f"match-state subset (condition {cond!r})"
+                )
+            node.args = [self.visit(a) for a in node.args]
+            return node
+
+        def visit_Name(self, node):
+            if node.id in helpers or node.id == "_N":
+                return node
+            name = node.id
+            if by_lower is not None:
+                actual = by_lower.get(name.lower())
+                if actual is None:
+                    raise NotImplementedError(
+                        f"MATCH_RECOGNIZE: DEFINE {var}: unqualified reference "
+                        f"{name!r} matches no input column (condition {cond!r})"
+                    )
+                name = actual
+            return ast.copy_location(
+                ast.Call(
+                    func=ast.Name(id="cur", ctx=ast.Load()),
+                    args=[ast.Constant(name)],
+                    keywords=[],
+                ),
+                node,
+            )
+
+    tree = ast.fix_missing_locations(_Bare().visit(tree))
+    return compile(tree, f"<define {var}>", "eval")
 
 
 def _nav_sub(m, variables: list[str], cond: str) -> str:
@@ -988,7 +1040,10 @@ def _run_matches(
         bound_ns = spec.within_ms * 1_000_000
 
         def within_ok(start, r):  # noqa: F811
-            return ts_ns[r] - ts_ns[start] <= bound_ns
+            # strict bound: Flink's NFA prunes partial matches once
+            # elapsed >= windowTime, so a match spanning EXACTLY the
+            # interval is rejected (NFA timeout semantics)
+            return ts_ns[r] - ts_ns[start] < bound_ns
 
     keys = [pdf[c].iloc[0] for c in spec.partition_by] if n else []
     out_rows = []

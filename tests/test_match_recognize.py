@@ -777,6 +777,22 @@ def test_within_bound_rejects_and_admits(spark):
     assert [tuple(r) for r in ok] == [(1, 0, 20, 1)]
 
 
+def test_within_exact_boundary_is_rejected(spark):
+    """Flink's NFA prunes partials at elapsed >= windowTime: a funnel whose
+    last row lands EXACTLY at start + WITHIN must not match (strict bound),
+    while one ulp inside (29s) does."""
+    at_bound = match_recognize(
+        _ts_events(spark, [(1, 0, "view"), (1, 5, "click"), (1, 30, "purchase")]),
+        _WITHIN_FUNNEL.replace("{W}", " WITHIN INTERVAL '30' SECOND"),
+    ).collect()
+    assert at_bound == []
+    inside = match_recognize(
+        _ts_events(spark, [(1, 0, "view"), (1, 5, "click"), (1, 29, "purchase")]),
+        _WITHIN_FUNNEL.replace("{W}", " WITHIN INTERVAL '30' SECOND"),
+    ).collect()
+    assert [tuple(r) for r in inside] == [(1, 0, 29, 1)]
+
+
 def test_within_requires_timestamp_order(spark):
     df = spark.createDataFrame([(1, 1, "view")], "k int, t int, etype string")
     with pytest.raises(ValueError, match="WITHIN requires"):
@@ -810,3 +826,41 @@ def test_streaming_within_matches_batch(spark, tmp_path):
         close_after="1 second",
     )
     assert got == {(1, 110, 120, 1)}
+
+
+def test_stateful_define_bare_identifier_is_current_row(spark):
+    """Flink DEFINE semantics: an unqualified column reference means the
+    current row — a match-state condition written with bare `ts_s` must
+    behave exactly like the B.ts_s-qualified form."""
+    rows = [(1, 0, "view"), (1, 5, "click"), (2, 0, "view"), (2, 1, "click")]
+    tmpl = (
+        "PARTITION BY k ORDER BY ev_time MEASURES A.ts_s AS a_s, B.ts_s AS b_s "
+        "PATTERN (A B) DEFINE A AS A.etype = 'view', "
+        "B AS {ref} >= FIRST(A.ts_s) + 3"
+    )
+    qualified = match_recognize(
+        _ts_events(spark, rows), tmpl.format(ref="B.ts_s")
+    ).collect()
+    bare = match_recognize(_ts_events(spark, rows), tmpl.format(ref="ts_s")).collect()
+    assert bare == qualified
+    assert [tuple(r) for r in bare] == [(1, 0, 5)]
+
+
+def test_stateful_define_unknown_bare_identifier_raises_at_compile(spark):
+    with pytest.raises(NotImplementedError, match="matches no input column"):
+        match_recognize(
+            _ts_events(spark, [(1, 0, "view")]),
+            "PARTITION BY k ORDER BY ev_time MEASURES A.ts_s AS a_s "
+            "PATTERN (A B) DEFINE A AS A.etype = 'view', "
+            "B AS nonexistent_col >= FIRST(A.ts_s)",
+        ).collect()
+
+
+def test_stateful_define_unsupported_function_raises_at_compile(spark):
+    with pytest.raises(NotImplementedError, match="outside the supported"):
+        match_recognize(
+            _ts_events(spark, [(1, 0, "view")]),
+            "PARTITION BY k ORDER BY ev_time MEASURES A.ts_s AS a_s "
+            "PATTERN (A B) DEFINE A AS A.etype = 'view', "
+            "B AS ABS(B.ts_s) >= FIRST(A.ts_s)",
+        ).collect()
