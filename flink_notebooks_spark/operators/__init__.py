@@ -9,7 +9,12 @@ so the plans scale to arbitrary input sizes.
 """
 
 from .cep import sequence_pattern
-from .match_recognize import match_recognize, parse_match_recognize, sql_match_recognize
+from .match_recognize import (
+    match_recognize,
+    match_recognize_stream,
+    parse_match_recognize,
+    sql_match_recognize,
+)
 from .joins import asof_join, interval_join
 from .skew import salted_join
 from .text import pii_counts, scrub_pii
@@ -23,6 +28,7 @@ __all__ = [
     "cumulate_window",
     "sequence_pattern",
     "match_recognize",
+    "match_recognize_stream",
     "parse_match_recognize",
     "sql_match_recognize",
     "scrub_pii",

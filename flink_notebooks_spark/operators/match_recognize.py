@@ -33,12 +33,13 @@ DEFINE references (``B AS B.v > A.v`` — other-var ref reads its LAST mapped
 row) and FIRST/LAST navigation in DEFINE (running semantics: the current row
 counts as mapped to its own variable) evaluate per candidate row inside the
 matcher — Flink's NFA-condition equivalent (_compile_stateful_cond documents
-the expression subset). Not supported (raise): nested groups / ``PERMUTE``,
-match-state conditions inside an alternation group, and on STREAMING input
-only: PREV over an expression argument, PREV combined with match-state
-navigation in one condition, and NOT over a PREV-bearing subexpression
-(each raises NotImplementedError rather than silently diverging from the
-batch lag()-window semantics).
+the expression subset). ``PREV`` over a column-arithmetic expression and
+``NOT`` over PREV-bearing subexpressions (dual-rail Kleene evaluation, so
+NOT(unknown) stays unknown) work on both inputs. Not supported (raise):
+nested groups / ``PERMUTE``, match-state conditions inside an alternation
+group, and on STREAMING input only: PREV combined with match-state
+navigation in one condition (each raises NotImplementedError rather than
+silently diverging from the batch lag()-window semantics).
 
 Scale design (the 100 TB argument):
 
@@ -589,6 +590,16 @@ def _sql_bool_to_pandas(cond: str) -> str:
     Comparison atoms are parenthesized (pandas ``&``/``|`` bind tighter
     than comparisons). Anything fancier raises NotImplementedError at
     eval time with the original text.
+
+    NULL semantics are dual-rail Kleene: every subexpression translates to
+    a (satisfied, definitely-false) pair, where a comparison with a null
+    PREV operand is neither — so ``NOT (v > PREV(v))`` is NOT satisfied on
+    the partition's first row (SQL: NOT unknown = unknown), matching the
+    batch lag()-window result, while ``x OR <null-comparison>`` still
+    honors x. Plain-column atoms stay two-valued (comparisons on null
+    evaluate false, so NOT over them is satisfied-by-negation only when the
+    comparison itself evaluated) — nulls in DEFINE-referenced data columns
+    are the one residual divergence from full SQL three-valued logic.
     """
 
     def split_top(text: str, word: str) -> list[str]:
@@ -605,7 +616,8 @@ def _sql_bool_to_pandas(cond: str) -> str:
         parts.append(text[last:])
         return parts
 
-    def rewrite(text: str) -> str:
+    def rewrite(text: str) -> tuple[str, str]:
+        """→ (satisfied_expr, definitely_false_expr)."""
         text = text.strip()
         # strip one redundant outer paren pair
         while text.startswith("(") and text.endswith(")"):
@@ -623,66 +635,96 @@ def _sql_bool_to_pandas(cond: str) -> str:
             break
         ors = split_top(text, "OR")
         if len(ors) > 1:
-            return "(" + " | ".join(rewrite(p) for p in ors) + ")"
+            pairs = [rewrite(p) for p in ors]
+            return (
+                "(" + " | ".join(t for t, _ in pairs) + ")",
+                "(" + " & ".join(f for _, f in pairs) + ")",
+            )
         ands = split_top(text, "AND")
         if len(ands) > 1:
-            return "(" + " & ".join(rewrite(p) for p in ands) + ")"
+            pairs = [rewrite(p) for p in ands]
+            return (
+                "(" + " & ".join(t for t, _ in pairs) + ")",
+                "(" + " | ".join(f for _, f in pairs) + ")",
+            )
         m = re.match(r"^\s*NOT\b(.*)$", text, re.IGNORECASE | re.DOTALL)
         if m:
-            if "__prev_" in m.group(1):
-                # SQL: NOT(unknown) is unknown (→ not satisfied); 2-valued
-                # pandas eval can't express that under negation — reject
-                # rather than silently diverge from the batch lag() path
-                raise NotImplementedError(
-                    "streaming MATCH_RECOGNIZE: NOT over a PREV-bearing "
-                    "subexpression is unsupported"
-                )
-            return "(~" + rewrite(m.group(1)) + ")"
+            # Kleene NOT swaps the rails: satisfied iff the operand is
+            # definitely false; unknown stays unknown (→ not satisfied)
+            t_in, f_in = rewrite(m.group(1))
+            return f_in, t_in
         atom = re.sub(r"<>", "!=", text)
         atom = re.sub(r"(?<![<>!=])=(?!=)", "==", atom)
         # SQL NULL semantics per ATOM: a comparison whose PREV operand is
-        # null is not satisfied — masked here so other disjuncts still count
-        # (masking the whole condition would break OR, e.g.
-        # `v > PREV(v) OR v > 100` on the partition's first row)
+        # null is neither satisfied nor definitely false — masked here so
+        # other disjuncts still count (masking the whole condition would
+        # break OR, e.g. `v > PREV(v) OR v > 100` on the partition's first
+        # row)
         oks = sorted({f"__prevok{t[6:]}" for t in re.findall(r"__prev_\d+_\w+", atom)})
         if oks:
-            return "((" + atom + ") & " + " & ".join(oks) + ")"
-        return "(" + atom + ")"
+            mask = " & ".join(oks)
+            return (
+                "((" + atom + ") & " + mask + ")",
+                "((~(" + atom + ")) & " + mask + ")",
+            )
+        return "(" + atom + ")", "(~(" + atom + "))"
 
-    return rewrite(cond)
+    return rewrite(cond)[0]
+
+
+# PREV expression arguments on the streaming path: column arithmetic only
+# (no function calls / string literals — the batch lag() path accepts more;
+# parenthesized sub-expressions are already excluded by _PREV_RE's argument
+# capture)
+_PREV_ARG_RE = re.compile(r"^[\w\s.+\-*/%]+$")
 
 
 def _compile_deferred_prev(deferred: dict[str, str]):
     """Compile deferred PREV conditions for per-key pandas evaluation.
 
-    Returns ``(evals, carry_n)``: evals is a list of
-    ``(var, [(col, n), ...], pandas_expr)`` where each PREV(col, n) became
-    the helper column ``__prev_{n}_{col}`` (a ``shift(n)``), and carry_n is
-    the largest lookback — the number of CONSUMED rows the stream operator
-    must carry so shifts see across match and micro-batch boundaries.
-    SQL NULL semantics are preserved by forcing rows with a null PREV
-    operand to False (a NULL comparison is never true).
+    Returns ``(evals, carry_n, helpers)``: evals is a list of
+    ``(var, [(name, n), ...], pandas_expr)`` where each PREV(arg, n) became
+    the helper column ``__prev_{n}_{name}`` (a ``shift(n)``); for a bare
+    column argument ``name`` IS the column, for an arithmetic expression
+    argument ``name`` is a synthetic key and ``helpers[name]`` holds the
+    row-wise pandas expression to compute before shifting (the same
+    arithmetic the batch path hands to ``lag(expr)``). carry_n is the
+    largest lookback — the number of CONSUMED rows the stream operator must
+    carry so shifts see across match and micro-batch boundaries. SQL NULL
+    semantics are preserved by the dual-rail ok-masks (_sql_bool_to_pandas):
+    a null PREV operand satisfies neither the condition nor its negation.
     """
     evals = []
     carry_n = 0
+    helpers: dict[str, str] = {}
+
     for v, cond in deferred.items():
         refs: list[tuple[str, int]] = []
 
         def sub(m, refs=refs, v=v):
-            col, n = m.group(1).strip(), int(m.group(2) or 1)
-            if not _IDENT_RE.match(col):
+            arg, n = m.group(1).strip(), int(m.group(2) or 1)
+            if _IDENT_RE.match(arg):
+                refs.append((arg, n))
+                return f"__prev_{n}_{arg}"
+            if not _PREV_ARG_RE.match(arg):
                 raise NotImplementedError(
-                    f"streaming MATCH_RECOGNIZE: DEFINE {v} uses PREV over an "
-                    f"expression ({m.group(0)!r}); only PREV(column[, n]) is "
-                    "supported on streaming input"
+                    f"streaming MATCH_RECOGNIZE: DEFINE {v}: PREV argument "
+                    f"{arg!r} is outside the supported streaming subset "
+                    "(column arithmetic without function calls)"
                 )
-            refs.append((col, n))
-            return f"__prev_{n}_{col}"
+            for key, prev_arg in helpers.items():  # reuse identical args
+                if prev_arg == arg:
+                    break
+            else:
+                key = f"parg{len(helpers)}"
+                helpers[key] = arg
+            refs.append((key, n))
+            return f"__prev_{n}_{key}"
 
         replaced = _PREV_RE.sub(sub, cond)
         carry_n = max(carry_n, max(n for _, n in refs))
         evals.append((v, refs, _sql_bool_to_pandas(replaced)))
-    return evals, carry_n
+    return evals, carry_n, helpers
 
 
 def _match_starting_at(
@@ -1283,7 +1325,9 @@ def match_recognize_stream(df: DataFrame, clause_or_spec, close_after: str | Non
     part_cols = spec.partition_by
     close_ms = _duration_ms(close_after) if close_after else None
     buf_cols = list(prepared.columns)
-    prev_evals, carry_n = _compile_deferred_prev(deferred) if deferred else ([], 0)
+    prev_evals, carry_n, prev_helpers = (
+        _compile_deferred_prev(deferred) if deferred else ([], 0, {})
+    )
 
     def eval_deferred(mature, carry):
         """Fill deferred PREV booleans over (carry ⊕ mature); carry rows are
@@ -1294,6 +1338,18 @@ def match_recognize_stream(df: DataFrame, clause_or_spec, close_after: str | Non
         frame = (
             pd.concat([carry, mature], ignore_index=True) if nc else mature
         )
+        for key, aexpr in prev_helpers.items():
+            # PREV(expression) helper: compute row-wise, then shift below —
+            # identical arithmetic to the batch path's lag(expression)
+            try:
+                frame = frame.assign(
+                    **{key: frame.eval(aexpr, engine="python")}
+                )
+            except Exception as exc:  # noqa: BLE001
+                raise NotImplementedError(
+                    f"streaming MATCH_RECOGNIZE: PREV argument {aexpr!r} is "
+                    f"outside the supported streaming subset: {exc}"
+                ) from exc
         local = {}
         for _, refs, _expr in prev_evals:
             for col, n in refs:
