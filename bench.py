@@ -79,6 +79,26 @@ def main() -> None:
         .save()
     )
 
+    # shared corpus-prep plans: tokenization, shingling, verified jaccard
+    # pairs, and the cosine pair table are persisted/memoized and reused by
+    # every dedup/text query (Spark's cache manager plan-matches the
+    # subtrees). Materialize them ONCE here, reported under their own
+    # "shared_corpus_prep" entry — otherwise whichever query happens to run
+    # first pays the whole preparation and its number depends on
+    # registration order (the round-4 driver-vs-local 10× spread on
+    # dedup_ngram_jaccard was exactly this coupling).
+    from flink_notebooks_spark.queries.llm import (
+        cosine_pairs_df,
+        jaccard_pairs_df,
+        shingled_docs,
+        tokenized_docs,
+    )
+
+    t0 = time.time()
+    for prep in (tokenized_docs, shingled_docs, jaccard_pairs_df, cosine_pairs_df):
+        prep(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    shared_prep_sec = round(time.time() - t0, 3)
+
     # initialize the Structured-Streaming machinery (state-store providers,
     # checkpoint/commit-log managers, streaming listener bus) — the first
     # streaming query otherwise pays ~5s of one-time setup
@@ -127,6 +147,10 @@ def main() -> None:
         return good[mid] if len(good) % 2 else round((good[mid - 1] + good[mid]) / 2, 3)
 
     timings = {name: median(xs) for name, xs in runs.items()}
+    # the one-time shared preparation is real work the engine does for the
+    # dedup/text family — charge it explicitly instead of to whichever query
+    # ran first
+    timings["shared_corpus_prep"] = shared_prep_sec
     ok = {k: v for k, v in timings.items() if v >= 0}
     total = round(sum(ok.values()), 3)
     # flaky queries (failed some but not all reps) still get a median, but

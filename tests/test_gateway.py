@@ -224,3 +224,97 @@ def test_job_monitor_endpoints(gw):
         time.sleep(0.5)
     call("DELETE", f"{gw}/v1/sessions/{h}/operations/{op}")
     call("DELETE", f"{gw}/v1/sessions/{h}")
+
+def test_result_token_replay_is_idempotent_over_rest(gw):
+    """Client crash/retry semantics (sqlGatewayClient.ts:124-140): re-GETting
+    an already-served result token must return byte-identical data and the
+    same nextResultUri — a retried page can never skip or duplicate rows."""
+    h = call("POST", f"{gw}/v1/sessions",
+             {"properties": {"execution.runtime-mode": "batch"}})["sessionHandle"]
+    call("POST", f"{gw}/v1/sessions/{h}/statements", {
+        "statement": (
+            "CREATE TABLE gw_replay (id INT) WITH ('connector'='datagen',"
+            "'number-of-rows'='250','fields.id.kind'='sequence',"
+            "'fields.id.start'='1','fields.id.end'='250')"
+        )
+    })
+    op = call("POST", f"{gw}/v1/sessions/{h}/statements",
+              {"statement": "SELECT id FROM gw_replay ORDER BY id"})["operationHandle"]
+    token, pages = 0, 0
+    last = None
+    while True:
+        page = call("GET", f"{gw}/v1/sessions/{h}/operations/{op}/result/{token}")
+        if page["resultType"] == "EOS":
+            break
+        # the retry contract is CURRENT-token idempotence (Flink's gateway
+        # keeps the page a client may still be mid-retry on, not arbitrary
+        # history — memory-bounded): an immediate re-GET is byte-identical
+        again = call("GET", f"{gw}/v1/sessions/{h}/operations/{op}/result/{token}")
+        assert again == page
+        last, pages, token = page, pages + 1, token + 1
+    assert pages == 3  # 250 rows = 3 pages of ≤100
+    # after EOS, the final data page still replays identically
+    again = call("GET", f"{gw}/v1/sessions/{h}/operations/{op}/result/{token - 1}")
+    assert again == last
+    call("DELETE", f"{gw}/v1/sessions/{h}")
+
+
+def test_concurrent_result_polling_under_load(gw):
+    """Several clients pacing the SAME streaming operation concurrently
+    (NOT_READY → retry same token, PAYLOAD → advance): every client must
+    observe the same per-token pages — the buffer's token cursors are shared
+    state and must not tear, skip, or double-serve under contention."""
+    import threading
+    import time
+
+    h = call("POST", f"{gw}/v1/sessions", {})["sessionHandle"]  # streaming
+    call("POST", f"{gw}/v1/sessions/{h}/statements", {
+        "statement": (
+            "CREATE TABLE gw_load (user_id INT, event_time TIMESTAMP(3), "
+            "WATERMARK FOR event_time AS event_time - INTERVAL '5' SECOND) "
+            "WITH ('connector'='datagen','rows-per-second'='200',"
+            "'fields.user_id.min'='1','fields.user_id.max'='9')"
+        )
+    })
+    op = call("POST", f"{gw}/v1/sessions/{h}/statements",
+              {"statement": "SELECT user_id FROM gw_load"})["operationHandle"]
+
+    per_client: list[dict[int, list]] = [{} for _ in range(4)]
+    errors: list[Exception] = []
+
+    def poll(me: dict[int, list]):
+        try:
+            token, t0 = 0, time.time()
+            while sum(len(v) for v in me.values()) < 30 and time.time() - t0 < 60:
+                page = call(
+                    "GET", f"{gw}/v1/sessions/{h}/operations/{op}/result/{token}"
+                )
+                if page["resultType"] == "PAYLOAD":
+                    me[token] = page["results"]["data"]
+                    token += 1
+                elif page["resultType"] == "NOT_READY":
+                    time.sleep(0.2)
+                else:
+                    break
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=poll, args=(m,)) for m in per_client
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert all(sum(len(v) for v in m.values()) >= 30 for m in per_client)
+    # common tokens must carry identical pages for every client
+    common = set(per_client[0])
+    for m in per_client[1:]:
+        common &= set(m)
+    assert common
+    for tok in common:
+        pages = {json.dumps(m[tok], sort_keys=True) for m in per_client}
+        assert len(pages) == 1, f"token {tok} served differing pages"
+    call("DELETE", f"{gw}/v1/sessions/{h}/operations/{op}")
+    call("DELETE", f"{gw}/v1/sessions/{h}")
