@@ -581,8 +581,13 @@ def cluster_pairs_lsh_df(
     band-bucket is quadratic in bucket size — the standard LSH trade —
     bounded by choosing `bits` so buckets stay small at the target corpus.
 
-    Pairs are deduped across co-colliding bands with one groupBy; output is
-    (a, b, sim) with a < b.
+    Cross-band dedup is MAP-SIDE: each row carries its full signature
+    vector, and a bucket in band k emits a pair only when no earlier band
+    already bucketed it together (first-agreeing-band rule) — every pair is
+    emitted exactly once, so there is no pair-keyed dedup shuffle at all.
+    At scale this matters: duplicate-pair volume grows with how strongly
+    near-duplicates co-collide, while the signature carry is a fixed
+    n·bands² cost. Output is (a, b, sim) with a < b.
     """
     import numpy as np
     import pandas as pd
@@ -620,17 +625,24 @@ def cluster_pairs_lsh_df(
     ).mapInPandas(signatures, "vec_id long, embd array<double>, sigs array<long>")
 
     buckets = sigged.select(
-        "vec_id", "embd", F.posexplode("sigs").alias("band", "sig")
+        "vec_id", "embd", "sigs", F.posexplode("sigs").alias("band", "sig")
     )
 
     def bucket_pairs(key, pdf):
         if len(pdf) < 2:
             return pd.DataFrame({"a": [], "b": [], "sim": []})
+        (band, _sig) = key
         ids = pdf["vec_id"].to_numpy()
         M = np.vstack(pdf["embd"].to_numpy())
         nrm = np.sqrt((M * M).sum(1))
         S = (M @ M.T) / np.outer(nrm, nrm)
         ii, jj = np.nonzero(np.triu(S >= threshold, 1))
+        if band > 0 and len(ii):
+            # first-agreeing-band rule: if any EARLIER band put this pair in
+            # one bucket, that band's task owns the emission
+            sg = np.vstack(pdf["sigs"].to_numpy())[:, :band]
+            fresh = ~(sg[ii] == sg[jj]).any(axis=1)
+            ii, jj = ii[fresh], jj[fresh]
         return pd.DataFrame(
             {
                 "a": np.minimum(ids[ii], ids[jj]),
@@ -642,15 +654,14 @@ def cluster_pairs_lsh_df(
     # explicit-count exchange on the grouping keys: satisfies the groupBy's
     # ClusteredDistribution (no second shuffle) and is exempt from AQE
     # size-based coalescing — each bucket GEMM is CPU-bound, bytes are a bad
-    # proxy (same rationale as cosine_pairs_df's pre-partition)
+    # proxy (same rationale as cosine_pairs_df's pre-partition). The
+    # map-side first-agreeing-band dedup means this is the ONLY shuffle.
     return (
         buckets.repartition(
             4 * spark.sparkContext.defaultParallelism, "band", "sig"
         )
         .groupBy("band", "sig")
         .applyInPandas(bucket_pairs, "a long, b long, sim double")
-        .groupBy("a", "b")
-        .agg(F.max("sim").alias("sim"))
     )
 
 
