@@ -861,6 +861,8 @@ def _ivf_train(vectors, k: int = IVF_CELLS, iters: int = 8):
     import numpy as np
 
     x = np.asarray(vectors, dtype=np.float64)
+    if x.size == 0:  # empty shard/corpus: no cells, downstream joins stay empty
+        return np.zeros((0, 1))
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     cents = x[:k].copy()
     for _ in range(iters):
@@ -967,6 +969,8 @@ def _pq_train(vectors):
     import numpy as np
 
     x = np.asarray(vectors, dtype=np.float64)
+    if x.size == 0:  # empty shard/corpus: zero-entry codebooks
+        return np.zeros((PQ_M, 0, 1))
     n, d = x.shape
     sub = d // PQ_M
     books = np.empty((PQ_M, PQ_K, sub))

@@ -17,6 +17,7 @@ EMPTY_QUERIES = [
     "similarity_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_pq_topk",
     "text_stats",
     "lang_id",
     "token_count",

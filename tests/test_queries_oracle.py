@@ -25,6 +25,7 @@ def test_all_queries_have_entries():
     rows_only = set(QUERIES) - set(ORACLE)
     assert rows_only == {
         "dedup_minhash_lsh",
+        "dedup_embedding_clusters_lsh",
         "dedup_simhash",
         "ann_lsh_topk",
         "ann_ivf_topk",
