@@ -209,3 +209,26 @@ def test_pii_scrub_is_map_only(spark, sf_dir):
     p = plan_of(spark, sf_dir, "pii_scrub")
     assert "Join" not in p and "HashAggregate" not in p
     assert len(re.findall(r"\n\(\d+\) Exchange", p)) <= 1
+
+
+def test_plan_audit_extractor_flags_scale_defects():
+    """tools/plan_audit.py renders PLANS.md; its extractor must flag the two
+    hard scale defects and pull the pushdown/pruning properties."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from plan_audit import _audit
+
+    good = (
+        "WholeStageCodegen (1)\nBroadcastHashJoin\nTakeOrderedAndProject\n"
+        "PushedFilters: [IsNotNull(x)]\nReadSchema: struct<a:int,b:int>\n"
+    )
+    notes = _audit(good)
+    assert any("pushed filters" in n for n in notes)
+    assert any("widths [2]" in n for n in notes)
+    assert any("TakeOrderedAndProject" in n for n in notes)
+    assert not any(n.startswith("!!") for n in notes)
+
+    bad = "CartesianProduct\nBatchEvalPython\n"
+    flags = [n for n in _audit(bad) if n.startswith("!!")]
+    assert len(flags) == 2
