@@ -459,3 +459,48 @@ def test_incremental_topn_retraction_safe_for_ranked_keys(spark, tmp_path):
     assert [(k, float(t), c) for k, t, c in rows] == [
         (k, t, counts[k]) for k, t in want
     ]
+
+
+def test_runner_checkpoint_resume_is_exactly_once(spark, sf_dir, tmp_path):
+    """Exactly-once recovery contract (reference flink-conf.yaml:61-63): a
+    second drain that REUSES the checkpoint directory resumes from the commit
+    log — files processed before the restart are not re-emitted, files added
+    after it are emitted once, and a third drain with no new input emits
+    nothing. This is the property a crash-restart cycle relies on."""
+    from pyspark.sql import functions as F
+
+    from flink_notebooks_spark.streaming import SinkSpec, drain
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type"
+    )
+    chunk1 = base.filter(F.col("event_id") % 2 == 0)
+    chunk2 = base.filter(F.col("event_id") % 2 == 1)
+    chunk1.write.mode("overwrite").parquet(f"{src}/c1")
+
+    def stream():
+        return (
+            spark.readStream.schema(base.schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+
+    spec = SinkSpec(
+        fmt="parquet", path=f"{tmp_path}/out", checkpoint=f"{tmp_path}/ckpt"
+    )
+    drain(stream(), spec, query_name="resume_1")
+    n1 = spark.read.parquet(f"{tmp_path}/out").count()
+    assert n1 == chunk1.count()
+
+    # "restart": a NEW query object, SAME checkpoint, source grew meanwhile
+    chunk2.write.mode("overwrite").parquet(f"{src}/c2")
+    drain(stream(), spec, query_name="resume_2")
+    out = spark.read.parquet(f"{tmp_path}/out")
+    assert out.count() == base.count()  # no chunk1 re-emission
+    assert out.select("event_id").distinct().count() == base.count()
+
+    # idle restart: commit log says everything is processed
+    drain(stream(), spec, query_name="resume_3")
+    assert spark.read.parquet(f"{tmp_path}/out").count() == base.count()
