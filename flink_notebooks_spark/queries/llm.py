@@ -624,8 +624,16 @@ def cluster_pairs_lsh_df(
         "vec_id", F.col("embedding").cast("array<double>").alias("embd")
     ).mapInPandas(signatures, "vec_id long, embd array<double>, sigs array<long>")
 
-    buckets = sigged.select(
-        "vec_id", "embd", "sigs", F.posexplode("sigs").alias("band", "sig")
+    # band k's task only consults EARLIER bands' signatures (first-agreeing-
+    # band rule), so carry just the sigs[:band] prefix through the shuffle —
+    # avg bands/2 longs per row instead of bands (band 0 carries none); the
+    # projection runs map-side, below the exchange
+    buckets = (
+        sigged.select(
+            "vec_id", "embd", "sigs", F.posexplode("sigs").alias("band", "sig")
+        )
+        .withColumn("sig_prefix", F.expr("slice(sigs, 1, band)"))
+        .drop("sigs")
     )
 
     def bucket_pairs(key, pdf):
@@ -639,8 +647,9 @@ def cluster_pairs_lsh_df(
         ii, jj = np.nonzero(np.triu(S >= threshold, 1))
         if band > 0 and len(ii):
             # first-agreeing-band rule: if any EARLIER band put this pair in
-            # one bucket, that band's task owns the emission
-            sg = np.vstack(pdf["sigs"].to_numpy())[:, :band]
+            # one bucket, that band's task owns the emission (sig_prefix is
+            # exactly bands [0, band) — constant length within this group)
+            sg = np.vstack(pdf["sig_prefix"].to_numpy())
             fresh = ~(sg[ii] == sg[jj]).any(axis=1)
             ii, jj = ii[fresh], jj[fresh]
         return pd.DataFrame(
@@ -1688,10 +1697,11 @@ def _connected_components(pairs: DataFrame, max_rounds: int = 25):
     strictly-larger neighbors to its minimum neighbor (large-star), then
     collapses each node's smaller neighbors onto that minimum (small-star).
     The edge set converges to stars centered at component minima in
-    O(log² n) rounds regardless of graph diameter. Everything is joins +
-    aggregates on the edge list — no collect_list (a mega-hub's neighbor set
-    never materializes in one row), no driver-side data (the loop carries
-    only counts), and localCheckpoint truncates per-round lineage.
+    O(log² n) rounds regardless of graph diameter. Each star phase is ONE
+    edge-list shuffle (per-u minima via an unbounded window over the rows'
+    own partitioning) — no collect_list (a mega-hub's neighbor set never
+    materializes in one row), no driver-side data (the loop carries only
+    counts), and localCheckpoint truncates per-round lineage.
 
     ``pairs`` is an undirected edge list with columns (a, b). Returns
     (labels, rounds): labels has (doc_id, component) for every node incident
@@ -1720,29 +1730,31 @@ def _connected_components(pairs: DataFrame, max_rounds: int = 25):
     for _ in range(max_rounds):
         rounds += 1
         # large-star: for each u, every neighbor v > u links to
-        # m = min({u} ∪ N(u)). Output edges all satisfy u > v. Duplicate
-        # emissions are deliberately NOT deduped here — the aggregates below
-        # absorb them and the round's single distinct (on the small-star
-        # output) dedupes once, saving a shuffle per round.
+        # m = min({u} ∪ N(u)). Output edges all satisfy u > v. Per-u minima
+        # come from an unbounded window over the SAME partitioning the rows
+        # already need — ONE shuffle of b per star phase, where a
+        # groupBy+join-back shape shuffles b twice (the agg's combine output
+        # can't serve the join's raw-row side). Duplicate emissions are
+        # deliberately NOT deduped — the round's single distinct (on the
+        # small-star output) dedupes once. A mega-hub's rows co-locate in
+        # one task either way (join-back has the same property); the window
+        # is sort-based and spills, never materializing the neighbor set in
+        # a single row.
         b = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        m = (
-            b.groupBy("u")
-            .agg(F.min("v").alias("mv"))
-            .select("u", F.least("u", "mv").alias("m"))
-        )
+        wu = Window.partitionBy("u")
         large = (
-            b.join(m, "u")
+            b.withColumn("m", F.least(F.col("u"), F.min("v").over(wu)))
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
         )
         # small-star on the (u > v)-oriented edges: all of u's neighbors —
-        # and u itself — collapse onto m = min(N(u) ∪ {u}).
-        m2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        # and u itself — collapse onto m = min(N(u) ∪ {u}); the (u, m) self
+        # edge is emitted per input row, duplicates absorbed by the distinct.
+        small_src = large.withColumn("m", F.min("v").over(wu))
         small = _truncate(
-            large.join(m2, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(m2.select(F.col("u"), F.col("m").alias("v")))
+            small_src.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(small_src.select(F.col("u"), F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
         )

@@ -487,13 +487,21 @@ def _incremental_topn(agg_df: DataFrame, n: int, partitions: int = 8):
     batch_sizes: list[int] = []
 
     def merge(batch_df, _batch_id):
-        picked = (
-            batch_df.orderBy(F.desc(total_col), key_col).limit(n).collect()
-        )
-        known = list(tracked)
-        updates = (
-            batch_df.filter(F.col(key_col).isin(known)).collect() if known else []
-        )
+        # two bounded actions read the same batch aggregation — persist so
+        # the per-trigger agg computes once, not once per action
+        batch_df.persist()
+        try:
+            picked = (
+                batch_df.orderBy(F.desc(total_col), key_col).limit(n).collect()
+            )
+            known = list(tracked)
+            updates = (
+                batch_df.filter(F.col(key_col).isin(known)).collect()
+                if known
+                else []
+            )
+        finally:
+            batch_df.unpersist()
         batch_sizes.append(len(picked) + len(updates))
         for r in updates:
             tracked[r[key_col]] = (r[total_col], r[cnt_col])
