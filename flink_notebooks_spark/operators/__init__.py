@@ -16,7 +16,7 @@ from .match_recognize import (
     sql_match_recognize,
 )
 from .joins import asof_join, interval_join
-from .skew import salted_join
+from .skew import hot_keys, salted_join
 from .text import pii_counts, scrub_pii
 from .windows import cumulate_window, hop_window
 
@@ -24,6 +24,7 @@ __all__ = [
     "asof_join",
     "interval_join",
     "salted_join",
+    "hot_keys",
     "hop_window",
     "cumulate_window",
     "sequence_pattern",

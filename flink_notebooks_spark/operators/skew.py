@@ -40,3 +40,18 @@ def salted_join(
     ).withColumn("__salt", F.col("__salt").cast("int"))
     out = l_s.join(r_s, [*keys, "__salt"], how)
     return out.drop("__salt")
+
+
+def hot_keys(df: DataFrame, on: str | list[str], top: int = 20) -> DataFrame:
+    """The heaviest join keys with their row counts — the one-pass
+    diagnostic run before choosing broadcast / AQE / salting. A key whose
+    row count approaches a shuffle partition's row budget is the salting
+    candidate; partial aggregation keeps this cheap even on the skewed
+    input itself (the hot key combines map-side)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    return (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("n_rows"))
+        .orderBy(F.desc("n_rows"), *keys)
+        .limit(top)
+    )

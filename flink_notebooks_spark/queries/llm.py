@@ -1601,6 +1601,47 @@ def profile_table(spark, sf_dir):
     ).orderBy("col")
 
 
+@query("profile_table_sketch")
+def profile_table_sketch(spark, sf_dir):
+    """The 100 TB form of ``profile_table``: identical output schema and
+    single-pass plan, but distinct counts come from HyperLogLog++ sketches
+    (``approx_count_distinct``, rsd=0.02) instead of exact COUNT(DISTINCT).
+    Exact per-column distincts expand the input once per column (Catalyst's
+    Expand) and shuffle raw values; HLL++ sketches are fixed-size (~1.5 KB
+    at rsd=0.02), merge associatively in the partial-agg combine, and keep
+    the whole profile a single map-side-combined aggregation — the only
+    shape that profiles a 100 TB table in one bounded-memory pass. No SQL
+    oracle (sketch estimates are engine-specific); pinned by a tolerance
+    test against the exact ``profile_table`` and by exactness of every
+    non-sketched column."""
+    d = load_table(spark, sf_dir, "documents")
+    profiled = d.agg(
+        F.count("*").alias("n"),
+        *[
+            agg
+            for c in _PROFILE_COLS
+            for agg in (
+                F.count(c).alias(f"nn_{c}"),
+                F.approx_count_distinct(c, rsd=0.02).alias(f"nd_{c}"),
+                F.min(c).cast("string").alias(f"mn_{c}"),
+                F.max(c).cast("string").alias(f"mx_{c}"),
+            )
+        ],
+    )
+    unpivoted = profiled.selectExpr(
+        "stack({n}, {args}) AS (col, n_nonnull, n_distinct, min_v, max_v)".format(
+            n=len(_PROFILE_COLS),
+            args=", ".join(
+                f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in _PROFILE_COLS
+            ),
+        ),
+        "n",
+    )
+    return unpivoted.select(
+        "col", "n", "n_nonnull", "n_distinct", "min_v", "max_v"
+    ).orderBy("col")
+
+
 # ---------------------------------------------------------------------------
 # D8. benchmark decontamination — flag training docs sharing word-8-grams
 #     with an evaluation/benchmark set (the standard n-gram-collision

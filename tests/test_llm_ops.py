@@ -325,3 +325,21 @@ def test_pq_codebook_sample_is_permutation_invariant_quality(spark, sf_dir, tmp_
         TOPK_QUERY_IDS * TOPK_K
     )
     assert recall >= 0.2, f"PQ recall {recall:.2f} below floor on relabeled ids"
+
+
+def test_profile_sketch_matches_exact_within_tolerance(spark, sf_dir):
+    """profile_table_sketch: every non-sketched column equals the exact
+    profile; the HLL++ distinct estimate lands within 3×rsd (6%) of exact."""
+    from flink_notebooks_spark.queries import QUERIES
+
+    exact = {r["col"]: r for r in QUERIES["profile_table"](spark, sf_dir).collect()}
+    sketch = {
+        r["col"]: r for r in QUERIES["profile_table_sketch"](spark, sf_dir).collect()
+    }
+    assert set(exact) == set(sketch)
+    for c, e in exact.items():
+        s = sketch[c]
+        assert (s["n"], s["n_nonnull"], s["min_v"], s["max_v"]) == (
+            e["n"], e["n_nonnull"], e["min_v"], e["max_v"]
+        )
+        assert abs(s["n_distinct"] - e["n_distinct"]) <= max(1, 0.06 * e["n_distinct"])

@@ -94,3 +94,14 @@ def test_salted_join_equals_plain_join(spark):
         (r["k"], r["lv"], r["rv"]) for r in l2.join(right, "k", "left").collect()
     )
     assert got_l == want_l
+
+
+def test_hot_keys_ranks_heaviest_join_keys(spark):
+    from flink_notebooks_spark.operators import hot_keys
+
+    df = spark.createDataFrame(
+        [(1, "a")] * 50 + [(2, "b")] * 30 + [(3, "c")] * 5 + [(4, "d")],
+        "k int, v string",
+    )
+    got = [(r["k"], r["n_rows"]) for r in hot_keys(df, "k", top=3).collect()]
+    assert got == [(1, 50), (2, 30), (3, 5)]

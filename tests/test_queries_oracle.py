@@ -30,5 +30,6 @@ def test_all_queries_have_entries():
         "ann_lsh_topk",
         "ann_ivf_topk",
         "ann_pq_topk",
+        "profile_table_sketch",
         "multimodal_decode",
     }
