@@ -195,6 +195,166 @@ def _parse_with_options(s: str) -> dict[str, str]:
     }
 
 
+def _match_like_tail(rest: str):
+    """Match ``[WITH (...)] LIKE base [(like options)]`` at the end of a
+    CREATE TABLE statement. Returns (with_body | None, base_name,
+    like_options | None) or None. The WITH body is balanced-paren scanned —
+    quoted option values may contain ')' or the word LIKE, so a regex over
+    the whole tail would mis-split."""
+    rest = rest.strip()
+    with_body = None
+    m = re.match(r"WITH\s*\(", rest, re.IGNORECASE)
+    if m:
+        depth, i = 1, m.end()
+        while i < len(rest) and depth > 0:
+            if rest[i] == "'":  # skip quoted values ('' escapes included)
+                j = i + 1
+                while j < len(rest):
+                    if rest[j] == "'":
+                        if j + 1 < len(rest) and rest[j + 1] == "'":
+                            j += 2
+                            continue
+                        break
+                    j += 1
+                i = j
+            elif rest[i] == "(":
+                depth += 1
+            elif rest[i] == ")":
+                depth -= 1
+            i += 1
+        if depth != 0:
+            return None
+        with_body = rest[m.end() : i - 1]
+        rest = rest[i:].strip()
+    lm = re.match(
+        r"LIKE\s+(`?)([\w.]+)\1\s*(?:\((.*)\))?\s*$", rest, re.IGNORECASE | re.DOTALL
+    )
+    if not lm:
+        return None
+    return with_body, lm.group(2).split(".")[-1], lm.group(3)
+
+
+# LIKE-clause feature sets and their merge strategies (Flink SQL
+# CREATE TABLE ... LIKE): INCLUDING copies and fails on conflict, EXCLUDING
+# drops the source's feature, OVERWRITING copies with the new declaration
+# winning conflicts. Flink's documented default is INCLUDING ALL with
+# OVERWRITING OPTIONS.
+_LIKE_FEATURES = ("CONSTRAINTS", "GENERATED", "OPTIONS", "PARTITIONS", "WATERMARKS")
+
+
+def _parse_like_options(s: str | None) -> dict[str, str]:
+    strat = dict.fromkeys(_LIKE_FEATURES, "INCLUDING")
+    strat["OPTIONS"] = "OVERWRITING"
+    if not s:
+        return strat
+    toks = re.findall(r"[A-Za-z]+", s.upper())
+    i = 0
+    while i < len(toks):
+        mode = toks[i]
+        if mode not in ("INCLUDING", "EXCLUDING", "OVERWRITING"):
+            raise ValueError(f"bad LIKE option {mode!r}")
+        if i + 1 >= len(toks):
+            raise ValueError(f"LIKE option {mode} needs a feature name")
+        feat = toks[i + 1]
+        if feat == "ALL":
+            if mode == "OVERWRITING":
+                raise ValueError("OVERWRITING ALL is not a valid LIKE option")
+            strat = dict.fromkeys(_LIKE_FEATURES, mode)
+        elif feat == "METADATA":
+            pass  # no metadata columns in this engine; accepted and ignored
+        elif feat in _LIKE_FEATURES:
+            if mode == "OVERWRITING" and feat in ("CONSTRAINTS", "PARTITIONS"):
+                raise ValueError(f"OVERWRITING {feat} is not a valid LIKE option")
+            strat[feat] = mode
+        else:
+            raise ValueError(f"unknown LIKE feature {feat!r}")
+        i += 2
+    return strat
+
+
+def merge_like(base: TableDef, extra: TableDef, like_options: str | None) -> TableDef:
+    """Merge a LIKE source table with the new statement's own declarations
+    (Flink CREATE TABLE ... LIKE semantics). ``extra`` carries the new
+    statement's columns/watermark/pk/partitions/options and the result
+    identity (name, IF NOT EXISTS)."""
+    strat = _parse_like_options(like_options)
+    out = TableDef(name=extra.name, if_not_exists=extra.if_not_exists)
+
+    # columns: source physical columns always copy; computed (generated)
+    # columns follow their strategy
+    gen = strat["GENERATED"]
+    for c in base.columns:
+        if c.computed_expr is not None and gen == "EXCLUDING":
+            continue
+        out.columns.append(c)
+    by_name = {c.name: i for i, c in enumerate(out.columns)}
+    for c in extra.columns:
+        if c.name in by_name:
+            prev = out.columns[by_name[c.name]]
+            if (
+                c.computed_expr is not None
+                and prev.computed_expr is not None
+                and gen == "OVERWRITING"
+            ):
+                out.columns[by_name[c.name]] = c
+                continue
+            raise ValueError(
+                f"LIKE merge: column {c.name!r} already exists in the source "
+                "table (use OVERWRITING GENERATED for computed columns)"
+            )
+        by_name[c.name] = len(out.columns)
+        out.columns.append(c)
+
+    wm = strat["WATERMARKS"]
+    if wm == "EXCLUDING":
+        out.watermark = extra.watermark
+    elif wm == "OVERWRITING":
+        out.watermark = extra.watermark or base.watermark
+    else:
+        if base.watermark and extra.watermark:
+            raise ValueError(
+                "LIKE merge: both tables declare a watermark "
+                "(use OVERWRITING WATERMARKS or EXCLUDING WATERMARKS)"
+            )
+        out.watermark = extra.watermark or base.watermark
+
+    pk = strat["CONSTRAINTS"]
+    if pk == "EXCLUDING":
+        out.primary_key = extra.primary_key
+    else:
+        if base.primary_key and extra.primary_key:
+            raise ValueError(
+                "LIKE merge: both tables declare a primary key "
+                "(use EXCLUDING CONSTRAINTS to drop the source's)"
+            )
+        out.primary_key = extra.primary_key or base.primary_key
+
+    pt = strat["PARTITIONS"]
+    if pt == "EXCLUDING":
+        out.partitioned_by = extra.partitioned_by
+    else:
+        if base.partitioned_by and extra.partitioned_by:
+            raise ValueError(
+                "LIKE merge: both tables declare partitioning "
+                "(use EXCLUDING PARTITIONS to drop the source's)"
+            )
+        out.partitioned_by = extra.partitioned_by or base.partitioned_by
+
+    op = strat["OPTIONS"]
+    if op == "EXCLUDING":
+        out.options = dict(extra.options)
+    else:
+        out.options = dict(base.options)
+        for k, v in extra.options.items():
+            if k in out.options and out.options[k] != v and op == "INCLUDING":
+                raise ValueError(
+                    f"LIKE merge: option {k!r} declared on both tables with "
+                    "different values (use OVERWRITING OPTIONS)"
+                )
+            out.options[k] = v
+    return out
+
+
 def parse_statement(sql: str) -> Parsed:
     """Classify one SQL statement; DDL in our dialect is fully parsed,
     queries/INSERT/EXPLAIN pass through with light metadata."""
@@ -231,8 +391,12 @@ def parse_statement(sql: str) -> Parsed:
         if pm:  # Flink filesystem-connector partitioned tables
             partitioned = [c.strip().strip("`") for c in pm.group(1).split(",")]
             rest = pm.group(2).strip()
-        wm = re.match(r"(?:COMMENT\s+'[^']*'\s*)?WITH\s*\((.*)\)\s*$", rest, re.IGNORECASE | re.DOTALL)
-        if wm:
+        rest = re.sub(r"^COMMENT\s+'[^']*'\s*", "", rest, flags=re.IGNORECASE)
+        like_tail = _match_like_tail(rest)
+        wm = re.match(r"WITH\s*\((.*)\)\s*$", rest, re.IGNORECASE | re.DOTALL)
+        if like_tail is not None:
+            options = _parse_with_options(like_tail[0] or "")
+        elif wm:
             options = _parse_with_options(wm.group(1))
         elif rest:
             raise ValueError(f"unexpected trailing DDL: {rest[:80]!r}")
@@ -243,9 +407,40 @@ def parse_statement(sql: str) -> Parsed:
             options=options,
         )
         _parse_schema_items(schema_body, table)
+        if like_tail is not None:
+            return Parsed(
+                kind="create_table_like",
+                table=table,
+                name=m.group(3),
+                value=like_tail[1],
+                key=like_tail[2],
+                sql=sql,
+            )
         # name keeps the full (possibly catalog-qualified) identifier so the
         # engine can route catalog-managed tables to Spark SQL
         return Parsed(kind="create_table", table=table, name=m.group(3), sql=sql)
+
+    # CREATE TABLE t [WITH (...)] LIKE base [(like options)] — the
+    # schema-less LIKE form (no own column list)
+    m = re.match(
+        r"CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(`?)([\w.]+)\2\s+(.*)$",
+        sql,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m and (like_tail := _match_like_tail(m.group(4))) is not None:
+        table = TableDef(
+            name=m.group(3).split(".")[-1],
+            if_not_exists=bool(m.group(1)),
+            options=_parse_with_options(like_tail[0] or ""),
+        )
+        return Parsed(
+            kind="create_table_like",
+            table=table,
+            name=m.group(3),
+            value=like_tail[1],
+            key=like_tail[2],
+            sql=sql,
+        )
 
     m = re.match(r"DROP\s+(?:TEMPORARY\s+)?TABLE\s+(IF\s+EXISTS\s+)?(`?)([\w.]+)\2\s*$", sql, re.IGNORECASE)
     if m:

@@ -264,6 +264,23 @@ class Engine:
         self._register_view(t)
         return ok_statement("OK")
 
+    def _exec_create_table_like(self, p: Parsed) -> Statement:
+        """CREATE TABLE t (... extras ...) WITH (...) LIKE base (options) —
+        Flink's table-derivation DDL (same Flink SQL surface the reference
+        executes; merge semantics in ddl.merge_like: default INCLUDING ALL
+        with OVERWRITING OPTIONS). The merged definition then follows the
+        ordinary CREATE TABLE path, so connector validation, registration,
+        and SHOW CREATE TABLE all see a plain table."""
+        from .ddl import merge_like
+
+        base = self.tables.get(p.value)
+        if base is None:
+            raise ValueError(f"LIKE source table not found: {p.value}")
+        merged = merge_like(base, p.table, p.key)
+        return self._exec_create_table(
+            Parsed(kind="create_table", table=merged, name=p.name, sql=p.sql)
+        )
+
     def _exec_drop_table(self, p: Parsed) -> Statement:
         if p.name not in self.tables:
             if p.if_exists:

@@ -874,3 +874,88 @@ def test_flink_builtin_compatibility_functions(engine):
     assert rows[0]["fields"] == [
         "b", "7", True, False, "aGk=", "hi", -4.56, 4.0, True
     ]
+
+
+# ----------------------------------------------------- CREATE TABLE ... LIKE
+def test_create_table_like_derives_and_overwrites_options(engine, tmp_path):
+    """Flink's CREATE TABLE ... LIKE: schema/connector inherit from the
+    source; the new WITH overrides conflicting options (default merge is
+    INCLUDING ALL + OVERWRITING OPTIONS)."""
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql(f"""
+        CREATE TABLE base_t (
+          id INT NOT NULL,
+          name STRING
+        ) WITH ('connector' = 'filesystem', 'path' = '{tmp_path}/a',
+                'format' = 'parquet')
+    """)
+    engine.execute_sql(f"""
+        CREATE TABLE derived_t WITH ('path' = '{tmp_path}/b')
+        LIKE base_t
+    """)
+    engine.execute_sql("INSERT INTO derived_t VALUES (1, 'x'), (2, 'y')")
+    rows = drain(engine.execute_sql("SELECT id, name FROM derived_t ORDER BY id"))
+    assert [r["fields"] for r in rows] == [[1, "x"], [2, "y"]]
+    # base table's path untouched: its own insert lands separately
+    engine.execute_sql("INSERT INTO base_t VALUES (9, 'z')")
+    assert [r["fields"] for r in drain(engine.execute_sql("SELECT id FROM base_t"))] == [[9]]
+    ddl = drain(engine.execute_sql("SHOW CREATE TABLE derived_t"))[0]["fields"][0]
+    assert f"{tmp_path}/b" in ddl and "`name` STRING" in ddl
+
+
+def test_create_table_like_extra_columns_and_watermark(engine, tmp_path):
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql(f"""
+        CREATE TABLE src_ev (
+          ev_id INT,
+          ts TIMESTAMP(3)
+        ) WITH ('connector' = 'filesystem', 'path' = '{tmp_path}/src',
+                'format' = 'parquet')
+    """)
+    engine.execute_sql("""
+        CREATE TABLE enriched (
+          note STRING,
+          WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+        ) LIKE src_ev
+    """)
+    t = engine.tables["enriched"]
+    assert [c.name for c in t.columns] == ["ev_id", "ts", "note"]
+    assert t.watermark is not None and t.watermark.column == "ts"
+    assert t.options["connector"] == "filesystem"
+
+
+def test_create_table_like_excluding_options_requires_connector(engine, tmp_path):
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql(f"""
+        CREATE TABLE like_src2 (id INT)
+        WITH ('connector' = 'filesystem', 'path' = '{tmp_path}/s2',
+              'format' = 'parquet')
+    """)
+    with pytest.raises(ValueError, match="connector"):
+        engine.execute_sql(
+            "CREATE TABLE bare_t LIKE like_src2 (EXCLUDING OPTIONS)"
+        )
+
+
+def test_create_table_like_conflict_rules(engine, tmp_path):
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql(f"""
+        CREATE TABLE like_src3 (id INT, nm STRING)
+        WITH ('connector' = 'filesystem', 'path' = '{tmp_path}/s3',
+              'format' = 'parquet')
+    """)
+    # duplicate physical column is always an error
+    with pytest.raises(ValueError, match="already exists"):
+        engine.execute_sql("CREATE TABLE dup_col (id INT) LIKE like_src3")
+    # INCLUDING OPTIONS + conflicting value errors; OVERWRITING accepts
+    with pytest.raises(ValueError, match="OVERWRITING OPTIONS"):
+        engine.execute_sql(f"""
+            CREATE TABLE opt_conflict WITH ('path' = '{tmp_path}/other')
+            LIKE like_src3 (INCLUDING OPTIONS)
+        """)
+    engine.execute_sql(f"""
+        CREATE TABLE opt_ok WITH ('path' = '{tmp_path}/ok')
+        LIKE like_src3 (OVERWRITING OPTIONS)
+    """)
+    assert engine.tables["opt_ok"].options["path"] == f"{tmp_path}/ok"
+    assert engine.tables["opt_ok"].options["format"] == "parquet"
