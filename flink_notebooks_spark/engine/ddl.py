@@ -121,8 +121,13 @@ def strip_comments(sql: str) -> str:
             out.append(" ")
         elif ch == "/" and sql.startswith("/*", i):
             end = sql.find("*/", i + 2)
+            if sql.startswith("/*+", i):
+                # optimizer hint, not a comment: /*+ BROADCAST(t) */,
+                # Flink's /*+ OPTIONS(...) */ — must reach the planner
+                out.append(sql[i : (n if end < 0 else end + 2)])
+            else:
+                out.append(" ")
             i = n if end < 0 else end + 2
-            out.append(" ")
         else:
             out.append(ch)
             i += 1

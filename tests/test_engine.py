@@ -959,3 +959,21 @@ def test_create_table_like_conflict_rules(engine, tmp_path):
     """)
     assert engine.tables["opt_ok"].options["path"] == f"{tmp_path}/ok"
     assert engine.tables["opt_ok"].options["format"] == "parquet"
+
+
+def test_hint_comments_survive_stripping_and_reach_the_planner(engine):
+    """/*+ ... */ is an optimizer hint, not a comment: strip_comments must
+    preserve it (Spark's BROADCAST/MERGE hints, Flink's OPTIONS hint) while
+    still removing ordinary block comments around it."""
+    from flink_notebooks_spark.engine.ddl import strip_comments
+
+    s = strip_comments(
+        "/* drop this */ SELECT /*+ BROADCAST(n) */ * FROM n -- tail\n"
+    )
+    assert "/*+ BROADCAST(n) */" in s and "drop this" not in s and "tail" not in s
+
+    engine.spark.range(3).createOrReplaceTempView("hint_t")
+    stmt = engine.execute_sql(
+        "SELECT /*+ REPARTITION(2) */ COUNT(*) AS c FROM hint_t"
+    )
+    assert drain(stmt)[0]["fields"] == [3]
