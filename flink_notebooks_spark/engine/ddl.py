@@ -488,6 +488,34 @@ def parse_statement(sql: str) -> Parsed:
     if m:
         return Parsed(kind="show", show_what=m.group(1).lower(), sql=sql)
 
+    # Flink session-cluster job statements (SHOW JOBS / STOP JOB 'id'
+    # [WITH SAVEPOINT] [WITH DRAIN]) — the SQL face of the job monitor
+    if re.match(r"SHOW\s+JOBS\s*$", up):
+        return Parsed(kind="show_jobs", sql=sql)
+    m = re.match(
+        r"STOP\s+JOB\s+'([^']+)'\s*(?:WITH\s+SAVEPOINT\s*)?(?:WITH\s+DRAIN\s*)?$",
+        sql,
+        re.IGNORECASE,
+    )
+    if m:
+        return Parsed(kind="stop_job", name=m.group(1), sql=sql)
+
+    # Flink module statements: modules gate which function libraries resolve;
+    # this engine has exactly Spark's built-in surface, modeled as 'core'
+    m = re.match(r"SHOW\s+(FULL\s+)?MODULES\s*$", up)
+    if m:
+        return Parsed(kind="show_modules", value="full" if m.group(1) else None, sql=sql)
+    m = re.match(r"LOAD\s+MODULE\s+(`?)(\w+)\1\s*$", sql, re.IGNORECASE)
+    if m:
+        return Parsed(kind="load_module", name=m.group(2), sql=sql)
+    m = re.match(r"UNLOAD\s+MODULE\s+(`?)(\w+)\1\s*$", sql, re.IGNORECASE)
+    if m:
+        return Parsed(kind="unload_module", name=m.group(2), sql=sql)
+
+    m = re.match(r"TRUNCATE\s+TABLE\s+(`?)([\w.]+)\1\s*$", sql, re.IGNORECASE)
+    if m:
+        return Parsed(kind="truncate_table", name=m.group(2).split(".")[-1], sql=sql)
+
     m = re.match(r"SHOW\s+CREATE\s+TABLE\s+(`?)([\w.]+)\1\s*$", sql, re.IGNORECASE)
     if m:
         return Parsed(kind="show_create_table", name=m.group(2).split(".")[-1], sql=sql)

@@ -290,6 +290,81 @@ class Engine:
         self.spark.catalog.dropTempView(p.name)
         return ok_statement("OK")
 
+    def _exec_truncate_table(self, p: Parsed) -> Statement:
+        """TRUNCATE TABLE t (Flink 1.18 batch statement): delete the data,
+        keep the definition. Filesystem tables overwrite with an empty
+        frame of the declared schema; other connectors reject, as Flink's
+        connectors without truncate support do."""
+        t = self.tables.get(p.name)
+        if t is None:
+            raise ValueError(f"table not found: {p.name}")
+        if t.connector != "filesystem":
+            raise ValueError(
+                f"TRUNCATE TABLE: connector {t.connector!r} does not support truncation"
+            )
+        empty = self.spark.createDataFrame([], t.spark_schema())
+        fs_sink.write_batch(empty, t, overwrite=True)
+        self._register_view(t)
+        return ok_statement("OK")
+
+    # ---- job statements (SQL face of the T6/T7 monitor) -------------------
+    def _exec_show_jobs(self, p: Parsed) -> Statement:
+        from ..streaming.monitor import JobMonitor
+
+        rows = [
+            [j.job_id, j.name, j.state, j.duration_ms]
+            for j in JobMonitor(self.spark).streaming_jobs()
+        ]
+        return ImmediateStatement(
+            [
+                ColumnInfo("job id", "STRING", False),
+                ColumnInfo("job name", "STRING", False),
+                ColumnInfo("status", "STRING", False),
+                ColumnInfo("duration", "BIGINT", False),
+            ],
+            rows,
+        )
+
+    def _exec_stop_job(self, p: Parsed) -> Statement:
+        from ..streaming.monitor import JobMonitor
+
+        if not JobMonitor(self.spark).cancel(p.name):
+            raise ValueError(f"job not found: {p.name}")
+        return ok_statement("OK")
+
+    # ---- module statements (function-library resolution order) ------------
+    def _exec_show_modules(self, p: Parsed) -> Statement:
+        mods = getattr(self, "_modules", ["core"])
+        if p.value == "full":
+            return ImmediateStatement(
+                [
+                    ColumnInfo("module name", "STRING", False),
+                    ColumnInfo("used", "BOOLEAN", False),
+                ],
+                [[m, True] for m in mods],
+            )
+        return ImmediateStatement(
+            [ColumnInfo("module name", "STRING", False)], [[m] for m in mods]
+        )
+
+    def _exec_load_module(self, p: Parsed) -> Statement:
+        mods = getattr(self, "_modules", None)
+        if mods is None:
+            mods = self._modules = ["core"]
+        if p.name in mods:
+            raise ValueError(f"module already loaded: {p.name}")
+        mods.append(p.name)
+        return ok_statement("OK")
+
+    def _exec_unload_module(self, p: Parsed) -> Statement:
+        mods = getattr(self, "_modules", None)
+        if mods is None:
+            mods = self._modules = ["core"]
+        if p.name not in mods:
+            raise ValueError(f"module not loaded: {p.name}")
+        mods.remove(p.name)
+        return ok_statement("OK")
+
     # ---- session properties ---------------------------------------------
     def _exec_set(self, p: Parsed) -> Statement:
         self.properties[p.key] = p.value

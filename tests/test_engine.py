@@ -977,3 +977,61 @@ def test_hint_comments_survive_stripping_and_reach_the_planner(engine):
         "SELECT /*+ REPARTITION(2) */ COUNT(*) AS c FROM hint_t"
     )
     assert drain(stmt)[0]["fields"] == [3]
+
+
+# -------------------------------------------- job / module / truncate DDL
+def test_truncate_table_clears_data_keeps_definition(engine, tmp_path):
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql(f"""
+        CREATE TABLE trunc_t (id INT, s STRING)
+        WITH ('connector' = 'filesystem', 'path' = '{tmp_path}/t',
+              'format' = 'parquet')
+    """)
+    engine.execute_sql("INSERT INTO trunc_t VALUES (1, 'a'), (2, 'b')")
+    assert len(drain(engine.execute_sql("SELECT * FROM trunc_t"))) == 2
+    engine.execute_sql("TRUNCATE TABLE trunc_t")
+    assert drain(engine.execute_sql("SELECT * FROM trunc_t")) == []
+    # definition survives: a fresh insert works against the same schema
+    engine.execute_sql("INSERT INTO trunc_t VALUES (3, 'c')")
+    assert [r["fields"] for r in drain(engine.execute_sql("SELECT * FROM trunc_t"))] == [[3, "c"]]
+
+
+def test_truncate_rejects_non_filesystem_and_unknown(engine):
+    with pytest.raises(ValueError, match="not found"):
+        engine.execute_sql("TRUNCATE TABLE nope")
+
+
+def test_show_and_stop_jobs_reflect_streaming_queries(engine, spark):
+    rows = [r["fields"] for r in drain(engine.execute_sql("SHOW JOBS"))]
+    baseline = {r[0] for r in rows}
+    q = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .writeStream.format("noop").queryName("show_jobs_probe").start()
+    )
+    try:
+        rows = [r["fields"] for r in drain(engine.execute_sql("SHOW JOBS"))]
+        mine = [r for r in rows if r[0] not in baseline and r[1] == "show_jobs_probe"]
+        assert mine and mine[0][2] == "RUNNING"
+        engine.execute_sql(f"STOP JOB '{mine[0][0]}'")
+        q.awaitTermination(30)
+        assert not q.isActive
+    finally:
+        if q.isActive:
+            q.stop()
+    with pytest.raises(ValueError, match="job not found"):
+        engine.execute_sql("STOP JOB 'no-such-job'")
+
+
+def test_module_statements(engine):
+    assert [r["fields"] for r in drain(engine.execute_sql("SHOW MODULES"))] == [["core"]]
+    engine.execute_sql("LOAD MODULE hive")
+    assert [r["fields"] for r in drain(engine.execute_sql("SHOW FULL MODULES"))] == [
+        ["core", True],
+        ["hive", True],
+    ]
+    engine.execute_sql("UNLOAD MODULE hive")
+    assert [r["fields"] for r in drain(engine.execute_sql("SHOW MODULES"))] == [["core"]]
+    with pytest.raises(ValueError, match="not loaded"):
+        engine.execute_sql("UNLOAD MODULE hive")
+    with pytest.raises(ValueError, match="already loaded"):
+        engine.execute_sql("LOAD MODULE core")
