@@ -516,6 +516,10 @@ def parse_statement(sql: str) -> Parsed:
     if m:
         return Parsed(kind="truncate_table", name=m.group(2).split(".")[-1], sql=sql)
 
+    m = re.match(r"SHOW\s+PARTITIONS\s+(`?)([\w.]+)\1\s*$", sql, re.IGNORECASE)
+    if m:
+        return Parsed(kind="show_partitions", name=m.group(2).split(".")[-1], sql=sql)
+
     m = re.match(r"SHOW\s+CREATE\s+TABLE\s+(`?)([\w.]+)\1\s*$", sql, re.IGNORECASE)
     if m:
         return Parsed(kind="show_create_table", name=m.group(2).split(".")[-1], sql=sql)

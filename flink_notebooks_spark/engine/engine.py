@@ -307,6 +307,26 @@ class Engine:
         self._register_view(t)
         return ok_statement("OK")
 
+    def _exec_show_partitions(self, p: Parsed) -> Statement:
+        """SHOW PARTITIONS t (Flink partitioned-table inspection): the
+        distinct partition-key tuples, rendered in Flink's key=value/...
+        spec form. Answered from the data via a partition-column-only
+        DISTINCT — the scan prunes to the partition directories, so no data
+        files are read. Catalog tables pass through to Spark SQL."""
+        t = self.tables.get(p.name)
+        if t is None:
+            return BatchStatement(self.spark.sql(p.sql))
+        if not t.partitioned_by:
+            raise ValueError(f"table is not partitioned: {p.name}")
+        cols = ", ".join(f"`{c}`" for c in t.partitioned_by)
+        rows = self.spark.sql(
+            f"SELECT DISTINCT {cols} FROM `{t.name}` ORDER BY {cols}"
+        ).collect()
+        spec = [
+            ["/".join(f"{c}={r[c]}" for c in t.partitioned_by)] for r in rows
+        ]
+        return ImmediateStatement([ColumnInfo("partition name", "STRING", False)], spec)
+
     # ---- job statements (SQL face of the T6/T7 monitor) -------------------
     def _exec_show_jobs(self, p: Parsed) -> Statement:
         from ..streaming.monitor import JobMonitor

@@ -1035,3 +1035,30 @@ def test_module_statements(engine):
         engine.execute_sql("UNLOAD MODULE hive")
     with pytest.raises(ValueError, match="already loaded"):
         engine.execute_sql("LOAD MODULE core")
+
+
+def test_show_partitions_lists_partition_specs(engine, tmp_path):
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql(f"""
+        CREATE TABLE part_t (id INT, dt STRING, region STRING)
+        PARTITIONED BY (dt, region)
+        WITH ('connector' = 'filesystem', 'path' = '{tmp_path}/p',
+              'format' = 'parquet')
+    """)
+    engine.execute_sql(
+        "INSERT INTO part_t VALUES (1, '2026-01-01', 'eu'), "
+        "(2, '2026-01-01', 'us'), (3, '2026-01-02', 'eu')"
+    )
+    rows = [r["fields"][0] for r in drain(engine.execute_sql("SHOW PARTITIONS part_t"))]
+    assert rows == [
+        "dt=2026-01-01/region=eu",
+        "dt=2026-01-01/region=us",
+        "dt=2026-01-02/region=eu",
+    ]
+    engine.execute_sql(f"""
+        CREATE TABLE unpart_t (id INT)
+        WITH ('connector' = 'filesystem', 'path' = '{tmp_path}/u',
+              'format' = 'parquet')
+    """)
+    with pytest.raises(ValueError, match="not partitioned"):
+        engine.execute_sql("SHOW PARTITIONS unpart_t")
