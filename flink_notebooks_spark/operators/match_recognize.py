@@ -35,11 +35,13 @@ counts as mapped to its own variable) evaluate per candidate row inside the
 matcher — Flink's NFA-condition equivalent (_compile_stateful_cond documents
 the expression subset). ``PREV`` over a column-arithmetic expression and
 ``NOT`` over PREV-bearing subexpressions (dual-rail Kleene evaluation, so
-NOT(unknown) stays unknown) work on both inputs. Not supported (raise):
-nested groups / ``PERMUTE``, match-state conditions inside an alternation
-group, and on STREAMING input only: PREV combined with match-state
-navigation in one condition (each raises NotImplementedError rather than
-silently diverging from the batch lag()-window semantics).
+NOT(unknown) stays unknown) work on both inputs, as does PREV combined
+with cross-variable/FIRST/LAST navigation in one condition — on streaming
+input the consumed-row carry is prepended to the matcher's frame as
+read-only context (``_run_matches(start_at=...)``) so ``prev()`` sees the
+same predecessors batch does. Not supported (raise): nested groups /
+``PERMUTE`` and match-state conditions inside an alternation group (each
+raises NotImplementedError rather than silently diverging).
 
 Scale design (the 100 TB argument):
 
@@ -988,6 +990,7 @@ def _run_matches(
     require_closed: bool = False,
     _force_general: bool = False,
     stateful=None,
+    start_at: int = 0,
 ):
     """Matcher core over one partition's SORTED, reset-index pandas frame.
 
@@ -1002,7 +1005,15 @@ def _run_matches(
     (cross-variable refs, FIRST/LAST navigation) to compiled conditions
     (_compile_stateful_cond); those evaluate per candidate row during
     matching instead of from precomputed boolean columns.
+
+    ``start_at``: the first row where a match may START. Rows before it are
+    read-only context — the streaming path prepends already-consumed carry
+    rows there so ``PREV`` inside match-state conditions sees the same
+    predecessors the batch matcher does. ``keep_from`` is always >=
+    ``start_at``, so context rows never re-enter the retained buffer.
     """
+    if start_at and not stateful:
+        raise ValueError("start_at context rows are only used with stateful conditions")
     if not stateful and not _force_general and _fast_eligible(spec, measures):
         fast = _run_matches_fast(pdf, spec, measures, match_num0, require_closed)
         if fast is not None:
@@ -1091,7 +1102,7 @@ def _run_matches(
     out_rows = []
     match_num = match_num0
     emitted = 0
-    keep_from = 0
+    keep_from = start_at
     # fast path: when the first term is mandatory, only its true rows
     # can start a match — scan candidate starts, not every row
     starts = None
@@ -1100,7 +1111,7 @@ def _run_matches(
 
         starts = np.flatnonzero(term_bools[0])
     si = 0
-    i = 0
+    i = start_at
     while i < n:
         if starts is not None:
             while si < len(starts) and starts[si] < i:
@@ -1306,14 +1317,14 @@ def match_recognize_stream(df: DataFrame, clause_or_spec, close_after: str | Non
     )
     if not spec.partition_by:
         raise ValueError("streaming MATCH_RECOGNIZE requires PARTITION BY")
+    # PREV inside a match-state condition: the matcher's prev() helper reads
+    # the partition frame directly, so the only streaming gap is rows already
+    # consumed in earlier triggers — covered by prepending the consumed-row
+    # carry as read-only context (start_at) up to the deepest PREV offset used
+    state_prev_n = 0
     for v in stateful or ():
-        if _PREV_RE.search(spec.define.get(v, "")):
-            raise NotImplementedError(
-                f"streaming MATCH_RECOGNIZE: DEFINE {v} combines PREV with "
-                "cross-variable/FIRST/LAST navigation — the consumed-row carry "
-                "only covers PREV-only conditions on streaming input (batch "
-                "supports the combination)"
-            )
+        for pm in _PREV_QUAL_RE.finditer(spec.define.get(v, "")):
+            state_prev_n = max(state_prev_n, int(pm.group(3) or 1))
     ocol = spec.order_by[0]
     if not isinstance(df.schema[ocol].dataType, (T.TimestampType, T.TimestampNTZType)):
         raise ValueError(
@@ -1328,6 +1339,9 @@ def match_recognize_stream(df: DataFrame, clause_or_spec, close_after: str | Non
     prev_evals, carry_n, prev_helpers = (
         _compile_deferred_prev(deferred) if deferred else ([], 0, {})
     )
+    # one carry serves both consumers: deferred-PREV boolean shifts and
+    # stateful-condition prev() context rows
+    carry_keep = max(carry_n, state_prev_n)
 
     def eval_deferred(mature, carry):
         """Fill deferred PREV booleans over (carry ⊕ mature); carry rows are
@@ -1422,29 +1436,36 @@ def match_recognize_stream(df: DataFrame, clause_or_spec, close_after: str | Non
         immature = rows[~mature_mask]
         if prev_evals:
             mature = eval_deferred(mature, carry)
+        frame, nc = mature, 0
+        if state_prev_n and carry is not None and len(carry):
+            # read-only context: consumed predecessors the stateful prev()
+            # helper must see (matches cannot start or land on them)
+            frame = pd.concat([carry, mature], ignore_index=True)
+            nc = len(carry)
         out_rows, emitted, keep_from = _run_matches(
-            mature, spec, measures, input_cols, out_names,
+            frame, spec, measures, input_cols, out_names,
             match_num0=mn, require_closed=require_closed, stateful=stateful,
+            start_at=nc,
         )
         keep = pd.concat(
-            [mature.iloc[keep_from:][buf_cols], immature[buf_cols]], ignore_index=True
+            [frame.iloc[keep_from:][buf_cols], immature[buf_cols]], ignore_index=True
         )
-        if carry_n:
-            # consumed rows the next batch's shifts still need: the last
-            # carry_n rows at or before the resume position (bounded state)
-            consumed = mature.iloc[:keep_from][buf_cols]
+        if carry_keep:
+            # consumed rows the next batch's shifts / prev() context still
+            # need: the last carry_keep rows before the resume position
+            consumed = frame.iloc[nc:keep_from][buf_cols]
             carry = (
                 pd.concat([carry, consumed], ignore_index=True)
                 if carry is not None and len(carry)
                 else consumed
-            ).tail(carry_n).reset_index(drop=True)
+            ).tail(carry_keep).reset_index(drop=True)
         if len(keep):
             save(keep, carry, mn + emitted)
             if close_ms is not None:
                 # event-time inactivity deadline; must be beyond the watermark
                 deadline = int(pd.to_datetime(keep[ocol]).values.view("int64").max() // 1_000_000) + close_ms
                 state.setTimeoutTimestamp(max(deadline, wm_ms + 1))
-        elif carry_n and carry is not None and len(carry):
+        elif carry_keep and carry is not None and len(carry):
             save(keep, carry, mn + emitted)
         else:
             state.remove()

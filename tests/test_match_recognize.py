@@ -1049,3 +1049,66 @@ def test_streaming_matcher_throughput_envelope(spark, tmp_path):
         f"streaming matcher envelope collapsed: {rate/1000:.0f}k rows/s "
         "(warm, single key) — expected ≥15k; see NOTES.md envelope entry"
     )
+
+
+_PREV_NAV = """
+    PARTITION BY user_id
+    ORDER BY ev_time
+    MEASURES S.v AS s_v, LAST(A.v) AS last_a, COUNT(A.*) AS n_a
+    PATTERN (S A+)
+    DEFINE A AS A.v > PREV(A.v) AND A.v > FIRST(S.v)
+"""
+
+
+def test_streaming_prev_with_navigation_matches_batch(spark, tmp_path):
+    """PREV combined with cross-variable navigation in ONE condition on
+    streaming input (previously a NotImplementedError): rising runs anchored
+    above the match's own S row must equal the batch matcher exactly."""
+    vs = [5, 1, 3, 4, 2, 6, 9]
+    rows = [dict(user_id=1, ts_s=10 * (i + 1), v=float(v)) for i, v in enumerate(vs)]
+    batch = spark.createDataFrame(
+        [(r["user_id"], r["ts_s"], r["v"]) for r in rows],
+        "user_id long, ts_s long, v double",
+    ).withColumn("ev_time", F.timestamp_seconds("ts_s"))
+    want = {
+        tuple(r)
+        for r in match_recognize(batch, _PREV_NAV.replace("ev_time", "ts_s")).collect()
+    }
+    assert want == {(1, 1.0, 4.0, 2), (1, 2.0, 9.0, 2)}
+    got = _mr_stream_run(
+        spark,
+        tmp_path,
+        [rows[:4], rows[4:], [dict(user_id=99, ts_s=1000, v=0.0)]],
+        _PREV_NAV,
+        close_after="1 second",
+        schema="user_id long, ts_s long, v double, ev_time timestamp",
+    )
+    assert got == want
+
+
+def test_streaming_stateful_prev_reads_consumed_context(spark, tmp_path):
+    """A match-state condition's PREV may reference a row consumed by an
+    earlier trigger's emitted match: the consumed-row carry is prepended as
+    read-only context (start_at), so prev() sees it but no match can start
+    there."""
+    got = _mr_stream_run(
+        spark,
+        tmp_path,
+        [
+            [dict(user_id=1, ts_s=10, v=1.0), dict(user_id=1, ts_s=20, v=2.0)],
+            [dict(user_id=1, ts_s=30, v=3.0)],
+            [dict(user_id=99, ts_s=1000, v=0.0)],
+        ],
+        """
+        PARTITION BY user_id
+        ORDER BY ev_time
+        MEASURES A.v AS val
+        PATTERN (A)
+        DEFINE A AS A.v > PREV(A.v) AND FIRST(A.v) = A.v
+        """,
+        close_after="1 second",
+        schema="user_id long, ts_s long, v double, ev_time timestamp",
+    )
+    # v=2 rises over v=1 (same trigger); v=3 rises over v=2, consumed by the
+    # previous trigger's match — visible only through the carried context
+    assert got == {(1, 2.0), (1, 3.0)}
