@@ -12,6 +12,7 @@ Supported surface (the clauses Flink's own docs demo):
       [AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW |
        SKIP TO FIRST <var> | SKIP TO LAST <var>]
       PATTERN (A B+ C* D? E{2,3}) [WITHIN INTERVAL 'n' <unit>]
+      PATTERN (PERMUTE (A, B, C))   -- any ordering; lexicographic preference
       DEFINE A AS <condition>, B AS <condition> [, ...]
     )
 
@@ -39,9 +40,12 @@ NOT(unknown) stays unknown) work on both inputs, as does PREV combined
 with cross-variable/FIRST/LAST navigation in one condition — on streaming
 input the consumed-row carry is prepended to the matcher's frame as
 read-only context (``_run_matches(start_at=...)``) so ``prev()`` sees the
-same predecessors batch does. Not supported (raise): nested groups /
-``PERMUTE`` and match-state conditions inside an alternation group (each
-raises NotImplementedError rather than silently diverging).
+same predecessors batch does. ``PERMUTE`` works on both inputs for plain
+unquantified variables — the SQL-standard permutation alternation, orderings
+tried in lexicographic preference of the written list. Not supported
+(raise): nested sequence groups, quantified/grouped PERMUTE elements, and
+match-state conditions inside an alternation group (each raises
+NotImplementedError rather than silently diverging).
 
 Scale design (the 100 TB argument):
 
@@ -97,6 +101,7 @@ class MatchSpec:
     all_rows: bool = False  # ALL ROWS PER MATCH (RUNNING measures by default)
     skip_to: tuple[str, str] | None = None  # ("first"|"last", VAR)
     within_ms: int | None = None  # PATTERN (...) WITHIN INTERVAL bound
+    permute: bool = False  # PATTERN (PERMUTE (A, B, ...)): any term order
     variables: list[str] = field(default_factory=list)
 
     def __post_init__(self):
@@ -147,6 +152,25 @@ def parse_match_recognize(clause: str) -> MatchSpec:
         raise ValueError("MATCH_RECOGNIZE: unbalanced PATTERN parens")
     pat_src = clause[pat_h.end() : pend]
     pattern: list[PatternTerm] = []
+    # PATTERN (PERMUTE (A, B, C)): the SQL-standard permutation alternation —
+    # equivalent to the alternation of every ordering, tried in lexicographic
+    # order of the written list. Supported for plain unquantified variables
+    # (the standard's quantified/grouped elements raise, not mis-match).
+    perm_m = re.match(r"\s*PERMUTE\s*\((.*)\)\s*$", pat_src, re.IGNORECASE | re.DOTALL)
+    permute = False
+    if perm_m:
+        permute = True
+        for el in perm_m.group(1).split(","):
+            el = el.strip()
+            if not re.fullmatch(r"\w+", el):
+                raise NotImplementedError(
+                    f"MATCH_RECOGNIZE: PERMUTE element {el!r} — only plain "
+                    "unquantified variables are supported inside PERMUTE"
+                )
+            pattern.append(PatternTerm([el.upper()], 1, 1))
+        if len(pattern) < 2:
+            raise ValueError("MATCH_RECOGNIZE: PERMUTE needs at least two variables")
+        pat_src = ""
     consumed = 0
     for q in _PAT_TOKEN.finditer(pat_src):
         if pat_src[consumed : q.start()].strip():
@@ -247,6 +271,7 @@ def parse_match_recognize(clause: str) -> MatchSpec:
         all_rows=all_rows,
         skip_to=skip_to,
         within_ms=within_ms,
+        permute=permute,
     )
 
 
@@ -826,7 +851,7 @@ def _fast_eligible(spec: MatchSpec, measures) -> bool:
     one term, a mandatory first term, and measures limited to shapes
     computable from span boundaries + prefix sums. MIN/MAX/AVG need segment
     reductions — general path."""
-    if spec.all_rows or spec.skip_to or spec.within_ms:
+    if spec.all_rows or spec.skip_to or spec.within_ms or spec.permute:
         return False
     terms = spec.pattern
     if any(len(t.vars) != 1 for t in terms):
@@ -1040,10 +1065,10 @@ def _run_matches(
             return _SQL_NULL
         return x
 
-    def make_pred(code, var, pi):
+    def make_pred(code, var, pi, pat):
         def nav(x, c, kind, k, spans, pos, cnt, r):
             rows: list[int] = []
-            for pj, t2 in enumerate(pattern):
+            for pj, t2 in enumerate(pat):
                 if x not in t2.vars:
                     continue
                 if pj < pi and spans[pj] is not None:
@@ -1072,19 +1097,36 @@ def _run_matches(
 
         return pred
 
-    term_bools = []
-    preds = {}
-    for pi, t in enumerate(pattern):
-        if stateful and any(x in stateful for x in t.vars):
-            # single-var guaranteed: _prepare_spec rejects match-state
-            # conditions inside alternation groups at compile time
-            term_bools.append(None)
-            preds[pi] = make_pred(stateful[t.var], t.var, pi)
-            continue
-        col = bools[t.vars[0]]
-        for v in t.vars[1:]:
-            col = col | bools[v]
-        term_bools.append(col)
+    def term_data(pat):
+        tb, pd_ = [], {}
+        for pi, t in enumerate(pat):
+            if stateful and any(x in stateful for x in t.vars):
+                # single-var guaranteed: _prepare_spec rejects match-state
+                # conditions inside alternation groups at compile time
+                tb.append(None)
+                pd_[pi] = make_pred(stateful[t.var], t.var, pi, pat)
+                continue
+            col = bools[t.vars[0]]
+            for v in t.vars[1:]:
+                col = col | bools[v]
+            tb.append(col)
+        return tb, pd_
+
+    # alternative term orderings: exactly one normally; for PERMUTE, every
+    # permutation in lexicographic order of the written list (SQL-standard
+    # preference) — first ordering that matches at a start wins
+    if spec.permute:
+        import itertools
+
+        alts = []
+        for perm in itertools.permutations(pattern):
+            perm = list(perm)
+            tb, pd_ = term_data(perm)
+            alts.append((perm, tb, pd_))
+        term_bools, preds = alts[0][1], alts[0][2]
+    else:
+        term_bools, preds = term_data(pattern)
+        alts = [(pattern, term_bools, preds)]
     within_ok = None
     if spec.within_ms is not None and n:
         import pandas as pd
@@ -1104,9 +1146,19 @@ def _run_matches(
     emitted = 0
     keep_from = start_at
     # fast path: when the first term is mandatory, only its true rows
-    # can start a match — scan candidate starts, not every row
+    # can start a match — scan candidate starts, not every row. Under
+    # PERMUTE any term may lead, so the candidate set is the union of all
+    # terms' rows (every term is mandatory there).
     starts = None
-    if pattern[0].lo >= 1 and term_bools[0] is not None:
+    if spec.permute:
+        if all(tb is not None for tb in term_bools):
+            import numpy as np
+
+            u = term_bools[0]
+            for tb in term_bools[1:]:
+                u = u | tb
+            starts = np.flatnonzero(u)
+    elif pattern[0].lo >= 1 and term_bools[0] is not None:
         import numpy as np
 
         starts = np.flatnonzero(term_bools[0])
@@ -1119,7 +1171,13 @@ def _run_matches(
             if si >= len(starts):
                 break
             i = int(starts[si])
-        hit = _match_starting_at(term_bools, pattern, n, i, preds, within_ok)
+        hit = None
+        hit_pat = pattern
+        for ap, ab, apd in alts:
+            hit = _match_starting_at(ab, ap, n, i, apd, within_ok)
+            if hit is not None:
+                hit_pat = ap
+                break
         if hit is None:
             i += 1
             continue
@@ -1133,7 +1191,7 @@ def _run_matches(
         # merge term spans per variable (a var may repeat in the pattern)
         var_rows: dict[str, list[int]] = {}
         row_var: dict[int, str] = {}  # each row belongs to exactly 1 term
-        for term, sp in zip(pattern, spans):
+        for term, sp in zip(hit_pat, spans):
             if sp is None:
                 continue
             for r in range(sp[0], sp[1]):

@@ -1112,3 +1112,98 @@ def test_streaming_stateful_prev_reads_consumed_context(spark, tmp_path):
     # v=2 rises over v=1 (same trigger); v=3 rises over v=2, consumed by the
     # previous trigger's match — visible only through the carried context
     assert got == {(1, 2.0), (1, 3.0)}
+
+
+_PERMUTE = """
+    PARTITION BY user_id
+    ORDER BY ev_time
+    MEASURES A.ts_s AS a_ts, B.ts_s AS b_ts, MATCH_NUMBER() AS mn
+    PATTERN (PERMUTE (A, B))
+    DEFINE A AS A.event_type = 'a', B AS B.event_type = 'b'
+"""
+
+
+def _ev_frame(spark, evs, ts_col="ts_s"):
+    rows = [(1, 10 * (i + 1), e) for i, e in enumerate(evs)]
+    return spark.createDataFrame(
+        rows, "user_id long, ts_s long, event_type string"
+    ).withColumn("ev_time", F.timestamp_seconds("ts_s"))
+
+
+def test_permute_matches_either_order(spark):
+    """PATTERN (PERMUTE (A, B)) accepts both orderings; each row maps to its
+    own variable regardless of order."""
+    got = {
+        tuple(r)
+        for r in match_recognize(
+            _ev_frame(spark, ["b", "a", "a", "b"]),
+            _PERMUTE.replace("ev_time", "ts_s"),
+        ).collect()
+    }
+    # match 1 = (B=10, A=20), match 2 = (A=30, B=40)
+    assert got == {(1, 20, 10, 1), (1, 30, 40, 2)}
+
+
+def test_permute_prefers_lexicographic_order(spark):
+    """When several orderings match at a start, the SQL-standard preference
+    is the lexicographic order of the written list — (A B) before (B A)."""
+    clause = """
+        PARTITION BY user_id
+        ORDER BY ts_s
+        MEASURES A.ts_s AS a_ts, B.ts_s AS b_ts
+        PATTERN (PERMUTE (A, B))
+        DEFINE A AS A.ts_s > 0, B AS B.ts_s > 0
+    """
+    got = {
+        tuple(r)
+        for r in match_recognize(_ev_frame(spark, ["x", "x"]), clause).collect()
+    }
+    assert got == {(1, 10, 20)}  # A took the first row
+
+
+def test_permute_three_vars_and_skip_past(spark):
+    clause = """
+        PARTITION BY user_id
+        ORDER BY ts_s
+        MEASURES A.ts_s AS a_ts, B.ts_s AS b_ts, C.ts_s AS c_ts
+        PATTERN (PERMUTE (A, B, C))
+        DEFINE A AS A.event_type = 'a', B AS B.event_type = 'b',
+               C AS C.event_type = 'c'
+    """
+    got = {
+        tuple(r)
+        for r in match_recognize(
+            _ev_frame(spark, ["c", "a", "b", "b", "c", "a", "a", "b"]),
+            clause,
+        ).collect()
+    }
+    # matches: (c,a,b)@10-30 and (b,c,a)@40-60; trailing (a,b) incomplete
+    assert got == {(1, 20, 30, 10), (1, 60, 40, 50)}
+
+
+def test_permute_rejects_quantified_elements(spark):
+    with pytest.raises(NotImplementedError, match="PERMUTE element"):
+        parse_match_recognize(
+            "ORDER BY ts_s MEASURES A.ts_s AS x PATTERN (PERMUTE (A+, B)) "
+            "DEFINE A AS A.ts_s > 0"
+        )
+
+
+def test_streaming_permute_matches_batch(spark, tmp_path):
+    evs = ["b", "a", "a", "b", "c", "a", "b"]
+    batch_got = {
+        tuple(r)
+        for r in match_recognize(
+            _ev_frame(spark, evs), _PERMUTE.replace("ev_time", "ts_s")
+        ).collect()
+    }
+    rows = [dict(user_id=1, ts_s=10 * (i + 1), event_type=e) for i, e in enumerate(evs)]
+    got = _mr_stream_run(
+        spark,
+        tmp_path,
+        [rows[:3], rows[3:], [dict(user_id=99, ts_s=1000, event_type="x")]],
+        _PERMUTE,
+        close_after="1 second",
+        schema="user_id long, ts_s long, event_type string, ev_time timestamp",
+    )
+    assert got == batch_got
