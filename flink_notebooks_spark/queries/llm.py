@@ -1730,6 +1730,59 @@ def dedup_components(spark, sf_dir):
     return labels.orderBy("doc_id")
 
 
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {SQL_SHINGLE_CTES},
+    {SQL_JACCARD_CAND_CTES},
+    jpairs AS (
+      SELECT p.a, p.b
+      FROM pair p JOIN cnt ca ON ca.doc_id = p.a JOIN cnt cb ON cb.doc_id = p.b
+      WHERE CAST(p.i AS DOUBLE) / (ca.n + cb.n - p.i) >= 0.8),
+    edges AS (SELECT a AS u, b AS v FROM jpairs UNION SELECT b, a FROM jpairs),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+    comp AS (
+      SELECT u AS doc_id, CAST(LEAST(u, MIN(v)) AS BIGINT) AS component
+      FROM reach GROUP BY u),
+    everydoc AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster, d.n_chars
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+    SELECT doc_id, cluster, n_chars FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rn
+      FROM everydoc)
+    WHERE rn = 1 ORDER BY cluster
+    """,
+)
+def dedup_keep_best(spark, sf_dir):
+    """Duplicate-cluster representative selection — the step that turns the
+    dup-cluster labels into a curated corpus: every document joins its
+    connected component (singletons form their own cluster), and ONE
+    representative per cluster survives, chosen by quality (longest text,
+    doc_id tie-break). Plan shape: doc→label join keyed on doc_id, then one
+    window over cluster — both shuffles are on the natural keys, labels are
+    joined (never collected; the label table grows with the corpus, so no
+    broadcast), and the quality argmax is a row_number window, not a
+    groupBy + self-join."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    labels, _ = _connected_components(
+        jaccard_pairs_df(spark, sf_dir).select("a", "b")
+    )
+    every = d.join(labels, "doc_id", "left").withColumn(
+        "cluster", F.coalesce("component", F.col("doc_id"))
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        every.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "cluster", "n_chars")
+        .orderBy("cluster")
+    )
+
+
 def _connected_components(pairs: DataFrame, max_rounds: int = 25):
     """Alternating large-star/small-star connected components.
 
