@@ -36,6 +36,8 @@ HEADLINE = [
     ("dedup_exact", "hash-key dedup: one 32-byte-key shuffle"),
     ("dedup_ngram_jaccard", "inverted-index candidate join with df cap"),
     ("dedup_embedding_clusters_lsh", "banded-LSH candidates → exact verify → components"),
+    ("dedup_keep_best", "cluster labels ⋈ docs → per-cluster quality argmax window"),
+    ("profile_table_sketch", "single-pass HLL++ profile, fully map-side combined"),
     ("similarity_topk", "broadcast query batch over the corpus, no corpus shuffle"),
     ("ann_lsh_topk", "hyperplane-bucket join ANN"),
     ("tf_quality_features", "broadcast head + shuffle-join tail term frequencies"),
