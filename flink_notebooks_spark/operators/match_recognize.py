@@ -40,12 +40,12 @@ NOT(unknown) stays unknown) work on both inputs, as does PREV combined
 with cross-variable/FIRST/LAST navigation in one condition — on streaming
 input the consumed-row carry is prepended to the matcher's frame as
 read-only context (``_run_matches(start_at=...)``) so ``prev()`` sees the
-same predecessors batch does. ``PERMUTE`` works on both inputs for plain
-unquantified variables — the SQL-standard permutation alternation, orderings
-tried in lexicographic preference of the written list. Not supported
-(raise): nested sequence groups, quantified/grouped PERMUTE elements, and
-match-state conditions inside an alternation group (each raises
-NotImplementedError rather than silently diverging).
+same predecessors batch does. ``PERMUTE`` works on both inputs for
+(optionally quantified) single-variable elements — the SQL-standard
+permutation alternation, orderings tried in lexicographic preference of the
+written list. Not supported (raise): nested sequence groups, sequence
+groups inside PERMUTE, and match-state conditions inside an alternation
+group (each raises NotImplementedError rather than silently diverging).
 
 Scale design (the 100 TB argument):
 
@@ -152,22 +152,38 @@ def parse_match_recognize(clause: str) -> MatchSpec:
         raise ValueError("MATCH_RECOGNIZE: unbalanced PATTERN parens")
     pat_src = clause[pat_h.end() : pend]
     pattern: list[PatternTerm] = []
-    # PATTERN (PERMUTE (A, B, C)): the SQL-standard permutation alternation —
-    # equivalent to the alternation of every ordering, tried in lexicographic
-    # order of the written list. Supported for plain unquantified variables
-    # (the standard's quantified/grouped elements raise, not mis-match).
+    # PATTERN (PERMUTE (A, B+, C{2})): the SQL-standard permutation
+    # alternation — equivalent to the alternation of every element ordering,
+    # tried in lexicographic order of the written list. Elements are
+    # (optionally quantified) single variables; sequence groups raise.
     perm_m = re.match(r"\s*PERMUTE\s*\((.*)\)\s*$", pat_src, re.IGNORECASE | re.DOTALL)
     permute = False
     if perm_m:
         permute = True
         for el in perm_m.group(1).split(","):
             el = el.strip()
-            if not re.fullmatch(r"\w+", el):
+            em = re.fullmatch(r"(\w+)(\+|\*|\?|\{(\d+)(,(\d*))?\})?", el)
+            if not em:
                 raise NotImplementedError(
-                    f"MATCH_RECOGNIZE: PERMUTE element {el!r} — only plain "
-                    "unquantified variables are supported inside PERMUTE"
+                    f"MATCH_RECOGNIZE: PERMUTE element {el!r} — only "
+                    "(optionally quantified) single variables are supported "
+                    "inside PERMUTE"
                 )
-            pattern.append(PatternTerm([el.upper()], 1, 1))
+            quant = em.group(2)
+            if quant is None:
+                lo, hi = 1, 1
+            elif quant == "+":
+                lo, hi = 1, None
+            elif quant == "*":
+                lo, hi = 0, None
+            elif quant == "?":
+                lo, hi = 0, 1
+            else:
+                lo = int(em.group(3))
+                hi = lo if em.group(4) is None else (
+                    int(em.group(5)) if em.group(5) else None
+                )
+            pattern.append(PatternTerm([em.group(1).upper()], lo, hi))
         if len(pattern) < 2:
             raise ValueError("MATCH_RECOGNIZE: PERMUTE needs at least two variables")
         pat_src = ""

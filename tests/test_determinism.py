@@ -1,0 +1,47 @@
+"""Partition-count invariance — the determinism contract at cluster scale.
+
+On a real cluster the same query runs at wildly different parallelism
+(executors join and leave, AQE re-plans, configs differ between
+environments). These tests pin the guarantee the engine claims throughout:
+results are IDENTICAL at any shuffle parallelism — no float-summation order
+sensitivity (DECIMAL aggregation), no rand()-based sampling, no
+partition-index dependence, no nondeterministic tie-breaks.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_notebooks_spark.queries import QUERIES
+
+# one representative per determinism risk class:
+#   dedup_exact          — hash groupBy keep-min
+#   tf_quality_features  — broadcast-capped head + shuffle tail join, float scores
+#   corpus_mix_sample    — hash-stable per-source sampling
+#   dedup_keep_best      — iterative components + window argmax tie-break
+#   shard_pack           — running-cumsum bin packing over an ordered window
+#   q04_group_agg        — DECIMAL-summed money aggregates
+INVARIANT_QUERIES = [
+    "dedup_exact",
+    "tf_quality_features",
+    "corpus_mix_sample",
+    "dedup_keep_best",
+    "shard_pack",
+    "q04_group_agg",
+]
+
+
+def _run_at(spark, sf_dir, name, partitions):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    try:
+        return [tuple(r) for r in QUERIES[name](spark, sf_dir).collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@pytest.mark.parametrize("name", INVARIANT_QUERIES)
+def test_result_invariant_under_shuffle_parallelism(name, spark, sf_dir):
+    lo = _run_at(spark, sf_dir, name, 3)
+    hi = _run_at(spark, sf_dir, name, 48)
+    assert lo == hi, f"{name}: result depends on shuffle partition count"

@@ -1181,12 +1181,33 @@ def test_permute_three_vars_and_skip_past(spark):
     assert got == {(1, 20, 30, 10), (1, 60, 40, 50)}
 
 
-def test_permute_rejects_quantified_elements(spark):
+def test_permute_rejects_sequence_group_elements(spark):
     with pytest.raises(NotImplementedError, match="PERMUTE element"):
         parse_match_recognize(
-            "ORDER BY ts_s MEASURES A.ts_s AS x PATTERN (PERMUTE (A+, B)) "
+            "ORDER BY ts_s MEASURES A.ts_s AS x PATTERN (PERMUTE ((A B), C)) "
             "DEFINE A AS A.ts_s > 0"
         )
+
+
+def test_permute_quantified_elements(spark):
+    """Quantified single variables inside PERMUTE: each ordering matches
+    with its elements' own quantifiers (B+ run before or after the single
+    A)."""
+    clause = """
+        PARTITION BY user_id
+        ORDER BY ts_s
+        MEASURES A.ts_s AS a_ts, COUNT(B.*) AS n_b
+        PATTERN (PERMUTE (A, B+))
+        DEFINE A AS A.event_type = 'a', B AS B.event_type = 'b'
+    """
+    got = {
+        tuple(r)
+        for r in match_recognize(
+            _ev_frame(spark, ["b", "b", "a", "a", "b", "x"]), clause
+        ).collect()
+    }
+    # match 1: (B+ A) = rows 10,20 + 30; match 2: (A B+) = 40 + 50
+    assert got == {(1, 30, 2), (1, 40, 1)}
 
 
 def test_streaming_permute_matches_batch(spark, tmp_path):
