@@ -731,6 +731,56 @@ def similarity_topk(spark, sf_dir):
     )
 
 
+@query(
+    "knn_label_vote",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+               FROM embeddings),
+    s AS (SELECT q.vec_id AS q_id, c.vec_id AS nn_id,
+                 list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS sim
+          FROM e q JOIN e c ON q.vec_id < {TOPK_QUERY_IDS} AND q.vec_id <> c.vec_id),
+    r AS (SELECT q_id, nn_id,
+                 ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS rn
+          FROM s),
+    votes AS (SELECT k.q_id, CAST(l.label AS BIGINT) AS label_pred, COUNT(*) AS n
+              FROM r k JOIN embeddings l ON l.vec_id = k.nn_id
+              WHERE k.rn <= {TOPK_K} GROUP BY 1, 2),
+    best AS (SELECT q_id, label_pred, n,
+                    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY n DESC, label_pred) AS rr
+             FROM votes)
+    SELECT q_id, label_pred, n FROM best WHERE rr = 1 ORDER BY q_id
+    """,
+)
+def knn_label_vote(spark, sf_dir):
+    """Nearest-neighbor labeling: each query vector takes the majority label
+    of its exact top-k cosine neighbors (ties → smallest label) — the
+    embedding-proximity classification pass corpus curation uses to extend
+    a small set of human quality labels across a corpus. Plan shape: the
+    exact-kNN scan (broadcast query batch, no corpus shuffle) produces a
+    tiny q×k vote set, which is BROADCAST into the label join — the
+    corpus-sized label table is never shuffled — and the majority vote is a
+    count + row_number window over q×k rows. At 100 TB swap the kNN stage
+    for one of the ANN paths; the vote stages are unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = similarity_topk(spark, sf_dir).select("q_id", "nn_id")
+    lab = emb.select(
+        F.col("vec_id").alias("nn_id"), F.col("label").cast("long").alias("label_pred")
+    )
+    votes = (
+        lab.join(F.broadcast(topk), "nn_id")
+        .groupBy("q_id", "label_pred")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("n"), "label_pred")
+    return (
+        votes.withColumn("rr", F.row_number().over(w))
+        .filter(F.col("rr") == 1)
+        .select("q_id", "label_pred", "n")
+        .orderBy("q_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # V3. LSH-bucketed approximate NN — the scale path (rows-only check; tests
 #     measure recall ≥ 0.9 vs similarity_topk at verification scale)
