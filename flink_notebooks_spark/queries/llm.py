@@ -781,6 +781,32 @@ def knn_label_vote(spark, sf_dir):
     )
 
 
+@query("knn_label_vote_ann")
+def knn_label_vote_ann(spark, sf_dir):
+    """The scale form of ``knn_label_vote``: identical vote/argmax stages
+    fed from the LSH-bucketed ANN neighbors instead of the exact scan —
+    the composition the exact form's docstring promises. Rows-only (ANN
+    recall is probabilistic); pinned by an agreement-floor test against
+    the exact vote."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = ann_lsh_topk(spark, sf_dir).select("q_id", "nn_id")
+    lab = emb.select(
+        F.col("vec_id").alias("nn_id"), F.col("label").cast("long").alias("label_pred")
+    )
+    votes = (
+        lab.join(F.broadcast(topk), "nn_id")
+        .groupBy("q_id", "label_pred")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("n"), "label_pred")
+    return (
+        votes.withColumn("rr", F.row_number().over(w))
+        .filter(F.col("rr") == 1)
+        .select("q_id", "label_pred", "n")
+        .orderBy("q_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # V3. LSH-bucketed approximate NN — the scale path (rows-only check; tests
 #     measure recall ≥ 0.9 vs similarity_topk at verification scale)

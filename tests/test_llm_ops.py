@@ -343,3 +343,35 @@ def test_profile_sketch_matches_exact_within_tolerance(spark, sf_dir):
             e["n"], e["n_nonnull"], e["min_v"], e["max_v"]
         )
         assert abs(s["n_distinct"] - e["n_distinct"]) <= max(1, 0.06 * e["n_distinct"])
+
+
+def test_knn_label_vote_ann_matches_recomputed_majority(spark, sf_dir):
+    """The ANN-fed vote must EXACTLY equal an independent majority
+    recomputation over the same ANN neighbor lists (pins the vote/argmax
+    stages; the neighbor lists themselves are pinned by the ANN recall
+    tests, and exact-agreement with the exact-kNN vote is not a valid pin —
+    the fixture's labels are near-random, so different top-k subsets
+    legitimately elect different majorities)."""
+    from collections import Counter
+
+    from flink_notebooks_spark.queries import QUERIES
+
+    nn = QUERIES["ann_lsh_topk"](spark, sf_dir).select("q_id", "nn_id").collect()
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "label").collect()
+    }
+    by_q = {}
+    for r in nn:
+        by_q.setdefault(r["q_id"], []).append(labels[r["nn_id"]])
+    want = {}
+    for q, ls in by_q.items():
+        cnt = Counter(ls)
+        best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        want[q] = (best[0], best[1])
+    got = {
+        r["q_id"]: (r["label_pred"], r["n"])
+        for r in QUERIES["knn_label_vote_ann"](spark, sf_dir).collect()
+    }
+    assert got == want
