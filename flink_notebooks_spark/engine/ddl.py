@@ -488,10 +488,14 @@ def parse_statement(sql: str) -> Parsed:
     if m:
         return Parsed(kind="show", show_what=m.group(1).lower(), sql=sql)
 
-    # Flink session-cluster job statements (SHOW JOBS / STOP JOB 'id'
-    # [WITH SAVEPOINT] [WITH DRAIN]) — the SQL face of the job monitor
+    # Flink session-cluster job statements (SHOW JOBS / DESCRIBE JOB 'id' /
+    # STOP JOB 'id' [WITH SAVEPOINT] [WITH DRAIN]) — the SQL face of the
+    # job monitor
     if re.match(r"SHOW\s+JOBS\s*$", up):
         return Parsed(kind="show_jobs", sql=sql)
+    m = re.match(r"DESC(?:RIBE)?\s+JOB\s+'([^']+)'\s*$", sql, re.IGNORECASE)
+    if m:
+        return Parsed(kind="describe_job", name=m.group(1), sql=sql)
     m = re.match(
         r"STOP\s+JOB\s+'([^']+)'\s*(?:WITH\s+SAVEPOINT\s*)?(?:WITH\s+DRAIN\s*)?$",
         sql,

@@ -345,6 +345,22 @@ class Engine:
             rows,
         )
 
+    def _exec_describe_job(self, p: Parsed) -> Statement:
+        from ..streaming.monitor import JobMonitor
+
+        j = JobMonitor(self.spark)._find(p.name)
+        if j is None:
+            raise ValueError(f"job not found: {p.name}")
+        return ImmediateStatement(
+            [
+                ColumnInfo("job id", "STRING", False),
+                ColumnInfo("job name", "STRING", False),
+                ColumnInfo("status", "STRING", False),
+                ColumnInfo("duration", "BIGINT", False),
+            ],
+            [[j.job_id, j.name, j.state, j.duration_ms]],
+        )
+
     def _exec_stop_job(self, p: Parsed) -> Statement:
         from ..streaming.monitor import JobMonitor
 

@@ -1012,6 +1012,9 @@ def test_show_and_stop_jobs_reflect_streaming_queries(engine, spark):
         rows = [r["fields"] for r in drain(engine.execute_sql("SHOW JOBS"))]
         mine = [r for r in rows if r[0] not in baseline and r[1] == "show_jobs_probe"]
         assert mine and mine[0][2] == "RUNNING"
+        desc = [r["fields"] for r in drain(
+            engine.execute_sql(f"DESCRIBE JOB '{mine[0][0]}'"))]
+        assert desc[0][0] == mine[0][0] and desc[0][2] == "RUNNING"
         engine.execute_sql(f"STOP JOB '{mine[0][0]}'")
         q.awaitTermination(30)
         assert not q.isActive
