@@ -43,9 +43,12 @@ read-only context (``_run_matches(start_at=...)``) so ``prev()`` sees the
 same predecessors batch does. ``PERMUTE`` works on both inputs for
 (optionally quantified) single-variable elements — the SQL-standard
 permutation alternation, orderings tried in lexicographic preference of the
-written list. Not supported (raise): nested sequence groups, sequence
-groups inside PERMUTE, and match-state conditions inside an alternation
-group (each raises NotImplementedError rather than silently diverging).
+written list. Match-state conditions work INSIDE alternation groups too: a
+row classifies as the first listed variable whose condition holds, stateful
+members evaluated against the in-flight match, with the winning variable
+recorded for navigation and measure attribution. Not supported (raise):
+nested sequence groups and sequence groups inside PERMUTE (each raises
+NotImplementedError rather than silently diverging).
 
 Scale design (the 100 TB argument):
 
@@ -851,13 +854,6 @@ def _prepare_spec(df: DataFrame, clause_or_spec, defer_prev: bool = False):
             f"got {df.schema[spec.order_by[0].strip('`')].dataType}"
         )
     prepared, deferred, stateful = _compile_defines(df, spec, defer_prev=defer_prev)
-    if stateful:
-        for t in spec.pattern:
-            if len(t.vars) > 1 and any(x in stateful for x in t.vars):
-                raise NotImplementedError(
-                    "MATCH_RECOGNIZE: match-state DEFINE conditions inside an "
-                    "alternation group are unsupported"
-                )
     return spec, measures, input_cols, T.StructType(out_fields), prepared, deferred, stateful
 
 
@@ -1081,6 +1077,23 @@ def _run_matches(
             return _SQL_NULL
         return x
 
+    # per-row variable choice inside alternation groups, recorded at
+    # predicate-accept time. rec() re-tests a term's rows on every branch it
+    # explores and returns immediately on success, so the successful parse's
+    # writes are always the LAST writes for the rows in its final spans —
+    # stale entries from failed branches/starts are never read.
+    choice: dict[tuple[int, int], str] = {}
+
+    def classify(term, pi_, r):
+        """Which variable owns row r of term pi_ — the recorded choice for
+        predicate-evaluated groups, else the static first-listed-true rule."""
+        if len(term.vars) == 1:
+            return term.vars[0]
+        got = choice.get((pi_, r))
+        if got is not None:
+            return got
+        return next((x for x in term.vars if bools[x][r]), term.vars[0])
+
     def make_pred(code, var, pi, pat):
         def nav(x, c, kind, k, spans, pos, cnt, r):
             rows: list[int] = []
@@ -1088,9 +1101,17 @@ def _run_matches(
                 if x not in t2.vars:
                     continue
                 if pj < pi and spans[pj] is not None:
-                    rows.extend(range(spans[pj][0], spans[pj][1]))
+                    rows.extend(
+                        rr
+                        for rr in range(spans[pj][0], spans[pj][1])
+                        if classify(t2, pj, rr) == x
+                    )
                 elif pj == pi and x == var:
-                    rows.extend(range(pos, pos + cnt))
+                    rows.extend(
+                        rr
+                        for rr in range(pos, pos + cnt)
+                        if classify(t2, pj, rr) == x
+                    )
             if x == var and (not rows or rows[-1] != r):
                 rows.append(r)  # running semantics: the current row counts
             if k >= len(rows):
@@ -1113,14 +1134,37 @@ def _run_matches(
 
         return pred
 
+    def make_group_pred(pi, term, pat):
+        """Alternation group with match-state members: a row classifies as
+        the FIRST listed variable whose condition holds there (same
+        preference rule as the static pre-OR'd path), where stateful
+        members evaluate their compiled condition against the in-flight
+        match; the winning variable is recorded for navigation/attribution."""
+        members = [
+            (x, make_pred(stateful[x], x, pi, pat) if x in stateful else None)
+            for x in term.vars
+        ]
+
+        def gpred(r, spans, pos, cnt):
+            for x, p in members:
+                ok = bool(bools[x][r]) if p is None else p(r, spans, pos, cnt)
+                if ok:
+                    choice[(pi, r)] = x
+                    return True
+            return False
+
+        return gpred
+
     def term_data(pat):
         tb, pd_ = [], {}
         for pi, t in enumerate(pat):
             if stateful and any(x in stateful for x in t.vars):
-                # single-var guaranteed: _prepare_spec rejects match-state
-                # conditions inside alternation groups at compile time
                 tb.append(None)
-                pd_[pi] = make_pred(stateful[t.var], t.var, pi, pat)
+                pd_[pi] = (
+                    make_group_pred(pi, t, pat)
+                    if len(t.vars) > 1
+                    else make_pred(stateful[t.var], t.var, pi, pat)
+                )
                 continue
             col = bools[t.vars[0]]
             for v in t.vars[1:]:
@@ -1207,14 +1251,15 @@ def _run_matches(
         # merge term spans per variable (a var may repeat in the pattern)
         var_rows: dict[str, list[int]] = {}
         row_var: dict[int, str] = {}  # each row belongs to exactly 1 term
-        for term, sp in zip(hit_pat, spans):
+        for pi2, (term, sp) in enumerate(zip(hit_pat, spans)):
             if sp is None:
                 continue
             for r in range(sp[0], sp[1]):
                 # alternation: the row classifies as the first listed
                 # variable whose predicate holds there (Flink resolves
-                # preferring pattern order)
-                v = next((x for x in term.vars if bools[x][r]), term.vars[0])
+                # preferring pattern order); predicate-evaluated groups use
+                # the choice recorded at accept time
+                v = classify(term, pi2, r)
                 var_rows.setdefault(v, []).append(r)
                 row_var[r] = v
         all_rows = sorted(set().union(*var_rows.values())) if var_rows else []

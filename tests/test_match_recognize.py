@@ -269,16 +269,6 @@ def test_last_in_define_running_semantics(spark):
     assert [tuple(r) for r in out] == [(1, 3, 6, 3)]
 
 
-def test_stateful_define_in_alternation_rejected(spark):
-    df = spark.createDataFrame([(1, 1, 2)], "k int, t int, price int")
-    with pytest.raises(NotImplementedError):
-        match_recognize(
-            df,
-            "PARTITION BY k ORDER BY t MEASURES COUNT(*) AS n "
-            "PATTERN (A (B|C)+) DEFINE B AS B.price > A.price",
-        ).collect()
-
-
 _MR_STREAM_SCHEMA = "user_id long, ts_s long, event_type string, ev_time timestamp"
 
 
@@ -1228,3 +1218,103 @@ def test_streaming_permute_matches_batch(spark, tmp_path):
         schema="user_id long, ts_s long, event_type string, ev_time timestamp",
     )
     assert got == batch_got
+
+
+def test_alternation_group_with_stateful_member(spark):
+    """A match-state DEFINE inside an alternation group (previously a
+    NotImplementedError): rows classify as the first listed variable whose
+    condition holds, with the stateful member evaluated against the
+    in-flight match."""
+    # S anchors; then each row is H (v > 2 * S.v, cross-variable = stateful)
+    # or L (v > 0, static); CLASSIFIER-style attribution via COUNT per var
+    clause = """
+        PARTITION BY user_id
+        ORDER BY ts_s
+        MEASURES S.v AS s_v, COUNT(H.*) AS n_h, COUNT(L.*) AS n_l
+        PATTERN (S (H|L)+)
+        DEFINE S AS S.event_type = 's', H AS H.v > 2 * S.v
+    """
+    rows = [
+        (1, 10, "s", 2.0),   # S (v=2)
+        (1, 20, "x", 5.0),   # H (5 > 4)
+        (1, 30, "x", 3.0),   # L (3 <= 4)
+        (1, 40, "x", 9.0),   # H
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_s long, event_type string, v double"
+    )
+    got = {tuple(r) for r in match_recognize(df, clause).collect()}
+    # group span = rows 20/30/40: H=20 (5>4), L=30 (3<=4), H=40 (9>4)
+    assert got == {(1, 2.0, 2, 1)}
+
+
+def test_alternation_group_stateful_attribution_exact(spark):
+    """Per-row attribution: ALL ROWS PER MATCH + CLASSIFIER must name the
+    group member whose condition actually accepted each row."""
+    clause = """
+        PARTITION BY user_id
+        ORDER BY ts_s
+        MEASURES CLASSIFIER() AS who
+        ALL ROWS PER MATCH
+        PATTERN (S (H|L)+)
+        DEFINE S AS S.event_type = 's', H AS H.v > 2 * S.v
+    """
+    rows = [
+        (1, 10, "s", 2.0),
+        (1, 20, "x", 5.0),
+        (1, 30, "x", 3.0),
+        (1, 40, "x", 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_s long, event_type string, v double"
+    )
+    got = {(r["ts_s"], r["who"]) for r in match_recognize(df, clause).collect()}
+    assert got == {(10, "S"), (20, "H"), (30, "L"), (40, "H")}
+
+
+def test_navigation_targets_group_member_rows_only(spark):
+    """LAST(H.v) in a later DEFINE must navigate only the rows classified as
+    H, not every row of the (H|L) group's span."""
+    clause = """
+        PARTITION BY user_id
+        ORDER BY ts_s
+        MEASURES LAST(C.v) AS c_v
+        PATTERN (S (H|L)+ C)
+        DEFINE S AS S.event_type = 's', H AS H.v > 2 * S.v,
+               C AS C.v = LAST(H.v)
+    """
+    rows = [
+        (1, 10, "s", 2.0),
+        (1, 20, "x", 5.0),   # H
+        (1, 30, "x", 3.0),   # L  (last group row — but not an H row)
+        (1, 40, "x", 5.0),   # C: 5.0 = LAST(H.v)=5.0 ✓ (not 3.0)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_s long, event_type string, v double"
+    )
+    got = {tuple(r) for r in match_recognize(df, clause).collect()}
+    assert got == {(1, 5.0)}
+
+
+def test_streaming_alternation_group_with_stateful_member(spark, tmp_path):
+    rows = [
+        dict(user_id=1, ts_s=10, event_type="s", v=2.0),
+        dict(user_id=1, ts_s=20, event_type="x", v=5.0),
+        dict(user_id=1, ts_s=30, event_type="x", v=3.0),
+        dict(user_id=1, ts_s=40, event_type="x", v=9.0),
+    ]
+    got = _mr_stream_run(
+        spark,
+        tmp_path,
+        [rows[:2], rows[2:], [dict(user_id=99, ts_s=1000, event_type="z", v=0.0)]],
+        """
+        PARTITION BY user_id
+        ORDER BY ev_time
+        MEASURES S.v AS s_v, COUNT(H.*) AS n_h, COUNT(L.*) AS n_l
+        PATTERN (S (H|L)+)
+        DEFINE S AS S.event_type = 's', H AS H.v > 2 * S.v
+        """,
+        close_after="1 second",
+        schema="user_id long, ts_s long, event_type string, v double, ev_time timestamp",
+    )
+    assert got == {(1, 2.0, 2, 1)}
