@@ -13,6 +13,7 @@ Supported surface (the clauses Flink's own docs demo):
        SKIP TO FIRST <var> | SKIP TO LAST <var>]
       PATTERN (A B+ C* D? E{2,3}) [WITHIN INTERVAL 'n' <unit>]
       PATTERN (PERMUTE (A, B, C))   -- any ordering; lexicographic preference
+      PATTERN ((A B){1,2} C)        -- bounded sequence groups (flat-expanded)
       DEFINE A AS <condition>, B AS <condition> [, ...]
     )
 
@@ -46,9 +47,13 @@ permutation alternation, orderings tried in lexicographic preference of the
 written list. Match-state conditions work INSIDE alternation groups too: a
 row classifies as the first listed variable whose condition holds, stateful
 members evaluated against the in-flight match, with the winning variable
-recorded for navigation and measure attribution. Not supported (raise):
-nested sequence groups and sequence groups inside PERMUTE (each raises
-NotImplementedError rather than silently diverging).
+recorded for navigation and measure attribution. BOUNDED sequence groups —
+``(A B)``, ``(A B)?``, ``(A B){m,n}``, nesting included — expand to flat
+pattern variants tried greediest-first (outermost-quantifier greed). Not
+supported (raise): UNBOUNDED sequence-group repetition (``(A B)+``/``*``/
+``{m,}`` have no flat expansion), nested quantifiers (``(B+)*``), and
+sequence groups inside PERMUTE (each raises NotImplementedError rather
+than silently diverging).
 
 Scale design (the 100 TB argument):
 
@@ -105,14 +110,18 @@ class MatchSpec:
     skip_to: tuple[str, str] | None = None  # ("first"|"last", VAR)
     within_ms: int | None = None  # PATTERN (...) WITHIN INTERVAL bound
     permute: bool = False  # PATTERN (PERMUTE (A, B, ...)): any term order
+    # bounded sequence groups expand to flat variants, longest (greediest)
+    # first; None when the pattern is a single flat sequence
+    alternatives: list[list[PatternTerm]] | None = None
     variables: list[str] = field(default_factory=list)
 
     def __post_init__(self):
         seen: list[str] = []
-        for t in self.pattern:
-            for v in t.vars:
-                if v not in seen:
-                    seen.append(v)
+        for terms in [self.pattern, *(self.alternatives or [])]:
+            for t in terms:
+                for v in t.vars:
+                    if v not in seen:
+                        seen.append(v)
         self.variables = seen
 
 
@@ -125,6 +134,64 @@ _STOPS = (
     r"\bORDER\s+BY\b|\bMEASURES\b|\bONE\s+ROW\b|\bALL\s+ROWS\b|"
     r"\bAFTER\s+MATCH\b|\bPATTERN\b|\bDEFINE\b"
 )
+
+
+_QUANT_SRC = r"(?:\+|\*|\?|\{\d+(?:,\d*)?\})?"
+_SEQ_GROUP_RE = re.compile(
+    rf"\(\s*((?:\w+{_QUANT_SRC}\s+)*\w+{_QUANT_SRC})\s*\)\s*"
+    r"(\+|\*|\?|\{(\d+)(,(\d*))?\})?"
+)
+_MAX_PATTERN_VARIANTS = 64
+
+
+def _expand_seq_groups(src: str) -> list[str]:
+    """Expand BOUNDED sequence groups — ``(A B){m,n}``, ``(A B)?``,
+    ``(A B){k}``, bare ``(A B)`` — into flat pattern variants, greediest
+    (most repetitions, leftmost group outermost) first. Nested groups
+    expand inner-out, since the group body cannot contain parens.
+    Unbounded group repetition (``(A B)+``, ``*``, ``{m,}``) has no flat
+    expansion and raises."""
+    m = _SEQ_GROUP_RE.search(src)
+    if m is None:
+        return [src]
+    # alternation groups (A|B) never match this regex (their '|' breaks the
+    # token sequence), so anything matched here is a sequence group
+    body, quant = m.group(1).strip(), m.group(2)
+    if " " not in body:
+        # single-element group: parens are redundant — (B)+ ≡ B+
+        if quant and re.search(r"[+*?{]", body):
+            raise NotImplementedError(
+                f"MATCH_RECOGNIZE: nested quantifiers {m.group(0).strip()!r}"
+            )
+        return _expand_seq_groups(
+            f"{src[: m.start()]} {body}{quant or ''} {src[m.end():]}"
+        )
+    if quant is None:
+        lo, hi = 1, 1
+    elif quant == "?":
+        lo, hi = 0, 1
+    elif quant in ("+", "*") or (m.group(4) is not None and m.group(5) == ""):
+        raise NotImplementedError(
+            f"MATCH_RECOGNIZE: unbounded sequence-group repetition "
+            f"{m.group(0).strip()!r} has no flat expansion — use a bounded "
+            "quantifier ({m,n})"
+        )
+    else:
+        lo = int(m.group(3))
+        hi = lo if m.group(4) is None else int(m.group(5))
+    if hi < lo:
+        raise ValueError(f"MATCH_RECOGNIZE: bad quantifier in {m.group(0).strip()!r}")
+    out: list[str] = []
+    for reps in range(hi, lo - 1, -1):  # greedy: most repetitions first
+        rep = " ".join([body] * reps)
+        variant = f"{src[: m.start()]} {rep} {src[m.end():]}"
+        out.extend(_expand_seq_groups(variant))
+        if len(out) > _MAX_PATTERN_VARIANTS:
+            raise ValueError(
+                "MATCH_RECOGNIZE: sequence-group expansion exceeds "
+                f"{_MAX_PATTERN_VARIANTS} pattern variants"
+            )
+    return out
 
 
 def parse_match_recognize(clause: str) -> MatchSpec:
@@ -190,32 +257,46 @@ def parse_match_recognize(clause: str) -> MatchSpec:
         if len(pattern) < 2:
             raise ValueError("MATCH_RECOGNIZE: PERMUTE needs at least two variables")
         pat_src = ""
-    consumed = 0
-    for q in _PAT_TOKEN.finditer(pat_src):
-        if pat_src[consumed : q.start()].strip():
-            raise ValueError(
-                f"MATCH_RECOGNIZE: bad pattern near {pat_src[consumed:q.start()]!r}"
-            )
-        consumed = q.end()
-        token, quant = q.group(1), q.group(2)
-        if token.startswith("("):  # alternation group (A|B|...)
-            vars_ = [v.strip().upper() for v in token.strip("() \t").split("|")]
-        else:
-            vars_ = [token.upper()]
-        if quant is None:
-            lo, hi = 1, 1
-        elif quant == "+":
-            lo, hi = 1, None
-        elif quant == "*":
-            lo, hi = 0, None
-        elif quant == "?":
-            lo, hi = 0, 1
-        else:  # {n} / {n,} / {n,m}
-            lo = int(q.group(3))
-            hi = lo if q.group(4) is None else (int(q.group(5)) if q.group(5) else None)
-        pattern.append(PatternTerm(vars_, lo, hi))
-    if pat_src[consumed:].strip():
-        raise ValueError(f"MATCH_RECOGNIZE: bad pattern near {pat_src[consumed:]!r}")
+    def _tokenize_flat(src: str) -> list[PatternTerm]:
+        terms: list[PatternTerm] = []
+        consumed = 0
+        for q in _PAT_TOKEN.finditer(src):
+            if src[consumed : q.start()].strip():
+                raise ValueError(
+                    f"MATCH_RECOGNIZE: bad pattern near {src[consumed:q.start()]!r}"
+                )
+            consumed = q.end()
+            token, quant = q.group(1), q.group(2)
+            if token.startswith("("):  # alternation group (A|B|...)
+                vars_ = [v.strip().upper() for v in token.strip("() \t").split("|")]
+            else:
+                vars_ = [token.upper()]
+            if quant is None:
+                lo, hi = 1, 1
+            elif quant == "+":
+                lo, hi = 1, None
+            elif quant == "*":
+                lo, hi = 0, None
+            elif quant == "?":
+                lo, hi = 0, 1
+            else:  # {n} / {n,} / {n,m}
+                lo = int(q.group(3))
+                hi = lo if q.group(4) is None else (int(q.group(5)) if q.group(5) else None)
+            terms.append(PatternTerm(vars_, lo, hi))
+        if src[consumed:].strip():
+            raise ValueError(f"MATCH_RECOGNIZE: bad pattern near {src[consumed:]!r}")
+        return terms
+
+    alternatives = None
+    if not permute:
+        variant_terms = [
+            t for t in (_tokenize_flat(v) for v in _expand_seq_groups(pat_src)) if t
+        ]
+        if not variant_terms:
+            raise ValueError("MATCH_RECOGNIZE: empty PATTERN")
+        pattern = variant_terms[0]
+        if len(variant_terms) > 1:
+            alternatives = variant_terms
     if not pattern:
         raise ValueError("MATCH_RECOGNIZE: empty PATTERN")
 
@@ -291,6 +372,7 @@ def parse_match_recognize(clause: str) -> MatchSpec:
         skip_to=skip_to,
         within_ms=within_ms,
         permute=permute,
+        alternatives=alternatives,
     )
 
 
@@ -863,7 +945,13 @@ def _fast_eligible(spec: MatchSpec, measures) -> bool:
     one term, a mandatory first term, and measures limited to shapes
     computable from span boundaries + prefix sums. MIN/MAX/AVG need segment
     reductions — general path."""
-    if spec.all_rows or spec.skip_to or spec.within_ms or spec.permute:
+    if (
+        spec.all_rows
+        or spec.skip_to
+        or spec.within_ms
+        or spec.permute
+        or spec.alternatives
+    ):
         return False
     terms = spec.pattern
     if any(len(t.vars) != 1 for t in terms):
@@ -1184,6 +1272,14 @@ def _run_matches(
             tb, pd_ = term_data(perm)
             alts.append((perm, tb, pd_))
         term_bools, preds = alts[0][1], alts[0][2]
+    elif spec.alternatives:
+        # sequence-group expansions, greediest first: the first variant
+        # that matches at a start wins (outermost-quantifier greed)
+        alts = []
+        for variant in spec.alternatives:
+            tb, pd_ = term_data(variant)
+            alts.append((variant, tb, pd_))
+        term_bools, preds = alts[0][1], alts[0][2]
     else:
         term_bools, preds = term_data(pattern)
         alts = [(pattern, term_bools, preds)]
@@ -1218,7 +1314,11 @@ def _run_matches(
             for tb in term_bools[1:]:
                 u = u | tb
             starts = np.flatnonzero(u)
-    elif pattern[0].lo >= 1 and term_bools[0] is not None:
+    elif (
+        not spec.alternatives  # variants may lead with different terms
+        and pattern[0].lo >= 1
+        and term_bools[0] is not None
+    ):
         import numpy as np
 
         starts = np.flatnonzero(term_bools[0])
