@@ -18,6 +18,12 @@ EMPTY_QUERIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_pq_topk",
+    "knn_label_vote",
+    "knn_label_vote_ann",
+    "dedup_keep_best",
+    "dedup_embedding_clusters_lsh",
+    # profile_table_sketch is excluded like profile_table: a profile of an
+    # empty table is one row per column (n=0), not zero rows
     "text_stats",
     "lang_id",
     "token_count",
