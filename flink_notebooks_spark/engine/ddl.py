@@ -77,6 +77,8 @@ class Parsed:
     show_what: str | None = None
     overwrite: bool = False
     columns: list[str] | None = None  # INSERT INTO t (a, b) ... column list
+    # INSERT ... PARTITION (k='v', d): column → static literal, None=dynamic
+    partition: dict[str, str | None] | None = None
 
 
 _INTERVAL_UNITS = {
@@ -655,26 +657,50 @@ def parse_statement(sql: str) -> Parsed:
             sql=sql,
         )
 
-    # optional explicit column list: INSERT INTO t (a, b) SELECT ... — the
-    # lookahead keeps a parenthesized query `INSERT INTO t (SELECT ...)`
+    # optional static-partition spec and explicit column list:
+    #   INSERT INTO t PARTITION (dt='2026-01-01'[, region]) [(a, b)] SELECT ...
+    # — the lookahead keeps a parenthesized query `INSERT INTO t (SELECT ...)`
     # out of the column-list capture.
     m = re.match(
         r"INSERT\s+(INTO|OVERWRITE)\s+(`?)([\w.]+)\2\s*"
+        r"(?:PARTITION\s*\(([^)]*)\)\s*)?"
         r"(?:\((?!\s*(?:SELECT|VALUES|WITH)\b)([^()]*)\)\s*)?(.*)$",
         sql,
         re.IGNORECASE | re.DOTALL,
     )
     if m:
         cols = None
+        if m.group(5):
+            cols = [c.strip().strip("`") for c in m.group(5).split(",") if c.strip()]
+        partition = None
         if m.group(4):
-            cols = [c.strip().strip("`") for c in m.group(4).split(",") if c.strip()]
+            # k='v' / k=123 are STATIC values; a bare k is a dynamic
+            # partition column (fed by the query like any other column)
+            partition = {}
+            for entry in m.group(4).split(","):
+                entry = entry.strip()
+                if not entry:
+                    continue
+                pm = re.fullmatch(
+                    r"(`?)([\w]+)\1\s*(?:=\s*(?:'((?:[^']|'')*)'|([-\d.]+)))?",
+                    entry,
+                )
+                if pm is None:
+                    raise ValueError(f"INSERT: bad PARTITION entry {entry!r}")
+                if pm.group(3) is not None:
+                    partition[pm.group(2)] = pm.group(3).replace("''", "'")
+                elif pm.group(4) is not None:
+                    partition[pm.group(2)] = pm.group(4)
+                else:
+                    partition[pm.group(2)] = None  # dynamic
         return Parsed(
             kind="insert",
             name=m.group(3).split(".")[-1],
             key=m.group(3),  # full (possibly catalog-qualified) identifier
             overwrite=m.group(1).upper() == "OVERWRITE",
             columns=cols,
-            sql=m.group(5).strip(),
+            partition=partition,
+            sql=m.group(6).strip(),
         )
 
     if up.startswith("EXPLAIN"):

@@ -912,7 +912,44 @@ class Engine:
                 f"INSERT {'OVERWRITE' if p.overwrite else 'INTO'} {full}{cols} {p.sql}"
             ))
         df = self.spark.sql(rewrite_group_windows(rewrite_window_tvfs(rewrite_temporal_join(p.sql))))
-        df = _align_positional(df, target, p.columns)
+        static = {k: v for k, v in (p.partition or {}).items() if v is not None}
+        if static:
+            # static-partition INSERT (Flink: PARTITION (dt='v') columns are
+            # NOT in the select list): align the query against the remaining
+            # columns positionally, then fill the static ones with typed
+            # literals. Dynamic entries (bare names) stay query-fed.
+            declared = {
+                c.name
+                for c in target.columns
+                if c.data_type is not None and c.computed_expr is None
+            }
+            unknown = [k for k in static if k not in declared]
+            if unknown:
+                raise ValueError(
+                    f"INSERT into {target.name}: unknown PARTITION columns {unknown}"
+                )
+            cols = p.columns or [
+                c.name
+                for c in target.columns
+                if c.data_type is not None
+                and c.computed_expr is None
+                and c.name not in static
+            ]
+            df = _align_positional(df, target, cols)
+            types = {
+                c.name: c.data_type for c in target.columns if c.data_type is not None
+            }
+            for k, v in static.items():
+                df = df.withColumn(k, F.lit(v).cast(types[k]))
+            df = df.select(
+                *[
+                    c.name
+                    for c in target.columns
+                    if c.data_type is not None and c.computed_expr is None
+                ]
+            )
+        else:
+            df = _align_positional(df, target, p.columns)
         if df.isStreaming:
             ckpt = f"{self._checkpoint_root}/{uuid.uuid4().hex}"
             if target.connector == "filesystem":

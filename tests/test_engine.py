@@ -1065,3 +1065,36 @@ def test_show_partitions_lists_partition_specs(engine, tmp_path):
     """)
     with pytest.raises(ValueError, match="not partitioned"):
         engine.execute_sql("SHOW PARTITIONS unpart_t")
+
+
+def test_insert_static_partition_spec(engine, tmp_path):
+    """INSERT INTO t PARTITION (dt='v') SELECT ... — Flink's static-partition
+    insert: the partition column is NOT in the select list; the literal
+    fills it, typed. Mixed static+dynamic works; OVERWRITE of one static
+    partition replaces only that partition's data."""
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql(f"""
+        CREATE TABLE pins_t (id INT, v STRING, dt STRING, region STRING)
+        PARTITIONED BY (dt, region)
+        WITH ('connector' = 'filesystem', 'path' = '{tmp_path}/pi',
+              'format' = 'parquet')
+    """)
+    engine.execute_sql(
+        "INSERT INTO pins_t PARTITION (dt='2026-01-01', region='eu') "
+        "SELECT 1, 'a'"
+    )
+    # mixed: dt static, region dynamic (query supplies it)
+    engine.execute_sql(
+        "INSERT INTO pins_t PARTITION (dt='2026-01-02', region) "
+        "SELECT 2, 'b', 'us'"
+    )
+    rows = sorted(
+        r["fields"]
+        for r in drain(engine.execute_sql("SELECT id, v, dt, region FROM pins_t"))
+    )
+    assert rows == [
+        [1, "a", "2026-01-01", "eu"],
+        [2, "b", "2026-01-02", "us"],
+    ]
+    with pytest.raises(ValueError, match="unknown PARTITION columns"):
+        engine.execute_sql("INSERT INTO pins_t PARTITION (nope='x') SELECT 3, 'c', 'y'")
