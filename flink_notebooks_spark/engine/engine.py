@@ -735,9 +735,48 @@ class Engine:
         return tree
 
     # ---- queries ----------------------------------------------------------
+    _OPT_HINT = __import__("re").compile(
+        r"([`\w.]+)\s*/\*\+\s*OPTIONS\s*\(([^)]*)\)\s*\*/"
+        r"(?:\s+(?:AS\s+)?(?!WHERE\b|GROUP\b|ORDER\b|LIMIT\b|JOIN\b|LEFT\b|"
+        r"RIGHT\b|FULL\b|INNER\b|CROSS\b|ON\b|UNION\b|HAVING\b|MATCH_RECOGNIZE\b)"
+        r"(\w+))?",
+        __import__("re").IGNORECASE,
+    )
+
+    def _apply_options_hints(self, sql: str) -> str:
+        """Flink dynamic table options: ``FROM t /*+ OPTIONS('k'='v') */`` —
+        the query-scoped option override (e.g. a different
+        scan.startup.mode or path for ONE read). Each hinted reference
+        materializes a one-off view of the table with the merged options
+        and substitutes it, aliased back to the original name (or the
+        user's alias) so column qualification is unchanged. Hints on names
+        this session doesn't own pass through untouched — Spark warns and
+        ignores unknown hints."""
+        from dataclasses import replace as dc_replace
+
+        from .ddl import _parse_with_options
+
+        def sub(m):
+            tname = m.group(1).split(".")[-1].strip("`")
+            t = self.tables.get(tname)
+            if t is None:
+                return m.group(0)
+            opts = _parse_with_options(m.group(2))
+            vname = f"__opt_{tname}_{abs(hash(frozenset(opts.items()))) % 10**8:08d}"
+            variant = dc_replace(
+                t, name=vname, options={**t.options, **opts}
+            )
+            self._register_view(variant)
+            alias = m.group(3) or tname
+            return f"{vname} AS {alias}"
+
+        return self._OPT_HINT.sub(sub, sql)
+
     def _exec_query(self, p: Parsed) -> Statement:
         from ..operators import sql_match_recognize
 
+        if "OPTIONS" in p.sql.upper():
+            p = Parsed(**{**p.__dict__, "sql": self._apply_options_hints(p.sql)})
         mr = sql_match_recognize(
             self.spark,
             p.sql,

@@ -1098,3 +1098,31 @@ def test_insert_static_partition_spec(engine, tmp_path):
     ]
     with pytest.raises(ValueError, match="unknown PARTITION columns"):
         engine.execute_sql("INSERT INTO pins_t PARTITION (nope='x') SELECT 3, 'c', 'y'")
+
+
+def test_options_hint_overrides_table_options_per_query(engine, tmp_path):
+    """Flink dynamic table options: /*+ OPTIONS('path'='...') */ redirects
+    ONE read without touching the registered table."""
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql(f"""
+        CREATE TABLE hint_src (id INT, v STRING)
+        WITH ('connector' = 'filesystem', 'path' = '{tmp_path}/a',
+              'format' = 'parquet')
+    """)
+    engine.execute_sql("INSERT INTO hint_src VALUES (1, 'from_a')")
+    # second dataset on disk, same schema, different path
+    engine.spark.createDataFrame([(2, "from_b")], "id int, v string").write.parquet(
+        f"{tmp_path}/b"
+    )
+    plain = [r["fields"] for r in drain(engine.execute_sql("SELECT * FROM hint_src"))]
+    hinted = [
+        r["fields"]
+        for r in drain(engine.execute_sql(
+            f"SELECT h.id, h.v FROM hint_src /*+ OPTIONS('path'='{tmp_path}/b') */ h"
+        ))
+    ]
+    assert plain == [[1, "from_a"]]
+    assert hinted == [[2, "from_b"]]
+    # the registered table is untouched
+    again = [r["fields"] for r in drain(engine.execute_sql("SELECT * FROM hint_src"))]
+    assert again == [[1, "from_a"]]
