@@ -526,6 +526,28 @@ def parse_statement(sql: str) -> Parsed:
     if m:
         return Parsed(kind="show_partitions", name=m.group(2).split(".")[-1], sql=sql)
 
+    # ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS c1, c2 | FOR ALL COLUMNS]
+    # (Flink 1.18 batch statement feeding the CBO)
+    m = re.match(
+        r"ANALYZE\s+TABLE\s+(`?)([\w.]+)\1\s+COMPUTE\s+STATISTICS"
+        r"(?:\s+FOR\s+(ALL\s+COLUMNS|COLUMNS\s+([\w`,\s]+)))?\s*$",
+        sql,
+        re.IGNORECASE,
+    )
+    if m:
+        cols = None
+        if m.group(3):
+            if m.group(3).upper().startswith("ALL"):
+                cols = ["*"]
+            else:
+                cols = [c.strip().strip("`") for c in m.group(4).split(",") if c.strip()]
+        return Parsed(
+            kind="analyze_table",
+            name=m.group(2).split(".")[-1],
+            columns=cols,
+            sql=sql,
+        )
+
     m = re.match(r"SHOW\s+CREATE\s+TABLE\s+(`?)([\w.]+)\1\s*$", sql, re.IGNORECASE)
     if m:
         return Parsed(kind="show_create_table", name=m.group(2).split(".")[-1], sql=sql)

@@ -307,6 +307,54 @@ class Engine:
         self._register_view(t)
         return ok_statement("OK")
 
+    def _exec_analyze_table(self, p: Parsed) -> Statement:
+        """ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS ...] (Flink 1.18):
+        one aggregation pass computes the row count — plus per-column
+        non-null/NDV/min/max when columns are requested — stored on the
+        logical table (rendered by later DESCRIBE EXTENDED-style tooling)
+        and returned as the statement result, so notebooks see what was
+        computed."""
+        t = self.tables.get(p.name)
+        if t is None:
+            return BatchStatement(self.spark.sql(p.sql))
+        df = self.spark.table(t.name)
+        cols = p.columns or []
+        if cols == ["*"]:
+            cols = [f.name for f in df.schema.fields]
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in cols:
+            aggs += [
+                F.count(c).alias(f"nn_{c}"),
+                F.approx_count_distinct(c).alias(f"nd_{c}"),
+                F.min(c).cast("string").alias(f"mn_{c}"),
+                F.max(c).cast("string").alias(f"mx_{c}"),
+            ]
+        row = df.agg(*aggs).first()
+        stats: dict = {"row_count": row["__n"]}
+        rows = [["row_count", "", str(row["__n"])]]
+        for c in cols:
+            stats[c] = {
+                "non_null": row[f"nn_{c}"],
+                "ndv": row[f"nd_{c}"],
+                "min": row[f"mn_{c}"],
+                "max": row[f"mx_{c}"],
+            }
+            rows += [
+                ["non_null", c, str(row[f"nn_{c}"])],
+                ["ndv", c, str(row[f"nd_{c}"])],
+                ["min", c, str(row[f"mn_{c}"])],
+                ["max", c, str(row[f"mx_{c}"])],
+            ]
+        t.stats = stats  # type: ignore[attr-defined]
+        return ImmediateStatement(
+            [
+                ColumnInfo("stat", "STRING", False),
+                ColumnInfo("column", "STRING", False),
+                ColumnInfo("value", "STRING", False),
+            ],
+            rows,
+        )
+
     def _exec_show_partitions(self, p: Parsed) -> Statement:
         """SHOW PARTITIONS t (Flink partitioned-table inspection): the
         distinct partition-key tuples, rendered in Flink's key=value/...

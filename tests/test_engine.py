@@ -1126,3 +1126,30 @@ def test_options_hint_overrides_table_options_per_query(engine, tmp_path):
     # the registered table is untouched
     again = [r["fields"] for r in drain(engine.execute_sql("SELECT * FROM hint_src"))]
     assert again == [[1, "from_a"]]
+
+
+def test_analyze_table_compute_statistics(engine, tmp_path):
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql(f"""
+        CREATE TABLE an_t (id INT, v STRING)
+        WITH ('connector' = 'filesystem', 'path' = '{tmp_path}/an',
+              'format' = 'parquet')
+    """)
+    engine.execute_sql("INSERT INTO an_t VALUES (1, 'a'), (2, 'b'), (3, NULL)")
+    rows = [r["fields"] for r in drain(
+        engine.execute_sql("ANALYZE TABLE an_t COMPUTE STATISTICS FOR COLUMNS v")
+    )]
+    got = {(r[0], r[1]): r[2] for r in rows}
+    assert got[("row_count", "")] == "3"
+    assert got[("non_null", "v")] == "2"
+    assert got[("ndv", "v")] == "2"
+    assert got[("min", "v")] == "a" and got[("max", "v")] == "b"
+    assert engine.tables["an_t"].stats["row_count"] == 3
+    # FOR ALL COLUMNS and the bare form both run
+    assert [r["fields"][0] for r in drain(
+        engine.execute_sql("ANALYZE TABLE an_t COMPUTE STATISTICS")
+    )] == ["row_count"]
+    all_rows = [r["fields"] for r in drain(
+        engine.execute_sql("ANALYZE TABLE an_t COMPUTE STATISTICS FOR ALL COLUMNS")
+    )]
+    assert {r[1] for r in all_rows} == {"", "id", "v"}
