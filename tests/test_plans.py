@@ -232,3 +232,34 @@ def test_plan_audit_extractor_flags_scale_defects():
     bad = "CartesianProduct\nBatchEvalPython\n"
     flags = [n for n in _audit(bad) if n.startswith("!!")]
     assert len(flags) == 2
+
+
+# shuffle budgets: every Exchange is a cluster-wide data movement; these
+# ceilings pin the plan's shuffle count so a refactor that silently adds one
+# (a lost broadcast, an unnecessary repartition, a window that no longer
+# shares its partitioning) fails here before it ships. Counts include the
+# final ORDER BY exchange the oracle contract requires. Ceilings, not
+# equalities — a Catalyst improvement that REMOVES a shuffle should pass.
+SHUFFLE_BUDGET = {
+    "q03_filter_project": 1,   # sort only
+    "q04_group_agg": 2,        # partial→final agg + sort
+    "q06_join_agg_topk": 3,    # all dims broadcast; agg + broadcasts' builds
+    "dedup_exact": 2,          # one 32-byte-key groupBy + sort
+    "corpus_mix_sample": 2,    # map-only sample + agg + sort
+    "text_stats": 1,           # map-only pipeline + sort
+    "pii_scrub": 1,            # map-only regexp chain + sort
+    "token_count": 1,
+    "doc_fingerprint": 1,
+    "curation_split": 2,
+}
+
+
+@pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGET))
+def test_shuffle_budget_holds(name, spark, sf_dir):
+    p = plan_of(spark, sf_dir, name)
+    got = p.count("Exchange ")
+    assert got <= SHUFFLE_BUDGET[name], (
+        f"{name}: {got} exchanges, budget {SHUFFLE_BUDGET[name]} — a shuffle "
+        "crept into the plan"
+    )
+    assert "CartesianProduct" not in p
