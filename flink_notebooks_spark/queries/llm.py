@@ -2253,3 +2253,52 @@ def dedup_substring(spark, sf_dir):
         .distinct()
     )
     return pairs.orderBy("a", "b")
+
+
+# ---------------------------------------------------------------------------
+# E1. cohort retention — the events-warehouse composite every product
+#     analytics stack runs (cohort by first-seen day, distinct-user
+#     retention at day offsets)
+# ---------------------------------------------------------------------------
+RETENTION_MAX_OFFSET = 3
+
+
+@query(
+    "events_retention",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(EXTRACT(EPOCH FROM ts) / 86400) AS BIGINT) AS day
+      FROM events),
+    cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY user_id)
+    SELECT c.cohort_day, ud.day - c.cohort_day AS day_offset,
+           COUNT(DISTINCT ud.user_id) AS n_users
+    FROM ud JOIN cohort c ON c.user_id = ud.user_id
+    WHERE ud.day - c.cohort_day <= {RETENTION_MAX_OFFSET}
+    GROUP BY 1, 2 ORDER BY cohort_day, day_offset
+    """,
+)
+def events_retention(spark, sf_dir):
+    """Cohort retention over the events stream: users cohort by their
+    first-activity day; each (cohort_day, day_offset) cell counts the
+    distinct users still active that many days later. Plan shape: one
+    distinct on (user, day) — the only pass over the raw events — then a
+    per-user min (same user-keyed partitioning, no extra scan), a user-keyed
+    join, and a small (cohorts × offsets) aggregation. Every shuffle is on
+    a natural key; the raw event volume is touched exactly once."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id",
+        F.expr(
+            "CAST(FLOOR(timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) / 86400) AS BIGINT)"
+        ).alias("day"),
+    ).distinct()
+    cohort = ud.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ud.join(cohort, "user_id")
+        .withColumn("day_offset", F.col("day") - F.col("cohort_day"))
+        .filter(F.col("day_offset") <= RETENTION_MAX_OFFSET)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )

@@ -318,3 +318,31 @@ def test_concurrent_result_polling_under_load(gw):
         assert len(pages) == 1, f"token {tok} served differing pages"
     call("DELETE", f"{gw}/v1/sessions/{h}/operations/{op}")
     call("DELETE", f"{gw}/v1/sessions/{h}")
+
+
+def test_session_statements_surface_over_rest(gw):
+    """The round-5 session statements (modules, jobs, ANALYZE) work through
+    the REST wire exactly as through the embedded engine."""
+    s = call("POST", f"{gw}/v1/sessions",
+             {"properties": {"execution.runtime-mode": "batch"}})
+    h = s["sessionHandle"]
+
+    def run(stmt):
+        op = call("POST", f"{gw}/v1/sessions/{h}/statements",
+                  {"statement": stmt})["operationHandle"]
+        rows, token = [], 0
+        for _ in range(50):
+            page = call("GET", f"{gw}/v1/sessions/{h}/operations/{op}/result/{token}")
+            if page["resultType"] == "EOS":
+                break
+            if page["resultType"] == "PAYLOAD":
+                rows.extend(page["results"]["data"])
+                token += 1
+        return rows
+
+    assert [r["fields"] for r in run("SHOW MODULES")] == [["core"]]
+    run("LOAD MODULE hive")
+    assert [r["fields"] for r in run("SHOW FULL MODULES")] == [
+        ["core", True], ["hive", True]
+    ]
+    assert run("SHOW JOBS") == []  # no streaming jobs in this session
