@@ -2293,12 +2293,19 @@ def events_retention(spark, sf_dir):
             "CAST(FLOOR(timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) / 86400) AS BIGINT)"
         ).alias("day"),
     ).distinct()
-    cohort = ud.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    # per-user first day as an unbounded window over the user partitioning —
+    # one shuffle, no groupBy + join-back (the same trim as the
+    # connected-components star phases)
+    ud = ud.withColumn(
+        "cohort_day", F.min("day").over(Window.partitionBy("user_id"))
+    )
     return (
-        ud.join(cohort, "user_id")
-        .withColumn("day_offset", F.col("day") - F.col("cohort_day"))
+        ud.withColumn("day_offset", F.col("day") - F.col("cohort_day"))
         .filter(F.col("day_offset") <= RETENTION_MAX_OFFSET)
         .groupBy("cohort_day", "day_offset")
-        .agg(F.countDistinct("user_id").alias("n_users"))
+        # ud is distinct per (user, day), so each user contributes at most
+        # one row per cell: COUNT(*) IS the distinct-user count, without the
+        # Expand + double shuffle a COUNT(DISTINCT) plans
+        .agg(F.count("*").alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )

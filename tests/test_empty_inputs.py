@@ -32,6 +32,7 @@ EMPTY_QUERIES = [
     "dedup_materialize",
     "multimodal_decode",
     "events_sessionize",
+    "events_retention",
     "q27_cep_pattern",
     "q25_hop_window",
     "q26_cumulate_window",

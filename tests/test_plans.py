@@ -251,6 +251,7 @@ SHUFFLE_BUDGET = {
     "token_count": 1,
     "doc_fingerprint": 1,
     "curation_split": 2,
+    "events_retention": 4,     # distinct + user-window + cell agg + sort
 }
 
 
