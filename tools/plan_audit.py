@@ -44,6 +44,7 @@ HEADLINE = [
     ("text_stats", "pure JVM expression pipeline (whole-stage codegen)"),
     ("pii_scrub", "map-only regexp_replace chain"),
     ("corpus_mix_sample", "hash-stable per-source sampling, map-only until agg"),
+    ("events_retention", "cohort retention: distinct → user-window min → cell agg"),
 ]
 
 
