@@ -28,6 +28,10 @@ INVARIANT_QUERIES = [
     "dedup_keep_best",
     "shard_pack",
     "q04_group_agg",
+    #   ann_lsh_topk         — hash-derived buckets, window tie-breaks
+    #   knn_label_vote       — broadcast vote set + count/argmax window
+    "ann_lsh_topk",
+    "knn_label_vote",
 ]
 
 
