@@ -295,3 +295,56 @@ def test_stateful_define_equals_jvm_eval(spark):
             f"PATTERN (A B+) DEFINE A AS A.s = 'x', B AS ({cond}) AND A.t > -1",
         ).collect()
         assert sorted(map(tuple, plain)) == sorted(map(tuple, forced)), cond
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B", "C", "D"]),
+            st.integers(min_value=0, max_value=2),  # lo
+            st.integers(min_value=0, max_value=2),  # extra reps (hi = lo+extra)
+            st.booleans(),  # wrap this element in a group with the next?
+        ),
+        min_size=2,
+        max_size=4,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_sequence_group_expansion_invariants(elements):
+    """_expand_seq_groups: variant count is the product of each group's
+    (hi-lo+1); every variant re-tokenizes cleanly; expansion of a flat
+    variant is a fixpoint; greediest (longest) variant comes first."""
+    from flink_notebooks_spark.operators.match_recognize import (
+        _expand_seq_groups,
+        parse_match_recognize,
+    )
+
+    # build a pattern of single vars and 2-element bounded groups
+    parts, expected_variants, i = [], 1, 0
+    while i < len(elements):
+        name, lo, extra, grouped = elements[i]
+        hi = lo + extra
+        if grouped and i + 1 < len(elements):
+            other = elements[i + 1][0]
+            parts.append(f"({name} {other}){{{lo},{hi}}}")
+            expected_variants *= hi - lo + 1
+            i += 2
+        else:
+            parts.append(name)
+            i += 1
+    src = " ".join(parts)
+    if expected_variants > 64:
+        return
+    variants = _expand_seq_groups(src)
+    assert len(variants) == expected_variants
+    assert all(_expand_seq_groups(v) == [v] for v in variants)  # fixpoint
+    lengths = [len(v.split()) for v in variants]
+    assert lengths[0] == max(lengths)  # greediest first
+    # each non-empty variant parses as a PATTERN
+    for v in variants:
+        if v.strip():
+            spec = parse_match_recognize(
+                f"ORDER BY t MEASURES COUNT(*) AS n PATTERN ({v}) "
+                "DEFINE A AS A.t > 0"
+            )
+            assert spec.pattern
