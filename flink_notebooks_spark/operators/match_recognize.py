@@ -942,9 +942,10 @@ def _prepare_spec(df: DataFrame, clause_or_spec, defer_prev: bool = False):
 def _fast_eligible(spec: MatchSpec, measures) -> bool:
     """Static conditions for the vectorized matcher (funnel-class patterns):
     ONE ROW PER MATCH, single-variable terms, every variable used by exactly
-    one term, a mandatory first term, and measures limited to shapes
-    computable from span boundaries + prefix sums. MIN/MAX/AVG need segment
-    reductions — general path."""
+    one term, a mandatory first term, and measures computable from span
+    boundaries + prefix sums (SUM/AVG/COUNT) or ufunc segment reductions
+    (MIN/MAX via reduceat — numeric columns only; non-numeric falls back to
+    the general matcher at runtime)."""
     if (
         spec.all_rows
         or spec.skip_to
@@ -962,9 +963,7 @@ def _fast_eligible(spec: MatchSpec, measures) -> bool:
         return False
     by_var = {t.var: t for t in terms}
     for m in measures:
-        if m.func in ("MIN", "MAX", "AVG"):
-            return False
-        if m.func in (None, "FIRST", "LAST", "SUM") and (
+        if m.func in (None, "FIRST", "LAST", "SUM", "MIN", "MAX", "AVG") and (
             m.var is None or by_var[m.var].lo < 1
         ):
             return False  # span could be empty (or spans the whole match)
@@ -1093,6 +1092,26 @@ def _run_matches_fast(pdf, spec, measures, match_num0, require_closed):
             cs = col_csum(m.col)
             ts = term_start[m.var]
             vals.append(cs[ts + take_by_var[m.var]] - cs[ts])
+        elif m.func == "AVG":
+            cs = col_csum(m.col)
+            ts = term_start[m.var]
+            tk = take_by_var[m.var]
+            vals.append((cs[ts + tk] - cs[ts]) / tk)
+        elif m.func in ("MIN", "MAX"):
+            arr = pdf[m.col].to_numpy()
+            if arr.dtype.kind not in "iuf":
+                return None  # object/str segments: general matcher
+            ts = term_start[m.var]
+            tk = take_by_var[m.var]
+            # per-segment ufunc reduction: boundaries [ts, ts+tk) interleaved;
+            # even positions are our segments (tk >= 1 by eligibility). A
+            # sentinel keeps an end boundary == len(arr) legal for reduceat.
+            arr2 = np.append(arr, arr[-1:]) if len(arr) else arr
+            idx = np.empty(2 * nmatch, dtype=np.int64)
+            idx[0::2] = ts
+            idx[1::2] = ts + tk
+            ufunc = np.minimum if m.func == "MIN" else np.maximum
+            vals.append(ufunc.reduceat(arr2, idx)[0::2])
         elif m.func == "LAST":
             arr = pdf[m.col].to_numpy()
             vals.append(arr[term_start[m.var] + take_by_var[m.var] - 1])

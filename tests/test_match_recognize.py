@@ -418,6 +418,10 @@ _COUNT_MEAS = (
     "A.ts_us AS start_us, LAST(C.ts_us) AS end_us, "
     "COUNT(B.*) AS nb, COUNT(*) AS n, MATCH_NUMBER() AS mn"
 )
+_REDUCE_MEAS = (
+    "MIN(B.ts_us) AS mnb, MAX(B.ts_us) AS mxb, AVG(B.ts_us) AS avb, "
+    "SUM(B.ts_us) AS sb, COUNT(B.*) AS nb"
+)
 
 
 @pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
@@ -429,6 +433,8 @@ _COUNT_MEAS = (
         ("", "(A B* C)", _COUNT_MEAS),  # lo=0 span → COUNT-style measures
         ("", "(A B? C)", _COUNT_MEAS),
         ("AFTER MATCH SKIP TO NEXT ROW", "(A B+ C)", _FULL_MEAS),
+        ("", "(A B+ C)", _REDUCE_MEAS),  # MIN/MAX/AVG via reduceat segments
+        ("", "(A B{2,3} C)", _REDUCE_MEAS),
     ],
 )
 def test_vectorized_matcher_equals_general(seed, skip, pattern, meas):
@@ -1505,3 +1511,27 @@ def test_streaming_mr_state_survives_query_restart(spark, tmp_path):
         .collect()
     ]
     assert rows == [(1, 10, 30, 1)]  # no duplicate emission
+
+
+def test_reduce_measures_route_through_fast_path():
+    """MIN/MAX/AVG measures must run on the vectorized matcher (reduceat
+    segments), not silently fall back to the backtracker."""
+    import importlib
+
+    mr = importlib.import_module(
+        "flink_notebooks_spark.operators.match_recognize"
+    )
+    pdf = _rand_events(5, 4000)
+    spec = mr.parse_match_recognize(
+        "PARTITION BY user_id ORDER BY ts_us, event_id "
+        f"MEASURES {_REDUCE_MEAS} "
+        "PATTERN (A B+ C) DEFINE A AS A.event_type = 'view', "
+        "B AS B.event_type = 'click', C AS C.event_type = 'purchase'"
+    )
+    measures = [mr._parse_measure(e, a, spec.variables) for e, a in spec.measures]
+    for v, t in (("A", "view"), ("B", "click"), ("C", "purchase")):
+        pdf[f"__mr_{v}"] = pdf["event_type"] == t
+    pdf = pdf.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+    assert mr._fast_eligible(spec, measures)
+    fast = mr._run_matches_fast(pdf, spec, measures, 0, False)
+    assert fast is not None and fast[1] > 0
