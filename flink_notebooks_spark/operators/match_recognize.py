@@ -49,11 +49,17 @@ row classifies as the first listed variable whose condition holds, stateful
 members evaluated against the in-flight match, with the winning variable
 recorded for navigation and measure attribution. BOUNDED sequence groups —
 ``(A B)``, ``(A B)?``, ``(A B){m,n}``, nesting included — expand to flat
-pattern variants tried greediest-first (outermost-quantifier greed). Not
-supported (raise): UNBOUNDED sequence-group repetition (``(A B)+``/``*``/
-``{m,}`` have no flat expansion), nested quantifiers (``(B+)*``), and
-sequence groups inside PERMUTE (each raises NotImplementedError rather
-than silently diverging).
+pattern variants tried greediest-first (outermost-quantifier greed).
+UNBOUNDED sequence-group repetition — ``(A B)+``/``*``/``{m,}`` — works on
+both inputs too: the matcher flattens the group per match attempt, trying
+the most repetitions the remaining frame can hold first (the same
+greediest-first preference as the bounded expansion, in the limit), and
+the streaming frontier rule holds any match whose greedier flattening was
+cut off by the end of the visible frame (frontier-contact tracking in the
+backtracker). Not supported (raise): more than one unbounded group in a
+pattern, nested quantifiers (``(B+)*``), groups able to match empty under
+unbounded repetition (``(A? B?)+``), and sequence groups inside PERMUTE
+(each raises rather than silently diverging).
 
 Scale design (the 100 TB argument):
 
@@ -96,6 +102,32 @@ class PatternTerm:
     @property
     def var(self) -> str:  # single-var convenience (measure mapping)
         return self.vars[0]
+
+
+@dataclass
+class GroupTerm:
+    """UNBOUNDED sequence-group repetition — ``(A B)+`` / ``*`` / ``{m,}``.
+
+    Has no flat expansion at parse time; the matcher flattens it per match
+    attempt: with ``n - start`` rows left, at most ``(n - start) //
+    min_rows`` repetitions can fit, and variants are tried most-reps-first
+    (the same greediest-first preference the bounded ``{m,n}`` expansion
+    uses). The body is a flat token sequence (the group grammar admits no
+    nested parens), and must not be able to match empty (sum of member
+    minimums >= 1) — an empty-matching repetition would loop forever, and
+    Flink rejects such patterns too.
+    """
+
+    body: list[PatternTerm]
+    lo: int  # minimum repetitions; upper bound is the frame
+
+    @property
+    def vars(self) -> list[str]:  # for spec.variables / SKIP TO validation
+        return [v for t in self.body for v in t.vars]
+
+    @property
+    def min_rows(self) -> int:  # rows one repetition must consume
+        return max(1, sum(t.lo for t in self.body))
 
 
 @dataclass
@@ -142,6 +174,36 @@ _SEQ_GROUP_RE = re.compile(
     r"(\+|\*|\?|\{(\d+)(,(\d*))?\})?"
 )
 _MAX_PATTERN_VARIANTS = 64
+_GROUP_SENT = "\x00G\x00"  # placeholder for the unbounded group's position
+
+
+def _extract_unbounded_group(src: str):
+    """Replace the (single) unbounded MULTI-element sequence group —
+    ``(A B)+`` / ``*`` / ``{m,}`` — with a sentinel token, returning
+    ``(src', (body_src, lo) | None)``. Bounded groups and single-element
+    groups pass through untouched (the bounded expander handles those).
+    More than one unbounded group raises: the matcher's per-attempt
+    flattening handles exactly one open repetition."""
+    found: list[tuple[str, int]] = []
+
+    def repl(m):
+        body, quant = m.group(1).strip(), m.group(2)
+        unbounded = quant in ("+", "*") or (
+            m.group(4) is not None and m.group(5) == ""
+        )
+        if " " not in body or not unbounded:
+            return m.group(0)
+        if found:
+            raise NotImplementedError(
+                "MATCH_RECOGNIZE: more than one unbounded sequence group "
+                "in PATTERN is not supported"
+            )
+        lo = 1 if quant == "+" else 0 if quant == "*" else int(m.group(3))
+        found.append((body, lo))
+        return f" {_GROUP_SENT} "
+
+    out = _SEQ_GROUP_RE.sub(repl, src)
+    return (out, found[0]) if found else (src, None)
 
 
 def _expand_seq_groups(src: str) -> list[str]:
@@ -149,8 +211,10 @@ def _expand_seq_groups(src: str) -> list[str]:
     ``(A B){k}``, bare ``(A B)`` — into flat pattern variants, greediest
     (most repetitions, leftmost group outermost) first. Nested groups
     expand inner-out, since the group body cannot contain parens.
-    Unbounded group repetition (``(A B)+``, ``*``, ``{m,}``) has no flat
-    expansion and raises."""
+    Unbounded MULTI-element group repetition is extracted by
+    _extract_unbounded_group before this runs (the matcher flattens it per
+    attempt); the raise below is a safeguard for anything that slips
+    through."""
     m = _SEQ_GROUP_RE.search(src)
     if m is None:
         return [src]
@@ -289,13 +353,35 @@ def parse_match_recognize(clause: str) -> MatchSpec:
 
     alternatives = None
     if not permute:
-        variant_terms = [
-            t for t in (_tokenize_flat(v) for v in _expand_seq_groups(pat_src)) if t
-        ]
+        src2, ub = _extract_unbounded_group(pat_src)
+        body_terms = None
+        if ub is not None:
+            body_terms = _tokenize_flat(ub[0])
+            if sum(t.lo for t in body_terms) == 0:
+                raise ValueError(
+                    f"MATCH_RECOGNIZE: sequence group ({ub[0]}) can match "
+                    "empty (every member is optional) — its unbounded "
+                    "repetition would never terminate"
+                )
+        variant_terms = []
+        has_group = False
+        for v in _expand_seq_groups(src2):
+            if ub is not None and _GROUP_SENT in v:
+                pre_src, suf_src = v.split(_GROUP_SENT)
+                terms = (
+                    _tokenize_flat(pre_src)
+                    + [GroupTerm(body_terms, ub[1])]
+                    + _tokenize_flat(suf_src)
+                )
+                has_group = True
+            else:
+                terms = _tokenize_flat(v)
+            if terms:
+                variant_terms.append(terms)
         if not variant_terms:
             raise ValueError("MATCH_RECOGNIZE: empty PATTERN")
         pattern = variant_terms[0]
-        if len(variant_terms) > 1:
+        if len(variant_terms) > 1 or has_group:
             alternatives = variant_terms
     if not pattern:
         raise ValueError("MATCH_RECOGNIZE: empty PATTERN")
@@ -857,7 +943,7 @@ def _compile_deferred_prev(deferred: dict[str, str]):
 
 def _match_starting_at(
     term_bools, pattern: list[PatternTerm], n: int, start: int, preds=None,
-    within_ok=None,
+    within_ok=None, frontier=None,
 ):
     """Greedy backtracking anchored match. Returns (end_exclusive, spans) or
     None; spans[i] = (first_row, last_row_exclusive) of pattern term i.
@@ -868,7 +954,13 @@ def _match_starting_at(
     ``within_ok(start, r)`` is the WITHIN time bound: a partial match can
     never accept a row outside the window anchored at its first row —
     pruning during construction, exactly Flink's CEP WITHIN semantics (the
-    backtracker still finds a shorter in-window parse when one exists)."""
+    backtracker still finds a shorter in-window parse when one exists).
+    ``frontier`` (one-element list or None): set to True whenever any
+    explored branch stopped accepting rows because it RAN OUT OF INPUT
+    (pos + cnt reached n with capacity left) — i.e. rows appended later
+    could extend or complete this branch. The streaming frontier rule uses
+    it to hold matches whose greedier alternative was cut off by the end of
+    the visible frame."""
     spans = [None] * len(pattern)
 
     def rec(pi: int, pos: int):
@@ -895,6 +987,8 @@ def _match_starting_at(
                 and pred(pos + cnt, spans, pos, cnt)
             ):
                 cnt += 1
+        if frontier is not None and cnt < cap and pos + cnt >= n:
+            frontier[0] = True
         for take in range(cnt, term.lo - 1, -1):
             spans[pi] = (pos, pos + take)
             end = rec(pi + 1, pos + take)
@@ -955,6 +1049,8 @@ def _fast_eligible(spec: MatchSpec, measures) -> bool:
     ):
         return False
     terms = spec.pattern
+    if any(isinstance(t, GroupTerm) for t in terms):  # group-bearing pattern
+        return False  # (unreachable today: groups force spec.alternatives)
     if any(len(t.vars) != 1 for t in terms):
         return False
     if len({t.var for t in terms}) != len(terms):
@@ -1262,6 +1358,9 @@ def _run_matches(
 
         return gpred
 
+    or_memo: dict[tuple, object] = {}  # OR'd alternation arrays, shared
+    # across the per-repetition flattenings of an unbounded group
+
     def term_data(pat):
         tb, pd_ = [], {}
         for pi, t in enumerate(pat):
@@ -1273,15 +1372,22 @@ def _run_matches(
                     else make_pred(stateful[t.var], t.var, pi, pat)
                 )
                 continue
-            col = bools[t.vars[0]]
-            for v in t.vars[1:]:
-                col = col | bools[v]
+            key = tuple(t.vars)
+            col = or_memo.get(key)
+            if col is None:
+                col = bools[t.vars[0]]
+                for v in t.vars[1:]:
+                    col = col | bools[v]
+                or_memo[key] = col
             tb.append(col)
         return tb, pd_
 
     # alternative term orderings: exactly one normally; for PERMUTE, every
     # permutation in lexicographic order of the written list (SQL-standard
-    # preference) — first ordering that matches at a start wins
+    # preference) — first ordering that matches at a start wins. Entries:
+    # ("flat", pat, tb, preds) for fully-expanded variants, or
+    # ("group", pre, grp, suf, eid) for variants holding an UNBOUNDED
+    # sequence group, flattened per attempt (most repetitions first).
     if spec.permute:
         import itertools
 
@@ -1289,19 +1395,98 @@ def _run_matches(
         for perm in itertools.permutations(pattern):
             perm = list(perm)
             tb, pd_ = term_data(perm)
-            alts.append((perm, tb, pd_))
-        term_bools, preds = alts[0][1], alts[0][2]
+            alts.append(("flat", perm, tb, pd_))
     elif spec.alternatives:
         # sequence-group expansions, greediest first: the first variant
         # that matches at a start wins (outermost-quantifier greed)
         alts = []
-        for variant in spec.alternatives:
-            tb, pd_ = term_data(variant)
-            alts.append((variant, tb, pd_))
-        term_bools, preds = alts[0][1], alts[0][2]
+        for eid, variant in enumerate(spec.alternatives):
+            gi = next(
+                (j for j, t in enumerate(variant) if isinstance(t, GroupTerm)),
+                None,
+            )
+            if gi is None:
+                tb, pd_ = term_data(variant)
+                alts.append(("flat", variant, tb, pd_))
+            else:
+                alts.append(
+                    ("group", variant[:gi], variant[gi], variant[gi + 1 :], eid)
+                )
     else:
         term_bools, preds = term_data(pattern)
-        alts = [(pattern, term_bools, preds)]
+        alts = [("flat", pattern, term_bools, preds)]
+    if alts[0][0] == "flat":
+        term_bools, preds = alts[0][2], alts[0][3]
+    else:
+        term_bools = preds = None  # group-led pattern: no shared columns
+
+    # unbounded-group flattenings, cached per (variant, reps) for the frame
+    flat_cache: dict[tuple[int, int], tuple] = {}
+
+    def group_flat(eid, pre, grp, suf, k):
+        got = flat_cache.get((eid, k))
+        if got is None:
+            pat_k = pre + grp.body * k + suf
+            tb, pd_ = term_data(pat_k)
+            got = flat_cache[(eid, k)] = (pat_k, tb, pd_)
+        return got
+
+    def entry_gate(entry):
+        """Per-entry cheap start filter: the bool column of the variant's
+        first MANDATORY, stateless term (None = no filter). A start where
+        that column is false cannot begin a match of this variant."""
+        kind = entry[0]
+        if kind == "flat":
+            pat, tb = entry[1], entry[2]
+            if pat[0].lo >= 1 and tb[0] is not None:
+                return tb[0]
+            return None
+        _, pre, grp, suf, _ = entry
+        lead = pre[0] if pre else (grp.body[0] if grp.lo >= 1 else None)
+        if lead is None or lead.lo < 1:
+            return None
+        if stateful and any(x in stateful for x in lead.vars):
+            return None
+        key = tuple(lead.vars)
+        col = or_memo.get(key)
+        if col is None:
+            col = bools[lead.vars[0]]
+            for v in lead.vars[1:]:
+                col = col | bools[v]
+            or_memo[key] = col
+        return col
+
+    gates = [entry_gate(e) for e in alts]
+
+    def try_start(i, fcell=None):
+        """First (greediest) variant matching at row i → (hit, flat_pat).
+
+        ``fcell`` threads frontier contact (see _match_starting_at) through
+        every attempt — including FAILED greedier variants tried before the
+        winning one, so the streaming rule can hold a match whose longer
+        alternative was cut off by the frame end. For unbounded groups the
+        repetition count is probed one past what the remaining rows can
+        hold: the probe cannot succeed ((kmax+1)·min_rows > n-i) but fails
+        with frontier contact exactly when appended rows could fit another
+        repetition — the signal require_closed needs."""
+        for entry, gate in zip(alts, gates):
+            if gate is not None and not gate[i]:
+                continue
+            if entry[0] == "flat":
+                _, ap, ab, apd = entry
+                hit = _match_starting_at(ab, ap, n, i, apd, within_ok, fcell)
+                if hit is not None:
+                    return hit, ap
+                continue
+            _, pre, grp, suf, eid = entry
+            kmax = (n - i) // grp.min_rows
+            k_hi = max(kmax + 1, grp.lo) if fcell is not None else kmax
+            for k in range(k_hi, grp.lo - 1, -1):
+                pat_k, tb_k, pd_k = group_flat(eid, pre, grp, suf, k)
+                hit = _match_starting_at(tb_k, pat_k, n, i, pd_k, within_ok, fcell)
+                if hit is not None:
+                    return hit, pat_k
+        return None, None
     within_ok = None
     if spec.within_ms is not None and n:
         import pandas as pd
@@ -1350,13 +1535,14 @@ def _run_matches(
             if si >= len(starts):
                 break
             i = int(starts[si])
-        hit = None
-        hit_pat = pattern
-        for ap, ab, apd in alts:
-            hit = _match_starting_at(ab, ap, n, i, apd, within_ok)
-            if hit is not None:
-                hit_pat = ap
-                break
+        fcell = [False] if require_closed else None
+        hit, hit_pat = try_start(i, fcell)
+        if require_closed and fcell[0]:
+            # some branch at this start — the winning parse, a greedier
+            # variant, or an extra group repetition — was cut off by the
+            # end of the visible frame: hold everything from the resume
+            # position; later rows may complete the greedier parse
+            break
         if hit is None:
             i += 1
             continue

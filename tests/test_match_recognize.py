@@ -1390,12 +1390,21 @@ def test_sequence_group_optional(spark):
     assert got == {(1, 0, 10), (1, 1, 40)}
 
 
-def test_sequence_group_unbounded_raises(spark):
-    with pytest.raises(NotImplementedError, match="unbounded sequence-group"):
-        parse_match_recognize(
-            "ORDER BY ts_s MEASURES COUNT(*) AS n PATTERN ((A B)+) "
-            "DEFINE A AS A.ts_s > 0"
-        )
+def test_sequence_group_unbounded_parses_to_group_term(spark):
+    """(A B)+ no longer raises: it parses to a GroupTerm the matcher
+    flattens per attempt (greediest repetition count first)."""
+    from flink_notebooks_spark.operators.match_recognize import GroupTerm
+
+    spec = parse_match_recognize(
+        "ORDER BY ts_s MEASURES COUNT(*) AS n PATTERN ((A B)+) "
+        "DEFINE A AS A.ts_s > 0"
+    )
+    assert spec.alternatives is not None
+    (grp,) = spec.pattern
+    assert isinstance(grp, GroupTerm)
+    assert grp.lo == 1 and grp.min_rows == 2
+    assert [t.vars for t in grp.body] == [["A"], ["B"]]
+    assert spec.variables == ["A", "B"]
 
 
 def test_single_var_group_flattens(spark):
@@ -1535,3 +1544,151 @@ def test_reduce_measures_route_through_fast_path():
     assert mr._fast_eligible(spec, measures)
     fast = mr._run_matches_fast(pdf, spec, measures, 0, False)
     assert fast is not None and fast[1] > 0
+
+
+# ------------------------------------------- unbounded sequence groups
+
+
+_GROUP_TAGS = """
+    PARTITION BY k ORDER BY t
+    MEASURES COUNT(A.*) AS n_a, COUNT(B.*) AS n_b, MATCH_NUMBER() AS mn
+    PATTERN ((A B)+ C)
+    DEFINE A AS tag = 'a', B AS tag = 'b', C AS tag = 'c'
+"""
+
+
+def _tag_df(spark, seq, k=1):
+    return spark.createDataFrame(
+        [(k, i, s) for i, s in enumerate(seq)], "k int, t int, tag string"
+    )
+
+
+def test_unbounded_group_batch_greedy(spark):
+    """(A B)+ C takes as many repetitions as the rows allow — the 2-rep
+    parse wins over 1-rep, and a later 1-rep occurrence still matches."""
+    out = match_recognize(
+        _tag_df(spark, ["a", "b", "a", "b", "c", "x", "a", "b", "c"]),
+        _GROUP_TAGS,
+    ).collect()
+    assert sorted((r.n_a, r.n_b) for r in out) == [(1, 1), (2, 2)]
+
+
+def test_unbounded_group_min_reps(spark):
+    """(A B){2,} C: occurrences with a single repetition do not match."""
+    out = match_recognize(
+        _tag_df(spark, ["a", "b", "a", "b", "c", "x", "a", "b", "c"]),
+        _GROUP_TAGS.replace("(A B)+", "(A B){2,}"),
+    ).collect()
+    assert [(r.n_a, r.n_b) for r in out] == [(2, 2)]
+
+
+def test_unbounded_group_star_and_prefix(spark):
+    """X? (A B)* C: the zero-repetition parse matches a bare C (after the
+    optional X), and the repeated parse still wins where reps exist."""
+    out = match_recognize(
+        _tag_df(spark, ["a", "b", "a", "b", "c", "x", "c"]),
+        """
+        PARTITION BY k ORDER BY t
+        MEASURES COUNT(A.*) AS n_a, FIRST(C.t) AS c_at
+        PATTERN (X? (A B)* C)
+        DEFINE A AS tag = 'a', B AS tag = 'b', C AS tag = 'c', X AS tag = 'x'
+        """,
+    ).collect()
+    assert sorted((r.n_a, r.c_at) for r in out) == [(0, 6), (2, 4)]
+
+
+def test_unbounded_group_equals_bounded_expansion(spark):
+    """On data whose longest run fits the bound, (A B)+ C and its bounded
+    flat expansion (A B){1,6} C are the same operator (same greediest-first
+    preference) — fuzz over random tag sequences, one partition per seq."""
+    import random
+
+    rng = random.Random(77)
+    rows = []
+    for k in range(24):
+        for i in range(30):
+            rows.append((k, i, rng.choice("aabbcx")))
+    df = spark.createDataFrame(rows, "k int, t int, tag string")
+    unb = match_recognize(df, _GROUP_TAGS).collect()
+    bnd = match_recognize(
+        df, _GROUP_TAGS.replace("(A B)+", "(A B){1,6}")
+    ).collect()
+    key = lambda r: (r.k, r.mn, r.n_a, r.n_b)  # noqa: E731
+    assert sorted(map(key, unb)) == sorted(map(key, bnd))
+    assert len(unb) > 5  # the fuzz actually produced matches
+
+
+def test_unbounded_group_empty_body_raises(spark):
+    with pytest.raises(ValueError, match="match empty"):
+        parse_match_recognize(
+            "PARTITION BY k ORDER BY t MEASURES COUNT(A.*) AS n "
+            "PATTERN ((A? B?)+ C) DEFINE A AS tag='a', B AS tag='b', "
+            "C AS tag='c'"
+        )
+
+
+def test_multiple_unbounded_groups_raise(spark):
+    with pytest.raises(NotImplementedError, match="unbounded sequence group"):
+        parse_match_recognize(
+            "PARTITION BY k ORDER BY t MEASURES COUNT(A.*) AS n "
+            "PATTERN ((A B)+ (C D)+) DEFINE A AS tag='a', B AS tag='b', "
+            "C AS tag='c', D AS tag='d'"
+        )
+
+
+def test_unbounded_group_streaming_matches_batch(spark, tmp_path):
+    """Repetitions split across micro-batches assemble in keyed state; the
+    result equals the batch parse (2 reps + closer)."""
+    rows = _mr_stream_run(
+        spark,
+        tmp_path,
+        [
+            [dict(user_id=1, ts_s=10, event_type="view"),
+             dict(user_id=1, ts_s=20, event_type="click")],
+            [dict(user_id=1, ts_s=30, event_type="view"),
+             dict(user_id=1, ts_s=40, event_type="click"),
+             dict(user_id=1, ts_s=50, event_type="purchase")],
+            [dict(user_id=1, ts_s=90, event_type="other")],
+            # advances the watermark past t=90 so the closer matures with a
+            # row AFTER it (a match ending on the frame edge is held)
+            [dict(user_id=1, ts_s=120, event_type="other")],
+        ],
+        """
+        PARTITION BY user_id ORDER BY ev_time
+        MEASURES COUNT(A.*) AS n_views, LAST(C.ts_s) AS end_s
+        PATTERN ((A B)+ C)
+        DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click',
+               C AS C.event_type = 'purchase'
+        """,
+    )
+    assert rows == {(1, 2, 50)}
+
+
+def test_streaming_holds_partial_group_repetition(spark, tmp_path):
+    """Frontier rule for variant patterns: after (A B) the next A opens a
+    SECOND repetition at the frame end — the 1-rep match must NOT emit
+    early, because the greedier 2-rep parse completes in a later batch.
+    (Also pins the same fix for bounded {1,2} expansions.)"""
+    for qi, quant in enumerate(("+", "{1,2}")):
+        clause = f"""
+        PARTITION BY user_id ORDER BY ev_time
+        MEASURES COUNT(A.*) AS n_views, COUNT(B.*) AS n_clicks
+        PATTERN ((A B){quant})
+        DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click'
+        """
+        sub = tmp_path / f"q{qi}"
+        sub.mkdir()
+        rows = _mr_stream_run(
+            spark,
+            sub,
+            [
+                [dict(user_id=1, ts_s=10, event_type="view"),
+                 dict(user_id=1, ts_s=20, event_type="click"),
+                 dict(user_id=1, ts_s=30, event_type="view")],
+                [dict(user_id=1, ts_s=40, event_type="click"),
+                 dict(user_id=1, ts_s=50, event_type="other")],
+                [dict(user_id=1, ts_s=99, event_type="other")],
+            ],
+            clause,
+        )
+        assert rows == {(1, 2, 2)}, quant
