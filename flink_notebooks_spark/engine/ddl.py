@@ -490,6 +490,12 @@ def parse_statement(sql: str) -> Parsed:
     if m:
         return Parsed(kind="show", show_what=m.group(1).lower(), sql=sql)
 
+    # SHOW CURRENT CATALOG / DATABASE (Flink statements; Spark SQL has no
+    # SHOW CURRENT CATALOG form, so both resolve here for one surface)
+    m = re.match(r"SHOW\s+CURRENT\s+(CATALOG|DATABASE)\s*$", up)
+    if m:
+        return Parsed(kind="show_current", value=m.group(1).lower(), sql=sql)
+
     # Flink session-cluster job statements (SHOW JOBS / DESCRIBE JOB 'id' /
     # STOP JOB 'id' [WITH SAVEPOINT] [WITH DRAIN]) — the SQL face of the
     # job monitor

@@ -531,6 +531,19 @@ class Engine:
         ]
         return ImmediateStatement(cols, rows)
 
+    def _exec_show_current(self, p: Parsed) -> Statement:
+        """SHOW CURRENT CATALOG / DATABASE — Flink's session-pointer
+        inspection statements (column names match Flink's output)."""
+        if p.value == "catalog":
+            return ImmediateStatement(
+                [ColumnInfo("current catalog name", "STRING", False)],
+                [[self.spark.catalog.currentCatalog()]],
+            )
+        return ImmediateStatement(
+            [ColumnInfo("current database name", "STRING", False)],
+            [[self.spark.catalog.currentDatabase()]],
+        )
+
     def _exec_use_catalog(self, p: Parsed) -> Statement:
         self.spark.catalog.setCurrentCatalog(p.name)
         return ok_statement("OK")

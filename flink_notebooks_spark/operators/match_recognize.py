@@ -56,10 +56,13 @@ the most repetitions the remaining frame can hold first (the same
 greediest-first preference as the bounded expansion, in the limit), and
 the streaming frontier rule holds any match whose greedier flattening was
 cut off by the end of the visible frame (frontier-contact tracking in the
-backtracker). Not supported (raise): more than one unbounded group in a
+backtracker). BOUNDED sequence groups also work as PERMUTE elements —
+``PERMUTE((A B), C)``, ``PERMUTE((A B){1,2}, C?)`` — compiled at parse
+time into flat variants (permutation preference first, then greediest
+repetition). Not supported (raise): more than one unbounded group in a
 pattern, nested quantifiers (``(B+)*``), groups able to match empty under
-unbounded repetition (``(A? B?)+``), and sequence groups inside PERMUTE
-(each raises rather than silently diverging).
+unbounded repetition (``(A? B?)+``), and UNBOUNDED group repetition
+inside PERMUTE (each raises rather than silently diverging).
 
 Scale design (the 100 TB argument):
 
@@ -258,6 +261,38 @@ def _expand_seq_groups(src: str) -> list[str]:
     return out
 
 
+def _tokenize_flat(src: str) -> list[PatternTerm]:
+    terms: list[PatternTerm] = []
+    consumed = 0
+    for q in _PAT_TOKEN.finditer(src):
+        if src[consumed : q.start()].strip():
+            raise ValueError(
+                f"MATCH_RECOGNIZE: bad pattern near {src[consumed:q.start()]!r}"
+            )
+        consumed = q.end()
+        token, quant = q.group(1), q.group(2)
+        if token.startswith("("):  # alternation group (A|B|...)
+            vars_ = [v.strip().upper() for v in token.strip("() \t").split("|")]
+        else:
+            vars_ = [token.upper()]
+        if quant is None:
+            lo, hi = 1, 1
+        elif quant == "+":
+            lo, hi = 1, None
+        elif quant == "*":
+            lo, hi = 0, None
+        elif quant == "?":
+            lo, hi = 0, 1
+        else:  # {n} / {n,} / {n,m}
+            lo = int(q.group(3))
+            hi = lo if q.group(4) is None else (int(q.group(5)) if q.group(5) else None)
+        terms.append(PatternTerm(vars_, lo, hi))
+    if src[consumed:].strip():
+        raise ValueError(f"MATCH_RECOGNIZE: bad pattern near {src[consumed:]!r}")
+    return terms
+
+
+
 def parse_match_recognize(clause: str) -> MatchSpec:
     """Parse the text INSIDE ``MATCH_RECOGNIZE ( ... )``."""
     all_rows = bool(re.search(r"\bALL\s+ROWS\s+PER\s+MATCH\b", clause, re.IGNORECASE))
@@ -286,22 +321,62 @@ def parse_match_recognize(clause: str) -> MatchSpec:
         raise ValueError("MATCH_RECOGNIZE: unbalanced PATTERN parens")
     pat_src = clause[pat_h.end() : pend]
     pattern: list[PatternTerm] = []
-    # PATTERN (PERMUTE (A, B+, C{2})): the SQL-standard permutation
+    alternatives = None
+    # PATTERN (PERMUTE (A, B+, (C D){2})): the SQL-standard permutation
     # alternation — equivalent to the alternation of every element ordering,
     # tried in lexicographic order of the written list. Elements are
-    # (optionally quantified) single variables; sequence groups raise.
+    # (optionally quantified) single variables, or BOUNDED-quantified
+    # sequence groups — group elements compile the permutations into flat
+    # pattern variants (permutation order outermost, then leftmost
+    # element's repetition count, greediest first). Unbounded group
+    # elements raise.
     perm_m = re.match(r"\s*PERMUTE\s*\((.*)\)\s*$", pat_src, re.IGNORECASE | re.DOTALL)
     permute = False
     if perm_m:
-        permute = True
-        for el in perm_m.group(1).split(","):
+        el_variants: list[list[list[PatternTerm]]] = []  # per element
+        any_group = False
+        for el in _split_permute_elements(perm_m.group(1)):
             el = el.strip()
+            gm = re.fullmatch(
+                r"\((.*)\)\s*(\+|\*|\?|\{(\d+)(,(\d*))?\})?", el, re.DOTALL
+            )
+            if gm and " " in gm.group(1).strip() and "|" not in gm.group(1):
+                body_src, quant = gm.group(1).strip(), gm.group(2)
+                if "(" in body_src:
+                    raise NotImplementedError(
+                        f"MATCH_RECOGNIZE: PERMUTE element {el!r} — nested "
+                        "groups inside a PERMUTE group element are not "
+                        "supported"
+                    )
+                if quant in ("+", "*") or (
+                    gm.group(4) is not None and gm.group(5) == ""
+                ):
+                    raise NotImplementedError(
+                        f"MATCH_RECOGNIZE: PERMUTE element {el!r} — unbounded "
+                        "group repetition inside PERMUTE is not supported "
+                        "(use a bounded {m,n} quantifier)"
+                    )
+                if quant is None:
+                    lo, hi = 1, 1
+                elif quant == "?":
+                    lo, hi = 0, 1
+                else:
+                    lo = int(gm.group(3))
+                    hi = lo if gm.group(4) is None else int(gm.group(5))
+                if hi < lo:
+                    raise ValueError(
+                        f"MATCH_RECOGNIZE: bad quantifier in PERMUTE element {el!r}"
+                    )
+                body = _tokenize_flat(body_src)
+                el_variants.append([body * r for r in range(hi, lo - 1, -1)])
+                any_group = True
+                continue
             em = re.fullmatch(r"(\w+)(\+|\*|\?|\{(\d+)(,(\d*))?\})?", el)
             if not em:
                 raise NotImplementedError(
                     f"MATCH_RECOGNIZE: PERMUTE element {el!r} — only "
-                    "(optionally quantified) single variables are supported "
-                    "inside PERMUTE"
+                    "(optionally quantified) single variables and bounded "
+                    "sequence groups are supported inside PERMUTE"
                 )
             quant = em.group(2)
             if quant is None:
@@ -317,42 +392,38 @@ def parse_match_recognize(clause: str) -> MatchSpec:
                 hi = lo if em.group(4) is None else (
                     int(em.group(5)) if em.group(5) else None
                 )
-            pattern.append(PatternTerm([em.group(1).upper()], lo, hi))
-        if len(pattern) < 2:
+            el_variants.append([[PatternTerm([em.group(1).upper()], lo, hi)]])
+        if len(el_variants) < 2:
             raise ValueError("MATCH_RECOGNIZE: PERMUTE needs at least two variables")
-        pat_src = ""
-    def _tokenize_flat(src: str) -> list[PatternTerm]:
-        terms: list[PatternTerm] = []
-        consumed = 0
-        for q in _PAT_TOKEN.finditer(src):
-            if src[consumed : q.start()].strip():
-                raise ValueError(
-                    f"MATCH_RECOGNIZE: bad pattern near {src[consumed:q.start()]!r}"
-                )
-            consumed = q.end()
-            token, quant = q.group(1), q.group(2)
-            if token.startswith("("):  # alternation group (A|B|...)
-                vars_ = [v.strip().upper() for v in token.strip("() \t").split("|")]
-            else:
-                vars_ = [token.upper()]
-            if quant is None:
-                lo, hi = 1, 1
-            elif quant == "+":
-                lo, hi = 1, None
-            elif quant == "*":
-                lo, hi = 0, None
-            elif quant == "?":
-                lo, hi = 0, 1
-            else:  # {n} / {n,} / {n,m}
-                lo = int(q.group(3))
-                hi = lo if q.group(4) is None else (int(q.group(5)) if q.group(5) else None)
-            terms.append(PatternTerm(vars_, lo, hi))
-        if src[consumed:].strip():
-            raise ValueError(f"MATCH_RECOGNIZE: bad pattern near {src[consumed:]!r}")
-        return terms
+        if not any_group:
+            # plain-variable PERMUTE: permutations enumerated at match time
+            permute = True
+            pattern = [v[0][0] for v in el_variants]
+        else:
+            # group-bearing PERMUTE: compile every (ordering × repetition
+            # choice) into a flat variant, preference order = permutation
+            # first (lexicographic), then leftmost element greediest
+            import itertools
 
-    alternatives = None
-    if not permute:
+            variant_lists: list[list[PatternTerm]] = []
+            for perm in itertools.permutations(range(len(el_variants))):
+                for combo in itertools.product(
+                    *(el_variants[j] for j in perm)
+                ):
+                    flat = [t for part in combo for t in part]
+                    if flat:
+                        variant_lists.append(flat)
+                    if len(variant_lists) > _MAX_PATTERN_VARIANTS:
+                        raise ValueError(
+                            "MATCH_RECOGNIZE: PERMUTE expansion exceeds "
+                            f"{_MAX_PATTERN_VARIANTS} pattern variants"
+                        )
+            if not variant_lists:
+                raise ValueError("MATCH_RECOGNIZE: PERMUTE can only match empty")
+            pattern = variant_lists[0]
+            alternatives = variant_lists
+        pat_src = ""
+    if not permute and alternatives is None:
         src2, ub = _extract_unbounded_group(pat_src)
         body_terms = None
         if ub is not None:
@@ -460,6 +531,24 @@ def parse_match_recognize(clause: str) -> MatchSpec:
         permute=permute,
         alternatives=alternatives,
     )
+
+
+def _split_permute_elements(s: str) -> list[str]:
+    """Split PERMUTE's element list on commas outside parens AND braces —
+    a bounded quantifier ``{2,5}`` carries a comma of its own."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "({":
+            depth += 1
+        elif ch in ")}":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
 
 
 def _split_top_level(s: str) -> list[str]:

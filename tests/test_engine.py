@@ -1153,3 +1153,15 @@ def test_analyze_table_compute_statistics(engine, tmp_path):
         engine.execute_sql("ANALYZE TABLE an_t COMPUTE STATISTICS FOR ALL COLUMNS")
     )]
     assert {r[1] for r in all_rows} == {"", "id", "v"}
+
+
+def test_show_current_catalog_and_database(engine):
+    """Flink's session-pointer statements (SHOW CURRENT CATALOG has no
+    Spark-SQL equivalent form; both resolve in the engine with Flink's
+    column names)."""
+    pg = engine.execute_sql("SHOW CURRENT CATALOG").fetch(0)
+    assert [c.name for c in pg.columns] == ["current catalog name"]
+    assert pg.data[0]["fields"] == ["spark_catalog"]
+    pg = engine.execute_sql("SHOW CURRENT DATABASE").fetch(0)
+    assert [c.name for c in pg.columns] == ["current database name"]
+    assert pg.data[0]["fields"] == ["default"]

@@ -1181,10 +1181,20 @@ def test_permute_three_vars_and_skip_past(spark):
     assert got == {(1, 20, 30, 10), (1, 60, 40, 50)}
 
 
-def test_permute_rejects_sequence_group_elements(spark):
+def test_permute_group_elements_expand_to_alternatives(spark):
+    """Bounded sequence groups are valid PERMUTE elements now — compiled to
+    flat variants at parse time (2 orderings here). Alternation-group
+    elements remain unsupported."""
+    spec = parse_match_recognize(
+        "ORDER BY ts_s MEASURES A.ts_s AS x PATTERN (PERMUTE ((A B), C)) "
+        "DEFINE A AS A.ts_s > 0"
+    )
+    assert not spec.permute and len(spec.alternatives) == 2
+    assert [t.vars for t in spec.alternatives[0]] == [["A"], ["B"], ["C"]]
+    assert [t.vars for t in spec.alternatives[1]] == [["C"], ["A"], ["B"]]
     with pytest.raises(NotImplementedError, match="PERMUTE element"):
         parse_match_recognize(
-            "ORDER BY ts_s MEASURES A.ts_s AS x PATTERN (PERMUTE ((A B), C)) "
+            "ORDER BY ts_s MEASURES A.ts_s AS x PATTERN (PERMUTE ((A|B), C)) "
             "DEFINE A AS A.ts_s > 0"
         )
 
@@ -1692,3 +1702,86 @@ def test_streaming_holds_partial_group_repetition(spark, tmp_path):
             clause,
         )
         assert rows == {(1, 2, 2)}, quant
+
+
+# -------------------------------------- sequence groups inside PERMUTE
+
+
+def test_permute_with_group_element(spark):
+    """PERMUTE((A B), C) matches both orderings of the block and the single
+    variable — but never an interleaving."""
+    clause = """
+    PARTITION BY k ORDER BY t
+    MEASURES FIRST(A.t) AS a_at, FIRST(C.t) AS c_at, MATCH_NUMBER() AS mn
+    PATTERN (PERMUTE ((A B), C))
+    DEFINE A AS tag = 'a', B AS tag = 'b', C AS tag = 'c'
+    """
+    # seq1: a b c (block first); seq2: c a b (C first); seq3: a c b (interleaved)
+    out = match_recognize(_tag_df(spark, ["a", "b", "c"], k=1), clause).collect()
+    assert [(r.a_at, r.c_at) for r in out] == [(0, 2)]
+    out = match_recognize(_tag_df(spark, ["c", "a", "b"], k=2), clause).collect()
+    assert [(r.a_at, r.c_at) for r in out] == [(1, 0)]
+    out = match_recognize(_tag_df(spark, ["a", "c", "b"], k=3), clause).collect()
+    assert out == []
+
+
+def test_permute_group_quantified_and_optional(spark):
+    """PERMUTE((A B){1,2}, C?): the block repeats greedily and the optional
+    element may be absent."""
+    clause = """
+    PARTITION BY k ORDER BY t
+    MEASURES COUNT(A.*) AS n_a, COUNT(C.*) AS n_c
+    PATTERN (PERMUTE ((A B){1,2}, C?))
+    DEFINE A AS tag = 'a', B AS tag = 'b', C AS tag = 'c'
+    """
+    out = match_recognize(
+        _tag_df(spark, ["a", "b", "a", "b", "c"]), clause
+    ).collect()
+    assert [(r.n_a, r.n_c) for r in out] == [(2, 1)]
+    out = match_recognize(_tag_df(spark, ["a", "b", "x"]), clause).collect()
+    assert [(r.n_a, r.n_c) for r in out] == [(1, 0)]
+
+
+def test_permute_unbounded_group_element_raises(spark):
+    with pytest.raises(NotImplementedError, match="unbounded"):
+        parse_match_recognize(
+            "ORDER BY t MEASURES COUNT(A.*) AS n "
+            "PATTERN (PERMUTE ((A B)+, C)) DEFINE A AS tag='a'"
+        )
+
+
+def test_permute_plain_variables_still_runtime_enumerated(spark):
+    """All-single-variable PERMUTE keeps the match-time permutation path
+    (spec.permute), not a parse-time expansion."""
+    spec = parse_match_recognize(
+        "ORDER BY t MEASURES COUNT(A.*) AS n "
+        "PATTERN (PERMUTE (A, B+, C{2})) DEFINE A AS tag='a'"
+    )
+    assert spec.permute and spec.alternatives is None
+    assert [(t.vars, t.lo, t.hi) for t in spec.pattern] == [
+        (["A"], 1, 1), (["B"], 1, None), (["C"], 2, 2)
+    ]
+
+
+def test_permute_group_streaming_matches_batch(spark, tmp_path):
+    """Group-bearing PERMUTE goes through the same keyed-state matcher:
+    the C-first ordering assembled across micro-batches emits once."""
+    rows = _mr_stream_run(
+        spark,
+        tmp_path,
+        [
+            [dict(user_id=1, ts_s=10, event_type="purchase"),
+             dict(user_id=1, ts_s=20, event_type="view")],
+            [dict(user_id=1, ts_s=30, event_type="click"),
+             dict(user_id=1, ts_s=40, event_type="other")],
+            [dict(user_id=1, ts_s=99, event_type="other")],
+        ],
+        """
+        PARTITION BY user_id ORDER BY ev_time
+        MEASURES FIRST(A.ts_s) AS a_s, FIRST(C.ts_s) AS c_s
+        PATTERN (PERMUTE ((A B), C))
+        DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click',
+               C AS C.event_type = 'purchase'
+        """,
+    )
+    assert rows == {(1, 20, 10)}
