@@ -194,7 +194,10 @@ def _extract_unbounded_group(src: str):
         unbounded = quant in ("+", "*") or (
             m.group(4) is not None and m.group(5) == ""
         )
-        if " " not in body or not unbounded:
+        if not unbounded:
+            return m.group(0)
+        if " " not in body and not re.search(r"[+*?{]", body):
+            # (B)+ ≡ B+: redundant parens, the bounded expander rewrites it
             return m.group(0)
         if found:
             raise NotImplementedError(
@@ -224,15 +227,16 @@ def _expand_seq_groups(src: str) -> list[str]:
     # alternation groups (A|B) never match this regex (their '|' breaks the
     # token sequence), so anything matched here is a sequence group
     body, quant = m.group(1).strip(), m.group(2)
-    if " " not in body:
-        # single-element group: parens are redundant — (B)+ ≡ B+
-        if quant and re.search(r"[+*?{]", body):
-            raise NotImplementedError(
-                f"MATCH_RECOGNIZE: nested quantifiers {m.group(0).strip()!r}"
-            )
+    if " " not in body and not (quant and re.search(r"[+*?{]", body)):
+        # single-element group without nesting: parens are redundant —
+        # (B)+ ≡ B+, (B){2,3} ≡ B{2,3}
         return _expand_seq_groups(
             f"{src[: m.start()]} {body}{quant or ''} {src[m.end():]}"
         )
+    # NESTED quantifier on a single element with a BOUNDED outer count —
+    # (B+){2}, (B{2,3}){1,2} — expands to consecutive copies of the
+    # quantified token ((B+){2} ≡ B+ B+), greediest (most copies) first;
+    # the unbounded-outer form was extracted to a GroupTerm before this.
     if quant is None:
         lo, hi = 1, 1
     elif quant == "?":

@@ -2136,6 +2136,61 @@ def doc_repetition(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# T6b. corpus-level n-gram frequency table — the training-data analysis
+#      staple (boilerplate discovery, contamination screening, memorization
+#      risk triage all start from "which n-grams dominate the corpus").
+# ---------------------------------------------------------------------------
+CORPUS_NGRAM_MIN_DF = 2  # keep trigrams seen in >= 2 documents
+CORPUS_NGRAM_TOPK = 200
+
+
+@query(
+    "corpus_ngrams",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {SQL_WORDS} AS ws FROM documents),
+    g AS (SELECT doc_id,
+                 ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+          FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+          WHERE len(ws) >= 3),
+    dg AS (SELECT gram, doc_id, COUNT(*) AS tf FROM g GROUP BY gram, doc_id),
+    agg AS (SELECT gram, CAST(SUM(tf) AS BIGINT) AS tf, COUNT(*) AS df
+            FROM dg GROUP BY gram)
+    SELECT gram, tf, df FROM agg WHERE df >= {CORPUS_NGRAM_MIN_DF}
+    ORDER BY tf DESC, gram LIMIT {CORPUS_NGRAM_TOPK}
+    """,
+)
+def corpus_ngrams(spark, sf_dir):
+    """Top-K corpus trigrams with total frequency and document frequency.
+
+    100 TB design: trigram construction is a map-side JVM higher-order
+    ``transform`` over the shared token scan (no Python). The FIRST
+    aggregation keys on (gram, doc_id) with map-side partial combine, so a
+    gram's skew is bounded by one document's repetitions before the
+    gram-level rollup — and document frequency then becomes a plain
+    COUNT(*) over the pre-aggregate instead of a COUNT(DISTINCT)
+    shuffle-expand. The final top-K is TakeOrdered, not a global sort.
+    """
+    t = tokenized_docs(spark, sf_dir)
+    g = t.filter(F.expr("size(ws) >= 3")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 3), "
+                "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
+            )
+        ).alias("gram"),
+    )
+    per_doc = g.groupBy("gram", "doc_id").agg(F.count("*").alias("tf"))
+    return (
+        per_doc.groupBy("gram")
+        .agg(F.sum("tf").alias("tf"), F.count("*").alias("df"))
+        .filter(F.col("df") >= CORPUS_NGRAM_MIN_DF)
+        .orderBy(F.desc("tf"), "gram")
+        .limit(CORPUS_NGRAM_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
 # D13. PII scrubbing as a declared pipeline stage. The synthetic corpus has
 #      no real PII, so the query PLANTS deterministic PII derived from
 #      doc_id, then scrubs it — the oracle plants and scrubs identically, so

@@ -1785,3 +1785,61 @@ def test_permute_group_streaming_matches_batch(spark, tmp_path):
         """,
     )
     assert rows == {(1, 20, 10)}
+
+
+def test_nested_quantifier_bounded_outer(spark):
+    """(B+){2} expands to two consecutive B+ runs — together they must
+    consume the whole b-run; (B{2,3}){1,2} composes counts 2..6."""
+    out = match_recognize(
+        _tag_df(spark, ["b", "b", "b", "c"]),
+        """
+        PARTITION BY k ORDER BY t
+        MEASURES COUNT(B.*) AS n_b
+        PATTERN ((B+){2} C)
+        DEFINE B AS tag = 'b', C AS tag = 'c'
+        """,
+    ).collect()
+    assert [r.n_b for r in out] == [3]
+    out = match_recognize(
+        _tag_df(spark, ["b"] * 5 + ["x"]),
+        """
+        PARTITION BY k ORDER BY t
+        MEASURES COUNT(B.*) AS n_b
+        PATTERN ((B{2,3}){1,2})
+        DEFINE B AS tag = 'b'
+        """,
+    ).collect()
+    assert [r.n_b for r in out] == [5]
+
+
+def test_nested_quantifier_unbounded_outer(spark):
+    """(B{2})+ C: repetitions of an exactly-two run — three b's can only
+    use one repetition, so the match starts at the second b."""
+    out = match_recognize(
+        _tag_df(spark, ["b", "b", "b", "c"]),
+        """
+        PARTITION BY k ORDER BY t
+        MEASURES COUNT(B.*) AS n_b, FIRST(B.t) AS b0
+        PATTERN ((B{2})+ C)
+        DEFINE B AS tag = 'b', C AS tag = 'c'
+        """,
+    ).collect()
+    assert [(r.n_b, r.b0) for r in out] == [(2, 1)]
+    out = match_recognize(
+        _tag_df(spark, ["b", "b", "b", "b", "c"]),
+        """
+        PARTITION BY k ORDER BY t
+        MEASURES COUNT(B.*) AS n_b
+        PATTERN ((B{2})+ C)
+        DEFINE B AS tag = 'b', C AS tag = 'c'
+        """,
+    ).collect()
+    assert [r.n_b for r in out] == [4]
+
+
+def test_nested_quantifier_empty_body_raises(spark):
+    with pytest.raises(ValueError, match="match empty"):
+        parse_match_recognize(
+            "ORDER BY t MEASURES COUNT(B.*) AS n PATTERN ((B*)+ C) "
+            "DEFINE B AS tag='b'"
+        )
