@@ -2039,6 +2039,25 @@ def tf_quality_features(spark, sf_dir):
 TF_BROADCAST_CAP = 2_000_000
 
 
+def _word_freq_joined(spark, sf_dir, broadcast_cap: int = TF_BROADCAST_CAP):
+    """(doc_id, word, n_occ): every word occurrence joined to its corpus
+    frequency — the shared first pass of the corpus-frequency features.
+    The frequency table is vocabulary-sized (unbounded at web scale), so
+    the join is split: a CAPPED broadcast head of the most frequent words
+    resolves the overwhelming share of occurrences map-side (Zipf), and
+    the residual tail resolves through an ordinary shuffle join carrying
+    only the tail occurrences. Exact at any cap; tests pin cap-invariance."""
+    t = tokenized_docs(spark, sf_dir)
+    w = t.select("doc_id", F.explode("ws").alias("word"))
+    freq = w.groupBy("word").agg(F.count("*").alias("n_occ"))
+    # deterministic top-K head; above the TakeOrdered threshold this compiles
+    # to a parallel range sort + global limit, never a driver collect
+    head = freq.orderBy(F.desc("n_occ"), "word").limit(broadcast_cap)
+    hit = w.join(F.broadcast(head), "word")
+    miss = w.join(F.broadcast(head.select("word")), "word", "left_anti").join(freq, "word")
+    return hit.unionByName(miss)
+
+
 def _tf_quality_features(spark, sf_dir, broadcast_cap: int = TF_BROADCAST_CAP):
     """Two-pass corpus-frequency features: (1) build the term-frequency
     table (one shuffle on word), (2) score each document against it.
@@ -2056,16 +2075,8 @@ def _tf_quality_features(spark, sf_dir, broadcast_cap: int = TF_BROADCAST_CAP):
     All features derive from integer counts (sums exact in doubles ≪ 2^53),
     so values are bit-stable at any parallelism — the same determinism rule
     the money aggregates use (README scale notes)."""
-    t = tokenized_docs(spark, sf_dir)
-    w = t.select("doc_id", F.explode("ws").alias("word"))
-    freq = w.groupBy("word").agg(F.count("*").alias("n_occ"))
-    # deterministic top-K head; above the TakeOrdered threshold this compiles
-    # to a parallel range sort + global limit, never a driver collect
-    head = freq.orderBy(F.desc("n_occ"), "word").limit(broadcast_cap)
-    hit = w.join(F.broadcast(head), "word")
-    miss = w.join(F.broadcast(head.select("word")), "word", "left_anti").join(freq, "word")
     return (
-        hit.unionByName(miss)
+        _word_freq_joined(spark, sf_dir, broadcast_cap)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_words"),
@@ -2130,6 +2141,60 @@ def doc_repetition(spark, sf_dir):
             F.round(1.0 - F.col("n_distinct").cast("double") / F.col("n_grams"), 6).alias(
                 "rep_ratio"
             ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D11b. unigram negative log-likelihood — the classic cheap perplexity proxy
+#       (a real LM scorer would sit behind a Pandas-UDF inference stage; the
+#       corpus-unigram model is the standard no-model baseline and exercises
+#       the identical two-pass frequency machinery)
+# ---------------------------------------------------------------------------
+@query(
+    "unigram_logprob",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, unnest({SQL_WORDS}) AS word FROM documents),
+    f AS (SELECT word, COUNT(*) AS n_occ FROM w GROUP BY word),
+    n AS (SELECT COUNT(*) AS total FROM w),
+    j AS (SELECT w.doc_id, CAST(ROUND(LN(f.n_occ), 9) AS DECIMAL(28,9)) AS l
+          FROM w JOIN f USING (word))
+    SELECT j.doc_id, COUNT(*) AS n_words,
+           ROUND(ROUND(LN((SELECT total FROM n)), 9)
+                 - CAST(SUM(j.l) AS DOUBLE) / COUNT(*), 6) AS nll
+    FROM j GROUP BY j.doc_id ORDER BY j.doc_id
+    """,
+)
+def unigram_logprob(spark, sf_dir):
+    """Per-document mean negative log-likelihood under the corpus unigram
+    model: avg over words of −ln(n_occ/N) = ln(N) − avg(ln n_occ). Low =
+    boilerplate (all frequent words), high = gibberish/rare-token soup —
+    the two tails a quality filter cuts.
+
+    Numeric determinism: each word's ln(n_occ) is rounded to 9 decimals and
+    summed as DECIMAL(28,9) — exact, order-independent addition — so the
+    result is bit-stable at any parallelism AND engine-independent (a raw
+    double sum would vary with partial-aggregation order and diverge from
+    the oracle's own summation order). The frequency join reuses the
+    capped-broadcast head + exact shuffle tail of tf_quality_features."""
+    joined = _word_freq_joined(spark, sf_dir)
+    tot = joined.agg(F.count("*").alias("total"))
+    per_doc = (
+        joined.withColumn("l", F.round(F.log("n_occ"), 9).cast("decimal(28,9)"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_words"), F.sum("l").alias("sl"))
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(
+                F.round(F.log("total"), 9)
+                - F.col("sl").cast("double") / F.col("n_words"),
+                6,
+            ).alias("nll"),
         )
         .orderBy("doc_id")
     )

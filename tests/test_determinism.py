@@ -32,6 +32,11 @@ INVARIANT_QUERIES = [
     #   knn_label_vote       — broadcast vote set + count/argmax window
     "ann_lsh_topk",
     "knn_label_vote",
+    #   corpus_ngrams        — integer tf/df + total-ordered TakeOrdered
+    #   unigram_logprob      — DECIMAL-summed rounded ln terms (a raw
+    #                          double sum would fail this very test)
+    "corpus_ngrams",
+    "unigram_logprob",
 ]
 
 
