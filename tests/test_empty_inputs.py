@@ -25,6 +25,9 @@ EMPTY_QUERIES = [
     # profile_table_sketch is excluded like profile_table: a profile of an
     # empty table is one row per column (n=0), not zero rows
     "text_stats",
+    "corpus_ngrams",
+    "unigram_logprob",
+    "doc_repetition",
     "lang_id",
     "token_count",
     "doc_fingerprint",

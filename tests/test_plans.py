@@ -252,6 +252,12 @@ SHUFFLE_BUDGET = {
     "doc_fingerprint": 1,
     "curation_split": 2,
     "events_retention": 4,     # distinct + user-window + cell agg + sort
+    # token-cache repartition + (gram, doc_id) pre-agg + gram rollup; the
+    # pre-agg exchange is inserted conservatively at static planning (the
+    # cache's adaptive child hides its doc_id partitioning) and AQE elides
+    # it at runtime — the executed plan runs ONE gram-keyed shuffle. Top-K
+    # is TakeOrdered either way.
+    "corpus_ngrams": 3,
 }
 
 

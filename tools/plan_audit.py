@@ -45,6 +45,8 @@ HEADLINE = [
     ("pii_scrub", "map-only regexp_replace chain"),
     ("corpus_mix_sample", "hash-stable per-source sampling, map-only until agg"),
     ("events_retention", "cohort retention: distinct → user-window min → cell agg"),
+    ("corpus_ngrams", "corpus trigram table: (gram, doc_id) pre-agg → gram rollup → TakeOrdered"),
+    ("unigram_logprob", "unigram NLL: capped-broadcast head + exact tail, DECIMAL-summed ln terms"),
 ]
 
 
