@@ -2376,6 +2376,102 @@ def dedup_substring(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# E3. ordered conversion funnel — first view, first click AFTER that view,
+#     first purchase AFTER that click, per user; step counts + conversion
+#     rates + mean step latencies (the other canonical product-analytics
+#     composite next to retention/sessionize)
+# ---------------------------------------------------------------------------
+@query(
+    "events_funnel",
+    oracle="""
+    WITH d AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1,
+             ts, event_type
+      FROM events),
+    d2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                       OVER (PARTITION BY user_id) AS t2 FROM d),
+    d3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                       OVER (PARTITION BY user_id) AS t3 FROM d2),
+    u AS (SELECT user_id, MIN(t1) AS t1, MIN(t2) AS t2, MIN(t3) AS t3
+          FROM d3 GROUP BY user_id)
+    SELECT COUNT(t1) AS n_view_users, COUNT(t2) AS n_click_users,
+           COUNT(t3) AS n_purchase_users,
+           ROUND(CAST(COUNT(t2) AS DOUBLE) / NULLIF(COUNT(t1), 0), 6)
+             AS view_to_click_rate,
+           ROUND(CAST(COUNT(t3) AS DOUBLE) / NULLIF(COUNT(t2), 0), 6)
+             AS click_to_purchase_rate,
+           ROUND(CAST(SUM(date_diff('microsecond', t1, t2)) AS DOUBLE)
+                 / NULLIF(COUNT(t2), 0) / 1e6, 6) AS avg_view_to_click_s,
+           ROUND(CAST(SUM(date_diff('microsecond', t2, t3)) AS DOUBLE)
+                 / NULLIF(COUNT(t3), 0) / 1e6, 6) AS avg_click_to_purchase_s
+    FROM u
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Strictly-ordered three-step funnel. Plan shape: the raw events are
+    touched ONCE and shuffled ONCE (user_id); the three step timestamps are
+    unbounded windows over that same partitioning (no sort, no join-back —
+    the events_retention trim), the per-user collapse reuses the
+    partitioning, and the final roll-up is a single-row aggregate. Step
+    latencies sum exact integer microseconds, so every output value is a
+    deterministic function of integer counts/sums — bit-stable at any
+    parallelism and identical to the oracle's arithmetic."""
+    w = Window.partitionBy("user_id")
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    d = e.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    d = d.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    d = d.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    # one row per user — t1/t2/t3 are constant within the user partition,
+    # and the groupBy rides the window's user partitioning (no new shuffle)
+    u = d.groupBy("user_id").agg(
+        F.first("t1").alias("t1"), F.first("t2").alias("t2"), F.first("t3").alias("t3")
+    )
+    return u.agg(
+        F.count("t1").alias("n_view_users"),
+        F.count("t2").alias("n_click_users"),
+        F.count("t3").alias("n_purchase_users"),
+        F.round(
+            F.count("t2").cast("double") / F.nullif(F.count("t1"), F.lit(0)), 6
+        ).alias("view_to_click_rate"),
+        F.round(
+            F.count("t3").cast("double") / F.nullif(F.count("t2"), F.lit(0)), 6
+        ).alias("click_to_purchase_rate"),
+        F.round(
+            F.sum(F.expr("timestampdiff(MICROSECOND, t1, t2)")).cast("double")
+            / F.nullif(F.count("t2"), F.lit(0))
+            / 1e6,
+            6,
+        ).alias("avg_view_to_click_s"),
+        F.round(
+            F.sum(F.expr("timestampdiff(MICROSECOND, t2, t3)")).cast("double")
+            / F.nullif(F.count("t3"), F.lit(0))
+            / 1e6,
+            6,
+        ).alias("avg_click_to_purchase_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # E1. cohort retention — the events-warehouse composite every product
 #     analytics stack runs (cohort by first-seen day, distinct-user
 #     retention at day offsets)

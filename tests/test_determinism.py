@@ -37,6 +37,8 @@ INVARIANT_QUERIES = [
     #                          double sum would fail this very test)
     "corpus_ngrams",
     "unigram_logprob",
+    #   events_funnel        — integer-microsecond latency sums
+    "events_funnel",
 ]
 
 

@@ -258,6 +258,9 @@ SHUFFLE_BUDGET = {
     # it at runtime — the executed plan runs ONE gram-keyed shuffle. Top-K
     # is TakeOrdered either way.
     "corpus_ngrams": 3,
+    # ONE user-keyed shuffle feeds all three step windows AND the per-user
+    # collapse; the second exchange is the single-row final roll-up
+    "events_funnel": 2,
 }
 
 
