@@ -59,7 +59,9 @@ cut off by the end of the visible frame (frontier-contact tracking in the
 backtracker). BOUNDED sequence groups also work as PERMUTE elements —
 ``PERMUTE((A B), C)``, ``PERMUTE((A B){1,2}, C?)`` — compiled at parse
 time into flat variants (permutation preference first, then greediest
-repetition). Not supported (raise): more than one unbounded group in a
+repetition); alternation groups as PERMUTE elements
+(``PERMUTE((A|B), C)``) stay on the match-time permutation path as
+multi-variable terms. Not supported (raise): more than one unbounded group in a
 pattern, nested quantifiers (``(B+)*``), groups able to match empty under
 unbounded repetition (``(A? B?)+``), and UNBOUNDED group repetition
 inside PERMUTE (each raises rather than silently diverging).
@@ -375,12 +377,17 @@ def parse_match_recognize(clause: str) -> MatchSpec:
                 el_variants.append([body * r for r in range(hi, lo - 1, -1)])
                 any_group = True
                 continue
-            em = re.fullmatch(r"(\w+)(\+|\*|\?|\{(\d+)(,(\d*))?\})?", el)
+            em = re.fullmatch(
+                r"(\w+|\(\s*\w+(?:\s*\|\s*\w+)+\s*\))"  # VAR or (A|B|...)
+                r"(\+|\*|\?|\{(\d+)(,(\d*))?\})?",
+                el,
+            )
             if not em:
                 raise NotImplementedError(
                     f"MATCH_RECOGNIZE: PERMUTE element {el!r} — only "
-                    "(optionally quantified) single variables and bounded "
-                    "sequence groups are supported inside PERMUTE"
+                    "(optionally quantified) single variables, alternation "
+                    "groups, and bounded sequence groups are supported "
+                    "inside PERMUTE"
                 )
             quant = em.group(2)
             if quant is None:
@@ -396,7 +403,13 @@ def parse_match_recognize(clause: str) -> MatchSpec:
                 hi = lo if em.group(4) is None else (
                     int(em.group(5)) if em.group(5) else None
                 )
-            el_variants.append([[PatternTerm([em.group(1).upper()], lo, hi)]])
+            tok = em.group(1)
+            vars_ = (
+                [v.strip().upper() for v in tok.strip("() \t").split("|")]
+                if tok.startswith("(")
+                else [tok.upper()]
+            )
+            el_variants.append([[PatternTerm(vars_, lo, hi)]])
         if len(el_variants) < 2:
             raise ValueError("MATCH_RECOGNIZE: PERMUTE needs at least two variables")
         if not any_group:

@@ -1192,10 +1192,19 @@ def test_permute_group_elements_expand_to_alternatives(spark):
     assert not spec.permute and len(spec.alternatives) == 2
     assert [t.vars for t in spec.alternatives[0]] == [["A"], ["B"], ["C"]]
     assert [t.vars for t in spec.alternatives[1]] == [["C"], ["A"], ["B"]]
+    # alternation-group elements stay on the match-time permute path as
+    # multi-variable terms
+    spec2 = parse_match_recognize(
+        "ORDER BY ts_s MEASURES A.ts_s AS x PATTERN (PERMUTE ((A|B), C)) "
+        "DEFINE A AS A.ts_s > 0"
+    )
+    assert spec2.permute and spec2.alternatives is None
+    assert [t.vars for t in spec2.pattern] == [["A", "B"], ["C"]]
+    # nested sequence groups inside a PERMUTE group element still raise
     with pytest.raises(NotImplementedError, match="PERMUTE element"):
         parse_match_recognize(
-            "ORDER BY ts_s MEASURES A.ts_s AS x PATTERN (PERMUTE ((A|B), C)) "
-            "DEFINE A AS A.ts_s > 0"
+            "ORDER BY ts_s MEASURES A.ts_s AS x "
+            "PATTERN (PERMUTE (((A B) C), D)) DEFINE A AS A.ts_s > 0"
         )
 
 
@@ -1843,3 +1852,131 @@ def test_nested_quantifier_empty_body_raises(spark):
             "ORDER BY t MEASURES COUNT(B.*) AS n PATTERN ((B*)+ C) "
             "DEFINE B AS tag='b'"
         )
+
+
+def test_permute_alternation_group_element(spark):
+    """PERMUTE((A|B), C): the alternation element matches either variable,
+    in either order relative to C."""
+    clause = """
+    PARTITION BY k ORDER BY t
+    MEASURES FIRST(C.t) AS c_at, COUNT(A.*) AS n_a, COUNT(B.*) AS n_b
+    PATTERN (PERMUTE ((A|B), C))
+    DEFINE A AS tag = 'a', B AS tag = 'b', C AS tag = 'c'
+    """
+    out = match_recognize(_tag_df(spark, ["b", "c"], k=1), clause).collect()
+    assert [(r.c_at, r.n_a, r.n_b) for r in out] == [(1, 0, 1)]
+    out = match_recognize(_tag_df(spark, ["c", "a"], k=2), clause).collect()
+    assert [(r.c_at, r.n_a, r.n_b) for r in out] == [(0, 1, 0)]
+    out = match_recognize(_tag_df(spark, ["c", "x", "a"], k=3), clause).collect()
+    assert out == []
+
+
+def test_unbounded_group_stream_fuzz_parity(spark, tmp_path):
+    """Randomized tag sequences over multiple keys, random micro-batch
+    splits: streaming (A B)+ C must equal the batch parse exactly (the
+    frontier-contact hold may only DELAY emission, never change it)."""
+    import random
+
+    rng = random.Random(1234)
+    clause = """
+    PARTITION BY user_id ORDER BY ev_time
+    MEASURES FIRST(A.ts_s) AS a0, COUNT(A.*) AS n_a, COUNT(B.*) AS n_b,
+             LAST(C.ts_s) AS c_at
+    PATTERN ((A B)+ C)
+    DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click',
+           C AS C.event_type = 'purchase'
+    """
+    rows = []
+    for uid in range(1, 7):
+        # structured-random: bursts of (view click) repetitions, sometimes
+        # closed by a purchase, separated by noise — guarantees matches
+        # while leaving rep counts, closers, and noise random
+        tags = []
+        for _ in range(rng.randint(2, 4)):
+            for _ in range(rng.randint(1, 3)):
+                tags += ["view", "click"]
+            if rng.random() < 0.7:
+                tags.append("purchase")
+            tags += [rng.choice(["other", "view", "click"])] * rng.randint(0, 2)
+        for i, t in enumerate(tags):
+            rows.append(dict(user_id=uid, ts_s=10 * (i + 1), event_type=t))
+    batch = spark.createDataFrame(
+        [(r["user_id"], r["ts_s"], r["event_type"]) for r in rows],
+        "user_id long, ts_s long, event_type string",
+    ).withColumn("ev_time", F.timestamp_seconds("ts_s"))
+    want = {
+        tuple(r)
+        for r in match_recognize(batch, clause.replace("ev_time", "ts_s")).collect()
+    }
+    assert len(want) > 3  # the fuzz produced real matches
+
+    # random contiguous batch split per key order: sort rows by (ts, uid)
+    # so event-time arrival is plausible, then cut into 4 files
+    rows.sort(key=lambda r: (r["ts_s"], r["user_id"]))
+    cuts = sorted(rng.sample(range(1, len(rows)), 3))
+    files = [
+        rows[: cuts[0]], rows[cuts[0] : cuts[1]], rows[cuts[1] : cuts[2]],
+        rows[cuts[2] :],
+        [dict(user_id=99, ts_s=10000, event_type="other")],
+    ]
+    got = _mr_stream_run(
+        spark, tmp_path, files, clause, close_after="1 second",
+        schema="user_id long, ts_s long, event_type string, ev_time timestamp",
+    )
+    assert got == want
+
+
+def test_unbounded_group_with_within_bound(spark):
+    """WITHIN prunes group repetitions during construction: with a 25s
+    window only 2 of the 3 (A B) reps fit (rows 10s apart, strict bound),
+    so the greedy parse stops at 2 reps and the closer must land inside."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    seq = ["a", "b", "a", "b", "c", "x"]
+    df = spark.createDataFrame(
+        [(1, t0 + datetime.timedelta(seconds=10 * i), s) for i, s in enumerate(seq)],
+        "k int, ts timestamp, tag string",
+    )
+    out = match_recognize(
+        df,
+        """
+        PARTITION BY k ORDER BY ts
+        MEASURES COUNT(A.*) AS n_a, FIRST(A.ts) AS a0
+        PATTERN ((A B)+ C) WITHIN INTERVAL '45' SECOND
+        DEFINE A AS tag = 'a', B AS tag = 'b', C AS tag = 'c'
+        """,
+    ).collect()
+    # rows at 0,10,20,30,40s: full 2-rep+closer parse spans 40s < 45s — OK;
+    # with a 35s window the 2-rep parse (span 40s) is pruned and the match
+    # must start later (1 rep from 20s, closer at 40s: span 20s)
+    assert [(r.n_a,) for r in out] == [(2,)]
+    out = match_recognize(
+        df,
+        """
+        PARTITION BY k ORDER BY ts
+        MEASURES COUNT(A.*) AS n_a, FIRST(A.ts) AS a0
+        PATTERN ((A B)+ C) WITHIN INTERVAL '35' SECOND
+        DEFINE A AS tag = 'a', B AS tag = 'b', C AS tag = 'c'
+        """,
+    ).collect()
+    assert [(r.n_a, r.a0.second) for r in out] == [(1, 20)]
+
+
+def test_unbounded_group_with_skip_to(spark):
+    """AFTER MATCH SKIP TO FIRST B resumes inside the emitted match — the
+    group machinery must cooperate with overlapping-match resume points:
+    each successive match drops the leading repetition."""
+    out = match_recognize(
+        _tag_df(spark, ["a", "b", "a", "b", "a", "b", "c"]),
+        """
+        PARTITION BY k ORDER BY t
+        MEASURES COUNT(A.*) AS n_a, FIRST(A.t) AS a0
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO FIRST B
+        PATTERN ((A B)+ C)
+        DEFINE A AS tag = 'a', B AS tag = 'b', C AS tag = 'c'
+        """,
+    ).collect()
+    got = sorted((r.n_a, r.a0) for r in out)
+    assert got == [(1, 4), (2, 2), (3, 0)]
