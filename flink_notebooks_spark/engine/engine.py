@@ -25,7 +25,7 @@ from ..session import get_spark, tune
 from ..sources import build_source, connectors
 from ..sources import filesystem as fs_sink
 from .ddl import Parsed, TableDef, parse_statement, split_statements
-from .window_sql import rewrite_group_windows, rewrite_temporal_join, rewrite_window_tvfs
+from .window_sql import rewrite_flink_dialect
 from .statement import (
     BatchStatement,
     ColumnInfo,
@@ -150,6 +150,19 @@ class Engine:
         r"""TRUNCATE(x DOUBLE, d INT) RETURNS DOUBLE
             RETURN sign(x) * floor(abs(x) * pow(10, d)) / pow(10, d)""",
         r"""REGEXP(s STRING, p STRING) RETURNS BOOLEAN RETURN s RLIKE p""",
+        # Flink's string classification predicates
+        r"""IS_DECIMAL(s STRING) RETURNS BOOLEAN
+            RETURN try_cast(s AS DOUBLE) IS NOT NULL""",
+        r"""IS_DIGIT(s STRING) RETURNS BOOLEAN RETURN s RLIKE '^[0-9]+$'""",
+        r"""IS_ALPHA(s STRING) RETURNS BOOLEAN RETURN s RLIKE '^[A-Za-z]+$'""",
+        # CONVERT_TZ(string, from_tz, to_tz) → string, Flink/MySQL semantics
+        r"""CONVERT_TZ(s STRING, tz1 STRING, tz2 STRING) RETURNS STRING
+            RETURN date_format(from_utc_timestamp(to_utc_timestamp(
+                to_timestamp(s), tz1), tz2), 'yyyy-MM-dd HH:mm:ss')""",
+        # Flink's per-row wall-clock; Spark evaluates current_timestamp()
+        # once per query (documented divergence — batch rows share it)
+        r"""CURRENT_ROW_TIMESTAMP() RETURNS TIMESTAMP
+            RETURN current_timestamp()""",
     )
 
     def _register_flink_builtins(self) -> None:
@@ -558,7 +571,7 @@ class Engine:
         temp views) — matching Flink's session views in the default
         in-memory catalog; works for batch AND streaming relations."""
         df = self.spark.sql(
-            rewrite_group_windows(rewrite_window_tvfs(rewrite_temporal_join(p.value)))
+            rewrite_flink_dialect(p.value)
         )
         df.createOrReplaceTempView(p.name)
         return ok_statement("OK")
@@ -852,7 +865,7 @@ class Engine:
             if tj.isStreaming:
                 return self._start_streaming_select(tj)
             return BatchStatement(tj)
-        df = self.spark.sql(rewrite_group_windows(rewrite_window_tvfs(rewrite_temporal_join(p.sql))))
+        df = self.spark.sql(rewrite_flink_dialect(p.sql))
         if df.isStreaming:
             return self._start_streaming_select(df)
         return BatchStatement(df)
@@ -953,7 +966,7 @@ class Engine:
         )
         keyword = (m.group(1).upper().replace(" ", "_") if m else None)
         body = m.group(2) if m else _re.sub(r"^\s*EXPLAIN\s+", "", p.sql, flags=_re.IGNORECASE)
-        body = rewrite_group_windows(rewrite_window_tvfs(rewrite_temporal_join(body)))
+        body = rewrite_flink_dialect(body)
         if keyword == "ESTIMATED_COST":
             return BatchStatement(self.spark.sql(f"EXPLAIN COST {body}"))
         if keyword == "JSON_EXECUTION_PLAN":
@@ -1011,7 +1024,7 @@ class Engine:
             return BatchStatement(self.spark.sql(
                 f"INSERT {'OVERWRITE' if p.overwrite else 'INTO'} {full}{cols} {p.sql}"
             ))
-        df = self.spark.sql(rewrite_group_windows(rewrite_window_tvfs(rewrite_temporal_join(p.sql))))
+        df = self.spark.sql(rewrite_flink_dialect(p.sql))
         static = {k: v for k, v in (p.partition or {}).items() if v is not None}
         if static:
             # static-partition INSERT (Flink: PARTITION (dt='v') columns are

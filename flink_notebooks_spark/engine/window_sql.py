@@ -232,3 +232,296 @@ def rewrite_group_windows(sql: str) -> str:
         flags=re.IGNORECASE,
     )
     return sql
+
+
+# --------------------------------------------------------------------------
+# Flink scalar-syntax dialect rewrites (pure text → Spark SQL; everything
+# stays in Catalyst / whole-stage codegen):
+#
+#   ARRAY[a, b, …] / MAP[k, v, …]  → array(a, b, …) / map(k, v, …)
+#     (Flink's bracket constructors; Spark only parses call syntax. Brackets
+#      in subscript position — expr[i] — are untouched: only brackets
+#      directly after the ARRAY/MAP keyword rewrite.)
+#   JSON_OBJECT([KEY] k VALUE v, … [{NULL|ABSENT} ON NULL])
+#       → to_json(named_struct(k, v, …) [, map('ignoreNullFields', …)])
+#         (Flink default NULL ON NULL → ignoreNullFields 'false')
+#   JSON_ARRAY(a, b, … [{NULL|ABSENT} ON NULL])
+#       → to_json(array(…)) / to_json(filter(array(…), x -> x IS NOT NULL))
+#         (Flink default ABSENT ON NULL → the filter form)
+#   JSON_OBJECTAGG(KEY k VALUE v) → to_json(map_from_entries(collect_list(
+#       struct(k, v)))); ABSENT ON NULL wraps the struct in CASE WHEN v IS
+#       NOT NULL so collect_list drops the pair
+#   JSON_ARRAYAGG(v) → to_json(collect_list(v))  (collect_list drops nulls
+#       = Flink's default ABSENT ON NULL; NULL ON NULL raises)
+#   ARRAY_CONCAT(…) → concat(…)
+# --------------------------------------------------------------------------
+
+
+def _skip_string(sql: str, j: int) -> int:
+    """j at the opening quote; return index AFTER the closing quote
+    (SQL-style doubled '' escapes)."""
+    n = len(sql)
+    j += 1
+    while j < n:
+        if sql[j] == "'":
+            if j + 1 < n and sql[j + 1] == "'":
+                j += 2
+                continue
+            return j + 1
+        j += 1
+    return n
+
+
+def _match_delim(sql: str, i: int, open_ch: str, close_ch: str) -> int:
+    """i at the opening delimiter; return index of its matching closer,
+    skipping string literals."""
+    depth, j, n = 0, i, len(sql)
+    while j < n:
+        c = sql[j]
+        if c == "'":
+            j = _skip_string(sql, j)
+            continue
+        if c == open_ch:
+            depth += 1
+        elif c == close_ch:
+            depth -= 1
+            if depth == 0:
+                return j
+        j += 1
+    raise ValueError(f"unbalanced {open_ch}{close_ch} in SQL")
+
+
+def _in_string(sql: str, pos: int) -> bool:
+    j = 0
+    while j < pos:
+        if sql[j] == "'":
+            j = _skip_string(sql, j)
+            if j > pos:
+                return True
+            continue
+        j += 1
+    return False
+
+
+def _split_args(s: str) -> list[str]:
+    """Split on top-level commas, respecting (), [], and strings."""
+    parts, depth, j, start, n = [], 0, 0, 0, len(s)
+    while j < n:
+        c = s[j]
+        if c == "'":
+            j = _skip_string(s, j)
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(s[start:j])
+            start = j + 1
+        j += 1
+    parts.append(s[start:])
+    return parts
+
+
+_ON_NULL_RE = re.compile(r"\s+(NULL|ABSENT)\s+ON\s+NULL\s*$", re.IGNORECASE)
+_KV_RE = re.compile(r"^\s*(?:KEY\s+)?(.+?)\s+VALUE\s+(.+)$", re.IGNORECASE | re.DOTALL)
+
+
+def _rewrite_bracket_ctors(sql: str) -> str:
+    pat = re.compile(r"\b(ARRAY|MAP)\s*\[", re.IGNORECASE)
+    while True:
+        m = None
+        for cand in pat.finditer(sql):
+            if not _in_string(sql, cand.start()):
+                m = cand
+                break
+        if m is None:
+            return sql
+        open_i = m.end() - 1
+        close_i = _match_delim(sql, open_i, "[", "]")
+        fn = "array" if m.group(1).upper() == "ARRAY" else "map"
+        sql = (
+            sql[: m.start()]
+            + f"{fn}("
+            + sql[open_i + 1 : close_i]
+            + ")"
+            + sql[close_i + 1 :]
+        )
+
+
+def _rewrite_json_fn(sql: str, name: str, build) -> str:
+    pat = re.compile(rf"\b{name}\s*\(", re.IGNORECASE)
+    while True:
+        m = None
+        for cand in pat.finditer(sql):
+            if not _in_string(sql, cand.start()):
+                m = cand
+                break
+        if m is None:
+            return sql
+        open_i = m.end() - 1
+        close_i = _match_delim(sql, open_i, "(", ")")
+        inner = sql[open_i + 1 : close_i]
+        flag = None
+        fm = _ON_NULL_RE.search(inner)
+        if fm:
+            flag = fm.group(1).upper()
+            inner = inner[: fm.start()]
+        sql = sql[: m.start()] + build(inner, flag) + sql[close_i + 1 :]
+
+
+def _build_json_object(inner: str, flag: str | None) -> str:
+    pairs = []
+    for part in _split_args(inner):
+        if not part.strip():
+            continue
+        kv = _KV_RE.match(part)
+        if not kv:
+            raise ValueError(
+                f"JSON_OBJECT: expected [KEY] key VALUE value, got {part.strip()!r}"
+            )
+        pairs.append(f"{kv.group(1).strip()}, {kv.group(2).strip()}")
+    ignore_nulls = "true" if flag == "ABSENT" else "false"  # Flink default NULL ON NULL
+    if not pairs:
+        return "'{}'"
+    return (
+        f"to_json(named_struct({', '.join(pairs)}), "
+        f"map('ignoreNullFields', '{ignore_nulls}'))"
+    )
+
+
+def _build_json_array(inner: str, flag: str | None) -> str:
+    args = ", ".join(a.strip() for a in _split_args(inner) if a.strip())
+    if not args:
+        return "'[]'"
+    if flag == "NULL":
+        return f"to_json(array({args}))"
+    # Flink default ABSENT ON NULL
+    return f"to_json(filter(array({args}), x -> x IS NOT NULL))"
+
+
+def _build_json_objectagg(inner: str, flag: str | None) -> str:
+    kv = _KV_RE.match(inner)
+    if not kv:
+        raise ValueError(
+            f"JSON_OBJECTAGG: expected KEY key VALUE value, got {inner.strip()!r}"
+        )
+    k, v = kv.group(1).strip(), kv.group(2).strip()
+    entry = f"struct({k} AS key, {v} AS value)"
+    if flag == "ABSENT":
+        entry = f"CASE WHEN ({v}) IS NOT NULL THEN {entry} END"
+    return f"to_json(map_from_entries(collect_list({entry})))"
+
+
+def _build_json_arrayagg(inner: str, flag: str | None) -> str:
+    if flag == "NULL":
+        raise NotImplementedError(
+            "JSON_ARRAYAGG ... NULL ON NULL: Spark's collect_list cannot "
+            "retain null elements (Flink's default ABSENT ON NULL is "
+            "supported)"
+        )
+    return f"to_json(collect_list({inner.strip()}))"
+
+
+def _rewrite_subscripts(sql: str) -> str:
+    """Postfix subscripts → element_at: Flink's ``arr[i]`` is 1-BASED (and
+    ``map[k]`` is key lookup), while Spark's bracket subscript is 0-based —
+    ``element_at`` has exactly Flink's semantics for both. A ``[`` counts
+    as a subscript only when it directly follows an expression tail
+    (identifier, backtick, ``)`` or ``]``); bracket constructors were
+    rewritten to call syntax before this runs."""
+    while True:
+        n = len(sql)
+        j = 0
+        found = None
+        while j < n:
+            c = sql[j]
+            if c == "'":
+                j = _skip_string(sql, j)
+                continue
+            if c == "[":
+                k = j - 1
+                while k >= 0 and sql[k] in " \t\n":
+                    k -= 1
+                if k >= 0 and (sql[k].isalnum() or sql[k] in "_`)]."):
+                    found = j
+                    break
+            j += 1
+        if found is None:
+            return sql
+        close_i = _match_delim(sql, found, "[", "]")
+        idx = sql[found + 1 : close_i]
+        # string-literal spans, so the backward walk never counts brackets
+        # inside literals (e.g. split(s, '[')[1])
+        spans = []
+        si = 0
+        while si < len(sql):
+            if sql[si] == "'":
+                se = _skip_string(sql, si)
+                spans.append((si, se))
+                si = se
+            else:
+                si += 1
+
+        def span_start(pos):
+            for s0, e0 in spans:
+                if s0 <= pos < e0:
+                    return s0
+            return None
+
+        # walk back over the postfix chain to the base expression's start
+        b = found - 1
+        while b >= 0 and sql[b] in " \t\n":
+            b -= 1
+        end = b + 1
+        while b >= 0:
+            ch = sql[b]
+            if ch.isalnum() or ch in "_`.$":
+                b -= 1
+                continue
+            if ch in ")]":
+                opener = "(" if ch == ")" else "["
+                depth = 0
+                while b >= 0:
+                    s0 = span_start(b)
+                    if s0 is not None:
+                        b = s0 - 1
+                        continue
+                    if sql[b] == ch:
+                        depth += 1
+                    elif sql[b] == opener:
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    b -= 1
+                b -= 1
+                continue
+            break
+        base = sql[b + 1 : end]
+        sql = sql[: b + 1] + f"element_at({base}, {idx})" + sql[close_i + 1 :]
+
+
+def rewrite_scalar_syntax(sql: str) -> str:
+    """Apply the Flink scalar-syntax rewrites above (text-level,
+    string-literal aware)."""
+    if re.search(r"\b(?:ARRAY|MAP)\s*\[", sql, re.IGNORECASE):
+        sql = _rewrite_bracket_ctors(sql)
+    if "[" in sql:
+        sql = _rewrite_subscripts(sql)
+    for name, build in (
+        ("JSON_OBJECTAGG", _build_json_objectagg),
+        ("JSON_ARRAYAGG", _build_json_arrayagg),
+        ("JSON_OBJECT", _build_json_object),
+        ("JSON_ARRAY", _build_json_array),
+    ):
+        if re.search(rf"\b{name}\s*\(", sql, re.IGNORECASE):
+            sql = _rewrite_json_fn(sql, name, build)
+    sql = re.sub(r"\bARRAY_CONCAT\s*\(", "concat(", sql, flags=re.IGNORECASE)
+    return sql
+
+
+def rewrite_flink_dialect(sql: str) -> str:
+    """The full Flink→Spark dialect chain for query text."""
+    return rewrite_group_windows(
+        rewrite_window_tvfs(rewrite_temporal_join(rewrite_scalar_syntax(sql)))
+    )

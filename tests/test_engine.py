@@ -1165,3 +1165,41 @@ def test_show_current_catalog_and_database(engine):
     pg = engine.execute_sql("SHOW CURRENT DATABASE").fetch(0)
     assert [c.name for c in pg.columns] == ["current database name"]
     assert pg.data[0]["fields"] == ["default"]
+
+
+def test_flink_scalar_dialect_surface(engine):
+    """Flink scalar syntax Spark lacks: bracket constructors, 1-BASED array
+    subscripts (element_at semantics), the JSON_OBJECT/JSON_ARRAY KEY-VALUE
+    family with ON NULL behaviors, their aggregate forms, ARRAY_CONCAT, and
+    the Flink-only classification/timezone scalars."""
+    one = lambda s: engine.execute_sql(s).fetch(0).data[0]["fields"][0]  # noqa: E731
+    assert one("SELECT ARRAY['x', 'y', 'z'][1] AS v") == "x"  # 1-based!
+    assert one("SELECT ARRAY[1, 2, 3][3] AS v") == 3
+    assert one("SELECT MAP['a', 1, 'b', 2]['b'] AS v") == 2
+    assert one("SELECT CARDINALITY(ARRAY[1, 2]) AS v") == 2
+    assert one("SELECT ARRAY_CONCAT(ARRAY[1], ARRAY[2, 3]) AS v") == [1, 2, 3]
+    assert one("SELECT JSON_OBJECT(KEY 'k' VALUE 1, 'm' VALUE 'x') AS v") == (
+        '{"k":1,"m":"x"}'
+    )
+    assert one("SELECT JSON_OBJECT('k' VALUE CAST(NULL AS INT)) AS v") == '{"k":null}'
+    assert one(
+        "SELECT JSON_OBJECT('k' VALUE CAST(NULL AS INT) ABSENT ON NULL) AS v"
+    ) == "{}"
+    assert one("SELECT JSON_ARRAY(1, CAST(NULL AS INT), 2) AS v") == "[1,2]"
+    assert one(
+        "SELECT JSON_OBJECTAGG(KEY k VALUE v) AS j "
+        "FROM (VALUES ('a', 1), ('b', 2)) t(k, v)"
+    ) == '{"a":1,"b":2}'
+    assert one(
+        "SELECT JSON_ARRAYAGG(v) AS j FROM (VALUES (1), (2)) t(v)"
+    ) == "[1,2]"
+    assert one("SELECT IS_DECIMAL('3.1') AS v") is True
+    assert one("SELECT IS_DECIMAL('x') AS v") is False
+    assert one("SELECT IS_DIGIT('31') AS v") is True
+    assert one("SELECT IS_ALPHA('3a') AS v") is False
+    assert one(
+        "SELECT CONVERT_TZ('1970-01-01 00:00:00', 'UTC', 'America/New_York') AS v"
+    ) == "1969-12-31 19:00:00"
+    assert one("SELECT CURRENT_ROW_TIMESTAMP() IS NOT NULL AS v") is True
+    # strings containing brackets stay untouched
+    assert one("SELECT split('a[x]b', '\\\\[')[1] AS v") == "a"
