@@ -163,6 +163,9 @@ class Engine:
         # once per query (documented divergence — batch rows share it)
         r"""CURRENT_ROW_TIMESTAMP() RETURNS TIMESTAMP
             RETURN current_timestamp()""",
+        # RAND_INTEGER(bound): uniform int in [0, bound)
+        r"""RAND_INTEGER(bound INT) RETURNS INT
+            RETURN CAST(floor(rand() * bound) AS INT)""",
     )
 
     def _register_flink_builtins(self) -> None:

@@ -501,6 +501,19 @@ def _rewrite_subscripts(sql: str) -> str:
         sql = sql[: b + 1] + f"element_at({base}, {idx})" + sql[close_i + 1 :]
 
 
+def _build_array_slice(inner: str, flag: str | None) -> str:
+    """Flink ARRAY_SLICE(arr, start[, end]) — 1-based INCLUSIVE end — to
+    Spark slice(arr, start, length)."""
+    args = [a.strip() for a in _split_args(inner)]
+    if len(args) == 2:
+        a, s = args
+        return f"slice({a}, {s}, greatest(0, size({a}) - ({s}) + 1))"
+    if len(args) == 3:
+        a, s, e = args
+        return f"slice({a}, {s}, greatest(0, ({e}) - ({s}) + 1))"
+    raise ValueError(f"ARRAY_SLICE: expected 2 or 3 arguments, got {len(args)}")
+
+
 def rewrite_scalar_syntax(sql: str) -> str:
     """Apply the Flink scalar-syntax rewrites above (text-level,
     string-literal aware)."""
@@ -517,6 +530,37 @@ def rewrite_scalar_syntax(sql: str) -> str:
         if re.search(rf"\b{name}\s*\(", sql, re.IGNORECASE):
             sql = _rewrite_json_fn(sql, name, build)
     sql = re.sub(r"\bARRAY_CONCAT\s*\(", "concat(", sql, flags=re.IGNORECASE)
+    sql = re.sub(r"\bARRAY_REVERSE\s*\(", "reverse(", sql, flags=re.IGNORECASE)
+    sql = re.sub(r"\bMAP_UNION\s*\(", "map_concat(", sql, flags=re.IGNORECASE)
+    if re.search(r"\bARRAY_SLICE\s*\(", sql, re.IGNORECASE):
+        sql = _rewrite_json_fn(sql, "ARRAY_SLICE", _build_array_slice)
+    # TO_TIMESTAMP_LTZ(numeric, precision): Flink's epoch form — Spark's
+    # builtin of the same name only takes a string, and builtins shadow
+    # temporary functions, so the literal-precision form rewrites here
+    def _ltz(m):
+        p = int(m.group(2))
+        fn = {0: "timestamp_seconds", 3: "timestamp_millis", 6: "timestamp_micros"}.get(p)
+        if fn is None:
+            return m.group(0)
+        return f"{fn}({m.group(1)})"
+
+    sql = re.sub(
+        r"\bTO_TIMESTAMP_LTZ\s*\(([^(),]+),\s*(\d+)\s*\)",
+        _ltz,
+        sql,
+        flags=re.IGNORECASE,
+    )
+    # Flink's niladic time attributes; Spark needs the call form. LOCALTIME
+    # returns Flink's TIME — mapped to STRING like the TIME type itself.
+    sql = re.sub(
+        r"\bLOCALTIMESTAMP\b(?!\s*\()", "localtimestamp()", sql, flags=re.IGNORECASE
+    )
+    sql = re.sub(
+        r"\bLOCALTIME\b(?!\s*\()",
+        "date_format(localtimestamp(), 'HH:mm:ss')",
+        sql,
+        flags=re.IGNORECASE,
+    )
     return sql
 
 

@@ -536,6 +536,68 @@ def q33_match_recognize(spark, sf_dir):
     ).orderBy("user_id", "start_us")
 
 
+# --- Q37: MATCH_RECOGNIZE with an UNBOUNDED sequence group --------------------
+@query(
+    "q37_seq_group_pattern",
+    oracle="""
+    WITH RECURSIVE s AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events),
+    pr AS (
+      SELECT a.user_id, a.rn
+      FROM s a JOIN s b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+      WHERE a.event_type = 'view' AND b.event_type = 'click'),
+    chain(user_id, start_rn, j) AS (
+      SELECT user_id, rn, 1 FROM pr
+      UNION ALL
+      SELECT c.user_id, c.start_rn, c.j + 1
+      FROM chain c JOIN pr p ON p.user_id = c.user_id
+                            AND p.rn = c.start_rn + 2 * c.j),
+    m AS (
+      SELECT a.user_id, a.rn AS s_rn, a.ts_us AS start_us, MAX(c.j) AS n_pairs
+      FROM s a
+      JOIN chain c ON c.user_id = a.user_id AND c.start_rn = a.rn + 1
+      JOIN s p ON p.user_id = a.user_id AND p.rn = a.rn + 1 + 2 * c.j
+      WHERE a.event_type = 'signup' AND p.event_type = 'purchase'
+      GROUP BY a.user_id, a.rn, a.ts_us)
+    SELECT m.user_id, m.start_us, p.ts_us AS end_us, m.n_pairs
+    FROM m JOIN s p ON p.user_id = m.user_id
+                   AND p.rn = m.s_rn + 1 + 2 * m.n_pairs
+    ORDER BY m.user_id, m.start_us
+    """,
+)
+def q37_seq_group_pattern(spark, sf_dir):
+    """MATCH_RECOGNIZE with an unbounded sequence group: a signup followed
+    by one-or-more strictly-alternating (view click) pairs and a closing
+    purchase — ``PATTERN (S (V C)+ P)``. The oracle reformulates the greedy
+    repetition in SQL: a recursive CTE builds every alternating pair chain,
+    and MAX(j) with a purchase at the chain's end is exactly the greediest
+    repetition count the matcher's most-reps-first flattening picks. The
+    leading signup makes match spans provably non-overlapping (span
+    interiors hold only view/click/purchase rows), so SKIP PAST LAST ROW
+    suppresses nothing and the per-signup computation is independent —
+    SQL-expressible without sequential-consumption state."""
+    from ..operators import match_recognize
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts_us", "event_type"
+    )
+    return match_recognize(
+        e,
+        """
+        PARTITION BY user_id
+        ORDER BY ts_us, event_id
+        MEASURES FIRST(S.ts_us) AS start_us, LAST(P.ts_us) AS end_us,
+                 COUNT(V.*) AS n_pairs
+        PATTERN (S (V C)+ P)
+        DEFINE S AS S.event_type = 'signup', V AS V.event_type = 'view',
+               C AS C.event_type = 'click', P AS P.event_type = 'purchase'
+        """,
+    ).orderBy("user_id", "start_us")
+
+
 # --- Q34: explicit GROUPING SETS (A7 beyond ROLLUP/CUBE) ----------------------
 @query(
     "q34_grouping_sets",

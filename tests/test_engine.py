@@ -1203,3 +1203,18 @@ def test_flink_scalar_dialect_surface(engine):
     assert one("SELECT CURRENT_ROW_TIMESTAMP() IS NOT NULL AS v") is True
     # strings containing brackets stay untouched
     assert one("SELECT split('a[x]b', '\\\\[')[1] AS v") == "a"
+
+
+def test_flink_scalar_dialect_surface_2(engine):
+    """Second battery: Flink array/map/time scalars — name rewrites
+    (ARRAY_REVERSE/MAP_UNION), the end-INCLUSIVE ARRAY_SLICE, niladic
+    LOCALTIMESTAMP/LOCALTIME, epoch-form TO_TIMESTAMP_LTZ, RAND_INTEGER."""
+    one = lambda s: engine.execute_sql(s).fetch(0).data[0]["fields"][0]  # noqa: E731
+    assert one("SELECT ARRAY_REVERSE(ARRAY[1, 2]) AS v") == [2, 1]
+    assert one("SELECT ARRAY_SLICE(ARRAY[1, 2, 3, 4], 2, 3) AS v") == [2, 3]
+    assert one("SELECT ARRAY_SLICE(ARRAY[1, 2, 3, 4], 3) AS v") == [3, 4]
+    assert one("SELECT MAP_UNION(MAP['a', 1], MAP['b', 2])['b'] AS v") == 2
+    assert one("SELECT LOCALTIMESTAMP IS NOT NULL AS v") is True
+    assert one("SELECT LENGTH(LOCALTIME) AS v") == 8  # TIME → 'HH:mm:ss'
+    assert one("SELECT TO_TIMESTAMP_LTZ(1000, 3) = TO_TIMESTAMP_LTZ(1, 0) AS v") is True
+    assert one("SELECT RAND_INTEGER(10) BETWEEN 0 AND 9 AS v") is True
