@@ -348,3 +348,75 @@ def test_sequence_group_expansion_invariants(elements):
                 "DEFINE A AS A.t > 0"
             )
             assert spec.pattern
+
+
+# ------------------------------------------- scalar-dialect rewriter
+
+
+_ATOMS = st.sampled_from(
+    ["a", "b.c", "`q`", "f(x)", "tags", "m", "'lit'", "'a[b]'", "'it''s'", "1", "2.5"]
+)
+
+
+@st.composite
+def _dialect_exprs(draw, depth=0):
+    """Random Flink-dialect scalar expressions mixing bracket constructors,
+    subscripts, strings-with-brackets, and calls."""
+    if depth >= 3:
+        return draw(_ATOMS)
+    kind = draw(st.integers(0, 5))
+    if kind == 0:
+        return draw(_ATOMS)
+    if kind == 1:
+        els = [draw(_dialect_exprs(depth + 1)) for _ in range(draw(st.integers(1, 3)))]
+        return f"ARRAY[{', '.join(els)}]"
+    if kind == 2:
+        k = draw(_ATOMS)
+        v = draw(_dialect_exprs(depth + 1))
+        return f"MAP[{k}, {v}]"
+    if kind == 3:
+        base = draw(_dialect_exprs(depth + 1))
+        idx = draw(_dialect_exprs(depth + 1))
+        # subscript only postfixes an expression tail, not a literal
+        if base.startswith("'"):
+            base = f"({base})"
+        return f"{base}[{idx}]"
+    if kind == 4:
+        inner = draw(_dialect_exprs(depth + 1))
+        return f"g({inner}, '[')"
+    return f"({draw(_dialect_exprs(depth + 1))})"
+
+
+@given(_dialect_exprs())
+@settings(max_examples=300, deadline=None)
+def test_scalar_rewrite_invariants(expr):
+    """The dialect rewrite (1) terminates, (2) is idempotent — a second
+    pass is a no-op, (3) leaves no ARRAY[/MAP[ constructors or bare
+    subscripts outside string literals, and (4) never unbalances parens
+    outside string literals."""
+    from flink_notebooks_spark.engine.window_sql import (
+        _in_string,
+        rewrite_scalar_syntax,
+    )
+
+    sql = f"SELECT {expr} AS v"
+    out = rewrite_scalar_syntax(sql)
+    assert rewrite_scalar_syntax(out) == out, (sql, out)
+    import re as _re
+
+    for m in _re.finditer(r"\[", out):
+        assert _in_string(out, m.start()), (sql, out)
+    depth = 0
+    i = 0
+    while i < len(out):
+        c = out[i]
+        if c == "'":
+            from flink_notebooks_spark.engine.window_sql import _skip_string
+
+            i = _skip_string(out, i)
+            continue
+        depth += c == "("
+        depth -= c == ")"
+        assert depth >= 0, (sql, out)
+        i += 1
+    assert depth == 0, (sql, out)
