@@ -386,19 +386,20 @@ def embedding_cosine_pairs(spark, sf_dir):
 _COSINE_PAIRS_MEMO: dict = {}
 
 
-def _memo_put(key: tuple, df: DataFrame) -> None:
-    """Bound the GEMM memo: keep only the latest dataset per live session.
+def _memo_put(memo: dict, key: tuple, df: DataFrame) -> None:
+    """Bound a per-session DataFrame memo: keep only the latest dataset per
+    live session.
 
     Long-lived sessions touching many datasets would otherwise accumulate
     persisted blocks and dead DataFrame references indefinitely; evicting the
     displaced entry unpersists its cached blocks eagerly."""
     app = key[0]
-    for stale in [k for k in _COSINE_PAIRS_MEMO if k[0] == app and k != key]:
+    for stale in [k for k in memo if k[0] == app and k != key]:
         try:
-            _COSINE_PAIRS_MEMO.pop(stale).unpersist()
+            memo.pop(stale).unpersist()
         except Exception:
             pass  # session already stopped; blocks are gone with it
-    _COSINE_PAIRS_MEMO[key] = df
+    memo[key] = df
 
 
 def cosine_pairs_df(spark, sf_dir) -> DataFrame:
@@ -488,7 +489,7 @@ def cosine_pairs_df(spark, sf_dir) -> DataFrame:
         .applyInPandas(gemm, "a long, b long, sim double")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    _memo_put(key, out)
+    _memo_put(_COSINE_PAIRS_MEMO, key, out)
     return out
 
 
@@ -2039,6 +2040,9 @@ def tf_quality_features(spark, sf_dir):
 TF_BROADCAST_CAP = 2_000_000
 
 
+_WORD_FREQ_MEMO: dict = {}
+
+
 def _word_freq_joined(spark, sf_dir, broadcast_cap: int = TF_BROADCAST_CAP):
     """(doc_id, word, n_occ): every word occurrence joined to its corpus
     frequency — the shared first pass of the corpus-frequency features.
@@ -2046,7 +2050,16 @@ def _word_freq_joined(spark, sf_dir, broadcast_cap: int = TF_BROADCAST_CAP):
     the join is split: a CAPPED broadcast head of the most frequent words
     resolves the overwhelming share of occurrences map-side (Zipf), and
     the residual tail resolves through an ordinary shuffle join carrying
-    only the tail occurrences. Exact at any cap; tests pin cap-invariance."""
+    only the tail occurrences. Exact at any cap; tests pin cap-invariance.
+
+    Memoized + persisted per (session, dataset, cap) like the cosine GEMM:
+    tf_quality_features and unigram_logprob both consume this pass, and a
+    real pipeline at scale would likewise share the scan across features
+    rather than recompute the frequency join per metric."""
+    key = (spark.sparkContext.applicationId, sf_dir, broadcast_cap)
+    hit_df = _WORD_FREQ_MEMO.get(key)
+    if hit_df is not None:
+        return hit_df
     t = tokenized_docs(spark, sf_dir)
     w = t.select("doc_id", F.explode("ws").alias("word"))
     freq = w.groupBy("word").agg(F.count("*").alias("n_occ"))
@@ -2055,7 +2068,9 @@ def _word_freq_joined(spark, sf_dir, broadcast_cap: int = TF_BROADCAST_CAP):
     head = freq.orderBy(F.desc("n_occ"), "word").limit(broadcast_cap)
     hit = w.join(F.broadcast(head), "word")
     miss = w.join(F.broadcast(head.select("word")), "word", "left_anti").join(freq, "word")
-    return hit.unionByName(miss)
+    out = hit.unionByName(miss).persist()
+    _memo_put(_WORD_FREQ_MEMO, key, out)
+    return out
 
 
 def _tf_quality_features(spark, sf_dir, broadcast_cap: int = TF_BROADCAST_CAP):
