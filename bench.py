@@ -88,6 +88,7 @@ def main() -> None:
     # registration order (the round-4 driver-vs-local 10× spread on
     # dedup_ngram_jaccard was exactly this coupling).
     from flink_notebooks_spark.queries.llm import (
+        _word_freq_joined,
         cosine_pairs_df,
         jaccard_pairs_df,
         shingled_docs,
@@ -95,7 +96,13 @@ def main() -> None:
     )
 
     t0 = time.time()
-    for prep in (tokenized_docs, shingled_docs, jaccard_pairs_df, cosine_pairs_df):
+    for prep in (
+        tokenized_docs,
+        shingled_docs,
+        jaccard_pairs_df,
+        cosine_pairs_df,
+        _word_freq_joined,  # shared by tf_quality_features + unigram_logprob
+    ):
         prep(spark, SF_DIR).write.format("noop").mode("overwrite").save()
     shared_prep_sec = round(time.time() - t0, 3)
 

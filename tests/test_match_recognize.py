@@ -1980,3 +1980,36 @@ def test_unbounded_group_with_skip_to(spark):
     ).collect()
     got = sorted((r.n_a, r.a0) for r in out)
     assert got == [(1, 4), (2, 2), (3, 0)]
+
+
+def test_group_parse_edges():
+    """Pure-parse edges of the group machinery: alternation groups are NOT
+    sequence groups (``(A|B)+`` stays a single unbounded multi-var term);
+    a group preceded by context and followed by none parses with the right
+    segment split; ``{m,}`` keeps its minimum."""
+    from flink_notebooks_spark.operators.match_recognize import GroupTerm
+
+    s = parse_match_recognize(
+        "ORDER BY t MEASURES COUNT(A.*) AS n PATTERN ((A|B)+ C) "
+        "DEFINE A AS tag='a'"
+    )
+    assert s.alternatives is None  # no sequence group involved
+    assert [(t.vars, t.lo, t.hi) for t in s.pattern] == [
+        (["A", "B"], 1, None), (["C"], 1, 1)
+    ]
+
+    s2 = parse_match_recognize(
+        "ORDER BY t MEASURES COUNT(A.*) AS n PATTERN (X (A B){2,} ) "
+        "DEFINE A AS tag='a'"
+    )
+    (x, grp) = s2.pattern
+    assert x.vars == ["X"] and isinstance(grp, GroupTerm)
+    assert grp.lo == 2 and grp.min_rows == 2
+
+    # optional members shrink min_rows but never to zero
+    s3 = parse_match_recognize(
+        "ORDER BY t MEASURES COUNT(A.*) AS n PATTERN ((A B?)+ C) "
+        "DEFINE A AS tag='a'"
+    )
+    grp3 = s3.pattern[0]
+    assert isinstance(grp3, GroupTerm) and grp3.min_rows == 1
