@@ -537,9 +537,7 @@ def q33_match_recognize(spark, sf_dir):
 
 
 # --- Q37: MATCH_RECOGNIZE with an UNBOUNDED sequence group --------------------
-@query(
-    "q37_seq_group_pattern",
-    oracle="""
+SEQ_GROUP_ORACLE = """
     WITH RECURSIVE s AS (
       SELECT user_id, epoch_us(ts) AS ts_us, event_type,
              ROW_NUMBER() OVER (PARTITION BY user_id
@@ -566,7 +564,13 @@ def q33_match_recognize(spark, sf_dir):
     FROM m JOIN s p ON p.user_id = m.user_id
                    AND p.rn = m.s_rn + 1 + 2 * m.n_pairs
     ORDER BY m.user_id, m.start_us
-    """,
+    """
+
+
+
+@query(
+    "q37_seq_group_pattern",
+    oracle=SEQ_GROUP_ORACLE,
 )
 def q37_seq_group_pattern(spark, sf_dir):
     """MATCH_RECOGNIZE with an unbounded sequence group: a signup followed

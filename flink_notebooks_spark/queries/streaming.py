@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from ..io import events_stream_schema, load_table, stream_ts_cols
 from ..session import tune
 from ._registry import query, sql_dsum
+from .relational import SEQ_GROUP_ORACLE
 
 
 def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -256,43 +257,20 @@ def streaming_stateful_sessionize(spark, sf_dir):
     return out.orderBy("user_id", "sid")
 
 
-@query(
-    "streaming_match_recognize",
-    oracle="""
-    WITH s AS (
-      SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
-             ROW_NUMBER() OVER (PARTITION BY user_id
-                                ORDER BY epoch_us(ts), event_id) AS rn
-      FROM events
-    ), nxt AS (
-      SELECT l.user_id, l.rn AS lrn, l.ts_us AS start_us,
-             (SELECT MIN(rn) FROM s x WHERE x.user_id = l.user_id
-                AND x.rn > l.rn AND x.event_type <> 'click') AS nrn
-      FROM s l WHERE l.event_type = 'view')
-    SELECT n.user_id, n.start_us, p.ts_us AS end_us,
-           (n.nrn - n.lrn - 1) AS n_clicks
-    FROM nxt n JOIN s p ON p.user_id = n.user_id AND p.rn = n.nrn
-    WHERE p.event_type = 'purchase' AND n.nrn - n.lrn >= 2
-    ORDER BY n.user_id, n.start_us
-    """,
-)
-def streaming_match_recognize(spark, sf_dir):
-    """Streaming MATCH_RECOGNIZE (SURVEY.md W9 streaming): the q33
-    view→click+→purchase funnel as a real streaming job over keyed state
-    (operators/match_recognize.py match_recognize_stream). Matches emit in
-    append mode once a mature row closes them; the replay stages the events
-    file plus a single far-future sentinel row — the bounded-input analog of
-    Flink's end-of-input MAX_WATERMARK — so the watermark passes every real
-    event and idle keys' close_after deadlines conclude tail matches.
-    Verified against the same window-function oracle as batch q33."""
+def _staged_events_stream(spark, sf_dir):
+    """Stage the events table for a terminating streaming replay: the
+    events file first, then a single far-future sentinel row on its own
+    key (user_id=-1) — the bounded-input analog of Flink's end-of-input
+    MAX_WATERMARK. Processing the sentinel advances the GLOBAL watermark
+    past every real key's close_after deadline, so idle keys' held tail
+    matches conclude in the final no-data batch. Shared by every
+    streaming MATCH_RECOGNIZE query over the events table."""
     import datetime
     import os
     import tempfile
 
     import pyarrow as pa
     import pyarrow.parquet as pq
-
-    from ..operators.match_recognize import match_recognize_stream
 
     tune(spark)
     events_path = f"{sf_dir}/events.parquet"
@@ -354,6 +332,41 @@ def streaming_match_recognize(spark, sf_dir):
         .withWatermark("ev_time", "0 seconds")
         .select("user_id", "event_id", "ev_time", "ts_us", "event_type")
     )
+    return stream
+
+
+@query(
+    "streaming_match_recognize",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    ), nxt AS (
+      SELECT l.user_id, l.rn AS lrn, l.ts_us AS start_us,
+             (SELECT MIN(rn) FROM s x WHERE x.user_id = l.user_id
+                AND x.rn > l.rn AND x.event_type <> 'click') AS nrn
+      FROM s l WHERE l.event_type = 'view')
+    SELECT n.user_id, n.start_us, p.ts_us AS end_us,
+           (n.nrn - n.lrn - 1) AS n_clicks
+    FROM nxt n JOIN s p ON p.user_id = n.user_id AND p.rn = n.nrn
+    WHERE p.event_type = 'purchase' AND n.nrn - n.lrn >= 2
+    ORDER BY n.user_id, n.start_us
+    """,
+)
+def streaming_match_recognize(spark, sf_dir):
+    """Streaming MATCH_RECOGNIZE (SURVEY.md W9 streaming): the q33
+    view→click+→purchase funnel as a real streaming job over keyed state
+    (operators/match_recognize.py match_recognize_stream). Matches emit in
+    append mode once a mature row closes them; the replay stages the events
+    file plus a single far-future sentinel row — the bounded-input analog of
+    Flink's end-of-input MAX_WATERMARK — so the watermark passes every real
+    event and idle keys' close_after deadlines conclude tail matches.
+    Verified against the same window-function oracle as batch q33."""
+    from ..operators.match_recognize import match_recognize_stream
+
+    stream = _staged_events_stream(spark, sf_dir)
     matched = match_recognize_stream(
         stream,
         """
@@ -371,6 +384,36 @@ def streaming_match_recognize(spark, sf_dir):
     # state stores, but the matcher dominates)
     out = _run_to_memory(matched, "append", partitions=32)
     return out.select("user_id", "start_us", "end_us", "n_clicks").orderBy(
+        "user_id", "start_us"
+    )
+
+
+@query("streaming_seq_group", oracle=SEQ_GROUP_ORACLE)
+def streaming_seq_group(spark, sf_dir):
+    """Streaming MATCH_RECOGNIZE with an UNBOUNDED sequence group — batch
+    q37's ``PATTERN (S (V C)+ P)`` as a real keyed-state streaming job.
+    The frontier-contact rule holds any match whose greedier repetition
+    was cut off by the visible frame, so the streaming answer equals the
+    batch parse exactly; verified against the same recursive-CTE
+    greedy-chain oracle as q37 (queries/relational.py)."""
+    from ..operators.match_recognize import match_recognize_stream
+
+    stream = _staged_events_stream(spark, sf_dir)
+    matched = match_recognize_stream(
+        stream,
+        """
+        PARTITION BY user_id
+        ORDER BY ev_time, event_id
+        MEASURES FIRST(S.ts_us) AS start_us, LAST(P.ts_us) AS end_us,
+                 COUNT(V.*) AS n_pairs
+        PATTERN (S (V C)+ P)
+        DEFINE S AS S.event_type = 'signup', V AS V.event_type = 'view',
+               C AS C.event_type = 'click', P AS P.event_type = 'purchase'
+        """,
+        close_after="1 second",
+    )
+    out = _run_to_memory(matched, "append", partitions=32)
+    return out.select("user_id", "start_us", "end_us", "n_pairs").orderBy(
         "user_id", "start_us"
     )
 

@@ -2013,3 +2013,21 @@ def test_group_parse_edges():
     )
     grp3 = s3.pattern[0]
     assert isinstance(grp3, GroupTerm) and grp3.min_rows == 1
+
+
+def test_unbounded_group_all_rows_per_match(spark):
+    """ALL ROWS PER MATCH over a group pattern: every matched row emits
+    with RUNNING measures and per-row CLASSIFIER attribution."""
+    out = match_recognize(
+        _tag_df(spark, ["a", "b", "a", "b", "c"]),
+        """
+        PARTITION BY k ORDER BY t
+        MEASURES CLASSIFIER() AS var, COUNT(A.*) AS run_a
+        ALL ROWS PER MATCH
+        PATTERN ((A B)+ C)
+        DEFINE A AS tag = 'a', B AS tag = 'b', C AS tag = 'c'
+        """,
+    ).orderBy("t").collect()
+    assert [(r.t, r.var, r.run_a) for r in out] == [
+        (0, "A", 1), (1, "B", 1), (2, "A", 2), (3, "B", 2), (4, "C", 2)
+    ]
