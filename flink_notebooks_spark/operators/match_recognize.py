@@ -1340,7 +1340,7 @@ def _run_matches(
 ):
     """Matcher core over one partition's SORTED, reset-index pandas frame.
 
-    Returns ``(out_rows, n_emitted, keep_from)``. ``require_closed`` is the
+    Returns ``(out_rows, n_emitted, keep_from, stop_at)``. ``require_closed`` is the
     streaming frontier rule: a match that consumes through the last visible
     row is NOT emitted (a later row could still extend it under greedy
     quantifiers) — processing stops there and ``keep_from`` marks the
@@ -1363,7 +1363,10 @@ def _run_matches(
     if not stateful and not _force_general and _fast_eligible(spec, measures):
         fast = _run_matches_fast(pdf, spec, measures, match_num0, require_closed)
         if fast is not None:
-            return fast
+            # stop_at = keep_from (conservative): the fast path never runs
+            # WITHIN patterns (_fast_eligible), so its stop_at is unused by
+            # the within-eviction rule
+            return (*fast, fast[2])
     pattern = spec.pattern
     skip_past = spec.skip_past_last
     n = len(pdf)
@@ -1611,6 +1614,11 @@ def _run_matches(
     match_num = match_num0
     emitted = 0
     keep_from = start_at
+    # first frame position NOT fully decided by this scan: rows before it
+    # either joined an emitted match or were scanned and cannot start one.
+    # A frontier-hold break lowers it to the held start. Feeds the WITHIN
+    # eviction rule in the streaming caller.
+    stop_at = n
     # fast path: when the first term is mandatory, only its true rows
     # can start a match — scan candidate starts, not every row. Under
     # PERMUTE any term may lead, so the candidate set is the union of all
@@ -1648,6 +1656,7 @@ def _run_matches(
             # variant, or an extra group repetition — was cut off by the
             # end of the visible frame: hold everything from the resume
             # position; later rows may complete the greedier parse
+            stop_at = i
             break
         if hit is None:
             i += 1
@@ -1656,6 +1665,7 @@ def _run_matches(
         if require_closed and end >= n:
             # the match reached the mature frontier: hold it (and every row
             # from the resume position) for the next batch
+            stop_at = i
             break
         match_num += 1
         emitted += 1
@@ -1744,7 +1754,29 @@ def _run_matches(
         else:
             i = i + 1
         keep_from = i
-    return out_rows, emitted, keep_from
+    return out_rows, emitted, keep_from, stop_at
+
+
+def _within_evict_to(ts_ms, wm_ms: int, within_ms: int, keep_from: int, stop_at: int) -> int:
+    """WITHIN-based state eviction bound for the streaming buffer.
+
+    A retained row r can only START a match whose rows all satisfy
+    ``ts < ts[r] + within`` (strict NFA bound). Once the watermark passes
+    ``ts[r] + within``, every row that could ever join such a match is
+    already mature — the no-match decision made for r this scan is FINAL,
+    and r can be dropped. Rows at or beyond ``stop_at`` (a held match's
+    start, or undecided territory) are never evicted. Without this rule a
+    key whose rows never match retains them forever; WITH it, state is
+    bounded by the WITHIN window — exactly Flink CEP's windowTime pruning.
+
+    ``ts_ms``: the frame's order-column values in epoch ms (sorted).
+    Returns the new keep_from (>= the scan's own keep_from).
+    """
+    import numpy as np
+
+    horizon = wm_ms - within_ms  # rows with ts <= horizon are decided
+    cand = int(np.searchsorted(ts_ms, horizon, side="right"))
+    return max(keep_from, min(cand, stop_at))
 
 
 def match_recognize(df: DataFrame, clause_or_spec) -> DataFrame:
@@ -1769,7 +1801,7 @@ def match_recognize(df: DataFrame, clause_or_spec) -> DataFrame:
         import pandas as pd
 
         pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
-        out_rows, _, _ = _run_matches(
+        out_rows, _, _, _ = _run_matches(
             pdf, spec, measures, input_cols, out_names, stateful=stateful
         )
         return pd.DataFrame(out_rows, columns=out_names)
@@ -1972,11 +2004,18 @@ def match_recognize_stream(df: DataFrame, clause_or_spec, close_after: str | Non
             # helper must see (matches cannot start or land on them)
             frame = pd.concat([carry, mature], ignore_index=True)
             nc = len(carry)
-        out_rows, emitted, keep_from = _run_matches(
+        out_rows, emitted, keep_from, stop_at = _run_matches(
             frame, spec, measures, input_cols, out_names,
             match_num0=mn, require_closed=require_closed, stateful=stateful,
             start_at=nc,
         )
+        if spec.within_ms is not None and require_closed and len(frame):
+            # WITHIN bounds live state: scanned no-match rows whose whole
+            # match window the watermark has passed are decided forever
+            keep_from = _within_evict_to(
+                pd.to_datetime(frame[ocol]).values.view("int64") // 1_000_000,
+                wm_ms, spec.within_ms, keep_from, stop_at,
+            )
         keep = pd.concat(
             [frame.iloc[keep_from:][buf_cols], immature[buf_cols]], ignore_index=True
         )

@@ -407,7 +407,7 @@ def _run_both(pdf, clause):
     norm = lambda rows: [  # noqa: E731
         [x.item() if hasattr(x, "item") else x for x in r] for r in rows
     ]
-    return norm(fast[0]), fast[1:], norm(gen[0]), gen[1:]
+    return norm(fast[0]), fast[1:3], norm(gen[0]), gen[1:3]
 
 
 _FULL_MEAS = (
@@ -479,7 +479,7 @@ def test_vectorized_matcher_throughput():
         pdf[f"__mr_{v}"] = pdf["event_type"] == t
     pdf = pdf.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
     t0 = time.time()
-    _, emitted, _ = _run_matches(pdf, spec, measures, None, None)
+    _, emitted, *_ = _run_matches(pdf, spec, measures, None, None)
     rate = len(pdf) / (time.time() - t0)
     assert emitted > 0
     assert rate > 1_000_000, f"matcher throughput {rate/1e6:.2f}M rows/s < 1M"
@@ -2031,3 +2031,49 @@ def test_unbounded_group_all_rows_per_match(spark):
     assert [(r.t, r.var, r.run_a) for r in out] == [
         (0, "A", 1), (1, "B", 1), (2, "A", 2), (3, "B", 2), (4, "C", 2)
     ]
+
+
+def test_within_evict_to_rule():
+    """Pure-rule checks: rows whose whole WITHIN window the watermark has
+    passed are evicted; held-match starts (stop_at) and the scan's own
+    resume position are lower/upper bounds."""
+    from flink_notebooks_spark.operators.match_recognize import _within_evict_to
+
+    ts = [0, 10_000, 20_000, 30_000]  # ms
+    # wm 45s, within 30s → horizon 15s → rows 0,10s decided (index 2)
+    assert _within_evict_to(ts, 45_000, 30_000, 0, 4) == 2
+    # equality: ts + within == wm is decided too (strict NFA bound)
+    assert _within_evict_to(ts, 40_000, 30_000, 0, 4) == 2
+    # a held match at index 1 caps eviction
+    assert _within_evict_to(ts, 45_000, 30_000, 0, 1) == 1
+    # never moves keep_from backwards
+    assert _within_evict_to(ts, 45_000, 30_000, 3, 4) == 3
+    # watermark far behind → nothing decided
+    assert _within_evict_to(ts, 5_000, 30_000, 0, 4) == 0
+
+
+def test_streaming_within_evicts_dead_rows_keeps_answer(spark, tmp_path):
+    """A never-matching old row is evicted from keyed state once its whole
+    WITHIN window matures — and the later in-window match still emits
+    exactly the batch answer."""
+    rows = _mr_stream_run(
+        spark,
+        tmp_path,
+        [
+            [dict(user_id=1, ts_s=10, event_type="view"),     # never completes
+             dict(user_id=1, ts_s=100, event_type="view")],
+            [dict(user_id=1, ts_s=110, event_type="click"),
+             dict(user_id=1, ts_s=120, event_type="purchase")],
+            [dict(user_id=1, ts_s=500, event_type="other")],
+            [dict(user_id=1, ts_s=900, event_type="other")],
+        ],
+        """
+        PARTITION BY user_id ORDER BY ev_time
+        MEASURES FIRST(A.ts_s) AS start_s, LAST(C.ts_s) AS end_s,
+                 COUNT(B.*) AS n_clicks
+        PATTERN (A B+ C) WITHIN INTERVAL '30' SECOND
+        DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click',
+               C AS C.event_type = 'purchase'
+        """,
+    )
+    assert rows == {(1, 100, 120, 1)}
