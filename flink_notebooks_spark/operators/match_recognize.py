@@ -61,10 +61,13 @@ backtracker). BOUNDED sequence groups also work as PERMUTE elements —
 time into flat variants (permutation preference first, then greediest
 repetition); alternation groups as PERMUTE elements
 (``PERMUTE((A|B), C)``) stay on the match-time permutation path as
-multi-variable terms. Not supported (raise): more than one unbounded group in a
-pattern, nested quantifiers (``(B+)*``), groups able to match empty under
-unbounded repetition (``(A? B?)+``), and UNBOUNDED group repetition
-inside PERMUTE (each raises rather than silently diverging).
+multi-variable terms. MULTIPLE unbounded groups
+in one pattern also work — each flattens independently, the leftmost
+group's repetition count varying outermost. Not supported (raise):
+nested quantifiers on multi-element groups (``((A B)+)*``), groups able
+to match empty under unbounded repetition (``(A? B?)+``), and UNBOUNDED
+group repetition inside PERMUTE (each raises rather than silently
+diverging).
 
 Scale design (the 100 TB argument):
 
@@ -179,16 +182,17 @@ _SEQ_GROUP_RE = re.compile(
     r"(\+|\*|\?|\{(\d+)(,(\d*))?\})?"
 )
 _MAX_PATTERN_VARIANTS = 64
-_GROUP_SENT = "\x00G\x00"  # placeholder for the unbounded group's position
+_GROUP_SENT_RE = re.compile("\x00G(\\d+)\x00")  # unbounded-group placeholders
 
 
-def _extract_unbounded_group(src: str):
-    """Replace the (single) unbounded MULTI-element sequence group —
-    ``(A B)+`` / ``*`` / ``{m,}`` — with a sentinel token, returning
-    ``(src', (body_src, lo) | None)``. Bounded groups and single-element
-    groups pass through untouched (the bounded expander handles those).
-    More than one unbounded group raises: the matcher's per-attempt
-    flattening handles exactly one open repetition."""
+def _extract_unbounded_groups(src: str):
+    """Replace every unbounded MULTI-element (or nested-quantifier single-
+    element) sequence group — ``(A B)+`` / ``*`` / ``{m,}`` — with an
+    indexed sentinel token, returning ``(src', [(body_src, lo), ...])``.
+    Bounded groups and plain single-element groups pass through untouched
+    (the bounded expander handles those). The matcher flattens each group
+    per attempt, leftmost group's repetition count outermost (the same
+    leftmost-outermost greed the bounded expansion uses)."""
     found: list[tuple[str, int]] = []
 
     def repl(m):
@@ -201,17 +205,12 @@ def _extract_unbounded_group(src: str):
         if " " not in body and not re.search(r"[+*?{]", body):
             # (B)+ ≡ B+: redundant parens, the bounded expander rewrites it
             return m.group(0)
-        if found:
-            raise NotImplementedError(
-                "MATCH_RECOGNIZE: more than one unbounded sequence group "
-                "in PATTERN is not supported"
-            )
         lo = 1 if quant == "+" else 0 if quant == "*" else int(m.group(3))
         found.append((body, lo))
-        return f" {_GROUP_SENT} "
+        return f" \x00G{len(found) - 1}\x00 "
 
     out = _SEQ_GROUP_RE.sub(repl, src)
-    return (out, found[0]) if found else (src, None)
+    return (out, found)
 
 
 def _expand_seq_groups(src: str) -> list[str]:
@@ -441,26 +440,28 @@ def parse_match_recognize(clause: str) -> MatchSpec:
             alternatives = variant_lists
         pat_src = ""
     if not permute and alternatives is None:
-        src2, ub = _extract_unbounded_group(pat_src)
-        body_terms = None
-        if ub is not None:
-            body_terms = _tokenize_flat(ub[0])
+        src2, ubs = _extract_unbounded_groups(pat_src)
+        group_terms = []
+        for body_src, lo in ubs:
+            body_terms = _tokenize_flat(body_src)
             if sum(t.lo for t in body_terms) == 0:
                 raise ValueError(
-                    f"MATCH_RECOGNIZE: sequence group ({ub[0]}) can match "
+                    f"MATCH_RECOGNIZE: sequence group ({body_src}) can match "
                     "empty (every member is optional) — its unbounded "
                     "repetition would never terminate"
                 )
+            group_terms.append(GroupTerm(body_terms, lo))
         variant_terms = []
         has_group = False
         for v in _expand_seq_groups(src2):
-            if ub is not None and _GROUP_SENT in v:
-                pre_src, suf_src = v.split(_GROUP_SENT)
-                terms = (
-                    _tokenize_flat(pre_src)
-                    + [GroupTerm(body_terms, ub[1])]
-                    + _tokenize_flat(suf_src)
-                )
+            if ubs and _GROUP_SENT_RE.search(v):
+                terms = []
+                pos = 0
+                for sm in _GROUP_SENT_RE.finditer(v):
+                    terms += _tokenize_flat(v[pos : sm.start()])
+                    terms.append(group_terms[int(sm.group(1))])
+                    pos = sm.end()
+                terms += _tokenize_flat(v[pos:])
                 has_group = True
             else:
                 terms = _tokenize_flat(v)
@@ -1507,20 +1508,26 @@ def _run_matches(
             alts.append(("flat", perm, tb, pd_))
     elif spec.alternatives:
         # sequence-group expansions, greediest first: the first variant
-        # that matches at a start wins (outermost-quantifier greed)
+        # that matches at a start wins (outermost-quantifier greed).
+        # Unbounded groups split the variant into flat segments around the
+        # GroupTerms; the matcher flattens per attempt with the leftmost
+        # group's repetition count varying outermost.
         alts = []
         for eid, variant in enumerate(spec.alternatives):
-            gi = next(
-                (j for j, t in enumerate(variant) if isinstance(t, GroupTerm)),
-                None,
-            )
-            if gi is None:
+            if not any(isinstance(t, GroupTerm) for t in variant):
                 tb, pd_ = term_data(variant)
                 alts.append(("flat", variant, tb, pd_))
-            else:
-                alts.append(
-                    ("group", variant[:gi], variant[gi], variant[gi + 1 :], eid)
-                )
+                continue
+            segs, grps, cur = [], [], []
+            for t in variant:
+                if isinstance(t, GroupTerm):
+                    segs.append(cur)
+                    grps.append(t)
+                    cur = []
+                else:
+                    cur.append(t)
+            segs.append(cur)
+            alts.append(("group", segs, grps, eid))
     else:
         term_bools, preds = term_data(pattern)
         alts = [("flat", pattern, term_bools, preds)]
@@ -1529,15 +1536,17 @@ def _run_matches(
     else:
         term_bools = preds = None  # group-led pattern: no shared columns
 
-    # unbounded-group flattenings, cached per (variant, reps) for the frame
-    flat_cache: dict[tuple[int, int], tuple] = {}
+    # unbounded-group flattenings, cached per (variant, rep-vector)
+    flat_cache: dict[tuple, tuple] = {}
 
-    def group_flat(eid, pre, grp, suf, k):
-        got = flat_cache.get((eid, k))
+    def group_flat(eid, segs, grps, ks):
+        got = flat_cache.get((eid, ks))
         if got is None:
-            pat_k = pre + grp.body * k + suf
+            pat_k = list(segs[0])
+            for g, k, seg in zip(grps, ks, segs[1:]):
+                pat_k += g.body * k + seg
             tb, pd_ = term_data(pat_k)
-            got = flat_cache[(eid, k)] = (pat_k, tb, pd_)
+            got = flat_cache[(eid, ks)] = (pat_k, tb, pd_)
         return got
 
     def entry_gate(entry):
@@ -1550,8 +1559,12 @@ def _run_matches(
             if pat[0].lo >= 1 and tb[0] is not None:
                 return tb[0]
             return None
-        _, pre, grp, suf, _ = entry
-        lead = pre[0] if pre else (grp.body[0] if grp.lo >= 1 else None)
+        _, segs, grps, _ = entry
+        lead = (
+            segs[0][0]
+            if segs[0]
+            else (grps[0].body[0] if grps[0].lo >= 1 else None)
+        )
         if lead is None or lead.lo < 1:
             return None
         if stateful and any(x in stateful for x in lead.vars):
@@ -1587,11 +1600,18 @@ def _run_matches(
                 if hit is not None:
                     return hit, ap
                 continue
-            _, pre, grp, suf, eid = entry
-            kmax = (n - i) // grp.min_rows
-            k_hi = max(kmax + 1, grp.lo) if fcell is not None else kmax
-            for k in range(k_hi, grp.lo - 1, -1):
-                pat_k, tb_k, pd_k = group_flat(eid, pre, grp, suf, k)
+            _, segs, grps, eid = entry
+            ranges = []
+            for g in grps:
+                kmax = (n - i) // g.min_rows
+                k_hi = max(kmax + 1, g.lo) if fcell is not None else kmax
+                ranges.append(range(k_hi, g.lo - 1, -1))
+            import itertools
+
+            # leftmost group's count varies outermost (product iterates the
+            # rightmost range fastest) — the bounded expansion's preference
+            for ks in itertools.product(*ranges):
+                pat_k, tb_k, pd_k = group_flat(eid, segs, grps, ks)
                 hit = _match_starting_at(tb_k, pat_k, n, i, pd_k, within_ok, fcell)
                 if hit is not None:
                     return hit, pat_k

@@ -209,6 +209,11 @@ def test_streaming_agg_emits_update_kinds(engine):
         # for the same key, with the count strictly growing
         for i, r in enumerate(rows):
             if r["kind"] == "UPDATE_BEFORE":
+                if i + 1 == len(rows):
+                    # the poll cutoff split the pair: its UPDATE_AFTER is
+                    # first in the next page — pairing holds in the stream,
+                    # not in an arbitrary poll prefix
+                    continue
                 nxt = rows[i + 1]
                 assert nxt["kind"] == "UPDATE_AFTER"
                 assert nxt["fields"][0] == r["fields"][0]
