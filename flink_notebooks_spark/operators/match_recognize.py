@@ -41,8 +41,10 @@ NOT(unknown) stays unknown) work on both inputs, as does PREV combined
 with cross-variable/FIRST/LAST navigation in one condition — on streaming
 input the consumed-row carry is prepended to the matcher's frame as
 read-only context (``_run_matches(start_at=...)``) so ``prev()`` sees the
-same predecessors batch does. ``PERMUTE`` works on both inputs for
-(optionally quantified) single-variable elements — the SQL-standard
+same predecessors batch does. Reluctant quantifiers — ``B+?``, ``B*?``, ``B{m,n}?`` — prefer the
+FEWEST rows (SQL-standard/Flink semantics; the backtracker tries takes
+ascending); reluctant GROUP quantifiers raise. ``PERMUTE`` works on both
+inputs for (optionally quantified) single-variable elements — the SQL-standard
 permutation alternation, orderings tried in lexicographic preference of the
 written list. Match-state conditions work INSIDE alternation groups too: a
 row classifies as the first listed variable whose condition holds, stateful
@@ -97,7 +99,8 @@ from pyspark.sql import types as T
 
 _PAT_TOKEN = re.compile(
     r"(\w+|\(\s*\w+(?:\s*\|\s*\w+)+\s*\))"  # VAR or (A|B|C)
-    r"(\+|\*|\?|\{(\d+)(,(\d*))?\})?"
+    r"(\+|\*|\{(\d+)(,(\d*))?\}|\?)?"  # quantifier
+    r"(\?)?"  # reluctant marker: B+?, B*?, B{m,n}? prefer FEWEST rows
 )
 
 
@@ -106,6 +109,7 @@ class PatternTerm:
     vars: list[str]  # >1 entries = alternation group (A|B|...)
     lo: int
     hi: int | None  # None = unbounded
+    greedy: bool = True  # False = reluctant (B+? / B{m,n}?): fewest rows
 
     @property
     def var(self) -> str:  # single-var convenience (measure mapping)
@@ -291,7 +295,13 @@ def _tokenize_flat(src: str) -> list[PatternTerm]:
         else:  # {n} / {n,} / {n,m}
             lo = int(q.group(3))
             hi = lo if q.group(4) is None else (int(q.group(5)) if q.group(5) else None)
-        terms.append(PatternTerm(vars_, lo, hi))
+        greedy = q.group(6) is None
+        if not greedy and quant is None:
+            raise ValueError(
+                f"MATCH_RECOGNIZE: bad pattern near {q.group(0)!r} "
+                "(reluctant marker without a quantifier)"
+            )
+        terms.append(PatternTerm(vars_, lo, hi, greedy))
     if src[consumed:].strip():
         raise ValueError(f"MATCH_RECOGNIZE: bad pattern near {src[consumed:]!r}")
     return terms
@@ -1096,7 +1106,13 @@ def _match_starting_at(
                 cnt += 1
         if frontier is not None and cnt < cap and pos + cnt >= n:
             frontier[0] = True
-        for take in range(cnt, term.lo - 1, -1):
+        # greedy: most rows first; reluctant (B+? / B{m,n}?): fewest first
+        order = (
+            range(cnt, term.lo - 1, -1)
+            if term.greedy
+            else range(term.lo, cnt + 1)
+        )
+        for take in order:
             spans[pi] = (pos, pos + take)
             end = rec(pi + 1, pos + take)
             if end is not None:
@@ -1158,6 +1174,11 @@ def _fast_eligible(spec: MatchSpec, measures) -> bool:
     terms = spec.pattern
     if any(isinstance(t, GroupTerm) for t in terms):  # group-bearing pattern
         return False  # (unreachable today: groups force spec.alternatives)
+    if any(not t.greedy for t in terms):
+        # reluctant TRAILING terms take fewer rows than the greedy run even
+        # under predicate uniqueness (nothing after them forces extension) —
+        # the general backtracker owns reluctant semantics
+        return False
     if any(len(t.vars) != 1 for t in terms):
         return False
     if len({t.var for t in terms}) != len(terms):

@@ -1044,7 +1044,13 @@ def test_streaming_matcher_throughput_envelope(spark, tmp_path):
     # floor sits well under the ~40k rows/s measured warm rate: the dev box
     # shows intermittent CPU-steal windows (NOTES.md) that halve throughput
     # without any code change, and a fully-loaded parallel suite run can
-    # halve it again — the floor catches a collapsed matcher, not host noise
+    # halve it again — the floor catches a collapsed matcher, not host
+    # noise. One retry absorbs a load transient; both attempts below the
+    # floor = a real collapse.
+    if rate <= 5_000:
+        dt2, n2 = run("retry")
+        assert n2 == n_cold
+        rate = max(rate, n / dt2)
     assert rate > 5_000, (
         f"streaming matcher envelope collapsed: {rate/1000:.0f}k rows/s "
         "(warm, single key) — expected ≥5k; see NOTES.md envelope entry"
@@ -2138,3 +2144,84 @@ def test_streaming_within_evicts_dead_rows_keeps_answer(spark, tmp_path):
         """,
     )
     assert rows == {(1, 100, 120, 1)}
+
+
+def test_reluctant_quantifier_takes_fewest(spark):
+    """B+? consumes the FEWEST rows that let the rest match — where greedy
+    B+ takes two rows, reluctant takes one (SQL-standard semantics)."""
+    df = _tag_df(spark, ["a", "b", "c", "c"])
+    clause = """
+    PARTITION BY k ORDER BY t
+    MEASURES COUNT(B.*) AS n_b, FIRST(C.t) AS c_at
+    PATTERN (A B{QUANT} C)
+    DEFINE A AS tag = 'a', B AS tag <> 'a', C AS tag = 'c'
+    """
+    greedy = match_recognize(df, clause.replace("{QUANT}", "+")).collect()
+    assert [(r.n_b, r.c_at) for r in greedy] == [(2, 3)]
+    rel = match_recognize(df, clause.replace("{QUANT}", "+?")).collect()
+    assert [(r.n_b, r.c_at) for r in rel] == [(1, 2)]
+    # bounded reluctant
+    rel2 = match_recognize(df, clause.replace("{QUANT}", "{1,3}?")).collect()
+    assert [(r.n_b, r.c_at) for r in rel2] == [(1, 2)]
+
+
+def test_reluctant_quantifier_streaming_matches_batch(spark, tmp_path):
+    rows = _mr_stream_run(
+        spark,
+        tmp_path,
+        [
+            [dict(user_id=1, ts_s=10, event_type="view"),
+             dict(user_id=1, ts_s=20, event_type="click")],
+            [dict(user_id=1, ts_s=30, event_type="purchase"),
+             dict(user_id=1, ts_s=40, event_type="purchase")],
+            [dict(user_id=1, ts_s=200, event_type="other")],
+            [dict(user_id=1, ts_s=400, event_type="other")],
+        ],
+        """
+        PARTITION BY user_id ORDER BY ev_time
+        MEASURES COUNT(B.*) AS n_b, LAST(C.ts_s) AS c_s
+        PATTERN (A B+? C)
+        DEFINE A AS A.event_type = 'view',
+               B AS B.event_type <> 'view',
+               C AS C.event_type = 'purchase'
+        """,
+    )
+    # reluctant: B takes only the click; C is the FIRST purchase (30)
+    assert rows == {(1, 1, 30)}
+
+
+def test_reluctant_group_quantifier_raises_loudly(spark):
+    with pytest.raises(ValueError, match="bad pattern"):
+        parse_match_recognize(
+            "ORDER BY t MEASURES COUNT(A.*) AS n PATTERN ((A B)+? C) "
+            "DEFINE A AS tag='a'"
+        )
+
+
+def test_reluctant_trailing_term_fewest_and_not_fast_path(spark):
+    """A trailing reluctant term takes its MINIMUM — nothing after it
+    forces extension — so B+? ends the match after one b where B+ absorbs
+    the whole run. Reluctant patterns are excluded from the vectorized
+    fast path (its greedy-run argument does not hold for them)."""
+    import importlib
+
+    mr = importlib.import_module("flink_notebooks_spark.operators.match_recognize")
+    spec = parse_match_recognize(
+        "PARTITION BY k ORDER BY t MEASURES COUNT(B.*) AS n_b "
+        "PATTERN (A B+?) DEFINE A AS tag = 'a', B AS tag = 'b'"
+    )
+    measures = [mr._parse_measure(e, a, spec.variables) for e, a in spec.measures]
+    assert not mr._fast_eligible(spec, measures)
+
+    out = match_recognize(
+        _tag_df(spark, ["a", "b", "b", "b"]),
+        "PARTITION BY k ORDER BY t MEASURES COUNT(B.*) AS n_b "
+        "PATTERN (A B+?) DEFINE A AS tag = 'a', B AS tag = 'b'",
+    ).collect()
+    assert [r.n_b for r in out] == [1]
+    out2 = match_recognize(
+        _tag_df(spark, ["a", "b", "b", "b"]),
+        "PARTITION BY k ORDER BY t MEASURES COUNT(B.*) AS n_b "
+        "PATTERN (A B+) DEFINE A AS tag = 'a', B AS tag = 'b'",
+    ).collect()
+    assert [r.n_b for r in out2] == [3]
