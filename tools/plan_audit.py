@@ -47,6 +47,7 @@ HEADLINE = [
     ("events_retention", "cohort retention: distinct → user-window min → cell agg"),
     ("corpus_ngrams", "corpus trigram table: (gram, doc_id) pre-agg → gram rollup → TakeOrdered"),
     ("unigram_logprob", "unigram NLL: capped-broadcast head + exact tail, DECIMAL-summed ln terms"),
+    ("events_funnel", "ordered 3-step funnel: one user shuffle, three windows, single-row roll-up"),
 ]
 
 
