@@ -31,6 +31,13 @@ class ColumnDef:
     nullable: bool = True
     computed_expr: str | None = None  # SQL expression for computed cols
     comment: str | None = None
+    # Flink METADATA column: sourced from the connector record, not the
+    # payload (e.g. kafka 'timestamp'/'topic'/'partition'/'offset'/'key',
+    # filesystem 'file.path'/'file.name'/'file.size'/
+    # 'file.modification-time'). Read-only in this engine (Flink's
+    # persisted non-VIRTUAL metadata write path is not modeled).
+    metadata_key: str | None = None
+    metadata_virtual: bool = False
 
 
 @dataclass
@@ -59,7 +66,9 @@ class TableDef:
             [
                 T.StructField(c.name, c.data_type, c.nullable)
                 for c in self.columns
-                if c.data_type is not None and c.computed_expr is None
+                if c.data_type is not None
+                and c.computed_expr is None
+                and c.metadata_key is None
             ]
         )
 
@@ -190,8 +199,26 @@ def _parse_schema_items(body: str, table: TableDef) -> None:
         if nm:
             nullable = False
             rest = rest[: nm.start()].strip()
+        # METADATA column:  name TYPE METADATA [FROM 'key'] [VIRTUAL]
+        meta_key, meta_virtual = None, False
+        mm = re.search(
+            r"\s+METADATA(?:\s+FROM\s+'([^']+)')?(\s+VIRTUAL)?\s*$",
+            rest,
+            re.IGNORECASE,
+        )
+        if mm:
+            meta_key = mm.group(1) or name
+            meta_virtual = bool(mm.group(2))
+            rest = rest[: mm.start()].strip()
         table.columns.append(
-            ColumnDef(name=name, data_type=parse_type(rest), nullable=nullable, comment=comment)
+            ColumnDef(
+                name=name,
+                data_type=parse_type(rest),
+                nullable=nullable,
+                comment=comment,
+                metadata_key=meta_key,
+                metadata_virtual=meta_virtual,
+            )
         )
 
 

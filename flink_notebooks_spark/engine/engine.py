@@ -83,7 +83,13 @@ def _align_positional(df: DataFrame, target: TableDef, cols: list[str] | None) -
     column regardless of its name. Our sinks write/read by name, so: check
     arity, rename positionally to the declared physical names, cast to the
     declared types, and fill unlisted columns with typed NULLs."""
-    phys = [c for c in target.columns if c.data_type is not None and c.computed_expr is None]
+    phys = [
+        c
+        for c in target.columns
+        if c.data_type is not None
+        and c.computed_expr is None
+        and c.metadata_key is None  # metadata columns are read-only here
+    ]
     if not phys:
         return df
     by_name = {c.name: c for c in phys}
@@ -601,7 +607,12 @@ class Engine:
 
                 typ = to_flink_type(c.data_type) if c.data_type else "STRING"
                 nn = "" if c.nullable else " NOT NULL"
-                parts.append(f"  `{c.name}` {typ}{nn}")
+                meta = ""
+                if c.metadata_key is not None:
+                    meta = f" METADATA FROM '{c.metadata_key}'"
+                    if c.metadata_virtual:
+                        meta += " VIRTUAL"
+                parts.append(f"  `{c.name}` {typ}{nn}{meta}")
         if t.primary_key:
             parts.append(
                 "  PRIMARY KEY (" + ", ".join(f"`{k}`" for k in t.primary_key)

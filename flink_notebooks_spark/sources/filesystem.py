@@ -124,13 +124,50 @@ def _align(df: DataFrame, schema: T.StructType, ns_cols: set[str]) -> DataFrame:
     return df.select(*cols)
 
 
+# Flink filesystem METADATA keys → Spark's hidden per-file _metadata struct
+_FS_META = {
+    "file.path": "_metadata.file_path",
+    "file.name": "_metadata.file_name",
+    "file.size": "_metadata.file_size",
+    "file.modification-time": "_metadata.file_modification_time",
+}
+
+
+def _meta_fields(table) -> list[T.StructField]:
+    return [
+        T.StructField(c.name, c.data_type, True)
+        for c in table.columns
+        if getattr(c, "metadata_key", None)
+    ]
+
+
+def _attach_fs_meta(df: DataFrame, table) -> DataFrame:
+    """Append declared METADATA columns from the file source's _metadata
+    struct (must be selected before any transformation detaches it)."""
+    metas = [c for c in table.columns if getattr(c, "metadata_key", None)]
+    if not metas:
+        return df
+    cols = [F.col(c) for c in df.columns]
+    for c in metas:
+        src_field = _FS_META.get(c.metadata_key)
+        if src_field is None:
+            raise ValueError(
+                f"filesystem: unsupported metadata key {c.metadata_key!r} "
+                f"(one of {', '.join(sorted(_FS_META))})"
+            )
+        cols.append(F.col(src_field).cast(c.data_type).alias(c.name))
+    return df.select(*cols)
+
+
 def build_batch(spark: SparkSession, table) -> DataFrame:
     tune(spark)
     schema = table.spark_schema()
     # A sink-only table may be declared before its path exists (reference
     # allows CREATE then INSERT INTO); surface it as an empty typed relation.
     if schema.fields and not _exists(spark, _path(table)):
-        return spark.createDataFrame([], schema)
+        return spark.createDataFrame(
+            [], T.StructType(list(schema.fields) + _meta_fields(table))
+        )
     reader = spark.read.format(_fmt(table)).options(**_reader_opts(table))
     if not schema.fields:
         return reader.load(_path(table))
@@ -138,10 +175,10 @@ def build_batch(spark: SparkSession, table) -> DataFrame:
         # Parquet is self-describing: read the file's own schema, then align
         # by cast. Forcing the declared schema onto the reader instead fails
         # on representational mismatches (e.g. TIMESTAMP(NANOS) vs µs).
-        return _align(
-            reader.load(_path(table)), schema, _nanos_ts_cols(_path(table))
-        )
-    return reader.schema(schema).load(_path(table))
+        raw = _attach_fs_meta(reader.load(_path(table)), table)
+        target = T.StructType(list(schema.fields) + _meta_fields(table))
+        return _align(raw, target, _nanos_ts_cols(_path(table)))
+    return _attach_fs_meta(reader.schema(schema).load(_path(table)), table)
 
 
 def build_stream(spark: SparkSession, table) -> DataFrame:
@@ -162,13 +199,17 @@ def build_stream(spark: SparkSession, table) -> DataFrame:
                 for f in schema.fields
             ]
         )
-    df = (
+    df = _attach_fs_meta(
         spark.readStream.format(_fmt(table))
         .options(**_reader_opts(table))
         .schema(read_schema)
-        .load(_path(table))
+        .load(_path(table)),
+        table,
     )
-    return _align(df, schema, ns_cols) if ns_cols else df
+    if not ns_cols:
+        return df
+    target = T.StructType(list(schema.fields) + _meta_fields(table))
+    return _align(df, target, ns_cols)
 
 
 def write_batch(df: DataFrame, table, overwrite: bool) -> None:

@@ -94,22 +94,75 @@ def _raw_column(table):
     return f
 
 
+# Flink kafka METADATA keys → columns of the Kafka record (real source and
+# the file-backed emulation share the record shape). Read-only.
+_META_SOURCES = {
+    "timestamp": "timestamp",
+    "timestamp-type": "timestampType",
+    "topic": "topic",
+    "partition": "partition",
+    "offset": "offset",
+    "key": "key",
+}
+
+
+def _meta_cols(table) -> list:
+    """Declared METADATA columns as record-field selections, cast to the
+    declared types (e.g. event_time TIMESTAMP(3) METADATA FROM 'timestamp')."""
+    out = []
+    for c in getattr(table, "columns", []):
+        mk = getattr(c, "metadata_key", None)
+        if mk is None:
+            continue
+        src_col = _META_SOURCES.get(mk)
+        if src_col is None:
+            raise ValueError(
+                f"kafka: unsupported metadata key {mk!r} "
+                f"(one of {', '.join(sorted(_META_SOURCES))})"
+            )
+        out.append(F.col(src_col).cast(c.data_type).alias(c.name))
+    return out
+
+
+def _with_meta(decoded_struct: DataFrame, table) -> DataFrame:
+    """Final projection in DECLARED column order: payload fields from the
+    decoded struct `v`, metadata columns from the record."""
+    cols = []
+    for c in table.columns:
+        if getattr(c, "computed_expr", None) is not None:
+            continue  # computed columns attach in the engine layer
+        if getattr(c, "metadata_key", None) is not None:
+            cols.append(F.col(c.name))
+        else:
+            cols.append(F.col(f"v.{c.name}"))
+    return decoded_struct.select(*cols)
+
+
 def _decode(df: DataFrame, table) -> DataFrame:
     fmt = _fmt(table)
     schema = table.spark_schema()
+    meta = _meta_cols(table)
     if fmt == "json":
-        return df.select(
-            F.from_json(F.col("value").cast("string"), schema).alias("v")
-        ).select("v.*")
+        dec = df.select(
+            F.from_json(F.col("value").cast("string"), schema).alias("v"), *meta
+        )
+        return _with_meta(dec, table)
     if fmt == "csv":
         ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
-        return df.select(
-            F.from_csv(F.col("value").cast("string"), ddl).alias("v")
-        ).select("v.*")
+        dec = df.select(
+            F.from_csv(F.col("value").cast("string"), ddl).alias("v"), *meta
+        )
+        return _with_meta(dec, table)
     if fmt == "raw":
         f = _raw_column(table)
-        return df.select(F.col("value").cast(f.dataType).alias(f.name))
+        return df.select(F.col("value").cast(f.dataType).alias(f.name), *meta)
     if fmt in CDC_FORMATS:
+        if meta:
+            raise NotImplementedError(
+                "kafka: METADATA columns on changelog formats are not "
+                "supported (the change envelope, not the record, carries "
+                "the row)"
+            )
         # changelog rows: op (c/u/d/r), ts_ms, flattened row image. Batch
         # reads materialize the snapshot in build_batch; streaming reads
         # surface the change rows (apply cdc.apply_changelog per micro-batch
@@ -143,6 +196,11 @@ def _is_upsert(table) -> bool:
 
 
 def _upsert_snapshot(raw: DataFrame, table) -> DataFrame:
+    if _meta_cols(table):
+        raise NotImplementedError(
+            "upsert-kafka: METADATA columns are not supported (the keyed "
+            "snapshot materializes latest payloads, not records)"
+        )
     """upsert-kafka batch read: the topic is a keyed changelog — materialize
     the latest record per key (by record time, offset tiebreak) and drop
     tombstones (null value = DELETE), exactly Flink's upsert-kafka table

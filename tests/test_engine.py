@@ -1218,3 +1218,32 @@ def test_flink_scalar_dialect_surface_2(engine):
     assert one("SELECT LENGTH(LOCALTIME) AS v") == 8  # TIME → 'HH:mm:ss'
     assert one("SELECT TO_TIMESTAMP_LTZ(1000, 3) = TO_TIMESTAMP_LTZ(1, 0) AS v") is True
     assert one("SELECT RAND_INTEGER(10) BETWEEN 0 AND 9 AS v") is True
+
+
+def test_filesystem_metadata_columns(engine, tmp_path, spark):
+    """Flink filesystem METADATA columns map to Spark's per-file _metadata
+    struct (file.name / file.size / file.path / file.modification-time)."""
+    spark.createDataFrame([(1, "x"), (2, "y")], "id int, s string").write.parquet(
+        str(tmp_path / "fm")
+    )
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql(f"""
+        CREATE TABLE fmeta (
+          id INT, s STRING,
+          fname STRING METADATA FROM 'file.name' VIRTUAL,
+          fsize BIGINT METADATA FROM 'file.size',
+          mtime TIMESTAMP(3) METADATA FROM 'file.modification-time'
+        ) WITH ('connector' = 'filesystem', 'path' = '{tmp_path}/fm',
+                'format' = 'parquet')
+    """)
+    rows = [
+        r["fields"]
+        for r in drain(
+            engine.execute_sql(
+                "SELECT id, fsize > 0, fname LIKE '%.parquet', "
+                "mtime IS NOT NULL FROM fmeta ORDER BY id"
+            )
+        )
+    ]
+    assert rows == [[1, True, True, True], [2, True, True, True]]
+    engine.execute_sql("DROP TABLE fmeta")

@@ -314,3 +314,64 @@ def test_kafka_raw_roundtrip_and_single_column_rule(engine, tmp_path):
                 'format'='raw')"""
         )
         drain(engine.execute_sql("SELECT * FROM raw_bad"))
+
+
+def test_kafka_metadata_columns(engine, tmp_path):
+    """Flink METADATA columns on a kafka table: timestamp/partition/offset/
+    topic surface from the record (emulated broker shares the record
+    shape); VIRTUAL and persisted metadata are both read-only here, so
+    INSERT arity counts only physical columns."""
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql(f"""
+        CREATE TABLE mk_src (id INT, name STRING) WITH (
+          'connector' = 'kafka', 'topic' = 'mk',
+          'properties.bootstrap.servers' = 'file://{tmp_path}',
+          'format' = 'json')
+    """)
+    engine.execute_sql("INSERT INTO mk_src VALUES (1, 'a'), (2, 'b')")
+    engine.execute_sql(f"""
+        CREATE TABLE mk_meta (
+          id INT,
+          name STRING,
+          rec_time TIMESTAMP(3) METADATA FROM 'timestamp',
+          part INT METADATA FROM 'partition' VIRTUAL,
+          off BIGINT METADATA FROM 'offset',
+          top STRING METADATA FROM 'topic'
+        ) WITH (
+          'connector' = 'kafka', 'topic' = 'mk',
+          'properties.bootstrap.servers' = 'file://{tmp_path}',
+          'format' = 'json')
+    """)
+    rows = [
+        r["fields"]
+        for r in drain(
+            engine.execute_sql(
+                "SELECT id, name, part, off, top, rec_time IS NOT NULL "
+                "FROM mk_meta ORDER BY id"
+            )
+        )
+    ]
+    assert rows == [[1, "a", 0, 0, "mk", True], [2, "b", 0, 1, "mk", True]]
+    # INSERT counts only physical columns (metadata is read-only)
+    engine.execute_sql("INSERT INTO mk_meta VALUES (3, 'c')")
+    rows = [
+        r["fields"]
+        for r in drain(engine.execute_sql("SELECT id, off FROM mk_meta ORDER BY id"))
+    ]
+    assert [r[0] for r in rows] == [1, 2, 3]
+    assert all(r[1] >= 0 for r in rows)  # offsets are per produce batch
+    # SHOW CREATE round-trips the metadata declarations
+    page = engine.execute_sql("SHOW CREATE TABLE mk_meta").fetch(0)
+    ddl = str(page.data)
+    assert "METADATA FROM 'timestamp'" in ddl and "VIRTUAL" in ddl
+    # unsupported key raises loudly (at registration — the view
+    # materializes eagerly)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="metadata key"):
+        engine.execute_sql(f"""
+            CREATE TABLE mk_bad (id INT, h STRING METADATA FROM 'headers')
+            WITH ('connector' = 'kafka', 'topic' = 'mk',
+                  'properties.bootstrap.servers' = 'file://{tmp_path}',
+                  'format' = 'json')
+        """)
