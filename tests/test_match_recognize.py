@@ -2225,3 +2225,81 @@ def test_reluctant_trailing_term_fewest_and_not_fast_path(spark):
         "PATTERN (A B+) DEFINE A AS tag = 'a', B AS tag = 'b'",
     ).collect()
     assert [r.n_b for r in out2] == [3]
+
+
+def _pandas_matches(pdf, clause, defines):
+    """Run the general matcher directly over a pandas frame (no Spark):
+    returns the emitted measure rows."""
+    import importlib
+
+    mr = importlib.import_module("flink_notebooks_spark.operators.match_recognize")
+    spec = parse_match_recognize(clause)
+    measures = [mr._parse_measure(e, a, spec.variables) for e, a in spec.measures]
+    for v, t in defines.items():
+        pdf[f"__mr_{v}"] = pdf["event_type"] == t
+    pdf = pdf.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+    out, emitted, *_ = mr._run_matches(
+        pdf, spec, measures, list(pdf.columns), None, _force_general=True
+    )
+    return [tuple(r) for r in out]
+
+
+_GRP_DEFINES = {"A": "view", "B": "click", "C": "purchase", "D": "other"}
+
+
+def test_unbounded_group_pandas_fuzz_vs_bounded(spark):
+    """500 random sequences: (A B)+ C ≡ (A B){1,K} C when K bounds the
+    feasible repetitions — pandas-level, exercising the per-attempt
+    flattening against the parse-time expansion on identical data."""
+    meas = "MEASURES COUNT(A.*) AS n_a, COUNT(B.*) AS n_b, MATCH_NUMBER() AS mn"
+    head = f"PARTITION BY user_id ORDER BY ts_us, event_id {meas} "
+    tail = (" DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click',"
+            " C AS C.event_type = 'purchase'")
+    n_matched = 0
+    for seed in range(500):
+        pdf = _rand_events(seed, 24)
+        unb = _pandas_matches(pdf.copy(), head + "PATTERN ((A B)+ C)" + tail,
+                              _GRP_DEFINES)
+        bnd = _pandas_matches(pdf.copy(), head + "PATTERN ((A B){1,8} C)" + tail,
+                              _GRP_DEFINES)
+        assert unb == bnd, (seed, unb, bnd)
+        n_matched += len(unb)
+    assert n_matched > 50  # the fuzz produced real matches
+
+
+def test_multi_group_pandas_fuzz_vs_bounded(spark):
+    """300 random sequences: (A B)+ (C D)+ ≡ its bounded {1,6} expansion —
+    the repetition-VECTOR enumeration equals the parse-time product."""
+    meas = "MEASURES COUNT(A.*) AS n_a, COUNT(C.*) AS n_c, MATCH_NUMBER() AS mn"
+    head = f"PARTITION BY user_id ORDER BY ts_us, event_id {meas} "
+    tail = (" DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click',"
+            " C AS C.event_type = 'purchase', D AS D.event_type = 'other'")
+    n_matched = 0
+    for seed in range(300):
+        pdf = _rand_events(seed, 20, p=(0.3, 0.3, 0.2, 0.2))
+        unb = _pandas_matches(pdf.copy(), head + "PATTERN ((A B)+ (C D)+)" + tail,
+                              _GRP_DEFINES)
+        bnd = _pandas_matches(
+            pdf.copy(), head + "PATTERN ((A B){1,6} (C D){1,6})" + tail,
+            _GRP_DEFINES,
+        )
+        assert unb == bnd, (seed, unb, bnd)
+        n_matched += len(unb)
+    assert n_matched > 5  # strict alternation twice over is rare but real
+
+
+def test_reluctant_pandas_fuzz_unique_parse_equals_greedy(spark):
+    """Where DEFINE predicates are mutually exclusive AND a mandatory term
+    follows, the parse is forced — reluctant and greedy must agree (the
+    uniqueness argument behind keeping such patterns comparable)."""
+    meas = "MEASURES COUNT(B.*) AS n_b, MATCH_NUMBER() AS mn"
+    head = f"PARTITION BY user_id ORDER BY ts_us, event_id {meas} "
+    tail = (" DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click',"
+            " C AS C.event_type = 'purchase'")
+    for seed in range(300):
+        pdf = _rand_events(seed, 24)
+        g = _pandas_matches(pdf.copy(), head + "PATTERN (A B+ C)" + tail,
+                            _GRP_DEFINES)
+        r = _pandas_matches(pdf.copy(), head + "PATTERN (A B+? C)" + tail,
+                            _GRP_DEFINES)
+        assert g == r, (seed, g, r)
