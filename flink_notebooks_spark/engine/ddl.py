@@ -612,6 +612,32 @@ def parse_statement(sql: str) -> Parsed:
             value=m.group(4).split(".")[-1],
             sql=sql,
         )
+    # ALTER TABLE t ADD|MODIFY WATERMARK FOR col AS expr / DROP WATERMARK
+    # (FLIP-273 schema evolution) — must match BEFORE the add-column form,
+    # which would otherwise swallow "WATERMARK FOR ..." as a column def
+    m = re.match(
+        r"ALTER\s+TABLE\s+(`?)([\w.]+)\1\s+(?:ADD|MODIFY)\s+"
+        r"(WATERMARK\s+FOR\s+.+)$",
+        sql,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        return Parsed(
+            kind="alter_watermark_set",
+            name=m.group(2).split(".")[-1],
+            value=m.group(3).strip(),
+            sql=sql,
+        )
+    m = re.match(
+        r"ALTER\s+TABLE\s+(`?)([\w.]+)\1\s+DROP\s+WATERMARK\s*$",
+        sql,
+        re.IGNORECASE,
+    )
+    if m:
+        return Parsed(
+            kind="alter_watermark_drop", name=m.group(2).split(".")[-1], sql=sql
+        )
+
     m = re.match(
         r"ALTER\s+TABLE\s+(`?)([\w.]+)\1\s+ADD\s*\((.*)\)\s*$|"
         r"ALTER\s+TABLE\s+(`?)([\w.]+)\4\s+ADD\s+(\w+\s+.+?)\s*$",

@@ -640,6 +640,35 @@ class Engine:
         self._register_view(t)
         return ok_statement("OK")
 
+    def _exec_alter_watermark_set(self, p: Parsed) -> Statement:
+        """ALTER TABLE t ADD|MODIFY WATERMARK FOR col AS expr (FLIP-273):
+        replace the table's watermark declaration and re-materialize."""
+        from .ddl import _parse_watermark
+
+        t = self.tables.get(p.name)
+        if t is None:
+            raise ValueError(f"table not found: {p.name}")
+        wm = _parse_watermark(p.value)
+        if wm.column not in {c.name for c in t.columns}:
+            raise ValueError(
+                f"ALTER TABLE {p.name}: watermark column {wm.column!r} "
+                "is not a column of the table"
+            )
+        t.watermark = wm
+        self._register_view(t)
+        return ok_statement("OK")
+
+    def _exec_alter_watermark_drop(self, p: Parsed) -> Statement:
+        """ALTER TABLE t DROP WATERMARK — remove the declaration."""
+        t = self.tables.get(p.name)
+        if t is None:
+            raise ValueError(f"table not found: {p.name}")
+        if t.watermark is None:
+            raise ValueError(f"table {p.name} has no watermark to drop")
+        t.watermark = None
+        self._register_view(t)
+        return ok_statement("OK")
+
     def _exec_alter_table_rename(self, p: Parsed) -> Statement:
         """ALTER TABLE t RENAME TO t2 — registry move + view re-registration."""
         t = self.tables.get(p.name)

@@ -1247,3 +1247,33 @@ def test_filesystem_metadata_columns(engine, tmp_path, spark):
     ]
     assert rows == [[1, True, True, True], [2, True, True, True]]
     engine.execute_sql("DROP TABLE fmeta")
+
+
+def test_alter_watermark_statements(engine):
+    """FLIP-273 watermark evolution: ADD / MODIFY WATERMARK replace the
+    declaration, DROP WATERMARK removes it, and the ADD form must NOT be
+    swallowed by the add-column path (regression: it used to create a
+    broken column named WATERMARK)."""
+    engine.execute_sql(
+        """CREATE TABLE wmt (id INT, ts TIMESTAMP(3)) WITH (
+           'connector'='datagen','number-of-rows'='5')"""
+    )
+    engine.execute_sql(
+        "ALTER TABLE wmt ADD WATERMARK FOR ts AS ts - INTERVAL '5' SECOND"
+    )
+    assert engine.tables["wmt"].watermark.delay == "5 seconds"
+    engine.execute_sql(
+        "ALTER TABLE wmt MODIFY WATERMARK FOR ts AS ts - INTERVAL '1' SECOND"
+    )
+    assert engine.tables["wmt"].watermark.delay == "1 seconds"
+    # no phantom column appeared
+    assert [c.name for c in engine.tables["wmt"].columns] == ["id", "ts"]
+    engine.execute_sql("ALTER TABLE wmt DROP WATERMARK")
+    assert engine.tables["wmt"].watermark is None
+    with pytest.raises(ValueError, match="no watermark"):
+        engine.execute_sql("ALTER TABLE wmt DROP WATERMARK")
+    with pytest.raises(ValueError, match="not a column"):
+        engine.execute_sql(
+            "ALTER TABLE wmt ADD WATERMARK FOR nope AS nope - INTERVAL '1' SECOND"
+        )
+    engine.execute_sql("DROP TABLE wmt")
