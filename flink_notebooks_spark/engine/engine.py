@@ -133,6 +133,7 @@ class Engine:
         self.statements: list[Statement] = []
         self._listeners: list = []
         self._checkpoint_root = tempfile.mkdtemp(prefix="fns-ckpt-")
+        self._default_tz = self.spark.conf.get("spark.sql.session.timeZone")
         self._register_flink_builtins()
 
     # Flink SQL built-ins Spark lacks under those names, provided as
@@ -476,6 +477,10 @@ class Engine:
         self.properties[p.key] = p.value
         if p.key == "execution.runtime-mode":
             self._refresh_views()
+        elif p.key == "table.local-time-zone":
+            # Flink's session time zone ↔ Spark's — timestamps with local
+            # time zone render/parse in this zone
+            self.spark.conf.set("spark.sql.session.timeZone", p.value)
         elif p.key.startswith("spark."):
             try:
                 self.spark.conf.set(p.key, p.value)
@@ -486,7 +491,12 @@ class Engine:
     def _exec_reset(self, p: Parsed) -> Statement:
         if p.key:
             self.properties.pop(p.key, None)
+            if p.key == "table.local-time-zone":
+                self.spark.conf.set(
+                    "spark.sql.session.timeZone", self._default_tz
+                )
         else:
+            self.spark.conf.set("spark.sql.session.timeZone", self._default_tz)
             self.properties = {"execution.runtime-mode": STREAMING}
         return ok_statement("OK")
 

@@ -530,6 +530,10 @@ def rewrite_scalar_syntax(sql: str) -> str:
         if re.search(rf"\b{name}\s*\(", sql, re.IGNORECASE):
             sql = _rewrite_json_fn(sql, name, build)
     sql = re.sub(r"\bARRAY_CONCAT\s*\(", "concat(", sql, flags=re.IGNORECASE)
+    # Flink's COLLECT multiset aggregate → the closest Spark aggregate
+    # (collect_list; multiset multiplicity is preserved, order is not part
+    # of either contract)
+    sql = re.sub(r"\bCOLLECT\s*\(", "collect_list(", sql, flags=re.IGNORECASE)
     sql = re.sub(r"\bARRAY_REVERSE\s*\(", "reverse(", sql, flags=re.IGNORECASE)
     sql = re.sub(r"\bMAP_UNION\s*\(", "map_concat(", sql, flags=re.IGNORECASE)
     if re.search(r"\bARRAY_SLICE\s*\(", sql, re.IGNORECASE):

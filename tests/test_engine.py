@@ -1277,3 +1277,18 @@ def test_alter_watermark_statements(engine):
             "ALTER TABLE wmt ADD WATERMARK FOR nope AS nope - INTERVAL '1' SECOND"
         )
     engine.execute_sql("DROP TABLE wmt")
+
+
+def test_collect_aggregate_and_session_timezone(engine, spark):
+    """Flink's COLLECT multiset aggregate maps to collect_list, and
+    'table.local-time-zone' wires to Spark's session time zone (RESET
+    restores the engine's startup default)."""
+    pg = engine.execute_sql(
+        "SELECT COLLECT(v) AS c FROM (VALUES (1), (2), (2)) t(v)"
+    ).fetch(0)
+    assert sorted(pg.data[0]["fields"][0]) == [1, 2, 2]  # multiplicity kept
+    orig = spark.conf.get("spark.sql.session.timeZone")
+    engine.execute_sql("SET 'table.local-time-zone' = 'America/New_York'")
+    assert spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
+    engine.execute_sql("RESET 'table.local-time-zone'")
+    assert spark.conf.get("spark.sql.session.timeZone") == orig
