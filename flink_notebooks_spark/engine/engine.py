@@ -545,13 +545,20 @@ class Engine:
                 wm = ""
                 if t.watermark and t.watermark.column == c.name:
                     wm = t.watermark.expr
+                extras = ""
+                if c.computed_expr:
+                    extras = f"AS {c.computed_expr}"
+                elif c.metadata_key is not None:
+                    extras = f"METADATA FROM '{c.metadata_key}'"
+                    if c.metadata_virtual:
+                        extras += " VIRTUAL"
                 rows.append(
                     [
                         c.name,
                         (c.data_type.simpleString().upper() if c.data_type else "COMPUTED"),
                         "TRUE" if c.nullable else "FALSE",
                         "PRI" if c.name in t.primary_key else "",
-                        f"AS {c.computed_expr}" if c.computed_expr else "",
+                        extras,
                         wm,
                     ]
                 )

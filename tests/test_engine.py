@@ -1292,3 +1292,22 @@ def test_collect_aggregate_and_session_timezone(engine, spark):
     assert spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
     engine.execute_sql("RESET 'table.local-time-zone'")
     assert spark.conf.get("spark.sql.session.timeZone") == orig
+
+
+def test_describe_shows_metadata_extras(engine, tmp_path):
+    """DESCRIBE annotates METADATA columns in the extras column, like
+    Flink's table description."""
+    engine.execute_sql(f"""
+        CREATE TABLE dmeta (
+          id INT,
+          rec_time TIMESTAMP(3) METADATA FROM 'timestamp',
+          part INT METADATA FROM 'partition' VIRTUAL
+        ) WITH ('connector' = 'kafka', 'topic' = 'dm',
+                'properties.bootstrap.servers' = 'file://{tmp_path}',
+                'format' = 'json')
+    """)
+    rows = {r["fields"][0]: r["fields"] for r in drain(engine.execute_sql("DESCRIBE dmeta"))}
+    assert rows["rec_time"][4] == "METADATA FROM 'timestamp'"
+    assert rows["part"][4] == "METADATA FROM 'partition' VIRTUAL"
+    assert rows["id"][4] == ""
+    engine.execute_sql("DROP TABLE dmeta")
