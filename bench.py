@@ -123,11 +123,12 @@ def main() -> None:
     )
     wq.awaitTermination()
 
-    # SPARK_GRAFT_BENCH_REPS>1 runs every query N times and reports the
-    # per-query median — used for controlled A/B comparisons where single-run
-    # variance (JIT, page cache, GC) would swamp the signal.
+    # Every query runs SPARK_GRAFT_BENCH_REPS times (default 3) and reports
+    # the per-query median — single-run variance (JIT, page cache, GC,
+    # machine CPU steal) was shown in r5 to swamp per-query deltas, so the
+    # default is median-of-3 in BOTH the local archive and the driver run.
     try:
-        reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
+        reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     except ValueError:
         print(
             "bench: SPARK_GRAFT_BENCH_REPS is not an integer; falling back to 1",

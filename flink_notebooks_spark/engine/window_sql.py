@@ -272,14 +272,32 @@ def _skip_string(sql: str, j: int) -> int:
     return n
 
 
+def _skip_noncode(sql: str, j: int) -> int | None:
+    """If sql[j] opens a string literal, a ``--`` line comment, or a
+    ``/* */`` block comment, return the index just past it; else None.
+    Keeps the quote-tracking scanners from misreading an apostrophe
+    inside a comment as a literal opener (which would flip the literal
+    state for everything after it)."""
+    if sql[j] == "'":
+        return _skip_string(sql, j)
+    if sql.startswith("--", j):
+        e = sql.find("\n", j)
+        return len(sql) if e < 0 else e + 1
+    if sql.startswith("/*", j):
+        e = sql.find("*/", j + 2)
+        return len(sql) if e < 0 else e + 2
+    return None
+
+
 def _match_delim(sql: str, i: int, open_ch: str, close_ch: str) -> int:
     """i at the opening delimiter; return index of its matching closer,
-    skipping string literals."""
+    skipping string literals and comments."""
     depth, j, n = 0, i, len(sql)
     while j < n:
         c = sql[j]
-        if c == "'":
-            j = _skip_string(sql, j)
+        nj = _skip_noncode(sql, j)
+        if nj is not None:
+            j = nj
             continue
         if c == open_ch:
             depth += 1
@@ -292,24 +310,28 @@ def _match_delim(sql: str, i: int, open_ch: str, close_ch: str) -> int:
 
 
 def _in_string(sql: str, pos: int) -> bool:
+    """True when pos sits inside a string literal OR a comment — both are
+    spans the rewriters must leave untouched."""
     j = 0
     while j < pos:
-        if sql[j] == "'":
-            j = _skip_string(sql, j)
-            if j > pos:
+        nj = _skip_noncode(sql, j)
+        if nj is not None:
+            if nj > pos:
                 return True
+            j = nj
             continue
         j += 1
     return False
 
 
 def _split_args(s: str) -> list[str]:
-    """Split on top-level commas, respecting (), [], and strings."""
+    """Split on top-level commas, respecting (), [], strings, comments."""
     parts, depth, j, start, n = [], 0, 0, 0, len(s)
     while j < n:
         c = s[j]
-        if c == "'":
-            j = _skip_string(s, j)
+        nj = _skip_noncode(s, j)
+        if nj is not None:
+            j = nj
             continue
         if c in "([":
             depth += 1
@@ -436,8 +458,9 @@ def _rewrite_subscripts(sql: str) -> str:
         found = None
         while j < n:
             c = sql[j]
-            if c == "'":
-                j = _skip_string(sql, j)
+            nj = _skip_noncode(sql, j)
+            if nj is not None:
+                j = nj
                 continue
             if c == "[":
                 k = j - 1
@@ -451,13 +474,13 @@ def _rewrite_subscripts(sql: str) -> str:
             return sql
         close_i = _match_delim(sql, found, "[", "]")
         idx = sql[found + 1 : close_i]
-        # string-literal spans, so the backward walk never counts brackets
-        # inside literals (e.g. split(s, '[')[1])
+        # string-literal/comment spans, so the backward walk never counts
+        # brackets inside literals (e.g. split(s, '[')[1]) or comments
         spans = []
         si = 0
         while si < len(sql):
-            if sql[si] == "'":
-                se = _skip_string(sql, si)
+            se = _skip_noncode(sql, si)
+            if se is not None:
                 spans.append((si, se))
                 si = se
             else:

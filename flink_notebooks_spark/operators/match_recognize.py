@@ -186,6 +186,10 @@ _SEQ_GROUP_RE = re.compile(
     r"(\+|\*|\?|\{(\d+)(,(\d*))?\})?"
 )
 _MAX_PATTERN_VARIANTS = 64
+# per-start budget for the unbounded-group descending-k probe (each attempt
+# is a full backtracking match) — generous for real patterns, a hard wall
+# for adversarial run lengths
+_MAX_GROUP_ATTEMPTS = 4096
 _GROUP_SENT_RE = re.compile("\x00G(\\d+)\x00")  # unbounded-group placeholders
 
 
@@ -1622,16 +1626,35 @@ def _run_matches(
                     return hit, ap
                 continue
             _, segs, grps, eid = entry
+            # structural prune: rows the REST of the entry must consume
+            # (segment minima + other groups' lo·min_rows) tighten each
+            # group's kmax below the naive (n-i)//min_rows
+            seg_min = sum(t.lo for seg in segs for t in seg)
+            grp_min = sum(g2.lo * g2.min_rows for g2 in grps)
             ranges = []
             for g in grps:
-                kmax = (n - i) // g.min_rows
+                other = seg_min + grp_min - g.lo * g.min_rows
+                kmax = max((n - i - other) // g.min_rows, 0)
                 k_hi = max(kmax + 1, g.lo) if fcell is not None else kmax
                 ranges.append(range(k_hi, g.lo - 1, -1))
             import itertools
 
             # leftmost group's count varies outermost (product iterates the
             # rightmost range fastest) — the bounded expansion's preference
+            attempts = 0
             for ks in itertools.product(*ranges):
+                attempts += 1
+                if attempts > _MAX_GROUP_ATTEMPTS:
+                    # worst-case guard, mirroring _MAX_PATTERN_VARIANTS: each
+                    # ks is a full backtracking attempt, and adversarial data
+                    # (long runs with no pattern closer) makes the descending
+                    # probe O(n²)+ per start — fail loudly instead of hanging
+                    raise ValueError(
+                        "MATCH_RECOGNIZE: unbounded-group repetition probe "
+                        f"exceeds {_MAX_GROUP_ATTEMPTS} attempts at one start "
+                        "(adversarial run length for this pattern); bound the "
+                        "group quantifier, e.g. {m,n}"
+                    )
                 pat_k, tb_k, pd_k = group_flat(eid, segs, grps, ks)
                 hit = _match_starting_at(tb_k, pat_k, n, i, pd_k, within_ok, fcell)
                 if hit is not None:

@@ -141,18 +141,41 @@ def _meta_fields(table) -> list[T.StructField]:
     ]
 
 
+def _declared_struct(table) -> T.StructType:
+    """Full read schema in DECLARED column order — physical + metadata
+    columns interleaved exactly as written in the DDL, so SELECT * matches
+    Flink (computed columns attach in the engine layer)."""
+    fields = []
+    for c in table.columns:
+        if getattr(c, "computed_expr", None) is not None or c.data_type is None:
+            continue
+        nullable = True if getattr(c, "metadata_key", None) else c.nullable
+        fields.append(T.StructField(c.name, c.data_type, nullable))
+    return T.StructType(fields)
+
+
 def _attach_fs_meta(df: DataFrame, table) -> DataFrame:
-    """Append declared METADATA columns from the file source's _metadata
-    struct (must be selected before any transformation detaches it)."""
+    """Final projection in DECLARED column order (same contract as
+    kafka._with_meta): payload columns from the scan, METADATA columns from
+    the file source's _metadata struct (must be selected before any
+    transformation detaches it) — so ``SELECT *`` column order matches the
+    Flink declaration even when metadata columns are declared before or
+    between physical columns."""
     metas = [c for c in table.columns if getattr(c, "metadata_key", None)]
     if not metas:
         return df
-    cols = [F.col(c) for c in df.columns]
-    for c in metas:
-        src_field = _FS_META.get(c.metadata_key)
+    cols = []
+    for c in table.columns:
+        if getattr(c, "computed_expr", None) is not None:
+            continue  # computed columns attach in the engine layer
+        mk = getattr(c, "metadata_key", None)
+        if mk is None:
+            cols.append(F.col(c.name))
+            continue
+        src_field = _FS_META.get(mk)
         if src_field is None:
             raise ValueError(
-                f"filesystem: unsupported metadata key {c.metadata_key!r} "
+                f"filesystem: unsupported metadata key {mk!r} "
                 f"(one of {', '.join(sorted(_FS_META))})"
             )
         cols.append(F.col(src_field).cast(c.data_type).alias(c.name))
@@ -166,7 +189,7 @@ def build_batch(spark: SparkSession, table) -> DataFrame:
     # allows CREATE then INSERT INTO); surface it as an empty typed relation.
     if schema.fields and not _exists(spark, _path(table)):
         return spark.createDataFrame(
-            [], T.StructType(list(schema.fields) + _meta_fields(table))
+            [], _declared_struct(table)
         )
     reader = spark.read.format(_fmt(table)).options(**_reader_opts(table))
     if not schema.fields:
@@ -176,7 +199,7 @@ def build_batch(spark: SparkSession, table) -> DataFrame:
         # by cast. Forcing the declared schema onto the reader instead fails
         # on representational mismatches (e.g. TIMESTAMP(NANOS) vs µs).
         raw = _attach_fs_meta(reader.load(_path(table)), table)
-        target = T.StructType(list(schema.fields) + _meta_fields(table))
+        target = _declared_struct(table)
         return _align(raw, target, _nanos_ts_cols(_path(table)))
     return _attach_fs_meta(reader.schema(schema).load(_path(table)), table)
 
@@ -208,7 +231,7 @@ def build_stream(spark: SparkSession, table) -> DataFrame:
     )
     if not ns_cols:
         return df
-    target = T.StructType(list(schema.fields) + _meta_fields(table))
+    target = _declared_struct(table)
     return _align(df, target, ns_cols)
 
 

@@ -120,7 +120,18 @@ def _meta_cols(table) -> list:
                 f"kafka: unsupported metadata key {mk!r} "
                 f"(one of {', '.join(sorted(_META_SOURCES))})"
             )
-        out.append(F.col(src_col).cast(c.data_type).alias(c.name))
+        src = F.col(src_col)
+        if mk == "timestamp-type":
+            # Spark surfaces the record's timestampType as an int (0/1/2);
+            # Flink's metadata value is the enum NAME — translate before the
+            # declared-type cast so STRING columns read 'CreateTime', not '1'
+            src = (
+                F.when(src == 0, F.lit("NoTimestampType"))
+                .when(src == 1, F.lit("CreateTime"))
+                .when(src == 2, F.lit("LogAppendTime"))
+                .otherwise(src.cast("string"))
+            )
+        out.append(src.cast(c.data_type).alias(c.name))
     return out
 
 
@@ -196,11 +207,6 @@ def _is_upsert(table) -> bool:
 
 
 def _upsert_snapshot(raw: DataFrame, table) -> DataFrame:
-    if _meta_cols(table):
-        raise NotImplementedError(
-            "upsert-kafka: METADATA columns are not supported (the keyed "
-            "snapshot materializes latest payloads, not records)"
-        )
     """upsert-kafka batch read: the topic is a keyed changelog — materialize
     the latest record per key (by record time, offset tiebreak) and drop
     tombstones (null value = DELETE), exactly Flink's upsert-kafka table
@@ -208,6 +214,11 @@ def _upsert_snapshot(raw: DataFrame, table) -> DataFrame:
     standard compacted-topic snapshot plan."""
     from pyspark.sql import Window
 
+    if _meta_cols(table):
+        raise NotImplementedError(
+            "upsert-kafka: METADATA columns are not supported (the keyed "
+            "snapshot materializes latest payloads, not records)"
+        )
     if not table.primary_key:
         raise ValueError("upsert-kafka requires a PRIMARY KEY")
     schema = table.spark_schema()

@@ -1311,3 +1311,29 @@ def test_describe_shows_metadata_extras(engine, tmp_path):
     assert rows["part"][4] == "METADATA FROM 'partition' VIRTUAL"
     assert rows["id"][4] == ""
     engine.execute_sql("DROP TABLE dmeta")
+
+
+def test_filesystem_metadata_declared_order(engine, tmp_path, spark):
+    """SELECT * column order follows the DECLARATION even when metadata
+    columns come before / between physical columns (parity with
+    kafka._with_meta; regression: metadata used to append at the end)."""
+    spark.createDataFrame([(1, "x")], "id int, s string").write.parquet(
+        str(tmp_path / "fmo")
+    )
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql(f"""
+        CREATE TABLE fmo (
+          fname STRING METADATA FROM 'file.name' VIRTUAL,
+          id INT,
+          fsize BIGINT METADATA FROM 'file.size',
+          s STRING
+        ) WITH ('connector' = 'filesystem', 'path' = '{tmp_path}/fmo',
+                'format' = 'parquet')
+    """)
+    page = engine.execute_sql("SELECT * FROM fmo").fetch(0)
+    names = [c.name for c in page.columns]
+    assert names == ["fname", "id", "fsize", "s"]
+    row = drain(engine.execute_sql("SELECT * FROM fmo"))[0]["fields"]
+    assert row[1] == 1 and row[3] == "x" and row[2] > 0
+    assert str(row[0]).endswith(".parquet")
+    engine.execute_sql("DROP TABLE fmo")

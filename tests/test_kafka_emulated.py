@@ -413,3 +413,32 @@ def test_kafka_event_time_from_metadata_timestamp(engine, tmp_path):
         time.sleep(0.5)
     assert got == 3
     stmt.cancel()
+
+
+def test_kafka_timestamp_type_metadata_names(engine, tmp_path):
+    """Flink's 'timestamp-type' metadata value is the enum NAME
+    (NoTimestampType/CreateTime/LogAppendTime), not Spark's 0/1/2 int —
+    a STRING-declared column must read the name."""
+    engine.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    engine.execute_sql(f"""
+        CREATE TABLE tt_src (id INT) WITH (
+          'connector' = 'kafka', 'topic' = 'tt',
+          'properties.bootstrap.servers' = 'file://{tmp_path}',
+          'format' = 'json')
+    """)
+    engine.execute_sql("INSERT INTO tt_src VALUES (1)")
+    engine.execute_sql(f"""
+        CREATE TABLE tt_meta (
+          id INT,
+          tstype STRING METADATA FROM 'timestamp-type' VIRTUAL
+        ) WITH (
+          'connector' = 'kafka', 'topic' = 'tt',
+          'properties.bootstrap.servers' = 'file://{tmp_path}',
+          'format' = 'json')
+    """)
+    rows = [
+        r["fields"]
+        for r in drain(engine.execute_sql("SELECT id, tstype FROM tt_meta"))
+    ]
+    # the emulated broker stamps timestampType=0
+    assert rows == [[1, "NoTimestampType"]]

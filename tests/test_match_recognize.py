@@ -2303,3 +2303,39 @@ def test_reluctant_pandas_fuzz_unique_parse_equals_greedy(spark):
         r = _pandas_matches(pdf.copy(), head + "PATTERN (A B+? C)" + tail,
                             _GRP_DEFINES)
         assert g == r, (seed, g, r)
+
+
+def test_unbounded_group_attempt_cap(monkeypatch):
+    """Adversarial data — a long strict A/B alternation with no closer —
+    makes every repetition count a full failed backtracking attempt at
+    every start. The per-start budget fails loudly instead of going
+    quadratic (cap mirrors _MAX_PATTERN_VARIANTS; regression for the
+    unbounded descending-k probe)."""
+    import importlib
+
+    import pandas as pd
+
+    mr = importlib.import_module("flink_notebooks_spark.operators.match_recognize")
+    monkeypatch.setattr(mr, "_MAX_GROUP_ATTEMPTS", 8)
+    n = 60
+    pdf = pd.DataFrame(
+        {
+            "user_id": 1,
+            "event_id": range(n),
+            "ts_us": [i * 1000 for i in range(n)],
+            "event_type": ["view", "click"] * (n // 2),  # never 'purchase'
+        }
+    )
+    meas = "MEASURES COUNT(A.*) AS n_a, MATCH_NUMBER() AS mn"
+    head = f"PARTITION BY user_id ORDER BY ts_us, event_id {meas} "
+    tail = (
+        " DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click',"
+        " C AS C.event_type = 'purchase'"
+    )
+    with pytest.raises(ValueError, match="unbounded-group repetition probe"):
+        _pandas_matches(pdf, head + "PATTERN ((A B)+ C)" + tail, _GRP_DEFINES)
+    # the same data under the default budget completes (finds no match)
+    monkeypatch.setattr(mr, "_MAX_GROUP_ATTEMPTS", 4096)
+    assert (
+        _pandas_matches(pdf, head + "PATTERN ((A B)+ C)" + tail, _GRP_DEFINES) == []
+    )

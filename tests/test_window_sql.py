@@ -109,3 +109,28 @@ def test_session_tvf_executes_gap_merge(spark):
         ("a", 20, 25, 1),
         ("b", 100, 105, 1),
     ]
+
+
+def test_scalar_rewrite_comment_aware():
+    """Apostrophes inside -- and /* */ comments must not flip the lexer's
+    string state (regression: `-- don't` left later subscripts unrewritten,
+    silently running 0-based)."""
+    from flink_notebooks_spark.engine.window_sql import rewrite_scalar_syntax as rs
+
+    assert rs("SELECT a[1], -- don't\n b[2] FROM t") == (
+        "SELECT element_at(a, 1), -- don't\n element_at(b, 2) FROM t"
+    )
+    assert rs("SELECT a[1], /* can't */ b[2] FROM t") == (
+        "SELECT element_at(a, 1), /* can't */ element_at(b, 2) FROM t"
+    )
+    # brackets INSIDE comments stay untouched; unterminated trailing comment ok
+    assert rs("SELECT a[1] FROM t -- b[2] won't rewrite") == (
+        "SELECT element_at(a, 1) FROM t -- b[2] won't rewrite"
+    )
+    assert rs("SELECT /* ARRAY[1] */ m['k'] FROM t") == (
+        "SELECT /* ARRAY[1] */ element_at(m, 'k') FROM t"
+    )
+    # comment between JSON_OBJECT args with an odd quote
+    assert rs(
+        "SELECT JSON_OBJECT(KEY 'a' VALUE x, -- it's fine\n KEY 'b' VALUE y) FROM t"
+    ).count("named_struct") == 1
