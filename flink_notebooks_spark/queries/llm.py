@@ -563,36 +563,31 @@ CLUSTER_LSH_SEED = 0
 CLUSTER_SIM_T = 0.4  # mirrored in dedup_embedding_clusters' oracle SQL
 
 
-def cluster_pairs_lsh_df(
-    spark,
-    sf_dir,
-    threshold: float = CLUSTER_SIM_T,
-    bits: int = CLUSTER_LSH_BITS,
-    bands: int = CLUSTER_LSH_BANDS,
-) -> DataFrame:
-    """Near-duplicate pairs via banded-LSH candidates + exact in-bucket verify.
+# Per-(band,sig) bucket row cap before the salted sub-split kicks in. A
+# bucket of s rows costs an s×s GEMM — the cap bounds per-task memory and
+# straggler time no matter how skewed the corpus is (a near-constant
+# embedding column puts ~n rows in ONE bucket, which no static `bits`
+# fixes: identical vectors agree on every extra hash bit too).
+CLUSTER_LSH_BUCKET_CAP = 2048
+# Hot buckets are collected to the driver to build the salt map — a skew
+# summary, not data. If a corpus produces more than this many over-cap
+# buckets, per-bucket work dominates everywhere and the right fix is more
+# `bits`, not a bigger map; fail loudly instead of building a huge plan.
+CLUSTER_LSH_MAX_HOT = 100_000
 
-    The scale-safe replacement for the exact all-pairs GEMM: a map-only
-    signature stage (one n×d · d×planes BLAS product per Arrow batch), a
-    shuffle of n·bands (band, sig) rows — never the O(n²) pair stream — and
-    per-bucket exact cosine verification, so every emitted pair satisfies
-    ``sim ≥ threshold`` exactly (no false positives; recall is the banded-LSH
-    probability above, measured 100% at verification scale for the default
-    geometry and pinned by tests/test_llm_ops.py parity tests). Work per
-    band-bucket is quadratic in bucket size — the standard LSH trade —
-    bounded by choosing `bits` so buckets stay small at the target corpus.
 
-    Cross-band dedup is MAP-SIDE: each row carries its full signature
-    vector, and a bucket in band k emits a pair only when no earlier band
-    already bucketed it together (first-agreeing-band rule) — every pair is
-    emitted exactly once, so there is no pair-keyed dedup shuffle at all.
-    At scale this matters: duplicate-pair volume grows with how strongly
-    near-duplicates co-collide, while the signature carry is a fixed
-    n·bands² cost. Output is (a, b, sim) with a < b.
-    """
+def _lsh_signatures(spark, sf_dir, bits: int, bands: int):
+    """Map-only signature stage: one n×d · d×planes BLAS product per Arrow
+    batch, emitting a COMPACT row per vector — the int8-quantized vector
+    (``qvec``, d bytes), its rigorous relative quantization error
+    (``qerr``), the per-band signatures (for the explode), and all bands
+    packed as uint16-LE bytes (``sigpack``) for the first-agreeing-band
+    dedup prefix. The fp64 embedding never leaves this stage."""
     import numpy as np
     import pandas as pd
 
+    if bits > 16:
+        raise ValueError("cluster LSH: bits > 16 would overflow the uint16 sigpack")
     emb = load_table(spark, sf_dir, "embeddings")
     n_planes = bits * bands
     seed = CLUSTER_LSH_SEED
@@ -613,65 +608,217 @@ def cluster_pairs_lsh_df(
             sigs = [
                 bits_m[:, k * bits : (k + 1) * bits] @ weights for k in range(bands)
             ]
+            sig_mat = np.stack(sigs, axis=1)
+            # int8 quantization: q = round(u/s), s = max|u|/127 per vector.
+            # qerr = 2·‖u − s·q‖/‖u‖ is the RIGOROUS per-vector cosine
+            # perturbation bound (‖û − d̂‖ ≤ 2‖u−d‖/‖u‖ for the normalized
+            # dequantized vector d̂), so threshold − (qerr_a + qerr_b) can
+            # never drop a true pair in the in-bucket prefilter.
+            scale = np.maximum(np.abs(M).max(axis=1), 1e-30) / 127.0
+            Q = np.rint(M / scale[:, None]).astype(np.int8)
+            err = np.linalg.norm(M - Q.astype(np.float64) * scale[:, None], axis=1)
+            nrm = np.maximum(np.linalg.norm(M, axis=1), 1e-30)
+            qerr = (2.0 * err / nrm).astype(np.float32)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
-                    "embd": pdf["embd"],
-                    "sigs": list(np.stack(sigs, axis=1)),
+                    "qvec": [q.tobytes() for q in Q],
+                    "qerr": qerr,
+                    "sigs": list(sig_mat),
+                    "sigpack": [s.astype("<u2").tobytes() for s in sig_mat],
                 }
             )
 
-    sigged = emb.select(
+    return emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embd")
-    ).mapInPandas(signatures, "vec_id long, embd array<double>, sigs array<long>")
-
-    # band k's task only consults EARLIER bands' signatures (first-agreeing-
-    # band rule), so carry just the sigs[:band] prefix through the shuffle —
-    # avg bands/2 longs per row instead of bands (band 0 carries none); the
-    # projection runs map-side, below the exchange
-    buckets = (
-        sigged.select(
-            "vec_id", "embd", "sigs", F.posexplode("sigs").alias("band", "sig")
-        )
-        .withColumn("sig_prefix", F.expr("slice(sigs, 1, band)"))
-        .drop("sigs")
+    ).mapInPandas(
+        signatures,
+        "vec_id long, qvec binary, qerr float, sigs array<long>, sigpack binary",
     )
+
+
+def _lsh_salt_plan(sigged, cap: int) -> dict[str, int]:
+    """Skew pass: per-(band,sig) bucket sizes over the narrow key projection
+    (map-side-combined count — no payload moves), returning the sub-split
+    factor m = ceil(size/cap) for every over-cap bucket. Empty for
+    well-behaved corpora, so the common case pays one cheap counting
+    aggregate and no plan growth."""
+    import math
+
+    counts = (
+        sigged.select(F.posexplode("sigs").alias("band", "sig"))
+        .groupBy("band", "sig")
+        .count()
+        .filter(F.col("count") > cap)
+    )
+    hot = counts.collect()
+    if len(hot) > CLUSTER_LSH_MAX_HOT:
+        raise ValueError(
+            f"cluster LSH: {len(hot)} buckets exceed cap={cap} — the corpus "
+            "is too skewed for this geometry; raise CLUSTER_LSH_BITS"
+        )
+    return {f"{r['band']}:{r['sig']}": math.ceil(r["count"] / cap) for r in hot}
+
+
+def _lsh_bucket_rows(sigged, salt_plan: dict[str, int]):
+    """The shuffle input for the bucket verify stage — deliberately COMPACT:
+    (vec_id, qvec int8-bytes, qerr, band, sig, salt, i, j, prefix). No
+    array<double> crosses this exchange (pinned by a plan test): the fp64
+    payload would otherwise be replicated ×bands, the dominant cost at
+    100 TB scale.
+
+    Hot buckets (salt_plan) are sub-split: each row gets a deterministic
+    salt in [0, m) and is replicated to the m sub-tasks (i, j) = (min(salt,
+    o), max(salt, o)) that contain it, so every pair inside the bucket is
+    produced by exactly one bounded sub-task — pair set unchanged, per-task
+    GEMM bounded by ~2·cap rows, work parallelized across m(m+1)/2 tasks.
+    Cold buckets take the m=1 fast path (salt 0, single (0,0) task)."""
+    base = sigged.select(
+        "vec_id", "qvec", "qerr", F.posexplode("sigs").alias("band", "sig"), "sigpack"
+    ).withColumn(
+        # band k's task only consults EARLIER bands' signatures (first-
+        # agreeing-band rule): carry just bands [0, band) as packed uint16
+        # bytes — 2·band bytes, not band longs
+        "prefix",
+        F.expr("substring(sigpack, 1, 2 * band)"),
+    ).drop("sigpack")
+    if not salt_plan:
+        return base.withColumn("salt", F.lit(0)).withColumn(
+            "i", F.lit(0)
+        ).withColumn("j", F.lit(0))
+    m_map = F.create_map(
+        *[F.lit(x) for kv in salt_plan.items() for x in kv]
+    )
+    return (
+        base.withColumn(
+            "m", F.coalesce(m_map[F.format_string("%d:%d", "band", "sig")], F.lit(1))
+        )
+        .withColumn("salt", F.pmod(F.xxhash64("vec_id"), F.col("m")).cast("int"))
+        .withColumn(
+            "sub",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, m - 1), "
+                    "o -> struct(least(salt, o) AS i, greatest(salt, o) AS j))"
+                )
+            ),
+        )
+        .withColumn("sub", F.explode("sub"))
+        .select(
+            "vec_id", "qvec", "qerr", "band", "sig", "prefix", "salt",
+            F.col("sub.i").alias("i"), F.col("sub.j").alias("j"),
+        )
+    )
+
+
+def cluster_pairs_lsh_df(
+    spark,
+    sf_dir,
+    threshold: float = CLUSTER_SIM_T,
+    bits: int = CLUSTER_LSH_BITS,
+    bands: int = CLUSTER_LSH_BANDS,
+) -> DataFrame:
+    """Near-duplicate pairs via banded-LSH candidates + exact verification.
+
+    The scale-safe replacement for the exact all-pairs GEMM, in four stages:
+
+    1. **Signatures** (map-only): one BLAS product per Arrow batch emits
+       per-band signatures plus an int8-quantized vector and its rigorous
+       quantization-error bound — the fp64 embedding stays in this stage.
+    2. **Bucket shuffle** (the ONLY wide exchange over vector payloads):
+       n·bands compact rows — int8 bytes + packed-uint16 band prefix —
+       never the O(n²) pair stream and never the ×bands-replicated fp64
+       vector. Hot buckets are salt-split into bounded sub-tasks
+       (_lsh_bucket_rows), so a skewed corpus cannot create a quadratic
+       straggler task.
+    3. **In-bucket prefilter** (int8 GEMM): candidate pairs with quantized
+       cosine ≥ threshold − (qerr_a + qerr_b) − 1e-3. The margin is a
+       per-pair rigorous bound, so no true pair is dropped; cross-band
+       dedup stays MAP-SIDE via the first-agreeing-band rule (a bucket in
+       band k emits a pair only when no earlier band already bucketed it
+       together), so there is no pair-keyed dedup shuffle at all.
+    4. **Exact verify join-back**: the (a, b) candidates — a set
+       proportional to true near-duplicates, not to n — join the fp64
+       embeddings once per side and keep pairs with exact cosine ≥
+       threshold. Every emitted pair satisfies ``sim ≥ threshold``
+       EXACTLY (no false positives); recall is the banded-LSH probability
+       (≈99.5% per edge at the default geometry, measured 100% at
+       verification scale and pinned by label-parity tests).
+
+    Recall geometry: P(bit agrees | cosine = s) = 1 − acos(s)/π; an edge at
+    threshold t survives a band of `bits` planes with p = (1 − acos(t)/π)^bits
+    and is missed by all bands with (1 − p)^bands — at t = 0.4, bits = 6,
+    bands = 80 the per-edge miss is ≈0.5%. Output is (a, b, sim), a < b.
+    """
+    import numpy as np
+    import pandas as pd
+
+    sigged = _lsh_signatures(spark, sf_dir, bits, bands)
+    salt_plan = _lsh_salt_plan(sigged, CLUSTER_LSH_BUCKET_CAP)
+    buckets = _lsh_bucket_rows(sigged, salt_plan)
 
     def bucket_pairs(key, pdf):
         if len(pdf) < 2:
-            return pd.DataFrame({"a": [], "b": [], "sim": []})
-        (band, _sig) = key
+            return pd.DataFrame({"a": [], "b": []})
+        (band, _sig, ti, tj) = key
         ids = pdf["vec_id"].to_numpy()
-        M = np.vstack(pdf["embd"].to_numpy())
-        nrm = np.sqrt((M * M).sum(1))
-        S = (M @ M.T) / np.outer(nrm, nrm)
-        ii, jj = np.nonzero(np.triu(S >= threshold, 1))
+        Q = np.vstack(
+            [np.frombuffer(b, dtype=np.int8) for b in pdf["qvec"]]
+        ).astype(np.float32)
+        nrm = np.maximum(np.sqrt((Q * Q).sum(1)), 1e-30)
+        S = (Q @ Q.T) / np.outer(nrm, nrm)
+        qe = pdf["qerr"].to_numpy().astype(np.float64)
+        # quantized-cosine prefilter with the rigorous per-pair margin
+        # (+1e-3 for the float32 GEMM itself): keeps every true pair
+        thresh = threshold - np.add.outer(qe, qe) - 1e-3
+        cand = S >= thresh
+        if ti == tj:
+            cand = np.triu(cand, 1)
+            ii, jj = np.nonzero(cand)
+        else:
+            # sub-split cross task: only pairs BETWEEN the two salt sides
+            # (within-side pairs belong to tasks (i,i) and (j,j))
+            salt = pdf["salt"].to_numpy()
+            cand &= np.not_equal.outer(salt, salt)
+            ii, jj = np.nonzero(np.triu(cand, 1))
         if band > 0 and len(ii):
-            # first-agreeing-band rule: if any EARLIER band put this pair in
-            # one bucket, that band's task owns the emission (sig_prefix is
-            # exactly bands [0, band) — constant length within this group)
-            sg = np.vstack(pdf["sig_prefix"].to_numpy())
+            # first-agreeing-band rule: if any EARLIER band put this pair
+            # in one bucket, that band's task owns the emission (prefix is
+            # exactly bands [0, band) as uint16 — constant length here)
+            sg = np.vstack(
+                [np.frombuffer(p, dtype="<u2") for p in pdf["prefix"]]
+            )
             fresh = ~(sg[ii] == sg[jj]).any(axis=1)
             ii, jj = ii[fresh], jj[fresh]
         return pd.DataFrame(
-            {
-                "a": np.minimum(ids[ii], ids[jj]),
-                "b": np.maximum(ids[ii], ids[jj]),
-                "sim": S[ii, jj],
-            }
+            {"a": np.minimum(ids[ii], ids[jj]), "b": np.maximum(ids[ii], ids[jj])}
         )
 
     # explicit-count exchange on the grouping keys: satisfies the groupBy's
     # ClusteredDistribution (no second shuffle) and is exempt from AQE
     # size-based coalescing — each bucket GEMM is CPU-bound, bytes are a bad
     # proxy (same rationale as cosine_pairs_df's pre-partition). The
-    # map-side first-agreeing-band dedup means this is the ONLY shuffle.
-    return (
+    # map-side first-agreeing-band dedup means this is the only wide
+    # exchange of vector payloads in the whole pipeline.
+    cand = (
         buckets.repartition(
-            4 * spark.sparkContext.defaultParallelism, "band", "sig"
+            4 * spark.sparkContext.defaultParallelism, "band", "sig", "i", "j"
         )
-        .groupBy("band", "sig")
-        .applyInPandas(bucket_pairs, "a long, b long, sim double")
+        .groupBy("band", "sig", "i", "j")
+        .applyInPandas(bucket_pairs, "a long, b long")
+    )
+    # exact fp64 verification on the candidate set only — candidates are
+    # proportional to true near-duplicates, so this join-back moves orders
+    # of magnitude less vector payload than carrying fp64 through stage 2
+    ea = _with_norm(load_table(spark, sf_dir, "embeddings"), "a")
+    eb = _with_norm(load_table(spark, sf_dir, "embeddings"), "b")
+    dot = F.expr(_DOT.format(a="emb_a", b="emb_b"))
+    return (
+        cand.join(ea, "a")
+        .join(eb, "b")
+        .withColumn("sim", dot / (F.col("norm_a") * F.col("norm_b")))
+        .filter(F.col("sim") >= threshold)
+        .select("a", "b", "sim")
     )
 
 

@@ -375,3 +375,110 @@ def test_knn_label_vote_ann_matches_recomputed_majority(spark, sf_dir):
         for r in QUERIES["knn_label_vote_ann"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_cluster_lsh_shuffle_payload_is_compact(spark, sf_dir):
+    """The bucket exchange — the only wide shuffle of vector payloads in the
+    LSH cluster path — must carry the int8-quantized vector and packed
+    uint16 prefix, NEVER the fp64 embedding (which would be replicated
+    ×bands, the dominant cost at 100 TB)."""
+    from pyspark.sql import types as T
+
+    from flink_notebooks_spark.queries import llm
+
+    sigged = llm._lsh_signatures(spark, sf_dir, llm.CLUSTER_LSH_BITS, 8)
+    buckets = llm._lsh_bucket_rows(sigged, {})
+    for f in buckets.schema.fields:
+        assert not (
+            isinstance(f.dataType, T.ArrayType)
+            and isinstance(f.dataType.elementType, (T.DoubleType, T.FloatType))
+        ), f"float array {f.name} crosses the bucket exchange"
+    assert isinstance(buckets.schema["qvec"].dataType, T.BinaryType)
+    assert isinstance(buckets.schema["prefix"].dataType, T.BinaryType)
+    # and the full pipeline's bucket Exchange shuffles exactly the compact
+    # columns — no emb/embd attribute in the exchange input
+    import contextlib
+    import io
+
+    full = llm.cluster_pairs_lsh_df(spark, sf_dir, bands=8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        full.explain("formatted")
+    bucket_exchanges = [
+        block
+        for block in buf.getvalue().split("\n\n")
+        if "Exchange" in block.split("\n")[0] and "hashpartitioning(band" in block
+    ]
+    assert bucket_exchanges, "bucket exchange not found in the plan"
+    for block in bucket_exchanges:
+        inp = next(l for l in block.split("\n") if l.startswith("Input"))
+        assert "emb" not in inp, f"vector payload crosses the exchange: {inp}"
+
+
+def test_cluster_lsh_hot_bucket_split_bounded_and_exact(spark, tmp_path, monkeypatch):
+    """Planted hot bucket: a corpus of IDENTICAL vectors collapses every
+    band into one bucket — no static `bits` fixes that (identical vectors
+    agree on every extra hash bit too). The salted sub-split must (a) fire,
+    (b) bound every sub-task's row count, and (c) leave the pair set
+    exactly equal to the brute-force answer."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_notebooks_spark.queries import llm
+
+    n_hot, n_bg = 120, 30
+    rng = np.random.default_rng(7)
+    const = np.ones(16, dtype=np.float32)
+    vecs = [const] * n_hot + [
+        rng.normal(size=16).astype(np.float32) for _ in range(n_bg)
+    ]
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n_hot + n_bg, dtype=np.int64),
+            "embedding": [list(map(float, v)) for v in vecs],
+            "label": np.zeros(n_hot + n_bg, dtype=np.int32),
+        }
+    )
+    sf = str(tmp_path / "planted")
+    spark.createDataFrame(
+        pdf, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+
+    cap = 32
+    monkeypatch.setattr(llm, "CLUSTER_LSH_BUCKET_CAP", cap)
+    bands = 8
+    sigged = llm._lsh_signatures(spark, sf, llm.CLUSTER_LSH_BITS, bands)
+    plan = llm._lsh_salt_plan(sigged, cap)
+    assert plan, "hot bucket did not register in the salt plan"
+    assert max(plan.values()) >= n_hot // cap  # the split actually fires
+    # (b) every sub-task is bounded: worst case ~2·cap rows plus hash slack
+    sizes = (
+        llm._lsh_bucket_rows(sigged, plan)
+        .groupBy("band", "sig", "i", "j")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert sizes <= 3 * cap, f"sub-task of {sizes} rows escaped the cap"
+    # (c) pair set unchanged: identical vectors pair all-vs-all at sim 1.0,
+    # background pairs via exact cosine
+    got = llm.cluster_pairs_lsh_df(spark, sf, bands=bands).collect()
+    got_pairs = {(r.a, r.b) for r in got}
+    M = np.vstack([v.astype(np.float64) for v in vecs])
+    nrm = np.linalg.norm(M, axis=1)
+    S = (M @ M.T) / np.outer(nrm, nrm)
+    want = {
+        (a, b)
+        for a in range(len(vecs))
+        for b in range(a + 1, len(vecs))
+        if S[a, b] >= llm.CLUSTER_SIM_T
+    }
+    # recall on the planted block is exact (identical sigs always collide);
+    # background pairs are subject to banded recall at 8 bands — require
+    # the planted block complete and overall a subset
+    hot_want = {(a, b) for a in range(n_hot) for b in range(a + 1, n_hot)}
+    assert hot_want <= got_pairs
+    assert got_pairs <= want
+    for r in got:
+        if r.a < n_hot and r.b < n_hot:
+            assert abs(r.sim - 1.0) < 1e-9
