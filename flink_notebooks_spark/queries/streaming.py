@@ -458,38 +458,39 @@ def streaming_topn(spark, sf_dir):
     (per-trigger driver transfer O(N + tracked), never a global re-sort of
     the full aggregate — the complete-mode anti-pattern this replaced).
 
-    Oracle-exactness precondition: _incremental_topn is exact for monotone
+    Mode selection: the bounded tracked-set fold is exact for monotone
     totals and for retractions of keys that ever ranked; a NEVER-ranked key
-    promoted purely by others' retractions is the one uncovered case. Input
-    values are therefore required non-negative (totals monotone) — checked
-    loudly below so a testdata regeneration that introduces refunds fails
-    here, not as a silent oracle divergence."""
+    promoted purely by others' retractions is the one case it cannot see.
+    Input values are therefore probed — non-negative data (monotone totals)
+    takes the bounded mode; if a testdata regeneration ever introduces
+    refunds, the query switches to the key-complete exact-retraction mode
+    (distributed state table, Flink RetractableTopNFunction semantics)
+    instead of silently diverging from the oracle."""
     neg = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("value") < 0)
         .limit(1)
         .count()
     )
-    if neg:
-        raise RuntimeError(
-            "streaming_topn precondition violated: events.value contains "
-            "negative amounts, so per-key totals are not monotone and the "
-            "bounded incremental Top-N is no longer oracle-exact (see "
-            "_incremental_topn docstring for the uncovered retraction case)"
-        )
     stream = _read_events_stream(spark, sf_dir)
     agg = stream.groupBy("user_id").agg(
         F.sum(F.col("value").cast("decimal(18,2)")).alias("total_dec"),
         F.count("*").alias("n"),
     )
-    rows, _sizes = _incremental_topn(agg, n=10)
+    rows, _sizes = _incremental_topn(agg, n=10, exact_retractions=bool(neg))
     return spark.createDataFrame(
         [(uid, float(total), cnt) for uid, total, cnt in rows],
         "user_id long, total double, n long",
     )
 
 
-def _incremental_topn(agg_df: DataFrame, n: int, partitions: int = 8):
+def _incremental_topn(
+    agg_df: DataFrame,
+    n: int,
+    partitions: int = 8,
+    exact_retractions: bool = False,
+    state_path: str | None = None,
+):
     """Fold an update-mode streaming aggregation into a bounded top-N,
     retraction-safe for keys that ever ranked.
 
@@ -516,20 +517,44 @@ def _incremental_topn(agg_df: DataFrame, n: int, partitions: int = 8):
     purely through later retractions of untracked leaders; closing that
     requires key-complete ranking state (what Flink's
     RetractableTopNFunction keeps in its single rank task), which is the
-    O(all keys) state this operator deliberately bounds. streaming_topn
-    guards its oracle against that gap with a loud non-negativity
-    precondition check.
+    O(all keys) state this operator deliberately bounds — unless
+    ``exact_retractions=True``, which closes it with a DISTRIBUTED
+    key-complete state table: each trigger appends the batch's changed
+    rows (plus the batch id) to a parquet state path — a bounded
+    distributed write, never a driver collect — and the final answer is
+    latest-row-per-key → TakeOrdered(n) over that table. Driver transfer
+    stays O(n); state is O(distinct keys) ON DISK across executors, the
+    same asymptotics as Flink's RetractableTopNFunction keyed state. The
+    default stays the bounded tracked-set mode.
 
     Returns (rows, batch_sizes): rows are (key, total, count) tuples sorted
     (total DESC, key ASC); batch_sizes records per-trigger driver-transfer
-    row counts (tests assert boundedness).
+    row counts in bounded mode (changed-row counts in exact mode; tests
+    assert boundedness of the default).
     """
     spark = agg_df.sparkSession
     key_col, total_col, cnt_col = agg_df.columns[:3]
+    key_type = agg_df.schema[key_col].dataType.simpleString()
     tracked: dict = {}
     batch_sizes: list[int] = []
+    own_state = exact_retractions and state_path is None
+    if own_state:
+        import tempfile
 
-    def merge(batch_df, _batch_id):
+        state_path = tempfile.mkdtemp(prefix="topn_state_")
+
+    def merge(batch_df, batch_id):
+        if exact_retractions:
+            # key-complete mode: persist the changed rows distributed —
+            # update mode re-emits a key every time its total changes, so
+            # the max-batch_id row per key IS its latest total
+            (
+                batch_df.withColumn("_b", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(state_path)
+            )
+            batch_sizes.append(batch_df.count())
+            return
         # two bounded actions read the same batch aggregation — persist so
         # the per-trigger agg computes once, not once per action
         batch_df.persist()
@@ -537,12 +562,18 @@ def _incremental_topn(agg_df: DataFrame, n: int, partitions: int = 8):
             picked = (
                 batch_df.orderBy(F.desc(total_col), key_col).limit(n).collect()
             )
-            known = list(tracked)
-            updates = (
-                batch_df.filter(F.col(key_col).isin(known)).collect()
-                if known
-                else []
-            )
+            if tracked:
+                # broadcast semi-join against the tracked keys: a constant
+                # two-row plan regardless of churn (an IN literal would
+                # grow with |tracked| and re-plan every trigger)
+                keys_df = spark.createDataFrame(
+                    [(k,) for k in tracked], f"{key_col} {key_type}"
+                )
+                updates = batch_df.join(
+                    F.broadcast(keys_df), key_col, "left_semi"
+                ).collect()
+            else:
+                updates = []
         finally:
             batch_df.unpersist()
         batch_sizes.append(len(picked) + len(updates))
@@ -563,6 +594,28 @@ def _incremental_topn(agg_df: DataFrame, n: int, partitions: int = 8):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
+    if exact_retractions:
+        from pyspark.sql import Window
+
+        try:
+            st = spark.read.parquet(state_path)
+            w = Window.partitionBy(key_col).orderBy(F.desc("_b"))
+            rows = [
+                (r[key_col], r[total_col], r[cnt_col])
+                for r in (
+                    st.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .orderBy(F.desc(total_col), key_col)
+                    .limit(n)
+                    .collect()
+                )
+            ]
+        finally:
+            if own_state:
+                import shutil
+
+                shutil.rmtree(state_path, ignore_errors=True)
+        return rows, batch_sizes
     rows = [
         (k, v[0], v[1])
         for k, v in sorted(tracked.items(), key=lambda kv: (-kv[1][0], kv[0]))[:n]

@@ -509,3 +509,70 @@ def test_runner_checkpoint_resume_is_exactly_once(spark, sf_dir, tmp_path):
     # idle restart: commit log says everything is processed
     drain(stream(), spec, query_name="resume_3")
     assert spark.read.parquet(f"{tmp_path}/out").count() == base.count()
+
+
+def test_incremental_topn_exact_mode_never_ranked_key(spark, tmp_path):
+    """exact_retractions=True closes the one residual gap of the bounded
+    fold: k9 never ranks in any batch (it never changes after batch 1,
+    where it was far below the leaders), but the leaders' later retractions
+    promote it into the true top-3. The key-complete state mode must match
+    the batch answer; the bounded default demonstrably cannot."""
+    import collections
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from flink_notebooks_spark.queries.streaming import _incremental_topn
+
+    # batch 0: five strong leaders + weak k9 (never in any top-3)
+    f0 = {1: 100.0, 2: 90.0, 3: 80.0, 4: 70.0, 5: 60.0, 9: 5.0}
+    # batch 1 retracts the leaders below k9; k9 does NOT change (update
+    # mode will not re-emit it), so only key-complete state can rank it
+    f1 = {1: -99.0, 2: -89.0, 3: -79.0, 4: -69.0, 5: -59.0}
+    rows_all = []
+    for fi, data in enumerate((f0, f1)):
+        ks, vs = list(data), [data[k] for k in data]
+        pq.write_table(
+            pa.table({"k": pa.array(ks, pa.int64()), "v": pa.array(vs, pa.float64())}),
+            str(tmp_path / f"f{fi}.parquet"),
+        )
+        # the file source orders batches by modification time — equal
+        # mtimes let f1 process before f0, which changes the scenario
+        import os
+
+        os.utime(str(tmp_path / f"f{fi}.parquet"), (1_600_000_000 + fi, 1_600_000_000 + fi))
+        rows_all += list(zip(ks, vs))
+
+    def make_agg():
+        stream = (
+            spark.readStream.schema("k long, v double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(tmp_path))
+        )
+        return stream.groupBy("k").agg(
+            F.sum(F.col("v").cast("decimal(18,2)")).alias("total_dec"),
+            F.count("*").alias("n"),
+        )
+
+    totals = collections.defaultdict(float)
+    counts = collections.defaultdict(int)
+    for k, v in rows_all:
+        totals[k] += v
+        counts[k] += 1
+    want = [
+        (k, t, counts[k])
+        for k, t in sorted(totals.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    ]
+    assert want[0][0] == 9  # the fixture really promotes the never-ranked key
+
+    exact, _ = _incremental_topn(make_agg(), n=3, exact_retractions=True)
+    assert [(k, float(t), c) for k, t, c in exact] == want
+
+    # and the bounded default genuinely cannot see k9 — this pins that the
+    # exact mode is NOT redundant with the tracked-set fold. (Only valid
+    # when the two files really arrived as separate triggers; if the file
+    # source coalesced them the retraction never happened incrementally.)
+    bounded, sizes = _incremental_topn(make_agg(), n=3)
+    if len(sizes) >= 2:
+        assert 9 not in [k for k, _, _ in bounded]
