@@ -621,3 +621,99 @@ def _incremental_topn(
         for k, v in sorted(tracked.items(), key=lambda kv: (-kv[1][0], kv[0]))[:n]
     ]
     return rows, batch_sizes
+
+
+@query(
+    "streaming_cdc_apply",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS price,
+           o_orderstatus
+    FROM orders WHERE o_orderkey % 97 <> 0 ORDER BY o_orderkey
+    """,
+)
+def streaming_cdc_apply(spark, sf_dir):
+    """CONTINUOUS CDC apply (SURVEY.md S6, reference CONNECTORS.md:124-140):
+    the q28 deterministic Debezium change set — a create per order, a
+    +1-price update for keys ≡0 (mod 10), a delete for keys ≡0 (mod 97) —
+    replayed as THREE file-source micro-batches through
+    ``cdc.apply_changelog_stream``: per trigger, a keyed upsert into a
+    bucket-partitioned state table via dynamic partition overwrite (only
+    touched buckets move, deletes persist as tombstones). The result is the
+    final materialized snapshot, which must hash-match the batch oracle —
+    proving the continuous path reaches the same state as the one-shot
+    ``apply_changelog``."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..sources import cdc
+
+    tune(spark)
+    row_type = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+            T.StructField("o_orderstatus", T.StringType()),
+        ]
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("price"), "o_orderstatus"
+    )
+    row = F.struct("o_orderkey", "price", "o_orderstatus")
+
+    def env(before, after, op, ts):
+        return F.to_json(
+            F.struct(
+                before.alias("before"), after.alias("after"),
+                F.lit(op).alias("op"), F.lit(ts).cast("long").alias("ts_ms"),
+            )
+        ).alias("value")
+
+    null_row = F.lit(None).cast(row_type)
+    batches = [
+        o.select(env(null_row, row, "c", 1)),
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("price", F.col("price") + 1.0)
+        .select(
+            env(null_row, F.struct("o_orderkey", "price", "o_orderstatus"), "u", 2)
+        ),
+        o.filter(F.col("o_orderkey") % 97 == 0).select(env(row, null_row, "d", 3)),
+    ]
+    workdir = tempfile.mkdtemp(prefix="cdc_stream_")
+    src = os.path.join(workdir, "changes")
+    os.makedirs(src)
+    for i, df in enumerate(batches):
+        # one file per change batch → one micro-batch per trigger; mtimes
+        # pin the replay order (ts_ms makes the merge order-independent,
+        # but a deterministic replay keeps batch ids stable too)
+        stage = os.path.join(workdir, f"stage{i}")
+        df.coalesce(1).write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+
+    raw = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    changes = cdc.parse_debezium(raw, "value", row_type)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = cdc.apply_changelog_stream(
+            changes,
+            keys=["o_orderkey"],
+            state_path=os.path.join(workdir, "state"),
+            checkpoint_path=os.path.join(workdir, "ckpt"),
+            n_buckets=16,
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    snap = cdc.changelog_state_snapshot(spark, os.path.join(workdir, "state"))
+    return snap.select("o_orderkey", "price", "o_orderstatus").orderBy("o_orderkey")

@@ -186,3 +186,89 @@ def apply_changelog(changes: DataFrame, keys: list[str]) -> DataFrame:
         .drop("_rn")
     )
     return latest.filter(F.col("op") != "d").drop("op", "ts_ms")
+
+
+def apply_changelog_stream(
+    changes: DataFrame,
+    keys: list[str],
+    state_path: str,
+    checkpoint_path: str,
+    n_buckets: int = 64,
+):
+    """CONTINUOUS changelog apply (reference CONNECTORS.md:124-140): a
+    streaming DataFrame of change rows (op, ts_ms, payload — the
+    parse_debezium/canal/maxwell shape) keyed-upserted per micro-batch into
+    a materialized state table on disk. Returns the started StreamingQuery.
+
+    Spark-first design for scale — per trigger:
+
+    1. the batch's rows hash into ``pmod(xxhash64(keys), n_buckets)``
+       buckets (the state table's partition column);
+    2. ONLY the touched bucket partitions are read back (partition
+       pruning on ``_bucket``), unioned with the batch, reduced to
+       latest-change-per-key (ts_ms, then arrival batch id, then op as a
+       deterministic in-transaction tiebreak — the same order as the batch
+       ``apply_changelog``);
+    3. the merged buckets rewrite via DYNAMIC partition overwrite — a
+       distributed write of exactly the touched buckets; untouched state
+       never moves, and nothing is collected to the driver.
+
+    Deletes persist as TOMBSTONE rows (op='d' with the delete's ts_ms), so
+    a late-arriving older image of the key cannot resurrect it — read the
+    live snapshot with ``changelog_state_snapshot``. State size is
+    O(distinct keys + tombstones) on disk across executors; this is the
+    compacted-changelog layout (what upsert-kafka stores in the broker,
+    kept in a table instead). Sizing: at 100 TB raise n_buckets so a
+    bucket ≈ one healthy parquet partition; per-trigger cost is then
+    |touched buckets| · bucket size, independent of total key cardinality.
+    """
+    payload = [c for c in changes.columns if c not in ("op", "ts_ms")]
+
+    def upsert(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        b = batch_df.withColumn("_b", F.lit(batch_id)).withColumn(
+            "_bucket", F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
+        )
+        touched = [r["_bucket"] for r in b.select("_bucket").distinct().collect()]
+        if not touched:
+            return
+        try:
+            state = spark.read.parquet(state_path).filter(
+                F.col("_bucket").isin(touched)
+            )
+            merged = state.unionByName(b)
+        except Exception:  # first trigger: no state yet
+            merged = b
+        w = Window.partitionBy(*keys).orderBy(
+            F.desc("ts_ms"), F.desc("_b"), F.desc("op")
+        )
+        latest = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .select("op", "ts_ms", "_b", *payload, "_bucket")
+        )
+        (
+            latest.write.partitionBy("_bucket")
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(state_path)
+        )
+
+    return (
+        changes.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def changelog_state_snapshot(spark, state_path: str) -> DataFrame:
+    """The LIVE rows of a state table maintained by apply_changelog_stream:
+    tombstones dropped, bookkeeping columns removed."""
+    return (
+        spark.read.parquet(state_path)
+        .filter(F.col("op") != "d")
+        .drop("op", "ts_ms", "_b", "_bucket")
+    )

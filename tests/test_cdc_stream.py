@@ -1,0 +1,137 @@
+"""Continuous CDC apply: keyed-upsert state table semantics
+(sources/cdc.py apply_changelog_stream; reference CONNECTORS.md:124-140)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_notebooks_spark.sources import cdc
+
+ROW = T.StructType(
+    [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+)
+
+
+def _envelope(before, after, op, ts):
+    import json
+
+    return json.dumps({"before": before, "after": after, "op": op, "ts_ms": ts})
+
+
+def _write_batch(dirpath, name, envs, mtime):
+    os.makedirs(dirpath, exist_ok=True)
+    p = os.path.join(dirpath, name)
+    pq.write_table(pa.table({"value": pa.array(envs, pa.string())}), p)
+    os.utime(p, (mtime, mtime))
+
+
+def _run(spark, tmp_path, batches, n_buckets=4):
+    src = str(tmp_path / "changes")
+    for i, envs in enumerate(batches):
+        _write_batch(src, f"b{i}.parquet", envs, 1_600_000_000 + i)
+    raw = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    changes = cdc.parse_debezium(raw, "value", ROW)
+    q = cdc.apply_changelog_stream(
+        changes,
+        keys=["id"],
+        state_path=str(tmp_path / "state"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        n_buckets=n_buckets,
+    )
+    q.awaitTermination()
+    snap = cdc.changelog_state_snapshot(spark, str(tmp_path / "state"))
+    return {r["id"]: r["v"] for r in snap.collect()}
+
+
+def test_stream_apply_upsert_and_delete(spark, tmp_path):
+    """Multi-trigger create → update → delete reaches the same state as the
+    batch apply_changelog over the full change set."""
+    got = _run(
+        spark,
+        tmp_path,
+        [
+            [
+                _envelope(None, {"id": 1, "v": "a"}, "c", 1),
+                _envelope(None, {"id": 2, "v": "b"}, "c", 1),
+                _envelope(None, {"id": 3, "v": "c"}, "c", 1),
+            ],
+            [_envelope(None, {"id": 1, "v": "a2"}, "u", 2)],
+            [_envelope({"id": 2, "v": "b"}, None, "d", 3)],
+        ],
+    )
+    assert got == {1: "a2", 3: "c"}
+
+
+def test_stream_apply_tombstone_blocks_resurrection(spark, tmp_path):
+    """A late-arriving OLDER image (smaller ts_ms in a later batch) must not
+    resurrect a deleted key — the tombstone persists in state and wins on
+    ts_ms. This is why deletes are stored, not just dropped."""
+    got = _run(
+        spark,
+        tmp_path,
+        [
+            [_envelope(None, {"id": 7, "v": "x"}, "c", 10)],
+            [_envelope({"id": 7, "v": "x"}, None, "d", 30)],
+            # late replay of an older update (ts 20 < delete's 30)
+            [_envelope(None, {"id": 7, "v": "stale"}, "u", 20)],
+        ],
+    )
+    assert got == {}
+
+
+def test_stream_apply_touches_only_dirty_buckets(spark, tmp_path):
+    """The per-trigger upsert rewrites ONLY the bucket partitions the batch
+    touches (dynamic partition overwrite): after a single-key second batch,
+    the other buckets' files must be untouched on disk."""
+    import glob
+
+    first = [
+        _envelope(None, {"id": i, "v": f"v{i}"}, "c", 1) for i in range(40)
+    ]
+    src = str(tmp_path / "changes")
+    _write_batch(src, "b0.parquet", first, 1_600_000_000)
+    raw = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    changes = cdc.parse_debezium(raw, "value", ROW)
+    state = str(tmp_path / "state")
+    q = cdc.apply_changelog_stream(
+        changes, ["id"], state, str(tmp_path / "ckpt"), n_buckets=8
+    )
+    q.awaitTermination()
+    mtimes0 = {p: os.path.getmtime(p) for p in glob.glob(f"{state}/_bucket=*/*.parquet")}
+    assert len({os.path.dirname(p) for p in mtimes0}) > 1  # really partitioned
+
+    # second trigger: one key only
+    _write_batch(src, "b1.parquet", [_envelope(None, {"id": 0, "v": "NEW"}, "u", 2)], 1_600_000_001)
+    q = cdc.apply_changelog_stream(
+        changes, ["id"], state, str(tmp_path / "ckpt"), n_buckets=8
+    )
+    q.awaitTermination()
+
+    dirty = (
+        F.pmod(F.xxhash64(F.lit(0).cast("long")), F.lit(8)).cast("int")
+    )
+    dirty_bucket = spark.range(1).select(dirty.alias("b")).collect()[0]["b"]
+    untouched = [
+        p
+        for p, t in mtimes0.items()
+        if f"_bucket={dirty_bucket}/" not in p and os.path.exists(p)
+    ]
+    assert untouched, "expected surviving clean-bucket files"
+    for p in untouched:
+        assert os.path.getmtime(p) == mtimes0[p], f"clean bucket rewritten: {p}"
+    snap = cdc.changelog_state_snapshot(spark, state)
+    got = {r["id"]: r["v"] for r in snap.collect()}
+    assert got[0] == "NEW" and len(got) == 40
