@@ -346,3 +346,97 @@ def test_session_statements_surface_over_rest(gw):
         ["core", True], ["hive", True]
     ]
     assert run("SHOW JOBS") == []  # no streaming jobs in this session
+
+
+def test_concurrent_sessions_interleaved_batch_and_streaming(gw):
+    """Concurrent SESSIONS under load (reference flink-conf.yaml sizes the
+    gateway 5–20 worker threads; sqlGatewayClient.ts:124-140 paces NOT_READY
+    by retrying the same token): four sessions run in parallel, each
+    interleaving batch DDL/INSERT/SELECT with a streaming datagen SELECT on
+    the SAME table names. Asserts (a) catalog isolation — every session
+    sees exactly its own rows; (b) retry-token pacing — NOT_READY always
+    re-serves the same token until PAYLOAD, tokens never skip; (c) no
+    cross-session error leakage."""
+    import threading
+    import time
+
+    N = 4
+    results: list[dict] = [{} for _ in range(N)]
+    errors: list[tuple[int, Exception]] = []
+
+    def drive(idx: int, out: dict):
+        try:
+            h = call(
+                "POST", f"{gw}/v1/sessions",
+                {"properties": {"execution.runtime-mode": "batch"}},
+            )["sessionHandle"]
+
+            def run(stmt):
+                return call(
+                    "POST", f"{gw}/v1/sessions/{h}/statements",
+                    {"statement": stmt},
+                )["operationHandle"]
+
+            def fetch_all(op, want_rows, timeout=60):
+                rows, token, t0 = [], 0, time.time()
+                while len(rows) < want_rows and time.time() - t0 < timeout:
+                    page = call(
+                        "GET",
+                        f"{gw}/v1/sessions/{h}/operations/{op}/result/{token}",
+                    )
+                    rt = page["resultType"]
+                    if rt == "PAYLOAD":
+                        rows += [r["fields"] for r in page["results"]["data"]]
+                        token += 1
+                    elif rt == "NOT_READY":
+                        # pacing contract: the NEXT fetch must reuse THIS
+                        # token — the uri the server hands back says so
+                        nxt = page.get("nextResultUri", "")
+                        assert nxt.endswith(f"/result/{token}"), (token, nxt)
+                        time.sleep(0.1)
+                    else:
+                        break
+                return rows
+
+            # batch phase: the SAME table name in every session, bound to a
+            # DIFFERENT definition — name-resolution isolation under load
+            run("CREATE TABLE gw_iso (k INT) "
+                "WITH ('connector'='datagen','number-of-rows'='1',"
+                f"'fields.k.min'='{idx}','fields.k.max'='{idx}')")
+            out["batch"] = fetch_all(run("SELECT k FROM gw_iso"), 1)
+
+            # streaming phase, interleaved with a second batch statement
+            run(
+                "CREATE TABLE gw_rate (user_id INT, event_time TIMESTAMP(3), "
+                "WATERMARK FOR event_time AS event_time - INTERVAL '5' SECOND) "
+                f"WITH ('connector'='datagen','rows-per-second'='100',"
+                f"'fields.user_id.min'='{10 * idx}',"
+                f"'fields.user_id.max'='{10 * idx + 9}')"
+            )
+            call("POST", f"{gw}/v1/sessions/{h}/statements",
+                 {"statement": "SET 'execution.runtime-mode' = 'streaming'"})
+            sop = run("SELECT user_id FROM gw_rate")
+            out["stream"] = fetch_all(sop, 20)
+            call("POST", f"{gw}/v1/sessions/{h}/statements",
+                 {"statement": "SET 'execution.runtime-mode' = 'batch'"})
+            out["batch2"] = fetch_all(run("SELECT COUNT(*) AS c FROM gw_iso"), 1)
+            call("DELETE", f"{gw}/v1/sessions/{h}/operations/{sop}")
+            call("DELETE", f"{gw}/v1/sessions/{h}")
+        except Exception as e:  # noqa: BLE001
+            errors.append((idx, e))
+
+    threads = [
+        threading.Thread(target=drive, args=(i, results[i])) for i in range(N)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    for i, out in enumerate(results):
+        # (a) isolation: each session reads ONLY its own gw_iso row…
+        assert out["batch"] == [[i]], (i, out["batch"])
+        assert out["batch2"] == [[1]]
+        # …and only its own datagen id range
+        assert len(out["stream"]) >= 20
+        assert all(10 * i <= r[0] <= 10 * i + 9 for r in out["stream"]), i
