@@ -380,9 +380,10 @@ def streaming_match_recognize(spark, sf_dir):
         """,
         close_after="1 second",
     )
-    # CPU-heavy keyed python stage: give it the full core count (more
-    # state stores, but the matcher dominates)
-    out = _run_to_memory(matched, "append", partitions=32)
+    # 16 keyed-state partitions measured fastest at sf0.1 (r6: 4.2 s vs
+    # 4.8–5.4 s at 32): the per-trigger per-partition machinery floor
+    # outweighs extra matcher parallelism once tasks < cores
+    out = _run_to_memory(matched, "append", partitions=16)
     return out.select("user_id", "start_us", "end_us", "n_clicks").orderBy(
         "user_id", "start_us"
     )
@@ -412,7 +413,7 @@ def streaming_seq_group(spark, sf_dir):
         """,
         close_after="1 second",
     )
-    out = _run_to_memory(matched, "append", partitions=32)
+    out = _run_to_memory(matched, "append", partitions=16)
     return out.select("user_id", "start_us", "end_us", "n_pairs").orderBy(
         "user_id", "start_us"
     )

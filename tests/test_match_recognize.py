@@ -967,10 +967,14 @@ def test_streaming_matcher_throughput_envelope(spark, tmp_path):
     """The keyed-state streaming matcher's per-key throughput ceiling,
     measured end-to-end (micro-batch lifecycle + state round-trip + Arrow +
     matcher) on a single key — the worst case, since keys scale out across
-    partitions. Measured ~40k rows/s warm on the dev box (the batch matcher
-    core alone sustains >1M rows/s — the gap IS the Structured-Streaming
-    machinery, see NOTES.md); the floor asserts the envelope never silently
-    collapses."""
+    partitions. Measured in the AMORTIZED regime (1M rows/key): the
+    per-trigger Structured-Streaming floor (~0.3–0.5 s per micro-batch,
+    independent of row count — profiled round 6, NOTES.md) dominates small
+    runs, so a small-n measurement reports machinery, not the matcher.
+    Warm amortized rate on the dev box: ~220 k rows/s (the mature-frame
+    evaluation routes through the vectorized fast path — pinned by
+    test_streaming_call_shape_routes_through_fast_path); the floor asserts
+    the envelope never silently collapses."""
     import os
     import time
     import uuid as _uuid
@@ -980,7 +984,7 @@ def test_streaming_matcher_throughput_envelope(spark, tmp_path):
 
     from flink_notebooks_spark.operators import match_recognize_stream
 
-    n = 100_000
+    n = 1_000_000
     rng = np.random.default_rng(11)
     base = pd.DataFrame(
         {
@@ -1041,19 +1045,20 @@ def test_streaming_matcher_throughput_envelope(spark, tmp_path):
     dt, n_warm = run("warm")
     assert n_warm == n_cold and n_warm > 0  # deterministic match set
     rate = n / dt
-    # floor sits well under the ~40k rows/s measured warm rate: the dev box
-    # shows intermittent CPU-steal windows (NOTES.md) that halve throughput
-    # without any code change, and a fully-loaded parallel suite run can
-    # halve it again — the floor catches a collapsed matcher, not host
-    # noise. One retry absorbs a load transient; both attempts below the
-    # floor = a real collapse.
-    if rate <= 5_000:
+    # floor sits well under the ~220k rows/s measured warm amortized rate:
+    # the dev box shows intermittent CPU-steal windows (NOTES.md) that
+    # halve throughput without any code change, and a fully-loaded parallel
+    # suite run can halve it again — the floor catches a collapsed matcher,
+    # not host noise. One retry absorbs a load transient; both attempts
+    # below the floor = a real collapse. (Floor is 5x the round-5 value —
+    # the round-6 amortized-regime measurement; see NOTES.md.)
+    if rate <= 25_000:
         dt2, n2 = run("retry")
         assert n2 == n_cold
         rate = max(rate, n / dt2)
-    assert rate > 5_000, (
+    assert rate > 25_000, (
         f"streaming matcher envelope collapsed: {rate/1000:.0f}k rows/s "
-        "(warm, single key) — expected ≥5k; see NOTES.md envelope entry"
+        "(warm, single key, amortized) — expected >=25k; see NOTES.md"
     )
 
 
@@ -2339,3 +2344,48 @@ def test_unbounded_group_attempt_cap(monkeypatch):
     assert (
         _pandas_matches(pdf, head + "PATTERN ((A B)+ C)" + tail, _GRP_DEFINES) == []
     )
+
+
+def test_streaming_call_shape_routes_through_fast_path(monkeypatch):
+    """The STREAMING mature-frame evaluation (require_closed=True, no
+    stateful conditions — the exact call shape match_recognize_stream
+    makes) must route through the vectorized matcher, not the scalar
+    backtracker. Pins the routing at the matcher-core level: the fast
+    matcher is invoked and its result is what _run_matches returns."""
+    import importlib
+
+    mr = importlib.import_module("flink_notebooks_spark.operators.match_recognize")
+    pdf = _rand_events(5, 3000)
+    spec = mr.parse_match_recognize(
+        "PARTITION BY user_id ORDER BY ts_us, event_id "
+        "MEASURES A.ts_us AS s, LAST(C.ts_us) AS e, COUNT(B.*) AS nb "
+        "PATTERN (A B+ C) DEFINE A AS A.event_type = 'view', "
+        "B AS B.event_type = 'click', C AS C.event_type = 'purchase'"
+    )
+    measures = [mr._parse_measure(e, a, spec.variables) for e, a in spec.measures]
+    for v, t in (("A", "view"), ("B", "click"), ("C", "purchase")):
+        pdf[f"__mr_{v}"] = pdf["event_type"] == t
+    pdf = pdf.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+
+    calls = []
+    real = mr._run_matches_fast
+
+    def spy(*a, **k):
+        out = real(*a, **k)
+        calls.append(out is not None)
+        return out
+
+    monkeypatch.setattr(mr, "_run_matches_fast", spy)
+    out_rows, emitted, keep_from, _stop = mr._run_matches(
+        pdf, spec, measures, list(pdf.columns), None, require_closed=True
+    )
+    assert calls == [True], "streaming call shape fell back to the scalar matcher"
+    assert emitted > 0
+    # and the fast result under the frontier rule equals the general
+    # matcher's on identical data
+    gen_rows, gen_emitted, gen_keep, _ = mr._run_matches(
+        pdf, spec, measures, list(pdf.columns), None,
+        require_closed=True, _force_general=True,
+    )
+    assert [tuple(r) for r in out_rows] == [tuple(r) for r in gen_rows]
+    assert (emitted, keep_from) == (gen_emitted, gen_keep)
