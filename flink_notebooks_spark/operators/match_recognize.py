@@ -43,7 +43,10 @@ input the consumed-row carry is prepended to the matcher's frame as
 read-only context (``_run_matches(start_at=...)``) so ``prev()`` sees the
 same predecessors batch does. Reluctant quantifiers — ``B+?``, ``B*?``, ``B{m,n}?`` — prefer the
 FEWEST rows (SQL-standard/Flink semantics; the backtracker tries takes
-ascending); reluctant GROUP quantifiers raise. ``PERMUTE`` works on both
+ascending); reluctant GROUP quantifiers — ``(A B)+?``, ``(A B){m,n}?``,
+including bounded group elements inside PERMUTE — prefer the fewest
+repetitions (expansion/probe order ascends instead of descending, the
+same machinery otherwise). ``PERMUTE`` works on both
 inputs for (optionally quantified) single-variable elements — the SQL-standard
 permutation alternation, orderings tried in lexicographic preference of the
 written list. Match-state conditions work INSIDE alternation groups too: a
@@ -132,6 +135,7 @@ class GroupTerm:
 
     body: list[PatternTerm]
     lo: int  # minimum repetitions; upper bound is the frame
+    greedy: bool = True  # False = (A B)+? / {m,}?: fewest repetitions first
 
     @property
     def vars(self) -> list[str]:  # for spec.variables / SKIP TO validation
@@ -184,6 +188,7 @@ _QUANT_SRC = r"(?:\+|\*|\?|\{\d+(?:,\d*)?\})?"
 _SEQ_GROUP_RE = re.compile(
     rf"\(\s*((?:\w+{_QUANT_SRC}\s+)*\w+{_QUANT_SRC})\s*\)\s*"
     r"(\+|\*|\?|\{(\d+)(,(\d*))?\})?"
+    r"(\?)?"  # reluctant marker: (A B)+? / (A B){m,n}? prefer FEWEST reps
 )
 _MAX_PATTERN_VARIANTS = 64
 # per-start budget for the unbounded-group descending-k probe (each attempt
@@ -201,7 +206,7 @@ def _extract_unbounded_groups(src: str):
     (the bounded expander handles those). The matcher flattens each group
     per attempt, leftmost group's repetition count outermost (the same
     leftmost-outermost greed the bounded expansion uses)."""
-    found: list[tuple[str, int]] = []
+    found: list[tuple[str, int, bool]] = []
 
     def repl(m):
         body, quant = m.group(1).strip(), m.group(2)
@@ -214,7 +219,7 @@ def _extract_unbounded_groups(src: str):
             # (B)+ ≡ B+: redundant parens, the bounded expander rewrites it
             return m.group(0)
         lo = 1 if quant == "+" else 0 if quant == "*" else int(m.group(3))
-        found.append((body, lo))
+        found.append((body, lo, m.group(6) is None))
         return f" \x00G{len(found) - 1}\x00 "
 
     out = _SEQ_GROUP_RE.sub(repl, src)
@@ -236,11 +241,13 @@ def _expand_seq_groups(src: str) -> list[str]:
     # alternation groups (A|B) never match this regex (their '|' breaks the
     # token sequence), so anything matched here is a sequence group
     body, quant = m.group(1).strip(), m.group(2)
+    reluctant = m.group(6) is not None
     if " " not in body and not (quant and re.search(r"[+*?{]", body)):
         # single-element group without nesting: parens are redundant —
-        # (B)+ ≡ B+, (B){2,3} ≡ B{2,3}
+        # (B)+ ≡ B+, (B){2,3}? ≡ B{2,3}?
         return _expand_seq_groups(
-            f"{src[: m.start()]} {body}{quant or ''} {src[m.end():]}"
+            f"{src[: m.start()]} {body}{quant or ''}"
+            f"{'?' if reluctant else ''} {src[m.end():]}"
         )
     # NESTED quantifier on a single element with a BOUNDED outer count —
     # (B+){2}, (B{2,3}){1,2} — expands to consecutive copies of the
@@ -262,7 +269,9 @@ def _expand_seq_groups(src: str) -> list[str]:
     if hi < lo:
         raise ValueError(f"MATCH_RECOGNIZE: bad quantifier in {m.group(0).strip()!r}")
     out: list[str] = []
-    for reps in range(hi, lo - 1, -1):  # greedy: most repetitions first
+    # greedy: most repetitions first; reluctant ((A B){m,n}? / ??): fewest
+    order = range(lo, hi + 1) if reluctant else range(hi, lo - 1, -1)
+    for reps in order:
         rep = " ".join([body] * reps)
         variant = f"{src[: m.start()]} {rep} {src[m.end():]}"
         out.extend(_expand_seq_groups(variant))
@@ -357,7 +366,7 @@ def parse_match_recognize(clause: str) -> MatchSpec:
         for el in _split_permute_elements(perm_m.group(1)):
             el = el.strip()
             gm = re.fullmatch(
-                r"\((.*)\)\s*(\+|\*|\?|\{(\d+)(,(\d*))?\})?", el, re.DOTALL
+                r"\((.*)\)\s*(\+|\*|\?|\{(\d+)(,(\d*))?\})?(\?)?", el, re.DOTALL
             )
             if gm and " " in gm.group(1).strip() and "|" not in gm.group(1):
                 body_src, quant = gm.group(1).strip(), gm.group(2)
@@ -387,7 +396,11 @@ def parse_match_recognize(clause: str) -> MatchSpec:
                         f"MATCH_RECOGNIZE: bad quantifier in PERMUTE element {el!r}"
                     )
                 body = _tokenize_flat(body_src)
-                el_variants.append([body * r for r in range(hi, lo - 1, -1)])
+                # reluctant group element ((A B){1,2}?): fewest reps first
+                rep_order = (
+                    range(lo, hi + 1) if gm.group(6) else range(hi, lo - 1, -1)
+                )
+                el_variants.append([body * r for r in rep_order])
                 any_group = True
                 continue
             em = re.fullmatch(
@@ -456,7 +469,7 @@ def parse_match_recognize(clause: str) -> MatchSpec:
     if not permute and alternatives is None:
         src2, ubs = _extract_unbounded_groups(pat_src)
         group_terms = []
-        for body_src, lo in ubs:
+        for body_src, lo, greedy in ubs:
             body_terms = _tokenize_flat(body_src)
             if sum(t.lo for t in body_terms) == 0:
                 raise ValueError(
@@ -464,7 +477,7 @@ def parse_match_recognize(clause: str) -> MatchSpec:
                     "empty (every member is optional) — its unbounded "
                     "repetition would never terminate"
                 )
-            group_terms.append(GroupTerm(body_terms, lo))
+            group_terms.append(GroupTerm(body_terms, lo, greedy))
         variant_terms = []
         has_group = False
         for v in _expand_seq_groups(src2):
@@ -1636,7 +1649,16 @@ def _run_matches(
                 other = seg_min + grp_min - g.lo * g.min_rows
                 kmax = max((n - i - other) // g.min_rows, 0)
                 k_hi = max(kmax + 1, g.lo) if fcell is not None else kmax
-                ranges.append(range(k_hi, g.lo - 1, -1))
+                # greedy groups probe most-reps-first; reluctant ((A B)+?)
+                # fewest-first — the frontier probe (k_hi = kmax+1, which
+                # cannot fit the frame) then sits LAST, so it only runs
+                # when every feasible count failed, exactly when appended
+                # rows are the only way the group could still match
+                ranges.append(
+                    range(g.lo, k_hi + 1)
+                    if not g.greedy
+                    else range(k_hi, g.lo - 1, -1)
+                )
             import itertools
 
             # leftmost group's count varies outermost (product iterates the

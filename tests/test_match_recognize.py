@@ -2195,12 +2195,76 @@ def test_reluctant_quantifier_streaming_matches_batch(spark, tmp_path):
     assert rows == {(1, 1, 30)}
 
 
-def test_reluctant_group_quantifier_raises_loudly(spark):
-    with pytest.raises(ValueError, match="bad pattern"):
-        parse_match_recognize(
-            "ORDER BY t MEASURES COUNT(A.*) AS n PATTERN ((A B)+? C) "
-            "DEFINE A AS tag='a'"
-        )
+def test_reluctant_group_quantifier_takes_fewest(spark):
+    """(A B)+? V takes ONE repetition where the greedy form absorbs two:
+    after a single (a, b) the next 'a' satisfies V, so the reluctant parse
+    stops — round-6 support (previously a loud raise)."""
+    import pandas as pd
+
+    seq = ["view", "click", "view", "click", "view"]
+    pdf = pd.DataFrame(
+        {
+            "user_id": 1,
+            "event_id": range(len(seq)),
+            "ts_us": [i * 1000 for i in range(len(seq))],
+            "event_type": seq,
+        }
+    )
+    meas = "MEASURES COUNT(A.*) AS n_a, COUNT(V.*) AS n_v"
+    head = f"PARTITION BY user_id ORDER BY ts_us, event_id {meas} "
+    tail = (
+        " DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click',"
+        " V AS V.event_type = 'view'"
+    )
+    defines = {"A": "view", "B": "click", "V": "view"}
+    rel = _pandas_matches(
+        pdf.copy(), head + "PATTERN ((A B)+? V)" + tail, defines
+    )
+    grd = _pandas_matches(
+        pdf.copy(), head + "PATTERN ((A B)+ V)" + tail, defines
+    )
+    # reluctant: one (A B) rep then V at row 2; the remaining (click,
+    # view) tail cannot start another match under SKIP PAST LAST ROW
+    assert rel == [(1, 1, 1)]
+    # greedy absorbs both reps, one 5-row match
+    assert grd == [(1, 2, 1)]
+
+
+def test_reluctant_group_pandas_fuzz_vs_bounded(spark):
+    """400 random sequences: (A B)+? C ≡ (A B){1,8}? C when 8 bounds the
+    feasible repetitions — the reluctant unbounded probe must equal the
+    reluctant bounded expansion (mirror of the greedy fuzz above)."""
+    meas = "MEASURES COUNT(A.*) AS n_a, COUNT(B.*) AS n_b, MATCH_NUMBER() AS mn"
+    head = f"PARTITION BY user_id ORDER BY ts_us, event_id {meas} "
+    tail = (" DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click',"
+            " C AS C.event_type = 'purchase'")
+    n_matched = 0
+    for seed in range(400):
+        pdf = _rand_events(seed, 24)
+        unb = _pandas_matches(pdf.copy(), head + "PATTERN ((A B)+? C)" + tail,
+                              _GRP_DEFINES)
+        bnd = _pandas_matches(pdf.copy(), head + "PATTERN ((A B){1,8}? C)" + tail,
+                              _GRP_DEFINES)
+        assert unb == bnd, (seed, unb, bnd)
+        n_matched += len(unb)
+    assert n_matched > 50
+
+
+def test_reluctant_group_forced_parse_equals_greedy(spark):
+    """With mutually exclusive predicates AND a mandatory distinct closer,
+    the parse is forced — reluctant and greedy group forms must agree
+    (uniqueness argument, mirroring the flat-term fuzz)."""
+    meas = "MEASURES COUNT(A.*) AS n_a, MATCH_NUMBER() AS mn"
+    head = f"PARTITION BY user_id ORDER BY ts_us, event_id {meas} "
+    tail = (" DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click',"
+            " C AS C.event_type = 'purchase'")
+    for seed in range(300):
+        pdf = _rand_events(seed, 24)
+        g = _pandas_matches(pdf.copy(), head + "PATTERN ((A B)+ C)" + tail,
+                            _GRP_DEFINES)
+        r = _pandas_matches(pdf.copy(), head + "PATTERN ((A B)+? C)" + tail,
+                            _GRP_DEFINES)
+        assert g == r, (seed, g, r)
 
 
 def test_reluctant_trailing_term_fewest_and_not_fast_path(spark):
