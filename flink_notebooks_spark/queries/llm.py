@@ -576,13 +576,17 @@ CLUSTER_LSH_BUCKET_CAP = 2048
 CLUSTER_LSH_MAX_HOT = 100_000
 
 
-def _lsh_signatures(spark, sf_dir, bits: int, bands: int):
+def _lsh_signatures(spark, sf_dir, bits: int, bands: int, sigs_only: bool = False):
     """Map-only signature stage: one n×d · d×planes BLAS product per Arrow
     batch, emitting a COMPACT row per vector — the int8-quantized vector
     (``qvec``, d bytes), its rigorous relative quantization error
     (``qerr``), the per-band signatures (for the explode), and all bands
     packed as uint16-LE bytes (``sigpack``) for the first-agreeing-band
-    dedup prefix. The fp64 embedding never leaves this stage."""
+    dedup prefix. The fp64 embedding never leaves this stage.
+
+    ``sigs_only=True`` is the salt-plan counting pass: it needs just
+    (band, sig) cardinalities, so the quantization and per-row byte
+    packing are skipped — roughly half the per-batch Python cost."""
     import numpy as np
     import pandas as pd
 
@@ -609,6 +613,11 @@ def _lsh_signatures(spark, sf_dir, bits: int, bands: int):
                 bits_m[:, k * bits : (k + 1) * bits] @ weights for k in range(bands)
             ]
             sig_mat = np.stack(sigs, axis=1)
+            if sigs_only:
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"], "sigs": list(sig_mat)}
+                )
+                continue
             # int8 quantization: q = round(u/s), s = max|u|/127 per vector.
             # qerr = 2·‖u − s·q‖/‖u‖ is the RIGOROUS per-vector cosine
             # perturbation bound (‖û − d̂‖ ≤ 2‖u−d‖/‖u‖ for the normalized
@@ -629,12 +638,14 @@ def _lsh_signatures(spark, sf_dir, bits: int, bands: int):
                 }
             )
 
+    schema = (
+        "vec_id long, sigs array<long>"
+        if sigs_only
+        else "vec_id long, qvec binary, qerr float, sigs array<long>, sigpack binary"
+    )
     return emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embd")
-    ).mapInPandas(
-        signatures,
-        "vec_id long, qvec binary, qerr float, sigs array<long>, sigpack binary",
-    )
+    ).mapInPandas(signatures, schema)
 
 
 def _lsh_salt_plan(sigged, cap: int) -> dict[str, int]:
@@ -754,7 +765,10 @@ def cluster_pairs_lsh_df(
     import pandas as pd
 
     sigged = _lsh_signatures(spark, sf_dir, bits, bands)
-    salt_plan = _lsh_salt_plan(sigged, CLUSTER_LSH_BUCKET_CAP)
+    salt_plan = _lsh_salt_plan(
+        _lsh_signatures(spark, sf_dir, bits, bands, sigs_only=True),
+        CLUSTER_LSH_BUCKET_CAP,
+    )
     buckets = _lsh_bucket_rows(sigged, salt_plan)
 
     def bucket_pairs(key, pdf):
