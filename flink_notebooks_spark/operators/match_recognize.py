@@ -68,11 +68,13 @@ repetition); alternation groups as PERMUTE elements
 (``PERMUTE((A|B), C)``) stay on the match-time permutation path as
 multi-variable terms. MULTIPLE unbounded groups
 in one pattern also work — each flattens independently, the leftmost
-group's repetition count varying outermost. Not supported (raise):
-nested quantifiers on multi-element groups (``((A B)+)*``), groups able
-to match empty under unbounded repetition (``(A? B?)+``), and UNBOUNDED
-group repetition inside PERMUTE (each raises rather than silently
-diverging).
+group's repetition count varying outermost — and UNBOUNDED group
+repetition inside PERMUTE works too (the ordering's variant carries a
+GroupTerm, flattened per attempt like any unbounded group). Not
+supported (raise): nested quantifiers on multi-element groups
+(``((A B)+)*``) and groups able to match empty under unbounded
+repetition (``(A? B?)+``) — each raises rather than silently
+diverging.
 
 Scale design (the 100 TB argument):
 
@@ -379,11 +381,26 @@ def parse_match_recognize(clause: str) -> MatchSpec:
                 if quant in ("+", "*") or (
                     gm.group(4) is not None and gm.group(5) == ""
                 ):
-                    raise NotImplementedError(
-                        f"MATCH_RECOGNIZE: PERMUTE element {el!r} — unbounded "
-                        "group repetition inside PERMUTE is not supported "
-                        "(use a bounded {m,n} quantifier)"
+                    # UNBOUNDED group repetition inside PERMUTE: the element
+                    # becomes a GroupTerm — the alternatives machinery
+                    # flattens it per match attempt exactly like unbounded
+                    # groups outside PERMUTE (round 6; previously raised)
+                    body = _tokenize_flat(gm.group(1).strip())
+                    if sum(t.lo for t in body) == 0:
+                        raise ValueError(
+                            f"MATCH_RECOGNIZE: PERMUTE element {el!r} can "
+                            "match empty — its unbounded repetition would "
+                            "never terminate"
+                        )
+                    g_lo = (
+                        1 if quant == "+" else 0 if quant == "*"
+                        else int(gm.group(3))
                     )
+                    el_variants.append(
+                        [[GroupTerm(body, g_lo, gm.group(6) is None)]]
+                    )
+                    any_group = True
+                    continue
                 if quant is None:
                     lo, hi = 1, 1
                 elif quant == "?":

@@ -1823,11 +1823,25 @@ def test_permute_group_quantified_and_optional(spark):
     assert [(r.n_a, r.n_c) for r in out] == [(1, 0)]
 
 
-def test_permute_unbounded_group_element_raises(spark):
-    with pytest.raises(NotImplementedError, match="unbounded"):
+def test_permute_unbounded_group_element_parses_to_group_alternatives(spark):
+    """PERMUTE with an unbounded group element (round 6) compiles to
+    parse-time orderings whose variants carry a GroupTerm — flattened per
+    attempt by the matcher, not expanded."""
+    from flink_notebooks_spark.operators.match_recognize import GroupTerm
+
+    spec = parse_match_recognize(
+        "ORDER BY t MEASURES COUNT(A.*) AS n "
+        "PATTERN (PERMUTE ((A B)+, C)) DEFINE A AS tag='a'"
+    )
+    assert spec.alternatives and len(spec.alternatives) == 2
+    assert all(
+        any(isinstance(t, GroupTerm) for t in v) for v in spec.alternatives
+    )
+    # empty-matching unbounded group elements still raise
+    with pytest.raises(ValueError, match="match empty"):
         parse_match_recognize(
             "ORDER BY t MEASURES COUNT(A.*) AS n "
-            "PATTERN (PERMUTE ((A B)+, C)) DEFINE A AS tag='a'"
+            "PATTERN (PERMUTE ((A? B?)+, C)) DEFINE A AS tag='a'"
         )
 
 
@@ -2453,3 +2467,54 @@ def test_streaming_call_shape_routes_through_fast_path(monkeypatch):
     )
     assert [tuple(r) for r in out_rows] == [tuple(r) for r in gen_rows]
     assert (emitted, keep_from) == (gen_emitted, gen_keep)
+
+
+def test_permute_unbounded_group_fuzz_vs_bounded(spark):
+    """PERMUTE((A B)+, C) — unbounded group repetition inside PERMUTE
+    (round 6; previously raised) — must equal PERMUTE((A B){1,8}, C) when
+    8 bounds the feasible repetitions (300 random sequences), and the
+    permutation preference must still hold: the (A B)+-first ordering wins
+    where both orderings could match."""
+    meas = "MEASURES COUNT(A.*) AS n_a, COUNT(C.*) AS n_c, MATCH_NUMBER() AS mn"
+    head = f"PARTITION BY user_id ORDER BY ts_us, event_id {meas} "
+    tail = (" DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click',"
+            " C AS C.event_type = 'purchase'")
+    n_matched = 0
+    for seed in range(300):
+        pdf = _rand_events(seed, 20)
+        unb = _pandas_matches(
+            pdf.copy(), head + "PATTERN (PERMUTE((A B)+, C))" + tail, _GRP_DEFINES
+        )
+        bnd = _pandas_matches(
+            pdf.copy(), head + "PATTERN (PERMUTE((A B){1,8}, C))" + tail,
+            _GRP_DEFINES,
+        )
+        assert unb == bnd, (seed, unb, bnd)
+        n_matched += len(unb)
+    assert n_matched > 20
+
+
+def test_permute_unbounded_group_ordering_preference(spark):
+    """purchase view click view click: the written-order (A B)+ C parse
+    requires C after the reps, so only the C-first permutation matches at
+    row 0 — and it must take BOTH (A B) reps (greedy inside the chosen
+    ordering)."""
+    import pandas as pd
+
+    seq = ["purchase", "view", "click", "view", "click"]
+    pdf = pd.DataFrame(
+        {
+            "user_id": 1,
+            "event_id": range(len(seq)),
+            "ts_us": [i * 1000 for i in range(len(seq))],
+            "event_type": seq,
+        }
+    )
+    meas = "MEASURES COUNT(A.*) AS n_a, COUNT(C.*) AS n_c"
+    head = f"PARTITION BY user_id ORDER BY ts_us, event_id {meas} "
+    tail = (" DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click',"
+            " C AS C.event_type = 'purchase'")
+    out = _pandas_matches(
+        pdf, head + "PATTERN (PERMUTE((A B)+, C))" + tail, _GRP_DEFINES
+    )
+    assert out == [(1, 2, 1)]
