@@ -16,6 +16,7 @@ latest-per-key step is ONE shuffle on the primary key.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -237,7 +238,7 @@ def apply_changelog_stream(
                 F.col("_bucket").isin(touched)
             )
             merged = state.unionByName(b)
-        except Exception:  # first trigger: no state yet
+        except AnalysisException:  # first trigger: no state yet
             merged = b
         w = Window.partitionBy(*keys).orderBy(
             F.desc("ts_ms"), F.desc("_b"), F.desc("op")
