@@ -1786,6 +1786,78 @@ def shard_pack(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# D7b. sequence packing — concat-and-chunk into fixed-length training
+#      examples. Unlike shard_pack (whole docs into token-budget shards),
+#      this is the pretraining data layout: the per-source token stream is
+#      cut every SEQ_LEN tokens and a document SPANS example boundaries.
+# ---------------------------------------------------------------------------
+SEQ_LEN = 512
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id, len({SQL_WORDS}) AS n FROM documents),
+    p AS (
+      SELECT source, doc_id, n,
+             SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t WHERE n > 0),
+    e AS (
+      SELECT source, doc_id, n, cum,
+             unnest(range(CAST(FLOOR((cum - n) / {SEQ_LEN}.0) AS BIGINT),
+                          CAST(FLOOR((cum - 1) / {SEQ_LEN}.0) AS BIGINT) + 1)) AS ex
+      FROM p)
+    SELECT source, ex AS example_id, COUNT(*) AS n_docs,
+           CAST(SUM(LEAST(cum, (ex + 1) * {SEQ_LEN})
+                    - GREATEST(cum - n, ex * {SEQ_LEN})) AS BIGINT) AS n_tokens
+    FROM e GROUP BY source, ex ORDER BY source, example_id
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Sequence packing for pretraining: concatenate each source's token
+    stream (docs in doc_id order) and cut a training example every SEQ_LEN
+    tokens; a document can SPAN example boundaries — the standard
+    concat-and-chunk layout, vs shard_pack's whole-doc binning. Output is
+    one row per (source, example) with the overlapping-doc count and the
+    example's token count (= SEQ_LEN except each source's last example).
+
+    Scale shape: the running cumsum is one window shuffle PARTITIONED BY
+    source (parallel across sources, never a global sort); each doc then
+    explodes to only the examples it overlaps — total extra rows ≈
+    total_tokens / SEQ_LEN + n_docs, linear — and the (source, example)
+    aggregate is map-side combinable. Deterministic by doc_id order, so
+    the layout is reproducible across runs and engines."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("source", "doc_id", F.expr(f"size({WORDS})").alias("n")).filter(
+        F.col("n") > 0
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = t.withColumn("cum", F.sum("n").over(w))
+    first_ex = F.expr(f"(cum - n) div {SEQ_LEN}")
+    last_ex = F.expr(f"(cum - 1) div {SEQ_LEN}")
+    e = t.select(
+        "source",
+        "n",
+        "cum",
+        F.explode(F.sequence(first_ex, last_ex)).alias("example_id"),
+    )
+    tok_in_ex = F.least(
+        F.col("cum"), (F.col("example_id") + 1) * SEQ_LEN
+    ) - F.greatest(F.col("cum") - F.col("n"), F.col("example_id") * SEQ_LEN)
+    return (
+        e.groupBy("source", "example_id")
+        .agg(F.count("*").alias("n_docs"), F.sum(tok_in_ex).alias("n_tokens"))
+        .orderBy("source", "example_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # D8. table profiling — per-column null/distinct/extremes in ONE pass
 #     (data-quality gate before a corpus ships to training)
 # ---------------------------------------------------------------------------

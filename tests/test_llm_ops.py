@@ -482,3 +482,27 @@ def test_cluster_lsh_hot_bucket_split_bounded_and_exact(spark, tmp_path, monkeyp
     for r in got:
         if r.a < n_hot and r.b < n_hot:
             assert abs(r.sim - 1.0) < 1e-9
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Concat-and-chunk contract: every example carries exactly SEQ_LEN
+    tokens except each source's LAST example; per-source token totals are
+    conserved; example ids are dense from 0."""
+    from flink_notebooks_spark.queries.llm import SEQ_LEN, WORDS
+
+    pdf = QUERIES["pack_sequences"](spark, sf_dir).toPandas()
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr("source", f"size({WORDS}) AS n")
+        .filter("n > 0")
+        .groupBy("source")
+        .sum("n")
+        .toPandas()
+        .set_index("source")["sum(n)"]
+    )
+    for source, g in pdf.groupby("source"):
+        g = g.sort_values("example_id")
+        assert list(g["example_id"]) == list(range(len(g)))
+        assert (g["n_tokens"].iloc[:-1] == SEQ_LEN).all(), source
+        assert 0 < g["n_tokens"].iloc[-1] <= SEQ_LEN
+        assert g["n_tokens"].sum() == docs[source]

@@ -420,3 +420,46 @@ def test_scalar_rewrite_invariants(expr):
         assert depth >= 0, (sql, out)
         i += 1
     assert depth == 0, (sql, out)
+
+
+@given(
+    st.integers(0, 2**31 - 1),
+    st.integers(2, 96),
+    st.sampled_from(["normal", "heavy", "tiny", "spiky"]),
+)
+@settings(max_examples=200, deadline=None)
+def test_lsh_quantization_margin_is_rigorous(seed, dim, shape):
+    """The int8-quantized prefilter's per-pair margin 2·(eps_a + eps_b)
+    must DOMINATE the true cosine perturbation for arbitrary vector
+    shapes — the property that makes the LSH cluster prefilter unable to
+    drop a true pair. Mirrors the map-side math in llm._lsh_signatures and
+    the in-bucket test in bucket_pairs."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    if shape == "normal":
+        M = rng.normal(size=(8, dim))
+    elif shape == "heavy":
+        M = rng.standard_cauchy(size=(8, dim))
+    elif shape == "tiny":
+        M = rng.normal(size=(8, dim)) * 1e-12
+    else:  # one dominant spike per vector — worst case for max-abs scaling
+        M = rng.normal(size=(8, dim)) * 0.01
+        M[np.arange(8), rng.integers(0, dim, 8)] = rng.choice([-100.0, 100.0], 8)
+    scale = np.maximum(np.abs(M).max(axis=1), 1e-30) / 127.0
+    Q = np.rint(M / scale[:, None]).astype(np.int8)
+    err = np.linalg.norm(M - Q.astype(np.float64) * scale[:, None], axis=1)
+    nrm = np.maximum(np.linalg.norm(M, axis=1), 1e-30)
+    eps = 2.0 * err / nrm
+
+    Qf = Q.astype(np.float64)
+    qn = np.maximum(np.linalg.norm(Qf, axis=1), 1e-30)
+    S_true = (M @ M.T) / np.outer(nrm, nrm)
+    S_q = (Qf @ Qf.T) / np.outer(qn, qn)
+    margin = np.add.outer(eps, eps)
+    # every off-diagonal pair: |cos − qcos| ≤ 2(eps_a + eps_b)
+    diff = np.abs(S_true - S_q)
+    iu = np.triu_indices(8, 1)
+    assert (diff[iu] <= margin[iu] + 1e-9).all(), (
+        seed, dim, shape, float((diff - margin)[iu].max())
+    )
