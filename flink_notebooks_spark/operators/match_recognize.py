@@ -1635,6 +1635,35 @@ def _run_matches(
 
     gates = [entry_gate(e) for e in alts]
 
+    def entry_closer(entry):
+        """LAST row index where a group entry's suffix CLOSER can sit — the
+        first mandatory stateless term after the final group. Sound prune
+        for BATCH matching only (fcell is None): every group repetition
+        must end before some closer row, so kmax is bounded by the last
+        closer position, and a start with no closer left skips the entry
+        outright — this is what keeps adversarial no-closer runs (a long
+        A/B alternation with no C) linear instead of quadratic. With fcell
+        (streaming frontier mode) a FUTURE row could be the closer, so the
+        prune must not apply there; the _MAX_GROUP_ATTEMPTS cap remains
+        the streaming backstop."""
+        if entry[0] != "group":
+            return None
+        _, segs, _grps, _ = entry
+        cl = next((t for t in segs[-1] if t.lo >= 1), None)
+        if cl is None:
+            return None
+        if stateful and any(x in stateful for x in cl.vars):
+            return None
+        col = bools[cl.vars[0]]
+        for v in cl.vars[1:]:
+            col = col | bools[v]
+        import numpy as np
+
+        idx = np.flatnonzero(col)
+        return int(idx[-1]) if idx.size else -1
+
+    closers = [entry_closer(e) for e in alts]
+
     def try_start(i, fcell=None):
         """First (greediest) variant matching at row i → (hit, flat_pat).
 
@@ -1646,7 +1675,7 @@ def _run_matches(
         hold: the probe cannot succeed ((kmax+1)·min_rows > n-i) but fails
         with frontier contact exactly when appended rows could fit another
         repetition — the signal require_closed needs."""
-        for entry, gate in zip(alts, gates):
+        for entry, gate, last_cl in zip(alts, gates, closers):
             if gate is not None and not gate[i]:
                 continue
             if entry[0] == "flat":
@@ -1656,6 +1685,8 @@ def _run_matches(
                     return hit, ap
                 continue
             _, segs, grps, eid = entry
+            if fcell is None and last_cl is not None and last_cl < i:
+                continue  # no closer remains in the frame (batch: final)
             # structural prune: rows the REST of the entry must consume
             # (segment minima + other groups' lo·min_rows) tighten each
             # group's kmax below the naive (n-i)//min_rows
@@ -1665,6 +1696,9 @@ def _run_matches(
             for g in grps:
                 other = seg_min + grp_min - g.lo * g.min_rows
                 kmax = max((n - i - other) // g.min_rows, 0)
+                if fcell is None and last_cl is not None:
+                    # every repetition ends before some closer row
+                    kmax = min(kmax, max((last_cl - i) // g.min_rows, 0))
                 k_hi = max(kmax + 1, g.lo) if fcell is not None else kmax
                 # greedy groups probe most-reps-first; reluctant ((A B)+?)
                 # fewest-first — the frontier probe (k_hi = kmax+1, which

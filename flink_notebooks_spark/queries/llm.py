@@ -697,13 +697,31 @@ def _lsh_bucket_rows(sigged, salt_plan: dict[str, int]):
         return base.withColumn("salt", F.lit(0)).withColumn(
             "i", F.lit(0)
         ).withColumn("j", F.lit(0))
-    m_map = F.create_map(
-        *[F.lit(x) for kv in salt_plan.items() for x in kv]
-    )
-    return (
-        base.withColumn(
+    if len(salt_plan) <= 1024:
+        # few hot buckets: a literal map folds into the projection
+        m_map = F.create_map(
+            *[F.lit(x) for kv in salt_plan.items() for x in kv]
+        )
+        base = base.withColumn(
             "m", F.coalesce(m_map[F.format_string("%d:%d", "band", "sig")], F.lit(1))
         )
+    else:
+        # many hot buckets: a 100k-entry create_map would be a 200k-node
+        # Catalyst expression — broadcast-join the (band, sig, m) plan
+        # instead, keeping the expression tree O(1)
+        spark = base.sparkSession
+        plan_df = spark.createDataFrame(
+            [
+                (int(k.split(":")[0]), int(k.split(":")[1]), int(m))
+                for k, m in salt_plan.items()
+            ],
+            "band int, sig long, m int",
+        )
+        base = base.join(F.broadcast(plan_df), ["band", "sig"], "left").withColumn(
+            "m", F.coalesce(F.col("m"), F.lit(1))
+        )
+    return (
+        base
         .withColumn("salt", F.pmod(F.xxhash64("vec_id"), F.col("m")).cast("int"))
         .withColumn(
             "sub",

@@ -548,13 +548,19 @@ def _incremental_topn(
         if exact_retractions:
             # key-complete mode: persist the changed rows distributed —
             # update mode re-emits a key every time its total changes, so
-            # the max-batch_id row per key IS its latest total
-            (
-                batch_df.withColumn("_b", F.lit(batch_id))
-                .write.mode("append")
-                .parquet(state_path)
-            )
-            batch_sizes.append(batch_df.count())
+            # the max-batch_id row per key IS its latest total. persist()
+            # so the write and the bookkeeping count share one computation
+            # of the per-trigger aggregation (same as the bounded branch).
+            batch_df.persist()
+            try:
+                (
+                    batch_df.withColumn("_b", F.lit(batch_id))
+                    .write.mode("append")
+                    .parquet(state_path)
+                )
+                batch_sizes.append(batch_df.count())
+            finally:
+                batch_df.unpersist()
             return
         # two bounded actions read the same batch aggregation — persist so
         # the per-trigger agg computes once, not once per action
@@ -596,10 +602,17 @@ def _incremental_topn(
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     if exact_retractions:
+        from pyspark.errors import AnalysisException
         from pyspark.sql import Window
 
         try:
-            st = spark.read.parquet(state_path)
+            try:
+                st = spark.read.parquet(state_path)
+            except AnalysisException:
+                # zero micro-batches ran (empty source): no state was ever
+                # written — the answer is an empty top-N, same as the
+                # bounded default on the same input
+                return [], batch_sizes
             w = Window.partitionBy(key_col).orderBy(F.desc("_b"))
             rows = [
                 (r[key_col], r[total_col], r[cnt_col])
@@ -625,6 +638,10 @@ def _incremental_topn(
 
 
 _CDC_STAGE_MEMO: dict = {}
+# previous invocations' state/checkpoint dirs, deleted when a NEWER
+# invocation supersedes them (same eviction contract as llm._memo_put:
+# only the latest returned DataFrame per session stays readable)
+_CDC_RUN_DIRS: dict = {}
 
 
 @query(
@@ -686,11 +703,19 @@ def streaming_cdc_apply(spark, sf_dir):
         ),
         o.filter(F.col("o_orderkey") % 97 == 0).select(env(row, null_row, "d", 3)),
     ]
-    workdir = tempfile.mkdtemp(prefix="cdc_stream_")
     # the staged change FILES are a pure deterministic function of the
     # input table — reuse them across calls in one session (bench reps);
     # the streaming run itself always starts fresh (new state + checkpoint)
     memo_key = (spark.sparkContext.applicationId, sf_dir)
+    workdir = tempfile.mkdtemp(prefix="cdc_stream_")
+    # the PREVIOUS invocation's state/checkpoint are superseded — delete
+    # them so bench reps don't accumulate full state-table copies in /tmp
+    import shutil
+
+    prev_run = _CDC_RUN_DIRS.pop(memo_key, None)
+    if prev_run is not None:
+        shutil.rmtree(prev_run, ignore_errors=True)
+    _CDC_RUN_DIRS[memo_key] = workdir
     src = _CDC_STAGE_MEMO.get(memo_key)
     if src is None or not os.path.isdir(src):
         src = os.path.join(workdir, "changes")

@@ -16,7 +16,6 @@ latest-per-key step is ONE shuffle on the primary key.
 
 from __future__ import annotations
 
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -233,12 +232,17 @@ def apply_changelog_stream(
         touched = [r["_bucket"] for r in b.select("_bucket").distinct().collect()]
         if not touched:
             return
-        try:
+        from .filesystem import _exists
+
+        if _exists(spark, state_path):
+            # state exists: a read failure here is a REAL error (corrupt /
+            # half-written state) and must propagate — silently treating it
+            # as empty would let the dynamic overwrite discard prior rows
             state = spark.read.parquet(state_path).filter(
                 F.col("_bucket").isin(touched)
             )
             merged = state.unionByName(b)
-        except AnalysisException:  # first trigger: no state yet
+        else:  # first trigger: no state yet
             merged = b
         w = Window.partitionBy(*keys).orderBy(
             F.desc("ts_ms"), F.desc("_b"), F.desc("op")

@@ -133,14 +133,6 @@ _FS_META = {
 }
 
 
-def _meta_fields(table) -> list[T.StructField]:
-    return [
-        T.StructField(c.name, c.data_type, True)
-        for c in table.columns
-        if getattr(c, "metadata_key", None)
-    ]
-
-
 def _declared_struct(table) -> T.StructType:
     """Full read schema in DECLARED column order — physical + metadata
     columns interleaved exactly as written in the DDL, so SELECT * matches

@@ -506,3 +506,40 @@ def test_pack_sequences_invariants(spark, sf_dir):
         assert (g["n_tokens"].iloc[:-1] == SEQ_LEN).all(), source
         assert 0 < g["n_tokens"].iloc[-1] <= SEQ_LEN
         assert g["n_tokens"].sum() == docs[source]
+
+
+def test_cluster_lsh_large_salt_plan_uses_join_not_literal_map(spark):
+    """Above 1024 hot buckets the sub-split factor comes from a broadcast
+    join, not a giant create_map literal (a 100k-entry map would be a
+    200k-node Catalyst expression). Same semantics on both paths."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_notebooks_spark.queries import llm
+
+    n, bands = 40, 3
+    sig_mat = np.zeros((n, bands), dtype=np.int64)  # all rows share bucket 0
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "qvec": [np.ones(4, dtype=np.int8).tobytes()] * n,
+            "qerr": np.zeros(n, dtype=np.float32),
+            "sigs": list(sig_mat),
+            "sigpack": [s.astype("<u2").tobytes() for s in sig_mat],
+        }
+    )
+    sigged = spark.createDataFrame(
+        pdf, "vec_id long, qvec binary, qerr float, sigs array<long>, sigpack binary"
+    )
+    # 1500 fake hot keys (forces the join path) + the one real bucket
+    plan = {f"7:{s}": 3 for s in range(1500)}
+    plan["0:0"] = 4
+    rows = llm._lsh_bucket_rows(sigged, plan)
+    got = rows.filter("band = 0").select("salt", "i", "j").toPandas()
+    assert set(got["salt"]) <= set(range(4))
+    # each row fans out to exactly m=4 sub-tasks
+    assert len(got) == n * 4
+    # and a non-hot band keeps m=1: one (0,0) task, no fan-out
+    cold = rows.filter("band = 1").select("salt", "i", "j").toPandas()
+    assert len(cold) == n
+    assert (cold["i"] == 0).all() and (cold["j"] == 0).all()

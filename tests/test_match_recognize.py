@@ -2415,13 +2415,36 @@ def test_unbounded_group_attempt_cap(monkeypatch):
         " DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click',"
         " C AS C.event_type = 'purchase'"
     )
+    # with NO closer anywhere, the batch closer-prune skips every start
+    # before a single attempt — even a cap of 1 never trips (this is what
+    # keeps no-closer adversarial runs linear)
+    monkeypatch.setattr(mr, "_MAX_GROUP_ATTEMPTS", 1)
+    assert (
+        _pandas_matches(pdf.copy(), head + "PATTERN ((A B)+ C)" + tail, _GRP_DEFINES)
+        == []
+    )
+    # a closer at the very end defeats the prune: the descending-k probe
+    # really runs, and the per-start budget fails loudly
+    monkeypatch.setattr(mr, "_MAX_GROUP_ATTEMPTS", 8)
+    pdf.loc[len(pdf) - 1, "event_type"] = "purchase"
     with pytest.raises(ValueError, match="unbounded-group repetition probe"):
-        _pandas_matches(pdf, head + "PATTERN ((A B)+ C)" + tail, _GRP_DEFINES)
-    # the same data under the default budget completes (finds no match)
+        _pandas_matches(pdf.copy(), head + "PATTERN ((A B)+ C)" + tail, _GRP_DEFINES)
+    # the same data under the default budget completes: the closer at an
+    # ODD offset can never align with 2k-row repetitions, so every probe
+    # fails and the true answer is empty
     monkeypatch.setattr(mr, "_MAX_GROUP_ATTEMPTS", 4096)
     assert (
-        _pandas_matches(pdf, head + "PATTERN ((A B)+ C)" + tail, _GRP_DEFINES) == []
+        _pandas_matches(pdf.copy(), head + "PATTERN ((A B)+ C)" + tail, _GRP_DEFINES)
+        == []
     )
+    # and with the closer at an EVEN offset the greedy parse succeeds on
+    # its FIRST (maximal-k) attempt — 29 repetitions then C
+    pdf2 = pdf.copy()
+    pdf2.loc[len(pdf2) - 1, "event_type"] = "click"
+    pdf2.loc[len(pdf2) - 2, "event_type"] = "purchase"
+    monkeypatch.setattr(mr, "_MAX_GROUP_ATTEMPTS", 8)
+    out = _pandas_matches(pdf2, head + "PATTERN ((A B)+ C)" + tail, _GRP_DEFINES)
+    assert [r[1] for r in out] == [29]
 
 
 def test_streaming_call_shape_routes_through_fast_path(monkeypatch):
