@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` — flagship query smoke check at sf0.001.
-``queries()``   — every implemented operator from SURVEY.md §2 (Q1–Q36 +
+``queries()``   — every implemented operator from SURVEY.md §2 (Q1–Q37 +
                   LLM-pipeline/curation + streaming; see COVERAGE.md for the full
                   inventory map), each ``(spark, sf_dir) → DataFrame``.
 ``oracle_sql()``— DuckDB-equivalent SQL per query (omitted only for the
