@@ -70,11 +70,17 @@ multi-variable terms. MULTIPLE unbounded groups
 in one pattern also work — each flattens independently, the leftmost
 group's repetition count varying outermost — and UNBOUNDED group
 repetition inside PERMUTE works too (the ordering's variant carries a
-GroupTerm, flattened per attempt like any unbounded group). Not
-supported (raise): nested quantifiers on multi-element groups
-(``((A B)+)*``) and groups able to match empty under unbounded
-repetition (``(A? B?)+``) — each raises rather than silently
-diverging.
+GroupTerm, flattened per attempt like any unbounded group). NESTED
+quantifiers on multi-element groups work where the total-repetition set
+is an interval: ``((A B)+)*`` ≡ ``(A B)*``, ``((A B){a,}){m,}`` ≡
+``(A B){a·max(m,1),}`` (collapsed at parse time), and bounded×bounded
+``((A B){a,b}){m,n}`` expands the outer count into consecutive copies.
+Not supported (raise): nested shapes whose total sets have GAPS
+(``((A B){2})+`` = even counts only; ``((A B){2,})*`` = {0} ∪ [2,∞)),
+mixed greediness across the nesting, and groups able to match empty
+under unbounded repetition (``(A? B?)+`` — Flink's CEP compiler rejects
+empty-matching repetition with its own error, so that raise is parity)
+— each raises rather than silently diverging.
 
 Scale design (the 100 TB argument):
 
@@ -200,6 +206,104 @@ _MAX_GROUP_ATTEMPTS = 4096
 _GROUP_SENT_RE = re.compile("\x00G(\\d+)\x00")  # unbounded-group placeholders
 
 
+_NESTED_GROUP_RE = re.compile(
+    r"\(\s*\(\s*([^()]+?)\s*\)\s*"      # inner group body
+    r"(\+|\*|\?|\{(\d+)(,(\d*))?\})?(\?)?\s*"  # inner quantifier
+    r"\)\s*"
+    r"(\+|\*|\?|\{(\d+)(,(\d*))?\})?(\?)?"      # outer quantifier
+)
+
+
+def _parse_quant(q, lo_s, has_comma, hi_s):
+    """(lo, hi, src-present) for a matched quantifier group; hi None =
+    unbounded; q None = exactly once."""
+    if q is None:
+        return 1, 1
+    if q == "+":
+        return 1, None
+    if q == "*":
+        return 0, None
+    if q == "?":
+        return 0, 1
+    lo = int(lo_s)
+    if has_comma is None:
+        return lo, lo
+    return lo, (int(hi_s) if hi_s else None)
+
+
+def _collapse_nested_groups(src: str) -> str:
+    """Nested quantifiers on multi-element groups — ``((A B)+)*`` — where
+    the algebra collapses exactly to a single quantifier (round 6):
+
+    - no outer quantifier: redundant parens, drop them
+    - inner UNBOUNDED: the reachable total-repetition set is an interval —
+      ``((A B){a,}){m,}`` ≡ ``(A B){a·max(m,1),}`` (k = m outer copies,
+      surplus absorbed by one inner repetition), with ``((A B)+)*`` ≡
+      ``(A B)*`` as the a=1, m=0 case. ``a ≥ 2`` with ``m = 0`` is the one
+      gap set ({0} ∪ [a,∞)) — raises.
+    - inner AND outer bounded: left in place; _expand_seq_groups expands
+      the outer count into consecutive copies (variant per count).
+    - inner bounded, outer unbounded: total sets can have gaps at every
+      scale ((A B){2})+ = even counts) — raises.
+    Mixed greediness (inner reluctant under a greedy outer or vice versa)
+    has no single-quantifier equivalent and raises."""
+    pos = 0
+    while True:
+        m = _NESTED_GROUP_RE.search(src, pos)
+        if m is None:
+            return src
+        body = m.group(1).strip()
+        in_q, in_rel = m.group(2), m.group(6) is not None
+        out_q, out_rel = m.group(7), m.group(11) is not None
+        if in_q is None and not in_rel:
+            # ((A B) ...) shapes where the inner has no quantifier are not
+            # nested-quantifier groups; leave for downstream handling
+            pos = m.start() + 1
+            continue
+        if out_q is None and not out_rel:
+            # redundant outer parens: ((A B)+) ≡ (A B)+
+            src = (
+                src[: m.start()]
+                + f" ({body}){in_q or ''}{'?' if in_rel else ''} "
+                + src[m.end() :]
+            )
+            continue
+        a1, b1 = _parse_quant(in_q, m.group(3), m.group(4), m.group(5))
+        a2, b2 = _parse_quant(out_q, m.group(8), m.group(9), m.group(10))
+        if in_rel != out_rel and b1 != a1:
+            raise NotImplementedError(
+                f"MATCH_RECOGNIZE: mixed greediness in nested group "
+                f"quantifiers {m.group(0).strip()!r} has no single-"
+                "quantifier equivalent"
+            )
+        rel = "?" if out_rel else ""
+        if b1 is None:
+            lo_t = a1 * max(a2, 1)
+            if a2 == 0 and lo_t > 1:
+                raise NotImplementedError(
+                    f"MATCH_RECOGNIZE: {m.group(0).strip()!r} reaches the "
+                    f"gap total set {{0}} ∪ [{lo_t}, ∞) — no single "
+                    "quantifier expresses it"
+                )
+            if a2 == 0:
+                q = "*"
+            elif lo_t == 1:
+                q = "+"
+            else:
+                q = f"{{{lo_t},}}"
+            src = src[: m.start()] + f" ({body}){q}{rel} " + src[m.end() :]
+            continue
+        if b2 is None:
+            raise NotImplementedError(
+                f"MATCH_RECOGNIZE: {m.group(0).strip()!r} — bounded group "
+                "repetition under an unbounded quantifier produces total "
+                "sets with gaps (e.g. ((A B){2})+ matches only even "
+                "counts); no flat expansion"
+            )
+        pos = m.end()  # bounded × bounded: _expand_seq_groups handles it
+    return src
+
+
 def _extract_unbounded_groups(src: str):
     """Replace every unbounded MULTI-element (or nested-quantifier single-
     element) sequence group — ``(A B)+`` / ``*`` / ``{m,}`` — with an
@@ -237,6 +341,33 @@ def _expand_seq_groups(src: str) -> list[str]:
     _extract_unbounded_group before this runs (the matcher flattens it per
     attempt); the raise below is a safeguard for anything that slips
     through."""
+    nm = _NESTED_GROUP_RE.search(src)
+    while nm is not None and nm.group(2) is None and nm.group(6) is None:
+        nm = _NESTED_GROUP_RE.search(src, nm.start() + 1)
+    if nm is not None:
+        # bounded × bounded nested group (unbounded shapes collapsed or
+        # raised in _collapse_nested_groups): expand the OUTER count into
+        # consecutive copies of the inner quantified group — one variant
+        # per count, greediest (most copies) first unless outer-reluctant
+        a2, b2 = _parse_quant(nm.group(7), nm.group(8), nm.group(9), nm.group(10))
+        inner = f"({nm.group(1).strip()}){nm.group(2) or ''}" + (
+            "?" if nm.group(6) else ""
+        )
+        order = (
+            range(a2, b2 + 1) if nm.group(11) else range(b2, a2 - 1, -1)
+        )
+        out: list[str] = []
+        for k in order:
+            rep = " ".join([inner] * k)
+            out.extend(
+                _expand_seq_groups(f"{src[: nm.start()]} {rep} {src[nm.end():]}")
+            )
+            if len(out) > _MAX_PATTERN_VARIANTS:
+                raise ValueError(
+                    "MATCH_RECOGNIZE: sequence-group expansion exceeds "
+                    f"{_MAX_PATTERN_VARIANTS} pattern variants"
+                )
+        return out
     m = _SEQ_GROUP_RE.search(src)
     if m is None:
         return [src]
@@ -484,6 +615,7 @@ def parse_match_recognize(clause: str) -> MatchSpec:
             alternatives = variant_lists
         pat_src = ""
     if not permute and alternatives is None:
+        pat_src = _collapse_nested_groups(pat_src)
         src2, ubs = _extract_unbounded_groups(pat_src)
         group_terms = []
         for body_src, lo, greedy in ubs:
