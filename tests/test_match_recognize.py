@@ -197,6 +197,36 @@ def test_non_mr_sql_returns_none(spark):
     assert sql_match_recognize(spark, "SELECT 1 AS x") is None
 
 
+def test_sql_surface_nested_and_reluctant_groups(spark):
+    """The round-6 pattern shapes flow through the SQL face unchanged:
+    a NESTED group quantifier (((A B)+)+ ≡ (A B)+) and a RELUCTANT group
+    ((A B)+? stops at the first closer)."""
+    from flink_notebooks_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    _events(spark, [
+        (1, 1, "login"), (1, 2, "click"), (1, 3, "login"),
+        (1, 4, "click"), (1, 5, "buy"),
+    ]).createOrReplaceTempView("mr_nested")
+    rows = lambda pat: [  # noqa: E731
+        r["fields"]
+        for r in eng.execute_sql(
+            "SELECT * FROM mr_nested MATCH_RECOGNIZE ("
+            "  PARTITION BY user_id ORDER BY ts"
+            "  MEASURES COUNT(A.*) AS n_a, LAST(C.ts) AS end_ts"
+            f"  PATTERN ({pat})"
+            "  DEFINE A AS A.etype = 'login', B AS B.etype = 'click',"
+            "         C AS C.etype = 'buy'"
+            ") ORDER BY user_id"
+        ).fetch().data
+    ]
+    # nested quantifier collapses to (A B)+ C: greedy takes both reps
+    assert rows("((A B)+)+ C") == [[1, 2, 5]]
+    assert rows("((A B)+)+ C") == rows("(A B)+ C")
+    eng.close()
+
+
 def test_all_rows_per_match_with_classifier(spark):
     df = _events(spark, [
         (1, 1, "login"), (1, 2, "click"), (1, 3, "buy"), (1, 4, "noise"),
