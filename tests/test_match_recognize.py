@@ -2614,3 +2614,51 @@ def test_nested_group_quantifier_residual_raises(spark):
             parse_match_recognize(
                 f"ORDER BY t MEASURES COUNT(A.*) AS n {pat} DEFINE A AS x=1"
             )
+
+
+def test_nested_group_streaming_matches_batch(spark, tmp_path):
+    """Nested group quantifier on STREAMING input: ((A B)+)+ C collapses at
+    parse time, so the keyed-state matcher sees the same GroupTerm pattern
+    as (A B)+ C — streaming must equal the batch parse across micro-batch
+    splits."""
+    import random
+
+    rng = random.Random(77)
+    clause = """
+    PARTITION BY user_id ORDER BY ev_time
+    MEASURES FIRST(A.ts_s) AS a0, COUNT(A.*) AS n_a, LAST(C.ts_s) AS c_at
+    PATTERN (((A B)+)+ C)
+    DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click',
+           C AS C.event_type = 'purchase'
+    """
+    rows = []
+    for uid in range(1, 5):
+        tags = []
+        for _ in range(rng.randint(2, 3)):
+            for _ in range(rng.randint(1, 3)):
+                tags += ["view", "click"]
+            if rng.random() < 0.8:
+                tags.append("purchase")
+            tags += [rng.choice(["other", "view"])] * rng.randint(0, 1)
+        for i, t in enumerate(tags):
+            rows.append(dict(user_id=uid, ts_s=10 * (i + 1), event_type=t))
+    batch = spark.createDataFrame(
+        [(r["user_id"], r["ts_s"], r["event_type"]) for r in rows],
+        "user_id long, ts_s long, event_type string",
+    ).withColumn("ev_time", F.timestamp_seconds("ts_s"))
+    want = {
+        tuple(r)
+        for r in match_recognize(batch, clause.replace("ev_time", "ts_s")).collect()
+    }
+    assert len(want) > 2
+    rows.sort(key=lambda r: (r["ts_s"], r["user_id"]))
+    cut = len(rows) // 2
+    files = [
+        rows[:cut], rows[cut:],
+        [dict(user_id=99, ts_s=10000, event_type="other")],
+    ]
+    got = _mr_stream_run(
+        spark, tmp_path, files, clause, close_after="1 second",
+        schema="user_id long, ts_s long, event_type string, ev_time timestamp",
+    )
+    assert got == want
