@@ -71,16 +71,20 @@ in one pattern also work — each flattens independently, the leftmost
 group's repetition count varying outermost — and UNBOUNDED group
 repetition inside PERMUTE works too (the ordering's variant carries a
 GroupTerm, flattened per attempt like any unbounded group). NESTED
-quantifiers on multi-element groups work where the total-repetition set
-is an interval: ``((A B)+)*`` ≡ ``(A B)*``, ``((A B){a,}){m,}`` ≡
-``(A B){a·max(m,1),}`` (collapsed at parse time), and bounded×bounded
-``((A B){a,b}){m,n}`` expands the outer count into consecutive copies.
-Not supported (raise): nested shapes whose total sets have GAPS
+quantifiers on a group wrapping exactly one quantified group work where
+the total-repetition set is a single interval: ``((A B)+)*`` ≡
+``(A B)*``, ``((A B){a,}){m,}`` ≡ ``(A B){a·max(m,1),}``,
+``((A B){a,b}){m,}`` when gap-free (max(m,1)·(b−a) ≥ a−1, so e.g.
+``((A B){1,2})+`` ≡ ``(A B)+``) — all collapsed at parse time — and
+bounded×bounded ``((A B){a,b}){m,n}`` expands the outer count into
+consecutive copies. Not supported (raise): total sets with GAPS
 (``((A B){2})+`` = even counts only; ``((A B){2,})*`` = {0} ∪ [2,∞)),
-mixed greediness across the nesting, and groups able to match empty
-under unbounded repetition (``(A? B?)+`` — Flink's CEP compiler rejects
-empty-matching repetition with its own error, so that raise is parity)
-— each raises rather than silently diverging.
+mixed greediness where BOTH levels have a repetition choice, deeper
+nesting (a quantified group containing another quantified group plus
+other members, ``((A B)+ C)+``), and groups able to match empty under
+unbounded repetition (``(A? B?)+``, ``((A B)*)+`` — Flink's CEP
+compiler rejects empty-matching repetition with its own error, so those
+raises are parity) — each raises rather than silently diverging.
 
 Scale design (the 100 TB argument):
 
@@ -215,8 +219,8 @@ _NESTED_GROUP_RE = re.compile(
 
 
 def _parse_quant(q, lo_s, has_comma, hi_s):
-    """(lo, hi, src-present) for a matched quantifier group; hi None =
-    unbounded; q None = exactly once."""
+    """(lo, hi) for a matched quantifier group; hi None = unbounded;
+    q None = exactly once."""
     if q is None:
         return 1, 1
     if q == "+":
@@ -232,21 +236,32 @@ def _parse_quant(q, lo_s, has_comma, hi_s):
 
 
 def _collapse_nested_groups(src: str) -> str:
-    """Nested quantifiers on multi-element groups — ``((A B)+)*`` — where
-    the algebra collapses exactly to a single quantifier (round 6):
+    """Nested quantifiers on a group wrapping exactly one quantified group
+    — ``((A B)+)*`` — collapsed where the reachable total-repetition set
+    is a single interval (round 6):
 
     - no outer quantifier: redundant parens, drop them
-    - inner UNBOUNDED: the reachable total-repetition set is an interval —
-      ``((A B){a,}){m,}`` ≡ ``(A B){a·max(m,1),}`` (k = m outer copies,
-      surplus absorbed by one inner repetition), with ``((A B)+)*`` ≡
-      ``(A B)*`` as the a=1, m=0 case. ``a ≥ 2`` with ``m = 0`` is the one
-      gap set ({0} ∪ [a,∞)) — raises.
+    - inner UNBOUNDED (``{a,}``/``+``/``*``): totals are [a·max(m,1), ∞)
+      — ``((A B){a,}){m,}`` ≡ ``(A B){a·max(m,1),}``; ``((A B)+)*`` ≡
+      ``(A B)*`` as the a=1, m=0 case
+    - inner BOUNDED ``{a,b}``, outer unbounded ``{m,}``: gap-free exactly
+      when max(m,1)·(b − a) ≥ a − 1 (consecutive count-intervals overlap
+      from the first one on) — then ≡ ``(A B){a·max(m,1),}``; otherwise
+      the total set has gaps (``((A B){2})+`` = even counts) and raises
     - inner AND outer bounded: left in place; _expand_seq_groups expands
-      the outer count into consecutive copies (variant per count).
-    - inner bounded, outer unbounded: total sets can have gaps at every
-      scale ((A B){2})+ = even counts) — raises.
-    Mixed greediness (inner reluctant under a greedy outer or vice versa)
-    has no single-quantifier equivalent and raises."""
+      the outer count into consecutive copies (one variant per count)
+    - inner able to match EMPTY (``*``/``{0,b}``) under an unbounded
+      outer raises — parity with Flink's CEP rejection of empty-matching
+      repetition (same rule as ``(A? B?)+``)
+    - totals {0} ∪ [K,∞) with K ≥ 2 (outer ``*`` over a ≥2-row minimum)
+      have no single-quantifier equivalent and raise
+
+    Greediness: the collapsed quantifier takes the flag of whichever
+    level actually has a repetition choice; when BOTH levels have a
+    choice and their flags differ, the fold is ambiguous and raises.
+    Bounded×bounded nesting keeps both flags (outer orders the copy
+    count, inner stays on each copy), so mixed flags are fine there.
+    """
     pos = 0
     while True:
         m = _NESTED_GROUP_RE.search(src, pos)
@@ -270,37 +285,62 @@ def _collapse_nested_groups(src: str) -> str:
             continue
         a1, b1 = _parse_quant(in_q, m.group(3), m.group(4), m.group(5))
         a2, b2 = _parse_quant(out_q, m.group(8), m.group(9), m.group(10))
-        if in_rel != out_rel and b1 != a1:
+        if b1 is not None and b1 < a1:
+            raise ValueError(
+                f"MATCH_RECOGNIZE: bad quantifier in {m.group(0).strip()!r}"
+            )
+        if b2 is not None and b2 < a2:
+            raise ValueError(
+                f"MATCH_RECOGNIZE: bad quantifier in {m.group(0).strip()!r}"
+            )
+        if b1 is not None and b2 is not None:
+            pos = m.end()  # bounded × bounded: _expand_seq_groups expands
+            continue
+        # --- a collapse to ONE quantifier will happen below ---
+        if a1 == 0 and b2 is None:
+            raise NotImplementedError(
+                f"MATCH_RECOGNIZE: {m.group(0).strip()!r} repeats a group "
+                "that can match EMPTY under an unbounded quantifier — "
+                "rejected for the same non-termination reason as (A? B?)+ "
+                "(Flink's CEP compiler rejects empty-matching repetition "
+                "too)"
+            )
+        in_choice = b1 != a1  # inner has a repetition choice
+        out_choice = b2 != a2
+        if in_rel != out_rel and in_choice and out_choice:
             raise NotImplementedError(
                 f"MATCH_RECOGNIZE: mixed greediness in nested group "
-                f"quantifiers {m.group(0).strip()!r} has no single-"
-                "quantifier equivalent"
+                f"quantifiers {m.group(0).strip()!r} — both levels have a "
+                "repetition choice, so the fold into one quantifier is "
+                "ambiguous"
             )
-        rel = "?" if out_rel else ""
-        if b1 is None:
-            lo_t = a1 * max(a2, 1)
-            if a2 == 0 and lo_t > 1:
+        rel = "?" if (out_rel if out_choice else in_rel) else ""
+        m_eff = max(a2, 1)
+        if b1 is not None:
+            # inner bounded {a1,b1}, outer unbounded: totals are the union
+            # of [a1·k, b1·k] for k ≥ m_eff — gap-free iff consecutive
+            # intervals overlap from k = m_eff on
+            if m_eff * (b1 - a1) < a1 - 1:
                 raise NotImplementedError(
-                    f"MATCH_RECOGNIZE: {m.group(0).strip()!r} reaches the "
-                    f"gap total set {{0}} ∪ [{lo_t}, ∞) — no single "
+                    f"MATCH_RECOGNIZE: {m.group(0).strip()!r} — the "
+                    "reachable total-repetition set has gaps (e.g. "
+                    "((A B){2})+ matches only even counts); no single "
                     "quantifier expresses it"
                 )
-            if a2 == 0:
-                q = "*"
-            elif lo_t == 1:
-                q = "+"
-            else:
-                q = f"{{{lo_t},}}"
-            src = src[: m.start()] + f" ({body}){q}{rel} " + src[m.end() :]
-            continue
-        if b2 is None:
+        lo_t = a1 * m_eff
+        if a2 == 0 and lo_t > 1:
             raise NotImplementedError(
-                f"MATCH_RECOGNIZE: {m.group(0).strip()!r} — bounded group "
-                "repetition under an unbounded quantifier produces total "
-                "sets with gaps (e.g. ((A B){2})+ matches only even "
-                "counts); no flat expansion"
+                f"MATCH_RECOGNIZE: {m.group(0).strip()!r} reaches the "
+                f"gap total set {{0}} ∪ [{lo_t}, ∞) — no single "
+                "quantifier expresses it"
             )
-        pos = m.end()  # bounded × bounded: _expand_seq_groups handles it
+        if a2 == 0:
+            q = "*"
+        elif lo_t == 1:
+            q = "+"
+        else:
+            q = f"{{{lo_t},}}"
+        src = src[: m.start()] + f" ({body}){q}{rel} " + src[m.end() :]
     return src
 
 
@@ -350,6 +390,20 @@ def _expand_seq_groups(src: str) -> list[str]:
         # consecutive copies of the inner quantified group — one variant
         # per count, greediest (most copies) first unless outer-reluctant
         a2, b2 = _parse_quant(nm.group(7), nm.group(8), nm.group(9), nm.group(10))
+        if "\x00" in nm.group(1) or b2 is None:
+            # a sentinel in the body means the inner group itself contains
+            # another quantified group — deeper nesting than the per-
+            # attempt flattening supports; b2=None means an unbounded
+            # shape escaped the collapse pass (same deep-nesting cause)
+            raise NotImplementedError(
+                f"MATCH_RECOGNIZE: {nm.group(0).strip()!r} — a quantified "
+                "group containing another quantified group is not "
+                "supported"
+            )
+        if b2 < a2:
+            raise ValueError(
+                f"MATCH_RECOGNIZE: bad quantifier in {nm.group(0).strip()!r}"
+            )
         inner = f"({nm.group(1).strip()}){nm.group(2) or ''}" + (
             "?" if nm.group(6) else ""
         )
@@ -617,6 +671,11 @@ def parse_match_recognize(clause: str) -> MatchSpec:
     if not permute and alternatives is None:
         pat_src = _collapse_nested_groups(pat_src)
         src2, ubs = _extract_unbounded_groups(pat_src)
+        if re.search(r"\([^()]*\x00G", src2):
+            raise NotImplementedError(
+                "MATCH_RECOGNIZE: a quantified group containing another "
+                "quantified group (e.g. ((A B)+ C)+) is not supported"
+            )
         group_terms = []
         for body_src, lo, greedy in ubs:
             body_terms = _tokenize_flat(body_src)

@@ -223,7 +223,29 @@ def test_sql_surface_nested_and_reluctant_groups(spark):
     ]
     # nested quantifier collapses to (A B)+ C: greedy takes both reps
     assert rows("((A B)+)+ C") == [[1, 2, 5]]
-    assert rows("((A B)+)+ C") == rows("(A B)+ C")
+    # reluctant group stops at the first closer-compatible parse… but the
+    # closer 'buy' only appears at ts=5, so fewest-first still spans both
+    # reps here; the distinguishing fixture is V ≡ the A predicate
+    assert rows("(A B)+? C") == [[1, 2, 5]]
+    eng.execute_sql(
+        "CREATE TABLE IF NOT EXISTS _noop (x INT) WITH "
+        "('connector'='datagen','number-of-rows'='0')"
+    )
+    # reluctant group through the SQL face takes ONE rep when the next
+    # row already satisfies the following variable
+    reluctant = [
+        r["fields"]
+        for r in eng.execute_sql(
+            "SELECT * FROM mr_nested MATCH_RECOGNIZE ("
+            "  PARTITION BY user_id ORDER BY ts"
+            "  MEASURES COUNT(A.*) AS n_a, LAST(V.ts) AS v_ts"
+            "  PATTERN ((A B)+? V)"
+            "  DEFINE A AS A.etype = 'login', B AS B.etype = 'click',"
+            "         V AS V.etype = 'login'"
+            ") ORDER BY user_id"
+        ).fetch().data
+    ]
+    assert reluctant == [[1, 1, 3]]
     eng.close()
 
 
@@ -2587,18 +2609,44 @@ def test_nested_group_quantifier_collapse_fuzz(spark):
         ("PATTERN (((A B)+)+ C)", "PATTERN ((A B)+ C)"),
         ("PATTERN (((A B){2,}){1,} C)", "PATTERN ((A B){2,} C)"),
         ("PATTERN (((A B){1,2}){2} C)", "PATTERN ((A B){2,4} C)"),
+        # gap-free bounded-inner under unbounded outer
+        ("PATTERN (((A B){1,2})+ C)", "PATTERN ((A B)+ C)"),
+        ("PATTERN (((A B){2,3}){2,} C)", "PATTERN ((A B){4,} C)"),
+        # exact outer count excuses mixed greediness (inner owns the choice)
+        ("PATTERN (((A B)+?){2} C)", "PATTERN ((A B){2,}? C)"),
     ]
+    import numpy as np
+    import pandas as pd
+
+    def _burst_events(seed, n):
+        """Random events with a planted (view click)^4 purchase burst so
+        even {4,}-total shapes really match — rep counts, noise, and
+        burst position vary with the seed."""
+        rng = np.random.default_rng(seed)
+        tags = list(
+            rng.choice(["view", "click", "purchase", "other"], size=n)
+        )
+        burst = ["view", "click"] * int(rng.integers(4, 6)) + ["purchase"]
+        at = int(rng.integers(0, n))
+        tags = tags[:at] + burst + tags[at:]
+        return pd.DataFrame(
+            {
+                "user_id": 1,
+                "event_id": np.arange(len(tags)),
+                "ts_us": np.arange(len(tags)) * 1000,
+                "event_type": tags,
+            }
+        )
+
     for nested, flat in pairs:
         n_m = 0
         for seed in range(300):
-            pdf = _rand_events(seed, 22)
+            pdf = _burst_events(seed, 14)
             a = _pandas_matches(pdf.copy(), head + nested + tail, _GRP_DEFINES)
             b = _pandas_matches(pdf.copy(), head + flat + tail, _GRP_DEFINES)
             assert a == b, (nested, seed, a, b)
             n_m += len(a)
-        # {2,}-shapes match rarely on 22-row random data; equality over
-        # 300 seeds is the real check, the floor just proves non-vacuity
-        assert n_m > 2, nested
+        assert n_m > 50, nested  # the planted burst guarantees real matches
 
 
 def test_nested_group_quantifier_residual_raises(spark):
@@ -2609,6 +2657,12 @@ def test_nested_group_quantifier_residual_raises(spark):
         ("PATTERN (((A B){2})+ C)", "gaps"),
         ("PATTERN (((A B){2,})* C)", "gap total set"),
         ("PATTERN (((A B)+?)* C)", "mixed greediness"),
+        # empty-matching inner under unbounded outer: Flink CEP parity
+        ("PATTERN (((A B)*)+ C)", "EMPTY"),
+        ("PATTERN (((A B)*)* C)", "EMPTY"),
+        # deeper nesting raises cleanly, not a cryptic bad-pattern error
+        ("PATTERN (((A B)+ C)+)", "containing another quantified group"),
+        ("PATTERN ((((C D)+ X)+)*)", "containing another quantified group"),
     ]:
         with pytest.raises(NotImplementedError, match=msg):
             parse_match_recognize(
