@@ -395,6 +395,22 @@ def test_cluster_lsh_shuffle_payload_is_compact(spark, sf_dir):
         ), f"float array {f.name} crosses the bucket exchange"
     assert isinstance(buckets.schema["qvec"].dataType, T.BinaryType)
     assert isinstance(buckets.schema["prefix"].dataType, T.BinaryType)
+    # concrete row-width bound: int8 vector = d bytes (not 8d fp64), band
+    # prefix = 2 bytes/earlier band (not 8); total well under the old
+    # fp64+long-array row
+    import pyspark.sql.functions as _F
+
+    d = len(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("embedding").first()[0]
+    )
+    bands = 8
+    widths = buckets.agg(
+        _F.max(_F.length("qvec")).alias("qv"),
+        _F.max(_F.length("prefix")).alias("pf"),
+    ).collect()[0]
+    assert widths["qv"] == d
+    assert widths["pf"] == 2 * (bands - 1)
     # and the full pipeline's bucket Exchange shuffles exactly the compact
     # columns — no emb/embd attribute in the exchange input
     import contextlib
