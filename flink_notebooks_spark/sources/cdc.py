@@ -215,7 +215,12 @@ def apply_changelog_stream(
 
     Deletes persist as TOMBSTONE rows (op='d' with the delete's ts_ms), so
     a late-arriving older image of the key cannot resurrect it — read the
-    live snapshot with ``changelog_state_snapshot``. State size is
+    live snapshot with ``changelog_state_snapshot``. The per-trigger merge
+    is IDEMPOTENT under foreachBatch's retry contract: re-running a batch
+    (same batch_id after a pre-commit failure) merges rows the state
+    already contains and the latest-per-key window resolves to the same
+    rows, so the deterministic dynamic overwrite rewrites the same bucket
+    contents — recovery from the checkpoint is exactly-once in effect. State size is
     O(distinct keys + tombstones) on disk across executors; this is the
     compacted-changelog layout (what upsert-kafka stores in the broker,
     kept in a table instead). Sizing: at 100 TB raise n_buckets so a

@@ -135,3 +135,46 @@ def test_stream_apply_touches_only_dirty_buckets(spark, tmp_path):
     snap = cdc.changelog_state_snapshot(spark, state)
     got = {r["id"]: r["v"] for r in snap.collect()}
     assert got[0] == "NEW" and len(got) == 40
+
+
+def test_stream_apply_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
+    """Kill-and-restart recovery: a first run applies batch 1, then a NEW
+    query with the SAME checkpoint picks up only the unprocessed files —
+    already-applied changes are not re-applied (no duplicate effects) and
+    the final state equals a single-run apply of the full change set."""
+    src = str(tmp_path / "changes")
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    _write_batch(src, "b0.parquet", [
+        _envelope(None, {"id": 1, "v": "a"}, "c", 1),
+        _envelope(None, {"id": 2, "v": "b"}, "c", 1),
+    ], 1_600_000_000)
+
+    def start():
+        raw = (
+            spark.readStream.schema("value string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        return cdc.apply_changelog_stream(
+            cdc.parse_debezium(raw, "value", ROW), ["id"], state, ckpt, n_buckets=4
+        )
+
+    q = start()
+    q.awaitTermination()  # first run consumes b0, then stops (availableNow)
+    snap1 = {r["id"]: r["v"] for r in cdc.changelog_state_snapshot(spark, state).collect()}
+    assert snap1 == {1: "a", 2: "b"}
+
+    # new files arrive while "down"; restart from the same checkpoint
+    _write_batch(src, "b1.parquet", [
+        _envelope(None, {"id": 1, "v": "a2"}, "u", 2),
+        _envelope({"id": 2, "v": "b"}, None, "d", 3),
+    ], 1_600_000_001)
+    q = start()
+    q.awaitTermination()
+    snap2 = {r["id"]: r["v"] for r in cdc.changelog_state_snapshot(spark, state).collect()}
+    assert snap2 == {1: "a2"}
+    # exactly-once: the state table holds ONE row per key/tombstone, not
+    # duplicates from a replayed b0
+    st = spark.read.parquet(state)
+    assert st.count() == 2  # live id=1 + tombstone id=2
+    assert st.groupBy("id").count().filter("count > 1").count() == 0
