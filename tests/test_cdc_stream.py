@@ -178,3 +178,44 @@ def test_stream_apply_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
     st = spark.read.parquet(state)
     assert st.count() == 2  # live id=1 + tombstone id=2
     assert st.groupBy("id").count().filter("count > 1").count() == 0
+
+
+def test_stream_apply_is_format_agnostic_canal(spark, tmp_path):
+    """apply_changelog_stream consumes ANY decoder producing the
+    (op, ts_ms, payload) change-row shape — here canal-json batched
+    messages through parse_canal, reaching the same final state as the
+    Debezium path would."""
+    import json
+
+    canal = [
+        json.dumps({
+            "data": [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}],
+            "old": None, "type": "INSERT", "ts": 1000,
+        }),
+        json.dumps({
+            "data": [{"id": 1, "v": "a2"}],
+            "old": [{"id": 1, "v": "a"}], "type": "UPDATE", "ts": 2000,
+        }),
+        json.dumps({
+            "data": [{"id": 2, "v": "b"}],
+            "old": None, "type": "DELETE", "ts": 3000,
+        }),
+    ]
+    src = str(tmp_path / "changes")
+    _write_batch(src, "b0.parquet", canal[:1], 1_600_000_000)
+    _write_batch(src, "b1.parquet", canal[1:], 1_600_000_001)
+    raw = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = cdc.apply_changelog_stream(
+        cdc.parse_canal(raw, "value", ROW),
+        ["id"],
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+        n_buckets=4,
+    )
+    q.awaitTermination()
+    snap = cdc.changelog_state_snapshot(spark, str(tmp_path / "state"))
+    assert {r["id"]: r["v"] for r in snap.collect()} == {1: "a2"}
