@@ -1353,6 +1353,124 @@ def ann_pq_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# V6. IVF + PQ hybrid ANN — the FAISS-style IVFADC layout: coarse cells
+#     prune the scan, residual product-quantization + ADC scores only the
+#     probed cells' rows, an exact re-rank fixes the shortlist boundary.
+#     This is the standard billion-scale layout: per-vector storage is the
+#     cell id + M bytes of codes, and a query touches nprobe/nlist of the
+#     corpus. (rows-only; recall floor pinned in tests/test_llm_ops.py)
+# ---------------------------------------------------------------------------
+@query("ann_ivf_pq_topk")
+def ann_ivf_pq_topk(spark, sf_dir):
+    """IVFADC: spherical-k-means coarse cells (shared geometry with
+    ann_ivf_topk) + product quantization of the RESIDUAL (x − centroid) —
+    residual PQ is what makes the codes accurate, since in-cell residuals
+    span a much smaller ball than raw vectors — + per-(query, cell) ADC
+    lookup tables + exact cosine re-rank of a bounded shortlist.
+
+    Spark plan: everything corpus-side is ONE mapInPandas over the scan —
+    cell assignment (n×nlist BLAS per batch), probe-set membership check
+    (a row is scored only for queries probing its cell: the nprobe/nlist
+    scan pruning), residual encode + ADC, per-partition shortlist. The
+    only shuffled rows are partitions × queries × shortlist; a final
+    window takes the global top-k. Training samples are hash-stable
+    bottom-k (same contract as IVF/PQ: deterministic, id-permutation
+    invariant)."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embd"))
+    pool = [
+        r["embd"]
+        for r in base.orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(max(IVF_TRAIN_SAMPLE, PQ_SAMPLE))
+        .collect()
+    ]
+    cents = np.asarray(_ivf_train(pool[:IVF_TRAIN_SAMPLE]))  # (nlist, d)
+    # PQ codebooks train on the sample's RESIDUALS against its own cells
+    P = np.asarray(pool[:PQ_SAMPLE])
+    p_cells = (P @ cents.T).argmax(axis=1)  # spherical: max dot
+    books = _pq_train([list(r) for r in (P - cents[p_cells])])
+    queries_rows = sorted(
+        (r["vec_id"], np.asarray(r["embd"]))
+        for r in base.filter(F.col("vec_id") < TOPK_QUERY_IDS).collect()
+    )
+    # per-query probe cells (by centroid dot product, nprobe nearest)
+    probes = {
+        qid: np.argsort(-(cents @ qv))[:IVF_NPROBE]
+        for qid, qv in queries_rows
+    }
+    bc = spark.sparkContext.broadcast((cents, books, queries_rows, probes))
+    n_parts = spark.sparkContext.defaultParallelism
+
+    def ivfadc(iterator):
+        import numpy as np
+        import pandas as pd
+
+        cents_, books_, queries_, probes_ = bc.value
+        m, k, sub_ = books_.shape
+        # per-query residual LUT: q·x̂ = q·c_cell + q·r̂, and q·r̂ is
+        # Σ_i lut[i, code_i] with lut[i] = books[i]·q_sub_i — the LUT is
+        # CELL-INDEPENDENT because the decoded vector is c + r̂
+        q_luts = {
+            qid: np.stack(
+                [books_[i] @ qv[i * sub_ : (i + 1) * sub_] for i in range(m)]
+            )
+            for qid, qv in queries_
+        }
+        q_cdots = {qid: cents_ @ qv for qid, qv in queries_}
+        for pdf in iterator:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            x = np.stack(pdf["embd"].to_numpy())
+            nrm = np.maximum(np.sqrt((x * x).sum(axis=1)), 1e-12)
+            cell = (x @ cents_.T).argmax(axis=1)
+            res = x - cents_[cell]
+            codes = np.empty((len(ids), m), dtype=np.int64)
+            for i in range(m):
+                rs = res[:, i * sub_ : (i + 1) * sub_]
+                d2 = ((rs[:, None, :] - books_[i][None, :, :]) ** 2).sum(axis=2)
+                codes[:, i] = d2.argmin(axis=1)
+            out = []
+            for qid, qv in queries_:
+                qn = np.sqrt(qv @ qv)
+                # cell-pruned scan: only rows whose cell this query probes
+                mask = np.isin(cell, probes_[qid]) & (ids != qid)
+                rows = np.nonzero(mask)[0]
+                if not rows.size:
+                    continue
+                q_r = q_luts[qid][np.arange(m)[:, None], codes[rows].T].sum(axis=0)
+                approx = (q_cdots[qid][cell[rows]] + q_r) / (qn * nrm[rows])
+                short = rows[np.argsort(-approx)[: 4 * TOPK_K]]
+                exact = (x[short] @ qv) / (qn * nrm[short])
+                order = np.argsort(-exact)[: TOPK_K]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "q_id": qid,
+                            "nn_id": ids[short][order],
+                            "sim_raw": exact[order],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out)
+
+    local = (
+        base.repartition(n_parts, "vec_id")
+        .mapInPandas(ivfadc, "q_id long, nn_id long, sim_raw double")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim_raw"), "nn_id")
+    return (
+        local.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK_K)
+        .select("q_id", "nn_id", F.round("sim_raw", 6).alias("sim"), "rn")
+        .orderBy("q_id", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
 # T1. text statistics + quality score (oracle-matched)
 # ---------------------------------------------------------------------------
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")

@@ -559,3 +559,30 @@ def test_cluster_lsh_large_salt_plan_uses_join_not_literal_map(spark):
     cold = rows.filter("band = 1").select("salt", "i", "j").toPandas()
     assert len(cold) == n
     assert (cold["i"] == 0).all() and (cold["j"] == 0).all()
+
+
+def test_ivf_pq_hybrid_full_topk_recall_and_exact_rerank(spark, sf_dir):
+    """IVFADC hybrid: full top-k per query; recall bounded below by the
+    shared cell geometry (the PQ shortlist + 4x exact re-rank should lose
+    little beyond cell-probe recall); and every returned sim is the EXACT
+    cosine (the re-rank recomputes fp64 — approximation only moves the
+    shortlist boundary, never the reported scores)."""
+    import numpy as np
+
+    exact = QUERIES["similarity_topk"](spark, sf_dir).toPandas()
+    hyb = QUERIES["ann_ivf_pq_topk"](spark, sf_dir).toPandas()
+    counts = hyb.groupby("q_id").size()
+    assert len(counts) == TOPK_QUERY_IDS and (counts == TOPK_K).all()
+    assert not hyb.duplicated(["q_id", "nn_id"]).any()
+    assert (hyb["nn_id"] != hyb["q_id"]).all()
+    exact_sets = exact.groupby("q_id")["nn_id"].apply(set)
+    hyb_sets = hyb.groupby("q_id")["nn_id"].apply(set)
+    recall = sum(len(exact_sets[q] & hyb_sets[q]) for q in exact_sets.index) / (
+        TOPK_QUERY_IDS * TOPK_K
+    )
+    assert recall >= 0.4, f"IVFPQ recall {recall:.2f} below floor"
+    # exact-re-rank property: any neighbor ALSO in the exact top-k carries
+    # the identical rounded sim
+    merged = hyb.merge(exact, on=["q_id", "nn_id"], suffixes=("_h", "_e"))
+    assert len(merged) > 0
+    assert np.allclose(merged["sim_h"], merged["sim_e"], atol=1e-6)
