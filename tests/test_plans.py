@@ -251,6 +251,13 @@ SHUFFLE_BUDGET = {
     "token_count": 1,
     "doc_fingerprint": 1,
     "curation_split": 2,
+    # per-source window + bounded example explode + (source, example) agg
+    # + sort; the window and agg share the source partitioning where AQE
+    # allows, budget covers the static plan
+    "pack_sequences": 4,
+    # mapInPandas scan + explicit repartition + shortlist window + sort —
+    # shuffle volume is partitions x queries x shortlist, corpus-independent
+    "ann_ivf_pq_topk": 3,
     "events_retention": 4,     # distinct + user-window + cell agg + sort
     # token-cache repartition + (gram, doc_id) pre-agg + gram rollup; the
     # pre-agg exchange is inserted conservatively at static planning (the
