@@ -1114,6 +1114,29 @@ IVF_NPROBE = 6
 IVF_TRAIN_SAMPLE = 256  # bounded driver-side k-means pool (bottom-k by hash)
 
 
+def _hash_stable_pool(base, n: int) -> list:
+    """The n vectors with the smallest ``xxhash64(vec_id)`` — a distributed
+    TakeOrdered (k rows to the driver, O(n) scan), deterministic across
+    runs, and unbiased even when vec_ids correlate with source/ingest time
+    (an id-prefix pick is not). Shared by every driver-side ANN training
+    stage (IVF centroids, PQ codebooks, the IVFPQ hybrid)."""
+    return [
+        r["embd"]
+        for r in base.orderBy(F.xxhash64("vec_id"), "vec_id").limit(n).collect()
+    ]
+
+
+def _query_vectors(base) -> list:
+    """(vec_id, numpy vector) for the benchmark query batch, id-sorted —
+    the broadcast-able probe set shared by the PQ and IVFPQ scans."""
+    import numpy as np
+
+    return sorted(
+        (r["vec_id"], np.asarray(r["embd"]))
+        for r in base.filter(F.col("vec_id") < TOPK_QUERY_IDS).collect()
+    )
+
+
 def _ivf_train(vectors, k: int = IVF_CELLS, iters: int = 8):
     """Spherical k-means over a BOUNDED hash-stable sample → k unit centroids.
 
@@ -1157,13 +1180,7 @@ def ann_ivf_topk(spark, sf_dir):
     corpus = base.withColumn(
         "nrm", F.expr(f"sqrt({_DOT.format(a='embd', b='embd')})")
     )
-    pool = [
-        r["embd"]
-        for r in base.orderBy(F.xxhash64("vec_id"), "vec_id")
-        .limit(IVF_TRAIN_SAMPLE)
-        .collect()
-    ]
-    trained = _ivf_train(pool)
+    trained = _ivf_train(_hash_stable_pool(base, IVF_TRAIN_SAMPLE))
     # unit centroids (c_nrm ≡ 1); join sites add the broadcast hint
     cents = spark.createDataFrame(
         [(i, [float(v) for v in c], 1.0) for i, c in enumerate(trained)],
@@ -1271,22 +1288,8 @@ def ann_pq_topk(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embd"))
-    # bounded training sample: the PQ_SAMPLE rows with the smallest
-    # xxhash64(vec_id) — a distributed TakeOrdered (k rows to the driver,
-    # O(n) scan), deterministic across runs, and unbiased where an id-prefix
-    # sample (`vec_id < PQ_SAMPLE`) over-represents whatever source/time
-    # range happens to own the low ids
-    sample = [
-        r["embd"]
-        for r in base.orderBy(F.xxhash64("vec_id"), "vec_id")
-        .limit(PQ_SAMPLE)
-        .collect()
-    ]
-    books = _pq_train(sample)
-    queries_rows = sorted(
-        (r["vec_id"], np.asarray(r["embd"]))
-        for r in base.filter(F.col("vec_id") < TOPK_QUERY_IDS).collect()
-    )
+    books = _pq_train(_hash_stable_pool(base, PQ_SAMPLE))
+    queries_rows = _query_vectors(base)
     bc = spark.sparkContext.broadcast(
         (books, [(q, v) for q, v in queries_rows])
     )
@@ -1380,21 +1383,13 @@ def ann_ivf_pq_topk(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embd"))
-    pool = [
-        r["embd"]
-        for r in base.orderBy(F.xxhash64("vec_id"), "vec_id")
-        .limit(max(IVF_TRAIN_SAMPLE, PQ_SAMPLE))
-        .collect()
-    ]
+    pool = _hash_stable_pool(base, max(IVF_TRAIN_SAMPLE, PQ_SAMPLE))
     cents = np.asarray(_ivf_train(pool[:IVF_TRAIN_SAMPLE]))  # (nlist, d)
     # PQ codebooks train on the sample's RESIDUALS against its own cells
     P = np.asarray(pool[:PQ_SAMPLE])
     p_cells = (P @ cents.T).argmax(axis=1)  # spherical: max dot
     books = _pq_train([list(r) for r in (P - cents[p_cells])])
-    queries_rows = sorted(
-        (r["vec_id"], np.asarray(r["embd"]))
-        for r in base.filter(F.col("vec_id") < TOPK_QUERY_IDS).collect()
-    )
+    queries_rows = _query_vectors(base)
     # per-query probe cells (by centroid dot product, nprobe nearest)
     probes = {
         qid: np.argsort(-(cents @ qv))[:IVF_NPROBE]
