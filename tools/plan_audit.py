@@ -48,6 +48,8 @@ HEADLINE = [
     ("corpus_ngrams", "corpus trigram table: (gram, doc_id) pre-agg → gram rollup → TakeOrdered"),
     ("unigram_logprob", "unigram NLL: capped-broadcast head + exact tail, DECIMAL-summed ln terms"),
     ("events_funnel", "ordered 3-step funnel: one user shuffle, three windows, single-row roll-up"),
+    ("pack_sequences", "concat-and-chunk packing: per-source window + bounded example explode"),
+    ("ann_ivf_pq_topk", "IVFADC hybrid: cell-pruned mapInPandas scan, shortlist-only shuffle"),
 ]
 
 
