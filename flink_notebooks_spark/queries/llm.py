@@ -214,6 +214,66 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return jaccard_pairs_df(spark, sf_dir)
 
 
+@query(
+    "dedup_cross_source_matrix",
+    oracle=f"""
+    WITH {SQL_SHINGLE_CTES},
+    {SQL_JACCARD_CAND_CTES},
+    v AS (
+      SELECT p.a, p.b
+      FROM pair p JOIN cnt ca ON ca.doc_id = p.a JOIN cnt cb ON cb.doc_id = p.b
+      WHERE CAST(p.i AS DOUBLE) / (ca.n + cb.n - p.i) >= 0.8),
+    e AS (SELECT a AS x, b AS y FROM v UNION ALL SELECT b, a FROM v)
+    SELECT dx.source AS src_a, dy.source AS src_b, COUNT(*) AS n_pairs,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM documents d WHERE d.source = dx.source),
+                 6) AS dup_rate_a
+    FROM e JOIN documents dx ON dx.doc_id = e.x
+           JOIN documents dy ON dy.doc_id = e.y
+    GROUP BY dx.source, dy.source ORDER BY src_a, src_b
+    """,
+)
+def dedup_cross_source_matrix(spark, sf_dir):
+    """Provenance contamination matrix: for every ordered source pair
+    (src_a, src_b), how many near-duplicate relationships src_a's docs
+    have into src_b, and what fraction of src_a that represents — the
+    curation diagnostic that tells you which ingest feeds re-crawl each
+    other before you weight a mixture. Rides the SHARED verified jaccard
+    pair cache (no extra candidate join); the doc→source attachment is a
+    broadcast-able join against the tiny (doc_id, source) projection, and
+    the matrix aggregate is |sources|² rows — driver-trivial at any
+    corpus size."""
+    pairs = jaccard_pairs_df(spark, sf_dir).select("a", "b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    src_counts = docs.groupBy("source").count().withColumnRenamed("count", "n_src")
+    out = (
+        edges.join(
+            F.broadcast(docs.withColumnsRenamed({"doc_id": "a", "source": "src_a"})),
+            "a",
+        )
+        .join(
+            F.broadcast(docs.withColumnsRenamed({"doc_id": "b", "source": "src_b"})),
+            "b",
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .join(
+            F.broadcast(src_counts.withColumnRenamed("source", "src_a")), "src_a"
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_pairs",
+            F.round(F.col("n_pairs") / F.col("n_src"), 6).alias("dup_rate_a"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # D3. MinHash + LSH near-dedup — the 100 TB scale path (rows-only check;
 #     the LSH pruning is probabilistic so no SQL oracle — tests assert it
