@@ -30,6 +30,7 @@ def test_all_queries_have_entries():
         "ann_lsh_topk",
         "ann_ivf_topk",
         "ann_pq_topk",
+        "ann_ivf_pq_topk",
         "knn_label_vote_ann",
         "profile_table_sketch",
         "multimodal_decode",
