@@ -586,3 +586,17 @@ def test_ivf_pq_hybrid_full_topk_recall_and_exact_rerank(spark, sf_dir):
     merged = hyb.merge(exact, on=["q_id", "nn_id"], suffixes=("_h", "_e"))
     assert len(merged) > 0
     assert np.allclose(merged["sim_h"], merged["sim_e"], atol=1e-6)
+
+
+def test_cluster_lsh_salt_plan_overload_raises(spark, sf_dir, monkeypatch):
+    """A corpus whose over-cap bucket count exceeds the salt-map budget
+    fails loudly with the raise-bits guidance instead of building a huge
+    driver-side plan."""
+    import pytest as _pytest
+
+    from flink_notebooks_spark.queries import llm
+
+    monkeypatch.setattr(llm, "CLUSTER_LSH_MAX_HOT", 0)
+    sigged = llm._lsh_signatures(spark, sf_dir, llm.CLUSTER_LSH_BITS, 8, sigs_only=True)
+    with _pytest.raises(ValueError, match="raise CLUSTER_LSH_BITS"):
+        llm._lsh_salt_plan(sigged, cap=1)  # cap=1: every bucket is "hot"

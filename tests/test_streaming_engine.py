@@ -576,3 +576,25 @@ def test_incremental_topn_exact_mode_never_ranked_key(spark, tmp_path):
     bounded, sizes = _incremental_topn(make_agg(), n=3)
     if len(sizes) >= 2:
         assert 9 not in [k for k, _, _ in bounded]
+
+
+def test_incremental_topn_exact_mode_empty_source(spark, tmp_path):
+    """exact_retractions=True on a source that produces ZERO micro-batches
+    must return an empty result like the bounded default, not crash on the
+    never-written state dir (round-6 review fix)."""
+    from pyspark.sql import functions as F
+
+    from flink_notebooks_spark.queries.streaming import _incremental_topn
+
+    (tmp_path / "empty").mkdir()
+    stream = (
+        spark.readStream.schema("k long, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "empty"))
+    )
+    agg = stream.groupBy("k").agg(
+        F.sum(F.col("v").cast("decimal(18,2)")).alias("total_dec"),
+        F.count("*").alias("n"),
+    )
+    rows, _sizes = _incremental_topn(agg, n=3, exact_retractions=True)
+    assert rows == []
