@@ -2640,6 +2640,76 @@ def unigram_logprob(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# D11c. per-source unigram KL divergence — the mixture-weighting diagnostic:
+#       how far each source's token distribution sits from the corpus.
+# ---------------------------------------------------------------------------
+@query(
+    "source_kl_divergence",
+    oracle=f"""
+    WITH w AS (
+      SELECT d.source, unnest({SQL_WORDS}) AS word FROM documents d),
+    sw AS (SELECT source, word, COUNT(*) AS n_sw FROM w GROUP BY source, word),
+    nw AS (SELECT word, SUM(n_sw) AS n_w FROM sw GROUP BY word),
+    ns AS (SELECT source, SUM(n_sw) AS n_s FROM sw GROUP BY source),
+    nn AS (SELECT SUM(n_sw) AS total FROM sw),
+    t AS (SELECT sw.source,
+                 CAST(ROUND(LN(sw.n_sw) - LN(nw.n_w), 9) * sw.n_sw
+                      AS DECIMAL(28,9)) AS term
+          FROM sw JOIN nw USING (word))
+    SELECT t.source, CAST(ns.n_s AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(t.term) AS DOUBLE) / ns.n_s
+                 - ROUND(LN(ns.n_s), 9) + ROUND(LN((SELECT total FROM nn)), 9),
+                 6) AS kl
+    FROM t JOIN ns USING (source)
+    GROUP BY t.source, ns.n_s ORDER BY source
+    """,
+)
+def source_kl_divergence(spark, sf_dir):
+    """KL(source ‖ corpus) over unigram distributions, per source — the
+    mixture-weighting diagnostic: a source far from the corpus (jargon,
+    another language, boilerplate) shifts the trained model more per token
+    than its size suggests. Algebra: KL = Σ_w p_s·ln(p_s/p_c) =
+    (Σ_w n_sw·(ln n_sw − ln n_w))/n_s − ln n_s + ln N, so one
+    (source, word) aggregate feeds everything — corpus counts derive from
+    re-aggregating it (no second scan), and the per-word term is rounded
+    to 9 decimals then DECIMAL-summed: order-independent and
+    engine-exact, the same determinism contract as unigram_logprob.
+    Scale shape: one (source, word) shuffle ∝ per-source vocabulary, one
+    vocab-keyed join, |sources| output rows."""
+    t = tokenized_docs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = t.join(docs, "doc_id").select("source", F.explode("ws").alias("word"))
+    sw = w.groupBy("source", "word").agg(F.count("*").alias("n_sw"))
+    nw = sw.groupBy("word").agg(F.sum("n_sw").alias("n_w"))
+    ns = sw.groupBy("source").agg(F.sum("n_sw").alias("n_s"))
+    nn = sw.agg(F.sum("n_sw").alias("total"))
+    term = (
+        F.round(F.log("n_sw") - F.log("n_w"), 9) * F.col("n_sw")
+    ).cast("decimal(28,9)")
+    per_src = (
+        sw.join(nw, "word")
+        .withColumn("term", term)
+        .groupBy("source")
+        .agg(F.sum("term").alias("st"))
+    )
+    return (
+        per_src.join(ns, "source")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "source",
+            F.col("n_s").cast("long").alias("n_tokens"),
+            F.round(
+                F.col("st").cast("double") / F.col("n_s")
+                - F.round(F.log("n_s"), 9)
+                + F.round(F.log("total"), 9),
+                6,
+            ).alias("kl"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # T6b. corpus-level n-gram frequency table — the training-data analysis
 #      staple (boilerplate discovery, contamination screening, memorization
 #      risk triage all start from "which n-grams dominate the corpus").

@@ -600,3 +600,17 @@ def test_cluster_lsh_salt_plan_overload_raises(spark, sf_dir, monkeypatch):
     sigged = llm._lsh_signatures(spark, sf_dir, llm.CLUSTER_LSH_BITS, 8, sigs_only=True)
     with _pytest.raises(ValueError, match="raise CLUSTER_LSH_BITS"):
         llm._lsh_salt_plan(sigged, cap=1)  # cap=1: every bucket is "hot"
+
+
+def test_source_kl_divergence_invariants(spark, sf_dir):
+    """Gibbs' inequality: KL(source || corpus) >= 0 for every source (up to
+    the 9-decimal term rounding), one row per source, token totals conserve
+    against the raw corpus."""
+    from flink_notebooks_spark.queries.llm import WORDS
+
+    pdf = QUERIES["source_kl_divergence"](spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert len(pdf) == docs.select("source").distinct().count()
+    assert (pdf["kl"] >= -1e-6).all(), pdf[pdf["kl"] < 0]
+    total = docs.selectExpr(f"size({WORDS}) AS n").agg(F.sum("n")).collect()[0][0]
+    assert pdf["n_tokens"].sum() == total
