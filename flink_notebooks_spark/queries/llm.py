@@ -239,10 +239,11 @@ def dedup_cross_source_matrix(spark, sf_dir):
     have into src_b, and what fraction of src_a that represents — the
     curation diagnostic that tells you which ingest feeds re-crawl each
     other before you weight a mixture. Rides the SHARED verified jaccard
-    pair cache (no extra candidate join); the doc→source attachment is a
-    broadcast-able join against the tiny (doc_id, source) projection, and
-    the matrix aggregate is |sources|² rows — driver-trivial at any
-    corpus size."""
+    pair cache (no extra candidate join); the doc→source attachment joins the
+    O(corpus) (doc_id, source) projection against the bounded near-dup
+    edge list (AQE broadcasts the edge side when it is small), and the
+    matrix aggregate is |sources|² rows — driver-trivial at any corpus
+    size."""
     pairs = jaccard_pairs_df(spark, sf_dir).select("a", "b")
     edges = pairs.unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -250,14 +251,13 @@ def dedup_cross_source_matrix(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     src_counts = docs.groupBy("source").count().withColumnRenamed("count", "n_src")
     out = (
+        # doc→source attachment: docs is O(corpus) — a plain join (AQE
+        # broadcasts whichever side is actually small at runtime; at scale
+        # the bounded near-dup edge list is the broadcastable side)
         edges.join(
-            F.broadcast(docs.withColumnsRenamed({"doc_id": "a", "source": "src_a"})),
-            "a",
+            docs.withColumnsRenamed({"doc_id": "a", "source": "src_a"}), "a"
         )
-        .join(
-            F.broadcast(docs.withColumnsRenamed({"doc_id": "b", "source": "src_b"})),
-            "b",
-        )
+        .join(docs.withColumnsRenamed({"doc_id": "b", "source": "src_b"}), "b")
         .groupBy("src_a", "src_b")
         .agg(F.count("*").alias("n_pairs"))
         .join(
@@ -1368,6 +1368,11 @@ def ann_pq_topk(spark, sf_dir):
             luts[qid] = np.stack(
                 [books_[i] @ qv[i * sub_ : (i + 1) * sub_] for i in range(m)]
             )  # (M, K)
+        # accumulate per-query winners ACROSS Arrow batches and emit once
+        # per task: a partition arrives as many ~10k-row batches, and
+        # per-batch emission would make the shuffled rows grow with corpus
+        # size instead of the documented partitions × queries × k
+        acc: dict = {qid: ([], []) for qid, _ in queries_}
         for pdf in iterator:
             if not len(pdf):
                 continue
@@ -1380,7 +1385,6 @@ def ann_pq_topk(spark, sf_dir):
                 xs = x[:, i * sub_ : (i + 1) * sub_]
                 d2 = ((xs[:, None, :] - books_[i][None, :, :]) ** 2).sum(axis=2)
                 codes[:, i] = d2.argmin(axis=1)
-            out = []
             for qid, qv in queries_:
                 qn = np.sqrt(qv @ qv)
                 approx = luts[qid][np.arange(m)[:, None], codes.T].sum(axis=0)
@@ -1390,17 +1394,22 @@ def ann_pq_topk(spark, sf_dir):
                 # exact re-rank of the bounded shortlist only
                 exact = (x[short] @ qv) / (qn * np.maximum(nrm[short], 1e-12))
                 order = np.argsort(-exact)[: TOPK_K]
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "q_id": qid,
-                            "nn_id": ids[short][order],
-                            "sim_raw": exact[order],
-                        }
-                    )
+                acc[qid][0].append(ids[short][order])
+                acc[qid][1].append(exact[order])
+        out = []
+        for qid, (id_parts, sim_parts) in acc.items():
+            if not id_parts:
+                continue
+            cid = np.concatenate(id_parts)
+            csim = np.concatenate(sim_parts)
+            order = np.argsort(-csim)[: TOPK_K]
+            out.append(
+                pd.DataFrame(
+                    {"q_id": qid, "nn_id": cid[order], "sim_raw": csim[order]}
                 )
-            if out:
-                yield pd.concat(out)
+            )
+        if out:
+            yield pd.concat(out)
 
     local = (
         base.repartition(n_parts, "vec_id")
@@ -1474,6 +1483,10 @@ def ann_ivf_pq_topk(spark, sf_dir):
             for qid, qv in queries_
         }
         q_cdots = {qid: cents_ @ qv for qid, qv in queries_}
+        # accumulate per-query winners ACROSS Arrow batches, emit once per
+        # task — keeps the shuffle at partitions × queries × k regardless
+        # of how many ~10k-row batches a big partition arrives as
+        acc: dict = {qid: ([], []) for qid, _ in queries_}
         for pdf in iterator:
             if not len(pdf):
                 continue
@@ -1487,7 +1500,6 @@ def ann_ivf_pq_topk(spark, sf_dir):
                 rs = res[:, i * sub_ : (i + 1) * sub_]
                 d2 = ((rs[:, None, :] - books_[i][None, :, :]) ** 2).sum(axis=2)
                 codes[:, i] = d2.argmin(axis=1)
-            out = []
             for qid, qv in queries_:
                 qn = np.sqrt(qv @ qv)
                 # cell-pruned scan: only rows whose cell this query probes
@@ -1500,17 +1512,22 @@ def ann_ivf_pq_topk(spark, sf_dir):
                 short = rows[np.argsort(-approx)[: 4 * TOPK_K]]
                 exact = (x[short] @ qv) / (qn * nrm[short])
                 order = np.argsort(-exact)[: TOPK_K]
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "q_id": qid,
-                            "nn_id": ids[short][order],
-                            "sim_raw": exact[order],
-                        }
-                    )
+                acc[qid][0].append(ids[short][order])
+                acc[qid][1].append(exact[order])
+        out = []
+        for qid, (id_parts, sim_parts) in acc.items():
+            if not id_parts:
+                continue
+            cid = np.concatenate(id_parts)
+            csim = np.concatenate(sim_parts)
+            order = np.argsort(-csim)[: TOPK_K]
+            out.append(
+                pd.DataFrame(
+                    {"q_id": qid, "nn_id": cid[order], "sim_raw": csim[order]}
                 )
-            if out:
-                yield pd.concat(out)
+            )
+        if out:
+            yield pd.concat(out)
 
     local = (
         base.repartition(n_parts, "vec_id")
