@@ -614,3 +614,30 @@ def test_source_kl_divergence_invariants(spark, sf_dir):
     assert (pdf["kl"] >= -1e-6).all(), pdf[pdf["kl"] < 0]
     total = docs.selectExpr(f"size({WORDS}) AS n").agg(F.sum("n")).collect()[0][0]
     assert pdf["n_tokens"].sum() == total
+
+
+def test_ann_scan_accumulates_across_arrow_batches(spark, sf_dir):
+    """The PQ-family scans must merge per-query winners ACROSS Arrow
+    batches and emit once per task (review r6: per-batch emission made the
+    shortlist shuffle corpus-dependent). With 64-row Arrow batches every
+    partition holds many batches — full top-k per query must still come
+    out, with sims exactly matching the default-batch run."""
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        small_pq = QUERIES["ann_pq_topk"](spark, sf_dir).toPandas()
+        small_hy = QUERIES["ann_ivf_pq_topk"](spark, sf_dir).toPandas()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    for df in (small_pq, small_hy):
+        counts = df.groupby("q_id").size()
+        assert len(counts) == TOPK_QUERY_IDS and (counts == TOPK_K).all()
+        assert not df.duplicated(["q_id", "nn_id"]).any()
+    # batch-size independence of the hybrid's result set: re-rank sims are
+    # exact cosines, so any shared (q, nn) pair matches the default run
+    import numpy as np
+
+    default_hy = QUERIES["ann_ivf_pq_topk"](spark, sf_dir).toPandas()
+    merged = small_hy.merge(default_hy, on=["q_id", "nn_id"], suffixes=("_s", "_d"))
+    assert len(merged) > 0
+    assert np.allclose(merged["sim_s"], merged["sim_d"], atol=1e-6)
