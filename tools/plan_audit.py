@@ -50,6 +50,8 @@ HEADLINE = [
     ("events_funnel", "ordered 3-step funnel: one user shuffle, three windows, single-row roll-up"),
     ("pack_sequences", "concat-and-chunk packing: per-source window + bounded example explode"),
     ("ann_ivf_pq_topk", "IVFADC hybrid: cell-pruned mapInPandas scan, shortlist-only shuffle"),
+    ("source_kl_divergence", "per-source KL: one (source, word) agg feeds all distributions"),
+    ("dedup_cross_source_matrix", "provenance matrix over the shared verified-jaccard cache"),
 ]
 
 
