@@ -636,7 +636,7 @@ CLUSTER_LSH_BUCKET_CAP = 2048
 CLUSTER_LSH_MAX_HOT = 100_000
 
 
-def _lsh_signatures(spark, sf_dir, bits: int, bands: int, sigs_only: bool = False):
+def _lsh_signatures(spark, sf_dir, bits: int, bands: int):
     """Map-only signature stage: one n×d · d×planes BLAS product per Arrow
     batch, emitting a COMPACT row per vector — the int8-quantized vector
     (``qvec``, d bytes), its rigorous relative quantization error
@@ -644,9 +644,9 @@ def _lsh_signatures(spark, sf_dir, bits: int, bands: int, sigs_only: bool = Fals
     packed as uint16-LE bytes (``sigpack``) for the first-agreeing-band
     dedup prefix. The fp64 embedding never leaves this stage.
 
-    ``sigs_only=True`` is the salt-plan counting pass: it needs just
-    (band, sig) cardinalities, so the quantization and per-row byte
-    packing are skipped — roughly half the per-batch Python cost."""
+    This is the ONLY corpus scan in the LSH pipeline: the caller persists
+    the result so the salt-counting pass and the bucket stage share one
+    execution (cluster_pairs_lsh_df)."""
     import numpy as np
     import pandas as pd
 
@@ -673,11 +673,6 @@ def _lsh_signatures(spark, sf_dir, bits: int, bands: int, sigs_only: bool = Fals
                 bits_m[:, k * bits : (k + 1) * bits] @ weights for k in range(bands)
             ]
             sig_mat = np.stack(sigs, axis=1)
-            if sigs_only:
-                yield pd.DataFrame(
-                    {"vec_id": pdf["vec_id"], "sigs": list(sig_mat)}
-                )
-                continue
             # int8 quantization: q = round(u/s), s = max|u|/127 per vector.
             # qerr = 2·‖u − s·q‖/‖u‖ is the RIGOROUS per-vector cosine
             # perturbation bound (‖û − d̂‖ ≤ 2‖u−d‖/‖u‖ for the normalized
@@ -698,11 +693,7 @@ def _lsh_signatures(spark, sf_dir, bits: int, bands: int, sigs_only: bool = Fals
                 }
             )
 
-    schema = (
-        "vec_id long, sigs array<long>"
-        if sigs_only
-        else "vec_id long, qvec binary, qerr float, sigs array<long>, sigpack binary"
-    )
+    schema = "vec_id long, qvec binary, qerr float, sigs array<long>, sigpack binary"
     return emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embd")
     ).mapInPandas(signatures, schema)
@@ -841,11 +832,21 @@ def cluster_pairs_lsh_df(
     """
     import numpy as np
     import pandas as pd
+    from pyspark import StorageLevel
 
-    sigged = _lsh_signatures(spark, sf_dir, bits, bands)
+    # SINGLE signature scan: the salt-counting pass and the bucket stage
+    # share one cached pass instead of re-reading the corpus and re-running
+    # the BLAS sign-bit product (the old sigs_only second scan was ~40% of
+    # stage-1 cost at scale). The cached row is the COMPACT signature
+    # projection — int8 qvec (d bytes) + sigs/sigpack (~10·bands bytes) —
+    # a fraction of the fp64 source, and MEMORY_AND_DISK spills rather
+    # than recomputes. Spark's CacheManager dedupes by canonicalized plan,
+    # so repeated calls at the same (sf_dir, bits, bands) reuse one entry.
+    sigged = _lsh_signatures(spark, sf_dir, bits, bands).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     salt_plan = _lsh_salt_plan(
-        _lsh_signatures(spark, sf_dir, bits, bands, sigs_only=True),
-        CLUSTER_LSH_BUCKET_CAP,
+        sigged.select("vec_id", "sigs"), CLUSTER_LSH_BUCKET_CAP
     )
     buckets = _lsh_bucket_rows(sigged, salt_plan)
 

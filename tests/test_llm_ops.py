@@ -431,6 +431,49 @@ def test_cluster_lsh_shuffle_payload_is_compact(spark, sf_dir):
         assert "emb" not in inp, f"vector payload crosses the exchange: {inp}"
 
 
+def test_cluster_lsh_single_signature_scan(spark, sf_dir, monkeypatch):
+    """The salt-counting pass must derive from the SAME cached signature
+    pass as the bucket stage — ONE corpus scan + ONE BLAS sign-bit product
+    total (the old plan re-ran _lsh_signatures as a sigs-only second full
+    scan, ~40% of stage-1 cost at scale). Pins: (a) _lsh_signatures is
+    built exactly once per pipeline, (b) the signature stage is persisted,
+    (c) the final physical plan reads signatures through the cache and
+    contains at most one MapInPandas signature stage."""
+    import contextlib
+    import io
+
+    from flink_notebooks_spark.queries import llm
+
+    calls = []
+    real = llm._lsh_signatures
+
+    def counting(*a, **k):
+        calls.append(a)
+        return real(*a, **k)
+
+    monkeypatch.setattr(llm, "_lsh_signatures", counting)
+    full = llm.cluster_pairs_lsh_df(spark, sf_dir, bands=8)
+    assert len(calls) == 1, f"signature stage built {len(calls)} times"
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        full.explain("formatted")
+    plan = buf.getvalue()
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, (
+        "signature pass is not cached — salt counting would re-execute the scan"
+    )
+    # formatted explain names each node twice (tree + numbered detail);
+    # count the numbered detail headers. FlatMapGroupsInPandas (the bucket
+    # verify) is a different node name and not counted.
+    import re
+
+    sig_stages = re.findall(r"\(\d+\) MapInPandas", plan)
+    assert len(sig_stages) == 1, (
+        f"expected exactly one signature MapInPandas stage, got {sig_stages}"
+    )
+    # and the result is still the verified near-duplicate pair set
+    assert full.count() > 0
+
+
 def test_cluster_lsh_hot_bucket_split_bounded_and_exact(spark, tmp_path, monkeypatch):
     """Planted hot bucket: a corpus of IDENTICAL vectors collapses every
     band into one bucket — no static `bits` fixes that (identical vectors
@@ -597,7 +640,7 @@ def test_cluster_lsh_salt_plan_overload_raises(spark, sf_dir, monkeypatch):
     from flink_notebooks_spark.queries import llm
 
     monkeypatch.setattr(llm, "CLUSTER_LSH_MAX_HOT", 0)
-    sigged = llm._lsh_signatures(spark, sf_dir, llm.CLUSTER_LSH_BITS, 8, sigs_only=True)
+    sigged = llm._lsh_signatures(spark, sf_dir, llm.CLUSTER_LSH_BITS, 8)
     with _pytest.raises(ValueError, match="raise CLUSTER_LSH_BITS"):
         llm._lsh_salt_plan(sigged, cap=1)  # cap=1: every bucket is "hot"
 
