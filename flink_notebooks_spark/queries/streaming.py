@@ -455,7 +455,7 @@ def streaming_lookup_join(spark, sf_dir):
     FROM events GROUP BY user_id ORDER BY total DESC, user_id LIMIT 10
     """,
 )
-def streaming_topn(spark, sf_dir):
+def streaming_topn(spark, sf_dir, mode: str | None = None):
     """Streaming Top-N (SURVEY.md W7): continuous per-user aggregation with
     an INCREMENTAL top-10 — Flink's update-stream Top-N. Update-mode
     aggregation emits only the keys whose totals changed in each trigger;
@@ -463,30 +463,63 @@ def streaming_topn(spark, sf_dir):
     (per-trigger driver transfer O(N + tracked), never a global re-sort of
     the full aggregate — the complete-mode anti-pattern this replaced).
 
-    Mode selection: the bounded tracked-set fold is exact for monotone
-    totals and for retractions of keys that ever ranked; a NEVER-ranked key
-    promoted purely by others' retractions is the one case it cannot see.
-    Input values are therefore probed — non-negative data (monotone totals)
-    takes the bounded mode; if a testdata regeneration ever introduces
-    refunds, the query switches to the key-complete exact-retraction mode
-    (distributed state table, Flink RetractableTopNFunction semantics)
-    instead of silently diverging from the oracle."""
-    neg = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("value") < 0)
-        .limit(1)
-        .count()
-    )
+    Mode selection is EXPLICIT or metadata-only — never a data scan. The
+    bounded tracked-set fold is exact for monotone totals and for
+    retractions of keys that ever ranked; a NEVER-ranked key promoted
+    purely by others' retractions is the one case it cannot see. Pass
+    ``mode="monotone"`` (bounded fold) or ``mode="retract"`` (key-complete
+    exact-retraction state, Flink RetractableTopNFunction semantics) from
+    your pipeline's data contract. When mode is None, it is resolved from
+    the parquet FOOTER min-statistics of ``value``
+    (:func:`_topn_value_mode`) — driver-side metadata I/O only; the old
+    probe ran a full batch ``filter(value<0)`` scan of the source before
+    the stream started, a complete extra read at 100 TB just to pick a
+    mode."""
+    if mode is None:
+        mode = _topn_value_mode(f"{sf_dir}/events.parquet")
+    if mode not in ("monotone", "retract"):
+        raise ValueError(f"streaming_topn mode must be monotone|retract, got {mode!r}")
     stream = _read_events_stream(spark, sf_dir)
     agg = stream.groupBy("user_id").agg(
         F.sum(F.col("value").cast("decimal(18,2)")).alias("total_dec"),
         F.count("*").alias("n"),
     )
-    rows, _sizes = _incremental_topn(agg, n=10, exact_retractions=bool(neg))
+    rows, _sizes = _incremental_topn(agg, n=10, exact_retractions=mode == "retract")
     return spark.createDataFrame(
         [(uid, float(total), cnt) for uid, total, cnt in rows],
         "user_id long, total double, n long",
     )
+
+
+def _topn_value_mode(path: str) -> str:
+    """Resolve the Top-N fold mode from parquet FOOTER statistics — no data
+    scan. Reads each fragment's row-group min for ``value`` via pyarrow;
+    returns ``"monotone"`` iff every row group proves min(value) >= 0, else
+    ``"retract"`` (negative mins OR absent statistics — conservative: the
+    key-complete exact mode is always correct, just costlier).
+
+    Scale note: this is O(files) driver-side footer I/O, not a read of the
+    data pages. At 100 TB a pipeline should pass ``mode=`` explicitly from
+    its data contract and skip even this; the resolver exists so the
+    registered query stays self-configuring against testdata
+    regenerations (the old probe was a full batch filter(value<0) scan of
+    the source inside a streaming query — see VERDICT r6/r7 #3)."""
+    import pyarrow.dataset as ds
+
+    dataset = ds.dataset(path, format="parquet")
+    names = dataset.schema.names
+    if "value" not in names:
+        raise ValueError(f"no `value` column in {path}: {names}")
+    for frag in dataset.get_fragments():
+        frag.ensure_complete_metadata()
+        for rg in frag.row_groups:
+            stats = rg.statistics or {}
+            col = stats.get("value")
+            if not col or col.get("min") is None:
+                return "retract"  # no proof of monotonicity
+            if col["min"] < 0:
+                return "retract"
+    return "monotone"
 
 
 def _incremental_topn(
@@ -495,6 +528,8 @@ def _incremental_topn(
     partitions: int = 8,
     exact_retractions: bool = False,
     state_path: str | None = None,
+    n_buckets: int = 16,
+    compact_every: int = 8,
 ):
     """Fold an update-mode streaming aggregation into a bounded top-N,
     retraction-safe for keys that ever ranked.
@@ -525,12 +560,20 @@ def _incremental_topn(
     O(all keys) state this operator deliberately bounds — unless
     ``exact_retractions=True``, which closes it with a DISTRIBUTED
     key-complete state table: each trigger appends the batch's changed
-    rows (plus the batch id) to a parquet state path — a bounded
-    distributed write, never a driver collect — and the final answer is
+    rows (plus the batch id) to a bucket-partitioned parquet state path —
+    a bounded distributed write, never a driver collect — and every
+    ``compact_every`` triggers the buckets touched since the last
+    compaction are rewritten latest-row-per-key via dynamic partition
+    overwrite (the same template as the CDC state table,
+    sources/cdc.py ``apply_changelog_stream``). The final answer is
     latest-row-per-key → TakeOrdered(n) over that table. Driver transfer
-    stays O(n); state is O(distinct keys) ON DISK across executors, the
-    same asymptotics as Flink's RetractableTopNFunction keyed state. The
-    default stays the bounded tracked-set mode.
+    stays O(n) (+ one ≤``n_buckets`` touched-bucket list per trigger);
+    on-disk state is O(distinct keys + ``compact_every`` triggers of
+    churn) and the small-file count is re-bounded at each compaction —
+    the same asymptotics as Flink's RetractableTopNFunction keyed state,
+    amortized. Without compaction the append-only table would grow with
+    TOTAL churn, not distinct keys (VERDICT r6/r7 #2). The default stays
+    the bounded tracked-set mode.
 
     Returns (rows, batch_sizes): rows are (key, total, count) tuples sorted
     (total DESC, key ASC); batch_sizes records per-trigger driver-transfer
@@ -547,6 +590,32 @@ def _incremental_topn(
         import tempfile
 
         state_path = tempfile.mkdtemp(prefix="topn_state_")
+    touched: set[int] = set()  # buckets appended-to since last compaction
+    exact_batches = [0]
+
+    def _compact(spark):
+        """Rewrite the touched buckets latest-row-per-key (CDC dynamic-
+        overwrite template): collapses this cycle's appended churn to one
+        row per key and re-bounds the small-file count. Bucket-pruned —
+        untouched buckets' files are neither read nor rewritten."""
+        from pyspark.sql import Window
+
+        st = spark.read.parquet(state_path).filter(
+            F.col("_bucket").isin(sorted(touched))
+        )
+        w = Window.partitionBy(key_col).orderBy(F.desc("_b"))
+        latest = (
+            st.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        (
+            latest.write.partitionBy("_bucket")
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(state_path)
+        )
+        touched.clear()
 
     def merge(batch_df, batch_id):
         if exact_retractions:
@@ -557,14 +626,22 @@ def _incremental_topn(
             # of the per-trigger aggregation (same as the bounded branch).
             batch_df.persist()
             try:
-                (
-                    batch_df.withColumn("_b", F.lit(batch_id))
-                    .write.mode("append")
-                    .parquet(state_path)
+                b = batch_df.withColumn("_b", F.lit(batch_id)).withColumn(
+                    "_bucket",
+                    F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast(
+                        "int"
+                    ),
+                )
+                b.write.partitionBy("_bucket").mode("append").parquet(state_path)
+                touched.update(
+                    r["_bucket"] for r in b.select("_bucket").distinct().collect()
                 )
                 batch_sizes.append(batch_df.count())
             finally:
                 batch_df.unpersist()
+            exact_batches[0] += 1
+            if touched and exact_batches[0] % compact_every == 0:
+                _compact(batch_df.sparkSession)
             return
         # two bounded actions read the same batch aggregation — persist so
         # the per-trigger agg computes once, not once per action
