@@ -2066,6 +2066,82 @@ def pack_sequences(spark, sf_dir):
     )
 
 
+@query(
+    "pack_sequences_spans",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id, len({SQL_WORDS}) AS n FROM documents),
+    p AS (
+      SELECT source, doc_id, n,
+             SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t WHERE n > 0),
+    e AS (
+      SELECT source, doc_id, n, cum,
+             unnest(range(CAST(FLOOR((cum - n) / {SEQ_LEN}.0) AS BIGINT),
+                          CAST(FLOOR((cum - 1) / {SEQ_LEN}.0) AS BIGINT) + 1)) AS ex
+      FROM p)
+    SELECT source, ex AS example_id, doc_id,
+           CAST(GREATEST(cum - n, ex * {SEQ_LEN}) - (cum - n) AS BIGINT)
+             AS start_tok,
+           CAST(LEAST(cum, (ex + 1) * {SEQ_LEN}) - (cum - n) AS BIGINT)
+             AS end_tok,
+           CAST(GREATEST(cum - n, ex * {SEQ_LEN}) - ex * {SEQ_LEN} AS BIGINT)
+             AS ex_offset
+    FROM e ORDER BY source, example_id, ex_offset
+    """,
+)
+def pack_sequences_spans(spark, sf_dir):
+    """The packing LAYOUT itself — what a shard writer consumes (VERDICT
+    r6/r7 #4; :func:`pack_sequences` keeps the per-example stats view).
+    One row per document-example OVERLAP: example ``example_id`` of
+    ``source`` contains tokens ``[start_tok, end_tok)`` of ``doc_id``
+    (doc-relative, end-exclusive), placed at ``ex_offset`` within the
+    example. A writer materializes example ``e`` by concatenating its rows
+    in ``ex_offset`` order, slicing each doc's token stream at
+    [start_tok, end_tok) — no re-tokenization, no second pass over the
+    text.
+
+    Same scale shape as the stats view: ONE window shuffle partitioned by
+    source for the running cumsum, then a linear explode to only the
+    examples each doc overlaps (≈ total_tokens/SEQ_LEN + n_docs rows) —
+    no aggregate at all, so this is strictly cheaper than the stats query.
+    Invariants pinned by tests/test_llm_ops.py: spans within an example
+    tile [0, SEQ_LEN) gaplessly (except each source's final example), and
+    concatenating every source's spans in (example_id, ex_offset) order
+    reassembles its token stream exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("source", "doc_id", F.expr(f"size({WORDS})").alias("n")).filter(
+        F.col("n") > 0
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = t.withColumn("cum", F.sum("n").over(w))
+    first_ex = F.expr(f"(cum - n) div {SEQ_LEN}")
+    last_ex = F.expr(f"(cum - 1) div {SEQ_LEN}")
+    e = t.select(
+        "source",
+        "doc_id",
+        "n",
+        "cum",
+        F.explode(F.sequence(first_ex, last_ex)).alias("example_id"),
+    )
+    doc_start = F.col("cum") - F.col("n")  # doc's global token offset
+    g_start = F.greatest(doc_start, F.col("example_id") * SEQ_LEN)
+    g_end = F.least(F.col("cum"), (F.col("example_id") + 1) * SEQ_LEN)
+    return e.select(
+        "source",
+        "example_id",
+        "doc_id",
+        (g_start - doc_start).cast("long").alias("start_tok"),
+        (g_end - doc_start).cast("long").alias("end_tok"),
+        (g_start - F.col("example_id") * SEQ_LEN).cast("long").alias("ex_offset"),
+    ).orderBy("source", "example_id", "ex_offset")
+
+
 # ---------------------------------------------------------------------------
 # D8. table profiling — per-column null/distinct/extremes in ONE pass
 #     (data-quality gate before a corpus ships to training)

@@ -684,3 +684,66 @@ def test_ann_scan_accumulates_across_arrow_batches(spark, sf_dir):
     merged = small_hy.merge(default_hy, on=["q_id", "nn_id"], suffixes=("_s", "_d"))
     assert len(merged) > 0
     assert np.allclose(merged["sim_s"], merged["sim_d"], atol=1e-6)
+
+
+def test_pack_sequences_spans_reassemble_exactly(spark, sf_dir):
+    """pack_sequences_spans is the layout a shard writer consumes — so the
+    proof is reconstruction: for every source, concatenating its spans in
+    (example_id, ex_offset) order, slicing each doc's token stream at
+    [start_tok, end_tok), must reproduce the source's concatenated token
+    stream EXACTLY. Also pins: examples tile [0, SEQ_LEN) gaplessly (every
+    example but each source's last is full), and the spans aggregate back
+    to the pack_sequences stats view row-for-row."""
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from flink_notebooks_spark.queries import llm
+
+    spans = llm.pack_sequences_spans(spark, sf_dir).collect()
+    docs = (
+        llm.load_table(spark, sf_dir, "documents")
+        .select("source", "doc_id", F.expr(llm.WORDS).alias("w"))
+        .filter(F.size("w") > 0)
+        .collect()
+    )
+    words = {(r["source"], r["doc_id"]): r["w"] for r in docs}
+    stream = collections.defaultdict(list)
+    for r in sorted(docs, key=lambda r: (r["source"], r["doc_id"])):
+        stream[r["source"]].extend(r["w"])
+
+    rebuilt = collections.defaultdict(list)
+    by_ex = collections.defaultdict(list)
+    for r in sorted(spans, key=lambda r: (r["source"], r["example_id"], r["ex_offset"])):
+        seg = words[(r["source"], r["doc_id"])][r["start_tok"] : r["end_tok"]]
+        assert len(seg) == r["end_tok"] - r["start_tok"]  # span inside the doc
+        rebuilt[r["source"]].extend(seg)
+        by_ex[(r["source"], r["example_id"])].append(r)
+
+    assert set(rebuilt) == set(stream)
+    for src in stream:
+        assert rebuilt[src] == stream[src], f"stream mismatch for {src}"
+
+    # gapless tiling inside each example; every example but the last is full
+    last_ex = {}
+    for (src, ex), _ in by_ex.items():
+        last_ex[src] = max(last_ex.get(src, -1), ex)
+    for (src, ex), rows in by_ex.items():
+        pos = 0
+        for r in rows:  # already ex_offset-sorted
+            assert r["ex_offset"] == pos, (src, ex, r)
+            pos += r["end_tok"] - r["start_tok"]
+        assert pos <= llm.SEQ_LEN
+        if ex != last_ex[src]:
+            assert pos == llm.SEQ_LEN, (src, ex, pos)
+
+    # spans aggregate to the stats view exactly
+    stats = {
+        (r["source"], r["example_id"]): (r["n_docs"], r["n_tokens"])
+        for r in llm.pack_sequences(spark, sf_dir).collect()
+    }
+    agg = {
+        k: (len(rows), sum(r["end_tok"] - r["start_tok"] for r in rows))
+        for k, rows in by_ex.items()
+    }
+    assert agg == stats
