@@ -1097,20 +1097,21 @@ def test_streaming_matcher_throughput_envelope(spark, tmp_path):
     dt, n_warm = run("warm")
     assert n_warm == n_cold and n_warm > 0  # deterministic match set
     rate = n / dt
-    # floor sits well under the ~220k rows/s measured warm amortized rate:
-    # the dev box shows intermittent CPU-steal windows (NOTES.md) that
-    # halve throughput without any code change, and a fully-loaded parallel
-    # suite run can halve it again — the floor catches a collapsed matcher,
-    # not host noise. One retry absorbs a load transient; both attempts
-    # below the floor = a real collapse. (Floor is 5x the round-5 value —
-    # the round-6 amortized-regime measurement; see NOTES.md.)
-    if rate <= 25_000:
+    # floor sits under the ~240k rows/s measured warm amortized rate
+    # (round 8: pre-shuffle column pruning + Arrow-IPC state + sort-skip
+    # cut the Python path 2.5x; the residual is Structured-Streaming
+    # machinery — per-trigger planning, state-store commit, Arrow
+    # exchange). The dev box shows intermittent CPU-steal windows
+    # (NOTES.md) that halve throughput without any code change — the floor
+    # catches a collapsed matcher, not host noise. One retry absorbs a
+    # load transient; both attempts below the floor = a real collapse.
+    if rate <= 100_000:
         dt2, n2 = run("retry")
         assert n2 == n_cold
         rate = max(rate, n / dt2)
-    assert rate > 25_000, (
+    assert rate > 100_000, (
         f"streaming matcher envelope collapsed: {rate/1000:.0f}k rows/s "
-        "(warm, single key, amortized) — expected >=25k; see NOTES.md"
+        "(warm, single key, amortized) — expected >=100k; see NOTES.md"
     )
 
 
