@@ -194,6 +194,7 @@ def apply_changelog_stream(
     state_path: str,
     checkpoint_path: str,
     n_buckets: int = 64,
+    processing_time: str | None = None,
 ):
     """CONTINUOUS changelog apply (reference CONNECTORS.md:124-140): a
     streaming DataFrame of change rows (op, ts_ms, payload — the
@@ -265,13 +266,21 @@ def apply_changelog_stream(
             .parquet(state_path)
         )
 
-    return (
+    writer = (
         changes.writeStream.foreachBatch(upsert)
         .option("checkpointLocation", checkpoint_path)
         .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
     )
+    # processing_time (e.g. "0 seconds") runs the query CONTINUOUSLY —
+    # the long-lived deployment mode; foreachBatch triggers never overlap
+    # (Structured Streaming serializes micro-batches per query), so the
+    # read-merge-overwrite cycle stays race-free. Default stays the
+    # bounded availableNow replay used by the oracle queries.
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def changelog_state_snapshot(spark, state_path: str) -> DataFrame:
