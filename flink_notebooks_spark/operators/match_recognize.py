@@ -173,6 +173,9 @@ class MatchSpec:
     # bounded sequence groups expand to flat variants, longest (greediest)
     # first; None when the pattern is a single flat sequence
     alternatives: list[list[PatternTerm]] | None = None
+    # raw PATTERN (...) source text, kept so resource-budget errors can NAME
+    # the pattern that tripped them (None for programmatically-built specs)
+    pattern_text: str | None = None
     variables: list[str] = field(default_factory=list)
 
     def __post_init__(self):
@@ -207,6 +210,9 @@ _MAX_PATTERN_VARIANTS = 64
 # is a full backtracking match) — generous for real patterns, a hard wall
 # for adversarial run lengths
 _MAX_GROUP_ATTEMPTS = 4096
+# raw product-tuple walk cap (each iteration is an O(#parts) positional
+# feasibility check, far cheaper than a backtracking attempt)
+_MAX_GROUP_ITERS = 1_000_000
 _GROUP_SENT_RE = re.compile("\x00G(\\d+)\x00")  # unbounded-group placeholders
 
 
@@ -783,6 +789,7 @@ def parse_match_recognize(clause: str) -> MatchSpec:
         within_ms=within_ms,
         permute=permute,
         alternatives=alternatives,
+        pattern_text=pat_src.strip(),
     )
 
 
@@ -1302,16 +1309,22 @@ def _match_starting_at(
     (pos + cnt reached n with capacity left) — i.e. rows appended later
     could extend or complete this branch. The streaming frontier rule uses
     it to hold matches whose greedier alternative was cut off by the end of
-    the visible frame."""
-    spans = [None] * len(pattern)
+    the visible frame.
 
-    def rec(pi: int, pos: int):
-        if pi == len(pattern):
-            return pos
+    ITERATIVE backtracker (explicit stack, not recursion): unbounded-group
+    expansion flattens (A B)+ over a 4,000-repetition run into an ~8,000-term
+    pattern, and a recursive walk would overflow Python's stack long before
+    the data stops being realistic — long strict runs are normal at scale."""
+    spans = [None] * len(pattern)
+    n_terms = len(pattern)
+
+    def take_iter(pi: int, pos: int):
+        """Greedy row scan for term pi anchored at pos → iterator over row
+        counts to try, most-first for greedy terms, fewest-first reluctant."""
         term = pattern[pi]
         col = term_bools[pi]
         cnt = 0
-        cap = (term.hi - 0) if term.hi is not None else (n - pos)
+        cap = term.hi if term.hi is not None else (n - pos)
         if col is not None:
             while (
                 cnt < cap
@@ -1331,21 +1344,27 @@ def _match_starting_at(
                 cnt += 1
         if frontier is not None and cnt < cap and pos + cnt >= n:
             frontier[0] = True
-        # greedy: most rows first; reluctant (B+? / B{m,n}?): fewest first
-        order = (
-            range(cnt, term.lo - 1, -1)
-            if term.greedy
-            else range(term.lo, cnt + 1)
+        return iter(
+            range(cnt, term.lo - 1, -1) if term.greedy else range(term.lo, cnt + 1)
         )
-        for take in order:
-            spans[pi] = (pos, pos + take)
-            end = rec(pi + 1, pos + take)
-            if end is not None:
-                return end
-        spans[pi] = None
-        return None
 
-    end = rec(0, start)
+    if n_terms == 0:
+        return None
+    end = None
+    stack = [(0, start, take_iter(0, start))]
+    while stack:
+        pi, pos, it = stack[-1]
+        take = next(it, None)
+        if take is None:
+            spans[pi] = None
+            stack.pop()
+            continue
+        spans[pi] = (pos, pos + take)
+        if pi + 1 == n_terms:
+            end = pos + take
+            break
+        nxt = pos + take
+        stack.append((pi + 1, nxt, take_iter(pi + 1, nxt)))
     return (end, list(spans)) if end is not None and end > start else None
 
 
@@ -1853,6 +1872,118 @@ def _run_matches(
         idx = np.flatnonzero(col)
         return int(idx[-1]) if idx.size else -1
 
+    def entry_prune_plan(entry):
+        """Positional feasibility plan for a group entry — the sound prune
+        that keeps ADVERSARIAL LONG ALTERNATING RUNS off the per-start
+        attempt budget (batch mode only; the streaming frontier probe
+        deliberately attempts one repetition past the frame, which this
+        would veto). Only FIXED-SIZE parts participate: a segment/group
+        rep where every term has lo == hi, no alternation-member is
+        stateful, so each repetition's row offsets are known exactly.
+
+        Per fixed group: ``rep_ok[i]`` (one repetition fits at i, all term
+        booleans at their offsets), ``r[i]`` = consecutive repetitions
+        starting at i (vectorized per residue class), and ``smax[i]`` =
+        max r at any position >= i (a global upper bound on the group's
+        count for matches starting at i — zero kills entries whose group
+        variables never occur). The plan is an ordered walk of
+        (seg/grp) parts; a ``stop`` marks the first variable-size part,
+        beyond which offsets are unknown and nothing is refuted."""
+        import numpy as np
+
+        if entry[0] != "group":
+            return None
+        _, segs, grps, _eid = entry
+
+        def term_bool(t):
+            if stateful and any(v in stateful for v in t.vars):
+                return None
+            col = bools[t.vars[0]]
+            for v in t.vars[1:]:
+                col = col | bools[v]
+            return col
+
+        def seg_fixed(seg):
+            offs, size = [], 0
+            for t in seg:
+                if t.hi is None or t.lo != t.hi:
+                    return None
+                b = term_bool(t)
+                if b is None:
+                    return None
+                for c in range(t.lo):
+                    offs.append((size + c, b))
+                size += t.lo
+            return size, offs
+
+        parts = []
+        sf = seg_fixed(segs[0])
+        if sf is None:
+            return None  # unknown from the first row — nothing to refute
+        parts.append(("seg", sf[0], sf[1]))
+        for gi, (g, seg) in enumerate(zip(grps, segs[1:])):
+            gf = seg_fixed(g.body)
+            if gf is None:
+                parts.append(("stop",))
+                break
+            s, checks = gf
+            rep_ok = np.ones(n, dtype=bool)
+            for off, b in checks:
+                shifted = np.zeros(n, dtype=bool)
+                if off < n:
+                    shifted[: n - off] = b[off:] if off else b
+                rep_ok &= shifted
+            r = np.zeros(n, dtype=np.int64)
+            for m0 in range(s):
+                idx = np.arange(m0, n, s)
+                if not idx.size:
+                    continue
+                okr = rep_ok[idx][::-1]
+                pos1 = np.arange(1, okr.size + 1)
+                runs = np.where(
+                    okr, pos1 - np.maximum.accumulate(np.where(~okr, pos1, 0)), 0
+                )[::-1]
+                r[idx] = runs
+            smax = (
+                np.maximum.accumulate(r[::-1])[::-1]
+                if n
+                else np.zeros(0, dtype=np.int64)
+            )
+            parts.append(("grp", s, r, smax, gi))
+            sf = seg_fixed(seg)
+            if sf is None:
+                parts.append(("stop",))
+                break
+            parts.append(("seg", sf[0], sf[1]))
+        return parts
+
+    plans = [entry_prune_plan(e) for e in alts]
+
+    def ks_feasible(i, ks, plan):
+        """O(#parts) refutation of one repetition-count tuple: walk the
+        fixed-size parts left to right at their now-concrete offsets;
+        any mandatory term boolean False, or any group run shorter than
+        its count, proves no backtracking attempt can succeed."""
+        pos = i
+        for part in plan:
+            tag = part[0]
+            if tag == "stop":
+                return True
+            if tag == "seg":
+                _, size, checks = part
+                for off, b in checks:
+                    q = pos + off
+                    if q >= n or not b[q]:
+                        return False
+                pos += size
+            else:
+                _, s, r, _smax, gi = part
+                k = ks[gi]
+                if k and (pos >= n or r[pos] < k):
+                    return False
+                pos += k * s
+        return True
+
     closers = [entry_closer(e) for e in alts]
 
     def try_start(i, fcell=None):
@@ -1866,7 +1997,7 @@ def _run_matches(
         hold: the probe cannot succeed ((kmax+1)·min_rows > n-i) but fails
         with frontier contact exactly when appended rows could fit another
         repetition — the signal require_closed needs."""
-        for entry, gate, last_cl in zip(alts, gates, closers):
+        for entry, gate, last_cl, plan_e in zip(alts, gates, closers, plans):
             if gate is not None and not gate[i]:
                 continue
             if entry[0] == "flat":
@@ -1878,18 +2009,35 @@ def _run_matches(
             _, segs, grps, eid = entry
             if fcell is None and last_cl is not None and last_cl < i:
                 continue  # no closer remains in the frame (batch: final)
+            # the positional plan is BATCH-only: the streaming frontier
+            # probe deliberately attempts one repetition past the frame
+            plan = plan_e if fcell is None else None
+            smax_by_gi = {}
+            if plan is not None and i < n:
+                for part in plan:
+                    if part[0] == "grp":
+                        smax_by_gi[part[4]] = int(part[3][i])
             # structural prune: rows the REST of the entry must consume
             # (segment minima + other groups' lo·min_rows) tighten each
             # group's kmax below the naive (n-i)//min_rows
             seg_min = sum(t.lo for seg in segs for t in seg)
             grp_min = sum(g2.lo * g2.min_rows for g2 in grps)
             ranges = []
-            for g in grps:
+            infeasible = False
+            for gi, g in enumerate(grps):
                 other = seg_min + grp_min - g.lo * g.min_rows
                 kmax = max((n - i - other) // g.min_rows, 0)
                 if fcell is None and last_cl is not None:
                     # every repetition ends before some closer row
                     kmax = min(kmax, max((last_cl - i) // g.min_rows, 0))
+                if gi in smax_by_gi:
+                    # no position >= i can seed more consecutive repetitions
+                    # than smax — the data bound that zeroes entries whose
+                    # group variables never occur past i
+                    kmax = min(kmax, smax_by_gi[gi])
+                if fcell is None and kmax < g.lo:
+                    infeasible = True
+                    break
                 k_hi = max(kmax + 1, g.lo) if fcell is not None else kmax
                 # greedy groups probe most-reps-first; reluctant ((A B)+?)
                 # fewest-first — the frontier probe (k_hi = kmax+1, which
@@ -1901,12 +2049,30 @@ def _run_matches(
                     if not g.greedy
                     else range(k_hi, g.lo - 1, -1)
                 )
+            if infeasible:
+                continue
             import itertools
 
+            pat_txt = (
+                f" [PATTERN ({spec.pattern_text})]" if spec.pattern_text else ""
+            )
             # leftmost group's count varies outermost (product iterates the
             # rightmost range fastest) — the bounded expansion's preference
             attempts = 0
+            iters = 0
             for ks in itertools.product(*ranges):
+                iters += 1
+                if iters > _MAX_GROUP_ITERS:
+                    # backstop for the O(1) feasibility walk itself: a
+                    # product this large means every clamp failed to bite
+                    raise ValueError(
+                        "MATCH_RECOGNIZE: unbounded-group repetition probe "
+                        f"exceeds {_MAX_GROUP_ITERS} candidate tuples at one "
+                        f"start{pat_txt}; bound the group quantifier, e.g. "
+                        "{m,n}"
+                    )
+                if plan is not None and not ks_feasible(i, ks, plan):
+                    continue  # refuted in O(#parts) — not a real attempt
                 attempts += 1
                 if attempts > _MAX_GROUP_ATTEMPTS:
                     # worst-case guard, mirroring _MAX_PATTERN_VARIANTS: each
@@ -1916,8 +2082,8 @@ def _run_matches(
                     raise ValueError(
                         "MATCH_RECOGNIZE: unbounded-group repetition probe "
                         f"exceeds {_MAX_GROUP_ATTEMPTS} attempts at one start "
-                        "(adversarial run length for this pattern); bound the "
-                        "group quantifier, e.g. {m,n}"
+                        f"(adversarial run length for this pattern){pat_txt}; "
+                        "bound the group quantifier, e.g. {m,n}"
                     )
                 pat_k, tb_k, pd_k = group_flat(eid, segs, grps, ks)
                 hit = _match_starting_at(tb_k, pat_k, n, i, pd_k, within_ok, fcell)

@@ -2476,12 +2476,21 @@ def test_unbounded_group_attempt_cap(monkeypatch):
         _pandas_matches(pdf.copy(), head + "PATTERN ((A B)+ C)" + tail, _GRP_DEFINES)
         == []
     )
-    # a closer at the very end defeats the prune: the descending-k probe
-    # really runs, and the per-start budget fails loudly
-    monkeypatch.setattr(mr, "_MAX_GROUP_ATTEMPTS", 8)
+    # round 8: a closer at the very end no longer defeats the prune — the
+    # POSITIONAL plan (fixed 2-row repetitions) refutes every misaligned
+    # repetition count in O(1), so even a 1-attempt budget completes on
+    # what used to be the budget-tripping fixture
     pdf.loc[len(pdf) - 1, "event_type"] = "purchase"
-    with pytest.raises(ValueError, match="unbounded-group repetition probe"):
+    assert (
         _pandas_matches(pdf.copy(), head + "PATTERN ((A B)+ C)" + tail, _GRP_DEFINES)
+        == []
+    )
+    # a VARIABLE-size repetition ((A B+): 2..∞ rows per rep) has no fixed
+    # positional plan — the descending-k probe really runs and the budget
+    # fails loudly, NAMING the pattern that tripped it
+    monkeypatch.setattr(mr, "_MAX_GROUP_ATTEMPTS", 8)
+    with pytest.raises(ValueError, match=r"PATTERN \(\(A B\+\)\+ C\)"):
+        _pandas_matches(pdf.copy(), head + "PATTERN ((A B+)+ C)" + tail, _GRP_DEFINES)
     # the same data under the default budget completes: the closer at an
     # ODD offset can never align with 2k-row repetitions, so every probe
     # fails and the true answer is empty
@@ -2717,3 +2726,131 @@ def test_nested_group_streaming_matches_batch(spark, tmp_path):
         schema="user_id long, ts_s long, event_type string, ev_time timestamp",
     )
     assert got == want
+
+
+def test_unbounded_group_long_alternating_runs_never_trip_budget():
+    """VERDICT r7 ask #7: ADVERSARIAL long-alternating-run inputs on the
+    supported surface must complete under the DEFAULT budget — zero trips.
+    The positional plan (fixed-size repetitions → per-position run counts +
+    closer alignment) refutes infeasible repetition counts in O(1), so run
+    length stops driving the attempt count entirely:
+
+    - 8,200-row strict A/B alternation, closer MISALIGNED (odd offset):
+      the old probe would burn ~4,100 real attempts at start 0 and trip;
+      now every count is refuted positionally — empty result.
+    - same run, closer ALIGNED: greedy first attempt succeeds (4,099 reps).
+    - no closer at all: the closer-prune skips every start.
+    - multi-group ((A B)+ (C D)+) over 300+300 repetition runs: the naive
+      product is ~300×300 tuples; run-count clamps collapse it — one
+      greedy match taking both full runs.
+    """
+    import pandas as pd
+
+    meas = "MEASURES COUNT(A.*) AS n_a, MATCH_NUMBER() AS mn"
+    head = f"PARTITION BY user_id ORDER BY ts_us, event_id {meas} "
+    tail = (
+        " DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click',"
+        " C AS C.event_type = 'purchase', D AS D.event_type = 'other'"
+    )
+
+    def frame(types):
+        return pd.DataFrame(
+            {
+                "user_id": 1,
+                "event_id": range(len(types)),
+                "ts_us": [i * 1000 for i in range(len(types))],
+                "event_type": types,
+            }
+        )
+
+    n = 8200
+    # misaligned closer: 8199 alternating rows (odd count) + purchase at
+    # an offset no 2k-row repetition chain can reach
+    types = (["view", "click"] * n)[: n - 1] + ["purchase"]
+    assert (
+        _pandas_matches(frame(types), head + "PATTERN ((A B)+ C)" + tail, _GRP_DEFINES)
+        == []
+    )
+    # aligned closer: 8198 alternating rows (4099 full reps) + purchase
+    types = (["view", "click"] * n)[: n - 2] + ["purchase"]
+    out = _pandas_matches(
+        frame(types), head + "PATTERN ((A B)+ C)" + tail, _GRP_DEFINES
+    )
+    assert [r[1] for r in out] == [4099]
+    # no closer anywhere
+    types = (["view", "click"] * n)[:n]
+    assert (
+        _pandas_matches(frame(types), head + "PATTERN ((A B)+ C)" + tail, _GRP_DEFINES)
+        == []
+    )
+    # multi-group long runs: 300 (A B) reps then 300 (C D) reps
+    meas2 = "MEASURES COUNT(A.*) AS n_a, COUNT(C.*) AS n_c, MATCH_NUMBER() AS mn"
+    head2 = f"PARTITION BY user_id ORDER BY ts_us, event_id {meas2} "
+    types = ["view", "click"] * 300 + ["purchase", "other"] * 300
+    out = _pandas_matches(
+        frame(types), head2 + "PATTERN ((A B)+ (C D)+)" + tail, _GRP_DEFINES
+    )
+    assert [(r[1], r[2]) for r in out] == [(300, 300)]
+    # and AB-only data with a multi-group pattern: group 2's run counts are
+    # zero everywhere, so the entry is refuted before a single attempt
+    types = ["view", "click"] * 2000
+    assert (
+        _pandas_matches(
+            frame(types), head2 + "PATTERN ((A B)+ (C D)+)" + tail, _GRP_DEFINES
+        )
+        == []
+    )
+
+
+def test_unbounded_group_long_run_fuzz_parity():
+    """Long-alternating-run FUZZ parity: random run lengths (20-48 reps),
+    random closer placement/absence, interruptions — the positionally-
+    pruned unbounded probe must equal the parse-time bounded expansion
+    ((A B){1,50}) on every input, with zero budget trips at the default
+    cap. Extends the 500-seed short-sequence fuzz with the adversarial
+    SHAPE (long strict runs) the budget exists for."""
+    import numpy as np
+    import pandas as pd
+
+    meas = "MEASURES COUNT(A.*) AS n_a, COUNT(B.*) AS n_b, MATCH_NUMBER() AS mn"
+    head = f"PARTITION BY user_id ORDER BY ts_us, event_id {meas} "
+    tail = (
+        " DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click',"
+        " C AS C.event_type = 'purchase'"
+    )
+    n_matched = 0
+    for seed in range(120):
+        rng = np.random.default_rng(1000 + seed)
+        types: list[str] = []
+        for _ in range(rng.integers(1, 4)):
+            reps = int(rng.integers(20, 49))
+            types += ["view", "click"] * reps
+            # every segment terminates (an un-terminated segment would
+            # concatenate with the next into a >50-rep run the bounded
+            # {1,50} oracle cannot express)
+            roll = rng.random()
+            if roll < 0.4:
+                types.append("purchase")  # aligned closer
+            elif roll < 0.7:
+                types = types[:-1] + ["purchase"]  # misaligned closer
+            else:
+                types.append("other")  # interruption, no closer
+        if not types:
+            types = ["view"]
+        pdf = pd.DataFrame(
+            {
+                "user_id": 1,
+                "event_id": range(len(types)),
+                "ts_us": [i * 1000 for i in range(len(types))],
+                "event_type": types,
+            }
+        )
+        unb = _pandas_matches(
+            pdf.copy(), head + "PATTERN ((A B)+ C)" + tail, _GRP_DEFINES
+        )
+        bnd = _pandas_matches(
+            pdf.copy(), head + "PATTERN ((A B){1,50} C)" + tail, _GRP_DEFINES
+        )
+        assert unb == bnd, (seed, unb, bnd)
+        n_matched += len(unb)
+    assert n_matched > 20  # the fuzz produced real matches
