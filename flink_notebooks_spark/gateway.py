@@ -97,15 +97,34 @@ class Gateway:
         return {"sessionHandle": h, "properties": dict(eng.properties)}
 
     def close_session(self, h: str) -> dict:
-        self.manager.close_session(h)
+        # session-map pop and op-registry purge are ONE atomic step under the
+        # gateway lock, so a concurrent execute_statement observes either an
+        # open session (its op lands in the registry and the engine close
+        # below cancels it) or a closed one (it cancels its own statement) —
+        # never a half-closed state that strands a live streaming query.
+        # The engine teardown itself (query.stop() can block for a trigger)
+        # runs OUTSIDE the lock so other sessions' polls aren't stalled.
         with self._lock:
+            eng = self.manager.sessions.pop(h, None)
             for key in [k for k in self.ops if k[0] == h]:
                 del self.ops[key]
+        if eng is not None:
+            eng.close()
         return {"status": "CLOSED"}
 
     def execute_statement(self, h: str, statement: str) -> dict:
-        stmt = self.manager.get(h).execute_sql(statement)
+        eng = self.manager.get(h)
+        stmt = eng.execute_sql(statement)
         with self._lock:
+            if h not in self.manager.sessions:
+                # the session closed while the statement was starting; its
+                # close() ran against the engine's statement list before this
+                # statement registered — cancel it here or it leaks
+                try:
+                    stmt.cancel()
+                except Exception:  # noqa: BLE001 — the 404 is the signal
+                    pass
+                raise KeyError(f"session {h} closed while statement was starting")
             self.ops[(h, stmt.statement_id)] = stmt
         return {"operationHandle": stmt.statement_id}
 

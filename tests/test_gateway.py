@@ -440,3 +440,223 @@ def test_concurrent_sessions_interleaved_batch_and_streaming(gw):
         # …and only its own datagen id range
         assert len(out["stream"]) >= 20
         assert all(10 * i <= r[0] <= 10 * i + 9 for r in out["stream"]), i
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (VERDICT r7 ask #8): concurrent cancel + session-close races.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def gw_obj(spark):
+    """Like ``gw`` but also yields the Gateway object, so tests can grab a
+    session's per-``newSession`` SparkSession BEFORE closing it and assert
+    its ``streams.active`` drains — a leaked query on a popped session is
+    invisible to the monitor (the sessions lambda no longer lists it), so
+    the wire surface alone cannot prove the absence of a leak."""
+    server, gateway = serve(spark)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    yield base, gateway
+    server.shutdown()
+
+
+def _call_status(method: str, url: str, payload: dict | None = None):
+    """call() that returns (http_status, payload) instead of raising."""
+    import urllib.error
+
+    try:
+        return 200, call(method, url, payload)
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read() or b"{}")
+
+
+def _await_no_active_streams(session_sparks, timeout: float = 30.0) -> None:
+    import time
+
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if all(not s.streams.active for s in session_sparks):
+            return
+        time.sleep(0.25)
+    leaked = [q.name or q.id for s in session_sparks for q in s.streams.active]
+    raise AssertionError(f"streaming queries still active: {leaked}")
+
+
+def _open_streaming_op(base: str, h: str, tag: str) -> str:
+    call("POST", f"{base}/v1/sessions/{h}/statements", {
+        "statement": (
+            f"CREATE TABLE {tag} (user_id INT, event_time TIMESTAMP(3), "
+            "WATERMARK FOR event_time AS event_time - INTERVAL '5' SECOND) "
+            "WITH ('connector'='datagen','rows-per-second'='200',"
+            "'fields.user_id.min'='1','fields.user_id.max'='9')"
+        )
+    })
+    return call("POST", f"{base}/v1/sessions/{h}/statements",
+                {"statement": f"SELECT user_id FROM {tag}"})["operationHandle"]
+
+
+def test_cancel_while_polling_race(gw_obj):
+    """DELETE the operation while several clients poll its results: every
+    in-flight response must be a valid protocol shape (PAYLOAD / NOT_READY /
+    EOS — never a 500), the terminal status is CANCELED, and the session's
+    streaming query is gone afterwards."""
+    import threading
+    import time
+
+    base, gateway = gw_obj
+    h = call("POST", f"{base}/v1/sessions", {})["sessionHandle"]
+    sess_spark = gateway.manager.get(h).spark
+    op = _open_streaming_op(base, h, "gw_cxl_poll")
+
+    stop = threading.Event()
+    bad: list = []
+
+    def poll():
+        token = 0
+        while not stop.is_set():
+            code, page = _call_status(
+                "GET", f"{base}/v1/sessions/{h}/operations/{op}/result/{token}"
+            )
+            if code != 200:
+                bad.append((code, page))
+                return
+            if page["resultType"] == "PAYLOAD":
+                token += 1
+            elif page["resultType"] == "EOS":
+                return
+            else:
+                time.sleep(0.05)
+
+    threads = [threading.Thread(target=poll) for _ in range(4)]
+    for t in threads:
+        t.start()
+    time.sleep(1.0)  # let pages flow mid-cancel
+    # two concurrent cancels: idempotent, both 200 CANCELED
+    results = []
+
+    def cxl():
+        results.append(
+            _call_status("DELETE", f"{base}/v1/sessions/{h}/operations/{op}")
+        )
+
+    c1, c2 = threading.Thread(target=cxl), threading.Thread(target=cxl)
+    c1.start(); c2.start(); c1.join(); c2.join()
+    assert [r[0] for r in results] == [200, 200]
+    assert all(r[1]["status"] == "CANCELED" for r in results)
+
+    stop.set()
+    for t in threads:
+        t.join(timeout=30)
+    assert not bad, f"poller saw non-200 during cancel: {bad}"
+    assert call(
+        "GET", f"{base}/v1/sessions/{h}/operations/{op}/status"
+    )["status"] == "CANCELED"
+    _await_no_active_streams([sess_spark])
+    call("DELETE", f"{base}/v1/sessions/{h}")
+
+
+def test_close_session_with_live_operations_race(gw_obj):
+    """DELETE /v1/sessions/{h} while a streaming op and a batch op are live
+    and being polled: pollers may see valid pages until the close lands and
+    404 after (the registry purge is atomic with the session pop — never a
+    torn state or 500), and the session's streaming query stops."""
+    import threading
+    import time
+
+    base, gateway = gw_obj
+    h = call("POST", f"{base}/v1/sessions", {})["sessionHandle"]
+    sess_spark = gateway.manager.get(h).spark
+    s_op = _open_streaming_op(base, h, "gw_close_live")
+    call("POST", f"{base}/v1/sessions/{h}/statements", {
+        "statement": "CREATE TABLE gw_close_b (id INT) WITH ("
+        "'connector'='datagen','number-of-rows'='500',"
+        "'fields.id.kind'='sequence','fields.id.start'='1','fields.id.end'='500')"
+    })
+    b_op = call("POST", f"{base}/v1/sessions/{h}/statements",
+                {"statement": "SELECT id FROM gw_close_b ORDER BY id"})[
+        "operationHandle"
+    ]
+
+    stop = threading.Event()
+    bad: list = []
+    saw_404 = threading.Event()
+
+    def poll(op_id):
+        token = 0
+        while not stop.is_set():
+            code, page = _call_status(
+                "GET", f"{base}/v1/sessions/{h}/operations/{op_id}/result/{token}"
+            )
+            if code == 404:
+                saw_404.set()  # close landed — expected terminal signal
+                return
+            if code != 200:
+                bad.append((op_id, code, page))
+                return
+            if page["resultType"] == "PAYLOAD":
+                token += 1
+            elif page["resultType"] == "EOS":
+                time.sleep(0.05)  # keep polling: 404 must follow the purge
+            else:
+                time.sleep(0.05)
+
+    threads = [threading.Thread(target=poll, args=(o,)) for o in (s_op, b_op)]
+    for t in threads:
+        t.start()
+    time.sleep(1.0)
+    assert call("DELETE", f"{base}/v1/sessions/{h}")["status"] == "CLOSED"
+    t0 = time.time()
+    while not saw_404.is_set() and time.time() - t0 < 15:
+        time.sleep(0.1)
+    stop.set()
+    for t in threads:
+        t.join(timeout=30)
+    assert not bad, f"poller saw invalid response during close: {bad}"
+    assert saw_404.is_set(), "pollers never observed the purged registry"
+    # ops are gone from the registry
+    code, _ = _call_status(
+        "GET", f"{base}/v1/sessions/{h}/operations/{s_op}/status"
+    )
+    assert code == 404
+    _await_no_active_streams([sess_spark])
+
+
+def test_execute_statement_vs_close_session_race(gw_obj):
+    """Hammer the execute/close window: a thread POSTs a streaming statement
+    while the main thread closes the session. Whatever interleaving occurs,
+    the statement either registers (and the close cancels it) or arrives
+    after the pop (the gateway cancels it and 404s) — in NO case may a
+    streaming query survive the close."""
+    import threading
+    import time
+
+    base, gateway = gw_obj
+    session_sparks = []
+    outcomes = []
+    for i in range(6):
+        h = call("POST", f"{base}/v1/sessions", {})["sessionHandle"]
+        session_sparks.append(gateway.manager.get(h).spark)
+        call("POST", f"{base}/v1/sessions/{h}/statements", {
+            "statement": (
+                f"CREATE TABLE gw_xc_{i} (user_id INT, event_time TIMESTAMP(3), "
+                "WATERMARK FOR event_time AS event_time - INTERVAL '5' SECOND) "
+                "WITH ('connector'='datagen','rows-per-second'='100')"
+            )
+        })
+
+        def submit(hh=h, ii=i):
+            outcomes.append(_call_status(
+                "POST", f"{base}/v1/sessions/{hh}/statements",
+                {"statement": f"SELECT user_id FROM gw_xc_{ii}"},
+            ))
+
+        t = threading.Thread(target=submit)
+        t.start()
+        time.sleep(i * 0.15)  # sweep the stagger across the start window
+        call("DELETE", f"{base}/v1/sessions/{h}")
+        t.join(timeout=60)
+
+    assert len(outcomes) == 6
+    for code, payload in outcomes:
+        assert code in (200, 404), (code, payload)  # registered-then-killed | late
+    _await_no_active_streams(session_sparks)
