@@ -275,6 +275,82 @@ def dedup_cross_source_matrix(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# D2b. asymmetric n-gram CONTAINMENT near-dedup (Broder's containment,
+#      C(src→host) = |grams(src) ∩ grams(host)| / |grams(src)|): detects a
+#      document excerpted/quoted INSIDE a larger one — the skewed-size
+#      duplication Jaccard structurally misses (a 50-gram doc fully inside a
+#      5000-gram doc has J ≈ 0.01 but containment 1.0). Distinct from
+#      dedup_substring (verbatim shared spans, symmetric, presence-only):
+#      containment tolerates edits and reports a direction + score.
+# ---------------------------------------------------------------------------
+CONTAINMENT_THRESHOLD = 0.9
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH {SQL_SHINGLE_CTES},
+    {SQL_JACCARD_CAND_CTES},
+    dir AS (
+      SELECT p.a AS src_doc, p.b AS host_doc,
+             CAST(p.i AS DOUBLE) / ca.n AS c
+      FROM pair p JOIN cnt ca ON ca.doc_id = p.a
+      UNION ALL
+      SELECT p.b, p.a, CAST(p.i AS DOUBLE) / cb.n
+      FROM pair p JOIN cnt cb ON cb.doc_id = p.b)
+    SELECT src_doc, host_doc, ROUND(c, 6) AS cont
+    FROM dir WHERE c >= {CONTAINMENT_THRESHOLD}
+    ORDER BY src_doc, host_doc
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Directed near-containment pairs (src_doc ⊑ host_doc, cont ≥ 0.9).
+
+    Plan shape at 100 TB: candidate generation is the SAME capped inverted-
+    index join every shingle dedup here uses (df ≤ JACCARD_DF_CAP kills the
+    quadratic hot-gram reducer; candidates are symmetric so both directions
+    ride one join), and scoring is exact on the full shingle sets of the
+    candidate pairs only. The denominator is the SOURCE doc's gram count, so
+    small-into-large duplication scores ~1.0 regardless of the size ratio —
+    the case worth catching before training: a few hot documents quoted
+    across a crawl inflate memorization without tripping Jaccard dedup."""
+    docs = shingled_docs(spark, sf_dir).filter(F.size("shingles") > 0)
+    sh = docs.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", F.xxhash64("s").alias("h")
+    )
+    sa = docs.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sha"))
+    sb = docs.select(F.col("doc_id").alias("b"), F.col("shingles").alias("shb"))
+    scored = (
+        _jaccard_candidates(sh)
+        .join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("sha", "shb")).cast("double").alias("i"),
+            F.size("sha").alias("na"),
+            F.size("shb").alias("nb"),
+        )
+    )
+    fwd = scored.select(
+        F.col("a").alias("src_doc"),
+        F.col("b").alias("host_doc"),
+        (F.col("i") / F.col("na")).alias("c"),
+    )
+    rev = scored.select(
+        F.col("b").alias("src_doc"),
+        F.col("a").alias("host_doc"),
+        (F.col("i") / F.col("nb")).alias("c"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .filter(F.col("c") >= CONTAINMENT_THRESHOLD)
+        .select("src_doc", "host_doc", F.round("c", 6).alias("cont"))
+        .orderBy("src_doc", "host_doc")
+    )
+
+
+# ---------------------------------------------------------------------------
 # D3. MinHash + LSH near-dedup — the 100 TB scale path (rows-only check;
 #     the LSH pruning is probabilistic so no SQL oracle — tests assert it
 #     reproduces dedup_ngram_jaccard's output exactly at test scale)
@@ -2235,6 +2311,67 @@ def profile_table_sketch(spark, sf_dir):
     return unpivoted.select(
         "col", "n", "n_nonnull", "n_distinct", "min_v", "max_v"
     ).orderBy("col")
+
+
+# ---------------------------------------------------------------------------
+# P3. exact distributed quantiles via VALUE HISTOGRAM — per-source p50/p90/
+#     p99 of document length. The 100 TB design point: Spark's exact
+#     ``percentile`` buffers every value per group on one reducer, and
+#     ``approx_percentile`` trades exactness for mergeability. A histogram
+#     plan gets BOTH when the value domain is bounded (lengths, token
+#     counts, status codes): groupBy (source, v) is a map-side-combined
+#     aggregate whose shuffle cardinality is the DISTINCT-VALUE count, not
+#     the row count; the rank cumsum then runs over that bounded histogram.
+# ---------------------------------------------------------------------------
+@query(
+    "profile_quantiles",
+    oracle="""
+    WITH h AS (SELECT source, length(text) AS v, COUNT(*) AS c
+               FROM documents GROUP BY source, length(text)),
+    t AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    cum AS (SELECT h.source, h.v,
+                   SUM(h.c) OVER (PARTITION BY h.source ORDER BY h.v) AS cum,
+                   t.n
+            FROM h JOIN t USING (source))
+    SELECT source,
+           MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN v END) AS p50,
+           MIN(CASE WHEN cum >= CEIL(0.9 * n) THEN v END) AS p90,
+           MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN v END) AS p99,
+           MAX(v) AS v_max, MAX(n) AS n_docs
+    FROM cum GROUP BY source ORDER BY source
+    """,
+)
+def profile_quantiles(spark, sf_dir):
+    """Exact per-source length quantiles (lower quantile_disc convention:
+    the smallest value whose cumulative count reaches ceil(q·n)) — same
+    rank arithmetic on both engines, so the oracle is exact, not a
+    tolerance check. Window cumsum runs over the HISTOGRAM (one row per
+    distinct (source, value)), never the raw rows."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.length("text").cast("bigint").alias("v")
+    )
+    h = d.groupBy("source", "v").agg(F.count("*").alias("c"))
+    t = d.groupBy("source").agg(F.count("*").alias("n"))
+    cum = h.withColumn(
+        "cum", F.sum("c").over(Window.partitionBy("source").orderBy("v"))
+    ).join(F.broadcast(t), "source")
+
+    def pick(q: float, alias: str):
+        return F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("v"))
+        ).alias(alias)
+
+    return (
+        cum.groupBy("source")
+        .agg(
+            pick(0.5, "p50"),
+            pick(0.9, "p90"),
+            pick(0.99, "p99"),
+            F.max("v").alias("v_max"),
+            F.max("n").alias("n_docs"),
+        )
+        .orderBy("source")
+    )
 
 
 # ---------------------------------------------------------------------------
