@@ -747,3 +747,40 @@ def test_pack_sequences_spans_reassemble_exactly(spark, sf_dir):
         for k, rows in by_ex.items()
     }
     assert agg == stats
+
+
+def test_streaming_dedup_minhash_matches_batch(spark, sf_dir):
+    """Round 8: the ONLINE MinHash dedup (4-file staged replay, shard-keyed
+    bucket state carried across triggers) must reproduce the batch operator
+    exactly — signatures are bit-equal by construction, candidate pairs
+    union across triggers, verification is the same exact-jaccard join."""
+    batch = QUERIES["dedup_minhash_lsh"](spark, sf_dir).toPandas()
+    stream = QUERIES["streaming_dedup_minhash"](spark, sf_dir).toPandas()
+    assert stream.reset_index(drop=True).equals(batch.reset_index(drop=True))
+    # the fixture really exercises CROSS-TRIGGER state: with 500 docs split
+    # into 4 doc_id-ordered files of 125, at least one verified pair must
+    # span two different slices (members stored in an earlier trigger,
+    # matched in a later one)
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    step = -(-n // 4)
+    assert any(a // step != b // step for a, b in zip(batch["a"], batch["b"])), (
+        "fixture has no cross-slice near-dup pairs — the parity test no "
+        "longer exercises cross-trigger state"
+    )
+
+
+def test_streaming_dedup_minhash_hot_bucket_cap(spark, sf_dir, monkeypatch):
+    """A bucket exceeding the member cap must fail LOUDLY (the batch path's
+    hot-bucket contract), not silently emit O(members²) pairs."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    import flink_notebooks_spark.queries.streaming as S
+
+    monkeypatch.setattr(S, "STREAM_BUCKET_CAP", 1)
+    with pytest.raises(StreamingQueryException, match="streaming_dedup_minhash"):
+        S.streaming_dedup_minhash(spark, sf_dir).count()
+    # no stray streaming query survives the failure
+    assert not [q for q in spark.streams.active if q.isActive]

@@ -25,6 +25,7 @@ def test_all_queries_have_entries():
     rows_only = set(QUERIES) - set(ORACLE)
     assert rows_only == {
         "dedup_minhash_lsh",
+        "streaming_dedup_minhash",
         "dedup_embedding_clusters_lsh",
         "dedup_simhash",
         "ann_lsh_topk",
