@@ -2669,6 +2669,86 @@ def corpus_mix_sample(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# D10b. exact-k per-source sampling — deterministic bounded uniform sample
+#       (eval-set carving / per-source QA samples): the K lowest-hash docs
+#       of every source, reproducible across runs, engines, partitionings.
+# ---------------------------------------------------------------------------
+SAMPLE_K = 50
+# prefilter admission margin: keep hashes under (MARGIN·K/n_s)·2^64 before
+# the exact rank. P(fewer than K of n_s uniform hashes land under a
+# 4K/n_s cut) ≤ e^{-9K/8} (Chernoff) — never observed at K=50; the plan
+# still guards it loudly rather than assuming it.
+SAMPLE_MARGIN = 4
+
+
+@query(
+    "sample_per_source",
+    oracle=f"""
+    WITH r AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rank
+      FROM documents)
+    SELECT source, rank, doc_id FROM r WHERE rank <= {SAMPLE_K}
+    ORDER BY source, rank
+    """,
+)
+def sample_per_source(spark, sf_dir):
+    """The K=50 lowest-hash documents per source (md5 lower 64 bits of the
+    doc_id — the repo's portable hash, so the sample never depends on
+    executor placement or row order).
+
+    100 TB shape: a naive per-source ROW_NUMBER shuffles the whole corpus
+    into per-source sort partitions. Instead the corpus is PREFILTERED
+    map-side to hashes under (MARGIN·K/n_s)·2⁶⁴ — per-source survivor
+    expectation MARGIN·K (~200 rows), so the exact rank window runs over
+    ~sources·200 rows regardless of corpus size. The margin assumption is
+    enforced IN the plan: `assert_true` fails the job loudly if any
+    undersized survivor set could truncate the true top-K (never silently
+    wrong). Sources smaller than MARGIN·K skip the prefilter entirely."""
+    d = load_table(spark, sf_dir, "documents").select("source", "doc_id")
+    h = F.expr(_DOC_HASH.format(key="CAST(doc_id AS STRING)"))
+    counts = d.groupBy("source").agg(F.count("*").alias("n_s"))
+    # admission cut in hash space: full range for small sources, else
+    # (MARGIN·K/n_s) of 2^64 (DECIMAL arithmetic — the hash is DECIMAL(20,0))
+    full_range = F.expr(f"CAST({2**64} AS DECIMAL(21,0))")
+    cut = F.when(
+        F.col("n_s") <= F.lit(SAMPLE_MARGIN * SAMPLE_K), full_range
+    ).otherwise(
+        (F.lit(SAMPLE_MARGIN * SAMPLE_K) * full_range / F.col("n_s")).cast(
+            "decimal(21,0)"
+        )
+    )
+    surv = (
+        d.withColumn("h", h)
+        .join(F.broadcast(counts.withColumn("cut", cut)), "source")
+        .filter(F.col("h") < F.col("cut"))
+    )
+    # margin guard: a truncated survivor set (< K rows for a source with
+    # n_s ≥ K, or < n_s rows below K) could silently drop true sample rows —
+    # refuse to answer instead. assert_true evaluates per output row after
+    # the survivor count joins back (a broadcast of ~|sources| rows).
+    surv_counts = surv.groupBy("source").agg(F.count("*").alias("n_surv"))
+    guarded = surv.join(F.broadcast(surv_counts), "source").filter(
+        F.assert_true(
+            F.col("n_surv") >= F.least(F.lit(SAMPLE_K), F.col("n_s")),
+            F.lit(
+                "sample_per_source: prefilter margin breached — raise "
+                "SAMPLE_MARGIN"
+            ),
+        ).isNull()
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        guarded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SAMPLE_K)
+        .select("source", "rank", "doc_id")
+        .orderBy("source", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # D11. corpus-frequency quality features — per-document term-frequency stats
 #      (rare-word ratio is the classic cheap quality signal: gibberish and
 #      boilerplate sit at the two extremes of mean corpus frequency)

@@ -784,3 +784,60 @@ def test_streaming_dedup_minhash_hot_bucket_cap(spark, sf_dir, monkeypatch):
         S.streaming_dedup_minhash(spark, sf_dir).count()
     # no stray streaming query survives the failure
     assert not [q for q in spark.streams.active if q.isActive]
+
+
+def _write_docs(tmp_path, n, sources=1):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array([f"doc {i}" for i in range(n)]),
+                "lang": pa.array(["en"] * n),
+                "source": pa.array([f"s{i % sources}" for i in range(n)]),
+                "n_chars": pa.array([5] * n, pa.int64()),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    return str(tmp_path)
+
+
+def test_sample_per_source_prefilter_path_is_exact(spark, tmp_path):
+    """With 1,000 docs in one source (> MARGIN·K = 200), the hash-space
+    PREFILTER branch actually runs — its output must equal the brute-force
+    full-corpus rank (the prefilter is an optimization, never a semantic)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flink_notebooks_spark.queries.llm import _DOC_HASH, SAMPLE_K
+
+    d = _write_docs(tmp_path, 1000)
+    got = QUERIES["sample_per_source"](spark, d).toPandas()
+    docs = spark.read.parquet(f"{d}/documents.parquet").select("source", "doc_id")
+    h = F.expr(_DOC_HASH.format(key="CAST(doc_id AS STRING)"))
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    want = (
+        docs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SAMPLE_K)
+        .select("source", "rank", "doc_id")
+        .orderBy("source", "rank")
+        .toPandas()
+    )
+    assert got.equals(want)
+
+
+def test_sample_per_source_margin_guard_raises(spark, tmp_path, monkeypatch):
+    """A breached admission margin must fail the job loudly (assert_true in
+    the plan), never silently truncate the sample: with MARGIN dropped so
+    the expected survivor count is K/5, the guard fires."""
+    import pytest
+
+    import flink_notebooks_spark.queries.llm as llm
+
+    d = _write_docs(tmp_path, 2000)
+    monkeypatch.setattr(llm, "SAMPLE_MARGIN", 0.2)
+    with pytest.raises(Exception, match="margin breached"):
+        llm.sample_per_source(spark, d).collect()
