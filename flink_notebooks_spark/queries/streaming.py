@@ -284,10 +284,15 @@ def _staged_documents_stream(spark, sf_dir, n_files: int = 4) -> DataFrame:
         p = f"{tmp}/{i:02d}_docs.parquet"
         pq.write_table(sl, p)
         os.utime(p, (i, i))  # the file source orders by modification time
+    # one file per trigger = ONE input partition per micro-batch; fan the
+    # rows out before the (expensive) shingle/signature projection so it
+    # runs on every core instead of one — the raw (doc_id, text) exchange
+    # is trivia next to 128-hash minhash per doc
     return (
         spark.readStream.schema("doc_id bigint, text string")
         .option("maxFilesPerTrigger", "1")
         .parquet(tmp)
+        .repartition(8)
     )
 
 
