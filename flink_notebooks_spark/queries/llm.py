@@ -332,19 +332,27 @@ def dedup_containment(spark, sf_dir):
             F.size("shb").alias("nb"),
         )
     )
-    fwd = scored.select(
-        F.col("a").alias("src_doc"),
-        F.col("b").alias("host_doc"),
-        (F.col("i") / F.col("na")).alias("c"),
-    )
-    rev = scored.select(
-        F.col("b").alias("src_doc"),
-        F.col("a").alias("host_doc"),
-        (F.col("i") / F.col("nb")).alias("c"),
-    )
+    # both directions EXPLODE out of one scored row — a fwd/rev UNION of two
+    # selects over `scored` would duplicate the whole candidate-join subtree
+    # in the physical plan (two inverted-index joins, two verifications)
+    directed = scored.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a").alias("src_doc"),
+                    F.col("b").alias("host_doc"),
+                    (F.col("i") / F.col("na")).alias("c"),
+                ),
+                F.struct(
+                    F.col("b").alias("src_doc"),
+                    F.col("a").alias("host_doc"),
+                    (F.col("i") / F.col("nb")).alias("c"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
     return (
-        fwd.unionByName(rev)
-        .filter(F.col("c") >= CONTAINMENT_THRESHOLD)
+        directed.filter(F.col("c") >= CONTAINMENT_THRESHOLD)
         .select("src_doc", "host_doc", F.round("c", 6).alias("cont"))
         .orderBy("src_doc", "host_doc")
     )
@@ -2351,10 +2359,12 @@ def profile_quantiles(spark, sf_dir):
         "source", F.length("text").cast("bigint").alias("v")
     )
     h = d.groupBy("source", "v").agg(F.count("*").alias("c"))
-    t = d.groupBy("source").agg(F.count("*").alias("n"))
+    # per-source totals as an UNBOUNDED window over the same partitioning as
+    # the rank cumsum — one shuffle, one pipeline; a separate groupBy + join
+    # would re-evaluate the histogram subtree (second corpus scan)
     cum = h.withColumn(
         "cum", F.sum("c").over(Window.partitionBy("source").orderBy("v"))
-    ).join(F.broadcast(t), "source")
+    ).withColumn("n", F.sum("c").over(Window.partitionBy("source")))
 
     def pick(q: float, alias: str):
         return F.min(
@@ -2720,10 +2730,15 @@ def sample_per_source(spark, sf_dir):
             "decimal(21,0)"
         )
     )
+    from pyspark import StorageLevel
+
+    # survivors are ~sources·MARGIN·K rows — persist so the guard count and
+    # the rank window read them once instead of re-scanning the corpus
     surv = (
         d.withColumn("h", h)
         .join(F.broadcast(counts.withColumn("cut", cut)), "source")
         .filter(F.col("h") < F.col("cut"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # margin guard: a truncated survivor set (< K rows for a source with
     # n_s ≥ K, or < n_s rows below K) could silently drop true sample rows —

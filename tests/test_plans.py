@@ -157,6 +157,49 @@ def test_mix_sample_is_map_only_until_aggregate(spark, sf_dir):
     assert "partial_" in p  # map-side combine before the shuffle
 
 
+def test_containment_shares_the_single_candidate_pipeline(spark, sf_dir):
+    """Round 8: both containment directions explode out of ONE scored row —
+    a fwd/rev UNION would duplicate the entire candidate-join subtree (two
+    inverted-index joins, two verifications; observed 63 exchanges vs 32
+    before the fix). The directed plan must match dedup_ngram_jaccard's
+    shape: one parquet scan (shared shingle cache), same join count."""
+    import re
+
+    pj = plan_of(spark, sf_dir, "dedup_ngram_jaccard")
+    pc = plan_of(spark, sf_dir, "dedup_containment")
+    scan = r"\n\(\d+\) Scan parquet"
+    exch = r"\n\(\d+\) Exchange"
+    assert len(re.findall(scan, pc)) == len(re.findall(scan, pj)) == 1
+    assert len(re.findall(exch, pc)) <= len(re.findall(exch, pj))
+    assert "CartesianProduct" not in pc
+
+
+def test_profile_quantiles_single_scan_single_window_pass(spark, sf_dir):
+    """Exact quantiles ride the VALUE HISTOGRAM: one corpus scan, and the
+    per-source total comes from an unbounded window over the same (source)
+    partitioning as the rank cumsum — no second histogram evaluation, no
+    join."""
+    import re
+
+    p = plan_of(spark, sf_dir, "profile_quantiles")
+    assert len(re.findall(r"\n\(\d+\) Scan parquet", p)) == 1
+    assert "Join" not in p
+
+
+def test_sample_per_source_prefilter_and_loud_guard(spark, sf_dir):
+    """The exact-k sampler's scale contract: counts + survivors are TWO
+    pruned scans (not four — survivors persist for the guard and the rank
+    window), the per-source tables broadcast, and the margin guard's
+    raise_error is IN the executed plan, not test-only scaffolding."""
+    import re
+
+    p = plan_of(spark, sf_dir, "sample_per_source")
+    assert len(re.findall(r"\n\(\d+\) Scan parquet", p)) <= 2
+    assert len(re.findall(r"\n\(\d+\) BroadcastHashJoin", p)) >= 2
+    assert "SortMergeJoin" not in p
+    assert "raise_error" in p and "margin breached" in p
+
+
 def test_kafka_emulated_read_prunes_to_value(spark, tmp_path):
     """The emulated-topic batch scan should only read the `value` column
     when the query needs no record metadata (column pruning through
@@ -251,6 +294,9 @@ SHUFFLE_BUDGET = {
     "token_count": 1,
     "doc_fingerprint": 1,
     "curation_split": 2,
+    # histogram agg + one (source)-partitioned window pass (cumsum + total
+    # share the exchange) + final per-source agg/sort
+    "profile_quantiles": 3,
     # per-source window + bounded example explode + (source, example) agg
     # + sort; the window and agg share the source partitioning where AQE
     # allows, budget covers the static plan

@@ -52,6 +52,9 @@ HEADLINE = [
     ("ann_ivf_pq_topk", "IVFADC hybrid: cell-pruned mapInPandas scan, shortlist-only shuffle"),
     ("source_kl_divergence", "per-source KL: one (source, word) agg feeds all distributions"),
     ("dedup_cross_source_matrix", "provenance matrix over the shared verified-jaccard cache"),
+    ("dedup_containment", "directed containment: capped inverted-index candidates, exact per-direction scoring"),
+    ("profile_quantiles", "exact quantiles via value histogram + rank cumsum (domain-sized shuffle)"),
+    ("sample_per_source", "exact-k sample: hash-space prefilter + guarded rank window over survivors"),
 ]
 
 
