@@ -261,38 +261,46 @@ def streaming_stateful_sessionize(spark, sf_dir):
     return out.orderBy("user_id", "sid")
 
 
-def _staged_documents_stream(spark, sf_dir, n_files: int = 4) -> DataFrame:
-    """documents.parquet replayed as an arriving corpus: doc_id-ordered
-    slices across ``n_files`` files (mtime-ordered), one micro-batch each —
-    so streaming dedup state genuinely carries across triggers instead of
-    collapsing into a single batch."""
+def _staged_table_stream(
+    spark, sf_dir, table: str, sort_col: str, schema: str, n_files: int = 4
+) -> DataFrame:
+    """A table replayed as an arriving corpus: ``sort_col``-ordered slices
+    across ``n_files`` files (mtime-ordered), one micro-batch each — so
+    streaming dedup state genuinely carries across triggers instead of
+    collapsing into a single batch. Columns are taken from ``schema``."""
     import os
+    import re
     import tempfile
 
     import pyarrow.parquet as pq
 
     tune(spark)
-    tbl = pq.read_table(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).sort_by("doc_id")
-    tmp = tempfile.mkdtemp(prefix="fns-docstream-")
+    cols = [c.strip().split()[0] for c in re.split(r",(?![^<]*>)", schema)]
+    tbl = pq.read_table(f"{sf_dir}/{table}.parquet", columns=cols).sort_by(sort_col)
+    tmp = tempfile.mkdtemp(prefix=f"fns-{table}stream-")
     step = -(-tbl.num_rows // n_files)
     for i in range(n_files):
         sl = tbl.slice(i * step, step)
         if sl.num_rows == 0:
             break
-        p = f"{tmp}/{i:02d}_docs.parquet"
+        p = f"{tmp}/{i:02d}_{table}.parquet"
         pq.write_table(sl, p)
         os.utime(p, (i, i))  # the file source orders by modification time
     # one file per trigger = ONE input partition per micro-batch; fan the
-    # rows out before the (expensive) shingle/signature projection so it
-    # runs on every core instead of one — the raw (doc_id, text) exchange
-    # is trivia next to 128-hash minhash per doc
+    # rows out before the (expensive) signature projection so it runs on
+    # every core instead of one — the raw row exchange is trivia next to
+    # per-row minhash/hyperplane signatures
     return (
-        spark.readStream.schema("doc_id bigint, text string")
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(tmp)
         .repartition(8)
+    )
+
+
+def _staged_documents_stream(spark, sf_dir, n_files: int = 4) -> DataFrame:
+    return _staged_table_stream(
+        spark, sf_dir, "documents", "doc_id", "doc_id bigint, text string", n_files
     )
 
 
@@ -442,6 +450,151 @@ def streaming_dedup_minhash(spark, sf_dir):
         .join(F.broadcast(sb), "b")
         .filter(jac >= 0.8)
         .select("a", "b", F.round(jac, 6).alias("jac"))
+    )
+    out = _run_to_memory(verified, "append")
+    return out.distinct().orderBy("a", "b")
+
+
+@query("streaming_dedup_embedding")
+def streaming_dedup_embedding(spark, sf_dir):
+    """Streaming embedding near-dup: each arriving vector's cosine-similar
+    (≥ CLUSTER_SIM_T) partners among everything seen so far — the online
+    form of the batch banded-hyperplane pipeline (`cluster_pairs_lsh_df`),
+    rows-only like it; tests pin exact pair/sim parity.
+
+    Same geometry end-to-end: identical (seed, dim)-derived hyperplanes in
+    a streaming ``mapInPandas`` (signatures are bit-equal to batch), 80
+    bands × 6 bits exploded to compact (vec_id, band, sig, prefix) rows,
+    and ONE shard-keyed ``applyInPandasWithState`` operator whose state
+    holds member ids + their packed earlier-band signatures. The batch
+    path's FIRST-AGREEING-BAND rule runs inside the state op — a pair is
+    emitted only by its earliest agreeing band, so no pair-keyed dedup
+    shuffle and no duplicate exact verifications downstream (a near-dup
+    pair agrees in many bands; naive emission would verify it up to
+    80×). Exact fp64 cosine verification is a broadcast stream-static
+    join — the fp64 corpus never enters the state store, matching the
+    batch contract that only the signature stage touches embeddings."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .llm import (
+        _DOT,
+        _with_norm,
+        CLUSTER_LSH_BANDS,
+        CLUSTER_LSH_BITS,
+        CLUSTER_LSH_SEED,
+        CLUSTER_SIM_T,
+    )
+
+    bits, bands = CLUSTER_LSH_BITS, CLUSTER_LSH_BANDS
+    raw = _staged_table_stream(
+        spark, sf_dir, "embeddings", "vec_id", "vec_id bigint, embedding array<float>"
+    )
+
+    def signatures(batches):
+        H = None
+        weights = 1 << np.arange(bits, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            if H is None:  # planes depend only on (seed, dim): match batch
+                rng = np.random.default_rng(CLUSTER_LSH_SEED)
+                H = (
+                    rng.integers(0, 2, size=(bits * bands, M.shape[1])) * 2 - 1
+                ).astype(np.float64)
+            bits_m = (M @ H.T > 0).astype(np.int64)
+            sigs = [
+                bits_m[:, k * bits : (k + 1) * bits] @ weights for k in range(bands)
+            ]
+            sig_mat = np.stack(sigs, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "sigs": list(sig_mat),
+                    "sigpack": [s.astype("<u2").tobytes() for s in sig_mat],
+                }
+            )
+
+    sigged = raw.mapInPandas(
+        signatures, "vec_id long, sigs array<long>, sigpack binary"
+    )
+    rows = sigged.select(
+        "vec_id", F.posexplode("sigs").alias("band", "sig"), "sigpack"
+    ).select(
+        "vec_id",
+        "band",
+        "sig",
+        # earlier-band prefix only (2 bytes per band) — the state never
+        # holds more signature payload than the dedup rule needs
+        F.expr("substring(sigpack, 1, 2 * band)").alias("prefix"),
+        F.pmod("sig", F.lit(STREAM_BUCKET_SHARDS)).cast("int").alias("shard"),
+    )
+
+    def bucket_pairs(key, pdfs, state):
+        store: dict[int, tuple[list[int], list[bytes]]] = {}
+        if state.exists:
+            sigs_s, cnts, ids_s, prefs = state.get
+            off = 0
+            for sg, c in zip(sigs_s, cnts):
+                store[int(sg)] = (
+                    [int(x) for x in ids_s[off : off + c]],
+                    [bytes(p) for p in prefs[off : off + c]],
+                )
+                off += c
+        pairs = []
+        for pdf in pdfs:
+            order = pdf.sort_values("vec_id")
+            for sg, d, pref in zip(order["sig"], order["vec_id"], order["prefix"]):
+                d, pref = int(d), bytes(pref)
+                ids, prefs_m = store.setdefault(int(sg), ([], []))
+                if d in ids:  # replayed arrival
+                    continue
+                if pref:
+                    pu = np.frombuffer(pref, dtype="<u2")
+                    for m, mp in zip(ids, prefs_m):
+                        # first-agreeing-band rule: an earlier band that
+                        # bucketed the pair together owns the emission
+                        if not (pu == np.frombuffer(mp, dtype="<u2")).any():
+                            pairs.append((min(d, m), max(d, m)))
+                else:
+                    pairs.extend((min(d, m), max(d, m)) for m in ids)
+                ids.append(d)
+                prefs_m.append(pref)
+                if len(ids) > STREAM_BUCKET_CAP:
+                    raise ValueError(
+                        f"streaming_dedup_embedding: LSH bucket {key} exceeds "
+                        f"{STREAM_BUCKET_CAP} members — raise CLUSTER_LSH_BITS "
+                        "or pre-filter degenerate embeddings"
+                    )
+        state.update(
+            (
+                list(store.keys()),
+                [len(v[0]) for v in store.values()],
+                [x for v in store.values() for x in v[0]],
+                [p for v in store.values() for p in v[1]],
+            )
+        )
+        if pairs:
+            yield pd.DataFrame(pairs, columns=["a", "b"], dtype="int64")
+
+    cand = rows.groupBy("band", "shard").applyInPandasWithState(
+        bucket_pairs,
+        "a long, b long",
+        "sigs array<long>, cnts array<int>, ids array<long>, prefs array<binary>",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    ea = _with_norm(load_table(spark, sf_dir, "embeddings"), "a")
+    eb = _with_norm(load_table(spark, sf_dir, "embeddings"), "b")
+    dot = F.expr(_DOT.format(a="emb_a", b="emb_b"))
+    verified = (
+        cand.join(F.broadcast(ea), "a")
+        .join(F.broadcast(eb), "b")
+        .withColumn("sim", dot / (F.col("norm_a") * F.col("norm_b")))
+        .filter(F.col("sim") >= CLUSTER_SIM_T)
+        .select("a", "b", F.round("sim", 6).alias("sim"))
     )
     out = _run_to_memory(verified, "append")
     return out.distinct().orderBy("a", "b")

@@ -841,3 +841,29 @@ def test_sample_per_source_margin_guard_raises(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(llm, "SAMPLE_MARGIN", 0.2)
     with pytest.raises(Exception, match="margin breached"):
         llm.sample_per_source(spark, d).collect()
+
+
+def test_streaming_dedup_embedding_matches_batch(spark, sf_dir):
+    """Round 8: the ONLINE banded-hyperplane embedding dedup must reproduce
+    the batch pipeline exactly — identical (seed, dim) planes make the
+    signatures bit-equal, the first-agreeing-band rule runs inside the
+    keyed state, and exact fp64 verification uses the same cosine
+    expression, so (a, b, round(sim, 6)) parity is exact, not approximate."""
+    from pyspark.sql import functions as F
+
+    from flink_notebooks_spark.queries.llm import cluster_pairs_lsh_df
+
+    batch = (
+        cluster_pairs_lsh_df(spark, sf_dir)
+        .select("a", "b", F.round("sim", 6).alias("sim"))
+        .orderBy("a", "b")
+        .toPandas()
+    )
+    stream = QUERIES["streaming_dedup_embedding"](spark, sf_dir).toPandas()
+    assert stream.reset_index(drop=True).equals(batch.reset_index(drop=True))
+    # cross-trigger coverage: at least one pair spans two staged slices
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    step = -(-n // 4)
+    assert any(a // step != b // step for a, b in zip(batch["a"], batch["b"]))

@@ -26,6 +26,7 @@ def test_all_queries_have_entries():
     assert rows_only == {
         "dedup_minhash_lsh",
         "streaming_dedup_minhash",
+        "streaming_dedup_embedding",
         "dedup_embedding_clusters_lsh",
         "dedup_simhash",
         "ann_lsh_topk",
