@@ -262,12 +262,20 @@ def streaming_stateful_sessionize(spark, sf_dir):
 
 
 def _staged_table_stream(
-    spark, sf_dir, table: str, sort_col: str, schema: str, n_files: int = 4
+    spark,
+    sf_dir,
+    table: str,
+    sort_col: str,
+    schema: str,
+    n_files: int = 4,
+    staging_dir: str | None = None,
 ) -> DataFrame:
     """A table replayed as an arriving corpus: ``sort_col``-ordered slices
     across ``n_files`` files (mtime-ordered), one micro-batch each — so
     streaming dedup state genuinely carries across triggers instead of
-    collapsing into a single batch. Columns are taken from ``schema``."""
+    collapsing into a single batch. Columns are taken from ``schema``.
+    ``staging_dir`` pins the staging path (idempotently populated) so a
+    restarted query can resume from a checkpoint that references it."""
     import os
     import re
     import tempfile
@@ -276,16 +284,23 @@ def _staged_table_stream(
 
     tune(spark)
     cols = [c.strip().split()[0] for c in re.split(r",(?![^<]*>)", schema)]
-    tbl = pq.read_table(f"{sf_dir}/{table}.parquet", columns=cols).sort_by(sort_col)
-    tmp = tempfile.mkdtemp(prefix=f"fns-{table}stream-")
-    step = -(-tbl.num_rows // n_files)
-    for i in range(n_files):
-        sl = tbl.slice(i * step, step)
-        if sl.num_rows == 0:
-            break
-        p = f"{tmp}/{i:02d}_{table}.parquet"
-        pq.write_table(sl, p)
-        os.utime(p, (i, i))  # the file source orders by modification time
+    if staging_dir is None:
+        tmp = tempfile.mkdtemp(prefix=f"fns-{table}stream-")
+    else:
+        tmp = staging_dir
+        os.makedirs(tmp, exist_ok=True)
+    if not any(f.endswith(".parquet") for f in os.listdir(tmp)):
+        tbl = pq.read_table(f"{sf_dir}/{table}.parquet", columns=cols).sort_by(
+            sort_col
+        )
+        step = -(-tbl.num_rows // n_files)
+        for i in range(n_files):
+            sl = tbl.slice(i * step, step)
+            if sl.num_rows == 0:
+                break
+            p = f"{tmp}/{i:02d}_{table}.parquet"
+            pq.write_table(sl, p)
+            os.utime(p, (i, i))  # the file source orders by modification time
     # one file per trigger = ONE input partition per micro-batch; fan the
     # rows out before the (expensive) signature projection so it runs on
     # every core instead of one — the raw row exchange is trivia next to
@@ -298,12 +313,6 @@ def _staged_table_stream(
     )
 
 
-def _staged_documents_stream(spark, sf_dir, n_files: int = 4) -> DataFrame:
-    return _staged_table_stream(
-        spark, sf_dir, "documents", "doc_id", "doc_id bigint, text string", n_files
-    )
-
-
 # Streaming near-dup state cap per LSH bucket: mirrors the batch path's loud
 # >100k hot-bucket failure (queries/llm.py) — a bucket this hot means the
 # band hash has collapsed (near-constant content) and silent O(members²)
@@ -313,6 +322,14 @@ STREAM_BUCKET_CAP = 100_000
 # state-group call covers a shard of buckets, not a single bucket (see the
 # applyInPandasWithState comment in streaming_dedup_minhash).
 STREAM_BUCKET_SHARDS = 8
+
+
+def minhash_pair_stream(spark, sf_dir, staging_dir: str | None = None):
+    """The UNSINKED verified-pair stream behind ``streaming_dedup_minhash``
+    — exposed so tests (and real deployments) can attach their own sink +
+    checkpointLocation; a restart with the same ``staging_dir`` resumes
+    bucket state from the checkpoint."""
+    return _minhash_pair_stream(spark, sf_dir, staging_dir)
 
 
 @query("streaming_dedup_minhash")
@@ -340,13 +357,21 @@ def streaming_dedup_minhash(spark, sf_dir):
     instead. Duplicate candidate emissions (same pair caught by several
     bands/triggers) are collapsed after the sink — the verified rows are
     identical, so DISTINCT is exact.""".format(cap=STREAM_BUCKET_CAP)
+    out = _run_to_memory(_minhash_pair_stream(spark, sf_dir), "append")
+    return out.distinct().orderBy("a", "b")
+
+
+def _minhash_pair_stream(spark, sf_dir, staging_dir: str | None = None):
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from .llm import BAND_ROWS, N_HASHES, NGRAMS, WORDS, shingled_docs
 
     n_bands = N_HASHES // BAND_ROWS
-    docs = _staged_documents_stream(spark, sf_dir)
+    docs = _staged_table_stream(
+        spark, sf_dir, "documents", "doc_id", "doc_id bigint, text string",
+        staging_dir=staging_dir,
+    )
     shingled = docs.select(
         "doc_id",
         F.expr(NGRAMS.format(ws=WORDS, k=5)).alias("shingles"),
@@ -451,8 +476,7 @@ def streaming_dedup_minhash(spark, sf_dir):
         .filter(jac >= 0.8)
         .select("a", "b", F.round(jac, 6).alias("jac"))
     )
-    out = _run_to_memory(verified, "append")
-    return out.distinct().orderBy("a", "b")
+    return verified
 
 
 @query("streaming_dedup_embedding")

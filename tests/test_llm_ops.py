@@ -867,3 +867,62 @@ def test_streaming_dedup_embedding_matches_batch(spark, sf_dir):
     n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
     step = -(-n // 4)
     assert any(a // step != b // step for a, b in zip(batch["a"], batch["b"]))
+
+
+def test_streaming_dedup_minhash_checkpoint_restart(spark, sf_dir, tmp_path):
+    """Round 8 durability: kill the streaming dedup mid-replay and resume
+    from its checkpoint — bucket state (shard-packed member lists) must
+    restore, no pair may be lost or duplicated, and the final file-sink
+    output must equal the batch operator. Proves the applyInPandasWithState
+    state actually round-trips through the state store, not just within
+    one run."""
+    import time
+
+    from flink_notebooks_spark.queries.streaming import minhash_pair_stream
+
+    staging = str(tmp_path / "staging")
+    sink = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        # phase 1: start, let at least one trigger commit, then kill
+        q = (
+            minhash_pair_stream(spark, sf_dir, staging_dir=staging)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        t0 = time.time()
+        while time.time() - t0 < 120:
+            if q.lastProgress and q.lastProgress["batchId"] >= 1:
+                break
+            time.sleep(0.2)
+        q.stop()
+        q.awaitTermination(60)
+        interrupted_batches = q.lastProgress["batchId"] if q.lastProgress else -1
+
+        # phase 2: restart from the same checkpoint + staging; run to the end
+        q2 = (
+            minhash_pair_stream(spark, sf_dir, staging_dir=staging)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    got = (
+        spark.read.parquet(sink)
+        .distinct()
+        .orderBy("a", "b")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    want = QUERIES["dedup_minhash_lsh"](spark, sf_dir).toPandas().reset_index(drop=True)
+    assert got.equals(want), (interrupted_batches, len(got), len(want))
