@@ -105,6 +105,28 @@ def shingled_docs(spark, sf_dir) -> DataFrame:
 JACCARD_DF_CAP = 64
 
 
+_JACCARD_CAND_MEMO: dict = {}
+
+
+def _shingle_candidates(spark, sf_dir):
+    """(docs, candidates): the shingled corpus plus the capped inverted-index
+    candidate pair set, PERSISTED + memoized per (session, dataset) — the
+    jaccard and containment operators score the same candidates, so the
+    self-join runs once, not once per operator."""
+    from pyspark import StorageLevel
+
+    docs = shingled_docs(spark, sf_dir).filter(F.size("shingles") > 0)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cand = _JACCARD_CAND_MEMO.get(key)
+    if cand is None:
+        sh = docs.select("doc_id", F.explode("shingles").alias("s")).select(
+            "doc_id", F.xxhash64("s").alias("h")
+        )
+        cand = _jaccard_candidates(sh).persist(StorageLevel.MEMORY_AND_DISK)
+        _memo_put(_JACCARD_CAND_MEMO, key, cand)
+    return docs, cand
+
+
 def _jaccard_candidates(sh: DataFrame, cap: int = JACCARD_DF_CAP) -> DataFrame:
     """(doc_id, h) inverted index → distinct candidate pairs (a < b), with
     shingles of document frequency > cap excluded from the index."""
@@ -193,11 +215,8 @@ def jaccard_pairs_df(spark, sf_dir) -> DataFrame:
     three instead of three."""
     from pyspark import StorageLevel
 
-    docs = shingled_docs(spark, sf_dir).filter(F.size("shingles") > 0)
-    sh = docs.select("doc_id", F.explode("shingles").alias("s")).select(
-        "doc_id", F.xxhash64("s").alias("h")
-    )
-    out = _verify_pairs(docs, _jaccard_candidates(sh), 0.8)
+    docs, cand = _shingle_candidates(spark, sf_dir)
+    out = _verify_pairs(docs, cand, 0.8)
     return out.persist(StorageLevel.MEMORY_AND_DISK)
 
 
@@ -314,14 +333,11 @@ def dedup_containment(spark, sf_dir):
     small-into-large duplication scores ~1.0 regardless of the size ratio —
     the case worth catching before training: a few hot documents quoted
     across a crawl inflate memorization without tripping Jaccard dedup."""
-    docs = shingled_docs(spark, sf_dir).filter(F.size("shingles") > 0)
-    sh = docs.select("doc_id", F.explode("shingles").alias("s")).select(
-        "doc_id", F.xxhash64("s").alias("h")
-    )
+    docs, cand = _shingle_candidates(spark, sf_dir)
     sa = docs.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sha"))
     sb = docs.select(F.col("doc_id").alias("b"), F.col("shingles").alias("shb"))
     scored = (
-        _jaccard_candidates(sh)
+        cand
         .join(sa, "a")
         .join(sb, "b")
         .select(
