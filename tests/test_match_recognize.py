@@ -1015,7 +1015,7 @@ def test_bounded_quantifier_routes_through_fast_path():
     assert fast is not None and fast[1] > 0
 
 
-def test_streaming_matcher_throughput_envelope(spark, tmp_path):
+def test_streaming_matcher_throughput_envelope(tmp_path):
     """The keyed-state streaming matcher's per-key throughput ceiling,
     measured end-to-end (micro-batch lifecycle + state round-trip + Arrow +
     matcher) on a single key — the worst case, since keys scale out across
@@ -1023,95 +1023,32 @@ def test_streaming_matcher_throughput_envelope(spark, tmp_path):
     per-trigger Structured-Streaming floor (~0.3–0.5 s per micro-batch,
     independent of row count — profiled round 6, NOTES.md) dominates small
     runs, so a small-n measurement reports machinery, not the matcher.
-    Warm amortized rate on the dev box: ~220 k rows/s (the mature-frame
-    evaluation routes through the vectorized fast path — pinned by
-    test_streaming_call_shape_routes_through_fast_path); the floor asserts
-    the envelope never silently collapses."""
+
+    Runs in a FRESH subprocess JVM (tests/measure_mr_stream_envelope.py):
+    inside the shared suite session, persisted blocks + GC pressure from
+    earlier tests halve the measured rate with identical code (observed
+    230k → 45k rows/s at suite position ~45%%), which fails the floor for
+    environmental, not algorithmic, reasons. Warm amortized rate on an
+    owned JVM: ~220–240k rows/s; the floor asserts the envelope never
+    silently collapses."""
+    import json
     import os
-    import time
-    import uuid as _uuid
+    import subprocess
+    import sys
 
-    import numpy as np
-    import pandas as pd
-
-    from flink_notebooks_spark.operators import match_recognize_stream
-
-    n = 1_000_000
-    rng = np.random.default_rng(11)
-    base = pd.DataFrame(
-        {
-            "user_id": 1,
-            "ts_s": np.arange(n),
-            "event_type": rng.choice(
-                ["view", "click", "purchase", "other"], size=n, p=[0.3, 0.4, 0.1, 0.2]
-            ),
-        }
+    script = os.path.join(os.path.dirname(__file__), "measure_mr_stream_envelope.py")
+    proc = subprocess.run(
+        [sys.executable, script, str(tmp_path)],
+        capture_output=True,
+        text=True,
+        timeout=600,
     )
-    base["ev_time"] = pd.to_datetime(base["ts_s"], unit="s").astype("datetime64[us]")
-    closer = pd.DataFrame(
-        {
-            "user_id": [99],
-            "ts_s": [n + 10_000],
-            "event_type": ["view"],
-            "ev_time": pd.to_datetime([n + 10_000], unit="s").astype("datetime64[us]"),
-        }
-    )
-    clause = """
-      PARTITION BY user_id ORDER BY ev_time
-      MEASURES A.ts_s AS s, LAST(C.ts_s) AS e, COUNT(B.*) AS nb
-      PATTERN (A B+ C)
-      DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click',
-             C AS C.event_type = 'purchase'
-    """
-
-    def run(sub):
-        d = tmp_path / sub
-        d.mkdir()
-        base.to_parquet(str(d / "f0.parquet"))
-        closer.to_parquet(str(d / "f1.parquet"))
-        now = time.time()
-        os.utime(str(d / "f0.parquet"), (now, now))
-        os.utime(str(d / "f1.parquet"), (now + 1, now + 1))
-        stream = (
-            spark.readStream.schema(
-                "user_id long, ts_s long, event_type string, ev_time timestamp"
-            )
-            .option("maxFilesPerTrigger", "1")
-            .parquet(str(d))
-            .withWatermark("ev_time", "0 seconds")
-        )
-        out = match_recognize_stream(stream, clause, close_after="1 second")
-        name = "mrb_" + _uuid.uuid4().hex[:8]
-        t0 = time.time()
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        return time.time() - t0, spark.table(name).count()
-
-    _, n_cold = run("cold")  # warm the JIT/codegen paths
-    dt, n_warm = run("warm")
-    assert n_warm == n_cold and n_warm > 0  # deterministic match set
-    rate = n / dt
-    # floor sits under the ~240k rows/s measured warm amortized rate
-    # (round 8: pre-shuffle column pruning + Arrow-IPC state + sort-skip
-    # cut the Python path 2.5x; the residual is Structured-Streaming
-    # machinery — per-trigger planning, state-store commit, Arrow
-    # exchange). The dev box shows intermittent CPU-steal windows
-    # (NOTES.md) that halve throughput without any code change — the floor
-    # catches a collapsed matcher, not host noise. One retry absorbs a
-    # load transient; both attempts below the floor = a real collapse.
-    if rate <= 100_000:
-        dt2, n2 = run("retry")
-        assert n2 == n_cold
-        rate = max(rate, n / dt2)
-    assert rate > 100_000, (
-        f"streaming matcher envelope collapsed: {rate/1000:.0f}k rows/s "
-        "(warm, single key, amortized) — expected >=100k; see NOTES.md"
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["n_warm"] == out["n_cold"] and out["n_warm"] > 0
+    assert out["rate"] > 100_000, (
+        f"streaming matcher envelope collapsed: {out['rate']/1000:.0f}k rows/s "
+        "(warm, single key, amortized, own JVM) — expected >=100k; see NOTES.md"
     )
 
 
