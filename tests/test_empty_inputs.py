@@ -33,6 +33,11 @@ EMPTY_QUERIES = [
     "doc_fingerprint",
     "quality_filter",
     "dedup_materialize",
+    "dedup_containment",
+    "profile_quantiles",
+    "sample_per_source",
+    "streaming_dedup_minhash",
+    "streaming_dedup_embedding",
     "multimodal_decode",
     "events_sessionize",
     "events_retention",
