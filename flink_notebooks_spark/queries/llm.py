@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from ._registry import query
+from ._registry import dsum, query, sql_dsum
 
 # ---------------------------------------------------------------------------
 # shared text expressions (identical semantics mirrored in each oracle)
@@ -2045,6 +2045,70 @@ def curation_split(spark, sf_dir):
         .groupBy("split")
         .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("sum_tokens"))
         .orderBy("split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E0. hypertable rollup — minute/hour/day continuous aggregates of the
+#     events table in ONE pass (the timeseries-DB materialized-rollup
+#     primitive). GROUPING SETS compiles to a single Expand over the scan:
+#     every resolution's partial aggregates combine map-side, so the 100 TB
+#     cost is one scan + one (bucket, event_type)-keyed shuffle whose
+#     cardinality is the union of the three rollup tables — not three scans
+#     and not raw rows.
+# ---------------------------------------------------------------------------
+@query(
+    "events_hypertable_rollup",
+    oracle=f"""
+    WITH b AS (
+      SELECT (epoch_us(ts) // 60000000) * 60 AS m,
+             (epoch_us(ts) // 3600000000) * 3600 AS h,
+             (epoch_us(ts) // 86400000000) * 86400 AS d,
+             event_type, value
+      FROM events)
+    SELECT CASE WHEN GROUPING(m) = 0 THEN 'minute'
+                WHEN GROUPING(h) = 0 THEN 'hour' ELSE 'day' END AS resolution,
+           CAST(COALESCE(m, h, d) AS BIGINT) AS bucket_start,
+           event_type, COUNT(*) AS c, {sql_dsum("value", "sv")}
+    FROM b
+    GROUP BY GROUPING SETS ((m, event_type), (h, event_type), (d, event_type))
+    ORDER BY resolution, bucket_start, event_type
+    """,
+)
+def events_hypertable_rollup(spark, sf_dir):
+    """Multi-resolution event rollup: (minute, hour, day) × event_type
+    bucket aggregates from one GROUPING SETS pass. Buckets are exact
+    epoch-second integers (bigint floor-division — engine- and
+    timezone-independent), sums are DECIMAL-exact, so the three rollup
+    resolutions hash-match the oracle bit-for-bit at any parallelism."""
+    b = load_table(spark, sf_dir, "events").select(
+        (F.expr("ts_us div 60000000") * 60).alias("m"),
+        (F.expr("ts_us div 3600000000") * 3600).alias("h"),
+        (F.expr("ts_us div 86400000000") * 86400).alias("d"),
+        "event_type",
+        "value",
+    )
+    res = (
+        F.when(F.grouping("m") == 0, "minute")
+        .when(F.grouping("h") == 0, "hour")
+        .otherwise("day")
+    )
+    return (
+        b.groupingSets(
+            [["m", "event_type"], ["h", "event_type"], ["d", "event_type"]],
+            "m",
+            "h",
+            "d",
+            "event_type",
+        )
+        .agg(
+            res.alias("resolution"),
+            F.coalesce("m", "h", "d").alias("bucket_start"),
+            F.count("*").alias("c"),
+            dsum("value", "sv"),
+        )
+        .select("resolution", "bucket_start", "event_type", "c", "sv")
+        .orderBy("resolution", "bucket_start", "event_type")
     )
 
 

@@ -294,6 +294,9 @@ SHUFFLE_BUDGET = {
     "token_count": 1,
     "doc_fingerprint": 1,
     "curation_split": 2,
+    # ONE Expand over the scan + partial->final agg keyed by (bucket,
+    # event_type) + ORDER BY — three resolutions, one corpus pass
+    "events_hypertable_rollup": 2,
     # histogram agg + one (source)-partitioned window pass (cumsum + total
     # share the exchange) + final per-source agg/sort
     "profile_quantiles": 3,
