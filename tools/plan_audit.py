@@ -55,6 +55,7 @@ HEADLINE = [
     ("dedup_containment", "directed containment: capped inverted-index candidates, exact per-direction scoring"),
     ("profile_quantiles", "exact quantiles via value histogram + rank cumsum (domain-sized shuffle)"),
     ("sample_per_source", "exact-k sample: hash-space prefilter + guarded rank window over survivors"),
+    ("events_hypertable_rollup", "minute/hour/day rollups in ONE GROUPING SETS pass (single Expand)"),
 ]
 
 
