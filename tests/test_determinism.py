@@ -39,6 +39,16 @@ INVARIANT_QUERIES = [
     "unigram_logprob",
     #   events_funnel        — integer-microsecond latency sums
     "events_funnel",
+    #   sample_per_source    — hash-rank exact-k selection behind a
+    #                          prefilter whose cut depends only on counts
+    #   profile_quantiles    — integer rank arithmetic over a value histogram
+    #   dedup_containment    — float containment scores on persisted
+    #                          candidate cache, rounded at the edge
+    #   events_hypertable_rollup — DECIMAL sums across an Expand
+    "sample_per_source",
+    "profile_quantiles",
+    "dedup_containment",
+    "events_hypertable_rollup",
 ]
 
 
