@@ -1,0 +1,403 @@
+"""Second-wave corpus/curation operators: keyword retrieval, chunking,
+fuzzy decontamination, per-source histograms, event anomaly scan, and
+normalized-text dedup.
+
+These extend the LLM-pipeline surface in :mod:`.llm` (the reference engine
+has no curation operators; this family comes from the builder brief's
+"large-scale training-data pipeline" mandate). Same design rules as llm.py:
+every operator is a DataFrame plan (no driver loops, no ``collect()``),
+expressions stay JVM-side, and every float that crosses an engine boundary
+is either derived from exact integers with an identical expression tree on
+both sides or rounded-then-DECIMAL-summed (the ln-determinism convention of
+``unigram_logprob`` / ``source_kl_divergence``).
+
+100 TB shapes, per operator:
+
+- ``bm25_topk``: the query-term set is tiny and BROADCASTS; the posting
+  explode is filtered map-side by that broadcast before any shuffle, so the
+  only exchanges are proportional to *matched* postings, never the corpus.
+  Document length rides the explode (no corpus-sized dl join).
+- ``doc_chunk``: pure narrow pipeline (tokenize → sequence → posexplode) —
+  zero shuffles at any scale.
+- ``decontaminate_fuzzy``: benchmark 8-gram index broadcasts (eval sets are
+  MBs vs corpus TBs); per-pair gram intersection is a map-side hash probe +
+  a pair-keyed aggregate proportional to contaminated pairs only.
+- ``token_length_histogram``: classic two-level aggregate; cardinality =
+  sources × ~40 log2 buckets, so the final exchange is trivially small.
+- ``events_anomaly``: (type, hour) pre-aggregate shrinks the data before the
+  per-type window; per-type stats come from exact integer sums (n, Σc, Σc²),
+  so z-scores are bit-deterministic at any parallelism.
+- ``dedup_normalized``: same 128-bit-hash groupBy as ``dedup_exact`` — the
+  shuffle carries 32-byte keys, not document bodies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ._registry import query
+from .llm import _SQL_G8_CTES, NGRAMS, SQL_WORDS, tokenized_docs
+
+# ---------------------------------------------------------------------------
+# R1. BM25 keyword retrieval — top-k documents per query (oracle-matched)
+# ---------------------------------------------------------------------------
+# Lucene-flavoured BM25: idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+# score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+# fixed benchmark query set (vocabulary terms of the synthetic corpus)
+BM25_QUERY_TERMS = [
+    (1, "spark"), (1, "stream"), (1, "window"),
+    (2, "hash"), (2, "join"), (2, "merge"), (2, "sort"),
+    (3, "customer"), (3, "order"), (3, "line"), (3, "value"),
+    (4, "vector"), (4, "query"), (4, "scan"), (4, "fast"),
+]
+_SQL_QT_VALUES = ", ".join(f"({q},'{t}')" for q, t in BM25_QUERY_TERMS)
+
+
+@query(
+    "bm25_topk",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {SQL_WORDS} AS ws FROM documents),
+    lens AS (SELECT doc_id, ws, len(ws) AS dl FROM w),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM lens),
+    qt(query_id, term) AS (VALUES {_SQL_QT_VALUES}),
+    tok AS (SELECT doc_id, dl, unnest(ws) AS term FROM lens),
+    post AS (SELECT doc_id, term, dl, COUNT(*) AS tf
+             FROM tok JOIN (SELECT DISTINCT term FROM qt) USING (term)
+             GROUP BY doc_id, term, dl),
+    dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM post GROUP BY term),
+    per AS (SELECT q.query_id, p.doc_id,
+      CAST(ROUND(ROUND(LN(1 + (s.n_docs - d.df + 0.5)/(d.df + 0.5)), 9)
+        * (p.tf * {BM25_K1 + 1}) / (p.tf + {BM25_K1} * (1 - {BM25_B} +
+            {BM25_B} * p.dl / (CAST(s.sum_dl AS DOUBLE)/s.n_docs))), 9)
+        AS DECIMAL(28,9)) AS contrib
+      FROM post p JOIN qt q USING (term) JOIN dfq d USING (term)
+      CROSS JOIN stats s),
+    sc AS (SELECT query_id, doc_id, ROUND(CAST(SUM(contrib) AS DOUBLE), 6)
+                  AS score FROM per GROUP BY 1, 2)
+    SELECT query_id, doc_id, score, CAST(rnk AS INT) AS rnk FROM (
+      SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rnk
+      FROM sc) t
+    WHERE rnk <= {BM25_TOPK} ORDER BY query_id, rnk
+    """,
+)
+def bm25_topk(spark, sf_dir):
+    """BM25 top-k retrieval for a fixed benchmark query set.
+
+    Scale plan: ``qt`` (query terms) broadcasts; the token explode inner-joins
+    it BEFORE the (doc, term) aggregate, so the postings shuffle carries only
+    matched terms. ``dl`` is carried through the explode (constant per doc)
+    instead of joining the corpus-sized length table back in. ``df`` per term
+    and the global (N, Σdl) scalar both reduce to tiny broadcasts. Per-term
+    contributions are ln-rounded to 9 dp and DECIMAL-summed so scores are
+    order-independent and engine-identical; ranking orders by the ROUNDED
+    score with doc_id tie-break — fully deterministic top-k."""
+    t = tokenized_docs(spark, sf_dir)
+    lens = t.select("doc_id", F.size("ws").alias("dl"))
+    stats = lens.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    qt = spark.createDataFrame(BM25_QUERY_TERMS, "query_id int, term string")
+    post = (
+        t.select("doc_id", F.size("ws").alias("dl"), F.explode("ws").alias("term"))
+        .join(F.broadcast(qt.select("term").distinct()), "term")
+        .groupBy("doc_id", "term", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfq = post.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.round(
+        F.log(
+            1
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ),
+        9,
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    contrib = F.round(
+        idf
+        * (F.col("tf") * (BM25_K1 + 1))
+        / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl)),
+        9,
+    ).cast("decimal(28,9)")
+    sc = (
+        post.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", contrib.alias("contrib"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("contrib").cast("double"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        sc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= BM25_TOPK)
+        .select("query_id", "doc_id", "score", "rnk")
+        .orderBy("query_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R2. context-window chunking — fixed token windows with overlap
+# ---------------------------------------------------------------------------
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # overlap = CHUNK_TOKENS - CHUNK_STRIDE = 16 tokens
+# a chunk at start s is emitted iff it is the first OR contributes new
+# tokens beyond the previous chunk's end: s + (CHUNK - STRIDE) <= n
+_NEW = CHUNK_TOKENS - CHUNK_STRIDE
+
+
+@query(
+    "doc_chunk",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {SQL_WORDS} AS ws FROM documents),
+    n AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) >= 1),
+    st AS (SELECT doc_id, ws, n,
+                  unnest(range(1, n + 1, {CHUNK_STRIDE})) AS s FROM n),
+    keep AS (SELECT doc_id, ws, n, s FROM st
+             WHERE s = 1 OR s + {_NEW} <= n)
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) - 1
+                AS INT) AS chunk_id,
+           s AS start_tok,
+           least(s + {CHUNK_TOKENS - 1}, n) AS end_tok,
+           least(s + {CHUNK_TOKENS - 1}, n) - s + 1 AS n_tok,
+           md5(array_to_string(ws[s:s + {CHUNK_TOKENS - 1}], ' ')) AS chunk_hash
+    FROM keep ORDER BY doc_id, chunk_id
+    """,
+)
+def doc_chunk(spark, sf_dir):
+    """Sliding context-window chunking: 64-token windows, stride 48 (16-token
+    overlap), trailing partial window kept iff it adds new tokens. The layout
+    a context-window packer or embedding indexer consumes.
+
+    Scale plan: tokenize → sequence → posexplode is entirely NARROW — zero
+    shuffles at any corpus size; output is ~n_tokens/stride rows per doc with
+    a 32-char hash instead of chunk text (chunk bodies are re-sliced by the
+    consumer from the source, the standard manifest pattern)."""
+    t = tokenized_docs(spark, sf_dir)
+    starts = F.expr(
+        f"IF(size(ws) >= 1, filter(sequence(1, size(ws), {CHUNK_STRIDE}),"
+        f" s -> s = 1 OR s + {_NEW} <= size(ws)), array())"
+    )
+    rows = t.select(
+        "doc_id",
+        "ws",
+        F.size("ws").alias("n"),
+        F.posexplode(starts).alias("chunk_id", "st"),
+    )
+    end = F.least(F.col("st") + (CHUNK_TOKENS - 1), F.col("n"))
+    return rows.select(
+        "doc_id",
+        "chunk_id",
+        F.col("st").alias("start_tok"),
+        end.alias("end_tok"),
+        (end - F.col("st") + 1).alias("n_tok"),
+        F.md5(
+            F.array_join(F.slice("ws", F.col("st"), F.lit(CHUNK_TOKENS)), " ")
+        ).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+# ---------------------------------------------------------------------------
+# R3. fuzzy decontamination — benchmark containment, not just any-hit
+# ---------------------------------------------------------------------------
+FUZZY_CONTAIN_MIN = 0.2
+
+
+@query(
+    "decontaminate_fuzzy",
+    oracle=f"""
+    WITH {_SQL_G8_CTES},
+    bench AS (SELECT doc_id AS bench_id, s FROM g8 WHERE doc_id % 20 = 0),
+    bn AS (SELECT bench_id, COUNT(*) AS nb FROM bench GROUP BY bench_id),
+    train AS (SELECT doc_id, s FROM g8 WHERE doc_id % 20 <> 0),
+    hit AS (SELECT t.doc_id, b.bench_id, COUNT(*) AS i
+            FROM train t JOIN bench b ON t.s = b.s GROUP BY 1, 2)
+    SELECT h.doc_id, h.bench_id,
+           ROUND(CAST(h.i AS DOUBLE) / bn.nb, 6) AS containment
+    FROM hit h JOIN bn USING (bench_id)
+    WHERE CAST(h.i AS DOUBLE) / bn.nb >= {FUZZY_CONTAIN_MIN}
+    ORDER BY doc_id, bench_id
+    """,
+)
+def decontaminate_fuzzy(spark, sf_dir):
+    """Per-(train doc, benchmark doc) 8-gram CONTAINMENT — the fraction of the
+    benchmark doc's grams present in the training doc. `decontaminate` counts
+    any-gram hits; this ranks HOW MUCH of each eval item leaked (paraphrased /
+    partial contamination that an exact any-hit scan over-flags and a
+    whole-doc hash misses entirely).
+
+    Scale plan: identical to `decontaminate` — the benchmark's hashed-8-gram
+    index (tiny: eval sets are MBs against a TB corpus) BROADCASTS, so the
+    corpus-side probe is map-side; the only shuffle is the per-contaminated-
+    pair aggregate, proportional to actual contamination. Grams are 8-byte
+    xxhash64 (the oracle joins the strings; collision P negligible)."""
+    t = tokenized_docs(spark, sf_dir)
+    g8 = t.select(
+        "doc_id", F.explode(F.expr(NGRAMS.format(ws="ws", k=8))).alias("s")
+    ).select("doc_id", F.xxhash64("s").alias("h"))
+    bench = g8.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("bench_id"), "h"
+    )
+    bn = bench.groupBy("bench_id").agg(F.count("*").alias("nb"))
+    cont = F.col("i").cast("double") / F.col("nb")
+    return (
+        g8.filter(F.col("doc_id") % 20 != 0)
+        .join(F.broadcast(bench), "h")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("i"))
+        .join(F.broadcast(bn), "bench_id")
+        .filter(cont >= FUZZY_CONTAIN_MIN)
+        .select("doc_id", "bench_id", F.round(cont, 6).alias("containment"))
+        .orderBy("doc_id", "bench_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R4. per-source token-length histogram (log2 buckets)
+# ---------------------------------------------------------------------------
+@query(
+    "token_length_histogram",
+    oracle=f"""
+    WITH b AS (SELECT source, len({SQL_WORDS}) AS ntok FROM documents)
+    SELECT source,
+           CAST(length(bin(greatest(ntok, 1))) - 1 AS INT) AS bucket_log2,
+           COUNT(*) AS n_docs, MIN(ntok) AS min_tok, MAX(ntok) AS max_tok,
+           SUM(ntok) AS sum_tok
+    FROM b GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def token_length_histogram(spark, sf_dir):
+    """Token-length distribution per source in log2 buckets — the first chart
+    of any corpus audit (mixture weighting, truncation-loss estimates).
+
+    bucket = floor(log2(ntok)) computed EXACTLY as length(bin(n)) - 1 —
+    integer bit-length, immune to the float-log2 boundary error that
+    floor(log2(2^k)) can hit. Two-level aggregate; final cardinality is
+    sources × ~40 buckets, so the reduce side is trivially small at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.expr("size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))")
+    return (
+        d.select("source", ntok.alias("ntok"))
+        .groupBy(
+            "source",
+            (F.length(F.bin(F.greatest(F.col("ntok"), F.lit(1)))) - 1)
+            .cast("int")
+            .alias("bucket_log2"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("ntok").alias("min_tok"),
+            F.max("ntok").alias("max_tok"),
+            F.sum("ntok").alias("sum_tok"),
+        )
+        .orderBy("source", "bucket_log2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R5. event-rate anomaly scan — per-type hourly z-scores from exact sums
+# ---------------------------------------------------------------------------
+ANOMALY_Z = 2.0
+
+
+@query(
+    "events_anomaly",
+    oracle=f"""
+    WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                           COUNT(*) AS c FROM events GROUP BY 1, 2),
+    st AS (SELECT event_type, h, c,
+           COUNT(*) OVER (PARTITION BY event_type) AS n,
+           SUM(c) OVER (PARTITION BY event_type) AS s,
+           SUM(c*c) OVER (PARTITION BY event_type) AS s2 FROM hourly)
+    SELECT event_type, h, c, ROUND(z, 6) AS z FROM (
+      SELECT event_type, h, c,
+        (c - CAST(s AS DOUBLE)/n)
+          / sqrt((CAST(n AS DOUBLE)*s2 - CAST(s AS DOUBLE)*s)
+                 / (CAST(n AS DOUBLE)*(n-1))) AS z
+      FROM st
+      WHERE n > 1 AND CAST(n AS DOUBLE)*s2 - CAST(s AS DOUBLE)*s > 0) t
+    WHERE abs(z) >= {ANOMALY_Z} ORDER BY event_type, h
+    """,
+)
+def events_anomaly(spark, sf_dir):
+    """Hours whose event count deviates ≥2σ from the event type's mean rate —
+    ingestion-spike / outage detection over the telemetry stream.
+
+    Determinism: per-type stats are the exact integer sums (n, Σc, Σc²)
+    from a whole-partition window; mean/variance derive from them with an
+    expression tree identical to the oracle's, so z is bit-equal at any
+    parallelism. Scale plan: the (type, hour) pre-aggregate collapses the
+    event stream before the per-type window; window cardinality = types ×
+    hours, unrelated to raw event count."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("c"))
+    w = Window.partitionBy("event_type")
+    st = hourly.select(
+        "event_type",
+        "h",
+        "c",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("c").over(w).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("s2"),
+    )
+    var_num = F.col("n").cast("double") * F.col("s2") - F.col("s").cast(
+        "double"
+    ) * F.col("s")
+    z = (F.col("c") - F.col("s").cast("double") / F.col("n")) / F.sqrt(
+        var_num / (F.col("n").cast("double") * (F.col("n") - 1))
+    )
+    return (
+        st.filter((F.col("n") > 1) & (var_num > 0))
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= ANOMALY_Z)
+        .select("event_type", "h", "c", F.round("z", 6).alias("z"))
+        .orderBy("event_type", "h")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R6. normalized-text dedup — exact dedup after canonicalization
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_normalized",
+    oracle=r"""
+    WITH n AS (SELECT doc_id, text,
+               trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+               FROM documents)
+    SELECT md5(norm) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS dups,
+           COUNT(DISTINCT md5(text)) AS n_exact_forms
+    FROM n GROUP BY 1 ORDER BY keep_id
+    """,
+)
+def dedup_normalized(spark, sf_dir):
+    """Exact dedup on CANONICALIZED text (lowercase, punctuation → space,
+    whitespace collapsed) — catches trivially-reformatted duplicates that
+    byte-exact `dedup_exact` misses; `n_exact_forms` > 1 marks groups that
+    only normalization collapses.
+
+    Scale plan: identical to `dedup_exact` — normalization is a narrow JVM
+    regex projection and the groupBy shuffles 32-byte md5 keys, not bodies."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.expr(
+        r"trim(regexp_replace(regexp_replace(lower(text),"
+        r" '[^a-z0-9\\s]', ' '), '\\s+', ' '))"
+    )
+    return (
+        d.groupBy(F.md5(norm).alias("h"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("dups"),
+            F.countDistinct(F.md5("text")).alias("n_exact_forms"),
+        )
+        .orderBy("keep_id")
+    )

@@ -49,6 +49,11 @@ INVARIANT_QUERIES = [
     "profile_quantiles",
     "dedup_containment",
     "events_hypertable_rollup",
+    #   bm25_topk            — DECIMAL-summed rounded-ln contributions +
+    #                          rounded-score ranking with doc_id tie-break
+    #   events_anomaly       — z-scores from exact integer window sums
+    "bm25_topk",
+    "events_anomaly",
 ]
 
 

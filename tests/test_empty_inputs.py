@@ -44,6 +44,12 @@ EMPTY_QUERIES = [
     "q27_cep_pattern",
     "q25_hop_window",
     "q26_cumulate_window",
+    "bm25_topk",
+    "doc_chunk",
+    "decontaminate_fuzzy",
+    "token_length_histogram",
+    "events_anomaly",
+    "dedup_normalized",
 ]
 
 
