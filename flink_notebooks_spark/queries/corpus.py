@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ._registry import query
-from .llm import _SQL_G8_CTES, NGRAMS, SQL_WORDS, tokenized_docs
+from .llm import _SQL_G8_CTES, NGRAMS, SQL_WORDS, _memo_put, tokenized_docs
 
 # ---------------------------------------------------------------------------
 # R1. BM25 keyword retrieval — top-k documents per query (oracle-matched)
@@ -56,6 +56,33 @@ BM25_QUERY_TERMS = [
     (4, "vector"), (4, "query"), (4, "scan"), (4, "fast"),
 ]
 _SQL_QT_VALUES = ", ".join(f"({q},'{t}')" for q, t in BM25_QUERY_TERMS)
+
+_BM25_POST_MEMO: dict = {}
+
+
+def _bm25_postings(spark, sf_dir):
+    """(doc_id, term, dl, tf) for query-matched terms only, PERSISTED +
+    memoized per (session, dataset): the df branch and the scoring branch
+    both read it, so the corpus-side explode runs ONCE — without the memo
+    the plan re-scans the token cache and re-aggregates postings per branch
+    (two full corpus passes at 100 TB)."""
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir, "bm25post")
+    post = _BM25_POST_MEMO.get(key)
+    if post is None:
+        t = tokenized_docs(spark, sf_dir)
+        qt = spark.createDataFrame(BM25_QUERY_TERMS, "query_id int, term string")
+        post = (
+            t.select(
+                "doc_id", F.size("ws").alias("dl"), F.explode("ws").alias("term")
+            )
+            .join(F.broadcast(qt.select("term").distinct()), "term")
+            .groupBy("doc_id", "term", "dl")
+            .agg(F.count("*").alias("tf"))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _memo_put(_BM25_POST_MEMO, key, post)
+    return post
 
 
 @query(
@@ -104,12 +131,7 @@ def bm25_topk(spark, sf_dir):
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
     qt = spark.createDataFrame(BM25_QUERY_TERMS, "query_id int, term string")
-    post = (
-        t.select("doc_id", F.size("ws").alias("dl"), F.explode("ws").alias("term"))
-        .join(F.broadcast(qt.select("term").distinct()), "term")
-        .groupBy("doc_id", "term", "dl")
-        .agg(F.count("*").alias("tf"))
-    )
+    post = _bm25_postings(spark, sf_dir)
     dfq = post.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     idf = F.round(
         F.log(
@@ -176,10 +198,12 @@ def doc_chunk(spark, sf_dir):
     overlap), trailing partial window kept iff it adds new tokens. The layout
     a context-window packer or embedding indexer consumes.
 
-    Scale plan: tokenize → sequence → posexplode is entirely NARROW — zero
-    shuffles at any corpus size; output is ~n_tokens/stride rows per doc with
-    a 32-char hash instead of chunk text (chunk bodies are re-sliced by the
-    consumer from the source, the standard manifest pattern)."""
+    Scale plan: tokenize → sequence → posexplode is entirely NARROW — the
+    only exchanges are the shared token-cache repartition and the
+    presentation sort, neither keyed by data; output is ~n_tokens/stride
+    rows per doc with a 32-char hash instead of chunk text (chunk bodies are
+    re-sliced by the consumer from the source, the standard manifest
+    pattern)."""
     t = tokenized_docs(spark, sf_dir)
     starts = F.expr(
         f"IF(size(ws) >= 1, filter(sequence(1, size(ws), {CHUNK_STRIDE}),"

@@ -254,6 +254,52 @@ def test_pii_scrub_is_map_only(spark, sf_dir):
     assert len(re.findall(r"\n\(\d+\) Exchange", p)) <= 1
 
 
+def test_bm25_broadcasts_and_shares_postings(spark, sf_dir):
+    """BM25's joins must all be broadcasts (query terms, df table, global
+    stats are tiny against a TB corpus — a SortMergeJoin would shuffle the
+    corpus-side postings), and the df branch and scoring branch must read
+    ONE shared postings cache, not re-run the corpus explode per branch."""
+    p = plan_of(spark, sf_dir, "bm25_topk")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "InMemoryTableScan" in p  # memoized postings feed both branches
+
+
+def test_doc_chunk_is_narrow(spark, sf_dir):
+    """Chunking must not join or aggregate — only the shared token-cache
+    repartition and the presentation sort may exchange."""
+    import re
+
+    p = plan_of(spark, sf_dir, "doc_chunk")
+    assert "Join" not in p and "HashAggregate" not in p
+    assert len(re.findall(r"\n\(\d+\) Exchange", p)) <= 2
+
+
+def test_decontaminate_fuzzy_broadcasts_benchmark_index(spark, sf_dir):
+    """Same contract as `decontaminate`: the eval-side gram index and the
+    per-bench-doc size table broadcast; the corpus side never shuffles
+    into a SortMergeJoin."""
+    p = plan_of(spark, sf_dir, "decontaminate_fuzzy")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_corpus_audit_aggs_are_two_level(spark, sf_dir):
+    """token_length_histogram / events_anomaly / dedup_normalized are
+    pre-aggregate-then-small-reduce plans: map-side combine present, no
+    joins, and a tight exchange budget (agg [+ window] + sort)."""
+    for name, budget in (
+        ("token_length_histogram", 2),
+        ("events_anomaly", 3),
+        ("dedup_normalized", 3),
+    ):
+        p = plan_of(spark, sf_dir, name)
+        assert "Join" not in p, name
+        assert "partial_" in p, name
+        assert p.count("Exchange ") <= budget, (name, p.count("Exchange "))
+
+
 def test_plan_audit_extractor_flags_scale_defects():
     """tools/plan_audit.py renders PLANS.md; its extractor must flag the two
     hard scale defects and pull the pushdown/pruning properties."""

@@ -56,6 +56,10 @@ HEADLINE = [
     ("profile_quantiles", "exact quantiles via value histogram + rank cumsum (domain-sized shuffle)"),
     ("sample_per_source", "exact-k sample: hash-space prefilter + guarded rank window over survivors"),
     ("events_hypertable_rollup", "minute/hour/day rollups in ONE GROUPING SETS pass (single Expand)"),
+    ("bm25_topk", "BM25: broadcast query terms filter the posting explode; shared postings cache feeds df + scoring branches"),
+    ("doc_chunk", "context-window chunking: narrow sequence/posexplode manifest, no keyed shuffle"),
+    ("decontaminate_fuzzy", "per-pair benchmark containment over the broadcast eval 8-gram index"),
+    ("events_anomaly", "(type, hour) pre-agg → per-type window from exact integer sums"),
 ]
 
 
