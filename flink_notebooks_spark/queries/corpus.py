@@ -389,7 +389,109 @@ def events_anomaly(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# R6. normalized-text dedup — exact dedup after canonicalization
+# R6. winnowing-fingerprint near-dedup (Schleimer/Wilkerson/Aiken, SIGMOD'03)
+# ---------------------------------------------------------------------------
+WINNOW_K = 5  # tokens per gram
+WINNOW_W = 4  # gram hashes per winnowing window
+WINNOW_MIN = 0.6  # overlap = |shared fps| / min(|fps_a|, |fps_b|)
+WINNOW_DF_CAP = 64
+
+
+@query(
+    "dedup_winnow",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {SQL_WORDS} AS ws FROM documents),
+    g AS (SELECT doc_id,
+            CASE WHEN len(ws) >= {WINNOW_K} THEN
+              list_transform(range(1, len(ws) - {WINNOW_K - 2}),
+                p -> md5(array_to_string(ws[p:p + {WINNOW_K - 1}], ' ')))
+            ELSE [] END AS hs
+          FROM w),
+    f AS (SELECT doc_id,
+            CASE WHEN len(hs) >= {WINNOW_W} THEN
+              list_distinct(list_transform(range(1, len(hs) - {WINNOW_W - 2}),
+                q -> list_aggregate(hs[q:q + {WINNOW_W - 1}], 'min')))
+            ELSE [] END AS fps
+          FROM g),
+    fp AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM fp GROUP BY doc_id),
+    rare AS (SELECT fp.doc_id, fp.fp FROM fp
+             JOIN (SELECT fp FROM fp GROUP BY fp
+                   HAVING COUNT(*) <= {WINNOW_DF_CAP}) r USING (fp)),
+    pair AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+             FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+    SELECT p.a, p.b, ROUND(CAST(p.i AS DOUBLE) / least(ca.n, cb.n), 6)
+             AS overlap
+    FROM pair p JOIN cnt ca ON ca.doc_id = p.a JOIN cnt cb ON cb.doc_id = p.b
+    WHERE CAST(p.i AS DOUBLE) / least(ca.n, cb.n) >= {WINNOW_MIN}
+    ORDER BY a, b
+    """,
+)
+def dedup_winnow(spark, sf_dir):
+    """Winnowing-fingerprint near-dedup (the MOSS algorithm): per-position
+    5-gram hashes, then the minimum hash of every 4-gram window — guarantees
+    any shared token run of ≥ k + w − 1 = 8 tokens shares a fingerprint,
+    at ~2/(w+1) the density of full shingling. The third fuzzy-dedup family
+    next to Jaccard (set overlap) and containment (directed): winnowing
+    catches LOCALIZED copied passages position-robustly.
+
+    Scale plan: gram hashing AND window-min selection are array-native
+    narrow JVM expressions (transform/slice/array_min — no explode until
+    the per-doc fingerprint SET is already winnowed ~5× smaller than the
+    shingle set); candidates then ride the standard capped inverted-index
+    join (df cap {WINNOW_DF_CAP} kills boilerplate fingerprints before the
+    self-join — the same quadratic-reducer guard as jaccard). Overlap is
+    scored on exact fingerprint counts, so reported values are exact."""
+    t = tokenized_docs(spark, sf_dir)
+    hs = (
+        f"IF(size(ws) >= {WINNOW_K}, "
+        f"transform(sequence(1, size(ws) - {WINNOW_K - 1}), "
+        f"p -> md5(array_join(slice(ws, p, {WINNOW_K}), ' '))), array())"
+    )
+    fps = (
+        f"IF(size(hs) >= {WINNOW_W}, "
+        f"array_distinct(transform(sequence(1, size(hs) - {WINNOW_W - 1}), "
+        f"q -> array_min(slice(hs, q, {WINNOW_W})))), array())"
+    )
+    fp = (
+        t.select("doc_id", F.expr(hs).alias("hs"))
+        .select("doc_id", F.explode(F.expr(fps)).alias("fp"))
+    )
+    from pyspark import StorageLevel
+
+    fp = fp.persist(StorageLevel.MEMORY_AND_DISK)  # cnt + index + join sides
+    cnt = fp.groupBy("doc_id").agg(F.count("*").alias("n"))
+    rare = fp.join(
+        fp.groupBy("fp").agg(F.count("*").alias("df")).filter(
+            F.col("df") <= WINNOW_DF_CAP
+        ),
+        "fp",
+    )
+    pair = (
+        rare.alias("a")
+        .join(
+            rare.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    score = F.col("i").cast("double") / F.least(F.col("na"), F.col("nb"))
+    return (
+        pair.join(cnt.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a")
+        .join(cnt.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
+        .filter(score >= WINNOW_MIN)
+        .select("a", "b", F.round(score, 6).alias("overlap"))
+        .orderBy("a", "b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R7. normalized-text dedup — exact dedup after canonicalization
 # ---------------------------------------------------------------------------
 @query(
     "dedup_normalized",

@@ -50,6 +50,7 @@ EMPTY_QUERIES = [
     "token_length_histogram",
     "events_anomaly",
     "dedup_normalized",
+    "dedup_winnow",
 ]
 
 

@@ -285,6 +285,16 @@ def test_decontaminate_fuzzy_broadcasts_benchmark_index(spark, sf_dir):
     assert "SortMergeJoin" not in p
 
 
+def test_winnow_no_cartesian_and_shares_fingerprint_cache(spark, sf_dir):
+    """Winnowing candidates come from the capped inverted-index self-join —
+    never a cartesian — and the fingerprint table is persisted so the
+    count/index/join branches share one winnowing pass."""
+    p = plan_of(spark, sf_dir, "dedup_winnow")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "InMemoryTableScan" in p
+
+
 def test_corpus_audit_aggs_are_two_level(spark, sf_dir):
     """token_length_histogram / events_anomaly / dedup_normalized are
     pre-aggregate-then-small-reduce plans: map-side combine present, no
