@@ -330,10 +330,8 @@ def token_length_histogram(spark, sf_dir):
 # ---------------------------------------------------------------------------
 ANOMALY_Z = 2.0
 
-
-@query(
-    "events_anomaly",
-    oracle=f"""
+# shared by the batch op and its streaming twin (same end-state semantics)
+ANOMALY_ORACLE = f"""
     WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
                            COUNT(*) AS c FROM events GROUP BY 1, 2),
     st AS (SELECT event_type, h, c,
@@ -348,8 +346,10 @@ ANOMALY_Z = 2.0
       FROM st
       WHERE n > 1 AND CAST(n AS DOUBLE)*s2 - CAST(s AS DOUBLE)*s > 0) t
     WHERE abs(z) >= {ANOMALY_Z} ORDER BY event_type, h
-    """,
-)
+    """
+
+
+@query("events_anomaly", oracle=ANOMALY_ORACLE)
 def events_anomaly(spark, sf_dir):
     """Hours whose event count deviates ≥2σ from the event type's mean rate —
     ingestion-spike / outage detection over the telemetry stream.
@@ -526,4 +526,90 @@ def dedup_normalized(spark, sf_dir):
             F.countDistinct(F.md5("text")).alias("n_exact_forms"),
         )
         .orderBy("keep_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R8. streaming event-rate anomaly — running per-type moments in keyed state
+# ---------------------------------------------------------------------------
+@query("streaming_events_anomaly", oracle=ANOMALY_ORACLE)
+def streaming_events_anomaly(spark, sf_dir):
+    """The anomaly scan as a CONTINUOUS stateful job: events replay
+    time-ordered across 4 micro-batches; per-type state carries the running
+    hour→count table across triggers (hours spanning a trigger boundary
+    merge by summation), and each trigger re-scores the type's hours against
+    its running moments (n, Σc, Σc²). The bounded replay's final per-type
+    revision therefore equals the batch scan — the oracle is the SAME SQL as
+    `events_anomaly`, the exact-parity contract used by `streaming_cdc_apply`.
+
+    z is computed worker-side in IEEE float64 with the oracle's exact
+    expression tree over exact integer sums, and rounded once in the final
+    JVM projection — bit-identical to the batch/DuckDB values.
+
+    100 TB/continuous shape: state per key is the type's hour-count table
+    (bounded: types × hours); emission is anomalies-only per revision. A
+    production deployment would age out hours beyond the watermark horizon;
+    the bounded replay keeps all (the dataset spans a fixed range)."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..io import _EPOCH_NTZ, events_stream_schema, stream_ts_cols
+    from .streaming import _run_to_memory, _staged_table_stream
+
+    schema = events_stream_schema(f"{sf_dir}/events.parquet")
+    raw = _staged_table_stream(spark, sf_dir, "events", "ts", schema, n_files=4)
+    stream = stream_ts_cols(raw).select("event_type", "ts_us")
+
+    hour_us = 3_600_000_000
+
+    def scan(key, pdfs, state):
+        if state.exists:
+            rev, hs, cs = state.get
+            counts = dict(zip(hs, cs))
+        else:
+            rev, counts = 0, {}
+        for pdf in pdfs:
+            hb = pdf["ts_us"] - pdf["ts_us"] % hour_us
+            for h, c in hb.value_counts().items():
+                counts[int(h)] = counts.get(int(h), 0) + int(c)
+        rev += 1
+        items = sorted(counts.items())
+        state.update((rev, [h for h, _ in items], [c for _, c in items]))
+        out = []
+        n = len(items)
+        if n > 1:
+            s = sum(c for _, c in items)
+            s2 = sum(c * c for _, c in items)
+            # the oracle's expression tree verbatim, over exact ints
+            num = float(n) * float(s2) - float(s) * float(s)
+            if num > 0:
+                mean = float(s) / n
+                denom = math.sqrt(num / (float(n) * (n - 1)))
+                for h, c in items:
+                    z = (c - mean) / denom
+                    if abs(z) >= ANOMALY_Z:
+                        out.append((key[0], h, c, z, rev))
+        yield pd.DataFrame(out, columns=["event_type", "h_us", "c", "z", "rev"])
+
+    res = stream.groupBy("event_type").applyInPandasWithState(
+        scan,
+        "event_type string, h_us long, c long, z double, rev long",
+        "rev long, hs array<long>, cs array<long>",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_memory(res, "update")
+    w = Window.partitionBy("event_type")
+    return (
+        out.withColumn("maxrev", F.max("rev").over(w))
+        .filter(F.col("rev") == F.col("maxrev"))
+        .select(
+            "event_type",
+            F.expr(f"timestampadd(MICROSECOND, h_us, {_EPOCH_NTZ})").alias("h"),
+            "c",
+            F.round("z", 6).alias("z"),
+        )
+        .orderBy("event_type", "h")
     )

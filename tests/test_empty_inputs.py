@@ -51,6 +51,7 @@ EMPTY_QUERIES = [
     "events_anomaly",
     "dedup_normalized",
     "dedup_winnow",
+    "streaming_events_anomaly",
 ]
 
 
