@@ -85,10 +85,10 @@ def _bm25_postings(spark, sf_dir):
     return post
 
 
-@query(
-    "bm25_topk",
-    oracle=f"""
-    WITH w AS (SELECT doc_id, {SQL_WORDS} AS ws FROM documents),
+# shared CTE chain ending in ranked(query_id, doc_id, score, brnk) —
+# consumed by bm25_topk and the PRF hybrid re-ranker
+_SQL_BM25_RANKED = f"""
+    w AS (SELECT doc_id, {SQL_WORDS} AS ws FROM documents),
     lens AS (SELECT doc_id, ws, len(ws) AS dl FROM w),
     stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM lens),
     qt(query_id, term) AS (VALUES {_SQL_QT_VALUES}),
@@ -105,13 +105,20 @@ def _bm25_postings(spark, sf_dir):
       FROM post p JOIN qt q USING (term) JOIN dfq d USING (term)
       CROSS JOIN stats s),
     sc AS (SELECT query_id, doc_id, ROUND(CAST(SUM(contrib) AS DOUBLE), 6)
-                  AS score FROM per GROUP BY 1, 2)
-    SELECT query_id, doc_id, score, CAST(rnk AS INT) AS rnk FROM (
-      SELECT query_id, doc_id, score,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY score DESC, doc_id) AS rnk
-      FROM sc) t
-    WHERE rnk <= {BM25_TOPK} ORDER BY query_id, rnk
+                  AS score FROM per GROUP BY 1, 2),
+    ranked AS (SELECT query_id, doc_id, score,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, doc_id) AS brnk
+               FROM sc)
+"""
+
+
+@query(
+    "bm25_topk",
+    oracle=f"""
+    WITH {_SQL_BM25_RANKED}
+    SELECT query_id, doc_id, score, CAST(brnk AS INT) AS rnk
+    FROM ranked WHERE brnk <= {BM25_TOPK} ORDER BY query_id, rnk
     """,
 )
 def bm25_topk(spark, sf_dir):
@@ -125,6 +132,17 @@ def bm25_topk(spark, sf_dir):
     contributions are ln-rounded to 9 dp and DECIMAL-summed so scores are
     order-independent and engine-identical; ranking orders by the ROUNDED
     score with doc_id tie-break — fully deterministic top-k."""
+    return (
+        _bm25_ranked(spark, sf_dir)
+        .filter(F.col("rnk") <= BM25_TOPK)
+        .select("query_id", "doc_id", "score", "rnk")
+        .orderBy("query_id", "rnk")
+    )
+
+
+def _bm25_ranked(spark, sf_dir):
+    """(query_id, doc_id, score, rnk) for every query-matched document —
+    the shared scoring pipeline behind `bm25_topk` and `bm25_prf_hybrid`."""
     t = tokenized_docs(spark, sf_dir)
     lens = t.select("doc_id", F.size("ws").alias("dl"))
     stats = lens.agg(
@@ -156,10 +174,105 @@ def bm25_topk(spark, sf_dir):
         .agg(F.round(F.sum("contrib").cast("double"), 6).alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return sc.withColumn("rnk", F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
+# R1b. hybrid retrieval — BM25 shortlist + pseudo-relevance-feedback re-rank
+# ---------------------------------------------------------------------------
+PRF_DOCS = 3  # pseudo-relevant docs whose embeddings form the query centroid
+HYBRID_SHORTLIST = 30
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+
+
+@query(
+    "bm25_prf_hybrid",
+    oracle=f"""
+    WITH {_SQL_BM25_RANKED},
+    short AS (SELECT query_id, doc_id, brnk FROM ranked
+              WHERE brnk <= {HYBRID_SHORTLIST}),
+    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings),
+    prf AS (SELECT s.query_id, s.brnk, e.emb FROM short s
+            JOIN emb e ON e.vec_id = s.doc_id WHERE s.brnk <= {PRF_DOCS}),
+    cent0 AS (SELECT query_id, list(emb ORDER BY brnk) AS es,
+                     COUNT(*) AS np FROM prf GROUP BY query_id),
+    cent AS (SELECT query_id,
+               list_transform(
+                 list_reduce(es, (a, b) ->
+                   list_transform(range(1, len(a) + 1), i -> a[i] + b[i])),
+                 v -> v / np) AS centroid
+             FROM cent0),
+    rr AS (SELECT s.query_id, s.doc_id, s.brnk,
+             list_dot_product(c.centroid, e.emb)
+               / (sqrt(list_dot_product(c.centroid, c.centroid))
+                  * sqrt(list_dot_product(e.emb, e.emb))) AS sim
+           FROM short s JOIN emb e ON e.vec_id = s.doc_id
+           JOIN cent c USING (query_id)),
+    fin AS (SELECT query_id, doc_id, CAST(brnk AS INT) AS bm25_rnk,
+                   ROUND(sim, 6) AS sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY ROUND(sim, 6) DESC, doc_id) AS rnk
+            FROM rr)
+    SELECT query_id, doc_id, bm25_rnk, sim, CAST(rnk AS INT) AS rnk
+    FROM fin WHERE rnk <= {BM25_TOPK} ORDER BY query_id, rnk
+    """,
+)
+def bm25_prf_hybrid(spark, sf_dir):
+    """Hybrid retrieval: BM25 shortlist re-ranked by embedding cosine against
+    a Rocchio pseudo-relevance-feedback centroid — the mean embedding of the
+    query's top-{PRF_DOCS} BM25 hits (no query-encoder model needed; the
+    classic PRF construction). The standard two-stage retrieval shape:
+    cheap lexical recall, dense precision re-rank.
+
+    Scale plan: the shortlist is queries × {HYBRID_SHORTLIST} rows — ONLY
+    shortlisted doc ids join the embedding table (point lookups on the join
+    key, never an embedding-corpus scan), and the per-query centroid table
+    broadcasts. Determinism: the centroid folds the PRF embeddings in rank
+    order (sequential left fold, identical in both engines), cosine uses the
+    shared sequential-dot expression, and the re-rank orders by ROUNDED
+    similarity with doc_id tie-break."""
+    ranked = _bm25_ranked(spark, sf_dir)
+    short = ranked.filter(F.col("rnk") <= HYBRID_SHORTLIST).select(
+        "query_id", "doc_id", F.col("rnk").alias("bm25_rnk")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    prf = (
+        short.filter(F.col("bm25_rnk") <= PRF_DOCS)
+        .join(emb, short.doc_id == emb.vec_id)
+        .select("query_id", "bm25_rnk", "emb")
+    )
+    cent = (
+        prf.groupBy("query_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("bm25_rnk", "emb"))).alias("es"),
+            F.count("*").alias("np"),
+        )
+        .withColumn(
+            "centroid",
+            F.expr(
+                "transform(aggregate(slice(es, 2, size(es) - 1), es[0].emb,"
+                " (acc, s) -> zip_with(acc, s.emb, (x, y) -> x + y)),"
+                " v -> v / np)"
+            ),
+        )
+        .select("query_id", "centroid")
+    )
+    dot_ce = F.expr(_DOT.format(a="centroid", b="emb"))
+    norm_c = F.sqrt(F.expr(_DOT.format(a="centroid", b="centroid")))
+    norm_e = F.sqrt(F.expr(_DOT.format(a="emb", b="emb")))
+    rr = (
+        short.join(emb, short.doc_id == emb.vec_id)
+        .join(F.broadcast(cent), "query_id")
+        .withColumn("sim", F.round(dot_ce / (norm_c * norm_e), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("doc_id"))
     return (
-        sc.withColumn("rnk", F.row_number().over(w))
+        rr.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= BM25_TOPK)
-        .select("query_id", "doc_id", "score", "rnk")
+        .select("query_id", "doc_id", "bm25_rnk", "sim", "rnk")
         .orderBy("query_id", "rnk")
     )
 

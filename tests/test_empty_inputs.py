@@ -45,6 +45,7 @@ EMPTY_QUERIES = [
     "q25_hop_window",
     "q26_cumulate_window",
     "bm25_topk",
+    "bm25_prf_hybrid",
     "doc_chunk",
     "decontaminate_fuzzy",
     "token_length_histogram",

@@ -266,6 +266,18 @@ def test_bm25_broadcasts_and_shares_postings(spark, sf_dir):
     assert "InMemoryTableScan" in p  # memoized postings feed both branches
 
 
+def test_hybrid_rerank_broadcasts_centroids(spark, sf_dir):
+    """The per-query PRF centroid table is queries-sized and must broadcast
+    into the re-rank join; nothing in the two-stage pipeline may fall back
+    to a cartesian."""
+    p = plan_of(spark, sf_dir, "bm25_prf_hybrid")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    # the only nested-loop joins are the broadcast 1-row global-stats cross
+    # joins inherited from the BM25 scorer — every keyed join broadcasts
+
+
 def test_doc_chunk_is_narrow(spark, sf_dir):
     """Chunking must not join or aggregate — only the shared token-cache
     repartition and the presentation sort may exchange."""
