@@ -60,6 +60,8 @@ HEADLINE = [
     ("doc_chunk", "context-window chunking: narrow sequence/posexplode manifest, no keyed shuffle"),
     ("decontaminate_fuzzy", "per-pair benchmark containment over the broadcast eval 8-gram index"),
     ("events_anomaly", "(type, hour) pre-agg → per-type window from exact integer sums"),
+    ("dedup_winnow", "winnowing fingerprints: narrow array-native selection → capped inverted-index join"),
+    ("bm25_prf_hybrid", "two-stage retrieval: shortlist-only embedding joins, broadcast PRF centroids"),
 ]
 
 
