@@ -54,6 +54,12 @@ INVARIANT_QUERIES = [
     #   events_anomaly       — z-scores from exact integer window sums
     "bm25_topk",
     "events_anomaly",
+    #   bm25_prf_hybrid      — rank-ordered centroid fold + rounded-sim
+    #                          re-rank with doc_id tie-break
+    #   dedup_winnow         — exact integer overlap counts on md5
+    #                          fingerprints, rounded at the edge
+    "bm25_prf_hybrid",
+    "dedup_winnow",
 ]
 
 
