@@ -38,7 +38,16 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ._registry import query
-from .llm import _SQL_G8_CTES, NGRAMS, SQL_WORDS, _memo_put, tokenized_docs
+from .llm import (
+    _SQL_G8_CTES,
+    _SW,
+    FUNNEL_ORACLE,
+    NGRAMS,
+    SQL_WORDS,
+    WORDS,
+    _memo_put,
+    tokenized_docs,
+)
 
 # ---------------------------------------------------------------------------
 # R1. BM25 keyword retrieval — top-k documents per query (oracle-matched)
@@ -725,4 +734,175 @@ def streaming_events_anomaly(spark, sf_dir):
             F.round("z", 6).alias("z"),
         )
         .orderBy("event_type", "h")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R9. linear quality classifier — fastText-style logit over engineered
+#     text features (oracle-matched)
+# ---------------------------------------------------------------------------
+# The standard corpus-curation gate (CCNet / GPT-3 style): a linear model
+# over cheap lexical features scores every document and the pipeline keeps
+# the positive class. Weights here are fixed, public-heuristic surrogates
+# (in production they come from a trained fastText/logreg model — same
+# runtime shape: broadcast weights, map-only scoring).
+#
+# Determinism: every feature is a double ratio of exact integers with an
+# IDENTICAL expression tree on both engines; the logit combines them in the
+# same left-associated order, is rounded ONCE to 6dp, and the keep decision
+# compares the rounded value — bit-stable at any parallelism.
+QC_SQL_FEATURES = f"""
+    w AS (SELECT doc_id, {SQL_WORDS} AS ws FROM documents),
+    f AS (SELECT doc_id, len(ws) AS n_words,
+                 CAST(len(list_distinct(ws)) AS DOUBLE)
+                   / greatest(len(ws), 1) AS uniq_ratio,
+                 CAST(len(list_filter(ws, x -> x IN ({_SW}))) AS DOUBLE)
+                   / greatest(len(ws), 1) AS stop_ratio,
+                 CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0)
+                      AS DOUBLE) / greatest(len(ws), 1) AS mean_wlen
+          FROM w)
+"""
+
+
+@query(
+    "quality_classifier",
+    oracle=f"""
+    WITH {QC_SQL_FEATURES},
+    s AS (SELECT *, -4.0 + 2.0 * uniq_ratio - 3.0 * stop_ratio
+                    + 0.5 * mean_wlen
+                    + least(CAST(n_words AS DOUBLE) / 40.0, 2.0) AS logit
+          FROM f)
+    SELECT doc_id, n_words, ROUND(uniq_ratio, 6) AS uniq_ratio,
+           ROUND(stop_ratio, 6) AS stop_ratio,
+           ROUND(mean_wlen, 6) AS mean_wlen,
+           ROUND(logit, 6) AS q_logit,
+           CASE WHEN ROUND(logit, 6) > 0 THEN 1 ELSE 0 END AS kept
+    FROM s ORDER BY doc_id
+    """,
+)
+def quality_classifier(spark, sf_dir):
+    """Per-document linear quality score + keep decision. Plan: a single
+    narrow projection over the scan (the word split is subexpression-
+    eliminated inside whole-stage codegen) — zero shuffles at any corpus
+    size; the final orderBy exists for stable oracle comparison."""
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.expr(f"size({WORDS})")
+    denom = F.greatest(n_words, F.lit(1))
+    uniq = F.expr(f"size(array_distinct({WORDS}))").cast("double") / denom
+    stop = F.expr(f"size(filter({WORDS}, x -> x IN ({_SW})))").cast("double") / denom
+    wlen = F.expr(f"aggregate({WORDS}, 0L, (a, x) -> a + length(x))").cast(
+        "double"
+    ) / denom
+    logit = (
+        F.lit(-4.0)
+        + F.lit(2.0) * uniq
+        - F.lit(3.0) * stop
+        + F.lit(0.5) * wlen
+        + F.least(n_words.cast("double") / 40.0, F.lit(2.0))
+    )
+    q_logit = F.round(logit, 6)
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(uniq, 6).alias("uniq_ratio"),
+        F.round(stop, 6).alias("stop_ratio"),
+        F.round(wlen, 6).alias("mean_wlen"),
+        q_logit.alias("q_logit"),
+        F.when(q_logit > 0, 1).otherwise(0).alias("kept"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# R10. streaming conversion funnel — per-user step state across triggers
+# ---------------------------------------------------------------------------
+@query("streaming_events_funnel", oracle=FUNNEL_ORACLE)
+def streaming_events_funnel(spark, sf_dir):
+    """The strictly-ordered view→click→purchase funnel as a CONTINUOUS
+    stateful job: events replay time-ordered across 4 micro-batches;
+    per-user state carries (t1, t2, t3) — each step's first qualifying
+    timestamp — and advances monotonically (a step, once set, never
+    changes, and time-ordered replay makes the incremental update EXACT:
+    a qualifying event for step k can only arrive at-or-after the batch
+    that set step k−1). The final per-user revision therefore equals the
+    batch window computation, and the single-row roll-up reuses
+    ``events_funnel``'s exact-integer-microsecond arithmetic — the oracle
+    is the SAME SQL (the `streaming_events_anomaly` parity contract).
+
+    100 TB/continuous shape: state per user is three longs (bounded);
+    emission is one revision row per user per trigger that touches the
+    user. A production deployment would expire users past the attribution
+    horizon via state timeouts; the bounded replay keeps all."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..io import events_stream_schema, stream_ts_cols
+    from .streaming import _run_to_memory, _staged_table_stream
+
+    schema = events_stream_schema(f"{sf_dir}/events.parquet")
+    raw = _staged_table_stream(spark, sf_dir, "events", "ts", schema, n_files=4)
+    stream = stream_ts_cols(raw).select("user_id", "event_type", "ts_us")
+
+    def advance(key, pdfs, state):
+        if state.exists:
+            rev, t1, t2, t3 = state.get
+        else:
+            rev, t1, t2, t3 = 0, None, None, None
+        for pdf in pdfs:
+            ts = pdf["ts_us"]
+            et = pdf["event_type"]
+            if t1 is None:
+                v = ts[et == "view"]
+                if len(v):
+                    t1 = int(v.min())
+            if t1 is not None and t2 is None:
+                c = ts[(et == "click") & (ts > t1)]
+                if len(c):
+                    t2 = int(c.min())
+            if t2 is not None and t3 is None:
+                p = ts[(et == "purchase") & (ts > t2)]
+                if len(p):
+                    t3 = int(p.min())
+        rev += 1
+        state.update((rev, t1, t2, t3))
+        yield pd.DataFrame(
+            [(key[0], t1, t2, t3, rev)],
+            columns=["user_id", "t1", "t2", "t3", "rev"],
+        )
+
+    res = stream.groupBy("user_id").applyInPandasWithState(
+        advance,
+        "user_id long, t1 long, t2 long, t3 long, rev long",
+        "rev long, t1 long, t2 long, t3 long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_memory(res, "update")
+    w = Window.partitionBy("user_id")
+    u = (
+        out.withColumn("maxrev", F.max("rev").over(w))
+        .filter(F.col("rev") == F.col("maxrev"))
+        .select("user_id", "t1", "t2", "t3")
+    )
+    return u.agg(
+        F.count("t1").alias("n_view_users"),
+        F.count("t2").alias("n_click_users"),
+        F.count("t3").alias("n_purchase_users"),
+        F.round(
+            F.count("t2").cast("double") / F.nullif(F.count("t1"), F.lit(0)), 6
+        ).alias("view_to_click_rate"),
+        F.round(
+            F.count("t3").cast("double") / F.nullif(F.count("t2"), F.lit(0)), 6
+        ).alias("click_to_purchase_rate"),
+        F.round(
+            F.sum(F.col("t2") - F.col("t1")).cast("double")
+            / F.nullif(F.count("t2"), F.lit(0))
+            / 1e6,
+            6,
+        ).alias("avg_view_to_click_s"),
+        F.round(
+            F.sum(F.col("t3") - F.col("t2")).cast("double")
+            / F.nullif(F.count("t3"), F.lit(0))
+            / 1e6,
+            6,
+        ).alias("avg_click_to_purchase_s"),
     )

@@ -3296,9 +3296,7 @@ def dedup_substring(spark, sf_dir):
 #     rates + mean step latencies (the other canonical product-analytics
 #     composite next to retention/sessionize)
 # ---------------------------------------------------------------------------
-@query(
-    "events_funnel",
-    oracle="""
+FUNNEL_ORACLE = """
     WITH d AS (
       SELECT user_id,
              MIN(CASE WHEN event_type = 'view' THEN ts END)
@@ -3322,8 +3320,10 @@ def dedup_substring(spark, sf_dir):
            ROUND(CAST(SUM(date_diff('microsecond', t2, t3)) AS DOUBLE)
                  / NULLIF(COUNT(t3), 0) / 1e6, 6) AS avg_click_to_purchase_s
     FROM u
-    """,
-)
+    """
+
+
+@query("events_funnel", oracle=FUNNEL_ORACLE)
 def events_funnel(spark, sf_dir):
     """Strictly-ordered three-step funnel. Plan shape: the raw events are
     touched ONCE and shuffled ONCE (user_id); the three step timestamps are

@@ -53,6 +53,9 @@ EMPTY_QUERIES = [
     "dedup_normalized",
     "dedup_winnow",
     "streaming_events_anomaly",
+    "quality_classifier",
+    "dedup_semantic",
+    "embedding_pca",
 ]
 
 

@@ -385,6 +385,12 @@ SHUFFLE_BUDGET = {
     # ONE user-keyed shuffle feeds all three step windows AND the per-user
     # collapse; the second exchange is the single-row final roll-up
     "events_funnel": 2,
+    # single narrow projection over the scan + presentation sort
+    "quality_classifier": 1,
+    # narrow mapInPandas assignment + ONE cell-keyed exchange + sort
+    "dedup_semantic": 2,
+    # narrow mapInPandas GEMM projection + presentation sort only
+    "embedding_pca": 1,
 }
 
 

@@ -36,4 +36,6 @@ def test_all_queries_have_entries():
         "knn_label_vote_ann",
         "profile_table_sketch",
         "multimodal_decode",
+        "dedup_semantic",
+        "embedding_pca",
     }
