@@ -906,3 +906,255 @@ def streaming_events_funnel(spark, sf_dir):
             6,
         ).alias("avg_click_to_purchase_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R11. per-document n-gram novelty — contribution scoring for curation
+# ---------------------------------------------------------------------------
+# The "does this document add anything new" signal: fraction of a doc's
+# distinct trigrams whose FIRST corpus occurrence (lowest doc_id) is this
+# document. Low-novelty docs are rephrasings/recombinations of earlier
+# material — the complement of the dedup families, which need a concrete
+# duplicate partner to fire.
+@query(
+    "token_ngram_novelty",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {SQL_WORDS} AS ws FROM documents),
+    idx AS (SELECT doc_id, ws,
+                   unnest(range(1, greatest(len(ws) - 2, 1) + 1)) AS g
+            FROM w),
+    gr AS (SELECT DISTINCT doc_id,
+                  ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2] AS gram
+           FROM idx WHERE ws[g+2] IS NOT NULL),
+    f AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY gram) AS first_doc
+          FROM gr)
+    SELECT doc_id, COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS novelty
+    FROM f GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def token_ngram_novelty(spark, sf_dir):
+    """Per-doc novelty = share of its distinct trigrams it introduced to the
+    corpus (first occurrence by doc_id — in a real pipeline, by ingest time).
+
+    Plan: distinct trigrams ride the shared token cache (JVM higher-order
+    transform, map-side array_distinct); gram first-occurrence is an
+    unbounded MIN window over the gram partitioning — no self-join, no
+    gram→doc join-back — then the per-doc rollup. Exchanges: gram window +
+    doc agg + presentation sort; every shuffled row is a (32-byte-bounded
+    gram, doc_id) pair, never document bodies. Docs with <3 words have no
+    trigrams and no row (mirrored in the oracle)."""
+    t = tokenized_docs(spark, sf_dir)
+    pairs = t.select(
+        "doc_id", F.explode(F.expr(NGRAMS.format(ws="ws", k=3))).alias("gram")
+    )
+    w = Window.partitionBy("gram")
+    f = pairs.withColumn("first_doc", F.min("doc_id").over(w))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        f.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            novel.cast("long").alias("n_novel"),
+            F.round(novel.cast("double") / F.count("*"), 6).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R12. source vocabulary overlap — pairwise Jaccard of source vocabularies
+# ---------------------------------------------------------------------------
+# The mixture-design companion to `source_kl_divergence`: KL measures how a
+# source's word DISTRIBUTION diverges from the corpus; this measures how
+# much raw VOCABULARY source pairs share — near-identical vocabularies mark
+# redundant sources (mirror feeds, re-crawls) before any per-doc dedup runs.
+_SOURCE_VOCAB_MEMO: dict = {}
+
+
+def _source_vocab(spark, sf_dir):
+    """(source, word) distinct vocabulary table, persisted + memoized —
+    referenced THREE times by `source_overlap_jaccard` (both join sides +
+    the size table); without the persist the distinct-aggregate subtree is
+    recomputed per reference (three corpus scans at 100 TB)."""
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir, "srcvocab")
+    v = _SOURCE_VOCAB_MEMO.get(key)
+    if v is None:
+        d = load_table(spark, sf_dir, "documents")
+        v = (
+            d.select("source", F.explode(F.expr(WORDS)).alias("word"))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        _memo_put(_SOURCE_VOCAB_MEMO, key, v)
+    return v
+
+
+@query(
+    "source_overlap_jaccard",
+    oracle=f"""
+    WITH v AS (SELECT DISTINCT source, unnest({SQL_WORDS}) AS word
+               FROM documents),
+    sz AS (SELECT source, COUNT(*) AS n FROM v GROUP BY source),
+    inter AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter
+              FROM v a JOIN v b ON a.word = b.word AND a.source < b.source
+              GROUP BY 1, 2)
+    SELECT i.src_a, i.src_b, i.n_inter, sa.n AS n_a, sb.n AS n_b,
+           ROUND(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6)
+             AS jaccard
+    FROM inter i JOIN sz sa ON sa.source = i.src_a
+                 JOIN sz sb ON sb.source = i.src_b
+    ORDER BY src_a, src_b
+    """,
+)
+def source_overlap_jaccard(spark, sf_dir):
+    """Jaccard overlap of distinct-word vocabularies for every source pair.
+
+    Plan: ONE (source, word) distinct-aggregate shrinks the corpus to its
+    per-source vocabulary (cardinality = vocab × sources, corpus-size-
+    independent); the pair intersection is a word-keyed self-join over that
+    vocabulary table whose output is bounded by |sources|² per word; the
+    tiny per-source size table broadcasts into the final projection. No
+    corpus-sized shuffle after the first aggregate."""
+    v = _source_vocab(spark, sf_dir)
+    sz = v.groupBy("source").agg(F.count("*").alias("n"))
+    a = v.select(F.col("source").alias("src_a"), "word")
+    b = v.select(F.col("source").alias("src_b"), "word")
+    inter = (
+        a.join(b, ["word"])
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(
+            F.broadcast(sz.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sz.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return out.orderBy("src_a", "src_b")
+
+
+# ---------------------------------------------------------------------------
+# R13. streaming quality gate — per-source running keep-counts in state
+# ---------------------------------------------------------------------------
+# `quality_filter` as a continuous job: documents arrive over 4 triggers,
+# the per-doc score/keep decision is a STATELESS JVM projection on the
+# stream, and only the per-source (n_kept, Σquality) roll-up is stateful.
+# Exactness convention: the state carries quality as integer NANO-units
+# (round(quality, 9) exact-decimal-scaled to a long), so the running sum is
+# order- and batching-independent; the oracle applies the identical
+# quantization — the only divergence from `quality_filter`'s oracle, which
+# sums raw doubles (single-engine order sensitivity the streaming form
+# cannot reproduce).
+STREAM_QF_ORACLE = f"""
+    WITH b AS (
+      SELECT doc_id, source, length(text) AS n_chars_calc,
+             len({SQL_WORDS}) AS n_words,
+             len(list_filter({SQL_WORDS}, x -> x IN ({_SW}))) AS n_stop
+      FROM documents),
+    q AS (
+      SELECT *, least(CAST(n_words AS DOUBLE) / 50, 1.0) * 0.6
+              + (1 - CAST(n_stop AS DOUBLE) / greatest(n_words, 1)) * 0.2
+              + least(CAST(n_chars_calc AS DOUBLE) / 500, 1.0) * 0.2 AS quality
+      FROM b),
+    k AS (SELECT source,
+                 CAST(CAST(ROUND(quality, 9) AS DECIMAL(20,9)) * 1000000000
+                      AS BIGINT) AS q9
+          FROM q WHERE quality >= 0.5 AND n_words >= 10)
+    SELECT source, COUNT(*) AS n_kept,
+           ROUND(CAST(CAST(SUM(q9) AS BIGINT) AS DOUBLE) / 1e9 / COUNT(*), 6)
+             AS avg_quality
+    FROM k GROUP BY source ORDER BY source
+"""
+
+
+@query("streaming_quality_filter", oracle=STREAM_QF_ORACLE)
+def streaming_quality_filter(spark, sf_dir):
+    """Continuous curation gate: per-source kept-count and average quality
+    maintained across triggers. State per source is two longs (count +
+    nano-unit quality sum) — bounded by |sources|, trivially scalable; the
+    scoring itself never enters Python (stateless Catalyst projection
+    upstream of the keyed state op)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .streaming import _run_to_memory, _staged_table_stream
+
+    raw = _staged_table_stream(
+        spark, sf_dir, "documents", "doc_id",
+        "doc_id bigint, text string, source string", n_files=4,
+    )
+    n_words = F.expr(f"size({WORDS})")
+    n_stop = F.expr(f"size(filter({WORDS}, x -> x IN ({_SW})))")
+    quality = (
+        F.least(n_words.cast("double") / 50, F.lit(1.0)) * 0.6
+        + (1 - n_stop.cast("double") / F.greatest(n_words, F.lit(1))) * 0.2
+        + F.least(F.length("text").cast("double") / 500, F.lit(1.0)) * 0.2
+    )
+    q9 = (F.round(quality, 9).cast("decimal(20,9)") * 1000000000).cast("long")
+    kept = (
+        raw.withColumn("quality", quality)
+        .withColumn("nw", n_words)
+        .filter((F.col("quality") >= 0.5) & (F.col("nw") >= 10))
+        .select("source", q9.alias("q9"))
+    )
+
+    def roll(key, pdfs, state):
+        if state.exists:
+            rev, n, s = state.get
+        else:
+            rev, n, s = 0, 0, 0
+        for pdf in pdfs:
+            n += int(len(pdf))
+            s += int(pdf["q9"].sum())
+        rev += 1
+        state.update((rev, n, s))
+        yield pd.DataFrame(
+            [(key[0], n, s, rev)], columns=["source", "n", "s", "rev"]
+        )
+
+    res = kept.groupBy("source").applyInPandasWithState(
+        roll,
+        "source string, n long, s long, rev long",
+        "rev long, n long, s long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_memory(res, "update")
+    w = Window.partitionBy("source")
+    return (
+        out.withColumn("maxrev", F.max("rev").over(w))
+        .filter(F.col("rev") == F.col("maxrev"))
+        .select(
+            "source",
+            F.col("n").alias("n_kept"),
+            F.round(
+                F.col("s").cast("double") / 1e9 / F.col("n"), 6
+            ).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )

@@ -236,3 +236,102 @@ def embedding_pca(spark, sf_dir):
     return base.mapInPandas(project, "vec_id long, pc array<double>").orderBy(
         "vec_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed spherical k-means — Lloyd refinement over the full corpus
+# ---------------------------------------------------------------------------
+KM_CELLS = 8
+KM_ITERS = 2  # refinement rounds over the full corpus after the sample init
+
+
+def _km_assign_stats(base, C):
+    """One Lloyd half-step as a plan: narrow mapInPandas assignment against
+    the broadcast centroids, then a cell-keyed applyInPandas that reduces
+    each cell to (n, Σx per dim, Σcos) — ONE shuffle whose reduce side is k
+    rows. Per-dim sums use math.fsum (correctly rounded independent of
+    summation order), so the reduction is bit-identical at any partitioning
+    — the float-determinism contract the DECIMAL convention provides for
+    SQL aggregates, applied to a Python reducer."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    d = C.shape[1]
+
+    def assign(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.asarray(pdf["embd"].tolist(), dtype=np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            S = Xn @ C.T
+            cell = S.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "cell": cell.astype("int32"),
+                    "sim": S[np.arange(len(X)), cell],
+                    "embd": pdf["embd"],
+                }
+            )
+
+    def reduce_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        X = np.asarray(pdf["embd"].tolist(), dtype=np.float64)
+        s = [math.fsum(X[:, j]) for j in range(d)]
+        return pd.DataFrame(
+            {
+                "cell": [int(pdf["cell"].iloc[0])],
+                "n": [len(pdf)],
+                "s": [s],
+                "sim_sum": [math.fsum(pdf["sim"])],
+            }
+        )
+
+    return (
+        base.mapInPandas(assign, "cell int, sim double, embd array<double>")
+        .groupBy("cell")
+        .applyInPandas(
+            reduce_cell, "cell int, n long, s array<double>, sim_sum double"
+        )
+    )
+
+
+@query("embedding_kmeans")
+def embedding_kmeans(spark, sf_dir):
+    """Spherical k-means over the FULL corpus: sample-initialized centroids
+    (the shared deterministic trainer) refined by ``KM_ITERS`` distributed
+    Lloyd iterations, then a final assignment pass that reports per-cluster
+    size and mean cosine-to-centroid.
+
+    This is the iterative-algorithm template at scale: each iteration is one
+    narrow assignment pass + one cell-keyed reduce to k rows; the ONLY
+    driver-side data is the k×d centroid matrix collected at each sync point
+    (the textbook k-means synchronization barrier — bytes ∝ k·d, never the
+    corpus). Output: k rows (cell, n, mean_sim) — rows-only with an exact
+    numpy-parity pin (fsum reduction makes every value partitioning-
+    independent) in tests/test_semantic_ops.py."""
+    import math
+
+    import numpy as np
+
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embd")
+    )
+    cents = _ivf_train(_hash_stable_pool(base, SEM_TRAIN_SAMPLE), k=KM_CELLS)
+    if cents.size == 0:
+        return spark.createDataFrame([], "cell int, n long, mean_sim double")
+    C = np.ascontiguousarray(cents, dtype=np.float64)
+    for _ in range(KM_ITERS):
+        rows = _km_assign_stats(base, C).collect()  # k rows — bounded
+        for r in rows:
+            m = np.asarray(r["s"], dtype=np.float64)
+            nrm = float(np.linalg.norm(m))
+            if r["n"] and nrm > 1e-12:
+                C[r["cell"]] = m / nrm
+    stats = _km_assign_stats(base, C)
+    return stats.select(
+        "cell",
+        "n",
+        F.round(F.col("sim_sum") / F.col("n"), 6).alias("mean_sim"),
+    ).orderBy("cell")

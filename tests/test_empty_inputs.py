@@ -56,6 +56,10 @@ EMPTY_QUERIES = [
     "quality_classifier",
     "dedup_semantic",
     "embedding_pca",
+    "embedding_kmeans",
+    "token_ngram_novelty",
+    "source_overlap_jaccard",
+    "streaming_quality_filter",
 ]
 
 

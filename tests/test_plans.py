@@ -307,6 +307,16 @@ def test_winnow_no_cartesian_and_shares_fingerprint_cache(spark, sf_dir):
     assert "InMemoryTableScan" in p
 
 
+def test_source_overlap_shares_vocab_cache(spark, sf_dir):
+    """The (source, word) vocabulary distinct must materialize ONCE and be
+    re-read by both join sides and the size table — the static plan shows
+    the persisted subtree as InMemoryTableScan references (>= 3), and the
+    pair join must never degrade to a Cartesian product."""
+    p = plan_of(spark, sf_dir, "source_overlap_jaccard")
+    assert p.count("InMemoryTableScan") >= 3
+    assert "CartesianProduct" not in p
+
+
 def test_corpus_audit_aggs_are_two_level(spark, sf_dir):
     """token_length_histogram / events_anomaly / dedup_normalized are
     pre-aggregate-then-small-reduce plans: map-side combine present, no
@@ -391,6 +401,10 @@ SHUFFLE_BUDGET = {
     "dedup_semantic": 2,
     # narrow mapInPandas GEMM projection + presentation sort only
     "embedding_pca": 1,
+    # token-cache repartition + gram-window + per-doc agg + sort; the gram
+    # first-occurrence is a window over the gram partitioning, never a
+    # self-join or join-back
+    "token_ngram_novelty": 4,
 }
 
 

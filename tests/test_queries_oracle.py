@@ -38,4 +38,5 @@ def test_all_queries_have_entries():
         "multimodal_decode",
         "dedup_semantic",
         "embedding_pca",
+        "embedding_kmeans",
     }

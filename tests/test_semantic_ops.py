@@ -152,3 +152,68 @@ def test_pca_basis_is_orthonormal_and_variance_ordered(spark, sf_dir):
     # sign fix: each component's largest-magnitude coordinate is positive
     for row in W:
         assert row[int(np.argmax(np.abs(row)))] > 0
+
+
+def _km_reference(spark, sf_dir):
+    """Lloyd refinement recomputed off-Spark with the identical fsum
+    reduction — {cell: (n, mean_sim)}."""
+    import math
+
+    from flink_notebooks_spark.queries.semantic import KM_CELLS, KM_ITERS
+
+    ids, X = _corpus(spark, sf_dir)
+    C = np.asarray(
+        _ivf_train(
+            _hash_stable_pool(_base(spark, sf_dir), SEM_TRAIN_SAMPLE),
+            k=KM_CELLS,
+        ),
+        dtype=np.float64,
+    ).copy()
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    for _ in range(KM_ITERS):
+        S = Xn @ C.T
+        cell = S.argmax(axis=1)
+        for c in range(KM_CELLS):
+            sel = X[cell == c]
+            if len(sel):
+                m = np.array([math.fsum(sel[:, j]) for j in range(X.shape[1])])
+                nrm = float(np.linalg.norm(m))
+                if nrm > 1e-12:
+                    C[c] = m / nrm
+    S = Xn @ C.T
+    cell = S.argmax(axis=1)
+    sim = S[np.arange(len(X)), cell]
+    return {
+        int(c): (
+            int((cell == c).sum()),
+            round(math.fsum(sim[cell == c]) / (cell == c).sum(), 6),
+        )
+        for c in np.unique(cell)
+    }
+
+
+def test_embedding_kmeans_matches_numpy_reference(spark, sf_dir):
+    ref = _km_reference(spark, sf_dir)
+    got = {
+        r["cell"]: (r["n"], r["mean_sim"])
+        for r in QUERIES["embedding_kmeans"](spark, sf_dir).collect()
+    }
+    assert got == ref
+
+
+def test_embedding_kmeans_partition_invariance(spark, sf_dir, tmp_path):
+    import pyspark.sql.functions as F
+
+    from flink_notebooks_spark.io import load_table
+
+    repart = str(tmp_path / "emb_repart_km")
+    load_table(spark, sf_dir, "embeddings").repartition(
+        5, F.expr("vec_id % 11")
+    ).write.parquet(f"{repart}/embeddings.parquet")
+    for t in ("documents", "events"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(0).write.parquet(
+            f"{repart}/{t}.parquet"
+        )
+    a = sorted(map(tuple, QUERIES["embedding_kmeans"](spark, sf_dir).collect()))
+    b = sorted(map(tuple, QUERIES["embedding_kmeans"](spark, repart).collect()))
+    assert a == b
