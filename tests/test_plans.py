@@ -25,6 +25,31 @@ def plan_of(spark, sf_dir, name: str) -> str:
     return buf.getvalue()
 
 
+def live_exchanges(plan: str) -> int:
+    """Exchanges the query would actually RUN: counts Exchange nodes in the
+    plan tree, excluding everything nested under an InMemoryRelation — a
+    materialized AQE-cached relation renders BOTH its executed and its
+    original subtree in `explain`, so a naive count double-counts the
+    cache-build exchange (and counts it at all even though a warm cache
+    never re-runs it). Without this, plan assertions flake on test order:
+    whichever test materializes the shared token cache first changes every
+    later consumer's rendered plan."""
+    count, skip_depth = 0, None
+    for line in plan.split("\n\n", 1)[0].splitlines():
+        stripped = line.lstrip(" :+-*")
+        depth = len(line) - len(stripped)
+        if skip_depth is not None:
+            if depth > skip_depth:
+                continue
+            skip_depth = None
+        if stripped.startswith("InMemoryRelation"):
+            skip_depth = depth
+            continue
+        if stripped.startswith("Exchange"):
+            count += 1
+    return count
+
+
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
     p = plan_of(spark, sf_dir, "q03_filter_project")
     assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]" in p
@@ -285,7 +310,8 @@ def test_doc_chunk_is_narrow(spark, sf_dir):
 
     p = plan_of(spark, sf_dir, "doc_chunk")
     assert "Join" not in p and "HashAggregate" not in p
-    assert len(re.findall(r"\n\(\d+\) Exchange", p)) <= 2
+    # live count: the token-cache subtree renders twice once materialized
+    assert live_exchanges(p) <= 1  # presentation sort only
 
 
 def test_decontaminate_fuzzy_broadcasts_benchmark_index(spark, sf_dir):
@@ -411,7 +437,9 @@ SHUFFLE_BUDGET = {
 @pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGET))
 def test_shuffle_budget_holds(name, spark, sf_dir):
     p = plan_of(spark, sf_dir, name)
-    got = p.count("Exchange ")
+    # live count — a materialized shared cache otherwise re-renders its
+    # build subtree and the budget flakes on suite order
+    got = live_exchanges(p)
     assert got <= SHUFFLE_BUDGET[name], (
         f"{name}: {got} exchanges, budget {SHUFFLE_BUDGET[name]} — a shuffle "
         "crept into the plan"

@@ -62,6 +62,12 @@ HEADLINE = [
     ("events_anomaly", "(type, hour) pre-agg → per-type window from exact integer sums"),
     ("dedup_winnow", "winnowing fingerprints: narrow array-native selection → capped inverted-index join"),
     ("bm25_prf_hybrid", "two-stage retrieval: shortlist-only embedding joins, broadcast PRF centroids"),
+    ("quality_classifier", "linear quality gate: single narrow codegen projection, zero keyed shuffles"),
+    ("dedup_semantic", "SemDeDup: narrow centroid assignment, one cell-keyed exchange, per-cell GEMM"),
+    ("embedding_pca", "PCA projection: zero-shuffle narrow mapInPandas GEMM"),
+    ("token_ngram_novelty", "gram first-occurrence via MIN window over gram partitioning, no self-join"),
+    ("source_overlap_jaccard", "pairwise source-vocab Jaccard off one persisted (source, word) distinct"),
+    ("embedding_kmeans", "distributed Lloyd: narrow assign + cell reduce to k rows per iteration"),
 ]
 
 
