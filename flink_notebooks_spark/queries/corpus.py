@@ -847,9 +847,16 @@ def streaming_events_funnel(spark, sf_dir):
             rev, t1, t2, t3 = state.get
         else:
             rev, t1, t2, t3 = 0, None, None, None
-        for pdf in pdfs:
-            ts = pdf["ts_us"]
-            et = pdf["event_type"]
+        # a group's trigger rows may arrive as several Arrow chunks in
+        # UNSPECIFIED order — concatenate before the step mins (processing
+        # chunks sequentially would miss e.g. a click chunked before the
+        # view that sets t1); per-user trigger volume is small, so the
+        # concat is bounded
+        chunks = list(pdfs)
+        batch = pd.concat(chunks, ignore_index=True) if chunks else None
+        if batch is not None and len(batch):
+            ts = batch["ts_us"]
+            et = batch["event_type"]
             if t1 is None:
                 v = ts[et == "view"]
                 if len(v):
