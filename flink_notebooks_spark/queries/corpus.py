@@ -1165,3 +1165,94 @@ def streaming_quality_filter(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# R14. streaming cohort retention — per-user (cohort day, offset bitmask)
+# ---------------------------------------------------------------------------
+@query("streaming_events_retention", oracle=None)  # oracle set below
+def streaming_events_retention(spark, sf_dir):
+    """Cohort retention as a continuous stateful job: per-user state is two
+    longs — the first-seen day (fixed once set, exact under time-ordered
+    replay: the first trigger containing the user holds their earliest
+    event) and a BITMASK of day offsets 0..RETENTION_MAX_OFFSET seen so far
+    (idempotent |= — re-deliveries and boundary-spanning days are free).
+    The final revision per user reproduces the batch (cohort_day, offsets)
+    exactly, and the (cohort, offset) roll-up counts each user once — the
+    oracle is `events_retention`'s SQL verbatim.
+
+    100 TB/continuous shape: state per user is 16 bytes regardless of event
+    volume; emission is one row per touched user per trigger. The offset
+    window is bounded by the retention horizon, so state never grows with
+    time — the natural production form of this query."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..io import events_stream_schema, stream_ts_cols
+    from .llm import RETENTION_MAX_OFFSET
+    from .streaming import _run_to_memory, _staged_table_stream
+
+    schema = events_stream_schema(f"{sf_dir}/events.parquet")
+    raw = _staged_table_stream(spark, sf_dir, "events", "ts", schema, n_files=4)
+    day_us = 86_400_000_000
+    stream = stream_ts_cols(raw).select(
+        "user_id", (F.col("ts_us") - ((F.col("ts_us") % day_us) + day_us) % day_us)
+        .cast("long").alias("day_us")
+    )
+
+    def advance(key, pdfs, state):
+        if state.exists:
+            rev, first_us, mask = state.get
+        else:
+            rev, first_us, mask = 0, None, 0
+        chunks = list(pdfs)
+        if chunks:
+            days = pd.concat(chunks, ignore_index=True)["day_us"]
+            lo = int(days.min())
+            if first_us is None or lo < first_us:
+                first_us = lo  # time-ordered replay: first trigger's min
+            for d in days.unique():
+                off = (int(d) - first_us) // day_us
+                if 0 <= off <= RETENTION_MAX_OFFSET:
+                    mask |= 1 << off
+        rev += 1
+        state.update((rev, first_us, mask))
+        yield pd.DataFrame(
+            [(key[0], first_us, mask, rev)],
+            columns=["user_id", "first_us", "mask", "rev"],
+        )
+
+    res = stream.groupBy("user_id").applyInPandasWithState(
+        advance,
+        "user_id long, first_us long, mask long, rev long",
+        "rev long, first_us long, mask long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_memory(res, "update")
+    w = Window.partitionBy("user_id")
+    u = (
+        out.withColumn("maxrev", F.max("rev").over(w))
+        .filter(F.col("rev") == F.col("maxrev"))
+        .select("user_id", "first_us", "mask")
+    )
+    offs = spark.range(RETENTION_MAX_OFFSET + 1).select(
+        F.col("id").cast("int").alias("day_offset")
+    )
+    return (
+        u.join(F.broadcast(offs))
+        .filter(F.expr("((mask >> day_offset) & 1) = 1"))
+        .groupBy(
+            (F.col("first_us") / day_us).cast("long").alias("cohort_day"),
+            F.col("day_offset").cast("long").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+# wire the oracle after the function exists (same SQL as the batch scan)
+from .llm import RETENTION_ORACLE as _RET_ORACLE  # noqa: E402
+from ._registry import ORACLE as _ORACLE_REG  # noqa: E402
+
+_ORACLE_REG["streaming_events_retention"] = _RET_ORACLE

@@ -3394,9 +3394,7 @@ def events_funnel(spark, sf_dir):
 RETENTION_MAX_OFFSET = 3
 
 
-@query(
-    "events_retention",
-    oracle=f"""
+RETENTION_ORACLE = f"""
     WITH ud AS (
       SELECT DISTINCT user_id,
              CAST(FLOOR(EXTRACT(EPOCH FROM ts) / 86400) AS BIGINT) AS day
@@ -3407,8 +3405,10 @@ RETENTION_MAX_OFFSET = 3
     FROM ud JOIN cohort c ON c.user_id = ud.user_id
     WHERE ud.day - c.cohort_day <= {RETENTION_MAX_OFFSET}
     GROUP BY 1, 2 ORDER BY cohort_day, day_offset
-    """,
-)
+    """
+
+
+@query("events_retention", oracle=RETENTION_ORACLE)
 def events_retention(spark, sf_dir):
     """Cohort retention over the events stream: users cohort by their
     first-activity day; each (cohort_day, day_offset) cell counts the
