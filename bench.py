@@ -87,6 +87,7 @@ def main() -> None:
     # first pays the whole preparation and its number depends on
     # registration order (the round-4 driver-vs-local 10× spread on
     # dedup_ngram_jaccard was exactly this coupling).
+    from flink_notebooks_spark.queries.corpus import _bm25_postings
     from flink_notebooks_spark.queries.llm import (
         _word_freq_joined,
         cosine_pairs_df,
@@ -102,6 +103,7 @@ def main() -> None:
         jaccard_pairs_df,
         cosine_pairs_df,
         _word_freq_joined,  # shared by tf_quality_features + unigram_logprob
+        _bm25_postings,  # shared by bm25_topk + bm25_prf_hybrid
     ):
         prep(spark, SF_DIR).write.format("noop").mode("overwrite").save()
     shared_prep_sec = round(time.time() - t0, 3)

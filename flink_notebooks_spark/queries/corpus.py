@@ -1256,3 +1256,102 @@ from .llm import RETENTION_ORACLE as _RET_ORACLE  # noqa: E402
 from ._registry import ORACLE as _ORACLE_REG  # noqa: E402
 
 _ORACLE_REG["streaming_events_retention"] = _RET_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# R15. count-min-sketch token frequencies — the second mergeable-sketch
+#      family next to profile_table_sketch's HLL++ (Cormode & Muthukrishnan,
+#      "An improved data stream summary: the count-min sketch", 2005)
+# ---------------------------------------------------------------------------
+# The sketch is pure integer arithmetic over a PORTABLE hash (md5-lower-64,
+# the curation_split convention), so unlike most sketches it is fully
+# oracle-verifiable: DuckDB recomputes the identical 4×1024 cell matrix and
+# the identical min-over-rows estimates.
+CMS_D = 4  # hash rows
+CMS_W = 1024  # cells per row
+# fixed probe dictionary: frequent vocabulary + one absent word (the CMS
+# contract is overestimate-only; the absent word shows pure collision mass)
+CMS_PROBES = [
+    "spark", "stream", "window", "hash", "join", "merge", "sort",
+    "customer", "order", "value", "scan", "fast", "zzz_absent",
+]
+_SQL_CMS_PROBES = ", ".join(f"('{w}')" for w in CMS_PROBES)
+
+# md5-lower-64 of an arbitrary string expression, as used by curation_split:
+# Spark reverses the low 16 hex chars byte-pairwise and conv()s to decimal —
+# equal to DuckDB's md5_number_lower little-endian interpretation.
+_CMS_HASH = (
+    "CAST(conv(concat_ws('', transform(sequence(15, 0, -1), "
+    "i -> substring(md5({key}), 17 + i*2, 2))), 16, 10) AS DECIMAL(20,0))"
+)
+
+
+@query(
+    "token_freq_sketch",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({SQL_WORDS}) AS word FROM documents),
+    ingest AS (SELECT word, d FROM tok CROSS JOIN (
+                 SELECT unnest(range(0, {CMS_D})) AS d)),
+    cells AS (SELECT d,
+                     md5_number_lower(word || '|' || CAST(d AS VARCHAR))
+                       % {CMS_W} AS col,
+                     COUNT(*) AS c
+              FROM ingest GROUP BY 1, 2),
+    probes(word) AS (VALUES {_SQL_CMS_PROBES}),
+    pcell AS (SELECT p.word, dd.d,
+                     md5_number_lower(p.word || '|' || CAST(dd.d AS VARCHAR))
+                       % {CMS_W} AS col
+              FROM probes p CROSS JOIN (
+                SELECT unnest(range(0, {CMS_D})) AS d) dd)
+    SELECT pc.word, CAST(MIN(COALESCE(ce.c, 0)) AS BIGINT) AS est_count
+    FROM pcell pc LEFT JOIN cells ce ON ce.d = pc.d AND ce.col = pc.col
+    GROUP BY pc.word ORDER BY pc.word
+    """,
+)
+def token_freq_sketch(spark, sf_dir):
+    """Count-min-sketch estimates of token frequencies for a fixed probe
+    dictionary. The sketch is a {d}×{w} integer cell matrix built in ONE
+    aggregate: token explode → {d} hash rows per occurrence → (d, col)
+    groupBy with full map-side combine — a fixed-size ({d}·{w} cells),
+    MERGEABLE summary whatever the corpus size, the stream/partition-
+    friendly alternative to the exact (gram, doc) aggregate of
+    `corpus_ngrams`. Estimates are min-over-rows with the standard
+    guarantee est ≥ true and est ≤ true + εN (ε = e/{w}) w.h.p.
+
+    Everything is integer arithmetic over the portable md5-lower-64 hash,
+    so the DuckDB oracle verifies the sketch EXACTLY — including the pure
+    collision mass reported for the absent probe word.""".format(
+        d=CMS_D, w=CMS_W
+    )
+    t = tokenized_docs(spark, sf_dir)
+    tok = t.select(F.explode("ws").alias("word"))
+    ingest = tok.select(
+        "word", F.explode(F.expr(f"sequence(0, {CMS_D - 1})")).alias("d")
+    )
+    col = (
+        F.expr(_CMS_HASH.format(key="concat(word, '|', CAST(d AS STRING))"))
+        % CMS_W
+    )
+    cells = (
+        ingest.select("d", col.alias("col"))
+        .groupBy("d", "col")
+        .agg(F.count("*").alias("c"))
+    )
+    probes = spark.createDataFrame([(w,) for w in CMS_PROBES], "word string")
+    pcell = probes.join(
+        spark.range(CMS_D).select(F.col("id").cast("int").alias("d"))
+    ).select(
+        "word",
+        "d",
+        (
+            F.expr(_CMS_HASH.format(key="concat(word, '|', CAST(d AS STRING))"))
+            % CMS_W
+        ).alias("col"),
+    )
+    est = (
+        F.broadcast(pcell)
+        .join(cells, ["d", "col"], "left")
+        .groupBy("word")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est_count"))
+    )
+    return est.orderBy("word")

@@ -60,6 +60,12 @@ INVARIANT_QUERIES = [
     #                          fingerprints, rounded at the edge
     "bm25_prf_hybrid",
     "dedup_winnow",
+    #   token_freq_sketch    — pure integer CMS cells over a portable hash
+    #   token_ngram_novelty  — integer first-occurrence window counts
+    #   quality_classifier   — per-row projection, rounded logit
+    "token_freq_sketch",
+    "token_ngram_novelty",
+    "quality_classifier",
 ]
 
 

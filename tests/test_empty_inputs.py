@@ -60,6 +60,11 @@ EMPTY_QUERIES = [
     "token_ngram_novelty",
     "source_overlap_jaccard",
     "streaming_quality_filter",
+    "streaming_events_retention",
+    # CMS probes on an empty corpus: every cell is empty -> 13 zero
+    # estimates would still be emitted... no: the probe join is against an
+    # empty cells table with COALESCE(0), so 13 rows of est 0 ARE emitted —
+    # excluded here like profile_table (fixed-cardinality outputs)
 ]
 
 

@@ -54,3 +54,35 @@ def test_plan_stays_jvm_side(docs):
 def test_unknown_kind_rejected(docs):
     with pytest.raises(ValueError):
         scrub_pii(docs, "text", kinds=("email", "dna"))
+
+
+def test_cms_estimates_dominate_exact_counts(spark, sf_dir):
+    """Count-min contract: estimates never undercount, and overshoot stays
+    within the Markov bound for the min over CMS_D rows (deterministic for
+    a fixed corpus — this is a regression pin, not a probabilistic check).
+    The absent probe word's estimate is pure collision mass."""
+    from pyspark.sql import functions as F
+
+    from flink_notebooks_spark.io import load_table
+    from flink_notebooks_spark.queries import QUERIES
+    from flink_notebooks_spark.queries.corpus import CMS_PROBES, CMS_W
+    from flink_notebooks_spark.queries.llm import WORDS
+
+    est = {
+        r["word"]: r["est_count"]
+        for r in QUERIES["token_freq_sketch"](spark, sf_dir).collect()
+    }
+    assert set(est) == set(CMS_PROBES)
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.expr(WORDS)).alias("word"))
+    n_total = tok.count()
+    exact = {
+        r["word"]: r["n"]
+        for r in tok.groupBy("word").agg(F.count("*").alias("n")).collect()
+    }
+    bound = max(1, (8 * n_total) // CMS_W)
+    for w in CMS_PROBES:
+        true = exact.get(w, 0)
+        assert est[w] >= true, (w, est[w], true)
+        assert est[w] - true <= bound, (w, est[w], true, bound)
+    assert exact.get("zzz_absent", 0) == 0  # the planted absent word
