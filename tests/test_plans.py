@@ -431,6 +431,10 @@ SHUFFLE_BUDGET = {
     # first-occurrence is a window over the gram partitioning, never a
     # self-join or join-back
     "token_ngram_novelty": 4,
+    # (d, col) cell aggregate (map-side combined) + probe-estimate agg +
+    # sort; probe set broadcasts — the sketch itself is the only
+    # corpus-sized shuffle input and it reduces to <= 4096 cells
+    "token_freq_sketch": 3,
 }
 
 
