@@ -1,0 +1,414 @@
+"""Third-wave lexical/tokenizer operators: PMI collocations, per-source
+TF-IDF terms, distributed BPE merge training, and a continuously-maintained
+count-min sketch.
+
+These extend the LLM-pipeline surface (builder-brief mandate; the reference
+engine has no curation operators — see SURVEY.md §2 note). Same design rules
+as :mod:`.llm` / :mod:`.corpus`: every operator is a DataFrame plan,
+expressions stay JVM-side, and every float that crosses an engine boundary
+follows the round-then-DECIMAL determinism convention of ``unigram_logprob``.
+
+100 TB shapes, per operator:
+
+- ``pmi_collocations``: one bigram aggregate + one unigram aggregate (both
+  map-side combined, keyed by gram/word — skew bounded by vocabulary, not
+  documents), two vocab-keyed joins, one TakeOrdered. No corpus-sized join:
+  everything after the two aggregates is vocabulary-sized.
+- ``tfidf_topk_terms``: tf is a (source, word) aggregate, df a (word)
+  re-aggregate of the per-doc distinct — the corpus is scanned once via the
+  shared token cache; the rank window rides the (source) partitioning of
+  the tf aggregate's own output.
+- ``bpe_train``: the ONLY corpus-scale shuffle is the initial word-count
+  aggregate (map-side combined; Heaps' law bounds the result to the
+  vocabulary). Each merge iteration then shuffles the VOCABULARY table
+  (pair re-aggregate) and syncs exactly one row to the driver — the
+  classic distributed subword-training shape (Sennrich et al. 2016,
+  "Neural Machine Translation of Rare Words with Subword Units"). State
+  between iterations is a persisted vocab-sized table; lineage is cut by
+  materialize-then-unpersist so plan depth stays O(1) per iteration.
+- ``streaming_token_freq_sketch``: the sketch is MERGEABLE, so the
+  continuous form is a native JVM streaming aggregation — per-trigger
+  partial (d, col) cells merged into update-mode state bounded by d·w
+  cells regardless of stream volume; nothing enters Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ._registry import query
+from .corpus import _CMS_HASH, _SQL_CMS_PROBES, CMS_D, CMS_PROBES, CMS_W
+from .llm import SQL_WORDS, tokenized_docs
+
+# ---------------------------------------------------------------------------
+# L1. PMI collocations — top bigrams by pointwise mutual information
+#     (Church & Hanks 1990; the standard phrase-mining / tokenizer-seeding
+#     diagnostic: high-PMI pairs are multi-word units worth fusing)
+# ---------------------------------------------------------------------------
+PMI_MIN_COUNT = 5  # df floor: PMI of rare pairs is noise (classic guard)
+PMI_TOPK = 50
+
+
+@query(
+    "pmi_collocations",
+    oracle=f"""
+    WITH w AS (SELECT {SQL_WORDS} AS ws FROM documents),
+    uni AS (SELECT unnest(ws) AS word FROM w),
+    uc AS (SELECT word, COUNT(*) AS c FROM uni GROUP BY word),
+    nu AS (SELECT COUNT(*) AS n FROM uni),
+    bi AS (SELECT ws[i] AS x, ws[i+1] AS y
+           FROM w CROSS JOIN unnest(range(1, len(ws))) AS t(i)
+           WHERE len(ws) >= 2),
+    bc AS (SELECT x, y, COUNT(*) AS c_xy FROM bi GROUP BY x, y
+           HAVING COUNT(*) >= {PMI_MIN_COUNT}),
+    nb AS (SELECT COUNT(*) AS n FROM bi),
+    sc AS (SELECT bc.x, bc.y, bc.c_xy,
+             CAST(ROUND(LN(bc.c_xy), 9) AS DECIMAL(28,9))
+             - CAST(ROUND(LN(cx.c), 9) AS DECIMAL(28,9))
+             - CAST(ROUND(LN(cy.c), 9) AS DECIMAL(28,9))
+             + 2 * CAST(ROUND(LN((SELECT n FROM nu)), 9) AS DECIMAL(28,9))
+             - CAST(ROUND(LN((SELECT n FROM nb)), 9) AS DECIMAL(28,9)) AS p9
+           FROM bc JOIN uc cx ON bc.x = cx.word
+                   JOIN uc cy ON bc.y = cy.word)
+    SELECT x, y, c_xy, ROUND(CAST(p9 AS DOUBLE), 6) AS pmi
+    FROM sc ORDER BY p9 DESC, x, y LIMIT {PMI_TOPK}
+    """,
+)
+def pmi_collocations(spark, sf_dir):
+    """Top-{k} word bigrams by PMI = ln(p(x,y) / (p(x)·p(y))) with p(x,y)
+    over the bigram space and p(x) over the unigram space:
+    pmi = ln c_xy − ln c_x − ln c_y + 2·ln N_uni − ln N_bi.
+
+    Numeric determinism: each ln is rounded to 9 decimals and the five
+    terms combine in DECIMAL(28,9) — exact arithmetic, so ordering and
+    values are bit-identical across engines and parallelism (the
+    unigram_logprob convention). The min-count floor ({m}) keeps the
+    scored set vocabulary-sized and is applied INSIDE the bigram
+    aggregate (HAVING) — nothing rare survives the shuffle boundary.
+
+    Scale: two map-side-combined aggregates over the shared token cache,
+    two vocabulary-keyed joins, one TakeOrdered({k}). Skew is bounded by
+    the hottest vocabulary word, not by any document or source.""".format(
+        k=PMI_TOPK, m=PMI_MIN_COUNT
+    )
+    t = tokenized_docs(spark, sf_dir)
+    uni = t.select(F.explode("ws").alias("word"))
+    uc = uni.groupBy("word").agg(F.count("*").alias("c"))
+    nu = uni.agg(F.count("*").alias("n"))
+    bi = t.filter(F.expr("size(ws) >= 2")).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 2), "
+                "i -> struct(ws[i] AS x, ws[i+1] AS y))"
+            )
+        ).alias("p")
+    ).select("p.x", "p.y")
+    bc = (
+        bi.groupBy("x", "y")
+        .agg(F.count("*").alias("c_xy"))
+        .filter(F.col("c_xy") >= PMI_MIN_COUNT)
+    )
+    nb = bi.agg(F.count("*").alias("n"))
+
+    def ln9(col):
+        return F.round(F.log(col), 9).cast("decimal(28,9)")
+
+    p9 = (
+        ln9(F.col("c_xy"))
+        - ln9(F.col("cx"))
+        - ln9(F.col("cy"))
+        + F.lit(2) * ln9(F.col("n_uni"))
+        - ln9(F.col("n_bi"))
+    )
+    sc = (
+        bc.join(uc.withColumnRenamed("c", "cx"), bc.x == uc.word)
+        .drop("word")
+        .join(uc.withColumnRenamed("c", "cy").withColumnRenamed("word", "w2"),
+              F.col("y") == F.col("w2"))
+        .drop("w2")
+        .crossJoin(F.broadcast(nu.withColumnRenamed("n", "n_uni")))
+        .crossJoin(F.broadcast(nb.withColumnRenamed("n", "n_bi")))
+        .withColumn("p9", p9)
+    )
+    return (
+        sc.orderBy(F.desc("p9"), "x", "y")
+        .limit(PMI_TOPK)
+        .select("x", "y", "c_xy", F.round(F.col("p9").cast("double"), 6).alias("pmi"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2. per-source TF-IDF top terms — "what is this source about":
+#     the mixture-audit companion to source_kl_divergence (which says HOW FAR
+#     a source sits from the corpus; this says WHICH terms carry it)
+# ---------------------------------------------------------------------------
+TFIDF_TOPK = 5
+
+
+@query(
+    "tfidf_topk_terms",
+    oracle=f"""
+    WITH w AS (SELECT d.doc_id, d.source, unnest({SQL_WORDS}) AS word
+               FROM documents d),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    tf AS (SELECT source, word, COUNT(*) AS tf FROM w GROUP BY source, word),
+    dfq AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY word),
+    sc AS (SELECT tf.source, tf.word, tf.tf,
+             tf.tf * (CAST(ROUND(LN((SELECT n_docs FROM nd)), 9)
+                           AS DECIMAL(28,9))
+                      - CAST(ROUND(LN(dfq.df), 9) AS DECIMAL(28,9))) AS s9
+           FROM tf JOIN dfq USING (word)),
+    rk AS (SELECT source, word, tf, s9,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY s9 DESC, word) AS rnk
+           FROM sc)
+    SELECT source, CAST(rnk AS BIGINT) AS rnk, word, tf,
+           ROUND(CAST(s9 AS DOUBLE), 6) AS tfidf
+    FROM rk WHERE rnk <= {TFIDF_TOPK} ORDER BY source, rnk
+    """,
+)
+def tfidf_topk_terms(spark, sf_dir):
+    """Top-{k} terms per source by tf·idf, tf = in-source occurrences,
+    idf = ln(N_docs/df) with df = corpus-wide document frequency. The
+    score is tf · (round(ln N,9) − round(ln df,9)) carried in
+    DECIMAL(28,9) — exact, order-independent, engine-identical (ties
+    break on the word itself, so ranks are total and stable).
+
+    Scale: the shared token cache is scanned once; tf is a
+    (source, word) map-side-combined aggregate, df re-aggregates the
+    per-(doc, word) distinct — both vocabulary-keyed. The rank window
+    partitions by source over the tf aggregate's own hash partitioning
+    (source ⊂ (source, word) ⇒ no extra exchange beyond the window's
+    re-key), and output is |sources|·{k} rows.""".format(k=TFIDF_TOPK)
+    t = tokenized_docs(spark, sf_dir)
+    from ..io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = t.join(docs, "doc_id").select(
+        "doc_id", "source", F.explode("ws").alias("word")
+    )
+    nd = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    tf = w.groupBy("source", "word").agg(F.count("*").alias("tf"))
+    dfq = (
+        w.select("doc_id", "word")
+        .distinct()
+        .groupBy("word")
+        .agg(F.count("*").alias("df"))
+    )
+    s9 = F.col("tf") * (
+        F.round(F.log("n_docs"), 9).cast("decimal(28,9)")
+        - F.round(F.log("df"), 9).cast("decimal(28,9)")
+    )
+    sc = (
+        tf.join(dfq, "word")
+        .crossJoin(F.broadcast(nd))
+        .withColumn("s9", s9)
+    )
+    rk = sc.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(F.desc("s9"), "word")
+        ),
+    )
+    return (
+        rk.filter(F.col("rnk") <= TFIDF_TOPK)
+        .select(
+            "source",
+            F.col("rnk").cast("long").alias("rnk"),
+            "word",
+            "tf",
+            F.round(F.col("s9").cast("double"), 6).alias("tfidf"),
+        )
+        .orderBy("source", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L3. distributed BPE merge training — the tokenizer-training staple
+#     (Sennrich et al. 2016). Rows-only: the merge loop is inherently
+#     iterative (each merge depends on the previous), so no single ANSI-SQL
+#     statement expresses it; exactness is pinned by a pure-Python parity
+#     test over the identical word-count table (tests/test_lexical_ops.py).
+# ---------------------------------------------------------------------------
+BPE_MERGES = 24
+_BPE_EOW = "</w>"
+
+
+def _bpe_merge_expr(left: str, right: str) -> str:
+    """SQL fold applying ONE merge rule left-to-right, greedy,
+    non-overlapping — exactly the reference algorithm's scan: after a
+    merge the fused symbol becomes the comparison context, and since
+    ``left`` can never equal ``left+right`` a fused symbol never
+    immediately re-merges, matching the skip-two semantics."""
+    merged = left + right
+    return (
+        "aggregate(syms, CAST(array() AS array<string>), (acc, s) -> "
+        f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{left}' "
+        f"AND s = '{right}' "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), array('{merged}')) "
+        "ELSE concat(acc, array(s)) END)"
+    )
+
+
+@query("bpe_train")
+def bpe_train(spark, sf_dir):
+    """Byte-pair-encoding merge-table training over the corpus vocabulary:
+    {m} merge rules, each the most frequent adjacent symbol pair (count
+    desc, then lexicographic (left, right) — a total, deterministic
+    preference), applied greedily left-to-right before the next count.
+    Pair counts follow the reference implementation: adjacent positions,
+    overlapping occurrences counted ("aaa" yields (a,a) twice), weighted
+    by word frequency; words end with the '{eow}' terminator so
+    end-of-word fusions are learnable.
+
+    Scale: the corpus is touched ONCE (word-count aggregate, map-side
+    combined, output bounded by the vocabulary — Heaps' law). Every
+    iteration after that shuffles only the vocabulary table: one pair
+    re-aggregate plus exactly one driver-synced row (the argmax), the
+    same sync pattern as embedding_kmeans' k×d centroid exchange. The
+    symbol table is eagerly localCheckpoint()ed each round — REQUIRED,
+    not a nicety: Catalyst's projection collapse inlines each merge fold
+    into the next, growing the expression tree exponentially with the
+    merge count (the same measured failure mode as the minhash 128×
+    re-evaluation in streaming_dedup_minhash; 24 stacked folds OOM the
+    driver on plan *stringification* alone). On a real cluster this maps
+    to reliable-storage checkpointing of a vocabulary-sized table per
+    merge — the standard shape for iterative Spark algorithms.""".format(
+        m=BPE_MERGES, eow=_BPE_EOW
+    )
+    t = tokenized_docs(spark, sf_dir)
+    wc = (
+        t.select(F.explode("ws").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    init = wc.select(
+        "n",
+        F.expr(
+            "concat(transform(sequence(1, length(word)), "
+            f"i -> substring(word, i, 1)), array('{_BPE_EOW}'))"
+        ).alias("syms"),
+    )
+    # eager localCheckpoint = materialize + REPLACE the logical plan with
+    # the stored result: cuts both recompute lineage and the exponential
+    # projection-collapsed fold expression (see docstring)
+    cur = init.localCheckpoint(eager=True)
+    merges: list[tuple] = []
+    for rank in range(1, BPE_MERGES + 1):
+        top = (
+            cur.filter(F.expr("size(syms) >= 2"))
+            .select(
+                "n",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(syms) - 2), "
+                        "i -> struct(syms[i] AS l, syms[i+1] AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("n").alias("c"))
+            .orderBy(F.desc("c"), "l", "r")
+            .limit(1)
+            .collect()  # bounded: exactly one row per merge iteration
+        )
+        if not top:
+            break
+        l, r, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
+        merges.append((rank, l, r, l + r, c))
+        cur = cur.withColumn(
+            "syms", F.expr(_bpe_merge_expr(l, r))
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count long"
+    ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# L4. continuously-maintained count-min sketch — the streaming form of
+#     token_freq_sketch. The sketch is mergeable, so this is a NATIVE JVM
+#     streaming aggregation (update mode): per-trigger partial cells merge
+#     into state bounded by d·w cells whatever the stream volume. After the
+#     bounded replay the state equals the batch sketch exactly, so the
+#     oracle is the batch query's SQL verbatim.
+# ---------------------------------------------------------------------------
+STREAM_CMS_ORACLE = f"""
+    WITH tok AS (SELECT unnest({SQL_WORDS}) AS word FROM documents),
+    ingest AS (SELECT word, d FROM tok CROSS JOIN (
+                 SELECT unnest(range(0, {CMS_D})) AS d)),
+    cells AS (SELECT d,
+                     md5_number_lower(word || '|' || CAST(d AS VARCHAR))
+                       % {CMS_W} AS col,
+                     COUNT(*) AS c
+              FROM ingest GROUP BY 1, 2),
+    probes(word) AS (VALUES {_SQL_CMS_PROBES}),
+    pcell AS (SELECT p.word, dd.d,
+                     md5_number_lower(p.word || '|' || CAST(dd.d AS VARCHAR))
+                       % {CMS_W} AS col
+              FROM probes p CROSS JOIN (
+                SELECT unnest(range(0, {CMS_D})) AS d) dd)
+    SELECT pc.word, CAST(MIN(COALESCE(ce.c, 0)) AS BIGINT) AS est_count
+    FROM pcell pc LEFT JOIN cells ce ON ce.d = pc.d AND ce.col = pc.col
+    GROUP BY pc.word ORDER BY pc.word
+"""
+
+
+@query("streaming_token_freq_sketch", oracle=STREAM_CMS_ORACLE)
+def streaming_token_freq_sketch(spark, sf_dir):
+    """token_freq_sketch maintained continuously: documents replay in 4
+    ordered chunks; tokens explode to (d, col) increments and a native
+    update-mode streaming SUM holds the sketch — state is exactly the
+    d×w cell matrix (≤{cells} longs) regardless of how much text has
+    streamed, the textbook mergeable-summary argument (Cormode &
+    Muthukrishnan 2005). No Python anywhere: tokenize/hash/aggregate are
+    all Catalyst expressions, so the per-trigger cost is a JVM hash
+    re-aggregate of touched cells.
+
+    The memory sink accumulates update-mode emissions; counts per cell
+    are monotone non-decreasing, so latest == MAX — the final probe
+    estimate takes min-over-rows of that, matching the batch sketch
+    cell-for-cell (hence the verbatim oracle).""".format(cells=CMS_D * CMS_W)
+    from .streaming import _run_to_memory, _staged_table_stream
+
+    raw = _staged_table_stream(
+        spark, sf_dir, "documents", "doc_id",
+        "doc_id bigint, text string", n_files=4,
+    )
+    from .llm import WORDS
+
+    tok = raw.select(F.explode(F.expr(WORDS)).alias("word"))
+    ingest = tok.select(
+        "word", F.explode(F.expr(f"sequence(0, {CMS_D - 1})")).alias("d")
+    )
+    col = (
+        F.expr(_CMS_HASH.format(key="concat(word, '|', CAST(d AS STRING))"))
+        % CMS_W
+    )
+    cells = (
+        ingest.select("d", col.alias("col"))
+        .groupBy("d", "col")
+        .agg(F.count("*").alias("c"))
+    )
+    out = _run_to_memory(cells, "update")
+    latest = out.groupBy("d", "col").agg(F.max("c").alias("c"))
+    probes = spark.createDataFrame([(w,) for w in CMS_PROBES], "word string")
+    pcell = probes.join(
+        spark.range(CMS_D).select(F.col("id").cast("int").alias("d"))
+    ).select(
+        "word",
+        "d",
+        (
+            F.expr(_CMS_HASH.format(key="concat(word, '|', CAST(d AS STRING))"))
+            % CMS_W
+        ).alias("col"),
+    )
+    est = (
+        F.broadcast(pcell)
+        .join(latest, ["d", "col"], "left")
+        .groupBy("word")
+        .agg(
+            F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est_count")
+        )
+    )
+    return est.orderBy("word")

@@ -66,6 +66,14 @@ INVARIANT_QUERIES = [
     "token_freq_sketch",
     "token_ngram_novelty",
     "quality_classifier",
+    #   pmi_collocations     — DECIMAL-combined rounded-ln terms with a
+    #                          total (p9, x, y) TakeOrdered preference
+    #   tfidf_topk_terms     — DECIMAL tf·idf scores, word tie-break ranks
+    #   bpe_train            — integer pair counts + total argmax preference
+    #                          through an iterative driver-synced loop
+    "pmi_collocations",
+    "tfidf_topk_terms",
+    "bpe_train",
 ]
 
 

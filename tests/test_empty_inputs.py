@@ -61,6 +61,12 @@ EMPTY_QUERIES = [
     "source_overlap_jaccard",
     "streaming_quality_filter",
     "streaming_events_retention",
+    "pmi_collocations",
+    "tfidf_topk_terms",
+    # bpe_train: no pairs -> the merge loop exits on the first empty argmax
+    "bpe_train",
+    # streaming_token_freq_sketch excluded like token_freq_sketch: the probe
+    # LEFT JOIN emits 13 zero-estimate rows on an empty corpus by contract
     # CMS probes on an empty corpus: every cell is empty -> 13 zero
     # estimates would still be emitted... no: the probe join is against an
     # empty cells table with COALESCE(0), so 13 rows of est 0 ARE emitted —

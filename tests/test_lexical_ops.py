@@ -1,0 +1,94 @@
+"""Exactness pins for the lexical/tokenizer operators (queries/lexical.py).
+
+The three oracle-backed entries (pmi_collocations, tfidf_topk_terms,
+streaming_token_freq_sketch) are hash-compared against DuckDB by the
+per-commit gate in test_queries_oracle.py; this file pins the rows-only
+bpe_train against a pure-Python reference implementation of the exact same
+algorithm, plus the fold-expression semantics the merge step relies on.
+"""
+
+from __future__ import annotations
+
+
+from collections import Counter
+
+from flink_notebooks_spark.queries.lexical import (
+    _BPE_EOW,
+    _bpe_merge_expr,
+    BPE_MERGES,
+)
+
+
+def _ref_bpe(word_counts: dict[str, int], n_merges: int) -> list[tuple]:
+    """Reference BPE (Sennrich et al. 2016 get_stats/merge loop): pair
+    counts over adjacent positions (overlapping occurrences counted),
+    weighted by word frequency; argmax by (count desc, left, right);
+    greedy non-overlapping left-to-right merge."""
+    vocab = {tuple(list(w) + [_BPE_EOW]): n for w, n in word_counts.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        stats: Counter = Counter()
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += n
+        if not stats:
+            break
+        (l, r), c = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, l + r, c))
+        new_vocab = {}
+        for syms, n in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_reference(spark, sf_dir, duck):
+    rows = duck.execute(
+        "SELECT word, COUNT(*) FROM (SELECT unnest("
+        "regexp_extract_all(lower(text), '[a-z0-9]+')) AS word "
+        "FROM documents) GROUP BY word"
+    ).fetchall()
+    expected = _ref_bpe(dict(rows), BPE_MERGES)
+
+    from flink_notebooks_spark.queries import QUERIES
+
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in QUERIES["bpe_train"](spark, sf_dir).collect()
+    ]
+    assert got == expected
+    # the corpus is big enough that all requested merges materialize
+    assert len(got) == BPE_MERGES
+
+
+def test_merge_fold_is_greedy_left_to_right_nonoverlapping(spark):
+    # "aaaa" with rule (a,a): greedy non-overlapping -> [aa, aa]; the fused
+    # symbol must not re-merge with the following single 'a' of "aaa".
+    df = spark.createDataFrame(
+        [(["a", "a", "a"],), (["a", "a", "a", "a"],), (["b", "a", "a", "b"],)],
+        "syms array<string>",
+    )
+    from pyspark.sql import functions as F
+
+    out = [r[0] for r in df.select(F.expr(_bpe_merge_expr("a", "a"))).collect()]
+    assert out == [["aa", "a"], ["aa", "aa"], ["b", "aa", "b"]]
+
+
+def test_merge_fold_handles_multichar_and_eow(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(["ab", "c", _BPE_EOW],), (["c", "ab", "c"],)], "syms array<string>"
+    )
+    out = [r[0] for r in df.select(F.expr(_bpe_merge_expr("c", _BPE_EOW))).collect()]
+    assert out == [["ab", "c" + _BPE_EOW], ["c", "ab", "c"]]

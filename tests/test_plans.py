@@ -435,6 +435,12 @@ SHUFFLE_BUDGET = {
     # sort; probe set broadcasts — the sketch itself is the only
     # corpus-sized shuffle input and it reduces to <= 4096 cells
     "token_freq_sketch": 3,
+    # bigram agg + unigram agg + two vocab-keyed join re-keys; the final
+    # top-k is TakeOrdered (no exchange); N_uni/N_bi broadcast
+    "pmi_collocations": 5,
+    # tf agg + per-doc distinct + df agg + word-keyed join (both sides) +
+    # source window re-key + final sort; N_docs broadcasts
+    "tfidf_topk_terms": 8,
 }
 
 
