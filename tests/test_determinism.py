@@ -74,6 +74,9 @@ INVARIANT_QUERIES = [
     "pmi_collocations",
     "tfidf_topk_terms",
     "bpe_train",
+    #   dedup_graph_pagerank — iterative DECIMAL-summed rank updates over
+    #                          the checkpointed edge list
+    "dedup_graph_pagerank",
 ]
 
 

@@ -65,6 +65,9 @@ EMPTY_QUERIES = [
     "tfidf_topk_terms",
     # bpe_train: no pairs -> the merge loop exits on the first empty argmax
     "bpe_train",
+    # empty pair graph -> n == 0 early return / no wedges
+    "dedup_graph_pagerank",
+    "dedup_graph_triangles",
     # streaming_token_freq_sketch excluded like token_freq_sketch: the probe
     # LEFT JOIN emits 13 zero-estimate rows on an empty corpus by contract
     # CMS probes on an empty corpus: every cell is empty -> 13 zero

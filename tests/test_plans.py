@@ -438,6 +438,14 @@ SHUFFLE_BUDGET = {
     # bigram agg + unigram agg + two vocab-keyed join re-keys; the final
     # top-k is TakeOrdered (no exchange); N_uni/N_bi broadcast
     "pmi_collocations": 5,
+    # 8 iterations x (rank-side join shuffle + contribution agg) over the
+    # checkpointed edge list + final join/sort; iteration lineage is a
+    # LogicalRDD so the candidate-join subtree never re-renders
+    "dedup_graph_pagerank": 22,
+    # orientation join + wedge/closer equi-joins + corner agg + final
+    # left join/sort — all on checkpointed edge tables; NO Cartesian (the
+    # closer side is canonicalized to id order to stay an equi-join)
+    "dedup_graph_triangles": 18,
     # tf agg + per-doc distinct + df agg + word-keyed join (both sides) +
     # source window re-key + final sort; N_docs broadcasts
     "tfidf_topk_terms": 8,
