@@ -1355,3 +1355,60 @@ def token_freq_sketch(spark, sf_dir):
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est_count"))
     )
     return est.orderBy("word")
+
+
+# ---------------------------------------------------------------------------
+# R16. event-type Markov transition matrix — behavioral sequence model:
+#      P(next event type | current) per user journey. The sequence-analysis
+#      complement to events_funnel (which checks ONE fixed path); feeds
+#      session simulation and anomaly baselines.
+# ---------------------------------------------------------------------------
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH o AS (SELECT user_id, event_type,
+                      LEAD(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS nxt
+               FROM events),
+    tr AS (SELECT event_type AS from_type, nxt AS to_type, COUNT(*) AS n
+           FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT from_type, SUM(n) AS t FROM tr GROUP BY from_type)
+    SELECT tr.from_type, tr.to_type, tr.n,
+           ROUND(CAST(tr.n AS DOUBLE) / tot.t, 6) AS p
+    FROM tr JOIN tot USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+)
+def events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition counts and probabilities over each
+    user's time-ordered event stream (ties broken by event_id — a total
+    order, so the transition set is deterministic). p is one exact-integer
+    division rounded once; row-count = |event types|² at most.
+
+    Scale: ONE user-keyed shuffle for the LEAD window (the same single
+    exchange events_sessionize uses), then a transition aggregate whose
+    cardinality is the type-pair domain, not the event count."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.withColumn("nxt", F.lead("event_type").over(w))
+    tr = (
+        o.filter(F.col("nxt").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"), F.col("nxt").alias("to_type")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    tot = tr.groupBy("from_type").agg(F.sum("n").alias("t"))
+    # the per-from-state totals are |event types| rows — always broadcast
+    return (
+        tr.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("t"), 6).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )

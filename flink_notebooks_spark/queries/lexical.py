@@ -412,3 +412,148 @@ def streaming_token_freq_sketch(spark, sf_dir):
         )
     )
     return est.orderBy("word")
+
+
+# ---------------------------------------------------------------------------
+# L5. per-document token entropy — lexical-diversity quality signal
+#     (low entropy = repetitive/boilerplate even when doc_repetition's
+#     trigram signal misses it; the Shannon counterpart to unigram_logprob's
+#     corpus-model NLL)
+# ---------------------------------------------------------------------------
+@query(
+    "token_entropy",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, unnest({SQL_WORDS}) AS word FROM documents),
+    c AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word),
+    s AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS n_distinct,
+                 SUM(CAST(ROUND(LN(c), 9) * c AS DECIMAL(28,9))) AS sl
+          FROM c GROUP BY doc_id)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           ROUND(ROUND(LN(n), 9) - CAST(sl AS DOUBLE) / n, 6) AS entropy
+    FROM s ORDER BY doc_id
+    """,
+)
+def token_entropy(spark, sf_dir):
+    """Shannon entropy of each document's own unigram distribution:
+    H = −Σ p ln p = ln n − (Σ c·ln c)/n over exact integer counts.
+    Each c·ln c term is 9-dp-rounded then DECIMAL-summed (order-independent,
+    engine-exact — the unigram_logprob convention).
+
+    Scale: one (doc_id, word) aggregate + one doc_id re-aggregate — both
+    map-side combined, skew bounded by a single document's vocabulary;
+    nothing joins, nothing broadcasts."""
+    t = tokenized_docs(spark, sf_dir)
+    c = (
+        t.select("doc_id", F.explode("ws").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    s = c.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("n_distinct"),
+        F.sum(
+            (F.round(F.log("c"), 9) * F.col("c")).cast("decimal(28,9)")
+        ).alias("sl"),
+    )
+    return s.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_words"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.round(
+            F.round(F.log("n"), 9) - F.col("sl").cast("double") / F.col("n"), 6
+        ).alias("entropy"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# L6. per-source Zipf slope — corpus-health fit: natural language sits near
+#     slope −1 on the log-rank/log-frequency line; spam, templated, or
+#     synthetic text bends it (Piantadosi 2014 review). The least-squares
+#     slope comes from four order-independent sums, so it is fully
+#     oracle-verifiable despite being a "regression".
+# ---------------------------------------------------------------------------
+ZIPF_MIN_VOCAB = 10
+
+
+@query(
+    "source_zipf_slope",
+    oracle=f"""
+    WITH w AS (SELECT d.source, unnest({SQL_WORDS}) AS word
+               FROM documents d),
+    c AS (SELECT source, word, COUNT(*) AS c FROM w GROUP BY source, word),
+    r AS (SELECT source, c,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY c DESC, word) AS rnk
+          FROM c),
+    t AS (SELECT source,
+                 ROUND(LN(rnk), 9) AS x, ROUND(LN(c), 9) AS y FROM r),
+    s AS (SELECT source, COUNT(*) AS n,
+                 SUM(CAST(x AS DECIMAL(28,9))) AS sx,
+                 SUM(CAST(y AS DECIMAL(28,9))) AS sy,
+                 SUM(CAST(ROUND(x * y, 9) AS DECIMAL(28,9))) AS sxy,
+                 SUM(CAST(ROUND(x * x, 9) AS DECIMAL(28,9))) AS sxx
+          FROM t GROUP BY source HAVING COUNT(*) >= {ZIPF_MIN_VOCAB})
+    SELECT source, CAST(n AS BIGINT) AS n_vocab,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                 6) AS zipf_slope
+    FROM s ORDER BY source
+    """,
+)
+def source_zipf_slope(spark, sf_dir):
+    """Least-squares slope of ln(frequency) against ln(rank) per source —
+    the Zipf diagnostic (natural text ≈ −1; templated/synthetic text
+    deviates). Ranks are total (count desc, word tie-break), x/y are
+    9-dp-rounded lns, their products re-rounded, and all four regression
+    sums are DECIMAL — order-independent, engine-exact; the closed-form
+    slope is then one fixed double expression.
+
+    Scale: one (source, word) aggregate; the rank window runs over that
+    aggregate's own source partitioning; the regression reduces to
+    |sources| rows of four sums. Sources below {m} vocabulary words are
+    dropped (a 2-point 'fit' is noise).""".format(m=ZIPF_MIN_VOCAB)
+    from ..io import load_table
+
+    t = tokenized_docs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    c = (
+        t.join(docs, "doc_id")
+        .select("source", F.explode("ws").alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    r = c.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(F.desc("c"), "word")
+        ),
+    )
+    x = F.round(F.log("rnk"), 9)
+    y = F.round(F.log("c"), 9)
+    tt = r.select("source", x.alias("x"), y.alias("y"))
+    s = (
+        tt.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("x").cast("decimal(28,9)")).alias("sx"),
+            F.sum(F.col("y").cast("decimal(28,9)")).alias("sy"),
+            F.sum(F.round(F.col("x") * F.col("y"), 9).cast("decimal(28,9)")).alias("sxy"),
+            F.sum(F.round(F.col("x") * F.col("x"), 9).cast("decimal(28,9)")).alias("sxx"),
+        )
+        .filter(F.col("n") >= ZIPF_MIN_VOCAB)
+    )
+    slope = F.round(
+        (
+            F.col("n") * F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy").cast("double")
+        )
+        / (
+            F.col("n") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        ),
+        6,
+    )
+    return s.select(
+        "source", F.col("n").cast("long").alias("n_vocab"), slope.alias("zipf_slope")
+    ).orderBy("source")

@@ -77,6 +77,12 @@ INVARIANT_QUERIES = [
     #   dedup_graph_pagerank — iterative DECIMAL-summed rank updates over
     #                          the checkpointed edge list
     "dedup_graph_pagerank",
+    #   token_entropy        — DECIMAL-summed rounded c*ln(c) terms
+    #   source_zipf_slope    — DECIMAL regression sums, total rank order
+    #   events_markov_transitions — exact counts, total (ts, event_id) order
+    "token_entropy",
+    "source_zipf_slope",
+    "events_markov_transitions",
 ]
 
 

@@ -68,6 +68,9 @@ EMPTY_QUERIES = [
     # empty pair graph -> n == 0 early return / no wedges
     "dedup_graph_pagerank",
     "dedup_graph_triangles",
+    "token_entropy",
+    "source_zipf_slope",
+    "events_markov_transitions",
     # streaming_token_freq_sketch excluded like token_freq_sketch: the probe
     # LEFT JOIN emits 13 zero-estimate rows on an empty corpus by contract
     # CMS probes on an empty corpus: every cell is empty -> 13 zero

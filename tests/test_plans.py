@@ -449,6 +449,16 @@ SHUFFLE_BUDGET = {
     # tf agg + per-doc distinct + df agg + word-keyed join (both sides) +
     # source window re-key + final sort; N_docs broadcasts
     "tfidf_topk_terms": 8,
+    # (doc, word) agg + doc re-agg + sort; no joins, no broadcasts
+    "token_entropy": 3,
+    # (source, word) agg + rank window re-key + regression re-agg; the
+    # final |sources| sort folds into the agg's exchange budget
+    "source_zipf_slope": 4,
+    # user-window re-key + transition agg (rendered twice pre-AQE-reuse:
+    # the per-state total branch re-renders the shared subtree, runtime
+    # dedupes via ReusedExchange) + total agg + BroadcastExchange of the
+    # |event types| totals + sort
+    "events_markov_transitions": 6,
 }
 
 
