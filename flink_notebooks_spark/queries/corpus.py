@@ -1412,3 +1412,102 @@ def events_markov_transitions(spark, sf_dir):
         )
         .orderBy("from_type", "to_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# R17. streaming Markov transition matrix — the transition counts maintained
+#      continuously; per-user state is ONE row (the last event seen)
+# ---------------------------------------------------------------------------
+@query("events_markov_transitions_stream", oracle=None)  # oracle wired below
+def events_markov_transitions_stream(spark, sf_dir):
+    """`events_markov_transitions` as a continuous stateful job: events
+    replay time-ordered across 4 triggers; per-user state is exactly the
+    last (ts_us, event_id, event_type) seen, and each trigger emits the
+    user's NEW transition counts as deltas (state's last event prepends the
+    trigger's rows, so boundary-spanning transitions are counted exactly
+    once). The final matrix is a plain SUM over all emitted deltas — no
+    latest-revision resolution needed — and equals the batch matrix under
+    time-ordered replay, so the oracle is the batch query's SQL verbatim.
+
+    Ordering contract: within a trigger rows sort by (ts_us, event_id);
+    across triggers the staging is ts-ordered (fixture timestamps are
+    unique; a production deployment with ts ties would stage on the
+    composite key — same caveat as every time-ordered-replay oracle here).
+
+    100 TB/continuous shape: state per user is ~3 fields regardless of
+    volume; emission per trigger is bounded by the user's distinct
+    transition pairs; the final aggregate's cardinality is the type-pair
+    domain. Nothing driver-side."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..io import events_stream_schema, stream_ts_cols
+    from .streaming import _run_to_memory, _staged_table_stream
+
+    schema = events_stream_schema(f"{sf_dir}/events.parquet")
+    raw = _staged_table_stream(spark, sf_dir, "events", "ts", schema, n_files=4)
+    stream = stream_ts_cols(raw).select(
+        "user_id", "ts_us", "event_id", "event_type"
+    )
+
+    def advance(key, pdfs, state):
+        if state.exists:
+            last_ts, last_id, last_type = state.get
+        else:
+            last_ts, last_id, last_type = None, None, None
+        chunks = [p for p in pdfs if len(p)]
+        out: dict[tuple[str, str], int] = {}
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts_us", "event_id"], kind="mergesort"
+            )
+            types = pdf["event_type"].tolist()
+            prev = last_type
+            for t in types:
+                if prev is not None:
+                    out[(prev, t)] = out.get((prev, t), 0) + 1
+                prev = t
+            last_row = pdf.iloc[-1]
+            last_ts, last_id, last_type = (
+                int(last_row["ts_us"]),
+                int(last_row["event_id"]),
+                prev,
+            )
+        state.update((last_ts, last_id, last_type))
+        yield pd.DataFrame(
+            [(f, t, n) for (f, t), n in sorted(out.items())],
+            columns=["from_type", "to_type", "n"],
+        )
+
+    res = stream.groupBy("user_id").applyInPandasWithState(
+        advance,
+        "from_type string, to_type string, n long",
+        "last_ts long, last_id long, last_type string",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    deltas = _run_to_memory(res, "append")
+    tr = deltas.groupBy("from_type", "to_type").agg(F.sum("n").alias("n"))
+    # rename the totals' key: both branches read the same memory-sink view,
+    # and Spark's self-join dedup trips on the broadcast hint otherwise
+    tot = (
+        tr.groupBy("from_type")
+        .agg(F.sum("n").alias("t"))
+        .withColumnRenamed("from_type", "ft")
+    )
+    return (
+        tr.join(F.broadcast(tot), tr.from_type == tot.ft)
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n").cast("double") / F.col("t"), 6).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+# the streaming form's oracle is the batch matrix verbatim
+_ORACLE_REG["events_markov_transitions_stream"] = _ORACLE_REG[
+    "events_markov_transitions"
+]
