@@ -68,6 +68,14 @@ HEADLINE = [
     ("token_ngram_novelty", "gram first-occurrence via MIN window over gram partitioning, no self-join"),
     ("source_overlap_jaccard", "pairwise source-vocab Jaccard off one persisted (source, word) distinct"),
     ("embedding_kmeans", "distributed Lloyd: narrow assign + cell reduce to k rows per iteration"),
+    ("token_freq_sketch", "count-min sketch: ONE map-side-combined cell aggregate, broadcast probes"),
+    ("pmi_collocations", "PMI bigrams: two vocab-bounded aggs, vocab-keyed joins, TakeOrdered"),
+    ("tfidf_topk_terms", "per-source tf-idf: one token scan, rank window on the tf agg's partitioning"),
+    ("token_entropy", "per-doc entropy: two map-side-combined aggs, zero joins"),
+    ("source_zipf_slope", "Zipf fit: regression sums reduce to |sources| rows"),
+    ("events_markov_transitions", "transition matrix: one user-keyed window shuffle, broadcast totals"),
+    ("dedup_graph_pagerank", "iterative PageRank over the checkpointed edge list (LogicalRDD per iteration)"),
+    ("dedup_graph_triangles", "degree-oriented wedge join, canonicalized equi-join closer"),
 ]
 
 
