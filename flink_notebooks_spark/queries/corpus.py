@@ -1511,3 +1511,137 @@ def events_markov_transitions_stream(spark, sf_dir):
 _ORACLE_REG["events_markov_transitions_stream"] = _ORACLE_REG[
     "events_markov_transitions"
 ]
+
+
+# ---------------------------------------------------------------------------
+# R18. quality-weighted sampling — soft curation: keep each document with
+#      probability equal to its quality score, DETERMINISTICALLY (the
+#      portable-hash coin of curation_split, not rand()) — re-runs, retries,
+#      and engines all agree on the kept set.
+# ---------------------------------------------------------------------------
+_QUALITY_SQL = f"""least(CAST(len({SQL_WORDS}) AS DOUBLE) / 50, 1.0) * 0.6
+              + (1 - CAST(len(list_filter({SQL_WORDS}, x -> x IN ({_SW})))
+                      AS DOUBLE) / greatest(len({SQL_WORDS}), 1)) * 0.2
+              + least(CAST(length(text) AS DOUBLE) / 500, 1.0) * 0.2"""
+_TWO64 = "18446744073709551616.0"
+
+
+@query(
+    "quality_weighted_sample",
+    oracle=f"""
+    WITH q AS (SELECT doc_id, source, ROUND({_QUALITY_SQL}, 9) AS q9
+               FROM documents),
+    u AS (SELECT doc_id, source, q9,
+                 CAST(md5_number_lower('qws|' || CAST(doc_id AS VARCHAR))
+                      AS DOUBLE) / {_TWO64} AS coin
+          FROM q)
+    SELECT doc_id, source, ROUND(q9, 6) AS quality
+    FROM u WHERE coin < q9 ORDER BY doc_id
+    """,
+)
+def quality_weighted_sample(spark, sf_dir):
+    """Importance sampling by quality: P(keep doc) = quality ∈ [0,1], with
+    the coin = md5-lower-64(doc_id)/2⁶⁴ — the same portable-hash
+    determinism as curation_split, so the kept set is identical across
+    engines, re-runs, and partitionings (a rand() sample would be none of
+    those). The comparison runs in double against the 9-dp-rounded score:
+    /2⁶⁴ is an exact power-of-two scaling, so both engines evaluate the
+    identical IEEE predicate.
+
+    Scale: map-only scan → filter; one presentation sort. The expected
+    kept mass is Σ quality — the knob production pipelines tune by
+    rescaling the score, not by re-sampling."""
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.expr(f"size({WORDS})")
+    n_stop = F.expr(f"size(filter({WORDS}, x -> x IN ({_SW})))")
+    quality = (
+        F.least(n_words.cast("double") / 50, F.lit(1.0)) * 0.6
+        + (1 - n_stop.cast("double") / F.greatest(n_words, F.lit(1))) * 0.2
+        + F.least(F.length("text").cast("double") / 500, F.lit(1.0)) * 0.2
+    )
+    coin = (
+        F.expr(
+            _CMS_HASH.format(key="concat('qws|', CAST(doc_id AS STRING))")
+        ).cast("double")
+        / F.lit(18446744073709551616.0)
+    )
+    return (
+        d.withColumn("q9", F.round(quality, 9))
+        .withColumn("coin", coin)
+        .filter(F.col("coin") < F.col("q9"))
+        .select("doc_id", "source", F.round("q9", 6).alias("quality"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R19. token-budget curation — "best docs until the budget is spent", the
+#      data-selection step when compute (not data) is the binding constraint
+#      (quality-ranked greedy selection under a per-source token budget).
+# ---------------------------------------------------------------------------
+CURATION_TOKEN_BUDGET = 500  # per-source token budget
+
+
+@query(
+    "budget_curation",
+    oracle=f"""
+    WITH q AS (SELECT doc_id, source, len({SQL_WORDS}) AS n_tokens,
+                      CAST(ROUND({_QUALITY_SQL}, 9) AS DECIMAL(20,9)) AS q9
+               FROM documents),
+    c AS (SELECT doc_id, source, n_tokens, q9,
+                 SUM(n_tokens) OVER (PARTITION BY source
+                                     ORDER BY q9 DESC, doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY q9 DESC, doc_id) AS rnk
+          FROM q)
+    SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens, CAST(cum AS BIGINT) AS cum_tokens,
+           ROUND(CAST(q9 AS DOUBLE), 6) AS quality
+    FROM c WHERE cum <= {CURATION_TOKEN_BUDGET}
+    ORDER BY source, rnk
+    """,
+)
+def budget_curation(spark, sf_dir):
+    """Greedy quality-ranked selection under a {b}-token budget per source:
+    rank docs by the 9-dp-rounded quality score (DECIMAL — a total,
+    engine-exact order with doc_id tie-break), keep while the running token
+    sum stays within budget. The inclusive-cumsum cut means a doc is kept
+    only if it FITS — the deterministic version of "fill the shard until
+    full".
+
+    Scale: one source-keyed window shuffle (rank + running sum share the
+    single sort), output bounded by budget/min-doc-tokens per source.
+    Everything after tokenization is integer arithmetic.""".format(
+        b=CURATION_TOKEN_BUDGET
+    )
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.expr(f"size({WORDS})")
+    n_stop = F.expr(f"size(filter({WORDS}, x -> x IN ({_SW})))")
+    quality = (
+        F.least(n_words.cast("double") / 50, F.lit(1.0)) * 0.6
+        + (1 - n_stop.cast("double") / F.greatest(n_words, F.lit(1))) * 0.2
+        + F.least(F.length("text").cast("double") / 500, F.lit(1.0)) * 0.2
+    )
+    q = d.select(
+        "doc_id",
+        "source",
+        n_words.alias("n_tokens"),
+        F.round(quality, 9).cast("decimal(20,9)").alias("q9"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("q9"), "doc_id")
+    c = q.withColumn(
+        "cum", F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("rnk", F.row_number().over(w))
+    return (
+        c.filter(F.col("cum") <= CURATION_TOKEN_BUDGET)
+        .select(
+            "source",
+            F.col("rnk").cast("long").alias("rnk"),
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("cum").cast("long").alias("cum_tokens"),
+            F.round(F.col("q9").cast("double"), 6).alias("quality"),
+        )
+        .orderBy("source", "rnk")
+    )

@@ -83,6 +83,10 @@ INVARIANT_QUERIES = [
     "token_entropy",
     "source_zipf_slope",
     "events_markov_transitions",
+    #   quality_weighted_sample — portable-hash coin vs 9-dp score
+    #   budget_curation      — DECIMAL-ordered rank + integer cumsum cut
+    "quality_weighted_sample",
+    "budget_curation",
 ]
 
 

@@ -72,6 +72,8 @@ EMPTY_QUERIES = [
     "source_zipf_slope",
     "events_markov_transitions",
     "events_markov_transitions_stream",
+    "quality_weighted_sample",
+    "budget_curation",
     # streaming_token_freq_sketch excluded like token_freq_sketch: the probe
     # LEFT JOIN emits 13 zero-estimate rows on an empty corpus by contract
     # CMS probes on an empty corpus: every cell is empty -> 13 zero

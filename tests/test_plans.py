@@ -459,6 +459,10 @@ SHUFFLE_BUDGET = {
     # dedupes via ReusedExchange) + total agg + BroadcastExchange of the
     # |event types| totals + sort
     "events_markov_transitions": 6,
+    # map-only scan -> deterministic-coin filter; 1 = presentation sort
+    "quality_weighted_sample": 1,
+    # one source-keyed window (rank + running sum share the sort) + sort
+    "budget_curation": 2,
 }
 
 
