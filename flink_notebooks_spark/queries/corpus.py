@@ -1115,13 +1115,10 @@ def streaming_quality_filter(spark, sf_dir):
         spark, sf_dir, "documents", "doc_id",
         "doc_id bigint, text string, source string", n_files=4,
     )
+    from .llm import quality_expr
+
     n_words = F.expr(f"size({WORDS})")
-    n_stop = F.expr(f"size(filter({WORDS}, x -> x IN ({_SW})))")
-    quality = (
-        F.least(n_words.cast("double") / 50, F.lit(1.0)) * 0.6
-        + (1 - n_stop.cast("double") / F.greatest(n_words, F.lit(1))) * 0.2
-        + F.least(F.length("text").cast("double") / 500, F.lit(1.0)) * 0.2
-    )
+    quality = quality_expr()
     q9 = (F.round(quality, 9).cast("decimal(20,9)") * 1000000000).cast("long")
     kept = (
         raw.withColumn("quality", quality)
@@ -1422,7 +1419,7 @@ def events_markov_transitions(spark, sf_dir):
 def events_markov_transitions_stream(spark, sf_dir):
     """`events_markov_transitions` as a continuous stateful job: events
     replay time-ordered across 4 triggers; per-user state is exactly the
-    last (ts_us, event_id, event_type) seen, and each trigger emits the
+    last event_type seen, and each trigger emits the
     user's NEW transition counts as deltas (state's last event prepends the
     trigger's rows, so boundary-spanning transitions are counted exactly
     once). The final matrix is a plain SUM over all emitted deltas — no
@@ -1434,7 +1431,7 @@ def events_markov_transitions_stream(spark, sf_dir):
     unique; a production deployment with ts ties would stage on the
     composite key — same caveat as every time-ordered-replay oracle here).
 
-    100 TB/continuous shape: state per user is ~3 fields regardless of
+    100 TB/continuous shape: state per user is ONE string regardless of
     volume; emission per trigger is bounded by the user's distinct
     transition pairs; the final aggregate's cardinality is the type-pair
     domain. Nothing driver-side."""
@@ -1451,29 +1448,20 @@ def events_markov_transitions_stream(spark, sf_dir):
     )
 
     def advance(key, pdfs, state):
-        if state.exists:
-            last_ts, last_id, last_type = state.get
-        else:
-            last_ts, last_id, last_type = None, None, None
+        last_type = state.get[0] if state.exists else None
         chunks = [p for p in pdfs if len(p)]
         out: dict[tuple[str, str], int] = {}
         if chunks:
             pdf = pd.concat(chunks, ignore_index=True).sort_values(
                 ["ts_us", "event_id"], kind="mergesort"
             )
-            types = pdf["event_type"].tolist()
             prev = last_type
-            for t in types:
+            for t in pdf["event_type"].tolist():
                 if prev is not None:
                     out[(prev, t)] = out.get((prev, t), 0) + 1
                 prev = t
-            last_row = pdf.iloc[-1]
-            last_ts, last_id, last_type = (
-                int(last_row["ts_us"]),
-                int(last_row["event_id"]),
-                prev,
-            )
-        state.update((last_ts, last_id, last_type))
+            last_type = prev
+        state.update((last_type,))
         yield pd.DataFrame(
             [(f, t, n) for (f, t), n in sorted(out.items())],
             columns=["from_type", "to_type", "n"],
@@ -1482,7 +1470,7 @@ def events_markov_transitions_stream(spark, sf_dir):
     res = stream.groupBy("user_id").applyInPandasWithState(
         advance,
         "from_type string, to_type string, n long",
-        "last_ts long, last_id long, last_type string",
+        "last_type string",
         "append",
         GroupStateTimeout.NoTimeout,
     )
@@ -1551,14 +1539,10 @@ def quality_weighted_sample(spark, sf_dir):
     Scale: map-only scan → filter; one presentation sort. The expected
     kept mass is Σ quality — the knob production pipelines tune by
     rescaling the score, not by re-sampling."""
+    from .llm import quality_expr
+
     d = load_table(spark, sf_dir, "documents")
-    n_words = F.expr(f"size({WORDS})")
-    n_stop = F.expr(f"size(filter({WORDS}, x -> x IN ({_SW})))")
-    quality = (
-        F.least(n_words.cast("double") / 50, F.lit(1.0)) * 0.6
-        + (1 - n_stop.cast("double") / F.greatest(n_words, F.lit(1))) * 0.2
-        + F.least(F.length("text").cast("double") / 500, F.lit(1.0)) * 0.2
-    )
+    quality = quality_expr()
     coin = (
         F.expr(
             _CMS_HASH.format(key="concat('qws|', CAST(doc_id AS STRING))")
@@ -1615,14 +1599,11 @@ def budget_curation(spark, sf_dir):
     Everything after tokenization is integer arithmetic.""".format(
         b=CURATION_TOKEN_BUDGET
     )
+    from .llm import quality_expr
+
     d = load_table(spark, sf_dir, "documents")
     n_words = F.expr(f"size({WORDS})")
-    n_stop = F.expr(f"size(filter({WORDS}, x -> x IN ({_SW})))")
-    quality = (
-        F.least(n_words.cast("double") / 50, F.lit(1.0)) * 0.6
-        + (1 - n_stop.cast("double") / F.greatest(n_words, F.lit(1))) * 0.2
-        + F.least(F.length("text").cast("double") / 500, F.lit(1.0)) * 0.2
-    )
+    quality = quality_expr()
     q = d.select(
         "doc_id",
         "source",

@@ -1832,6 +1832,21 @@ def multimodal_meta(spark, sf_dir):
 # T4. quality gate — threshold filter over the quality score (the curation
 #     decision a training pipeline applies before dedup; oracle-matched)
 # ---------------------------------------------------------------------------
+def quality_expr():
+    """THE quality score, as a Spark Column over a `text` column — the single
+    Python definition consumed by quality_filter, streaming_quality_filter,
+    quality_weighted_sample, and budget_curation (the SQL oracles carry the
+    same formula; a heuristic tweak must change this helper and the oracle
+    strings together or engines disagree)."""
+    n_words = F.expr(f"size({WORDS})")
+    n_stop = F.expr(f"size(filter({WORDS}, x -> x IN ({_SW})))")
+    return (
+        F.least(n_words.cast("double") / 50, F.lit(1.0)) * 0.6
+        + (1 - n_stop.cast("double") / F.greatest(n_words, F.lit(1))) * 0.2
+        + F.least(F.length("text").cast("double") / 500, F.lit(1.0)) * 0.2
+    )
+
+
 QUALITY_MIN = 0.5
 MIN_WORDS = 10
 
@@ -1858,12 +1873,7 @@ MIN_WORDS = 10
 def quality_filter(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     n_words = F.expr(f"size({WORDS})")
-    n_stop = F.expr(f"size(filter({WORDS}, x -> x IN ({_SW})))")
-    quality = (
-        F.least(n_words.cast("double") / 50, F.lit(1.0)) * 0.6
-        + (1 - n_stop.cast("double") / F.greatest(n_words, F.lit(1))) * 0.2
-        + F.least(F.length("text").cast("double") / 500, F.lit(1.0)) * 0.2
-    )
+    quality = quality_expr()
     return (
         d.withColumn("quality", quality)
         .filter((F.col("quality") >= QUALITY_MIN) & (n_words >= MIN_WORDS))

@@ -38,5 +38,8 @@ def test_all_queries_have_entries():
         "multimodal_decode",
         "dedup_semantic",
         "embedding_pca",
+        # iterative merge training: no single ANSI-SQL statement expresses
+        # it; exactness pinned by the pure-Python parity test
+        "bpe_train",
         "embedding_kmeans",
     }
