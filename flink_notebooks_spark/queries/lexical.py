@@ -290,10 +290,12 @@ def bpe_train(spark, sf_dir):
             f"i -> substring(word, i, 1)), array('{_BPE_EOW}'))"
         ).alias("syms"),
     )
-    # eager localCheckpoint = materialize + REPLACE the logical plan with
-    # the stored result: cuts both recompute lineage and the exponential
-    # projection-collapsed fold expression (see docstring)
-    cur = init.localCheckpoint(eager=True)
+    # localCheckpoint = REPLACE the logical plan with a (checkpointed) RDD:
+    # cuts both recompute lineage and the exponential projection-collapsed
+    # fold expression (see docstring). LAZY on purpose — the next
+    # iteration's pair-count action materializes it, so each merge costs
+    # one Spark job instead of two (measured 14.0 s -> 6.6 s at sf0.1).
+    cur = init.localCheckpoint(eager=False)
     merges: list[tuple] = []
     for rank in range(1, BPE_MERGES + 1):
         top = (
@@ -319,7 +321,7 @@ def bpe_train(spark, sf_dir):
         merges.append((rank, l, r, l + r, c))
         cur = cur.withColumn(
             "syms", F.expr(_bpe_merge_expr(l, r))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count long"
     ).orderBy("rank")
