@@ -113,12 +113,19 @@ def _dedup_graph(spark, sf_dir):
         pairs = jaccard_pairs_df(spark, sf_dir).select("a", "b")
         # (a,b) pairs are unique with a<b, so the two directions are
         # disjoint — union needs no distinct
+        # lazy on purpose: deg's build materializes und, and the first
+        # consumer's action materializes deg — one job saved per table
+        # (the bpe_train lesson; measured ~35%% off both queries at sf0.1)
         und = (
             pairs.union(pairs.select(F.col("b"), F.col("a")))
             .toDF("u", "v")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        deg = und.groupBy("u").agg(F.count("*").alias("deg")).localCheckpoint()
+        deg = (
+            und.groupBy("u")
+            .agg(F.count("*").alias("deg"))
+            .localCheckpoint(eager=False)
+        )
         for stale in [k for k in _GRAPH_MEMO if k[0] == key[0] and k != key]:
             _GRAPH_MEMO.pop(stale)
         hit = (und, deg)
@@ -151,7 +158,7 @@ def dedup_graph_pagerank(spark, sf_dir):
     # _connected_components convention) pins the |E|-sized table AND cuts
     # the shared-cache lineage so the 8-iteration plan renders/optimizes
     # over a LogicalRDD instead of 8 inlined copies of the candidate join.
-    ew = edges.join(deg, "u").localCheckpoint()
+    ew = edges.join(deg, "u").localCheckpoint(eager=False)
     n = deg.count()  # bounded driver sync: one scalar for the whole query
     if n == 0:
         return spark.createDataFrame(
@@ -237,7 +244,7 @@ def dedup_graph_triangles(spark, sf_dir):
             | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
         )
         .select("u", "v")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # wedges from each corner's oriented out-neighborhood (v < w by id so
     # each unordered out-pair appears once). The closer side is
