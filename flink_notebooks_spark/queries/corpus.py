@@ -1626,3 +1626,178 @@ def budget_curation(spark, sf_dir):
         )
         .orderBy("source", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# R20. end-to-end curation pipeline — the capstone composite: every document
+#      gets exactly one disposition through the staged gauntlet a real
+#      training-data pipeline applies (benchmark split → quality gate →
+#      exact dedup → near-dup clusters → decontamination). Each stage's
+#      machinery is an already-oracle-verified operator; this query pins
+#      their COMPOSITION (stage order, survivor sets, precedence).
+# ---------------------------------------------------------------------------
+_PIPE_G8 = """
+    w8 AS (SELECT doc_id, {words} AS ws FROM documents),
+    idx8 AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 7, 1) + 1))
+                    AS g FROM w8),
+    g8 AS (SELECT DISTINCT doc_id,
+                  ws[g]||' '||ws[g+1]||' '||ws[g+2]||' '||ws[g+3]||' '||
+                  ws[g+4]||' '||ws[g+5]||' '||ws[g+6]||' '||ws[g+7] AS s
+           FROM idx8 WHERE ws[g+7] IS NOT NULL)
+"""
+
+
+from .llm import (  # noqa: E402  (capstone oracle building blocks)
+    SQL_JACCARD_CAND_CTES as _JCAND,
+    SQL_SHINGLE_CTES as _SHINGLES,
+)
+
+_PIPE_ORACLE = f"""
+    WITH RECURSIVE
+    qq AS (SELECT doc_id, n_chars, text,
+                  (doc_id % 20 = 0) AS is_bench,
+                  (ROUND({_QUALITY_SQL}, 9) < 0.5 OR len({SQL_WORDS}) < 10)
+                    AS low_q
+           FROM documents),
+    s1 AS (SELECT doc_id, n_chars, text FROM qq
+           WHERE NOT is_bench AND NOT low_q),
+    ex AS (SELECT doc_id,
+                  ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS rn FROM s1),
+    exdup AS (SELECT doc_id FROM ex WHERE rn > 1),
+    s2 AS (SELECT s1.doc_id, s1.n_chars FROM s1
+           JOIN ex ON ex.doc_id = s1.doc_id WHERE ex.rn = 1),
+    {_SHINGLES},
+    {_JCAND},
+    jpairs AS (
+      SELECT p.a, p.b
+      FROM pair p JOIN cnt ca ON ca.doc_id = p.a JOIN cnt cb ON cb.doc_id = p.b
+      WHERE CAST(p.i AS DOUBLE) / (ca.n + cb.n - p.i) >= 0.8),
+    e2 AS (SELECT j.a, j.b FROM jpairs j
+           JOIN s2 x ON x.doc_id = j.a JOIN s2 y ON y.doc_id = j.b),
+    edges AS (SELECT a AS u, b AS v FROM e2 UNION SELECT b, a FROM e2),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+    comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS component
+             FROM reach GROUP BY u),
+    ranked AS (SELECT s2.doc_id,
+                      ROW_NUMBER() OVER (
+                        PARTITION BY COALESCE(c.component, s2.doc_id)
+                        ORDER BY s2.n_chars DESC, s2.doc_id) AS rn
+               FROM s2 LEFT JOIN comp c ON c.doc_id = s2.doc_id),
+    neardup AS (SELECT doc_id FROM ranked WHERE rn > 1),
+    s3 AS (SELECT doc_id FROM ranked WHERE rn = 1),
+    {_PIPE_G8.format(words=SQL_WORDS)},
+    bench8 AS (SELECT s FROM g8 WHERE doc_id % 20 = 0),
+    cont AS (SELECT DISTINCT t.doc_id FROM g8 t
+             JOIN s3 ON s3.doc_id = t.doc_id
+             JOIN bench8 b ON b.s = t.s)
+    SELECT q.doc_id,
+           CASE WHEN q.is_bench THEN 'benchmark'
+                WHEN q.low_q THEN 'below_quality'
+                WHEN xd.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+                WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+                ELSE 'kept' END AS reason
+    FROM qq q
+    LEFT JOIN exdup xd ON xd.doc_id = q.doc_id
+    LEFT JOIN neardup nd ON nd.doc_id = q.doc_id
+    LEFT JOIN cont ct ON ct.doc_id = q.doc_id
+    ORDER BY q.doc_id
+    """
+
+
+@query("curation_pipeline", oracle=_PIPE_ORACLE)
+def curation_pipeline(spark, sf_dir):
+    """Every document's disposition through the staged curation gauntlet,
+    with first-match precedence: benchmark (the held-out eval slice,
+    doc_id%20=0) → below_quality (score <0.5 or <10 words) → exact_dup
+    (md5 group, min-doc_id survivor, judged among quality survivors) →
+    near_dup (corpus-wide verified jaccard≥0.8 pairs RESTRICTED to the
+    surviving set, connected components, longest-doc representative) →
+    contaminated (shares any word-8-gram with a benchmark doc) → kept.
+
+    Stage semantics matter and are pinned here: dedup groups are formed
+    among SURVIVORS of the previous stage (a dup whose twin died at the
+    quality gate is not a dup), while near-dup RELATIONS come from the
+    shared corpus-wide verified-pair cache filtered to survivors — no new
+    candidate join. Decontamination checks final survivors only.
+
+    Scale: reuses the token cache, the verified-pair cache, and the
+    broadcast benchmark gram index; the only new exchanges are the md5
+    window, the survivor-filtered components, and doc-keyed flag joins."""
+    from .llm import (
+        NGRAMS,
+        _connected_components,
+        jaccard_pairs_df,
+        quality_expr,
+        tokenized_docs,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    n_words = F.expr(f"size({WORDS})")
+    base = d.withColumn("is_bench", F.col("doc_id") % 20 == 0).withColumn(
+        "low_q", (F.round(quality_expr(), 9) < 0.5) | (n_words < 10)
+    )
+    s1 = base.filter(~F.col("is_bench") & ~F.col("low_q")).select(
+        "doc_id", "text", "n_chars"
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    )
+    exr = s1.withColumn("rn", rn)
+    exdup = exr.filter(F.col("rn") > 1).select("doc_id")
+    s2 = exr.filter(F.col("rn") == 1).select("doc_id", "n_chars")
+    # near-dup relations: the corpus-wide verified pair cache filtered to
+    # survivor endpoints (semi-joins keyed on doc ids)
+    ids2 = s2.select("doc_id")
+    p = jaccard_pairs_df(spark, sf_dir).select("a", "b")
+    p2 = (
+        p.join(ids2.withColumnRenamed("doc_id", "a"), "a", "left_semi")
+        .join(ids2.withColumnRenamed("doc_id", "b"), "b", "left_semi")
+    )
+    labels, _ = _connected_components(p2)
+    ranked = (
+        s2.join(labels, "doc_id", "left")
+        .withColumn("cluster", F.coalesce("component", F.col("doc_id")))
+        .withColumn(
+            "rn2",
+            F.row_number().over(
+                Window.partitionBy("cluster").orderBy(
+                    F.desc("n_chars"), "doc_id"
+                )
+            ),
+        )
+    )
+    neardup = ranked.filter(F.col("rn2") > 1).select("doc_id")
+    s3 = ranked.filter(F.col("rn2") == 1).select("doc_id")
+    # decontamination: final survivors sharing any 8-gram with the bench slice
+    t = tokenized_docs(spark, sf_dir)
+    g8 = t.select(
+        "doc_id", F.explode(F.expr(NGRAMS.format(ws="ws", k=8))).alias("s")
+    ).select("doc_id", F.xxhash64("s").alias("h"))
+    bench8 = g8.filter(F.col("doc_id") % 20 == 0).select("h").distinct()
+    cont = (
+        g8.join(s3, "doc_id", "left_semi")
+        .join(F.broadcast(bench8), "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    flag = lambda df, name: df.withColumn(name, F.lit(True))  # noqa: E731
+    out = (
+        base.select("doc_id", "is_bench", "low_q")
+        .join(flag(exdup, "xd"), "doc_id", "left")
+        .join(flag(neardup, "nd"), "doc_id", "left")
+        .join(flag(cont, "ct"), "doc_id", "left")
+    )
+    reason = (
+        F.when(F.col("is_bench"), "benchmark")
+        .when(F.col("low_q"), "below_quality")
+        .when(F.col("xd").isNotNull(), "exact_dup")
+        .when(F.col("nd").isNotNull(), "near_dup")
+        .when(F.col("ct").isNotNull(), "contaminated")
+        .otherwise("kept")
+    )
+    return out.select("doc_id", reason.alias("reason")).orderBy("doc_id")

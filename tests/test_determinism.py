@@ -87,6 +87,9 @@ INVARIANT_QUERIES = [
     #   budget_curation      — DECIMAL-ordered rank + integer cumsum cut
     "quality_weighted_sample",
     "budget_curation",
+    #   curation_pipeline    — staged composition: md5 windows, survivor-
+    #                          filtered components, broadcast gram index
+    "curation_pipeline",
 ]
 
 
