@@ -92,3 +92,38 @@ def test_merge_fold_handles_multichar_and_eow(spark):
     )
     out = [r[0] for r in df.select(F.expr(_bpe_merge_expr("c", _BPE_EOW))).collect()]
     assert out == [["ab", "c" + _BPE_EOW], ["c", "ab", "c"]]
+
+
+def test_bpe_merge_parity_fuzz(spark):
+    """The SQL fold and the reference scan must agree on ANY symbol
+    sequence, including the adversarial shapes the fixture lacks (runs of
+    one char, merged-symbol collisions, end-of-word fusions)."""
+    from hypothesis import given, settings, strategies as st
+
+    sym = st.sampled_from(["a", "b", "ab", "aa", _BPE_EOW])
+    from pyspark.sql import functions as F
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(st.lists(sym, min_size=1, max_size=8), min_size=1, max_size=8),
+        st.tuples(sym, sym),
+    )
+    def check(seqs, rule):
+        l, r = rule
+
+        def ref_merge(syms):
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return out
+
+        df = spark.createDataFrame([(s,) for s in seqs], "syms array<string>")
+        got = [row[0] for row in df.select(F.expr(_bpe_merge_expr(l, r))).collect()]
+        assert got == [ref_merge(s) for s in seqs]
+
+    check()

@@ -76,6 +76,9 @@ HEADLINE = [
     ("events_markov_transitions", "transition matrix: one user-keyed window shuffle, broadcast totals"),
     ("dedup_graph_pagerank", "iterative PageRank over the checkpointed edge list (LogicalRDD per iteration)"),
     ("dedup_graph_triangles", "degree-oriented wedge join, canonicalized equi-join closer"),
+    ("quality_weighted_sample", "deterministic portable-hash coin: map-only keep/drop"),
+    ("budget_curation", "quality-ranked budget cut: ONE source-keyed window for rank + cumsum"),
+    ("curation_pipeline", "staged capstone: shared caches + md5 window + survivor-filtered components"),
 ]
 
 
