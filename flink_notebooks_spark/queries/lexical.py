@@ -559,3 +559,55 @@ def source_zipf_slope(spark, sf_dir):
     return s.select(
         "source", F.col("n").cast("long").alias("n_vocab"), slope.alias("zipf_slope")
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# L7. approximate-quantile sketch profile — the THIRD mergeable-sketch
+#     family (HLL++ cardinality in profile_table_sketch, count-min
+#     frequencies in token_freq_sketch, and now Greenwald-Khanna-style rank
+#     sketches via Spark's approx_percentile). Rows-only: the sketch's cell
+#     values depend on Spark's internal GK compaction, so there is no
+#     cross-engine oracle — exactness is bounded instead (rank-error
+#     tolerance against the EXACT histogram quantiles, tests).
+# ---------------------------------------------------------------------------
+PQS_ACCURACY = 10_000  # GK accuracy knob: rank error <= n / accuracy
+
+
+@query("profile_quantiles_sketch")
+def profile_quantiles_sketch(spark, sf_dir):
+    """Per-source p50/p90/p99 doc-length quantiles from a MERGEABLE rank
+    sketch (`approx_percentile`, Greenwald-Khanna style): fixed ~O(accuracy)
+    state per group however many rows stream through — the 100 TB/streaming
+    path where even `profile_quantiles`' distinct-value histogram is too
+    wide (e.g. float metrics). Rank error is bounded by n/{a}; the
+    tolerance test pins observed values within one such rank step of the
+    exact histogram quantiles.
+
+    Scale: ONE map-side-combined aggregate (sketches merge associatively);
+    output is |sources| rows. Same output schema as `profile_quantiles` so
+    the two are drop-in swappable.""".format(a=PQS_ACCURACY)
+    from ..io import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.length("text").cast("bigint").alias("v")
+    )
+    pct = F.expr(
+        f"approx_percentile(v, array(0.5, 0.9, 0.99), {PQS_ACCURACY})"
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            pct.alias("p"),
+            F.max("v").alias("v_max"),
+            F.count("*").alias("n_docs"),
+        )
+        .select(
+            "source",
+            F.col("p")[0].alias("p50"),
+            F.col("p")[1].alias("p90"),
+            F.col("p")[2].alias("p99"),
+            "v_max",
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+        .orderBy("source")
+    )

@@ -75,6 +75,7 @@ EMPTY_QUERIES = [
     "quality_weighted_sample",
     "budget_curation",
     "curation_pipeline",
+    "profile_quantiles_sketch",
     # streaming_token_freq_sketch excluded like token_freq_sketch: the probe
     # LEFT JOIN emits 13 zero-estimate rows on an empty corpus by contract
     # CMS probes on an empty corpus: every cell is empty -> 13 zero

@@ -127,3 +127,36 @@ def test_bpe_merge_parity_fuzz(spark):
         assert got == [ref_merge(s) for s in seqs]
 
     check()
+
+
+def test_quantile_sketch_within_rank_tolerance(spark, sf_dir):
+    """GK guarantee: each reported quantile's RANK is within n/accuracy of
+    the target rank. With accuracy=10k and fixture groups of ~25-500 docs
+    the allowed rank slack rounds to one position; assert each sketch value
+    sits between the exact values one rank-step around the target."""
+    from flink_notebooks_spark.queries import QUERIES
+
+    exact = {
+        r["source"]: r
+        for r in QUERIES["profile_quantiles"](spark, sf_dir).collect()
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    vals = {}
+    for src_name, ln in con.execute(
+        f"SELECT source, length(text) FROM '{sf_dir}/documents.parquet'"
+    ).fetchall():
+        vals.setdefault(src_name, []).append(ln)
+    for r in QUERIES["profile_quantiles_sketch"](spark, sf_dir).collect():
+        xs = sorted(vals[r["source"]])
+        n = len(xs)
+        assert r["n_docs"] == n and r["v_max"] == xs[-1] == exact[r["source"]]["v_max"]
+        for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            import math
+
+            target = math.ceil(q * n)
+            slack = max(1, round(n / 10_000))
+            lo = xs[max(0, target - 1 - slack)]
+            hi = xs[min(n - 1, target - 1 + slack)]
+            assert lo <= r[col] <= hi, (r["source"], col, r[col], lo, hi)
