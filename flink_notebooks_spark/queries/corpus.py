@@ -1801,3 +1801,96 @@ def curation_pipeline(spark, sf_dir):
         .otherwise("kept")
     )
     return out.select("doc_id", reason.alias("reason")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# R21. streaming budget admission — the CONTINUOUS form of budget-bounded
+#      curation. A stream cannot rank by quality before admitting (ranking
+#      needs the full corpus), so the honest online policy is first-come
+#      admission while the source's budget lasts — and that policy is fully
+#      SQL-expressible (arrival order = doc_id), so unlike most streaming
+#      forms here the oracle is EXACT without referencing the batch query.
+# ---------------------------------------------------------------------------
+@query(
+    "streaming_budget_curation",
+    oracle=f"""
+    WITH q AS (SELECT doc_id, source, len({SQL_WORDS}) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, source, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM q)
+    SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum AS BIGINT) AS cum_tokens
+    FROM c WHERE cum <= {CURATION_TOKEN_BUDGET}
+    ORDER BY source, doc_id
+    """,
+)
+def streaming_budget_curation(spark, sf_dir):
+    """Online token-budget admission: documents replay doc_id-ordered across
+    4 triggers; per-source state is ONE long (tokens admitted so far), and a
+    doc is admitted iff it still FITS (inclusive cumsum ≤ {b}) at arrival.
+    Emissions are append-only admitted rows — once admitted, never revoked,
+    the property that makes the policy implementable online at all. The
+    policy trades the batch form's quality ranking for bounded state and
+    immediate decisions (the honest stream/batch divergence, stated rather
+    than papered over: `budget_curation` picks the BEST docs, this picks the
+    FIRST) — and because arrival order is the deterministic doc_id order,
+    the oracle expresses the whole continuous run exactly.
+
+    100 TB/continuous shape: state per source is one counter; per-trigger
+    Python work is a vectorized cumsum over the trigger's rows per source;
+    admitted rows stream out append-mode with no post-processing.""".format(
+        b=CURATION_TOKEN_BUDGET
+    )
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .streaming import _run_to_memory, _staged_table_stream
+
+    raw = _staged_table_stream(
+        spark, sf_dir, "documents", "doc_id",
+        "doc_id bigint, text string, source string", n_files=4,
+    )
+    stream = raw.select(
+        "doc_id", "source", F.expr(f"size({WORDS})").alias("n_tokens")
+    )
+
+    def admit(key, pdfs, state):
+        spent = state.get[0] if state.exists else 0
+        frames = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("doc_id")
+            cum = pdf["n_tokens"].cumsum() + spent
+            keep = cum <= CURATION_TOKEN_BUDGET
+            kept = pdf[keep]
+            if len(kept):
+                out = kept.assign(cum_tokens=cum[keep])
+                frames.append(out[["source", "doc_id", "n_tokens", "cum_tokens"]])
+            # the cumsum baseline advances over EVERY arriving doc's tokens,
+            # admitted or not — the inclusive-window-cumsum contract: once a
+            # doc overflows, later smaller docs never slip in (exactly the
+            # oracle's SUM ... ROWS UNBOUNDED PRECEDING <= budget predicate)
+            spent = int(cum.iloc[-1])
+        state.update((spent,))
+        yield (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame(
+                columns=["source", "doc_id", "n_tokens", "cum_tokens"]
+            )
+        )
+
+    res = stream.groupBy("source").applyInPandasWithState(
+        admit,
+        "source string, doc_id long, n_tokens long, cum_tokens long",
+        "spent long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_memory(res, "append")
+    return out.select(
+        "source", "doc_id", "n_tokens", "cum_tokens"
+    ).orderBy("source", "doc_id")

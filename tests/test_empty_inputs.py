@@ -76,6 +76,7 @@ EMPTY_QUERIES = [
     "budget_curation",
     "curation_pipeline",
     "profile_quantiles_sketch",
+    "streaming_budget_curation",
     # streaming_token_freq_sketch excluded like token_freq_sketch: the probe
     # LEFT JOIN emits 13 zero-estimate rows on an empty corpus by contract
     # CMS probes on an empty corpus: every cell is empty -> 13 zero
