@@ -384,10 +384,9 @@ def decontaminate_fuzzy(spark, sf_dir):
     corpus-side probe is map-side; the only shuffle is the per-contaminated-
     pair aggregate, proportional to actual contamination. Grams are 8-byte
     xxhash64 (the oracle joins the strings; collision P negligible)."""
-    t = tokenized_docs(spark, sf_dir)
-    g8 = t.select(
-        "doc_id", F.explode(F.expr(NGRAMS.format(ws="ws", k=8))).alias("s")
-    ).select("doc_id", F.xxhash64("s").alias("h"))
+    from .llm import hashed_g8
+
+    g8 = hashed_g8(spark, sf_dir)
     bench = g8.filter(F.col("doc_id") % 20 == 0).select(
         F.col("doc_id").alias("bench_id"), "h"
     )
@@ -1507,10 +1506,8 @@ _ORACLE_REG["events_markov_transitions_stream"] = _ORACLE_REG[
 #      portable-hash coin of curation_split, not rand()) — re-runs, retries,
 #      and engines all agree on the kept set.
 # ---------------------------------------------------------------------------
-_QUALITY_SQL = f"""least(CAST(len({SQL_WORDS}) AS DOUBLE) / 50, 1.0) * 0.6
-              + (1 - CAST(len(list_filter({SQL_WORDS}, x -> x IN ({_SW})))
-                      AS DOUBLE) / greatest(len({SQL_WORDS}), 1)) * 0.2
-              + least(CAST(length(text) AS DOUBLE) / 500, 1.0) * 0.2"""
+from .llm import QUALITY_SQL as _QUALITY_SQL  # noqa: E402  (single SQL twin)
+
 _TWO64 = "18446744073709551616.0"
 
 
@@ -1636,15 +1633,7 @@ def budget_curation(spark, sf_dir):
 #      machinery is an already-oracle-verified operator; this query pins
 #      their COMPOSITION (stage order, survivor sets, precedence).
 # ---------------------------------------------------------------------------
-_PIPE_G8 = """
-    w8 AS (SELECT doc_id, {words} AS ws FROM documents),
-    idx8 AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 7, 1) + 1))
-                    AS g FROM w8),
-    g8 AS (SELECT DISTINCT doc_id,
-                  ws[g]||' '||ws[g+1]||' '||ws[g+2]||' '||ws[g+3]||' '||
-                  ws[g+4]||' '||ws[g+5]||' '||ws[g+6]||' '||ws[g+7] AS s
-           FROM idx8 WHERE ws[g+7] IS NOT NULL)
-"""
+from .llm import sql_g8_ctes as _sql_g8_ctes  # noqa: E402  (shared gram CTEs)
 
 
 from .llm import (  # noqa: E402  (capstone oracle building blocks)
@@ -1689,7 +1678,7 @@ _PIPE_ORACLE = f"""
                FROM s2 LEFT JOIN comp c ON c.doc_id = s2.doc_id),
     neardup AS (SELECT doc_id FROM ranked WHERE rn > 1),
     s3 AS (SELECT doc_id FROM ranked WHERE rn = 1),
-    {_PIPE_G8.format(words=SQL_WORDS)},
+    {_sql_g8_ctes(tag='8')},
     bench8 AS (SELECT s FROM g8 WHERE doc_id % 20 = 0),
     cont AS (SELECT DISTINCT t.doc_id FROM g8 t
              JOIN s3 ON s3.doc_id = t.doc_id
@@ -1729,11 +1718,9 @@ def curation_pipeline(spark, sf_dir):
     broadcast benchmark gram index; the only new exchanges are the md5
     window, the survivor-filtered components, and doc-keyed flag joins."""
     from .llm import (
-        NGRAMS,
         _connected_components,
         jaccard_pairs_df,
         quality_expr,
-        tokenized_docs,
     )
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
@@ -1774,10 +1761,9 @@ def curation_pipeline(spark, sf_dir):
     neardup = ranked.filter(F.col("rn2") > 1).select("doc_id")
     s3 = ranked.filter(F.col("rn2") == 1).select("doc_id")
     # decontamination: final survivors sharing any 8-gram with the bench slice
-    t = tokenized_docs(spark, sf_dir)
-    g8 = t.select(
-        "doc_id", F.explode(F.expr(NGRAMS.format(ws="ws", k=8))).alias("s")
-    ).select("doc_id", F.xxhash64("s").alias("h"))
+    from .llm import hashed_g8
+
+    g8 = hashed_g8(spark, sf_dir)
     bench8 = g8.filter(F.col("doc_id") % 20 == 0).select("h").distinct()
     cont = (
         g8.join(s3, "doc_id", "left_semi")
@@ -1858,30 +1844,29 @@ def streaming_budget_curation(spark, sf_dir):
 
     def admit(key, pdfs, state):
         spent = state.get[0] if state.exists else 0
-        frames = []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values("doc_id")
+        # concat ALL chunks before sorting: Arrow chunk order within a
+        # trigger is arbitrary (maxRecordsPerBatch splits groups), and
+        # budget admission is order-sensitive — a per-chunk cumsum would
+        # charge docs in chunk-arrival order, not doc_id order (the
+        # chunk-order-safety pattern of streaming_events_funnel)
+        chunks = [p for p in pdfs if len(p)]
+        out = pd.DataFrame(columns=["source", "doc_id", "n_tokens", "cum_tokens"])
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
             cum = pdf["n_tokens"].cumsum() + spent
             keep = cum <= CURATION_TOKEN_BUDGET
             kept = pdf[keep]
             if len(kept):
-                out = kept.assign(cum_tokens=cum[keep])
-                frames.append(out[["source", "doc_id", "n_tokens", "cum_tokens"]])
+                out = kept.assign(cum_tokens=cum[keep])[
+                    ["source", "doc_id", "n_tokens", "cum_tokens"]
+                ]
             # the cumsum baseline advances over EVERY arriving doc's tokens,
             # admitted or not — the inclusive-window-cumsum contract: once a
             # doc overflows, later smaller docs never slip in (exactly the
             # oracle's SUM ... ROWS UNBOUNDED PRECEDING <= budget predicate)
             spent = int(cum.iloc[-1])
         state.update((spent,))
-        yield (
-            pd.concat(frames, ignore_index=True)
-            if frames
-            else pd.DataFrame(
-                columns=["source", "doc_id", "n_tokens", "cum_tokens"]
-            )
-        )
+        yield out
 
     res = stream.groupBy("source").applyInPandasWithState(
         admit,

@@ -21,10 +21,10 @@ neither adds a corpus-scale stage.
   destination-keyed aggregate; contributions are 9-dp-rounded then
   DECIMAL-summed (order-independent, engine-exact — the unigram_logprob
   convention), so ranks are bit-identical at any parallelism. The edge
-  list and degree table are eagerly localCheckpoint()ed once (the
-  _connected_components convention — also keeps the iterated plan a
-  LogicalRDD re-read instead of an inlined candidate-join subtree per
-  iteration); the only driver sync is the scalar |V|.
+  list and degree table are localCheckpoint()ed once (lazily — the first
+  consumer action materializes each; the wrap still keeps the iterated
+  plan a LogicalRDD re-read instead of an inlined candidate-join subtree
+  per iteration); the only driver sync is the scalar |V|.
 - ``dedup_graph_triangles``: the degree-oriented wedge join (each edge
   directed from its lexicographically-(deg, id)-smaller endpoint) — every
   triangle is enumerated exactly once from its smallest corner, and the
@@ -102,10 +102,11 @@ _GRAPH_MEMO: dict = {}
 
 
 def _dedup_graph(spark, sf_dir):
-    """(und, deg): the undirected edge list and its degree table, eagerly
-    localCheckpoint()ed and memoized per (session, dataset) — PageRank and
-    triangles consume the same two tables, so they are built exactly once
-    per session (checkpointed RDD storage is reclaimed by GC on eviction,
+    """(und, deg): the undirected edge list and its degree table,
+    localCheckpoint()ed (lazily — the first consumer action materializes
+    each) and memoized per (session, dataset) — PageRank and triangles
+    consume the same two tables, so they are built exactly once per
+    session (checkpointed RDD storage is reclaimed by GC on eviction,
     so the memo only keeps the latest dataset per live session)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _GRAPH_MEMO.get(key)
@@ -154,10 +155,11 @@ def dedup_graph_pagerank(spark, sf_dir):
     )
     edges, deg = _dedup_graph(spark, sf_dir)
     # fold the static divisor into the edge list once; every iteration's
-    # join then touches exactly two tables. Eager localCheckpoint (the
-    # _connected_components convention) pins the |E|-sized table AND cuts
+    # join then touches exactly two tables. The (lazy) localCheckpoint cuts
     # the shared-cache lineage so the 8-iteration plan renders/optimizes
-    # over a LogicalRDD instead of 8 inlined copies of the candidate join.
+    # over a LogicalRDD instead of 8 inlined copies of the candidate join;
+    # deg.count() right below materializes deg, and the first iteration's
+    # action materializes ew.
     ew = edges.join(deg, "u").localCheckpoint(eager=False)
     n = deg.count()  # bounded driver sync: one scalar for the whole query
     if n == 0:

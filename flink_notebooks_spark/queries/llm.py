@@ -1832,12 +1832,23 @@ def multimodal_meta(spark, sf_dir):
 # T4. quality gate — threshold filter over the quality score (the curation
 #     decision a training pipeline applies before dedup; oracle-matched)
 # ---------------------------------------------------------------------------
+# THE quality score as an inline DuckDB expression over documents' text —
+# the SQL twin of quality_expr() below; consumed by the
+# quality_weighted_sample / budget_curation / curation_pipeline oracles
+# (quality_filter's and streaming_quality_filter's oracles carry the same
+# formula in CTE-decomposed form — a heuristic tweak must touch all of them)
+QUALITY_SQL = f"""least(CAST(len({SQL_WORDS}) AS DOUBLE) / 50, 1.0) * 0.6
+              + (1 - CAST(len(list_filter({SQL_WORDS}, x -> x IN ({_SW})))
+                      AS DOUBLE) / greatest(len({SQL_WORDS}), 1)) * 0.2
+              + least(CAST(length(text) AS DOUBLE) / 500, 1.0) * 0.2"""
+
+
 def quality_expr():
     """THE quality score, as a Spark Column over a `text` column — the single
     Python definition consumed by quality_filter, streaming_quality_filter,
-    quality_weighted_sample, and budget_curation (the SQL oracles carry the
-    same formula; a heuristic tweak must change this helper and the oracle
-    strings together or engines disagree)."""
+    quality_weighted_sample, and budget_curation (QUALITY_SQL above is its
+    inline DuckDB twin; a heuristic tweak must change this helper and the
+    oracle strings together or engines disagree)."""
     n_words = F.expr(f"size({WORDS})")
     n_stop = F.expr(f"size(filter({WORDS}, x -> x IN ({_SW})))")
     return (
@@ -2479,14 +2490,33 @@ def profile_quantiles(spark, sf_dir):
 #     with an evaluation/benchmark set (the standard n-gram-collision
 #     decontamination pass run before every training job)
 # ---------------------------------------------------------------------------
-_SQL_G8_CTES = f"""
-    w AS (SELECT doc_id, {SQL_WORDS} AS ws FROM documents),
-    idx AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 7, 1) + 1)) AS g FROM w),
+def sql_g8_ctes(tag: str = "") -> str:
+    """Word-8-gram CTE chain ending in g8(doc_id, s) — THE gram definition
+    shared by decontaminate, decontaminate_fuzzy, and curation_pipeline.
+    `tag` de-collides the intermediate CTE names when the chain is composed
+    with the shingle CTEs (which also define w/idx) in one statement."""
+    return f"""
+    w{tag} AS (SELECT doc_id, {SQL_WORDS} AS ws FROM documents),
+    idx{tag} AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 7, 1) + 1)) AS g FROM w{tag}),
     g8 AS (SELECT DISTINCT doc_id,
                   ws[g]||' '||ws[g+1]||' '||ws[g+2]||' '||ws[g+3]||' '||
                   ws[g+4]||' '||ws[g+5]||' '||ws[g+6]||' '||ws[g+7] AS s
-           FROM idx WHERE ws[g+7] IS NOT NULL)
+           FROM idx{tag} WHERE ws[g+7] IS NOT NULL)
 """
+
+
+_SQL_G8_CTES = sql_g8_ctes()
+
+
+def hashed_g8(spark, sf_dir) -> DataFrame:
+    """(doc_id, h): xxhash64'd word-8-grams off the shared token cache —
+    the single Spark-side gram construction behind the three consumers of
+    sql_g8_ctes (8-byte keys shuffle/broadcast instead of ~60-char strings;
+    the oracles join the strings, collision P negligible)."""
+    t = tokenized_docs(spark, sf_dir)
+    return t.select(
+        "doc_id", F.explode(F.expr(NGRAMS.format(ws="ws", k=8))).alias("s")
+    ).select("doc_id", F.xxhash64("s").alias("h"))
 
 
 @query(
@@ -2509,10 +2539,7 @@ def decontaminate(spark, sf_dir):
     collision check is a map-side hash probe over the corpus scan, no
     shuffle until the tiny per-contaminated-doc aggregate. 8-gram hashes are
     8-byte xxhash64 (collision P negligible; oracle joins the strings)."""
-    t = tokenized_docs(spark, sf_dir)
-    g8 = t.select(
-        "doc_id", F.explode(F.expr(NGRAMS.format(ws="ws", k=8))).alias("s")
-    ).select("doc_id", F.xxhash64("s").alias("h"))
+    g8 = hashed_g8(spark, sf_dir)
     bench = g8.filter(F.col("doc_id") % 20 == 0).select(
         F.col("doc_id").alias("bench_id"), "h"
     )

@@ -160,3 +160,24 @@ def test_quantile_sketch_within_rank_tolerance(spark, sf_dir):
             lo = xs[max(0, target - 1 - slack)]
             hi = xs[min(n - 1, target - 1 + slack)]
             assert lo <= r[col] <= hi, (r["source"], col, r[col], lo, hi)
+
+
+def test_streaming_budget_admission_chunk_order_safe(spark, sf_dir, duck):
+    """admit() must concat-then-sort ALL Arrow chunks before the cumsum:
+    with 16-row Arrow batches every source group spans multiple chunks in
+    arbitrary order, and a per-chunk cumsum would charge docs in chunk
+    order, not doc_id order. The result must still equal the oracle's
+    window-cumsum predicate exactly."""
+    from flink_notebooks_spark.queries import ORACLE, QUERIES
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        got = [
+            (r["source"], r["doc_id"], r["n_tokens"], r["cum_tokens"])
+            for r in QUERIES["streaming_budget_curation"](spark, sf_dir).collect()
+        ]
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    want = [tuple(r) for r in duck.execute(ORACLE["streaming_budget_curation"]).fetchall()]
+    assert got == want
