@@ -611,3 +611,129 @@ def profile_quantiles_sketch(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# L8. continuous exact-kNN serving — `similarity_topk` as a stateful
+#     streaming job: candidates arrive over 4 triggers, per-shard state
+#     carries each query's running top-k (top-k is MERGEABLE: per-batch
+#     local top-k then merge is exactly the global top-k), and the final
+#     revision merges shards into the batch answer — oracle verbatim.
+# ---------------------------------------------------------------------------
+KNN_STREAM_SHARDS = 8
+
+
+@query("streaming_similarity_topk", oracle=None)  # oracle wired below
+def streaming_similarity_topk(spark, sf_dir):
+    """Online exact-kNN: the broadcast-query-batch plan of similarity_topk
+    run continuously. Candidates shard by vec_id % {s} (NO per-query row
+    amplification — the corpus-side stream is never multiplied by the
+    query count); each shard's state holds q → running top-{k}
+    (ids + fp64 sims, ≤ q·{k} entries per shard however much streams in),
+    and emits its current per-query top-{k} each trigger. The final read
+    takes each shard's latest revision and re-ranks across shards — exact,
+    because per-subset top-k then merge IS global top-k.
+
+    Float parity: sims are computed with a CUMSUM-based sequential fp64
+    dot product — numpy's pairwise/BLAS reductions sum in a different
+    order than the Catalyst fold and DuckDB's list_dot_product, and the
+    oracle comparison is exact after rounding, so evaluation order is
+    load-bearing (cumsum along the vector axis reproduces left-to-right
+    IEEE addition bit-for-bit).""".format(s=KNN_STREAM_SHARDS, k=10)
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..io import load_table
+    from .llm import TOPK_K, TOPK_QUERY_IDS
+    from .streaming import _run_to_memory, _staged_table_stream
+
+    # bounded query-batch collection (the ann_* convention): TOPK_QUERY_IDS
+    # vectors, fixed regardless of corpus size
+    qrows = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < TOPK_QUERY_IDS)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    if not qrows:  # empty corpus -> no query batch, nothing to serve
+        return spark.createDataFrame(
+            [], "q_id long, nn_id long, sim double, rn int"
+        )
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+
+    def seq_dot(A, B):
+        # sequential left-to-right fp64 sum == Catalyst fold / DuckDB
+        # list_dot_product (axis cumsum is the vectorized form of it)
+        return np.cumsum(A * B, axis=-1)[..., -1]
+
+    q_nrm = np.sqrt(seq_dot(Q, Q))
+
+    raw = _staged_table_stream(
+        spark, sf_dir, "embeddings", "vec_id",
+        "vec_id bigint, embedding array<float>", n_files=4,
+    )
+    stream = raw.withColumn(
+        "shard", (F.col("vec_id") % KNN_STREAM_SHARDS).cast("int")
+    )
+
+    def serve(key, pdfs, state):
+        if state.exists:
+            rev, ids, qs, sims = state.get
+            top = {}
+            for i, qq, s in zip(ids, qs, sims):
+                top.setdefault(qq, []).append((s, i))
+        else:
+            rev, top = 0, {}
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            C = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            cids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            c_nrm = np.sqrt(seq_dot(C, C))
+            for qi in range(len(q_ids)):
+                sims_q = seq_dot(Q[qi][None, :], C) / (q_nrm[qi] * c_nrm)
+                cand = top.setdefault(int(q_ids[qi]), [])
+                for cid, sv in zip(cids, sims_q):
+                    if cid != q_ids[qi]:
+                        cand.append((float(sv), int(cid)))
+                # keep exactly top-k by (sim desc, nn_id asc)
+                cand.sort(key=lambda t: (-t[0], t[1]))
+                del cand[TOPK_K:]
+        rev += 1
+        ids, qs, sims, rows = [], [], [], []
+        for qq, cand in top.items():
+            for s, i in cand:
+                ids.append(i), qs.append(qq), sims.append(s)
+                rows.append((key[0], qq, i, s, rev))
+        state.update((rev, ids, qs, sims))
+        yield pd.DataFrame(
+            rows, columns=["shard", "q_id", "nn_id", "sim", "rev"]
+        )
+
+    res = stream.groupBy("shard").applyInPandasWithState(
+        serve,
+        "shard int, q_id long, nn_id long, sim double, rev long",
+        "rev long, ids array<long>, qs array<long>, sims array<double>",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_memory(res, "update")
+    w = Window.partitionBy("shard")
+    latest = out.withColumn("maxrev", F.max("rev").over(w)).filter(
+        F.col("rev") == F.col("maxrev")
+    )
+    rw = Window.partitionBy("q_id").orderBy(F.desc("sim"), "nn_id")
+    return (
+        latest.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") <= TOPK_K)
+        .select("q_id", "nn_id", F.round("sim", 6).alias("sim"), "rn")
+        .orderBy("q_id", "rn")
+    )
+
+
+# the streaming form's oracle is the batch exact-kNN SQL verbatim
+from ._registry import ORACLE as _OR  # noqa: E402
+
+_OR["streaming_similarity_topk"] = _OR["similarity_topk"]
