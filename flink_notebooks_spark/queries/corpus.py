@@ -1414,34 +1414,21 @@ def events_markov_transitions(spark, sf_dir):
 # R17. streaming Markov transition matrix — the transition counts maintained
 #      continuously; per-user state is ONE row (the last event seen)
 # ---------------------------------------------------------------------------
-@query("events_markov_transitions_stream", oracle=None)  # oracle wired below
-def events_markov_transitions_stream(spark, sf_dir):
-    """`events_markov_transitions` as a continuous stateful job: events
-    replay time-ordered across 4 triggers; per-user state is exactly the
-    last event_type seen, and each trigger emits the
-    user's NEW transition counts as deltas (state's last event prepends the
-    trigger's rows, so boundary-spanning transitions are counted exactly
-    once). The final matrix is a plain SUM over all emitted deltas — no
-    latest-revision resolution needed — and equals the batch matrix under
-    time-ordered replay, so the oracle is the batch query's SQL verbatim.
-
-    Ordering contract: within a trigger rows sort by (ts_us, event_id);
-    across triggers the staging is ts-ordered (fixture timestamps are
-    unique; a production deployment with ts ties would stage on the
-    composite key — same caveat as every time-ordered-replay oracle here).
-
-    100 TB/continuous shape: state per user is ONE string regardless of
-    volume; emission per trigger is bounded by the user's distinct
-    transition pairs; the final aggregate's cardinality is the type-pair
-    domain. Nothing driver-side."""
+def markov_delta_stream(spark, sf_dir, staging_dir=None):
+    """The stateful transition-delta stream behind
+    events_markov_transitions_stream, exposed for sink-agnostic runs (the
+    checkpoint-restart test writes it to a parquet sink). Emits per-user
+    (from_type, to_type, n) COUNT DELTAS per trigger."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from ..io import events_stream_schema, stream_ts_cols
-    from .streaming import _run_to_memory, _staged_table_stream
+    from .streaming import _staged_table_stream
 
     schema = events_stream_schema(f"{sf_dir}/events.parquet")
-    raw = _staged_table_stream(spark, sf_dir, "events", "ts", schema, n_files=4)
+    raw = _staged_table_stream(
+        spark, sf_dir, "events", "ts", schema, n_files=4, staging_dir=staging_dir
+    )
     stream = stream_ts_cols(raw).select(
         "user_id", "ts_us", "event_id", "event_type"
     )
@@ -1466,13 +1453,38 @@ def events_markov_transitions_stream(spark, sf_dir):
             columns=["from_type", "to_type", "n"],
         )
 
-    res = stream.groupBy("user_id").applyInPandasWithState(
+    return stream.groupBy("user_id").applyInPandasWithState(
         advance,
         "from_type string, to_type string, n long",
         "last_type string",
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+@query("events_markov_transitions_stream", oracle=None)  # oracle wired below
+def events_markov_transitions_stream(spark, sf_dir):
+    """`events_markov_transitions` as a continuous stateful job: events
+    replay time-ordered across 4 triggers; per-user state is exactly the
+    last event_type seen, and each trigger emits the
+    user's NEW transition counts as deltas (state's last event prepends the
+    trigger's rows, so boundary-spanning transitions are counted exactly
+    once). The final matrix is a plain SUM over all emitted deltas — no
+    latest-revision resolution needed — and equals the batch matrix under
+    time-ordered replay, so the oracle is the batch query's SQL verbatim.
+
+    Ordering contract: within a trigger rows sort by (ts_us, event_id);
+    across triggers the staging is ts-ordered (fixture timestamps are
+    unique; a production deployment with ts ties would stage on the
+    composite key — same caveat as every time-ordered-replay oracle here).
+
+    100 TB/continuous shape: state per user is ONE string regardless of
+    volume; emission per trigger is bounded by the user's distinct
+    transition pairs; the final aggregate's cardinality is the type-pair
+    domain. Nothing driver-side."""
+    from .streaming import _run_to_memory
+
+    res = markov_delta_stream(spark, sf_dir)
     deltas = _run_to_memory(res, "append")
     tr = deltas.groupBy("from_type", "to_type").agg(F.sum("n").alias("n"))
     # rename the totals' key: both branches read the same memory-sink view,

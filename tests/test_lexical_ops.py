@@ -181,3 +181,63 @@ def test_streaming_budget_admission_chunk_order_safe(spark, sf_dir, duck):
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
     want = [tuple(r) for r in duck.execute(ORACLE["streaming_budget_curation"]).fetchall()]
     assert got == want
+
+
+def test_streaming_markov_checkpoint_restart(spark, sf_dir, tmp_path):
+    """Kill the Markov delta stream mid-replay and resume from its
+    checkpoint: per-user last-type state must restore, no boundary
+    transition may be lost or double-counted, and the summed sink deltas
+    must equal the batch transition matrix exactly."""
+    import time
+
+    from flink_notebooks_spark.queries import ORACLE, QUERIES
+    from flink_notebooks_spark.queries.corpus import markov_delta_stream
+
+    staging = str(tmp_path / "staging")
+    sink = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            markov_delta_stream(spark, sf_dir, staging_dir=staging)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        t0 = time.time()
+        while time.time() - t0 < 120:
+            if q.lastProgress and q.lastProgress["batchId"] >= 1:
+                break
+            time.sleep(0.2)
+        q.stop()
+        q.awaitTermination(60)
+
+        q2 = (
+            markov_delta_stream(spark, sf_dir, staging_dir=staging)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    from pyspark.sql import functions as F
+
+    got = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in spark.read.parquet(sink)
+        .groupBy("from_type", "to_type")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    want = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in QUERIES["events_markov_transitions"](spark, sf_dir).collect()
+    }
+    assert got == want
