@@ -90,6 +90,8 @@ INVARIANT_QUERIES = [
     #   curation_pipeline    — staged composition: md5 windows, survivor-
     #                          filtered components, broadcast gram index
     "curation_pipeline",
+    #   bpe_apply            — memoized merge replay + integer subword sums
+    "bpe_apply",
 ]
 
 

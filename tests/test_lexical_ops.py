@@ -241,3 +241,47 @@ def test_streaming_markov_checkpoint_restart(spark, sf_dir, tmp_path):
         for r in QUERIES["events_markov_transitions"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_bpe_apply_matches_reference(spark, sf_dir, duck):
+    """Per-doc subword counts under the trained merges must equal a pure
+    Python application of the same merge table to every word."""
+    from flink_notebooks_spark.queries import QUERIES
+    from flink_notebooks_spark.queries.lexical import _bpe_merges
+
+    merges = _bpe_merges(spark, sf_dir)
+
+    def apply_all(word):
+        syms = list(word) + [_BPE_EOW]
+        for _, l, r, _, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    rows = duck.execute(
+        "SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') "
+        "FROM documents ORDER BY doc_id"
+    ).fetchall()
+    cache: dict[str, int] = {}
+    want = {}
+    for doc_id, ws in rows:
+        if not ws:
+            continue
+        n_sub = 0
+        for wd in ws:
+            if wd not in cache:
+                cache[wd] = apply_all(wd)
+            n_sub += cache[wd]
+        want[doc_id] = (len(ws), n_sub, round(n_sub / len(ws), 6))
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_subtokens"], r["fertility"])
+        for r in QUERIES["bpe_apply"](spark, sf_dir).collect()
+    }
+    assert got == want

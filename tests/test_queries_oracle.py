@@ -41,6 +41,7 @@ def test_all_queries_have_entries():
         # iterative merge training: no single ANSI-SQL statement expresses
         # it; exactness pinned by the pure-Python parity test
         "bpe_train",
+        "bpe_apply",
         # GK sketch values depend on Spark's internal compaction — bounded
         # by the rank-tolerance test instead of an oracle
         "profile_quantiles_sketch",
