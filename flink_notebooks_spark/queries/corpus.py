@@ -46,6 +46,7 @@ from .llm import (
     SQL_WORDS,
     WORDS,
     _memo_put,
+    hashed_g8,
     tokenized_docs,
 )
 
@@ -384,8 +385,6 @@ def decontaminate_fuzzy(spark, sf_dir):
     corpus-side probe is map-side; the only shuffle is the per-contaminated-
     pair aggregate, proportional to actual contamination. Grams are 8-byte
     xxhash64 (the oracle joins the strings; collision P negligible)."""
-    from .llm import hashed_g8
-
     g8 = hashed_g8(spark, sf_dir)
     bench = g8.filter(F.col("doc_id") % 20 == 0).select(
         F.col("doc_id").alias("bench_id"), "h"
@@ -1773,8 +1772,6 @@ def curation_pipeline(spark, sf_dir):
     neardup = ranked.filter(F.col("rn2") > 1).select("doc_id")
     s3 = ranked.filter(F.col("rn2") == 1).select("doc_id")
     # decontamination: final survivors sharing any 8-gram with the bench slice
-    from .llm import hashed_g8
-
     g8 = hashed_g8(spark, sf_dir)
     bench8 = g8.filter(F.col("doc_id") % 20 == 0).select("h").distinct()
     cont = (

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from ._registry import query
 from .corpus import _CMS_HASH, _SQL_CMS_PROBES, CMS_D, CMS_PROBES, CMS_W
-from .llm import SQL_WORDS, tokenized_docs
+from .llm import SQL_WORDS, TOPK_K, tokenized_docs
 
 # ---------------------------------------------------------------------------
 # L1. PMI collocations — top bigrams by pointwise mutual information
@@ -261,10 +261,11 @@ def _bpe_init_syms():
     )
 
 
-def _bpe_merges(spark, sf_dir) -> list[tuple]:
-    """The trained merge list [(rank, left, right, merged, pair_count)],
-    memoized per (session, dataset) — bpe_train renders it, bpe_apply
-    replays it; the training loop runs once per session."""
+def _bpe_merges(spark, sf_dir) -> tuple:
+    """(merges, vocab_syms): the trained merge list [(rank, left, right,
+    merged, pair_count)] AND the fully-merged vocabulary symbol table
+    (word, n, syms), memoized per (session, dataset) — bpe_train renders
+    the list, bpe_apply joins the table; neither replays the fold."""
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _BPE_MEMO.get(key)
     if hit is not None:
@@ -275,7 +276,7 @@ def _bpe_merges(spark, sf_dir) -> list[tuple]:
         .groupBy("word")
         .agg(F.count("*").alias("n"))
     )
-    init = wc.select("n", _bpe_init_syms().alias("syms"))
+    init = wc.select("word", "n", _bpe_init_syms().alias("syms"))
     # localCheckpoint = REPLACE the logical plan with a (checkpointed) RDD:
     # cuts both recompute lineage and the exponential projection-collapsed
     # fold expression (see bpe_train docstring). LAZY on purpose — the next
@@ -310,8 +311,9 @@ def _bpe_merges(spark, sf_dir) -> list[tuple]:
         ).localCheckpoint(eager=False)
     for stale in [k for k in _BPE_MEMO if k[0] == key[0] and k != key]:
         _BPE_MEMO.pop(stale)
-    _BPE_MEMO[key] = merges
-    return merges
+    hit = (merges, cur)
+    _BPE_MEMO[key] = hit
+    return hit
 
 
 @query("bpe_train")
@@ -330,17 +332,18 @@ def bpe_train(spark, sf_dir):
     iteration after that shuffles only the vocabulary table: one pair
     re-aggregate plus exactly one driver-synced row (the argmax), the
     same sync pattern as embedding_kmeans' k×d centroid exchange. The
-    symbol table is eagerly localCheckpoint()ed each round — REQUIRED,
-    not a nicety: Catalyst's projection collapse inlines each merge fold
-    into the next, growing the expression tree exponentially with the
-    merge count (the same measured failure mode as the minhash 128×
-    re-evaluation in streaming_dedup_minhash; 24 stacked folds OOM the
-    driver on plan *stringification* alone). On a real cluster this maps
-    to reliable-storage checkpointing of a vocabulary-sized table per
-    merge — the standard shape for iterative Spark algorithms.""".format(
+    symbol table is localCheckpoint()ed each round (LAZILY — the next
+    pair-count action materializes it, one job per merge). The checkpoint
+    itself is REQUIRED, not a nicety: Catalyst's projection collapse
+    inlines each merge fold into the next, growing the expression tree
+    exponentially with the merge count (the same measured failure mode as
+    the minhash 128× re-evaluation in streaming_dedup_minhash; 24 stacked
+    folds OOM the driver on plan *stringification* alone). On a real
+    cluster this maps to reliable-storage checkpointing of a
+    vocabulary-sized table per merge — the standard iterative-Spark shape.""".format(
         m=BPE_MERGES, eow=_BPE_EOW
     )
-    merges = _bpe_merges(spark, sf_dir)
+    merges, _ = _bpe_merges(spark, sf_dir)
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count long"
     ).orderBy("rank")
@@ -658,13 +661,13 @@ def streaming_similarity_topk(spark, sf_dir):
     order than the Catalyst fold and DuckDB's list_dot_product, and the
     oracle comparison is exact after rounding, so evaluation order is
     load-bearing (cumsum along the vector axis reproduces left-to-right
-    IEEE addition bit-for-bit).""".format(s=KNN_STREAM_SHARDS, k=10)
+    IEEE addition bit-for-bit).""".format(s=KNN_STREAM_SHARDS, k=TOPK_K)
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from ..io import load_table
-    from .llm import TOPK_K, TOPK_QUERY_IDS
+    from .llm import TOPK_QUERY_IDS
     from .streaming import _run_to_memory, _staged_table_stream
 
     # bounded query-batch collection (the ann_* convention): TOPK_QUERY_IDS
@@ -771,23 +774,16 @@ def bpe_apply(spark, sf_dir):
     merge replay is inherently iterative); exactness is pinned by a
     pure-Python application of the same merge table.
 
-    Scale: merges replay over the DISTINCT VOCABULARY (word → symbol
-    array, lazily checkpointed per merge — {m} narrow vocab-sized stages,
-    never a corpus pass), then ONE word-keyed join carries each word's
-    subword count onto the corpus explode and a doc-keyed aggregate
-    finishes. The corpus is touched exactly twice (vocab build + final
-    join), independent of the merge count.""".format(m=BPE_MERGES)
-    merges = _bpe_merges(spark, sf_dir)
-    t = tokenized_docs(spark, sf_dir)
-    vocab = t.select(F.explode("ws").alias("word")).distinct()
-    cur = vocab.select("word", _bpe_init_syms().alias("syms")).localCheckpoint(
-        eager=False
+    Scale: training already folded the merges over the vocabulary table
+    and the memo keeps the RESULT (word → final symbol array) — apply is
+    ONE word-keyed join carrying each word's subword count onto the
+    corpus explode plus a doc-keyed aggregate; zero merge stages replay,
+    and the corpus is touched once here regardless of the merge count.""".format(
+        m=BPE_MERGES
     )
-    for _, l, r, _, _ in merges:
-        cur = cur.withColumn(
-            "syms", F.expr(_bpe_merge_expr(l, r))
-        ).localCheckpoint(eager=False)
-    sub = cur.select("word", F.size("syms").alias("n_sub"))
+    _, vocab_syms = _bpe_merges(spark, sf_dir)
+    t = tokenized_docs(spark, sf_dir)
+    sub = vocab_syms.select("word", F.size("syms").alias("n_sub"))
     w = t.select("doc_id", F.explode("ws").alias("word"))
     per = (
         w.join(sub, "word")

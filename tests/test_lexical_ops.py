@@ -19,6 +19,21 @@ from flink_notebooks_spark.queries.lexical import (
 )
 
 
+def _apply_merge(syms: list, l: str, r: str) -> list:
+    """Reference greedy non-overlapping left-to-right merge (Sennrich) —
+    the single reference implementation shared by the bpe_train and
+    bpe_apply parity tests."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
 def _ref_bpe(word_counts: dict[str, int], n_merges: int) -> list[tuple]:
     """Reference BPE (Sennrich et al. 2016 get_stats/merge loop): pair
     counts over adjacent positions (overlapping occurrences counted),
@@ -37,16 +52,7 @@ def _ref_bpe(word_counts: dict[str, int], n_merges: int) -> list[tuple]:
         merges.append((rank, l, r, l + r, c))
         new_vocab = {}
         for syms, n in vocab.items():
-            out = []
-            i = 0
-            while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
-                    out.append(l + r)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            key = tuple(out)
+            key = tuple(_apply_merge(list(syms), l, r))
             new_vocab[key] = new_vocab.get(key, 0) + n
         vocab = new_vocab
     return merges
@@ -184,21 +190,36 @@ def test_streaming_budget_admission_chunk_order_safe(spark, sf_dir, duck):
 
 
 def test_streaming_markov_checkpoint_restart(spark, sf_dir, tmp_path):
-    """Kill the Markov delta stream mid-replay and resume from its
-    checkpoint: per-user last-type state must restore, no boundary
-    transition may be lost or double-counted, and the summed sink deltas
-    must equal the batch transition matrix exactly."""
-    import time
+    """Resume the Markov delta stream from its checkpoint: per-user
+    last-type state must restore, no boundary transition may be lost or
+    double-counted, and the summed sink deltas must equal the batch matrix.
 
-    from flink_notebooks_spark.queries import ORACLE, QUERIES
+    DETERMINISTIC split (no kill-timing race): phase 1 sees only the first
+    2 of 4 staged files and runs availableNow to completion; the remaining
+    files then appear and phase 2 resumes from the same checkpoint — the
+    cross-phase transitions exist iff state restored."""
+    import os
+    import shutil
+
+    from flink_notebooks_spark.queries import QUERIES
     from flink_notebooks_spark.queries.corpus import markov_delta_stream
 
     staging = str(tmp_path / "staging")
+    held = str(tmp_path / "held")
     sink = str(tmp_path / "sink")
     ck = str(tmp_path / "ck")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
+        # populate staging eagerly, then hold back the last two slices
+        markov_delta_stream(spark, sf_dir, staging_dir=staging)
+        os.makedirs(held)
+        moved = []
+        for f in sorted(os.listdir(staging))[2:]:
+            shutil.move(f"{staging}/{f}", f"{held}/{f}")
+            moved.append(f)
+        assert moved, "staging must hold back at least one slice"
+
         q = (
             markov_delta_stream(spark, sf_dir, staging_dir=staging)
             .writeStream.format("parquet")
@@ -207,14 +228,10 @@ def test_streaming_markov_checkpoint_restart(spark, sf_dir, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        t0 = time.time()
-        while time.time() - t0 < 120:
-            if q.lastProgress and q.lastProgress["batchId"] >= 1:
-                break
-            time.sleep(0.2)
-        q.stop()
-        q.awaitTermination(60)
+        q.awaitTermination()
 
+        for f in moved:
+            shutil.move(f"{held}/{f}", f"{staging}/{f}")
         q2 = (
             markov_delta_stream(spark, sf_dir, staging_dir=staging)
             .writeStream.format("parquet")
@@ -224,6 +241,8 @@ def test_streaming_markov_checkpoint_restart(spark, sf_dir, tmp_path):
             .start()
         )
         q2.awaitTermination()
+        # the resumed run must actually have processed the held-back slices
+        assert q2.lastProgress is not None and q2.lastProgress["batchId"] >= 0
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
@@ -249,20 +268,12 @@ def test_bpe_apply_matches_reference(spark, sf_dir, duck):
     from flink_notebooks_spark.queries import QUERIES
     from flink_notebooks_spark.queries.lexical import _bpe_merges
 
-    merges = _bpe_merges(spark, sf_dir)
+    merges, _ = _bpe_merges(spark, sf_dir)
 
     def apply_all(word):
         syms = list(word) + [_BPE_EOW]
         for _, l, r, _, _ in merges:
-            out, i = [], 0
-            while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
-                    out.append(l + r)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            syms = out
+            syms = _apply_merge(syms, l, r)
         return len(syms)
 
     rows = duck.execute(
