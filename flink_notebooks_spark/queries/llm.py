@@ -3477,3 +3477,119 @@ def events_retention(spark, sf_dir):
         .agg(F.count("*").alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# D12. incremental dedup — the PRODUCTION ingestion shape: dedup an arriving
+#      shard against the existing corpus without re-deduping the corpus
+#      (delta×base candidates only, never delta×delta re-verification of
+#      the base). Here the delta is doc_id%10==9, the base everything else.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH newdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 9),
+    base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 9),
+    exact AS (
+      SELECT n.doc_id, MIN(b.doc_id) AS match_id
+      FROM newdocs n JOIN base b ON md5(b.text) = md5(n.text)
+      GROUP BY n.doc_id),
+    {SQL_SHINGLE_CTES},
+    {SQL_JACCARD_CAND_CTES},
+    jp AS (
+      SELECT p.a, p.b,
+             ROUND(CAST(p.i AS DOUBLE) / (ca.n + cb.n - p.i), 6) AS jac
+      FROM pair p JOIN cnt ca ON ca.doc_id = p.a JOIN cnt cb ON cb.doc_id = p.b
+      WHERE CAST(p.i AS DOUBLE) / (ca.n + cb.n - p.i) >= 0.8),
+    cross_jp AS (
+      SELECT a AS new_id, b AS base_id, jac FROM jp
+      WHERE a % 10 = 9 AND b % 10 <> 9
+      UNION ALL
+      SELECT b, a, jac FROM jp WHERE b % 10 = 9 AND a % 10 <> 9),
+    best AS (
+      SELECT new_id, base_id, jac,
+             ROW_NUMBER() OVER (PARTITION BY new_id
+                                ORDER BY jac DESC, base_id) AS rn
+      FROM cross_jp)
+    SELECT n.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN b.new_id IS NOT NULL THEN 'near_dup'
+                ELSE 'unique' END AS verdict,
+           COALESCE(e.match_id,
+                    CASE WHEN e.doc_id IS NULL THEN b.base_id END,
+                    -1) AS match_id,
+           COALESCE(CASE WHEN e.doc_id IS NULL THEN b.jac END, 0.0) AS jac
+    FROM newdocs n
+    LEFT JOIN exact e ON e.doc_id = n.doc_id
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_id = n.doc_id
+    ORDER BY n.doc_id
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Dedup verdict for each ARRIVING document against the EXISTING
+    corpus (exact content hash first, then best near-dup partner from the
+    verified jaccard pairs restricted to delta×base) — the incremental
+    ingestion shape: per shard, work is proportional to the delta's
+    candidates, and the base corpus is never re-deduped. match_id = the
+    exact match's minimum base doc_id, else the best (jac desc, id)
+    near-dup partner, else -1; sentinel -1/0.0 instead of NULLs so the
+    value-hash comparison is unambiguous.
+
+    Scale: the exact probe is a base-sized md5 join keyed on 32-byte
+    hashes (in production the base side is a pre-built hash index — one
+    build, every shard probes it); near-dup candidates ride the SHARED
+    verified-pair cache filtered to delta×base endpoints, adding zero new
+    corpus-scale stages here."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_new = F.col("doc_id") % 10 == 9
+    newdocs = d.filter(is_new)
+    base = d.filter(~is_new)
+    exact = (
+        newdocs.alias("n")
+        .join(base.alias("b"), F.md5(F.col("b.text")) == F.md5(F.col("n.text")))
+        .groupBy(F.col("n.doc_id").alias("doc_id"))
+        .agg(F.min("b.doc_id").alias("ex_match"))
+    )
+    jp = jaccard_pairs_df(spark, sf_dir).select("a", "b", F.round("jac", 6).alias("jac"))
+    cross_jp = (
+        jp.filter((F.col("a") % 10 == 9) & (F.col("b") % 10 != 9))
+        .select(F.col("a").alias("new_id"), F.col("b").alias("base_id"), "jac")
+        .union(
+            jp.filter((F.col("b") % 10 == 9) & (F.col("a") % 10 != 9)).select(
+                F.col("b").alias("new_id"), F.col("a").alias("base_id"), "jac"
+            )
+        )
+    )
+    best = (
+        cross_jp.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("new_id").orderBy(F.desc("jac"), "base_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    out = (
+        newdocs.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(best.withColumnRenamed("new_id", "doc_id"), "doc_id", "left")
+    )
+    verdict = (
+        F.when(F.col("ex_match").isNotNull(), "exact_dup")
+        .when(F.col("base_id").isNotNull(), "near_dup")
+        .otherwise("unique")
+    )
+    match_id = F.coalesce(
+        "ex_match",
+        F.when(F.col("ex_match").isNull(), F.col("base_id")),
+        F.lit(-1),
+    )
+    return out.select(
+        "doc_id",
+        verdict.alias("verdict"),
+        match_id.cast("long").alias("match_id"),
+        F.coalesce(
+            F.when(F.col("ex_match").isNull(), F.col("jac")), F.lit(0.0)
+        ).alias("jac"),
+    ).orderBy("doc_id")

@@ -92,6 +92,8 @@ INVARIANT_QUERIES = [
     "curation_pipeline",
     #   bpe_apply            — memoized merge replay + integer subword sums
     "bpe_apply",
+    #   dedup_incremental    — md5 probe + best-partner window tie-break
+    "dedup_incremental",
 ]
 
 

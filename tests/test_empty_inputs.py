@@ -79,6 +79,7 @@ EMPTY_QUERIES = [
     "streaming_budget_curation",
     "streaming_similarity_topk",
     "bpe_apply",
+    "dedup_incremental",
     # streaming_token_freq_sketch excluded like token_freq_sketch: the probe
     # LEFT JOIN emits 13 zero-estimate rows on an empty corpus by contract
     # CMS probes on an empty corpus: every cell is empty -> 13 zero
