@@ -1727,7 +1727,13 @@ def curation_pipeline(spark, sf_dir):
 
     Scale: reuses the token cache, the verified-pair cache, and the
     broadcast benchmark gram index; the only new exchanges are the md5
-    window, the survivor-filtered components, and doc-keyed flag joins."""
+    window, the survivor-filtered components, and doc-keyed flag joins.
+    The exact-dup window input is projected to (doc_id, md5(text), n_chars)
+    BEFORE the window so its exchange carries 32-byte hashes, never
+    document bodies — the same plan dedup_exact documents; at 100 TB this
+    is ~3 TB of hashes shuffled instead of the full corpus text
+    (tests/test_llm_ops.py pins that no exchange in this pipeline carries
+    a text column)."""
     from .llm import (
         _connected_components,
         jaccard_pairs_df,
@@ -1739,12 +1745,12 @@ def curation_pipeline(spark, sf_dir):
     base = d.withColumn("is_bench", F.col("doc_id") % 20 == 0).withColumn(
         "low_q", (F.round(quality_expr(), 9) < 0.5) | (n_words < 10)
     )
+    # hash-project BEFORE the window: the dedup exchange partitions by (and
+    # carries) the 32-byte digest, not the document body
     s1 = base.filter(~F.col("is_bench") & ~F.col("low_q")).select(
-        "doc_id", "text", "n_chars"
+        "doc_id", F.md5("text").alias("h"), "n_chars"
     )
-    rn = F.row_number().over(
-        Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    )
+    rn = F.row_number().over(Window.partitionBy("h").orderBy("doc_id"))
     exr = s1.withColumn("rn", rn)
     exdup = exr.filter(F.col("rn") > 1).select("doc_id")
     s2 = exr.filter(F.col("rn") == 1).select("doc_id", "n_chars")

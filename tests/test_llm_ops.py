@@ -926,3 +926,42 @@ def test_streaming_dedup_minhash_checkpoint_restart(spark, sf_dir, tmp_path):
     )
     want = QUERIES["dedup_minhash_lsh"](spark, sf_dir).toPandas().reset_index(drop=True)
     assert got.equals(want), (interrupted_batches, len(got), len(want))
+
+
+def test_curation_pipeline_exchanges_carry_no_text(spark, sf_dir):
+    """VERDICT r8 #1: the exact-dup stage used to window over
+    md5(text) computed inside the Window, so Catalyst kept ``text`` in
+    the window child and the exchange shuffled full document bodies.
+    The window input is now hash-projected to (doc_id, h, n_chars);
+    this pins that no DATA shuffle (ENSURE_REQUIREMENTS — the exchanges
+    Catalyst inserts for windows/joins/aggregates) in the pipeline's
+    physical plan receives a ``text`` attribute — at 100 TB the
+    difference between shuffling ~3 TB of 32-byte digests and the whole
+    corpus. The one exempted shape is the token-cache build's explicit
+    REPARTITION_BY_NUM, where raw text crosses exactly once by design:
+    it IS the scan distribution for the CPU-bound tokenize stage (see
+    tokenized_docs' docstring), not a query shuffle payload."""
+    import contextlib
+    import io
+
+    df = QUERIES["curation_pipeline"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    blocks = [
+        b
+        for b in buf.getvalue().split("\n\n")
+        if "Exchange" in b.split("\n")[0]
+    ]
+    assert blocks, "no exchange detail blocks found in the formatted plan"
+    checked = 0
+    for block in blocks:
+        if "REPARTITION_BY_NUM" in block:
+            continue  # token-cache scale-out: text crosses once, by design
+        checked += 1
+        for line in block.split("\n"):
+            if line.startswith("Input") or line.startswith("Arguments"):
+                assert "text#" not in line, (
+                    f"document text crosses a data shuffle: {line}"
+                )
+    assert checked, "no data-shuffle exchange blocks found in the plan"
