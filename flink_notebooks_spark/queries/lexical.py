@@ -20,12 +20,15 @@ follows the round-then-DECIMAL determinism convention of ``unigram_logprob``.
   the tf aggregate's own output.
 - ``bpe_train``: the ONLY corpus-scale shuffle is the initial word-count
   aggregate (map-side combined; Heaps' law bounds the result to the
-  vocabulary). Each merge iteration then shuffles the VOCABULARY table
-  (pair re-aggregate) and syncs exactly one row to the driver — the
-  classic distributed subword-training shape (Sennrich et al. 2016,
-  "Neural Machine Translation of Rare Words with Subword Units"). State
-  between iterations is a lazily-localCheckpoint()ed vocab-sized table,
-  so plan depth stays O(1) per iteration and each merge costs one job.
+  vocabulary). Each ROUND then shuffles the VOCABULARY table (pair
+  re-aggregate), syncs one bounded candidate page to the driver, and
+  applies the longest provably-sequential-exact merge BATCH as one
+  composed fold (Sennrich et al. 2016 semantics, bit-identical output;
+  see _bpe_select_batch for the non-interaction proof). State between
+  rounds is a lazily-localCheckpoint()ed vocab-sized table, so plan
+  depth stays O(1) and a round costs one job — jobs ≈ merges/|batch|,
+  the decisive scale factor at production vocab sizes where ~50k
+  sequential driver-scheduled jobs would dominate wall-clock.
 - ``streaming_token_freq_sketch``: the sketch is MERGEABLE, so the
   continuous form is a native JVM streaming aggregation — per-trigger
   partial (d, col) cells merged into update-mode state bounded by d·w
@@ -235,15 +238,19 @@ BPE_MERGES = 24
 _BPE_EOW = "</w>"
 
 
-def _bpe_merge_expr(left: str, right: str) -> str:
+def _bpe_merge_expr(left: str, right: str, src: str = "syms") -> str:
     """SQL fold applying ONE merge rule left-to-right, greedy,
     non-overlapping — exactly the reference algorithm's scan: after a
     merge the fused symbol becomes the comparison context, and since
     ``left`` can never equal ``left+right`` a fused symbol never
-    immediately re-merges, matching the skip-two semantics."""
+    immediately re-merges, matching the skip-two semantics. ``src`` lets
+    a batch of rules compose as nested folds in one expression (each rule
+    references its predecessor's output exactly once, so the composed
+    tree grows LINEARLY with the batch size — unlike cross-iteration
+    projection collapse, which was the round-8 stringification OOM)."""
     merged = left + right
     return (
-        "aggregate(syms, CAST(array() AS array<string>), (acc, s) -> "
+        f"aggregate({src}, CAST(array() AS array<string>), (acc, s) -> "
         f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{left}' "
         f"AND s = '{right}' "
         f"THEN concat(slice(acc, 1, size(acc) - 1), array('{merged}')) "
@@ -252,6 +259,113 @@ def _bpe_merge_expr(left: str, right: str) -> str:
 
 
 _BPE_MEMO: dict = {}
+
+# Ranked candidates fetched per round — the ceiling on one round's batch.
+_BPE_CAND_K = 64
+# Rounds the last _bpe_merges run took (set for the job-count pin in
+# tests/test_lexical_ops.py; production interest: jobs ~= merges / batch).
+_BPE_LAST_ROUNDS = 0
+
+
+def _bpe_pair_counts(cur):
+    """(l, r, c): corpus-weighted adjacent-pair counts over the current
+    symbol table — the Sennrich get_stats aggregate, map-side combined."""
+    return (
+        cur.filter(F.expr("size(syms) >= 2"))
+        .select(
+            "n",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(syms) - 2), "
+                    "i -> struct(syms[i] AS l, syms[i+1] AS r))"
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("n").alias("c"))
+    )
+
+
+def _bpe_select_batch(cur, max_n: int) -> list[tuple[str, str, int]]:
+    """One pair-count pass → the longest rank-prefix of merges PROVABLY
+    identical to applying them one recount at a time (so batching changes
+    the job count, never the merge table). Candidate j (rank order:
+    c desc, l, r) is accepted only if, for every already-accepted i:
+
+    - ``l_j != r_i`` and ``r_j != l_i``: merge i only destroys occurrences
+      of pairs of the form (x, l_i), (r_i, y) or (l_i, r_i) — the greedy
+      fold consumes an l_i only when r_i follows and vice versa — so these
+      two checks make c_j exact after merge i runs;
+    - ``c_j > B_i`` where ``B_i = max(max_x c(x, l_i), max_y c(r_i, y))``:
+      every occurrence of a NEW pair (x, m_i) / (m_i, y) maps 1:1 onto a
+      destroyed occurrence of (x, l_i) / (r_i, y), so B_i bounds every
+      pair merge i can create; strictly below c_j, no new pair can out-rank
+      candidate j (and m_i is fresh, see below, so no lex tie is possible);
+    - ``m_j`` is FRESH: not an existing adjacent symbol (m_in_vocab, from
+      the pair table's own symbol set) and not an earlier batch member's
+      fused symbol — a colliding m would silently add occurrences to
+      existing pairs, breaking count exactness. (l_j/r_j = m_i needs no
+      check: they come from the pre-batch table, and m_i is fresh.)
+
+    Everything ranked above an accepted candidate is itself accepted (the
+    selection stops at the first rejection), and a fully-applied rule
+    leaves zero (l_i, r_i) adjacencies, so after the batch the true
+    sequential argmax at each step is exactly the next batch member with
+    exactly the recorded count. Symbols with NO adjacency anywhere are
+    absent from the pair table and thus from the freshness check — a
+    collision with one is harmless, since it contributes no pair counts.
+
+    One collect of ≤ K rows per round; the pair table is persisted for the
+    round (it feeds the top-k, the two per-symbol maxima and the symbol
+    set) and unpersisted before the fold runs."""
+    pc = _bpe_pair_counts(cur).persist()
+    try:
+        topk = pc.orderBy(F.desc("c"), "l", "r").limit(_BPE_CAND_K)
+        rmax = pc.groupBy("r").agg(F.max("c").alias("rm"))  # pairs ending in s
+        lmax = pc.groupBy("l").agg(F.max("c").alias("lm"))  # pairs starting with s
+        vocab = (
+            pc.select("l").union(pc.select("r")).distinct()
+            .withColumnRenamed("l", "sym")
+            .withColumn("m_in_vocab", F.lit(True))
+        )
+        cand = (
+            topk.join(rmax.withColumnRenamed("r", "l"), "l", "left")
+            .join(lmax.withColumnRenamed("l", "r"), "r", "left")
+            .join(vocab, F.concat("l", "r") == F.col("sym"), "left")
+            .select(
+                "l", "r", "c",
+                F.coalesce("rm", F.lit(0)).alias("rm"),
+                F.coalesce("lm", F.lit(0)).alias("lm"),
+                F.coalesce("m_in_vocab", F.lit(False)).alias("m_in_vocab"),
+            )
+            .orderBy(F.desc("c"), "l", "r")
+            .collect()  # bounded: at most _BPE_CAND_K rows per round
+        )
+    finally:
+        pc.unpersist()
+    accepted: list[tuple[str, str, int]] = []
+    bounds: list[int] = []
+    fused: set[str] = set()
+    for row in cand:
+        l, r, c = row["l"], row["r"], int(row["c"])
+        if accepted and (
+            row["m_in_vocab"]
+            or (l + r) in fused
+            or any(
+                l == ra or r == la or c <= b
+                for (la, ra, _), b in zip(accepted, bounds)
+            )
+        ):
+            break
+        accepted.append((l, r, c))
+        bounds.append(max(int(row["rm"]), int(row["lm"])))
+        fused.add(l + r)
+        if len(accepted) >= max_n or row["m_in_vocab"]:
+            # the round's argmax is ALWAYS applied (sequential does too),
+            # but a colliding fused symbol poisons every count bound for
+            # later candidates — stop the batch at it
+            break
+    return accepted
 
 
 def _bpe_init_syms():
@@ -282,38 +396,37 @@ def _bpe_merges(spark, sf_dir) -> tuple:
     # fold expression (see bpe_train docstring). LAZY on purpose — the next
     # iteration's pair-count action materializes it, so each merge costs
     # one Spark job instead of two (measured 14.0 s -> 6.6 s at sf0.1).
-    cur = init.localCheckpoint(eager=False)
-    merges: list[tuple] = []
-    for rank in range(1, BPE_MERGES + 1):
-        top = (
-            cur.filter(F.expr("size(syms) >= 2"))
-            .select(
-                "n",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(0, size(syms) - 2), "
-                        "i -> struct(syms[i] AS l, syms[i+1] AS r))"
-                    )
-                ).alias("p"),
-            )
-            .groupBy("p.l", "p.r")
-            .agg(F.sum("n").alias("c"))
-            .orderBy(F.desc("c"), "l", "r")
-            .limit(1)
-            .collect()  # bounded: exactly one row per merge iteration
-        )
-        if not top:
-            break
-        l, r, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
-        merges.append((rank, l, r, l + r, c))
-        cur = cur.withColumn(
-            "syms", F.expr(_bpe_merge_expr(l, r))
-        ).localCheckpoint(eager=False)
+    merges, cur = _bpe_train_loop(init, BPE_MERGES)
     for stale in [k for k in _BPE_MEMO if k[0] == key[0] and k != key]:
         _BPE_MEMO.pop(stale)
     hit = (merges, cur)
     _BPE_MEMO[key] = hit
     return hit
+
+
+def _bpe_train_loop(init, n_merges: int) -> tuple:
+    """The batched Sennrich loop over an (word, n, syms) table: per round,
+    one bounded collect picks the longest sequential-exact merge batch
+    (see _bpe_select_batch) and ONE composed fold applies it — one job per
+    ROUND instead of one per merge (at production vocab sizes the
+    driver-scheduled job count is the bottleneck: ~50k sequential jobs →
+    ~50k/|batch|). Returns (merges, final symbol table)."""
+    cur = init.localCheckpoint(eager=False)
+    merges: list[tuple] = []
+    rounds = 0
+    while len(merges) < n_merges:
+        batch = _bpe_select_batch(cur, n_merges - len(merges))
+        if not batch:
+            break
+        rounds += 1
+        fold = "syms"
+        for l, r, c in batch:
+            merges.append((len(merges) + 1, l, r, l + r, c))
+            fold = _bpe_merge_expr(l, r, src=fold)
+        cur = cur.withColumn("syms", F.expr(fold)).localCheckpoint(eager=False)
+    global _BPE_LAST_ROUNDS
+    _BPE_LAST_ROUNDS = rounds
+    return merges, cur
 
 
 @query("bpe_train")
@@ -329,11 +442,14 @@ def bpe_train(spark, sf_dir):
 
     Scale: the corpus is touched ONCE (word-count aggregate, map-side
     combined, output bounded by the vocabulary — Heaps' law). Every
-    iteration after that shuffles only the vocabulary table: one pair
-    re-aggregate plus exactly one driver-synced row (the argmax), the
-    same sync pattern as embedding_kmeans' k×d centroid exchange. The
+    round after that shuffles only the vocabulary table: one pair
+    re-aggregate plus one driver-synced ≤{k}-row candidate page, from
+    which the longest PROVABLY-sequential-exact batch of merges is chosen
+    and applied as one composed fold (see _bpe_select_batch — batching
+    divides the driver-scheduled job count, the real bottleneck at
+    production vocab sizes, without changing a single output row). The
     symbol table is localCheckpoint()ed each round (LAZILY — the next
-    pair-count action materializes it, one job per merge). The checkpoint
+    pair-count action materializes it, one job per round). The checkpoint
     itself is REQUIRED, not a nicety: Catalyst's projection collapse
     inlines each merge fold into the next, growing the expression tree
     exponentially with the merge count (the same measured failure mode as
@@ -341,7 +457,7 @@ def bpe_train(spark, sf_dir):
     folds OOM the driver on plan *stringification* alone). On a real
     cluster this maps to reliable-storage checkpointing of a
     vocabulary-sized table per merge — the standard iterative-Spark shape.""".format(
-        m=BPE_MERGES, eow=_BPE_EOW
+        m=BPE_MERGES, eow=_BPE_EOW, k=_BPE_CAND_K
     )
     merges, _ = _bpe_merges(spark, sf_dir)
     return spark.createDataFrame(

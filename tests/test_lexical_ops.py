@@ -296,3 +296,47 @@ def test_bpe_apply_matches_reference(spark, sf_dir, duck):
         for r in QUERIES["bpe_apply"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_bpe_batching_reduces_rounds(spark, sf_dir):
+    """VERDICT r8 #2: one Spark job per merge serializes ~50k
+    driver-scheduled jobs at production vocab sizes. The batched loop
+    must cover the fixture's merges in strictly fewer rounds (observed:
+    24 merges in ≤ half the rounds) while test_bpe_train_matches_reference
+    separately pins that the merge table is bit-identical."""
+    from flink_notebooks_spark.queries import QUERIES, lexical
+
+    lexical._BPE_MEMO.clear()
+    QUERIES["bpe_train"](spark, sf_dir).collect()
+    assert 0 < lexical._BPE_LAST_ROUNDS <= BPE_MERGES // 2, (
+        lexical._BPE_LAST_ROUNDS
+    )
+
+
+def test_bpe_batched_loop_matches_sequential_fuzz(spark):
+    """The batch selection must be EXACT on adversarial vocabularies —
+    tiny alphabets force maximally-interacting top pairs (shared symbols,
+    fused-symbol collisions like 'ab' already existing, self-pairs (a,a)),
+    the shapes where an unsound batch rule would diverge from the
+    sequential reference."""
+    from hypothesis import given, settings, strategies as st
+
+    from flink_notebooks_spark.queries.lexical import (
+        _bpe_init_syms,
+        _bpe_train_loop,
+    )
+
+    word = st.text(alphabet="ab", min_size=1, max_size=6)
+    from pyspark.sql import functions as F
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.dictionaries(word, st.integers(1, 9), min_size=1, max_size=10))
+    def check(wc):
+        want = _ref_bpe(wc, 8)
+        init = spark.createDataFrame(
+            list(wc.items()), "word string, n long"
+        ).select("word", "n", _bpe_init_syms().alias("syms"))
+        got, _ = _bpe_train_loop(init, 8)
+        assert got == want, (wc, got, want)
+
+    check()
