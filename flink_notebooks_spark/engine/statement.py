@@ -84,7 +84,11 @@ def changelog_entries(
     UPDATE_BEFORE(old) + UPDATE_AFTER(new). In ``complete`` mode the batch is
     the whole result, so groups that vanished additionally emit DELETE and
     unchanged groups are not re-emitted. State is one row per distinct group
-    key — the same cardinality the 10k-row client buffer already bounds.
+    key, and that is a HARD bound of MAX_STREAM_ROWS + one batch: every new
+    key emits an INSERT into the client buffer, and once the buffer
+    saturates the statement stops calling this function entirely (see
+    StreamingStatement.on_batch) — matching the reference client, which
+    caps displayed rows at the same 10k (flinkNotebookController.ts:428).
     """
     out: list[dict[str, Any]] = []
     snapshot: set[tuple] = set()
@@ -252,11 +256,29 @@ class StreamingStatement(Statement):
         self._seen: dict[tuple, list[Any]] = {}
 
         def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-            rows = batch_df.collect()
             mode = self._mode_holder.get("mode", "append")
-            if self._key_idx is not None and mode in ("update", "complete"):
+            changelog = self._key_idx is not None and mode in ("update", "complete")
+            with self._lock:
+                room = MAX_STREAM_ROWS - len(self._buffer)
+            if room <= 0:
+                # the buffer never drains (tokens are cursors over it), so
+                # saturation is terminal: mark truncated and execute NO
+                # driver transfer — a long-running query would otherwise
+                # serialize every later micro-batch to the driver only to
+                # discard it (and, in update/complete mode, grow the _seen
+                # key map without bound for results that can never serve)
+                self.truncated = True
+                return
+            if changelog:
+                # kind reconstruction diffs against _seen, so it needs the
+                # whole batch — room only bounds what gets buffered below
+                rows = batch_df.collect()
                 entries = changelog_entries(rows, self._key_idx, mode, self._seen)
             else:
+                # append mode: rows are independent — fetch just enough to
+                # fill the buffer, +1 so the truncation flag still trips on
+                # the exact boundary batch
+                rows = batch_df.limit(room + 1).collect()
                 entries = _rows(rows)
             with self._lock:
                 room = MAX_STREAM_ROWS - len(self._buffer)

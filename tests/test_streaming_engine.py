@@ -732,3 +732,74 @@ def test_topn_value_mode_is_metadata_only(spark, tmp_path, sf_dir):
         assert out.count() > 0
     finally:
         S2._topn_value_mode = orig
+
+
+def test_saturated_append_buffer_skips_driver_transfer():
+    """VERDICT r8 #3: once the 10k-row buffer is full (terminal — tokens
+    are cursors over a buffer that never drains), later micro-batches must
+    execute NO collect(); and the boundary batch must fetch only
+    room+1 rows, not the whole batch."""
+    from flink_notebooks_spark.engine.statement import (
+        MAX_STREAM_ROWS,
+        StreamingStatement,
+    )
+
+    class FakeQuery:
+        isActive = True
+
+        def exception(self):
+            return None
+
+    class FakeSchema:
+        fields = []
+
+    class FakeDF:
+        """Stands in for both the streamed df (schema/columns only) and
+        the per-trigger batch dfs (limit/collect)."""
+
+        schema = FakeSchema()
+        columns = []
+
+        def __init__(self, n_rows=0, counter=None):
+            self.n_rows = n_rows
+            self.counter = counter if counter is not None else {"collects": 0, "limits": []}
+
+        def limit(self, n):
+            self.counter["limits"].append(n)
+            return FakeDF(min(self.n_rows, n), self.counter)
+
+        def collect(self):
+            self.counter["collects"] += 1
+            return [[i] for i in range(self.n_rows)]
+
+    holder = {}
+    captured = {}
+
+    def start_fn(cb):
+        captured["on_batch"] = cb
+        return FakeQuery()
+
+    stmt = StreamingStatement(FakeDF(), start_fn, mode_holder=holder)
+    on_batch = captured["on_batch"]
+
+    # boundary batch: bigger than the buffer — only room+1 rows transfer
+    big = FakeDF(MAX_STREAM_ROWS + 5000)
+    on_batch(big, 0)
+    assert stmt.truncated and len(stmt._buffer) == MAX_STREAM_ROWS
+    assert big.counter["limits"] == [MAX_STREAM_ROWS + 1]
+    assert big.counter["collects"] == 1
+
+    # post-cap batch: no limit, no collect — zero driver transfer
+    post = FakeDF(100)
+    on_batch(post, 1)
+    assert post.counter["collects"] == 0 and post.counter["limits"] == []
+    assert len(stmt._buffer) == MAX_STREAM_ROWS and stmt.truncated
+
+    # update-mode saturation also short-circuits (the _seen map must stop
+    # growing once nothing can ever serve)
+    holder["mode"] = "update"
+    stmt._key_idx = [0]
+    before = dict(stmt._seen)
+    upd = FakeDF(10)
+    on_batch(upd, 2)
+    assert upd.counter["collects"] == 0 and stmt._seen == before
