@@ -965,3 +965,42 @@ def test_curation_pipeline_exchanges_carry_no_text(spark, sf_dir):
                     f"document text crosses a data shuffle: {line}"
                 )
     assert checked, "no data-shuffle exchange blocks found in the plan"
+
+
+def test_dedup_incremental_shards_share_one_base_index(spark, sf_dir):
+    """VERDICT r8 #4: per-shard ingestion must probe ONE persisted base
+    hash index, never recompute md5 over the base corpus per shard. Two
+    disjoint shards of the arriving delta: (a) the index is built exactly
+    once (memo-miss counting), (b) the second shard's plan reads the base
+    through the cache, (c) the shard-union equals the one-shot run row
+    for row."""
+    import contextlib
+    import io
+
+    from flink_notebooks_spark.queries import llm
+
+    llm._BASE_HASH_MEMO.clear()
+    s1 = llm._dedup_incremental_df(
+        spark, sf_dir, lambda c: (c % 10 == 9) & (c % 20 == 9)
+    )
+    r1 = s1.collect()
+    assert llm._BASE_HASH_MEMO, "base index memo not populated"
+    idx_entry = next(iter(llm._BASE_HASH_MEMO.values()))
+    s2 = llm._dedup_incremental_df(
+        spark, sf_dir, lambda c: (c % 10 == 9) & (c % 20 == 19)
+    )
+    # second shard: same memo entry (identity — no rebuild)
+    assert next(iter(llm._BASE_HASH_MEMO.values())) is idx_entry
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        s2.explain("formatted")
+    plan = buf.getvalue()
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, (
+        "second shard's exact probe does not read the persisted base index"
+    )
+    r2 = s2.collect()
+    got = sorted([tuple(r) for r in r1] + [tuple(r) for r in r2])
+    want = sorted(
+        tuple(r) for r in QUERIES["dedup_incremental"](spark, sf_dir).collect()
+    )
+    assert got == want
