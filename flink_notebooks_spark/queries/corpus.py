@@ -1844,14 +1844,30 @@ def streaming_budget_curation(spark, sf_dir):
     admitted rows stream out append-mode with no post-processing.""".format(
         b=CURATION_TOKEN_BUDGET
     )
+    from .streaming import _run_to_memory
+
+    res = budget_admission_stream(spark, sf_dir)
+    out = _run_to_memory(res, "append")
+    return out.select(
+        "source", "doc_id", "n_tokens", "cum_tokens"
+    ).orderBy("source", "doc_id")
+
+
+def budget_admission_stream(spark, sf_dir, staging_dir=None):
+    """The stateful admission stream itself (pre-sink) — exposed so the
+    checkpoint-restart test can run it against a parquet sink in two
+    phases with held-back staging slices (the markov_delta_stream
+    pattern); ``staging_dir`` pins the staged slices a restarted query's
+    checkpoint references."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    from .streaming import _run_to_memory, _staged_table_stream
+    from .streaming import _staged_table_stream
 
     raw = _staged_table_stream(
         spark, sf_dir, "documents", "doc_id",
         "doc_id bigint, text string, source string", n_files=4,
+        staging_dir=staging_dir,
     )
     stream = raw.select(
         "doc_id", "source", F.expr(f"size({WORDS})").alias("n_tokens")
@@ -1883,14 +1899,10 @@ def streaming_budget_curation(spark, sf_dir):
         state.update((spent,))
         yield out
 
-    res = stream.groupBy("source").applyInPandasWithState(
+    return stream.groupBy("source").applyInPandasWithState(
         admit,
         "source string, doc_id long, n_tokens long, cum_tokens long",
         "spent long",
         "append",
         GroupStateTimeout.NoTimeout,
     )
-    out = _run_to_memory(res, "append")
-    return out.select(
-        "source", "doc_id", "n_tokens", "cum_tokens"
-    ).orderBy("source", "doc_id")

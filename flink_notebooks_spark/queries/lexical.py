@@ -778,13 +778,30 @@ def streaming_similarity_topk(spark, sf_dir):
     oracle comparison is exact after rounding, so evaluation order is
     load-bearing (cumsum along the vector axis reproduces left-to-right
     IEEE addition bit-for-bit).""".format(s=KNN_STREAM_SHARDS, k=TOPK_K)
+    from .streaming import _run_to_memory
+
+    res = knn_topk_stream(spark, sf_dir)
+    if res is None:  # empty corpus -> no query batch, nothing to serve
+        return spark.createDataFrame(
+            [], "q_id long, nn_id long, sim double, rn int"
+        )
+    out = _run_to_memory(res, "update")
+    return _knn_latest_topk(out)
+
+
+def knn_topk_stream(spark, sf_dir, staging_dir=None):
+    """The stateful per-shard top-k stream itself (pre-sink), or None for
+    an empty corpus — exposed so the checkpoint-restart test can run it
+    against a parquet sink in two phases with held-back staging slices;
+    ``staging_dir`` pins the staged slices a restarted query's checkpoint
+    references."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from ..io import load_table
     from .llm import TOPK_QUERY_IDS
-    from .streaming import _run_to_memory, _staged_table_stream
+    from .streaming import _staged_table_stream
 
     # bounded query-batch collection (the ann_* convention): TOPK_QUERY_IDS
     # vectors, fixed regardless of corpus size
@@ -794,10 +811,8 @@ def streaming_similarity_topk(spark, sf_dir):
         .select("vec_id", "embedding")
         .collect()
     )
-    if not qrows:  # empty corpus -> no query batch, nothing to serve
-        return spark.createDataFrame(
-            [], "q_id long, nn_id long, sim double, rn int"
-        )
+    if not qrows:
+        return None
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
 
@@ -811,6 +826,7 @@ def streaming_similarity_topk(spark, sf_dir):
     raw = _staged_table_stream(
         spark, sf_dir, "embeddings", "vec_id",
         "vec_id bigint, embedding array<float>", n_files=4,
+        staging_dir=staging_dir,
     )
     stream = raw.withColumn(
         "shard", (F.col("vec_id") % KNN_STREAM_SHARDS).cast("int")
@@ -850,14 +866,19 @@ def streaming_similarity_topk(spark, sf_dir):
             rows, columns=["shard", "q_id", "nn_id", "sim", "rev"]
         )
 
-    res = stream.groupBy("shard").applyInPandasWithState(
+    return stream.groupBy("shard").applyInPandasWithState(
         serve,
         "shard int, q_id long, nn_id long, sim double, rev long",
         "rev long, ids array<long>, qs array<long>, sims array<double>",
         "update",
         GroupStateTimeout.NoTimeout,
     )
-    out = _run_to_memory(res, "update")
+
+
+def _knn_latest_topk(out):
+    """Each shard's LATEST revision, re-ranked across shards — exact
+    because per-subset top-k then merge IS global top-k. Shared by the
+    query (memory sink) and the restart test (parquet sink union)."""
     w = Window.partitionBy("shard")
     latest = out.withColumn("maxrev", F.max("rev").over(w)).filter(
         F.col("rev") == F.col("maxrev")

@@ -340,3 +340,123 @@ def test_bpe_batched_loop_matches_sequential_fuzz(spark):
         assert got == want, (wc, got, want)
 
     check()
+
+
+def test_streaming_budget_curation_checkpoint_restart(spark, sf_dir, tmp_path, duck):
+    """VERDICT r8 #5: the admission stream's per-source spent-counter must
+    survive a restart. Deterministic two-phase split (the markov pattern):
+    phase 1 sees only the first 2 of 4 staged slices and runs availableNow
+    to completion; the held-back slices then appear and phase 2 resumes
+    from the same checkpoint. Budget admission is ORDER-SENSITIVE state —
+    if the counter does not restore, phase 2 re-admits past the budget and
+    the sink union diverges from the exact window-cumsum oracle."""
+    import os
+    import shutil
+
+    from flink_notebooks_spark.queries import ORACLE
+    from flink_notebooks_spark.queries.corpus import budget_admission_stream
+
+    staging = str(tmp_path / "staging")
+    held = str(tmp_path / "held")
+    sink = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        budget_admission_stream(spark, sf_dir, staging_dir=staging)
+        os.makedirs(held)
+        moved = []
+        for f in sorted(os.listdir(staging))[2:]:
+            shutil.move(f"{staging}/{f}", f"{held}/{f}")
+            moved.append(f)
+        assert moved, "staging must hold back at least one slice"
+
+        for phase in (1, 2):
+            q = (
+                budget_admission_stream(spark, sf_dir, staging_dir=staging)
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            if phase == 1:
+                for f in moved:
+                    shutil.move(f"{held}/{f}", f"{staging}/{f}")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    got = [
+        tuple(r)
+        for r in spark.read.parquet(sink)
+        .select("source", "doc_id", "n_tokens", "cum_tokens")
+        .orderBy("source", "doc_id")
+        .collect()
+    ]
+    want = [tuple(r) for r in duck.execute(ORACLE["streaming_budget_curation"]).fetchall()]
+    assert got == want
+    # the restart genuinely crossed state: phase 2 admitted nothing beyond
+    # budget means some sources stopped mid-stream — sanity: row count > 0
+    assert got
+
+
+def test_streaming_similarity_topk_checkpoint_restart(spark, sf_dir, tmp_path):
+    """VERDICT r8 #5: the per-shard running-top-k state must survive a
+    restart. Two-phase held-back replay; the stream is an UPDATE-mode
+    stateful op, so each phase appends its emissions via foreachBatch and
+    the final answer takes each shard's LATEST revision across the union.
+    Revisions live in state — if state does not restore, phase-2 revisions
+    restart below phase 1's and the merged top-k loses every phase-1
+    candidate, diverging from the exact batch kNN."""
+    import os
+    import shutil
+
+    from flink_notebooks_spark.queries import QUERIES
+    from flink_notebooks_spark.queries.lexical import (
+        _knn_latest_topk,
+        knn_topk_stream,
+    )
+
+    staging = str(tmp_path / "staging")
+    held = str(tmp_path / "held")
+    sink = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        knn_topk_stream(spark, sf_dir, staging_dir=staging)
+        os.makedirs(held)
+        moved = []
+        for f in sorted(os.listdir(staging))[2:]:
+            shutil.move(f"{staging}/{f}", f"{held}/{f}")
+            moved.append(f)
+        assert moved, "staging must hold back at least one slice"
+
+        def append_sink(bdf, bid):
+            bdf.write.mode("append").parquet(sink)
+
+        for phase in (1, 2):
+            q = (
+                knn_topk_stream(spark, sf_dir, staging_dir=staging)
+                .writeStream.outputMode("update")
+                .foreachBatch(append_sink)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            if phase == 1:
+                for f in moved:
+                    shutil.move(f"{held}/{f}", f"{staging}/{f}")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    union = spark.read.parquet(sink)
+    # revisions must be cumulative across the restart (state restored)
+    from pyspark.sql import functions as F
+
+    assert union.agg(F.max("rev")).collect()[0][0] >= 3
+    got = [tuple(r) for r in _knn_latest_topk(union).collect()]
+    want = [tuple(r) for r in QUERIES["similarity_topk"](spark, sf_dir).collect()]
+    assert got == want
