@@ -78,7 +78,11 @@ HEADLINE = [
     ("dedup_graph_triangles", "degree-oriented wedge join, canonicalized equi-join closer"),
     ("quality_weighted_sample", "deterministic portable-hash coin: map-only keep/drop"),
     ("budget_curation", "quality-ranked budget cut: ONE source-keyed window for rank + cumsum"),
-    ("curation_pipeline", "staged capstone: shared caches + md5 window + survivor-filtered components"),
+    ("curation_pipeline", "staged capstone: shared caches + hash-projected md5 window + survivor-filtered components"),
+    ("dedup_incremental", "per-shard ingestion verdicts: persisted base hash index probe + delta×base pair filter"),
+    ("bpe_apply", "merge replay over the DISTINCT vocabulary: corpus touched twice regardless of merge count"),
+    ("profile_quantiles_sketch", "GK rank sketch: ONE map-side-combined aggregate to |sources| rows"),
+    ("streaming_budget_curation", "online admission: ONE-long per-source state, append-only emissions"),
 ]
 
 
