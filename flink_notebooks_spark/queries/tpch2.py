@@ -1,0 +1,355 @@
+"""TPC-H subquery-shape queries (Q4/Q7/Q13/Q15/Q17/Q18/Q22 adaptations).
+
+The reference's notebook surface is full Flink SQL (reference
+flink-runtime/build.gradle:37, notebook examples pass arbitrary SELECTs), so
+the engine must handle the classic decision-support subquery shapes TPC-H
+exercises beyond the plain join/agg forms already registered (q30–q32):
+correlated EXISTS / NOT EXISTS, correlated scalar aggregates, uncorrelated
+scalar subqueries, and IN + HAVING. The fixture schema lacks partsupp and a
+few columns (shippriority, phone, commitdate), so each query keeps the
+original's PLAN SHAPE on the columns that exist — the point is the operator
+coverage, not benchmark-kit fidelity.
+
+Correlated forms run through ``spark.sql`` on temp views ON PURPOSE: Catalyst
+de-correlates them (EXISTS → left-semi hash join with the correlated predicate
+as join condition; a correlated scalar aggregate → grouped aggregate +
+equi-join), which is exactly the distributed plan you would hand-write — and
+the SQL path proves the engine accepts the notebook user's original text.
+Plan-shape tests pin the decorrelation (no CartesianProduct anywhere).
+
+Float determinism: every money sum goes through exact decimals per the
+registry contract; every threshold compares against a decimal-sum-derived
+value, so filters can't flip on partitioning order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ._registry import query, sql_dsum
+
+_REV = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"
+
+
+# --- Q38: TPC-H Q4 (order priority checking — correlated EXISTS) -------------
+@query(
+    "q38_tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q38_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape (l_shipdate > o_orderdate stands in for the fixture-less
+    commitdate/receiptdate pair). Scale plan: the date filter is pushed into
+    the orders scan (one quarter of one year), the correlated EXISTS
+    decorrelates to a LEFT SEMI hash join on l_orderkey with the
+    l_shipdate > o_orderdate predicate evaluated inside the join, and the
+    final aggregate has 5 groups — constant-size shuffle at any SF. Lineitem
+    is never widened: the semi join reads only (l_orderkey, l_shipdate)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_q4")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q4")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders_q4
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem_q4
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )
+
+
+# --- Q39: TPC-H Q13 (customer order-count distribution) ----------------------
+@query(
+    "q39_tpch_q13",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) t
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q39_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 shape (priority filter stands in for the comment LIKE the
+    fixture lacks). Scale plan: COUNT(o_orderkey) over a LEFT join keeps the
+    zero-order customers (NULL matches count as 0); the first aggregate
+    shuffles on c_custkey (same key as the join — AQE reuses the exchange),
+    the second on c_count whose domain is tiny (≤ max orders/customer), so
+    the distribution aggregate is a constant-size shuffle at any SF."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    ords = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    return (
+        cust.join(ords, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# --- Q40: TPC-H Q15 (top supplier — uncorrelated scalar MAX subquery) ---------
+@query(
+    "q40_tpch_q15",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM({_REV}) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q40_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier by quarterly revenue; the view + scalar MAX
+    form). Scale plan: revenue aggregates once on l_suppkey (date filter
+    pushed to the scan); the scalar MAX is a 1-row broadcast the filter
+    compares against — the revenue subplan is shared between the two uses via
+    a persisted temp view, not computed twice. Revenue values are exact
+    decimal sums cast to double once, so the MAX-equality cannot split
+    float-equal groups across engines."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+    )
+    rev_expr = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(rev_expr).cast("double").alias("total_revenue"))
+        .persist()
+    )
+    top = revenue.agg(F.max("total_revenue").alias("mx"))
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("mx"))
+        .join(sup, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# --- Q41: TPC-H Q17 (small-quantity revenue — correlated scalar AVG) ----------
+@query(
+    "q41_tpch_q17",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem l JOIN part ON p_partkey = l.l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l.l_quantity < (SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                                        / COUNT(*))
+                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q41_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 (brand filter only; the fixture has no container column).
+    Scale plan: Catalyst decorrelates the per-part scalar AVG into ONE grouped
+    aggregate over lineitem (partial+final on l_partkey) joined back on
+    l_partkey — lineitem is scanned twice but never joined to itself row-wise;
+    part's brand filter broadcasts (part is the small side after filtering).
+    The threshold is a decimal-sum-derived double, so the < comparison is
+    partitioning-independent on both engines.
+
+    Name-resolution trap (found live): the outer reference MUST be qualified
+    (``l.l_partkey``) — a bare ``l_partkey`` inside the subquery binds to the
+    INNER scope's l2 in Spark AND DuckDB, silently turning the correlation
+    into a tautology (= one global average). Both engines agree on the wrong
+    semantics, so an oracle hash-match alone cannot catch it; the plan test
+    pins the decorrelated per-part aggregate join instead."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q17")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_q17")
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+                 AS avg_yearly
+        FROM lineitem_q17 l JOIN part_q17 ON p_partkey = l.l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l.l_quantity < (SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                                            / COUNT(*))
+                              FROM lineitem_q17 l2 WHERE l2.l_partkey = l.l_partkey)
+        """
+    )
+
+
+# --- Q42: TPC-H Q18 (large-volume customers — IN subquery with HAVING) --------
+@query(
+    "q42_tpch_q18",
+    oracle=f"""
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS odate, o_totalprice,
+           {sql_dsum("l_quantity", "sum_qty")}
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey
+                         HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def q42_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (threshold 250 ≈ the fixture's p99 order size, same
+    selectivity role as the kit's 300). Scale plan: the IN subquery
+    decorrelates to a left-semi join against the grouped-HAVING aggregate —
+    lineitem aggregates on l_orderkey ONCE for the filter and once for the
+    output sum (same key, AQE-coalesced exchanges); orders/customer join on
+    their keys after the semi join has cut orders to the top ~1%; the top-100
+    is TakeOrderedAndProject. The HAVING sum is exact decimal, so membership
+    of boundary orders is engine-independent."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_q18")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_q18")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q18")
+    return spark.sql(
+        """
+        SELECT c_name, c_custkey, o_orderkey,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS odate, o_totalprice,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM customer_q18
+        JOIN orders_q18 ON c_custkey = o_custkey
+        JOIN lineitem_q18 ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem_q18
+                             GROUP BY l_orderkey
+                             HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+        """
+    )
+
+
+# --- Q43: TPC-H Q22 (global-avg scalar subquery + correlated NOT EXISTS) ------
+@query(
+    "q43_tpch_q22",
+    oracle=f"""
+    SELECT cntrycode, COUNT(*) AS numcust, {sql_dsum("c_acctbal", "totacctbal")}
+    FROM (SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode, c_acctbal, c_custkey
+          FROM customer
+          WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                                    / COUNT(*)
+                             FROM customer WHERE c_acctbal > 0.0)) t
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = t.c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY cntrycode ORDER BY cntrycode
+    """,
+)
+def q43_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 shape (cntrycode from c_nationkey instead of the phone
+    prefix the fixture lacks; 'no urgent orders' stands in for 'no orders' —
+    every fixture customer has at least one order). Scale plan: the global
+    average is ONE scalar (broadcast into the filter, computed with a
+    decimal-exact sum); the NOT EXISTS decorrelates to a LEFT ANTI hash join
+    on custkey against the priority-filtered orders scan; the final aggregate
+    has ≤10 groups. No subplan scans customer twice at full width — the
+    scalar subquery prunes to the single c_acctbal column."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_q22")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_q22")
+    return spark.sql(
+        """
+        SELECT cntrycode, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM (SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode, c_acctbal, c_custkey
+              FROM customer_q22
+              WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                                        / COUNT(*)
+                                 FROM customer_q22 WHERE c_acctbal > 0.0)) t
+        WHERE NOT EXISTS (SELECT 1 FROM orders_q22
+                          WHERE o_custkey = t.c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        GROUP BY cntrycode ORDER BY cntrycode
+        """
+    )
+
+
+# --- Q44: TPC-H Q7 (volume shipping between nation pairs) ---------------------
+@query(
+    "q44_tpch_q7",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume) AS DOUBLE) AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+                 {_REV} AS volume
+          FROM supplier, lineitem, orders, customer, nation n1, nation n2
+          WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+            AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+            AND c_nationkey = n2.n_nationkey
+            AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01') shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q44_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 (volume shipping between a nation pair, grouped by year).
+    Scale plan: nation is schema-fixed (25 rows) → both sides of the pair
+    filter broadcast; the OR-of-pairs predicate evaluates after the two
+    broadcast joins (2 candidate nations each side — near-total pruning before
+    the fact joins' shuffles); lineitem⨝orders⨝customer/supplier shuffle on
+    their keys with the 2-year shipdate filter pushed to the lineitem scan;
+    the final aggregate has (2 pairs × years) groups. Decimal volume makes
+    the year sums order-independent."""
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pair = ("NATION_1", "NATION_2")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    ords = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    )
+    n1 = F.broadcast(nat.filter(F.col("n_name").isin(*pair)).withColumnRenamed("n_name", "supp_nation"))
+    n2 = F.broadcast(
+        nat.filter(F.col("n_name").isin(*pair))
+        .withColumnRenamed("n_name", "cust_nation")
+        .withColumnRenamed("n_nationkey", "n2_nationkey")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_nationkey"))
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.sum(vol).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )

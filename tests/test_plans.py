@@ -154,6 +154,65 @@ def test_tpch_q5_broadcasts_fixed_dims(spark, sf_dir):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
 
+def test_tpch_q4_exists_decorrelates_to_semi_join(spark, sf_dir):
+    """Correlated EXISTS must become a LEFT SEMI hash join (never a
+    per-row subquery or a Cartesian), with the quarter filter pushed to
+    the orders scan."""
+    p = plan_of(spark, sf_dir, "q38_tpch_q4")
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+    assert "GreaterThanOrEqual(o_orderdate,1996-01-01" in p
+
+
+def test_tpch_q17_correlated_avg_decorrelates_to_agg_join(spark, sf_dir):
+    """The per-part scalar AVG must plan as ONE grouped aggregate joined
+    back on l_partkey. This pin matters doubly here: an unqualified outer
+    reference silently binds to the inner scope in BOTH Spark and DuckDB
+    (making the oracle hash-match on the WRONG semantics), and in that
+    broken form the aggregate-below-join disappears — so the plan shape is
+    the only guard the oracle can't provide."""
+    p = plan_of(spark, sf_dir, "q41_tpch_q17")
+    # the decorrelated per-partkey aggregate: a keyed partial+final pair
+    # UNDER a join (the final global sum adds one more pair on top)
+    assert p.count("HashAggregate") >= 4
+    assert "CartesianProduct" not in p
+    assert "EqualTo(p_brand,Brand#1)" in p
+
+
+def test_tpch_q18_in_subquery_is_semi_join_topk(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q42_tpch_q18")
+    assert "LeftSemi" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_tpch_q22_not_exists_is_anti_join(spark, sf_dir):
+    """NOT EXISTS must become a LEFT ANTI join against the priority-filtered
+    orders scan; the global-average scalar subquery must prune the customer
+    scan it aggregates to the columns it needs."""
+    p = plan_of(spark, sf_dir, "q43_tpch_q22")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    assert "EqualTo(o_orderpriority,1-URGENT)" in p
+
+
+def test_tpch_q15_revenue_computed_once(spark, sf_dir):
+    """The revenue view feeds both the MAX scalar and the equality filter —
+    the persisted subplan must render as a shared InMemoryRelation, not two
+    full lineitem scans."""
+    p = plan_of(spark, sf_dir, "q40_tpch_q15")
+    assert "InMemoryTableScan" in p
+    assert "CartesianProduct" not in p
+
+
+def test_tpch_q7_fixed_dims_broadcast_and_filter_pushes(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q44_tpch_q7")
+    # nation (25 rows at any SF) broadcasts on both sides of the pair
+    assert p.count("BroadcastExchange") >= 2
+    assert "GreaterThanOrEqual(l_shipdate,1996-01-01" in p
+    assert "CartesianProduct" not in p
+
+
 def test_decontaminate_broadcasts_benchmark_index(spark, sf_dir):
     """The eval-set gram index must broadcast: at 100 TB the corpus side is
     TBs while benchmarks are MBs — a shuffle join here would shuffle the
@@ -463,6 +522,22 @@ SHUFFLE_BUDGET = {
     "quality_weighted_sample": 1,
     # one source-keyed window (rank + running sum share the sort) + sort
     "budget_curation": 2,
+    # semi-join agg exchange + 5-group final agg + presentation sort
+    "q38_tpch_q4": 2,
+    # custkey join/agg exchange pair + tiny-domain distribution agg + sort
+    "q39_tpch_q13": 3,
+    # revenue agg (cached subtree excluded) + presentation sort; the MAX
+    # scalar and the supplier join broadcast
+    "q40_tpch_q15": 2,
+    # decorrelated per-part aggregate + global sum's single partition
+    "q41_tpch_q17": 2,
+    # HAVING-filter agg + output sum agg + orders/customer join exchange;
+    # top-100 is TakeOrdered (no sort exchange)
+    "q42_tpch_q18": 3,
+    # scalar-avg single partition + final ≤10-group agg/sort
+    "q43_tpch_q22": 2,
+    # fact joins broadcast at this SF; year agg + presentation sort
+    "q44_tpch_q7": 2,
 }
 
 
