@@ -1,0 +1,280 @@
+"""Training-data curation operators, round-9 wave.
+
+Three standard LLM-corpus operations the pipeline inventory lacked:
+
+- ``dedup_span_scrub`` — duplicate-SPAN removal (Lee et al. 2022,
+  "Deduplicating Training Data Makes Language Models Better": exact
+  substring-level dedup, here over fixed word windows): any K-word span
+  whose text occurs more than once corpus-wide is cut from every document,
+  and the surviving spans are reassembled into the cleaned text. Document-
+  level dedup (dedup_exact / minhash) misses this entirely — boilerplate
+  headers/footers repeat inside otherwise-unique documents.
+- ``perplexity_buckets`` — CCNet-style head/middle/tail terciles per source
+  by language-model NLL (Wenzek et al. 2020). Rides the existing
+  ``unigram_logprob`` pipeline (and its shared corpus-frequency caches).
+- ``mixture_temperature_sample`` — temperature-based source mixing
+  (multilingual-LM sampling: keep probability ∝ n_s^α / Σ n^α, α = 0.5),
+  with the repo's portable md5 coin so the sample is reproducible across
+  engines, runs, and partitionings.
+
+Scale notes are per-operator. The span scrub is built so document text
+crosses exactly ONE exchange (the final reassembly join); dup detection
+itself shuffles only (doc_id, chunk_id, 16-byte hash) rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ._registry import QUERIES, query
+from .llm import _DOC_HASH, SQL_WORDS
+
+SPAN_K = 16  # words per span window (Lee et al. use 50 BPE tokens; the
+#              fixture docs are 10–110 words, so 16 keeps multiple spans/doc)
+MIX_TARGET = 200  # expected sample size for mixture_temperature_sample
+MIX_ALPHA = 0.5  # temperature exponent (sqrt — IEEE-exact in both engines)
+
+
+# --- duplicate-span scrub -----------------------------------------------------
+@query(
+    "dedup_span_scrub",
+    oracle=f"""
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    ch AS (SELECT doc_id, CAST(i AS INT) AS chunk_id,
+                  array_to_string(w[i*{SPAN_K}+1 : (i+1)*{SPAN_K}], ' ') AS chunk
+           FROM ws, UNNEST(range(0, CAST(ceil(len(w)/{SPAN_K}.0) AS BIGINT))) AS t(i)),
+    c AS (SELECT md5(chunk) AS h, COUNT(*) AS n FROM ch GROUP BY 1)
+    SELECT doc_id, COUNT(*) AS n_chunks,
+           COUNT(*) FILTER (WHERE n > 1) AS n_dup_chunks,
+           COALESCE(string_agg(chunk, ' ' ORDER BY chunk_id)
+                    FILTER (WHERE n = 1), '') AS clean_text
+    FROM ch JOIN c ON md5(ch.chunk) = c.h
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_span_scrub(spark, sf_dir):
+    """Remove every {SPAN_K}-word span that occurs more than once in the
+    corpus and reassemble the survivors (exact span-level dedup, Lee et al.
+    2022). Spans are non-overlapping windows over the space-split words, so
+    reassembly (kept spans joined by ' ') reproduces the original text
+    byte-for-byte when nothing is cut — pinned by the roundtrip test.
+
+    100 TB shape: span hashes are computed MAP-SIDE from the per-doc word
+    array (no word-level explode, no text in the chunking stage); the dup
+    count aggregates 16-byte md5 keys; the membership join and the per-doc
+    kept-list aggregate shuffle (doc_id, chunk_id, h) rows only. Document
+    text crosses exactly ONE exchange — the final reassembly join back to
+    the corpus on doc_id — which is the floor for an operator that must
+    REWRITE text (the plan test pins the single text-carrying exchange).
+    The kept-list rows are int arrays (~2% of text volume), so that join's
+    build side stays cheap at any scale."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split("text", " ")
+    n_chunks = F.ceil(F.size("w") / SPAN_K).cast("int")
+    # (doc_id, chunk_id, h): hash each K-word window map-side; the word
+    # array never leaves the row
+    chunks = (
+        d.select("doc_id", w.alias("w"))
+        .filter(F.size("w") > 0)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.md5(
+                        F.array_join(F.slice("w", i * SPAN_K + 1, SPAN_K), " ")
+                    ),
+                )
+            ).alias("chunk_id", "h"),
+        )
+    )
+    counts = chunks.groupBy("h").agg(F.count("*").alias("n"))
+    kept = (
+        chunks.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count(F.when(F.col("n") > 1, 1)).alias("n_dup_chunks"),
+            # collect_list drops the NULLs the when() leaves for dup chunks
+            F.sort_array(
+                F.collect_list(F.when(F.col("n") == 1, F.col("chunk_id")))
+            ).alias("keep_ids"),
+        )
+    )
+    # Rebuild WITHOUT a lambda that captures the word array: a higher-order-
+    # function lambda capturing an outer attribute across this join breaks
+    # Catalyst when a consumer filters the result — predicate
+    # pushdown/pruning under-counts the lambda's references and binds the
+    # inlined expression against the kept side
+    # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND, observed live on Spark 4.1).
+    # Exploding the kept ids and re-aggregating uses only per-row
+    # expressions; the groupBy key equals the join key, so the aggregate
+    # rides the join's doc_id partitioning — text still crosses exactly
+    # one exchange.
+    ex = (
+        d.join(kept, "doc_id")
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            F.split("text", " ").alias("warr"),
+            F.explode_outer("keep_ids").alias("kid"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            "kid",
+            F.array_join(
+                F.slice("warr", F.col("kid") * SPAN_K + 1, SPAN_K), " "
+            ).alias("chunk"),
+        )
+    )
+    return (
+        ex.groupBy("doc_id", "n_chunks", "n_dup_chunks")
+        .agg(
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        # when() leaves NULL for the explode_outer row of an
+                        # all-dup doc; collect_list drops it
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("kid").isNotNull(),
+                                    F.struct("kid", "chunk"),
+                                )
+                            )
+                        ),
+                        lambda x: x["chunk"],
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("clean_text")
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- CCNet perplexity terciles ------------------------------------------------
+@query(
+    "perplexity_buckets",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, unnest({SQL_WORDS}) AS word FROM documents),
+    f AS (SELECT word, COUNT(*) AS n_occ FROM w GROUP BY word),
+    n AS (SELECT COUNT(*) AS total FROM w),
+    j AS (SELECT w.doc_id, CAST(ROUND(LN(f.n_occ), 9) AS DECIMAL(28,9)) AS l
+          FROM w JOIN f USING (word)),
+    nll AS (SELECT j.doc_id, ROUND(ROUND(LN((SELECT total FROM n)), 9)
+                   - CAST(SUM(j.l) AS DOUBLE) / COUNT(*), 6) AS nll
+            FROM j GROUP BY j.doc_id),
+    r AS (SELECT d.source, nll.doc_id, nll.nll,
+                 ROW_NUMBER() OVER (PARTITION BY d.source
+                                    ORDER BY nll.nll, nll.doc_id) AS rnk,
+                 COUNT(*) OVER (PARTITION BY d.source) AS n_s
+          FROM nll JOIN documents d USING (doc_id))
+    SELECT doc_id, source, nll,
+           CASE WHEN rnk * 3 <= n_s THEN 'head'
+                WHEN rnk * 3 <= n_s * 2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM r ORDER BY doc_id
+    """,
+)
+def perplexity_buckets(spark, sf_dir):
+    """CCNet-style quality terciles (Wenzek et al. 2020): rank each source's
+    documents by unigram NLL and label the lowest-perplexity third 'head',
+    then 'middle', then 'tail' — the standard pre-filter a web-scale corpus
+    pipeline applies before expensive curation.
+
+    Rides ``unigram_logprob`` verbatim (same shared corpus-frequency caches),
+    so the only new work is one per-source window over (doc_id, source, nll)
+    scalar rows — no text in any exchange. Tercile boundaries use integer
+    arithmetic (rnk*3 <= n_s), not float percentiles, so bucket membership
+    is engine- and partitioning-independent; within-source ties order by
+    (nll, doc_id), both deterministic."""
+    nll = QUERIES["unigram_logprob"](spark, sf_dir).select("doc_id", "nll")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = nll.join(src, "doc_id")
+    by_src = Window.partitionBy("source")
+    rnk = F.row_number().over(by_src.orderBy("nll", "doc_id"))
+    n_s = F.count("*").over(by_src)
+    return (
+        j.select("doc_id", "source", "nll", rnk.alias("rnk"), n_s.alias("n_s"))
+        .select(
+            "doc_id",
+            "source",
+            "nll",
+            F.when(F.col("rnk") * 3 <= F.col("n_s"), "head")
+            .when(F.col("rnk") * 3 <= F.col("n_s") * 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- temperature-based mixture sampling ----------------------------------------
+@query(
+    "mixture_temperature_sample",
+    oracle=f"""
+    WITH ns AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+    wts AS (SELECT source, n_s,
+                   CAST(ROUND(SQRT(n_s), 9) AS DECIMAL(28,9)) AS w FROM ns),
+    den AS (SELECT SUM(w) AS denom FROM wts),
+    pr AS (SELECT source, n_s,
+                  LEAST(1.0, {MIX_TARGET} * (CAST(w AS DOUBLE)
+                        / CAST((SELECT denom FROM den) AS DOUBLE)) / n_s) AS p
+           FROM wts),
+    thr AS (SELECT source, n_s, CAST(FLOOR(p * 1000000) AS BIGINT) AS cut
+            FROM pr)
+    SELECT d.doc_id, d.source, t.cut
+    FROM documents d JOIN thr t USING (source)
+    WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 1000000 < t.cut
+    ORDER BY d.doc_id
+    """,
+)
+def mixture_temperature_sample(spark, sf_dir):
+    """Temperature-based source mixing (the multilingual-LM sampling rule:
+    sample source s with probability ∝ n_s^α, α = {MIX_ALPHA}) targeting an
+    expected {MIX_TARGET} documents — upweights small sources relative to
+    proportional sampling. Each document keeps independently via the
+    repo's portable md5 coin, so the realized sample is a deterministic
+    function of doc ids alone.
+
+    Determinism across engines: sqrt is IEEE-correctly-rounded in BOTH
+    engines (unlike ln/pow), its 9-dp rounding is decimal, the weight sum is
+    an exact DECIMAL sum, and the keep test compares INTEGERS (hash % 1e6 <
+    floor(p*1e6)) — no float comparison anywhere near a boundary. Scale: the
+    per-source weight table is |sources| rows (broadcast); the corpus pass
+    is map-only scan → coin filter. One tiny aggregate, zero data shuffles."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ns = d.groupBy("source").agg(F.count("*").alias("n_s"))
+    wts = ns.withColumn(
+        "w", F.round(F.sqrt("n_s"), 9).cast("decimal(28,9)")
+    )
+    den = wts.agg(F.sum("w").alias("denom"))
+    thr = (
+        wts.crossJoin(F.broadcast(den))
+        .withColumn(
+            "p",
+            F.least(
+                F.lit(1.0),
+                F.lit(MIX_TARGET)
+                * (F.col("w").cast("double") / F.col("denom").cast("double"))
+                / F.col("n_s"),
+            ),
+        )
+        .select(
+            "source", F.floor(F.col("p") * 1000000).cast("bigint").alias("cut")
+        )
+    )
+    coin = F.expr(_DOC_HASH.format(key="CAST(doc_id AS STRING)")) % 1000000
+    return (
+        d.join(F.broadcast(thr), "source")
+        .filter(coin < F.col("cut"))
+        .select("doc_id", "source", "cut")
+        .orderBy("doc_id")
+    )

