@@ -195,10 +195,10 @@ HYBRID_SHORTLIST = 30
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
 
 
-@query(
-    "bm25_prf_hybrid",
-    oracle=f"""
-    WITH {_SQL_BM25_RANKED},
+# shared CTE chain ending in fin(query_id, doc_id, bm25_rnk, sim, rnk) —
+# the full cosine-re-ranked shortlist, consumed by bm25_prf_hybrid (top-k
+# cut) and rrf_fusion (rank fusion)
+_SQL_HYBRID_FIN = f"""
     short AS (SELECT query_id, doc_id, brnk FROM ranked
               WHERE brnk <= {HYBRID_SHORTLIST}),
     emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
@@ -224,6 +224,14 @@ _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
                    ROW_NUMBER() OVER (PARTITION BY query_id
                      ORDER BY ROUND(sim, 6) DESC, doc_id) AS rnk
             FROM rr)
+"""
+
+
+@query(
+    "bm25_prf_hybrid",
+    oracle=f"""
+    WITH {_SQL_BM25_RANKED},
+    {_SQL_HYBRID_FIN}
     SELECT query_id, doc_id, bm25_rnk, sim, CAST(rnk AS INT) AS rnk
     FROM fin WHERE rnk <= {BM25_TOPK} ORDER BY query_id, rnk
     """,
@@ -242,6 +250,17 @@ def bm25_prf_hybrid(spark, sf_dir):
     order (sequential left fold, identical in both engines), cosine uses the
     shared sequential-dot expression, and the re-rank orders by ROUNDED
     similarity with doc_id tie-break."""
+    fin = _hybrid_fin(spark, sf_dir)
+    return (
+        fin.filter(F.col("rnk") <= BM25_TOPK)
+        .select("query_id", "doc_id", "bm25_rnk", "sim", "rnk")
+        .orderBy("query_id", "rnk")
+    )
+
+
+def _hybrid_fin(spark, sf_dir):
+    """The full cosine-re-ranked BM25 shortlist (query_id, doc_id, bm25_rnk,
+    sim, rnk) — shared by bm25_prf_hybrid and rrf_fusion."""
     ranked = _bm25_ranked(spark, sf_dir)
     short = ranked.filter(F.col("rnk") <= HYBRID_SHORTLIST).select(
         "query_id", "doc_id", F.col("rnk").alias("bm25_rnk")
@@ -279,11 +298,65 @@ def bm25_prf_hybrid(spark, sf_dir):
         .withColumn("sim", F.round(dot_ce / (norm_c * norm_e), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("doc_id"))
+    return rr.withColumn("rnk", F.row_number().over(w)).select(
+        "query_id", "doc_id", "bm25_rnk", "sim", "rnk"
+    )
+
+
+# ---------------------------------------------------------------------------
+# R1c. reciprocal rank fusion — the standard zero-tuning way to combine a
+#      lexical and a dense ranking (Cormack et al. 2009, k = 60)
+# ---------------------------------------------------------------------------
+RRF_K = 60
+
+
+@query(
+    "rrf_fusion",
+    oracle=f"""
+    WITH {_SQL_BM25_RANKED},
+    {_SQL_HYBRID_FIN},
+    rrf AS (SELECT query_id, doc_id, bm25_rnk, CAST(rnk AS INT) AS cos_rnk,
+                   ROUND(CAST(1.0 AS DOUBLE) / ({RRF_K} + bm25_rnk)
+                         + CAST(1.0 AS DOUBLE) / ({RRF_K} + rnk), 9) AS rrf
+            FROM fin),
+    out AS (SELECT query_id, doc_id, bm25_rnk, cos_rnk, rrf,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY rrf DESC, doc_id) AS frnk
+            FROM rrf)
+    SELECT query_id, doc_id, bm25_rnk, cos_rnk, rrf, CAST(frnk AS INT) AS frnk
+    FROM out WHERE frnk <= {BM25_TOPK} ORDER BY query_id, frnk
+    """,
+)
+def rrf_fusion(spark, sf_dir):
+    """Reciprocal rank fusion of the BM25 ranking and the dense (PRF-centroid
+    cosine) ranking over the same shortlist: score = Σ 1/(k + rank_i), k=60
+    (Cormack et al. 2009) — the standard way to fuse retrievers without
+    score calibration, used by every hybrid-search stack.
+
+    Scale plan: everything downstream of the shared shortlist is
+    queries × {HYBRID_SHORTLIST} rows — the whole fusion is a constant-size
+    epilogue riding `_hybrid_fin` (which itself rides the memoized postings
+    cache; no new corpus pass). Determinism: ranks are integers, each
+    reciprocal is one IEEE division, their sum is a single fixed-order
+    addition, rounded to 9 dp; ties order by doc_id."""
+    fin = _hybrid_fin(spark, sf_dir)
+    rrf = F.round(
+        F.lit(1.0) / (RRF_K + F.col("bm25_rnk"))
+        + F.lit(1.0) / (RRF_K + F.col("rnk")),
+        9,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
     return (
-        rr.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= BM25_TOPK)
-        .select("query_id", "doc_id", "bm25_rnk", "sim", "rnk")
-        .orderBy("query_id", "rnk")
+        fin.select(
+            "query_id",
+            "doc_id",
+            "bm25_rnk",
+            F.col("rnk").alias("cos_rnk"),
+            rrf.alias("rrf"),
+        )
+        .withColumn("frnk", F.row_number().over(w))
+        .filter(F.col("frnk") <= BM25_TOPK)
+        .orderBy("query_id", "frnk")
     )
 
 

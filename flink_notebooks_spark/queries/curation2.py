@@ -278,3 +278,85 @@ def mixture_temperature_sample(spark, sf_dir):
         .select("doc_id", "source", "cut")
         .orderBy("doc_id")
     )
+
+
+# --- streaming per-source sampling ---------------------------------------------
+@query("streaming_sample_per_source", oracle=None)  # oracle wired below
+def streaming_sample_per_source(spark, sf_dir):
+    """``sample_per_source`` as a continuous ingestion job: documents arrive
+    over 4 staged triggers and per-source state keeps the K lowest-hash
+    (hash, doc_id) pairs seen so far — lowest-K-by-hash is MERGEABLE (the
+    union's bottom-K equals bottom-K of per-batch bottom-Ks), so the final
+    revision IS the batch sample and the oracle is the batch SQL verbatim.
+
+    State is ≤ {k} pairs per source however much streams through — the
+    bounded-reservoir shape an ingestion pipeline needs. The hash is the
+    repo's portable md5 (lower 64 bits); state stores it as the fixed-width
+    hex tail, whose LEXICOGRAPHIC order equals the numeric order the batch
+    window sorts by, so no Decimal crosses the Arrow boundary. Document
+    text never enters the stream projection or the state."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .llm import SAMPLE_K
+    from .streaming import _run_to_memory, _staged_table_stream
+
+    raw = _staged_table_stream(
+        spark, sf_dir, "documents", "doc_id",
+        "doc_id bigint, source string", n_files=4,
+    )
+    # the portable hash's BYTE-REVERSED hex tail (same byte order _DOC_HASH
+    # feeds to conv): fixed-width hex, so lexicographic == numeric order of
+    # md5_number_lower — the exact order the batch window sorts by
+    stream = raw.select(
+        "source", "doc_id",
+        F.expr(
+            "concat_ws('', transform(sequence(15, 0, -1), "
+            "i -> substring(md5(CAST(doc_id AS STRING)), 17 + i*2, 2)))"
+        ).alias("h16"),
+    )
+
+    def serve(key, pdfs, state):
+        if state.exists:
+            rev, hs, ids = state.get
+            cand = list(zip(hs, ids))
+        else:
+            rev, cand = 0, []
+        for p in pdfs:
+            if len(p):
+                cand.extend(zip(p["h16"], p["doc_id"]))
+        cand.sort(key=lambda t: (t[0], t[1]))
+        del cand[SAMPLE_K:]
+        rev += 1
+        state.update((rev, [h for h, _ in cand], [int(i) for _, i in cand]))
+        yield pd.DataFrame(
+            [
+                (key[0], rnk + 1, int(i), rev)
+                for rnk, (h, i) in enumerate(cand)
+            ],
+            columns=["source", "rank", "doc_id", "rev"],
+        )
+
+    out = _run_to_memory(
+        stream.groupBy("source").applyInPandasWithState(
+            serve,
+            "source string, rank int, doc_id long, rev long",
+            "rev long, hs array<string>, ids array<long>",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        ),
+        "update",
+    )
+    w = Window.partitionBy("source")
+    return (
+        out.withColumn("maxrev", F.max("rev").over(w))
+        .filter(F.col("rev") == F.col("maxrev"))
+        .select("source", "rank", "doc_id")
+        .orderBy("source", "rank")
+    )
+
+
+# the streaming form's oracle is the batch sample SQL verbatim
+from ._registry import ORACLE as _OR  # noqa: E402
+
+_OR["streaming_sample_per_source"] = _OR["sample_per_source"]

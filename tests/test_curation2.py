@@ -148,3 +148,14 @@ def test_mixture_sample_partitioning_invariant(spark, sf_dir):
     again = {r["doc_id"] for r in QUERIES["mixture_temperature_sample"](spark, sf_dir).collect()}
     assert base == again
     assert len(base) > 0
+
+
+def test_streaming_sample_matches_batch_exactly(spark, sf_dir):
+    """Bottom-K-by-hash is mergeable: the staged 4-trigger replay's final
+    state must equal the batch sample row for row (same hash order, same
+    tie-breaks) — not just hash-match at the driver's sf."""
+    got = QUERIES["streaming_sample_per_source"](spark, sf_dir).toPandas()
+    want = QUERIES["sample_per_source"](spark, sf_dir).toPandas()
+    got["rank"] = got["rank"].astype("int64")
+    want["rank"] = want["rank"].astype("int64")
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
