@@ -360,3 +360,128 @@ def streaming_sample_per_source(spark, sf_dir):
 from ._registry import ORACLE as _OR  # noqa: E402
 
 _OR["streaming_sample_per_source"] = _OR["sample_per_source"]
+
+
+# --- streaming decontamination gate ---------------------------------------------
+@query("streaming_decontaminate", oracle=None)  # oracle wired below
+def streaming_decontaminate(spark, sf_dir):
+    """``decontaminate`` as an ingestion-time gate: training documents arrive
+    over 4 staged triggers; each trigger hashes its docs' word-8-grams
+    map-side, probes the broadcast BENCHMARK gram index (built once from the
+    static eval partition), and appends the per-doc contamination verdicts
+    to the sink. Because a document arrives WHOLE in one trigger, the
+    per-doc aggregate inside foreachBatch is exact with ZERO cross-trigger
+    state — the bounded-memory shape an ingestion gate needs (Flink's
+    broadcast-state join pattern; state here is the broadcast index alone).
+    Oracle: the batch SQL verbatim."""
+    import tempfile
+    import uuid as _uuid
+
+    from .llm import NGRAMS, WORDS, hashed_g8
+    from .streaming import _staged_table_stream
+
+    bench = (
+        hashed_g8(spark, sf_dir)
+        .filter(F.col("doc_id") % 20 == 0)
+        .select(F.col("doc_id").alias("bench_id"), "h")
+    )
+    raw = _staged_table_stream(
+        spark, sf_dir, "documents", "doc_id",
+        "doc_id bigint, text string", n_files=4,
+    )
+    grams = (
+        raw.filter(F.col("doc_id") % 20 != 0)
+        .select(
+            "doc_id",
+            F.explode(F.expr(NGRAMS.format(ws=WORDS, k=8))).alias("s"),
+        )
+        .select("doc_id", F.xxhash64("s").alias("h"))
+    )
+    sink = tempfile.mkdtemp(prefix="strm_decon_")
+
+    def gate(batch_df, batch_id):
+        (
+            batch_df.join(F.broadcast(bench), "h")
+            .groupBy("doc_id")
+            .agg(
+                F.countDistinct("h").alias("n_grams_hit"),
+                F.countDistinct("bench_id").alias("n_bench_docs"),
+            )
+            .write.mode("append")
+            .parquet(sink)
+        )
+
+    q = (
+        grams.writeStream.foreachBatch(gate)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix=f"ckpt_decon_{_uuid.uuid4().hex[:8]}_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink).orderBy("doc_id")
+
+
+_OR["streaming_decontaminate"] = _OR["decontaminate"]
+
+
+# --- vocabulary coverage / OOV rate ---------------------------------------------
+VOCAB_V = 500  # top-V corpus vocabulary
+
+
+@query(
+    "vocab_coverage",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, unnest({SQL_WORDS}) AS word FROM documents),
+    c AS (SELECT word, COUNT(*) AS n FROM w GROUP BY word),
+    v AS (SELECT word FROM c ORDER BY n DESC, word LIMIT {VOCAB_V}),
+    j AS (SELECT w.doc_id, w.word,
+                 CASE WHEN v.word IS NULL THEN 0 ELSE 1 END AS hit
+          FROM w LEFT JOIN v USING (word))
+    SELECT doc_id, COUNT(*) AS n_words,
+           CAST(SUM(hit) AS BIGINT) AS n_covered,
+           ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6) AS coverage
+    FROM j GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def vocab_coverage(spark, sf_dir):
+    """Per-document coverage under the top-{VOCAB_V} corpus vocabulary (1 −
+    OOV rate) — the cheap tokenizer-fit diagnostic: docs far below the
+    corpus norm are gibberish, code, or the wrong language for the
+    vocabulary being trained.
+
+    Scale plan: the vocabulary is FIXED-SIZE (top-V via TakeOrdered — per-
+    partition heaps, no global sort) and BROADCASTS; the corpus pass is one
+    token explode + broadcast membership probe + per-doc aggregate keyed by
+    doc_id. Ties at the vocabulary boundary break on the word itself, so
+    membership is engine-deterministic."""
+    from .llm import tokenized_docs
+
+    t = tokenized_docs(spark, sf_dir)
+    words = t.select("doc_id", F.explode("ws").alias("word"))
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(VOCAB_V)
+        .select("word")
+    )
+    return (
+        words.join(F.broadcast(vocab).withColumn("hit", F.lit(1)), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_covered"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_covered",
+            F.round(
+                F.col("n_covered").cast("double") / F.col("n_words"), 6
+            ).alias("coverage"),
+        )
+        .orderBy("doc_id")
+    )
