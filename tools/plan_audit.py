@@ -83,6 +83,16 @@ HEADLINE = [
     ("bpe_apply", "merge replay over the DISTINCT vocabulary: corpus touched twice regardless of merge count"),
     ("profile_quantiles_sketch", "GK rank sketch: ONE map-side-combined aggregate to |sources| rows"),
     ("streaming_budget_curation", "online admission: ONE-long per-source state, append-only emissions"),
+    ("q38_tpch_q4", "correlated EXISTS decorrelated to a left-semi hash join"),
+    ("q41_tpch_q17", "correlated scalar AVG decorrelated to a per-key aggregate join"),
+    ("q42_tpch_q18", "IN + HAVING as semi join against the grouped aggregate, TakeOrdered top-100"),
+    ("q43_tpch_q22", "scalar-average threshold + NOT EXISTS as a left-anti join"),
+    ("q44_tpch_q7", "nation-pair volume: both fixed dims broadcast, date filter pushed"),
+    ("dedup_span_scrub", "span-level dedup: hash-only dup detection, text crosses ONE exchange"),
+    ("perplexity_buckets", "CCNet terciles: one per-source window over scalar rows"),
+    ("mixture_temperature_sample", "temperature mixing: broadcast weight table, map-only coin filter"),
+    ("rrf_fusion", "rank fusion: constant-size epilogue over the shared shortlist"),
+    ("vocab_coverage", "fixed-size broadcast vocabulary, one explode + membership probe"),
 ]
 
 
