@@ -262,12 +262,18 @@ class StreamingStatement(Statement):
                 room = MAX_STREAM_ROWS - len(self._buffer)
             if room <= 0:
                 # the buffer never drains (tokens are cursors over it), so
-                # saturation is terminal: mark truncated and execute NO
-                # driver transfer — a long-running query would otherwise
-                # serialize every later micro-batch to the driver only to
-                # discard it (and, in update/complete mode, grow the _seen
-                # key map without bound for results that can never serve)
-                self.truncated = True
+                # saturation is terminal: execute NO row transfer — a
+                # long-running query would otherwise serialize every later
+                # micro-batch to the driver only to discard it (and, in
+                # update/complete mode, grow the _seen key map without bound
+                # for results that can never serve). truncated must still be
+                # HONEST: a buffer that filled exactly to the cap with no
+                # overflow (truncated not yet set) only becomes truncated if
+                # a real row arrives afterwards — probed with isEmpty()
+                # (a limit-1 job, bounded) until the first such row; from
+                # then on the flag is set and post-cap triggers do nothing.
+                if not self.truncated and not batch_df.isEmpty():
+                    self.truncated = True
                 return
             if changelog:
                 # kind reconstruction diffs against _seen, so it needs the
@@ -283,7 +289,11 @@ class StreamingStatement(Statement):
             with self._lock:
                 room = MAX_STREAM_ROWS - len(self._buffer)
                 if room <= 0:
-                    self.truncated = True
+                    # concurrent fill since the first check: rows were
+                    # transferred but cannot serve — truncated only if this
+                    # batch actually HAD entries to drop
+                    if entries:
+                        self.truncated = True
                     return
                 if len(entries) > room:
                     self.truncated = True

@@ -126,22 +126,7 @@ def q40_tpch_q15(spark, sf_dir):
     a persisted temp view, not computed twice. Revenue values are exact
     decimal sums cast to double once, so the MAX-equality cannot split
     float-equal groups across engines."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(
-            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
-        )
-        .select("l_suppkey", "l_extendedprice", "l_discount")
-    )
-    rev_expr = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,6)"
-    )
-    revenue = (
-        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(rev_expr).cast("double").alias("total_revenue"))
-        .persist()
-    )
+    revenue = _q15_revenue(spark, sf_dir)
     top = revenue.agg(F.max("total_revenue").alias("mx"))
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
@@ -150,6 +135,43 @@ def q40_tpch_q15(spark, sf_dir):
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+_Q15_REV_MEMO: dict = {}
+
+
+def _q15_revenue(spark, sf_dir):
+    """The quarterly per-supplier revenue view, PERSISTED + memoized per
+    (session, dataset): the scalar-MAX branch and the equality filter both
+    read it, and notebook re-runs / the test suite call the query many times
+    per session — without the memo each call would persist a fresh copy and
+    leak cached blocks for the session's lifetime (the _memo_put contract,
+    see queries/llm.py)."""
+    from pyspark import StorageLevel
+
+    from .llm import _memo_put
+
+    key = (spark.sparkContext.applicationId, sf_dir, "q15rev")
+    rev = _Q15_REV_MEMO.get(key)
+    if rev is None:
+        li = (
+            load_table(spark, sf_dir, "lineitem")
+            .filter(
+                (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+            )
+            .select("l_suppkey", "l_extendedprice", "l_discount")
+        )
+        rev_expr = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(18,6)"
+        )
+        rev = (
+            li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+            .agg(F.sum(rev_expr).cast("double").alias("total_revenue"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        _memo_put(_Q15_REV_MEMO, key, rev)
+    return rev
 
 
 # --- Q41: TPC-H Q17 (small-quantity revenue — correlated scalar AVG) ----------

@@ -8,9 +8,6 @@ partitioning invariance, and the one-text-exchange plan contract.
 
 from __future__ import annotations
 
-import contextlib
-import io
-
 from pyspark.sql import functions as F
 
 from flink_notebooks_spark.io import load_table
@@ -65,30 +62,15 @@ def test_span_scrub_removes_only_duplicated_spans(spark, sf_dir):
 def test_span_scrub_single_text_exchange(spark, sf_dir):
     """The 100 TB contract: document text crosses exactly ONE exchange — the
     reassembly join back to the corpus. Dup detection shuffles only
-    (doc_id, chunk_id, hash) rows. Same audit shape as the
-    curation_pipeline no-text pin, but allowing the single by-design
-    crossing a text-REWRITING operator cannot avoid."""
-    df = QUERIES["dedup_span_scrub"](spark, sf_dir)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    blocks = [
-        b for b in buf.getvalue().split("\n\n") if b.startswith("(")
-        and "Exchange" in b.split("\n")[0]
-    ]
-    text_crossings = 0
-    for block in blocks:
-        if "REPARTITION_BY_NUM" in block:
-            continue  # token-cache scale-out exemption (see tokenized_docs)
-        for line in block.split("\n"):
-            if (line.startswith("Input") or line.startswith("Arguments")) and (
-                "text#" in line
-            ):
-                text_crossings += 1
-                break
-    assert text_crossings <= 1, (
-        f"document text crosses {text_crossings} exchanges — dup detection "
-        "must shuffle hashes, not bodies"
+    (doc_id, chunk_id, hash) rows. Same audit as the curation_pipeline
+    no-text pin (shared helper), but allowing the single by-design crossing
+    a text-REWRITING operator cannot avoid."""
+    from plan_text import count_text_exchanges
+
+    got = count_text_exchanges(QUERIES["dedup_span_scrub"](spark, sf_dir))
+    assert got <= 1, (
+        f"document text crosses {got} exchanges — dup detection must "
+        "shuffle hashes, not bodies"
     )
 
 
@@ -142,12 +124,46 @@ def test_mixture_temperature_upweights_small_sources(spark, sf_dir):
 
 def test_mixture_sample_partitioning_invariant(spark, sf_dir):
     """The md5 coin must make the sample a pure function of doc ids: the
-    same rows come back under a hostile repartitioning of the input."""
+    same rows come back under a different shuffle parallelism AND from a
+    hostile repartitioning of the same logic over a pre-scattered input."""
     base = {r["doc_id"] for r in QUERIES["mixture_temperature_sample"](spark, sf_dir).collect()}
-    # second evaluation in the same session (fresh plan) must agree
-    again = {r["doc_id"] for r in QUERIES["mixture_temperature_sample"](spark, sf_dir).collect()}
-    assert base == again
     assert len(base) > 0
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        again = {
+            r["doc_id"]
+            for r in QUERIES["mixture_temperature_sample"](spark, sf_dir).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert base == again
+    # replay the same rule over a deliberately scattered input: identical set
+    from flink_notebooks_spark.queries.curation2 import _DOC_HASH, MIX_TARGET
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source").repartition(13)
+    ns = d.groupBy("source").agg(F.count("*").alias("n_s"))
+    wts = ns.withColumn("w", F.round(F.sqrt("n_s"), 9).cast("decimal(28,9)"))
+    den = wts.agg(F.sum("w").alias("denom"))
+    thr = (
+        wts.crossJoin(F.broadcast(den))
+        .withColumn(
+            "p",
+            F.least(
+                F.lit(1.0),
+                F.lit(MIX_TARGET)
+                * (F.col("w").cast("double") / F.col("denom").cast("double"))
+                / F.col("n_s"),
+            ),
+        )
+        .select("source", F.floor(F.col("p") * 1000000).cast("bigint").alias("cut"))
+    )
+    coin = F.expr(_DOC_HASH.format(key="CAST(doc_id AS STRING)")) % 1000000
+    scattered = {
+        r["doc_id"]
+        for r in d.join(F.broadcast(thr), "source").filter(coin < F.col("cut")).collect()
+    }
+    assert scattered == base
 
 
 def test_streaming_sample_matches_batch_exactly(spark, sf_dir):

@@ -198,53 +198,17 @@ def test_streaming_markov_checkpoint_restart(spark, sf_dir, tmp_path):
     2 of 4 staged files and runs availableNow to completion; the remaining
     files then appear and phase 2 resumes from the same checkpoint — the
     cross-phase transitions exist iff state restored."""
-    import os
-    import shutil
+    from restart_harness import parquet_sink, two_phase_restart
 
     from flink_notebooks_spark.queries import QUERIES
     from flink_notebooks_spark.queries.corpus import markov_delta_stream
 
-    staging = str(tmp_path / "staging")
-    held = str(tmp_path / "held")
-    sink = str(tmp_path / "sink")
-    ck = str(tmp_path / "ck")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        # populate staging eagerly, then hold back the last two slices
-        markov_delta_stream(spark, sf_dir, staging_dir=staging)
-        os.makedirs(held)
-        moved = []
-        for f in sorted(os.listdir(staging))[2:]:
-            shutil.move(f"{staging}/{f}", f"{held}/{f}")
-            moved.append(f)
-        assert moved, "staging must hold back at least one slice"
-
-        q = (
-            markov_delta_stream(spark, sf_dir, staging_dir=staging)
-            .writeStream.format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-
-        for f in moved:
-            shutil.move(f"{held}/{f}", f"{staging}/{f}")
-        q2 = (
-            markov_delta_stream(spark, sf_dir, staging_dir=staging)
-            .writeStream.format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q2.awaitTermination()
-        # the resumed run must actually have processed the held-back slices
-        assert q2.lastProgress is not None and q2.lastProgress["batchId"] >= 0
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    sink = two_phase_restart(
+        spark,
+        tmp_path,
+        lambda staging: markov_delta_stream(spark, sf_dir, staging_dir=staging),
+        parquet_sink,
+    )
 
     from pyspark.sql import functions as F
 
@@ -350,42 +314,17 @@ def test_streaming_budget_curation_checkpoint_restart(spark, sf_dir, tmp_path, d
     from the same checkpoint. Budget admission is ORDER-SENSITIVE state —
     if the counter does not restore, phase 2 re-admits past the budget and
     the sink union diverges from the exact window-cumsum oracle."""
-    import os
-    import shutil
+    from restart_harness import parquet_sink, two_phase_restart
 
     from flink_notebooks_spark.queries import ORACLE
     from flink_notebooks_spark.queries.corpus import budget_admission_stream
 
-    staging = str(tmp_path / "staging")
-    held = str(tmp_path / "held")
-    sink = str(tmp_path / "sink")
-    ck = str(tmp_path / "ck")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        budget_admission_stream(spark, sf_dir, staging_dir=staging)
-        os.makedirs(held)
-        moved = []
-        for f in sorted(os.listdir(staging))[2:]:
-            shutil.move(f"{staging}/{f}", f"{held}/{f}")
-            moved.append(f)
-        assert moved, "staging must hold back at least one slice"
-
-        for phase in (1, 2):
-            q = (
-                budget_admission_stream(spark, sf_dir, staging_dir=staging)
-                .writeStream.format("parquet")
-                .option("path", sink)
-                .option("checkpointLocation", ck)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-            if phase == 1:
-                for f in moved:
-                    shutil.move(f"{held}/{f}", f"{staging}/{f}")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    sink = two_phase_restart(
+        spark,
+        tmp_path,
+        lambda staging: budget_admission_stream(spark, sf_dir, staging_dir=staging),
+        parquet_sink,
+    )
 
     got = [
         tuple(r)
@@ -409,8 +348,7 @@ def test_streaming_similarity_topk_checkpoint_restart(spark, sf_dir, tmp_path):
     Revisions live in state — if state does not restore, phase-2 revisions
     restart below phase 1's and the merged top-k loses every phase-1
     candidate, diverging from the exact batch kNN."""
-    import os
-    import shutil
+    from restart_harness import two_phase_restart
 
     from flink_notebooks_spark.queries import QUERIES
     from flink_notebooks_spark.queries.lexical import (
@@ -418,39 +356,26 @@ def test_streaming_similarity_topk_checkpoint_restart(spark, sf_dir, tmp_path):
         knn_topk_stream,
     )
 
-    staging = str(tmp_path / "staging")
-    held = str(tmp_path / "held")
-    sink = str(tmp_path / "sink")
-    ck = str(tmp_path / "ck")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        knn_topk_stream(spark, sf_dir, staging_dir=staging)
-        os.makedirs(held)
-        moved = []
-        for f in sorted(os.listdir(staging))[2:]:
-            shutil.move(f"{staging}/{f}", f"{held}/{f}")
-            moved.append(f)
-        assert moved, "staging must hold back at least one slice"
-
+    def update_foreach_sink(df, sink, ck):
+        # UPDATE-mode stateful op: append each phase's emissions, the
+        # reader takes each shard's latest revision across the union
         def append_sink(bdf, bid):
             bdf.write.mode("append").parquet(sink)
 
-        for phase in (1, 2):
-            q = (
-                knn_topk_stream(spark, sf_dir, staging_dir=staging)
-                .writeStream.outputMode("update")
-                .foreachBatch(append_sink)
-                .option("checkpointLocation", ck)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-            if phase == 1:
-                for f in moved:
-                    shutil.move(f"{held}/{f}", f"{staging}/{f}")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        return (
+            df.writeStream.outputMode("update")
+            .foreachBatch(append_sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    sink = two_phase_restart(
+        spark,
+        tmp_path,
+        lambda staging: knn_topk_stream(spark, sf_dir, staging_dir=staging),
+        update_foreach_sink,
+    )
 
     union = spark.read.parquet(sink)
     # revisions must be cumulative across the restart (state restored)

@@ -941,30 +941,14 @@ def test_curation_pipeline_exchanges_carry_no_text(spark, sf_dir):
     REPARTITION_BY_NUM, where raw text crosses exactly once by design:
     it IS the scan distribution for the CPU-bound tokenize stage (see
     tokenized_docs' docstring), not a query shuffle payload."""
-    import contextlib
-    import io
+    from plan_text import count_text_exchanges, formatted_plan
 
     df = QUERIES["curation_pipeline"](spark, sf_dir)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    blocks = [
-        b
-        for b in buf.getvalue().split("\n\n")
-        if "Exchange" in b.split("\n")[0]
-    ]
-    assert blocks, "no exchange detail blocks found in the formatted plan"
-    checked = 0
-    for block in blocks:
-        if "REPARTITION_BY_NUM" in block:
-            continue  # token-cache scale-out: text crosses once, by design
-        checked += 1
-        for line in block.split("\n"):
-            if line.startswith("Input") or line.startswith("Arguments"):
-                assert "text#" not in line, (
-                    f"document text crosses a data shuffle: {line}"
-                )
-    assert checked, "no data-shuffle exchange blocks found in the plan"
+    plan = formatted_plan(df)
+    assert "Exchange" in plan, "no exchanges found in the formatted plan"
+    assert count_text_exchanges(df) == 0, (
+        "document text crosses a data shuffle in curation_pipeline"
+    )
 
 
 def test_dedup_incremental_shards_share_one_base_index(spark, sf_dir):

@@ -772,6 +772,11 @@ def test_saturated_append_buffer_skips_driver_transfer():
             self.counter["collects"] += 1
             return [[i] for i in range(self.n_rows)]
 
+        def isEmpty(self):
+            self.counter.setdefault("empties", 0)
+            self.counter["empties"] += 1
+            return self.n_rows == 0
+
     holder = {}
     captured = {}
 
@@ -803,3 +808,67 @@ def test_saturated_append_buffer_skips_driver_transfer():
     upd = FakeDF(10)
     on_batch(upd, 2)
     assert upd.counter["collects"] == 0 and stmt._seen == before
+
+
+def test_exactly_full_buffer_truncates_only_on_a_real_row():
+    """An EXACT 10k fill drops nothing — truncated must stay False through
+    later EMPTY micro-batches (no-data triggers), flip on the first real
+    post-cap row, and never probe again once set."""
+    from flink_notebooks_spark.engine.statement import (
+        MAX_STREAM_ROWS,
+        StreamingStatement,
+    )
+
+    class FakeQuery:
+        isActive = True
+
+        def exception(self):
+            return None
+
+    class FakeSchema:
+        fields = []
+
+    class FakeDF:
+        schema = FakeSchema()
+        columns = []
+
+        def __init__(self, n_rows=0):
+            self.n_rows = n_rows
+            self.counter = {"collects": 0, "limits": [], "empties": 0}
+
+        def limit(self, n):
+            out = FakeDF(min(self.n_rows, n))
+            out.counter = self.counter
+            self.counter["limits"].append(n)
+            return out
+
+        def collect(self):
+            self.counter["collects"] += 1
+            return [[i] for i in range(self.n_rows)]
+
+        def isEmpty(self):
+            self.counter["empties"] += 1
+            return self.n_rows == 0
+
+    captured = {}
+    stmt = StreamingStatement(
+        FakeDF(), lambda cb: captured.setdefault("cb", cb) and FakeQuery() or FakeQuery()
+    )
+    on_batch = captured["cb"]
+
+    on_batch(FakeDF(MAX_STREAM_ROWS), 0)  # exact fill, nothing dropped
+    assert len(stmt._buffer) == MAX_STREAM_ROWS and not stmt.truncated
+
+    empty = FakeDF(0)
+    on_batch(empty, 1)  # no-data trigger: probed, NOT truncated
+    assert not stmt.truncated
+    assert empty.counter["empties"] == 1 and empty.counter["collects"] == 0
+
+    real = FakeDF(3)
+    on_batch(real, 2)  # first real post-cap row: flips the flag
+    assert stmt.truncated and real.counter["collects"] == 0
+
+    late = FakeDF(5)
+    on_batch(late, 3)  # flag already set: zero probes, zero transfer
+    assert late.counter["empties"] == 0 and late.counter["collects"] == 0
+    assert len(stmt._buffer) == MAX_STREAM_ROWS

@@ -146,7 +146,11 @@ def main(sf_dir: str, out_md: str) -> int:
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
-        plan = buf.getvalue()
+        # strip the session-scoped plan_id counters: they differ on every
+        # run, so without this the tool is non-idempotent and every
+        # regeneration buries real plan regressions under hundreds of
+        # spurious [plan_id=N] diff lines
+        plan = re.sub(r", \[plan_id=\d+\]", "", buf.getvalue())
         notes = _audit(plan)
         bad += sum(1 for n in notes if n.startswith("!!"))
         # the formatted plan's operator tree (before the per-node detail
