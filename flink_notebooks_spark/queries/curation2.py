@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ._registry import QUERIES, query
-from .llm import _DOC_HASH, SQL_WORDS
+from .llm import _DOC_HASH, QUALITY_SQL, SQL_WORDS
 
 SPAN_K = 16  # words per span window (Lee et al. use 50 BPE tokens; the
 #              fixture docs are 10–110 words, so 16 keeps multiple spans/doc)
@@ -483,5 +483,147 @@ def vocab_coverage(spark, sf_dir):
                 F.col("n_covered").cast("double") / F.col("n_words"), 6
             ).alias("coverage"),
         )
+        .orderBy("doc_id")
+    )
+
+
+# --- pretraining-mix capstone ---------------------------------------------------
+PIPE_TARGET = 150  # expected docs in the final mixture
+
+
+@query(
+    "pretrain_mix_pipeline",
+    oracle=f"""
+    WITH s1 AS (SELECT doc_id, source, text FROM documents
+                WHERE lang = 'en' AND (__Q__) >= 0.5
+                  AND len({SQL_WORDS}) >= 10),
+    s2 AS (SELECT doc_id, source FROM (
+             SELECT doc_id, source,
+                    ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                       ORDER BY doc_id) AS rn
+             FROM s1) WHERE rn = 1),
+    w AS (SELECT s1.doc_id, unnest({SQL_WORDS}) AS word
+          FROM s1 JOIN s2 USING (doc_id)),
+    f AS (SELECT word, COUNT(*) AS n_occ FROM w GROUP BY word),
+    n AS (SELECT COUNT(*) AS total FROM w),
+    j AS (SELECT w.doc_id, CAST(ROUND(LN(f.n_occ), 9) AS DECIMAL(28,9)) AS l
+          FROM w JOIN f USING (word)),
+    nll AS (SELECT j.doc_id, ROUND(ROUND(LN((SELECT total FROM n)), 9)
+                   - CAST(SUM(j.l) AS DOUBLE) / COUNT(*), 6) AS nll
+            FROM j GROUP BY j.doc_id),
+    r AS (SELECT s2.source, nll.doc_id, nll.nll,
+                 ROW_NUMBER() OVER (PARTITION BY s2.source
+                                    ORDER BY nll.nll, nll.doc_id) AS rnk,
+                 COUNT(*) OVER (PARTITION BY s2.source) AS n_s
+          FROM nll JOIN s2 USING (doc_id)),
+    keep AS (SELECT source, doc_id, nll FROM r WHERE rnk * 3 <= n_s * 2),
+    ns AS (SELECT source, COUNT(*) AS n_s FROM keep GROUP BY source),
+    wts AS (SELECT source, n_s,
+                   CAST(ROUND(SQRT(n_s), 9) AS DECIMAL(28,9)) AS w FROM ns),
+    den AS (SELECT SUM(w) AS denom FROM wts),
+    thr AS (SELECT source,
+                   CAST(FLOOR(LEAST(1.0, {PIPE_TARGET} * (CAST(w AS DOUBLE)
+                        / CAST((SELECT denom FROM den) AS DOUBLE)) / n_s)
+                        * 1000000) AS BIGINT) AS cut
+            FROM wts)
+    SELECT k.doc_id, k.source, k.nll, t.cut
+    FROM keep k JOIN thr t USING (source)
+    WHERE md5_number_lower(CAST(k.doc_id AS VARCHAR)) % 1000000 < t.cut
+    ORDER BY k.doc_id
+    """.replace("__Q__", QUALITY_SQL),
+)
+def pretrain_mix_pipeline(spark, sf_dir):
+    """Capstone #2 — the PRETRAINING-MIX pipeline: language filter → quality
+    gate → exact dedup → perplexity terciles over the SURVIVOR corpus (the
+    unigram model is fit on what survived, not the raw crawl — CCNet's
+    actual construction) → drop the 'tail' tercile → temperature-mix the
+    rest toward an expected {PIPE_TARGET}-doc budget. One hash-verified
+    composition of five operators this registry ships individually.
+
+    Scale plan, stage by stage: the lang/quality gates are map-only
+    predicates on the scan; exact dedup windows over md5(text) PROJECTED
+    BEFORE the exchange (no document bodies in any shuffle — the
+    curation_pipeline lesson, pinned by the shared no-text plan audit);
+    survivor tokens ride the session token cache semi-joined to survivor
+    ids; the frequency join re-uses the token shuffle's own word
+    partitioning (AQE skew-join handles hot words); terciles and the
+    mixture run over scalar (doc_id, source, nll) rows with integer
+    boundaries and the md5 coin — deterministic at any parallelism."""
+    from .llm import MIN_WORDS, QUALITY_MIN, WORDS, quality_expr, tokenized_docs
+
+    d = load_table(spark, sf_dir, "documents")
+    s1 = (
+        d.filter(F.col("lang") == "en")
+        .withColumn("quality", quality_expr())
+        .withColumn("nw", F.expr(f"size({WORDS})"))
+        .filter((F.col("quality") >= QUALITY_MIN) & (F.col("nw") >= MIN_WORDS))
+        .select("doc_id", "source", "text")
+    )
+    # hash-project BEFORE the dedup window: the exchange carries 32-byte
+    # digests, never text
+    dedup_w = Window.partitionBy("h").orderBy("doc_id")
+    s2 = (
+        s1.select("doc_id", "source", F.md5("text").alias("h"))
+        .withColumn("rn", F.row_number().over(dedup_w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source")
+    )
+    words = (
+        tokenized_docs(spark, sf_dir)
+        .join(s2.select("doc_id"), "doc_id")
+        .select("doc_id", F.explode("ws").alias("word"))
+    )
+    f = words.groupBy("word").agg(F.count("*").alias("n_occ"))
+    tot = words.agg(F.count("*").alias("total"))
+    j = words.join(f, "word").select(
+        "doc_id", F.round(F.log("n_occ"), 9).cast("decimal(28,9)").alias("l")
+    )
+    nll = (
+        j.groupBy("doc_id")
+        .agg(F.count("*").alias("nw"), F.sum("l").alias("sl"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(
+                F.round(F.log("total"), 9)
+                - F.col("sl").cast("double") / F.col("nw"),
+                6,
+            ).alias("nll"),
+        )
+    )
+    by_src = Window.partitionBy("source")
+    ranked = nll.join(s2, "doc_id").select(
+        "doc_id",
+        "source",
+        "nll",
+        F.row_number().over(by_src.orderBy("nll", "doc_id")).alias("rnk"),
+        F.count("*").over(by_src).alias("n_s"),
+    )
+    keep = ranked.filter(F.col("rnk") * 3 <= F.col("n_s") * 2).select(
+        "doc_id", "source", "nll"
+    )
+    ns = keep.groupBy("source").agg(F.count("*").alias("n_s"))
+    wts = ns.withColumn("w", F.round(F.sqrt("n_s"), 9).cast("decimal(28,9)"))
+    den = wts.agg(F.sum("w").alias("denom"))
+    thr = (
+        wts.crossJoin(F.broadcast(den))
+        .withColumn(
+            "p",
+            F.least(
+                F.lit(1.0),
+                F.lit(PIPE_TARGET)
+                * (F.col("w").cast("double") / F.col("denom").cast("double"))
+                / F.col("n_s"),
+            ),
+        )
+        .select(
+            "source", F.floor(F.col("p") * 1000000).cast("bigint").alias("cut")
+        )
+    )
+    coin = F.expr(_DOC_HASH.format(key="CAST(doc_id AS STRING)")) % 1000000
+    return (
+        keep.join(F.broadcast(thr), "source")
+        .filter(coin < F.col("cut"))
+        .select("doc_id", "source", "nll", "cut")
         .orderBy("doc_id")
     )

@@ -175,3 +175,41 @@ def test_streaming_sample_matches_batch_exactly(spark, sf_dir):
     got["rank"] = got["rank"].astype("int64")
     want["rank"] = want["rank"].astype("int64")
     assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+
+def test_pretrain_pipeline_stage_contracts(spark, sf_dir):
+    """The capstone's output must satisfy every stage's contract at once:
+    all sampled docs are English, pass the quality gate, are unique by
+    md5(text) (exact-dup stage), and none sits in its source's dropped
+    'tail' tercile of the survivor corpus (verified via the survivor-set
+    NLL recomputation being monotone within the kept set is already covered
+    by the oracle; here we pin the cheap invariants a hash-match alone
+    would not localize)."""
+    from flink_notebooks_spark.queries.llm import MIN_WORDS, QUALITY_MIN, WORDS, quality_expr
+
+    out = QUERIES["pretrain_mix_pipeline"](spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    j = out.join(d, ["doc_id", "source"])
+    n = j.count()
+    assert n > 0
+    assert j.filter(F.col("lang") != "en").count() == 0
+    gated = j.withColumn("q", quality_expr()).withColumn(
+        "nw", F.expr(f"size({WORDS})")
+    )
+    assert gated.filter(
+        (F.col("q") < QUALITY_MIN) | (F.col("nw") < MIN_WORDS)
+    ).count() == 0
+    # exact-dup: no two sampled docs share a text hash
+    assert (
+        j.select(F.md5("text").alias("h")).distinct().count() == n
+    )
+
+
+def test_pretrain_pipeline_no_text_in_exchanges(spark, sf_dir):
+    """Same contract as curation_pipeline: every data shuffle in the capstone
+    carries hashes/ids/scalars — document bodies never cross an exchange
+    (the gates are map-side, dedup windows over a projected md5, NLL rides
+    the token cache)."""
+    from plan_text import count_text_exchanges
+
+    assert count_text_exchanges(QUERIES["pretrain_mix_pipeline"](spark, sf_dir)) == 0
