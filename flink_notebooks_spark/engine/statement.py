@@ -317,11 +317,15 @@ class StreamingStatement(Statement):
         self._paused = False
 
     def cancel(self) -> None:
-        try:
-            self.query.stop()
-        finally:
-            self.state = CANCELED
-            self.finished_at = time.time()
+        # CANCELED is set BEFORE stop(): while stop() is in flight the query
+        # may die with a cancellation-induced exception, and a concurrent
+        # fetch() that still saw state == RUNNING would classify that as
+        # ERROR — a transient 500 for a poller racing a DELETE (observed
+        # once under full-suite load). With the state already terminal,
+        # fetch()'s RUNNING-only reclassification can't fire.
+        self.state = CANCELED
+        self.finished_at = time.time()
+        self.query.stop()
 
     def await_termination(self, timeout: float | None = None) -> None:
         self.query.awaitTermination(timeout)
@@ -329,11 +333,20 @@ class StreamingStatement(Statement):
     def fetch(self, token: int = 0, max_rows: int = PAGE_SIZE) -> ResultPage:
         if self._paused:
             return ResultPage("NOT_READY", self._columns, [], token)
-        active = self.query.isActive
+        try:
+            active = self.query.isActive
+        except Exception:  # noqa: BLE001 — liveness probe racing a stop()
+            # mid-teardown py4j access: the query is terminal; whoever
+            # initiated the teardown owns the state transition
+            active = False
         if not active and self.state == RUNNING:
-            self.state = FINISHED if self.query.exception() is None else ERROR
+            try:
+                exc = self.query.exception()
+            except Exception as e:  # noqa: BLE001 — same teardown race
+                exc = e
+            self.state = FINISHED if exc is None else ERROR
             if self.state == ERROR:
-                self.error = str(self.query.exception())
+                self.error = str(exc)
             self.finished_at = time.time()
         with self._lock:
             start = self._offsets.get(token)

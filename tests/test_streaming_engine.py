@@ -872,3 +872,51 @@ def test_exactly_full_buffer_truncates_only_on_a_real_row():
     on_batch(late, 3)  # flag already set: zero probes, zero transfer
     assert late.counter["empties"] == 0 and late.counter["collects"] == 0
     assert len(stmt._buffer) == MAX_STREAM_ROWS
+
+
+def test_cancel_is_terminal_before_stop_completes():
+    """The cancel-vs-poll race: state must read CANCELED the moment cancel
+    begins (before query.stop() returns), a stop-induced query exception
+    must never reclassify it to ERROR, and a liveness probe that raises
+    mid-teardown must yield a valid protocol page, not an exception."""
+    from flink_notebooks_spark.engine.statement import StreamingStatement
+
+    class FakeSchema:
+        fields = []
+
+    class FakeDF:
+        schema = FakeSchema()
+        columns = []
+
+    states = []
+
+    class RacingQuery:
+        """stop() observes the statement state at the moment it runs —
+        the old ordering saw RUNNING here."""
+
+        def __init__(self):
+            self.stopped = False
+
+        @property
+        def isActive(self):
+            if self.stopped:
+                raise RuntimeError("py4j: JVM object torn down")
+            return True
+
+        def exception(self):
+            raise RuntimeError("stop-induced StreamingQueryException")
+
+        def stop(self):
+            states.append(stmt.state)
+            self.stopped = True
+
+    q = RacingQuery()
+    stmt = StreamingStatement(FakeDF(), lambda cb: q)
+    stmt.cancel()
+    assert states == ["CANCELED"], "state must be terminal before stop() runs"
+    assert stmt.state == "CANCELED"
+    # a poll after teardown: probe raises -> treated as inactive; state is
+    # not RUNNING so no ERROR reclassification; response is protocol-valid
+    page = stmt.fetch(0)
+    assert page.result_type in ("PAYLOAD", "NOT_READY", "EOS")
+    assert stmt.state == "CANCELED"
