@@ -627,3 +627,103 @@ def pretrain_mix_pipeline(spark, sf_dir):
         .select("doc_id", "source", "nll", "cut")
         .orderBy("doc_id")
     )
+
+
+# --- streaming perplexity gate ----------------------------------------------------
+PPL_GATE_T = 3.41  # keep threshold ~ the fixture's median base-model NLL
+
+
+@query("streaming_perplexity_gate", oracle=None)  # oracle wired below
+def streaming_perplexity_gate(spark, sf_dir):
+    """CCNet's production shape: a FIXED language model (unigram, add-one
+    smoothed, fit once on a held-out base corpus — doc_id % 5 = 0) scores
+    every ARRIVING document; the verdict column marks docs at or below the
+    NLL threshold. Unlike `perplexity_buckets` (corpus-relative terciles,
+    a batch construction), the gate needs no global state: the model
+    BROADCASTS and each trigger is a stateless map-side probe + per-doc
+    aggregate (exact — docs arrive whole per trigger), so the stream
+    admits documents the moment they arrive at any scale. OOV words get
+    the smoothed floor 1/(N+V+1). Per-word ln terms are 9-dp rounded and
+    DECIMAL-summed — engine-identical, partitioning-independent."""
+    import tempfile
+    import uuid as _uuid
+
+    from .llm import WORDS, tokenized_docs
+    from .streaming import _staged_table_stream
+
+    base = (
+        tokenized_docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(F.explode("ws").alias("word"))
+    )
+    model = base.groupBy("word").agg(F.count("*").alias("n"))
+    stats = base.agg(F.count("*").alias("N")).crossJoin(
+        model.agg(F.count("*").alias("V"))
+    )
+    n_, v_ = stats.collect()[0]
+    ln_z = round(__import__("math").log(n_ + v_ + 1), 9)
+
+    raw = _staged_table_stream(
+        spark, sf_dir, "documents", "doc_id",
+        "doc_id bigint, text string, source string", n_files=4,
+    )
+    words = (
+        raw.filter(F.col("doc_id") % 5 != 0)
+        .select("doc_id", "source", F.explode(F.expr(WORDS)).alias("word"))
+    )
+    sink = tempfile.mkdtemp(prefix="strm_ppl_")
+
+    def gate(batch_df, batch_id):
+        scored = (
+            batch_df.join(F.broadcast(model), "word", "left")
+            .select(
+                "doc_id",
+                "source",
+                F.round(F.log(F.coalesce(F.col("n"), F.lit(0)) + 1), 9)
+                .cast("decimal(28,9)")
+                .alias("l"),
+            )
+            .groupBy("doc_id", "source")
+            .agg(F.count("*").alias("nw"), F.sum("l").alias("sl"))
+            .select(
+                "doc_id",
+                "source",
+                F.round(
+                    F.lit(ln_z) - F.col("sl").cast("double") / F.col("nw"), 6
+                ).alias("nll"),
+            )
+            .withColumn("keep", F.col("nll") <= PPL_GATE_T)
+        )
+        scored.write.mode("append").parquet(sink)
+
+    q = (
+        words.writeStream.foreachBatch(gate)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix=f"ckpt_ppl_{_uuid.uuid4().hex[:8]}_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink).orderBy("doc_id")
+
+
+_OR["streaming_perplexity_gate"] = f"""
+    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+    bw AS (SELECT unnest({SQL_WORDS}) AS word FROM base),
+    f AS (SELECT word, COUNT(*) AS n FROM bw GROUP BY word),
+    z AS (SELECT ROUND(LN((SELECT COUNT(*) FROM bw)
+                          + (SELECT COUNT(*) FROM f) + 1), 9) AS ln_z),
+    arr AS (SELECT doc_id, source, unnest({SQL_WORDS}) AS word
+            FROM documents WHERE doc_id % 5 <> 0),
+    j AS (SELECT a.doc_id, a.source,
+                 CAST(ROUND(LN(COALESCE(f.n, 0) + 1), 9) AS DECIMAL(28,9)) AS l
+          FROM arr a LEFT JOIN f USING (word)),
+    nll AS (SELECT doc_id, source,
+                   ROUND((SELECT ln_z FROM z)
+                         - CAST(SUM(l) AS DOUBLE) / COUNT(*), 6) AS nll
+            FROM j GROUP BY doc_id, source)
+    SELECT doc_id, source, nll, nll <= {PPL_GATE_T} AS keep
+    FROM nll ORDER BY doc_id
+"""
