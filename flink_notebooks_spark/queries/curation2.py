@@ -574,6 +574,10 @@ def pretrain_mix_pipeline(spark, sf_dir):
         .select("doc_id", F.explode("ws").alias("word"))
     )
     f = words.groupBy("word").agg(F.count("*").alias("n_occ"))
+    # the survivor-token subtree is consumed by f, tot, and j — it renders
+    # three times in explain() but the exchanges are IDENTICAL, so AQE's
+    # ReusedExchange computes them once at runtime (same contract as the
+    # events_markov_transitions budget note)
     tot = words.agg(F.count("*").alias("total"))
     j = words.join(f, "word").select(
         "doc_id", F.round(F.log("n_occ"), 9).cast("decimal(28,9)").alias("l")

@@ -538,6 +538,23 @@ SHUFFLE_BUDGET = {
     "q43_tpch_q22": 2,
     # fact joins broadcast at this SF; year agg + presentation sort
     "q44_tpch_q7": 2,
+    # hash-keyed dup count + membership join + doc-keyed kept agg +
+    # reassembly join/sort (text crosses exactly one — see the dedicated pin)
+    "dedup_span_scrub": 5,
+    # word-freq join pair + per-source window re-key + sort (rides the
+    # memoized unigram caches; fewer when another consumer warmed them)
+    "perplexity_buckets": 5,
+    # source-count agg + 1-row weight reduce + sort; corpus pass is map-only
+    "mixture_temperature_sample": 5,
+    # vocab TakeOrdered feeds a broadcast; token agg + doc agg + sort
+    "vocab_coverage": 4,
+    # rides the BM25 shortlist pipeline; fusion itself adds only the final
+    # window/sort over queries x shortlist rows
+    "rrf_fusion": 12,
+    # five composed stages; the survivor-token subtree renders 3x but its
+    # exchanges are identical (AQE ReusedExchange computes once) — the
+    # budget bounds the RENDERED count
+    "pretrain_mix_pipeline": 30,
 }
 
 
