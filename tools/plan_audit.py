@@ -93,6 +93,7 @@ HEADLINE = [
     ("mixture_temperature_sample", "temperature mixing: broadcast weight table, map-only coin filter"),
     ("rrf_fusion", "rank fusion: constant-size epilogue over the shared shortlist"),
     ("vocab_coverage", "fixed-size broadcast vocabulary, one explode + membership probe"),
+    ("pretrain_mix_pipeline", "five-stage capstone: map-side gates, hashed dedup window, cached-token NLL, integer terciles, md5-coin mixing"),
 ]
 
 
