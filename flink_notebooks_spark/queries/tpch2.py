@@ -375,3 +375,57 @@ def q44_tpch_q7(spark, sf_dir):
         .agg(F.sum(vol).cast("double").alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+# --- Q45: TPC-H Q10 (returned-item reporting — 4-table join + top-k) ----------
+@query(
+    "q45_tpch_q10",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           CAST(SUM({_REV}) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q45_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting: which customers returned the most
+    revenue last quarter). Scale plan: the quarter filter pushes into the
+    orders scan and the R-flag filter into the lineitem scan BEFORE either
+    join; lineitem⨝orders shuffles on the order key, the customer join on
+    the customer key; nation (25 rows at any SF) broadcasts; the top-20 is
+    TakeOrderedAndProject over the aggregate — per-partition heaps, no
+    global sort. Revenue is the exact decimal sum, ties break on c_custkey."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nat = F.broadcast(load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    ords = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nat, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )

@@ -538,6 +538,8 @@ SHUFFLE_BUDGET = {
     "q43_tpch_q22": 2,
     # fact joins broadcast at this SF; year agg + presentation sort
     "q44_tpch_q7": 2,
+    # both scans pre-filtered before the joins; agg feeds TakeOrdered top-20
+    "q45_tpch_q10": 2,
     # hash-keyed dup count + membership join + doc-keyed kept agg +
     # reassembly join/sort (text crosses exactly one — see the dedicated pin)
     "dedup_span_scrub": 5,
@@ -568,4 +570,12 @@ def test_shuffle_budget_holds(name, spark, sf_dir):
         f"{name}: {got} exchanges, budget {SHUFFLE_BUDGET[name]} — a shuffle "
         "crept into the plan"
     )
+    assert "CartesianProduct" not in p
+
+
+def test_tpch_q10_filters_push_and_topk(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q45_tpch_q10")
+    assert "EqualTo(l_returnflag,R)" in p
+    assert "GreaterThanOrEqual(o_orderdate,1996-01-01" in p
+    assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
