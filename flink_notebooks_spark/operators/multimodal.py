@@ -4,18 +4,31 @@ Design (per the 100 TB pipeline contract): image/audio/video payloads ride as
 ``binary`` columns with a typed metadata struct; decode / feature-extraction /
 resize / frame-sampling run as Arrow-batched ``mapInPandas`` stages so the
 payload bytes never leave the executors and each Python batch amortizes
-serialization. The actual codec calls are STUBBED — image/audio libraries are
-not available in this environment — behind ``_decode_bytes``: with
-``fake=True`` (default) it produces a deterministic synthetic decode derived
-from the payload hash (stable across runs/partitionings, so tests can assert
-exact values); with ``fake=False`` it raises ``NotImplementedError`` marking
-exactly where PIL/librosa/ffmpeg would plug in. Everything else — schemas,
-batch iteration, partitioning, column pruning — is real Spark plumbing.
+serialization.
+
+Decode is two-layered:
+
+* **Container headers are parsed for real** (``sniff_header``) — PNG IHDR,
+  JPEG SOFn, GIF logical screen descriptor, and the WAV ``fmt `` chunk are
+  pure-stdlib ``struct`` reads, so width/height/channels/sample_rate need no
+  codec library at all. This is the layer a 100 TB curation pipeline actually
+  filters on (resolution gates, aspect-ratio gates, sample-rate gates).
+* **Pixel/sample decode is STUBBED** — image/audio codec libraries are not
+  available in this environment. With ``fake=True`` (default) pixel-level
+  stats are deterministic synthetic values derived from the payload hash
+  (stable across runs/partitionings, so tests can assert exact values); with
+  ``fake=False`` an unknown container raises ``NotImplementedError`` marking
+  exactly where PIL/librosa/ffmpeg would plug in, while known containers
+  still return their real header fields (pixel stats NULL).
+
+Everything else — schemas, batch iteration, partitioning, column pruning —
+is real Spark plumbing.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -31,21 +44,107 @@ META_DDL = (
 N_FEATURES = 8  # fixed feature-vector width emitted by extract_features
 
 
+# PNG color type → samples per pixel (PNG spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# JPEG SOFn markers: C0–CF minus DHT (C4), JPGn (C8), DAC (CC)
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
+
+def sniff_header(payload: bytes) -> dict | None:
+    """Parse REAL container headers with stdlib ``struct`` only — no codec
+    library. Returns ``{"fmt", "kind", "width", "height", "channels",
+    "sample_rate"}`` (absent fields None) for PNG / JPEG / GIF / WAV
+    payloads, None for unknown magics. Malformed payloads with a known magic
+    also return None (treated as undecodable, not as a crash — at 100 TB a
+    corrupt file must never kill the stage)."""
+    try:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+            # 8-byte signature, 4-byte length, 'IHDR', then w/h (u32 BE),
+            # bit depth, color type
+            w, h = struct.unpack(">II", payload[16:24])
+            color_type = payload[25]
+            return {
+                "fmt": "png", "kind": "image", "width": w, "height": h,
+                "channels": _PNG_CHANNELS.get(color_type), "sample_rate": None,
+            }
+        if payload[:2] == b"\xff\xd8":  # JPEG SOI; walk segments to SOFn
+            pos = 2
+            while pos + 4 <= len(payload):
+                if payload[pos] != 0xFF:
+                    return None  # desynced — not a well-formed stream
+                marker = payload[pos + 1]
+                if marker == 0xFF:  # fill byte
+                    pos += 1
+                    continue
+                if marker in (0x01, *range(0xD0, 0xD8)):  # standalone markers
+                    pos += 2
+                    continue
+                seg_len = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+                if marker in _JPEG_SOF:
+                    # SOFn: precision u8, height u16 BE, width u16 BE, ncomp u8
+                    h, w = struct.unpack(">HH", payload[pos + 5 : pos + 9])
+                    return {
+                        "fmt": "jpeg", "kind": "image", "width": w, "height": h,
+                        "channels": payload[pos + 9], "sample_rate": None,
+                    }
+                pos += 2 + seg_len
+            return None
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            # logical screen descriptor: w/h u16 LE at offset 6
+            w, h = struct.unpack("<HH", payload[6:10])
+            return {
+                "fmt": "gif", "kind": "image", "width": w, "height": h,
+                "channels": 3, "sample_rate": None,  # palette entries are RGB
+            }
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            pos = 12  # walk chunks to 'fmt ' (sizes pad to even)
+            while pos + 8 <= len(payload):
+                cid, size = payload[pos : pos + 4], struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+                if cid == b"fmt ":
+                    n_ch, rate = struct.unpack("<HI", payload[pos + 10 : pos + 16])
+                    return {
+                        "fmt": "wav", "kind": "audio", "width": None, "height": None,
+                        "channels": n_ch, "sample_rate": rate,
+                    }
+                pos += 8 + size + (size & 1)
+            return None
+    except (struct.error, IndexError):
+        return None
+    return None
+
+
 def _decode_bytes(payload: bytes, fake: bool) -> dict:
-    """STUB decode. Real implementation would dispatch on container format
-    (PIL.Image.open / soundfile / pyav). The deterministic fake derives
-    plausible dimensions from a content hash so downstream plumbing is
-    exercised with stable values."""
+    """Header-real, pixel-stubbed decode. Container dimensions come from
+    ``sniff_header`` (REAL parse) whenever the payload has a known magic;
+    pixel-level stats (mean_intensity) would need PIL/librosa/ffmpeg —
+    ``fake=True`` substitutes a deterministic hash-derived value (stable
+    across runs/partitionings so tests can assert exact values),
+    ``fake=False`` leaves it None. Unknown magics: hash-derived dimensions
+    under ``fake=True``, ``NotImplementedError`` under ``fake=False``."""
+    hdr = sniff_header(payload)
+    h = hashlib.sha256(payload).digest()
+    if hdr is not None:
+        return {
+            "fmt": hdr["fmt"],
+            "width": hdr["width"],
+            "height": hdr["height"],
+            "channels": hdr["channels"],
+            "sample_rate": hdr["sample_rate"],
+            # pixel decode is the stub: fake stat or honest NULL
+            "mean_intensity": float(h[3]) / 255.0 if fake else None,
+        }
     if not fake:
         raise NotImplementedError(
-            "real image/audio decode requires PIL/librosa/ffmpeg; "
-            "not available in this environment — pass fake=True"
+            "real pixel/sample decode of unknown containers requires "
+            "PIL/librosa/ffmpeg; not available in this environment — "
+            "pass fake=True"
         )
-    h = hashlib.sha256(payload).digest()
     return {
+        "fmt": "unknown",
         "width": 16 + h[0] % 240,
         "height": 16 + h[1] % 240,
         "channels": 1 + h[2] % 3,
+        "sample_rate": None,
         "mean_intensity": float(h[3]) / 255.0,
     }
 
@@ -66,11 +165,14 @@ def attach_payload(df: DataFrame, binary_col: str, kind: str = "image") -> DataF
 
 
 def decode(df: DataFrame, id_col: str = "doc_id", fake: bool = True) -> DataFrame:
-    """payload → decoded dimensions via Arrow-batched mapInPandas.
+    """payload → decoded container fields via Arrow-batched mapInPandas.
 
-    Output: (id, width, height, channels, mean_intensity). The input is
-    column-pruned to (id, payload) before the Python stage so only the bytes
-    actually needed cross the Arrow boundary.
+    Output: (id, fmt, width, height, channels, sample_rate, mean_intensity).
+    fmt/width/height/channels/sample_rate are REAL header parses for known
+    containers (png/jpeg/gif/wav — see sniff_header); mean_intensity is the
+    stubbed pixel stat. The input is column-pruned to (id, payload) before
+    the Python stage so only the bytes actually needed cross the Arrow
+    boundary.
     """
     pruned = df.select(id_col, "payload")
 
@@ -80,15 +182,23 @@ def decode(df: DataFrame, id_col: str = "doc_id", fake: bool = True) -> DataFram
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
-                    "width": [d["width"] for d in decoded],
-                    "height": [d["height"] for d in decoded],
-                    "channels": [d["channels"] for d in decoded],
-                    "mean_intensity": [d["mean_intensity"] for d in decoded],
+                    "fmt": [d["fmt"] for d in decoded],
+                    "width": pd.array([d["width"] for d in decoded], dtype="Int32"),
+                    "height": pd.array([d["height"] for d in decoded], dtype="Int32"),
+                    "channels": pd.array([d["channels"] for d in decoded], dtype="Int32"),
+                    "sample_rate": pd.array(
+                        [d["sample_rate"] for d in decoded], dtype="Int32"
+                    ),
+                    "mean_intensity": pd.array(
+                        [d["mean_intensity"] for d in decoded], dtype="float64"
+                    ),
                 }
             )
 
     return pruned.mapInPandas(
-        run, f"{id_col} long, width int, height int, channels int, mean_intensity double"
+        run,
+        f"{id_col} long, fmt string, width int, height int, channels int, "
+        "sample_rate int, mean_intensity double",
     )
 
 

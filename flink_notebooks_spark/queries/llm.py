@@ -1968,6 +1968,7 @@ def multimodal_decode(spark, sf_dir):
         decoded.join(feats, "doc_id")
         .select(
             "doc_id",
+            "fmt",  # real container sniff (text payloads → 'unknown')
             "width",
             "height",
             "channels",
