@@ -429,3 +429,203 @@ def q45_tpch_q10(spark, sf_dir):
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+# --- Q46: TPC-H Q21 (suppliers who kept orders waiting) -----------------------
+# EXISTS and NOT EXISTS over the SAME table inside a 4-way join — the hardest
+# decorrelation in the kit. "Late" = shipped > 60 days after the order date
+# (the fixture lacks commitdate/receiptdate).
+@query(
+    "q46_tpch_q21",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
+    """,
+)
+def q46_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept multi-supplier orders waiting while every
+    OTHER supplier shipped on time). Scale plan: both correlated subqueries
+    decorrelate against the SAME lineitem table — the EXISTS to a LEFT SEMI
+    and the NOT EXISTS to a LEFT ANTI hash join on l_orderkey, each with the
+    suppkey-inequality (and for l3 the lateness bound, which references the
+    OUTER orders' o_orderdate) evaluated inside the join condition; no
+    per-row subquery, no Cartesian. nation (25 rows) broadcasts; lineitem is
+    pruned to (orderkey, suppkey, shipdate) on every branch. The three
+    lineitem reads shuffle on the same l_orderkey, so AQE lines their
+    exchanges up.
+
+    Correlated-reference trap (see q41): every outer reference in both
+    subqueries is alias-qualified (l1./l2./l3.) — an unqualified l_suppkey
+    binds to the INNER scope in both engines and silently voids the
+    correlation; the plan test pins the semi+anti pair instead."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_q21")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q21")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_q21")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_q21")
+    return spark.sql(
+        """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier_q21, lineitem_q21 l1, orders_q21, nation_q21
+        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM lineitem_q21 l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem_q21 l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+          AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+        GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
+        """
+    )
+
+
+# --- Q47: TPC-H Q20 (potential part promotion — nested IN chains) -------------
+# partsupp doesn't exist in the fixture; its analog is the per-(part, supplier)
+# shipped-quantity rollup of lineitem, with "availqty" = the all-time total and
+# the correlated threshold = 2.5× the 1997 shipments for that same pair.
+@query(
+    "q47_tpch_q20",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS ps_availqty
+      FROM lineitem GROUP BY 1, 2)
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+      AND s_suppkey IN (
+        SELECT ps.ps_suppkey FROM ps
+        WHERE ps.ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+          AND ps.ps_availqty > (
+            SELECT 2.5 * CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+            FROM lineitem l
+            WHERE l.l_partkey = ps.ps_partkey AND l.l_suppkey = ps.ps_suppkey
+              AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'))
+    ORDER BY s_name
+    """,
+)
+def q47_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 (suppliers holding excess stock of promoted parts): an IN
+    inside an IN, with a TWO-COLUMN-correlated scalar aggregate in the inner
+    WHERE. Scale plan: the name-filtered part list broadcasts into a LEFT
+    SEMI against the (part, supplier) rollup; the correlated 1997-quantity
+    scalar decorrelates to ONE grouped aggregate on (l_partkey, l_suppkey)
+    (the same key as the rollup, so the two aggregates ride one exchange
+    lineage) joined back pairwise; the surviving supplier keys feed a second
+    LEFT SEMI into the supplier⨝nation probe. Both quantity sums are exact
+    decimals cast to double once — the 2.5× threshold compare cannot flip
+    with partitioning. NULL semantics carry the selectivity: a pair with no
+    1997 shipments yields a NULL threshold, and NULL > filters it out in
+    both engines (matching the kit's intent — no demand history, no
+    promotion)."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_q20")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q20")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_q20")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_q20")
+    return spark.sql(
+        """
+        WITH ps AS (
+          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS ps_availqty
+          FROM lineitem_q20 GROUP BY 1, 2)
+        SELECT s_name, s_acctbal
+        FROM supplier_q20 JOIN nation_q20 ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+          AND s_suppkey IN (
+            SELECT ps.ps_suppkey FROM ps
+            WHERE ps.ps_partkey IN (SELECT p_partkey FROM part_q20
+                                    WHERE p_name LIKE 'red%')
+              AND ps.ps_availqty > (
+                SELECT 2.5 * CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                FROM lineitem_q20 l
+                WHERE l.l_partkey = ps.ps_partkey AND l.l_suppkey = ps.ps_suppkey
+                  AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l.l_shipdate < TIMESTAMP '1998-01-01'))
+        ORDER BY s_name
+        """
+    )
+
+
+# --- Q48: TPC-H Q2 (minimum-cost supplier — correlated scalar MIN over joins) -
+# "Supply cost" of a (part, supplier) pair = MIN(l_extendedprice) across its
+# lineitems (exact — no arithmetic, so the double equality below is safe); the
+# correlated subquery re-runs the whole 4-way join per part, which is exactly
+# the decorrelation stress the kit intends.
+@query(
+    "q48_tpch_q2",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(l_extendedprice) AS ps_supplycost
+      FROM lineitem GROUP BY 1, 2)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost
+    FROM part, ps, supplier, nation, region
+    WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+      AND p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND ps_supplycost = (
+        SELECT MIN(ps2.ps_supplycost)
+        FROM ps ps2, supplier s2, nation n2, region r2
+        WHERE ps2.ps_partkey = part.p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+          AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+          AND r2.r_name = 'ASIA')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+)
+def q48_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 (cheapest regional supplier per part): a correlated scalar
+    MIN whose subquery spans FOUR joins (ps⨝supplier⨝nation⨝region). Scale
+    plan: Catalyst decorrelates the subquery into one region-filtered
+    (part → min cost) aggregate joined back on p_partkey — the 4-way join
+    runs ONCE over all parts, not once per part; nation and region (25/5
+    rows at any SF) broadcast on both the outer and inner branches; the
+    size/type filters push into the part scan before any join; top-100 is
+    TakeOrderedAndProject. ps_supplycost is a MIN of raw doubles (no
+    arithmetic), so the min-equality join matches bit-identically on both
+    engines. The inner region filter is NOT redundant with the outer one:
+    a part whose ASIA-minimum differs from its global minimum must compare
+    against the ASIA-scoped value, which is why the subquery carries its own
+    supplier⨝nation⨝region chain."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_q2")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q2")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_q2")
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("region_q2")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_q2")
+    return spark.sql(
+        """
+        WITH ps AS (
+          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                 MIN(l_extendedprice) AS ps_supplycost
+          FROM lineitem_q2 GROUP BY 1, 2)
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost
+        FROM part_q2, ps, supplier_q2, nation_q2, region_q2
+        WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+          AND p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND ps_supplycost = (
+            SELECT MIN(ps2.ps_supplycost)
+            FROM ps ps2, supplier_q2 s2, nation_q2 n2, region_q2 r2
+            WHERE ps2.ps_partkey = part_q2.p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+              AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+              AND r2.r_name = 'ASIA')
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+        """
+    )

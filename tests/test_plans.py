@@ -213,6 +213,48 @@ def test_tpch_q7_fixed_dims_broadcast_and_filter_pushes(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
+def test_tpch_q21_same_table_exists_pair_decorrelates(spark, sf_dir):
+    """Q21's EXISTS and NOT EXISTS both target lineitem: the pair must plan
+    as one LEFT SEMI + one LEFT ANTI on l_orderkey (the anti's lateness
+    bound references the OUTER o_orderdate — the hardest decorrelation in
+    the kit), never a per-row subquery or Cartesian. This pin is the guard
+    the oracle can't provide: an unqualified inner suppkey reference voids
+    the correlation identically in both engines (see q41's docstring)."""
+    p = plan_of(spark, sf_dir, "q46_tpch_q21")
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    assert "EqualTo(o_orderstatus,F)" in p  # status filter at the scan
+    assert "TakeOrderedAndProject" in p
+
+
+def test_tpch_q20_nested_in_chain_decorrelates(spark, sf_dir):
+    """Q20's IN-inside-IN with a two-column-correlated scalar aggregate:
+    both IN subqueries must become LEFT SEMI joins and the correlated 1997
+    quantity must surface as a grouped aggregate joined back on
+    (l_partkey, l_suppkey) — aggregate-under-join, not a per-pair rescan."""
+    p = plan_of(spark, sf_dir, "q47_tpch_q20")
+    assert p.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in p
+    # part's name filter reaches its scan (StringStartsWith pushdown)
+    assert "StringStartsWith(p_name,red)" in p
+    # rollup agg + decorrelated-1997 agg + outer count: keyed partial/final
+    assert p.count("HashAggregate") >= 4
+
+
+def test_tpch_q2_correlated_min_over_joins_decorrelates(spark, sf_dir):
+    """Q2's correlated scalar MIN spans four joins; the plan must run the
+    region-filtered min-cost aggregate ONCE (aggregate joined back on
+    p_partkey), broadcast the fixed dims, and push the part filters to the
+    scan. A per-part re-execution or a Cartesian is the failure mode."""
+    p = plan_of(spark, sf_dir, "q48_tpch_q2")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "EqualTo(p_type,LARGE)" in p
+    assert "GreaterThanOrEqual(p_size,10)" in p
+    assert p.count("BroadcastHashJoin") >= 4  # nation/region on both branches
+    assert "TakeOrderedAndProject" in p
+
+
 def test_decontaminate_broadcasts_benchmark_index(spark, sf_dir):
     """The eval-set gram index must broadcast: at 100 TB the corpus side is
     TBs while benchmarks are MBs — a shuffle join here would shuffle the
@@ -540,6 +582,14 @@ SHUFFLE_BUDGET = {
     "q44_tpch_q7": 2,
     # both scans pre-filtered before the joins; agg feeds TakeOrdered top-20
     "q45_tpch_q10": 2,
+    # semi+anti ride the broadcast lineitem branches at this SF; the one
+    # exchange is the s_name count agg (TakeOrdered needs no sort exchange)
+    "q46_tpch_q21": 2,
+    # (part,supp) rollup agg + decorrelated 1997 agg (same key) + final sort
+    "q47_tpch_q20": 3,
+    # ps rollup agg (rendered on outer + inner branch; AQE reuses) + the
+    # decorrelated regional-min agg + TakeOrdered over the 5-way join
+    "q48_tpch_q2": 5,
     # hash-keyed dup count + membership join + doc-keyed kept agg +
     # reassembly join/sort (text crosses exactly one — see the dedicated pin)
     "dedup_span_scrub": 5,
