@@ -125,10 +125,21 @@ def main() -> None:
     )
     wq.awaitTermination()
 
-    # Every query runs SPARK_GRAFT_BENCH_REPS times (default 3) and reports
-    # the per-query median — single-run variance (JIT, page cache, GC,
-    # machine CPU steal) was shown in r5 to swamp per-query deltas, so the
-    # default is median-of-3 in BOTH the local archive and the driver run.
+    # Every query runs SPARK_GRAFT_BENCH_REPS measured times (default 3) and
+    # reports the per-query median — single-run variance (JIT, page cache,
+    # GC, machine CPU steal) was shown in r5 to swamp per-query deltas.
+    # Round 10 de-noising (two rounds of judged false regressions — in-suite
+    # numbers up to 2× the isolated median on sub-2 s entries):
+    #   1. Reps are GROUPED PER QUERY with one extra DISCARDED warm-up rep,
+    #      so every measured rep runs against just-warmed plan/page caches —
+    #      the same state an isolated re-run measures — instead of whatever
+    #      the previous 150 queries left behind. (clearCache would be the
+    #      opposite fix and a wrong one: it would evict the shared corpus
+    #      caches that shared_corpus_prep charges for explicitly.)
+    #   2. Memory-sink tables the streaming replays register (strm_*) are
+    #      dropped after each entry — they pin result rows in driver memory
+    #      and their accumulation over 150+ entries is pure GC pressure for
+    #      later queries.
     try:
         reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     except ValueError:
@@ -138,16 +149,27 @@ def main() -> None:
         )
         reps = 1
     runs: dict[str, list[float]] = {name: [] for name in QUERIES}
-    for _ in range(reps):
-        for name, fn in QUERIES.items():
+    for name, fn in QUERIES.items():
+        for i in range(reps + 1):
             t0 = time.time()
             try:
                 df = fn(spark, SF_DIR)
                 df.write.format("noop").mode("overwrite").save()
-                runs[name].append(round(time.time() - t0, 3))
+                dt = round(time.time() - t0, 3)
             except Exception as e:  # noqa: BLE001
                 print(f"bench: {name} failed: {str(e)[:200]}", file=sys.stderr)
-                runs[name].append(-1.0)
+                dt = -1.0
+            if i > 0:  # rep 0 is the discarded per-query warm-up
+                runs[name].append(dt)
+            elif dt < 0:
+                # warm-up already failed — record the failure once and move
+                # on instead of paying `reps` more attempts
+                runs[name].append(dt)
+                break
+        # drop this entry's memory-sink tables (see de-noising note above)
+        for t in spark.catalog.listTables():
+            if t.name.startswith("strm_"):
+                spark.catalog.dropTempView(t.name)
 
     def median(xs: list[float]) -> float:
         good = sorted(x for x in xs if x >= 0)

@@ -269,11 +269,23 @@ class StreamingStatement(Statement):
                 # for results that can never serve). truncated must still be
                 # HONEST: a buffer that filled exactly to the cap with no
                 # overflow (truncated not yet set) only becomes truncated if
-                # a real row arrives afterwards — probed with isEmpty()
-                # (a limit-1 job, bounded) until the first such row; from
-                # then on the flag is set and post-cap triggers do nothing.
-                if not self.truncated and not batch_df.isEmpty():
-                    self.truncated = True
+                # serveable output was actually dropped afterwards.
+                #  - append/update: a non-empty batch IS dropped output
+                #    (update mode only emits changed keys, each of which
+                #    would have produced changelog entries) — probed with
+                #    isEmpty() (a limit-1 job, bounded) until the first such
+                #    row; from then on the flag is set and post-cap triggers
+                #    do nothing.
+                #  - complete: the sink re-emits the FULL result every
+                #    trigger, so a non-empty batch says nothing about whether
+                #    the diff vs _seen would be empty; deciding exactly would
+                #    need the whole-batch transfer this short-circuit exists
+                #    to avoid. Set the flag unconditionally — CONSERVATIVE
+                #    (may over-report truncation when the post-cap diff would
+                #    have been empty), never under-reports.
+                if not self.truncated:
+                    if mode == "complete" or not batch_df.isEmpty():
+                        self.truncated = True
                 return
             if changelog:
                 # kind reconstruction diffs against _seen, so it needs the
@@ -289,9 +301,12 @@ class StreamingStatement(Statement):
             with self._lock:
                 room = MAX_STREAM_ROWS - len(self._buffer)
                 if room <= 0:
-                    # concurrent fill since the first check: rows were
-                    # transferred but cannot serve — truncated only if this
-                    # batch actually HAD entries to drop
+                    # defensive re-check, not an observed race: on_batch is
+                    # the only _buffer writer and foreachBatch invocations
+                    # are serial per query, so room cannot shrink between
+                    # the two lock sections today — this guards the
+                    # invariant against a future second writer. Entries were
+                    # transferred but cannot serve → that IS truncation.
                     if entries:
                         self.truncated = True
                     return

@@ -37,6 +37,21 @@ MIX_TARGET = 200  # expected sample size for mixture_temperature_sample
 MIX_ALPHA = 0.5  # temperature exponent (sqrt — IEEE-exact in both engines)
 
 
+def _gate_tmpdir(prefix: str) -> str:
+    """Managed temp dir for the streaming gates' sinks/checkpoints: the
+    returned DataFrame stays readable for the caller's lifetime (the driver
+    collects AFTER the query function returns, so eager deletion would read
+    a vanished path), and the directory is reclaimed at interpreter exit
+    instead of leaking one tree per invocation."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 # --- duplicate-span scrub -----------------------------------------------------
 @query(
     "dedup_span_scrub",
@@ -374,9 +389,6 @@ def streaming_decontaminate(spark, sf_dir):
     state — the bounded-memory shape an ingestion gate needs (Flink's
     broadcast-state join pattern; state here is the broadcast index alone).
     Oracle: the batch SQL verbatim."""
-    import tempfile
-    import uuid as _uuid
-
     from .llm import NGRAMS, WORDS, hashed_g8
     from .streaming import _staged_table_stream
 
@@ -397,9 +409,12 @@ def streaming_decontaminate(spark, sf_dir):
         )
         .select("doc_id", F.xxhash64("s").alias("h"))
     )
-    sink = tempfile.mkdtemp(prefix="strm_decon_")
+    sink = _gate_tmpdir("strm_decon_")
 
     def gate(batch_df, batch_id):
+        # per-batch subdir + overwrite = exactly-once output under
+        # foreachBatch's at-least-once contract: a retried micro-batch
+        # replaces its own partial files instead of double-appending
         (
             batch_df.join(F.broadcast(bench), "h")
             .groupBy("doc_id")
@@ -407,21 +422,22 @@ def streaming_decontaminate(spark, sf_dir):
                 F.countDistinct("h").alias("n_grams_hit"),
                 F.countDistinct("bench_id").alias("n_bench_docs"),
             )
-            .write.mode("append")
-            .parquet(sink)
+            .write.mode("overwrite")
+            .parquet(f"{sink}/b{batch_id}")
         )
 
     q = (
         grams.writeStream.foreachBatch(gate)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix=f"ckpt_decon_{_uuid.uuid4().hex[:8]}_"),
-        )
+        .option("checkpointLocation", _gate_tmpdir("ckpt_decon_"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(sink).orderBy("doc_id")
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(sink)
+        .orderBy("doc_id")
+    )
 
 
 _OR["streaming_decontaminate"] = _OR["decontaminate"]
@@ -649,9 +665,6 @@ def streaming_perplexity_gate(spark, sf_dir):
     admits documents the moment they arrive at any scale. OOV words get
     the smoothed floor 1/(N+V+1). Per-word ln terms are 9-dp rounded and
     DECIMAL-summed — engine-identical, partitioning-independent."""
-    import tempfile
-    import uuid as _uuid
-
     from .llm import WORDS, tokenized_docs
     from .streaming import _staged_table_stream
 
@@ -675,7 +688,7 @@ def streaming_perplexity_gate(spark, sf_dir):
         raw.filter(F.col("doc_id") % 5 != 0)
         .select("doc_id", "source", F.explode(F.expr(WORDS)).alias("word"))
     )
-    sink = tempfile.mkdtemp(prefix="strm_ppl_")
+    sink = _gate_tmpdir("strm_ppl_")
 
     def gate(batch_df, batch_id):
         scored = (
@@ -698,19 +711,21 @@ def streaming_perplexity_gate(spark, sf_dir):
             )
             .withColumn("keep", F.col("nll") <= PPL_GATE_T)
         )
-        scored.write.mode("append").parquet(sink)
+        # per-batch subdir + overwrite = exactly-once on micro-batch retry
+        scored.write.mode("overwrite").parquet(f"{sink}/b{batch_id}")
 
     q = (
         words.writeStream.foreachBatch(gate)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix=f"ckpt_ppl_{_uuid.uuid4().hex[:8]}_"),
-        )
+        .option("checkpointLocation", _gate_tmpdir("ckpt_ppl_"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(sink).orderBy("doc_id")
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(sink)
+        .orderBy("doc_id")
+    )
 
 
 _OR["streaming_perplexity_gate"] = f"""

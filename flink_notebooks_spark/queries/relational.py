@@ -68,9 +68,11 @@ def q20_cube(spark, sf_dir):
     # query (measured 1.18 s vs 0.39 s plain at sf0.1). Scale to integer cents
     # ONCE below the Expand instead: round(q*100) as long is exact for
     # 2-decimal values, the long sum is order-independent integer math with
-    # MORE headroom than DECIMAL(18,2) (9.2e16 vs 1e16 in value terms, ANSI
-    # raises loudly on overflow either way), and /100 at the end reproduces
-    # the decimal result bit-identically (verified vs dsum and the oracle).
+    # MORE headroom than DECIMAL(18,2) (9.2e16 vs 1e16 in value terms; a
+    # long-sum overflow raises loudly because spark.sql.ansi.enabled is
+    # PINNED true in session.RUNTIME_CONFS — not merely inherited from
+    # Spark 4's default), and /100 at the end reproduces the decimal result
+    # bit-identically (verified vs dsum and the oracle).
     pre = li.select(
         "l_returnflag",
         "l_linestatus",

@@ -34,6 +34,12 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas-UDF path (vectorized Python interchange).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # ANSI arithmetic is load-bearing, not just Spark 4's default: the
+    # integer-cents aggregates (q20_cube and every *100-as-long sum) rely on
+    # long overflow RAISING rather than wrapping silently. Pin it so a
+    # driver/session that flipped the default can't turn an overflow into a
+    # wrong answer.
+    "spark.sql.ansi.enabled": "true",
 }
 
 

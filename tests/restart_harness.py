@@ -49,6 +49,16 @@ def two_phase_restart(
             if phase == 1:
                 for f in moved:
                     shutil.move(f"{held}/{f}", f"{staging}/{f}")
+            else:
+                # liveness, not just content: the resumed query must have
+                # actually CONSUMED the revealed slices — without this a
+                # phase 2 that silently processed nothing would pass any
+                # downstream assertion that phase 1 alone satisfies
+                consumed = sum(p.get("numInputRows") or 0 for p in q.recentProgress)
+                assert consumed > 0, (
+                    "phase-2 query reported no input rows — the restart never "
+                    "processed the held-back slices"
+                )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return sink
