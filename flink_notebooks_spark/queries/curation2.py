@@ -296,29 +296,20 @@ def mixture_temperature_sample(spark, sf_dir):
 
 
 # --- streaming per-source sampling ---------------------------------------------
-@query("streaming_sample_per_source", oracle=None)  # oracle wired below
-def streaming_sample_per_source(spark, sf_dir):
-    """``sample_per_source`` as a continuous ingestion job: documents arrive
-    over 4 staged triggers and per-source state keeps the K lowest-hash
-    (hash, doc_id) pairs seen so far — lowest-K-by-hash is MERGEABLE (the
-    union's bottom-K equals bottom-K of per-batch bottom-Ks), so the final
-    revision IS the batch sample and the oracle is the batch SQL verbatim.
-
-    State is ≤ {k} pairs per source however much streams through — the
-    bounded-reservoir shape an ingestion pipeline needs. The hash is the
-    repo's portable md5 (lower 64 bits); state stores it as the fixed-width
-    hex tail, whose LEXICOGRAPHIC order equals the numeric order the batch
-    window sorts by, so no Decimal crosses the Arrow boundary. Document
-    text never enters the stream projection or the state."""
+def sample_per_source_stream(spark, sf_dir, staging_dir=None):
+    """The stateful bottom-K-by-hash reservoir stream behind
+    ``streaming_sample_per_source`` — factored out so the checkpoint-restart
+    test (tests/test_curation2.py) can drive it through the shared two-phase
+    harness with a pinned staging dir."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from .llm import SAMPLE_K
-    from .streaming import _run_to_memory, _staged_table_stream
+    from .streaming import _staged_table_stream
 
     raw = _staged_table_stream(
         spark, sf_dir, "documents", "doc_id",
-        "doc_id bigint, source string", n_files=4,
+        "doc_id bigint, source string", n_files=4, staging_dir=staging_dir,
     )
     # the portable hash's BYTE-REVERSED hex tail (same byte order _DOC_HASH
     # feeds to conv): fixed-width hex, so lexicographic == numeric order of
@@ -352,16 +343,18 @@ def streaming_sample_per_source(spark, sf_dir):
             columns=["source", "rank", "doc_id", "rev"],
         )
 
-    out = _run_to_memory(
-        stream.groupBy("source").applyInPandasWithState(
-            serve,
-            "source string, rank int, doc_id long, rev long",
-            "rev long, hs array<string>, ids array<long>",
-            "update",
-            GroupStateTimeout.NoTimeout,
-        ),
+    return stream.groupBy("source").applyInPandasWithState(
+        serve,
+        "source string, rank int, doc_id long, rev long",
+        "rev long, hs array<string>, ids array<long>",
         "update",
+        GroupStateTimeout.NoTimeout,
     )
+
+
+def sample_latest_revision(out):
+    """Each source's LATEST revision across emitted rows = its final sample
+    (revisions are cumulative; shared with the restart test)."""
     w = Window.partitionBy("source")
     return (
         out.withColumn("maxrev", F.max("rev").over(w))
@@ -369,6 +362,28 @@ def streaming_sample_per_source(spark, sf_dir):
         .select("source", "rank", "doc_id")
         .orderBy("source", "rank")
     )
+
+
+@query("streaming_sample_per_source", oracle=None)  # oracle wired below
+def streaming_sample_per_source(spark, sf_dir):
+    """``sample_per_source`` as a continuous ingestion job: documents arrive
+    over 4 staged triggers and per-source state keeps the K lowest-hash
+    (hash, doc_id) pairs seen so far — lowest-K-by-hash is MERGEABLE (the
+    union's bottom-K equals bottom-K of per-batch bottom-Ks), so the final
+    revision IS the batch sample and the oracle is the batch SQL verbatim.
+
+    State is ≤ K pairs per source however much streams through — the
+    bounded-reservoir shape an ingestion pipeline needs. The hash is the
+    repo's portable md5 (lower 64 bits); state stores it as the fixed-width
+    hex tail, whose LEXICOGRAPHIC order equals the numeric order the batch
+    window sorts by, so no Decimal crosses the Arrow boundary. Document
+    text never enters the stream projection or the state. Restart safety:
+    the reservoir is keyed state in the checkpoint — proven by the
+    two-phase kill/resume test in tests/test_curation2.py."""
+    from .streaming import _run_to_memory
+
+    out = _run_to_memory(sample_per_source_stream(spark, sf_dir), "update")
+    return sample_latest_revision(out)
 
 
 # the streaming form's oracle is the batch sample SQL verbatim
