@@ -651,9 +651,11 @@ def dedup_winnow(spark, sf_dir):
         t.select("doc_id", F.expr(hs).alias("hs"))
         .select("doc_id", F.explode(F.expr(fps)).alias("fp"))
     )
-    from pyspark import StorageLevel
+    from .llm import persist_for_self_join
 
-    fp = fp.persist(StorageLevel.MEMORY_AND_DISK)  # cnt + index + join sides
+    # ~|doc|/W fingerprint rows per document (corpus-sized); each of the four
+    # consumers (cnt, df index, both join sides) streams it once → DISK_ONLY
+    fp = persist_for_self_join(fp)
     cnt = fp.groupBy("doc_id").agg(F.count("*").alias("n"))
     rare = fp.join(
         fp.groupBy("fp").agg(F.count("*").alias("df")).filter(

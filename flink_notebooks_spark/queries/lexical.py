@@ -318,7 +318,13 @@ def _bpe_select_batch(cur, max_n: int) -> list[tuple[str, str, int]]:
     One collect of ≤ K rows per round; the pair table is persisted for the
     round (it feeds the top-k, the two per-symbol maxima and the symbol
     set) and unpersisted before the fold runs."""
-    pc = _bpe_pair_counts(cur).persist()
+    # aggregated (l, r, c) pair counts — bounded by distinct adjacencies, a
+    # tiny fraction of the corpus; read 4× within the round (top-k, two
+    # per-symbol maxima, symbol set) → resident MEMORY_AND_DISK is correct
+    # here, unlike the corpus-sized DISK_ONLY sites (llm.persist_for_self_join)
+    from pyspark import StorageLevel
+
+    pc = _bpe_pair_counts(cur).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         topk = pc.orderBy(F.desc("c"), "l", "r").limit(_BPE_CAND_K)
         rmax = pc.groupBy("r").agg(F.max("c").alias("rm"))  # pairs ending in s

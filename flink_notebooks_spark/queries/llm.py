@@ -44,6 +44,24 @@ NGRAMS = (
     "array())"
 )
 
+def persist_for_self_join(df: DataFrame) -> DataFrame:
+    """Pin DISK_ONLY on caches that hold MULTIPLE rows per corpus document
+    and are read back exactly once per join side (LSH bands: 32 rows/doc,
+    SimHash blocks: 4 rows/doc, winnowing fingerprints: ~|doc|/W rows/doc,
+    per-occurrence token tables: 1 row/token). At 100 TB these tables are
+    corpus-sized or larger; the default MEMORY_AND_DISK level would flood
+    executor storage memory — evicting the compact long-lived caches
+    (token arrays, signatures, pair sets) that ARE worth keeping resident —
+    for data each consumer streams through once. DISK_ONLY keeps the
+    columnar batches serialized on local disk (still saving the recompute,
+    which is the point of the persist) with zero storage-memory footprint;
+    sequential disk scan bandwidth ≫ re-running the upstream shuffle/regex.
+    tests/test_plans.py asserts the level on this exact code path."""
+    from pyspark import StorageLevel
+
+    return df.persist(StorageLevel.DISK_ONLY)
+
+
 # DuckDB-side equivalents
 SQL_WORDS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 SQL_SHINGLE_CTES = f"""
@@ -419,10 +437,11 @@ def dedup_minhash_lsh(spark, sf_dir):
         )
         for b in range(n_bands)
     ]
-    bands = (
+    # both sides of the candidate self-join; 32 rows/doc → DISK_ONLY (each
+    # side streams it once; resident caching would cost 32× corpus row count)
+    bands = persist_for_self_join(
         sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb"))
         .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-        .persist()  # both sides of the candidate self-join; 32 rows/doc
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -473,13 +492,19 @@ def dedup_simhash(spark, sf_dir):
     sums = votes.groupBy("doc_id").agg(*[F.sum(f"v{b}").alias(f"v{b}") for b in range(64)])
     pack = " + ".join(f"IF(v{b} > 0, shiftleft(1L, {b}), 0L)" for b in range(64))
     sig = sums.select("doc_id", F.expr(pack).alias("sig"))
-    blocks = sig.select(
-        "doc_id",
-        "sig",
-        F.posexplode(
-            F.expr("transform(sequence(0, 3), k -> shiftright(sig, CAST(k*16 AS INT)) & 65535)")
-        ).alias("blk", "bv"),
-    ).persist()  # both sides of the block self-join; 4 rows/doc
+    # both sides of the block self-join; 4 rows/doc → DISK_ONLY (single
+    # streaming read per join side, no storage-memory claim at corpus scale)
+    blocks = persist_for_self_join(
+        sig.select(
+            "doc_id",
+            "sig",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, 3), k -> shiftright(sig, CAST(k*16 AS INT)) & 65535)"
+                )
+            ).alias("blk", "bv"),
+        )
+    )
     a, b = blocks.alias("a"), blocks.alias("b")
     ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
     return (
@@ -2936,7 +2961,11 @@ def _word_freq_joined(spark, sf_dir, broadcast_cap: int = TF_BROADCAST_CAP):
     head = freq.orderBy(F.desc("n_occ"), "word").limit(broadcast_cap)
     hit = w.join(F.broadcast(head), "word")
     miss = w.join(F.broadcast(head.select("word")), "word", "left_anti").join(freq, "word")
-    out = hit.unionByName(miss).persist()
+    # one row per token OCCURRENCE — larger than the corpus itself; each
+    # consumer (tf_quality_features, unigram_logprob) aggregates it in a
+    # single streaming pass → DISK_ONLY, never resident (persist_for_self_join
+    # rationale; the memo saves the recompute, disk saves the memory)
+    out = persist_for_self_join(hit.unionByName(miss))
     _memo_put(_WORD_FREQ_MEMO, key, out)
     return out
 

@@ -444,6 +444,41 @@ def test_source_overlap_shares_vocab_cache(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
+def test_corpus_sized_caches_are_disk_only(spark, sf_dir):
+    """Caches holding MULTIPLE rows per corpus document (LSH bands 32×,
+    SimHash blocks 4×, winnowing fingerprints, the per-token-occurrence
+    frequency join) must be DISK_ONLY: each consumer streams them once, so
+    resident caching would only evict the compact caches that earn their
+    memory (token arrays, signatures, pair sets). Asserts the shared
+    persist_for_self_join code path, the level on the live memoized
+    builder, and that every corpus-×-k site routes through the helper."""
+    import inspect
+
+    from pyspark import StorageLevel
+
+    from flink_notebooks_spark.queries import corpus as corpus_mod
+    from flink_notebooks_spark.queries.llm import (
+        _word_freq_joined,
+        dedup_minhash_lsh,
+        dedup_simhash,
+        persist_for_self_join,
+        tokenized_docs,
+    )
+
+    probe = persist_for_self_join(spark.range(3))
+    try:
+        assert probe.storageLevel == StorageLevel.DISK_ONLY
+    finally:
+        probe.unpersist()
+    # the largest cache in the repo: one row per token occurrence
+    assert _word_freq_joined(spark, sf_dir).storageLevel == StorageLevel.DISK_ONLY
+    # corpus-×-k sites route through the helper (level pinned above)
+    for fn in (dedup_minhash_lsh, dedup_simhash, corpus_mod.dedup_winnow):
+        assert "persist_for_self_join" in inspect.getsource(fn), fn.__name__
+    # compact shared caches stay resident-eligible — the contrast matters
+    assert tokenized_docs(spark, sf_dir).storageLevel == StorageLevel.MEMORY_AND_DISK
+
+
 def test_corpus_audit_aggs_are_two_level(spark, sf_dir):
     """token_length_histogram / events_anomaly / dedup_normalized are
     pre-aggregate-then-small-reduce plans: map-side combine present, no
