@@ -201,6 +201,12 @@ def main() -> None:
         "rep_failures": rep_failures,
         "cpus": cpus,
         "reps": reps,
+        # measurement protocol marker: grouped per-query reps with a
+        # discarded warm-up rep (round 10+). Numbers from different
+        # protocols are NOT comparable — the grouped-warmup protocol
+        # systematically lowers medians vs the old interleaved one, so
+        # cross-round deltas must only be quoted protocol-to-same-protocol.
+        "bench_protocol": "grouped-warmup-v2",
     }
     spark.stop()
     # Emit the summary as the sole, flushed, final stdout line: stop the

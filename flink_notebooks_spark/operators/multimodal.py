@@ -80,6 +80,8 @@ def sniff_header(payload: bytes) -> dict | None:
                     pos += 2
                     continue
                 seg_len = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+                if seg_len < 2:  # length includes its own 2 bytes; less is
+                    return None  # malformed — don't mis-sync into payload
                 if marker in _JPEG_SOF:
                     # SOFn: precision u8, height u16 BE, width u16 BE, ncomp u8
                     h, w = struct.unpack(">HH", payload[pos + 5 : pos + 9])
@@ -101,6 +103,9 @@ def sniff_header(payload: bytes) -> dict | None:
             while pos + 8 <= len(payload):
                 cid, size = payload[pos : pos + 4], struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
                 if cid == b"fmt ":
+                    if size < 16:  # PCM fmt chunk is ≥16 bytes; a shorter
+                        return None  # declared size would read the NEXT
+                        # chunk's bytes as channels/rate — malformed → None
                     n_ch, rate = struct.unpack("<HI", payload[pos + 10 : pos + 16])
                     return {
                         "fmt": "wav", "kind": "audio", "width": None, "height": None,

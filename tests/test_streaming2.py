@@ -87,9 +87,12 @@ def _two_wave(spark, tmp_path, ttl: bool):
     try:
         _write_wave(str(src / "a_wave1.parquet"), 0, n1, 1000)
         _run(spark, src, out, ck, ttl)
-        # wave-2 event times sit past every wave-1 expiry (t1 + TTL):
-        # end-of-batch watermark = max(t2) - TTL > max(t1) → wave-1 evicted
-        _write_wave(str(src / "b_wave2.parquet"), 10_000, n2, 1000 + 2 * TTL_S)
+        # wave-2 event times sit past every wave-1 expiry (t1 + TTL) with a
+        # 60s margin: wave-1's max expiry is 1006 + TTL, and wave-2's
+        # end-of-batch watermark is (1000 + 2*TTL + 60 + 6) - TTL, so the
+        # watermark STRICTLY exceeds every expiry — the assert doesn't hinge
+        # on whether Spark treats expiry == watermark as evictable
+        _write_wave(str(src / "b_wave2.parquet"), 10_000, n2, 1000 + 2 * TTL_S + 60)
         q2 = _run(spark, src, out, ck, ttl)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
