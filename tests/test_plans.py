@@ -255,6 +255,92 @@ def test_tpch_q2_correlated_min_over_joins_decorrelates(spark, sf_dir):
     assert "TakeOrderedAndProject" in p
 
 
+def test_tpch_q6_is_pure_scan_aggregate(spark, sf_dir):
+    """Q6 must be predicate pushdown + one global sum: all three range
+    predicates at the parquet scan, a 4-column ReadSchema, no join."""
+    p = plan_of(spark, sf_dir, "q49_tpch_q6")
+    assert "GreaterThanOrEqual(l_shipdate,1997-01-01" in p
+    assert "GreaterThanOrEqual(l_discount,0.05)" in p
+    assert "LessThan(l_quantity,24.0)" in p
+    assert "Join" not in p
+    # scan reads exactly the 4 referenced columns
+    assert (
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:timestamp_ntz>" in p
+    )
+
+
+def test_tpch_q8_selective_filters_precede_fact_joins(spark, sf_dir):
+    """Q8's 8-way join: p_type and the 2-year window reach their scans, the
+    dims broadcast, and no Cartesian/NLJ sneaks in under the OR-free plan."""
+    p = plan_of(spark, sf_dir, "q50_tpch_q8")
+    assert "EqualTo(p_type,ECONOMY)" in p
+    assert "GreaterThanOrEqual(o_orderdate,1996-01-01" in p
+    assert "EqualTo(r_name,ASIA)" in p
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in p
+
+
+def test_tpch_q9_contains_like_pushes_and_rollup_joins_back(spark, sf_dir):
+    """Q9: the contains-LIKE reaches the part scan as StringContains, and
+    the partsupp-analog rollup is a grouped aggregate joined back pairwise
+    (never a per-row rescan)."""
+    p = plan_of(spark, sf_dir, "q51_tpch_q9")
+    assert "StringContains(p_name,red)" in p
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 4  # ps rollup partial/final + profit agg
+
+
+def test_tpch_q11_group_vs_global_threshold_shares_subplan(spark, sf_dir):
+    """Q11: the per-part value aggregate computes once (persisted
+    InMemoryRelation feeds both the scalar total and the filter) and the
+    1-row threshold joins as a broadcast — never a re-aggregation per
+    consumer or a shuffled theta join."""
+    p = plan_of(spark, sf_dir, "q52_tpch_q11")
+    assert "InMemoryRelation" in p or p.count("HashAggregate") <= 6
+    assert "CartesianProduct" not in p
+    # 1-row non-equi threshold join is a broadcast NLJ by design
+    assert "BroadcastNestedLoopJoin Inner" in p
+
+
+def test_tpch_q12_bucket_filters_reach_scan(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q53_tpch_q12")
+    assert "In(l_returnflag, [A,N])" in p
+    assert "GreaterThanOrEqual(l_shipdate,1997-01-01" in p
+    assert "CartesianProduct" not in p
+
+
+def test_tpch_q16_not_in_plans_null_aware_anti(spark, sf_dir):
+    """Q16's NOT IN must plan as a (broadcast) LeftAnti against the filtered
+    supplier keys, with the part predicates (incl. the 8-value IN) pushed."""
+    p = plan_of(spark, sf_dir, "q55_tpch_q16")
+    assert "LeftAnti" in p
+    assert "LessThan(s_acctbal,0.0)" in p
+    assert "In(p_size, [10,15,20,25,30,35,40,5])" in p
+    assert "CartesianProduct" not in p
+
+
+def test_tpch_q19_disjunctive_predicate_pushes_to_both_scans(spark, sf_dir):
+    """Q19 is the registry's one disjunct-pushdown stress: the part-side
+    brand/size OR must reach the part scan as an Or(...) PushedFilter, and
+    the lineitem side must carry at least the quantity hull [1, 30] — the
+    factored per-side implications of the cross-table OR-of-ANDs."""
+    p = plan_of(spark, sf_dir, "q56_tpch_q19")
+    part_scan = [
+        l for l in p.splitlines()
+        if "PushedFilters" in l and "p_brand" in l
+    ]
+    assert part_scan and "Or(" in part_scan[0]  # the brand/size disjunction
+    li_scan = [
+        l for l in p.splitlines()
+        if "PushedFilters" in l and "l_quantity" in l
+    ]
+    assert li_scan
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in li_scan[0]
+    assert "LessThanOrEqual(l_quantity,30.0)" in li_scan[0]
+    assert "CartesianProduct" not in p
+
+
 def test_decontaminate_broadcasts_benchmark_index(spark, sf_dir):
     """The eval-set gram index must broadcast: at 100 TB the corpus side is
     TBs while benchmarks are MBs — a shuffle join here would shuffle the
@@ -625,6 +711,24 @@ SHUFFLE_BUDGET = {
     # ps rollup agg (rendered on outer + inner branch; AQE reuses) + the
     # decorrelated regional-min agg + TakeOrdered over the 5-way join
     "q48_tpch_q2": 5,
+    # pure scan-agg: the single-partition final sum
+    "q49_tpch_q6": 1,
+    # lineitem⨝orders⨝customer ride broadcasts at this SF; year agg +
+    # presentation sort
+    "q50_tpch_q8": 2,
+    # ps rollup agg + profit agg + nation/year sort (part list broadcasts)
+    "q51_tpch_q9": 3,
+    # per-part value agg (persisted subtree excluded on re-read) + sort;
+    # the threshold is a 1-row broadcast NLJ
+    "q52_tpch_q11": 2,
+    # 2-group CASE-count agg + presentation sort
+    "q53_tpch_q12": 2,
+    # single-partition conditional-ratio sum (part broadcasts)
+    "q54_tpch_q14": 1,
+    # DISTINCT pair rollup + COUNT(DISTINCT) expand/agg pair + final sort
+    "q55_tpch_q16": 4,
+    # single-partition revenue sum (part-side OR broadcast-joined)
+    "q56_tpch_q19": 1,
     # hash-keyed dup count + membership join + doc-keyed kept agg +
     # reassembly join/sort (text crosses exactly one — see the dedicated pin)
     "dedup_span_scrub": 5,
