@@ -727,39 +727,41 @@ def dedup_normalized(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # R8. streaming event-rate anomaly — running per-type moments in keyed state
 # ---------------------------------------------------------------------------
-@query("streaming_events_anomaly", oracle=ANOMALY_ORACLE)
-def streaming_events_anomaly(spark, sf_dir):
-    """The anomaly scan as a CONTINUOUS stateful job: events replay
-    time-ordered across 4 micro-batches; per-type state carries the running
-    hour→count table across triggers (hours spanning a trigger boundary
-    merge by summation), and each trigger re-scores the type's hours against
-    its running moments (n, Σc, Σc²). The bounded replay's final per-type
-    revision therefore equals the batch scan — the oracle is the SAME SQL as
-    `events_anomaly`, the exact-parity contract used by `streaming_cdc_apply`.
+def _anomaly_scan_stream(spark, sf_dir, horizon_s: int | None = None):
+    """The keyed state op behind ``streaming_events_anomaly`` and its TTL'd
+    form. Per-type state is the running hour→count table plus moments.
 
-    z is computed worker-side in IEEE float64 with the oracle's exact
-    expression tree over exact integer sums, and rounded once in the final
-    JVM projection — bit-identical to the batch/DuckDB values.
-
-    100 TB/continuous shape: state per key is the type's hour-count table
-    (bounded: types × hours); emission is anomalies-only per revision. A
-    production deployment would age out hours beyond the watermark horizon;
-    the bounded replay keeps all (the dataset spans a fixed range)."""
+    ``horizon_s=None`` → ``NoTimeout`` (the bounded-replay form — state
+    holds every hour ever seen). With a horizon, the state is CONTENT-TTL'd:
+    the key domain (|event types|) is bounded, but the hour table grows with
+    elapsed time, so each revision prunes hours whose end fell behind
+    ``watermark − horizon`` (Flink's ``table.exec.state.ttl`` analog —
+    running moments become trailing-window moments once the horizon passes),
+    and a type idle past the horizon is evicted whole via
+    ``EventTimeTimeout`` (its surviving hours would all be stale anyway)."""
     import math
 
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    from ..io import _EPOCH_NTZ, events_stream_schema, stream_ts_cols
-    from .streaming import _run_to_memory, _staged_table_stream
+    from ..io import events_stream_schema, stream_ts_cols
+    from .streaming import _staged_table_stream
 
     schema = events_stream_schema(f"{sf_dir}/events.parquet")
     raw = _staged_table_stream(spark, sf_dir, "events", "ts", schema, n_files=4)
-    stream = stream_ts_cols(raw).select("event_type", "ts_us")
+    base = stream_ts_cols(raw)
+    cols = ["event_type", "ts_us"]
+    if horizon_s is not None:
+        base = base.withWatermark("ev_time", "0 seconds")
+        cols.append("ev_time")  # the watermark column rides along unread
+    stream = base.select(*cols)
 
     hour_us = 3_600_000_000
 
     def scan(key, pdfs, state):
+        if state.hasTimedOut:  # horizon path only: idle type, all stale
+            state.remove()
+            return
         if state.exists:
             rev, hs, cs = state.get
             counts = dict(zip(hs, cs))
@@ -769,9 +771,19 @@ def streaming_events_anomaly(spark, sf_dir):
             hb = pdf["ts_us"] - pdf["ts_us"] % hour_us
             for h, c in hb.value_counts().items():
                 counts[int(h)] = counts.get(int(h), 0) + int(c)
+        if horizon_s is not None:
+            # hours whose END fell behind watermark − horizon leave the
+            # window; one-batch-delayed like every watermark-driven cleanup
+            cutoff_us = (state.getCurrentWatermarkMs() - horizon_s * 1000) * 1000
+            counts = {h: c for h, c in counts.items() if h + hour_us > cutoff_us}
         rev += 1
         items = sorted(counts.items())
         state.update((rev, [h for h, _ in items], [c for _, c in items]))
+        if horizon_s is not None and items:
+            # whole-key eviction once the newest retained hour ages out
+            state.setTimeoutTimestamp(
+                (items[-1][0] + hour_us) // 1000 + horizon_s * 1000 + 1
+            )
         out = []
         n = len(items)
         if n > 1:
@@ -788,14 +800,21 @@ def streaming_events_anomaly(spark, sf_dir):
                         out.append((key[0], h, c, z, rev))
         yield pd.DataFrame(out, columns=["event_type", "h_us", "c", "z", "rev"])
 
-    res = stream.groupBy("event_type").applyInPandasWithState(
+    return stream.groupBy("event_type").applyInPandasWithState(
         scan,
         "event_type string, h_us long, c long, z double, rev long",
         "rev long, hs array<long>, cs array<long>",
         "update",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.NoTimeout
+        if horizon_s is None
+        else GroupStateTimeout.EventTimeTimeout,
     )
-    out = _run_to_memory(res, "update")
+
+
+def _anomaly_latest(out):
+    """Latest-revision anomaly rows per type (shared post-processing)."""
+    from ..io import _EPOCH_NTZ
+
     w = Window.partitionBy("event_type")
     return (
         out.withColumn("maxrev", F.max("rev").over(w))
@@ -808,6 +827,31 @@ def streaming_events_anomaly(spark, sf_dir):
         )
         .orderBy("event_type", "h")
     )
+
+
+@query("streaming_events_anomaly", oracle=ANOMALY_ORACLE)
+def streaming_events_anomaly(spark, sf_dir):
+    """The anomaly scan as a CONTINUOUS stateful job: events replay
+    time-ordered across 4 micro-batches; per-type state carries the running
+    hour→count table across triggers (hours spanning a trigger boundary
+    merge by summation), and each trigger re-scores the type's hours against
+    its running moments (n, Σc, Σc²). The bounded replay's final per-type
+    revision therefore equals the batch scan — the oracle is the SAME SQL as
+    `events_anomaly`, the exact-parity contract used by `streaming_cdc_apply`.
+
+    z is computed worker-side in IEEE float64 with the oracle's exact
+    expression tree over exact integer sums, and rounded once in the final
+    JVM projection — bit-identical to the batch/DuckDB values.
+
+    100 TB/continuous shape: the KEY domain is bounded (|event types|), but
+    this exact form's per-key hour table grows with elapsed time — the
+    production form is ``streaming_events_anomaly_ttl``
+    (queries/streaming3.py), which prunes hours past a watermark horizon
+    and evicts idle types (same state fn, ``_anomaly_scan_stream``)."""
+    from .streaming import _run_to_memory
+
+    res = _anomaly_scan_stream(spark, sf_dir)
+    return _anomaly_latest(_run_to_memory(res, "update"))
 
 
 # ---------------------------------------------------------------------------
@@ -888,34 +932,34 @@ def quality_classifier(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # R10. streaming conversion funnel — per-user step state across triggers
 # ---------------------------------------------------------------------------
-@query("streaming_events_funnel", oracle=FUNNEL_ORACLE)
-def streaming_events_funnel(spark, sf_dir):
-    """The strictly-ordered view→click→purchase funnel as a CONTINUOUS
-    stateful job: events replay time-ordered across 4 micro-batches;
-    per-user state carries (t1, t2, t3) — each step's first qualifying
-    timestamp — and advances monotonically (a step, once set, never
-    changes, and time-ordered replay makes the incremental update EXACT:
-    a qualifying event for step k can only arrive at-or-after the batch
-    that set step k−1). The final per-user revision therefore equals the
-    batch window computation, and the single-row roll-up reuses
-    ``events_funnel``'s exact-integer-microsecond arithmetic — the oracle
-    is the SAME SQL (the `streaming_events_anomaly` parity contract).
-
-    100 TB/continuous shape: state per user is three longs (bounded);
-    emission is one revision row per user per trigger that touches the
-    user. A production deployment would expire users past the attribution
-    horizon via state timeouts; the bounded replay keeps all."""
+def _funnel_state_stream(spark, sf_dir, horizon_s: int | None = None):
+    """The per-user keyed state op behind ``streaming_events_funnel`` and
+    its TTL'd form. ``horizon_s=None`` → ``NoTimeout`` (bounded replay);
+    with a horizon, a user idle past ``last activity + horizon`` is evicted
+    whole via ``EventTimeTimeout`` — the attribution-horizon semantics of
+    Flink's ``table.exec.state.ttl``. Eviction loses nothing already
+    emitted (the roll-up reads each user's LATEST revision from the sink);
+    the divergence it buys is the same one Flink's TTL buys: a user
+    returning after the horizon restarts the funnel."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from ..io import events_stream_schema, stream_ts_cols
-    from .streaming import _run_to_memory, _staged_table_stream
+    from .streaming import _staged_table_stream
 
     schema = events_stream_schema(f"{sf_dir}/events.parquet")
     raw = _staged_table_stream(spark, sf_dir, "events", "ts", schema, n_files=4)
-    stream = stream_ts_cols(raw).select("user_id", "event_type", "ts_us")
+    base = stream_ts_cols(raw)
+    cols = ["user_id", "event_type", "ts_us"]
+    if horizon_s is not None:
+        base = base.withWatermark("ev_time", "0 seconds")
+        cols.append("ev_time")
+    stream = base.select(*cols)
 
     def advance(key, pdfs, state):
+        if state.hasTimedOut:  # horizon path: idle past attribution window
+            state.remove()
+            return
         if state.exists:
             rev, t1, t2, t3 = state.get
         else:
@@ -927,9 +971,11 @@ def streaming_events_funnel(spark, sf_dir):
         # concat is bounded
         chunks = list(pdfs)
         batch = pd.concat(chunks, ignore_index=True) if chunks else None
+        last_ms = None
         if batch is not None and len(batch):
             ts = batch["ts_us"]
             et = batch["event_type"]
+            last_ms = int(ts.max()) // 1000
             if t1 is None:
                 v = ts[et == "view"]
                 if len(v):
@@ -944,19 +990,31 @@ def streaming_events_funnel(spark, sf_dir):
                     t3 = int(p.min())
         rev += 1
         state.update((rev, t1, t2, t3))
+        if horizon_s is not None and last_ms is not None:
+            # evict once idle past the horizon; max() keeps the timer ahead
+            # of the watermark even if a straggler batch sits behind it
+            state.setTimeoutTimestamp(
+                max(last_ms + horizon_s * 1000, state.getCurrentWatermarkMs() + 1)
+            )
         yield pd.DataFrame(
             [(key[0], t1, t2, t3, rev)],
             columns=["user_id", "t1", "t2", "t3", "rev"],
         )
 
-    res = stream.groupBy("user_id").applyInPandasWithState(
+    return stream.groupBy("user_id").applyInPandasWithState(
         advance,
         "user_id long, t1 long, t2 long, t3 long, rev long",
         "rev long, t1 long, t2 long, t3 long",
         "update",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.NoTimeout
+        if horizon_s is None
+        else GroupStateTimeout.EventTimeTimeout,
     )
-    out = _run_to_memory(res, "update")
+
+
+def _funnel_rollup(out):
+    """Latest-revision per user → the single-row funnel roll-up (shared by
+    the NoTimeout and TTL'd forms; exact-integer-µs arithmetic throughout)."""
     w = Window.partitionBy("user_id")
     u = (
         out.withColumn("maxrev", F.max("rev").over(w))
@@ -986,6 +1044,30 @@ def streaming_events_funnel(spark, sf_dir):
             6,
         ).alias("avg_click_to_purchase_s"),
     )
+
+
+@query("streaming_events_funnel", oracle=FUNNEL_ORACLE)
+def streaming_events_funnel(spark, sf_dir):
+    """The strictly-ordered view→click→purchase funnel as a CONTINUOUS
+    stateful job: events replay time-ordered across 4 micro-batches;
+    per-user state carries (t1, t2, t3) — each step's first qualifying
+    timestamp — and advances monotonically (a step, once set, never
+    changes, and time-ordered replay makes the incremental update EXACT:
+    a qualifying event for step k can only arrive at-or-after the batch
+    that set step k−1). The final per-user revision therefore equals the
+    batch window computation, and the single-row roll-up reuses
+    ``events_funnel``'s exact-integer-microsecond arithmetic — the oracle
+    is the SAME SQL (the `streaming_events_anomaly` parity contract).
+
+    100 TB/continuous shape: state per user is three longs, but the USER
+    key domain is open on a real stream — the production form is
+    ``streaming_events_funnel_ttl`` (queries/streaming3.py), which evicts
+    users idle past the attribution horizon via ``EventTimeTimeout``
+    (same state fn, ``_funnel_state_stream``)."""
+    from .streaming import _run_to_memory
+
+    res = _funnel_state_stream(spark, sf_dir)
+    return _funnel_rollup(_run_to_memory(res, "update"))
 
 
 # ---------------------------------------------------------------------------
@@ -1240,37 +1322,43 @@ def streaming_quality_filter(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # R14. streaming cohort retention — per-user (cohort day, offset bitmask)
 # ---------------------------------------------------------------------------
-@query("streaming_events_retention", oracle=None)  # oracle set below
-def streaming_events_retention(spark, sf_dir):
-    """Cohort retention as a continuous stateful job: per-user state is two
-    longs — the first-seen day (fixed once set, exact under time-ordered
-    replay: the first trigger containing the user holds their earliest
-    event) and a BITMASK of day offsets 0..RETENTION_MAX_OFFSET seen so far
-    (idempotent |= — re-deliveries and boundary-spanning days are free).
-    The final revision per user reproduces the batch (cohort_day, offsets)
-    exactly, and the (cohort, offset) roll-up counts each user once — the
-    oracle is `events_retention`'s SQL verbatim.
-
-    100 TB/continuous shape: state per user is 16 bytes regardless of event
-    volume; emission is one row per touched user per trigger. The offset
-    window is bounded by the retention horizon, so state never grows with
-    time — the natural production form of this query."""
+def _retention_state_stream(spark, sf_dir, horizon_s: int | None = None):
+    """The per-user keyed state op behind ``streaming_events_retention`` and
+    its TTL'd form. ``horizon_s=None`` → ``NoTimeout``. With a horizon, a
+    user's state is evicted once the watermark passes ``cohort start +
+    horizon`` (deferred while the user is still actively re-setting it):
+    past the offset window the bitmask is FROZEN — no later event can set a
+    new in-window bit — so evicting it is exact for the roll-up; the one
+    divergence (Flink-TTL-identical) is a user re-appearing after the
+    horizon, who would found a spurious new cohort, which is why the
+    registered horizon exceeds the re-appearance window."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from ..io import events_stream_schema, stream_ts_cols
     from .llm import RETENTION_MAX_OFFSET
-    from .streaming import _run_to_memory, _staged_table_stream
+    from .streaming import _staged_table_stream
 
     schema = events_stream_schema(f"{sf_dir}/events.parquet")
     raw = _staged_table_stream(spark, sf_dir, "events", "ts", schema, n_files=4)
     day_us = 86_400_000_000
-    stream = stream_ts_cols(raw).select(
-        "user_id", (F.col("ts_us") - ((F.col("ts_us") % day_us) + day_us) % day_us)
-        .cast("long").alias("day_us")
-    )
+    base = stream_ts_cols(raw)
+    if horizon_s is not None:
+        base = base.withWatermark("ev_time", "0 seconds")
+    cols = [
+        "user_id",
+        (F.col("ts_us") - ((F.col("ts_us") % day_us) + day_us) % day_us)
+        .cast("long")
+        .alias("day_us"),
+    ]
+    if horizon_s is not None:
+        cols.append(F.col("ev_time"))
+    stream = base.select(*cols)
 
     def advance(key, pdfs, state):
+        if state.hasTimedOut:  # horizon path: cohort window long closed
+            state.remove()
+            return
         if state.exists:
             rev, first_us, mask = state.get
         else:
@@ -1287,19 +1375,35 @@ def streaming_events_retention(spark, sf_dir):
                     mask |= 1 << off
         rev += 1
         state.update((rev, first_us, mask))
+        if horizon_s is not None and first_us is not None:
+            state.setTimeoutTimestamp(
+                max(
+                    first_us // 1000 + horizon_s * 1000,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
         yield pd.DataFrame(
             [(key[0], first_us, mask, rev)],
             columns=["user_id", "first_us", "mask", "rev"],
         )
 
-    res = stream.groupBy("user_id").applyInPandasWithState(
+    return stream.groupBy("user_id").applyInPandasWithState(
         advance,
         "user_id long, first_us long, mask long, rev long",
         "rev long, first_us long, mask long",
         "update",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.NoTimeout
+        if horizon_s is None
+        else GroupStateTimeout.EventTimeTimeout,
     )
-    out = _run_to_memory(res, "update")
+
+
+def _retention_rollup(spark, out):
+    """Latest revision per user → (cohort_day, day_offset) user counts
+    (shared by the NoTimeout and TTL'd forms)."""
+    from .llm import RETENTION_MAX_OFFSET
+
+    day_us = 86_400_000_000
     w = Window.partitionBy("user_id")
     u = (
         out.withColumn("maxrev", F.max("rev").over(w))
@@ -1319,6 +1423,28 @@ def streaming_events_retention(spark, sf_dir):
         .agg(F.count("*").alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@query("streaming_events_retention", oracle=None)  # oracle set below
+def streaming_events_retention(spark, sf_dir):
+    """Cohort retention as a continuous stateful job: per-user state is two
+    longs — the first-seen day (fixed once set, exact under time-ordered
+    replay: the first trigger containing the user holds their earliest
+    event) and a BITMASK of day offsets 0..RETENTION_MAX_OFFSET seen so far
+    (idempotent |= — re-deliveries and boundary-spanning days are free).
+    The final revision per user reproduces the batch (cohort_day, offsets)
+    exactly, and the (cohort, offset) roll-up counts each user once — the
+    oracle is `events_retention`'s SQL verbatim.
+
+    100 TB/continuous shape: state per user is 16 bytes regardless of event
+    volume, but the USER key domain is open on a real stream — the
+    production form is ``streaming_events_retention_ttl``
+    (queries/streaming3.py), which evicts cohort state once the offset
+    window is long closed (same state fn, ``_retention_state_stream``)."""
+    from .streaming import _run_to_memory
+
+    res = _retention_state_stream(spark, sf_dir)
+    return _retention_rollup(spark, _run_to_memory(res, "update"))
 
 
 # wire the oracle after the function exists (same SQL as the batch scan)

@@ -261,6 +261,13 @@ def streaming_stateful_sessionize(spark, sf_dir):
     return out.orderBy("user_id", "sid")
 
 
+# synthetic arrival clock for tables that carry no event time (documents,
+# embeddings): file i arrives at ARRIVAL_T0_S + i*step. In production the
+# ingestion timestamp rides the record; the staged replay synthesizes it so
+# the TTL'd dedup variants have a watermark to evict against.
+ARRIVAL_T0_S = 1_000_000
+
+
 def _staged_table_stream(
     spark,
     sf_dir,
@@ -269,21 +276,28 @@ def _staged_table_stream(
     schema: str,
     n_files: int = 4,
     staging_dir: str | None = None,
+    arrival_step_s: int | None = None,
 ) -> DataFrame:
     """A table replayed as an arriving corpus: ``sort_col``-ordered slices
     across ``n_files`` files (mtime-ordered), one micro-batch each — so
     streaming dedup state genuinely carries across triggers instead of
     collapsing into a single batch. Columns are taken from ``schema``.
     ``staging_dir`` pins the staging path (idempotently populated) so a
-    restarted query can resume from a checkpoint that references it."""
+    restarted query can resume from a checkpoint that references it.
+    ``arrival_step_s`` stamps every row of file i with a synthetic arrival
+    time ``arrival_us = (ARRIVAL_T0_S + i*step) * 1e6`` (appended to the
+    schema) — the ingestion-time stand-in the TTL'd variants watermark on."""
     import os
     import re
     import tempfile
 
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     tune(spark)
     cols = [c.strip().split()[0] for c in re.split(r",(?![^<]*>)", schema)]
+    if arrival_step_s is not None:
+        schema = schema + ", arrival_us bigint"
     if staging_dir is None:
         tmp = tempfile.mkdtemp(prefix=f"fns-{table}stream-")
     else:
@@ -298,6 +312,11 @@ def _staged_table_stream(
             sl = tbl.slice(i * step, step)
             if sl.num_rows == 0:
                 break
+            if arrival_step_s is not None:
+                aus = (ARRIVAL_T0_S + i * arrival_step_s) * 1_000_000
+                sl = sl.append_column(
+                    "arrival_us", pa.array([aus] * sl.num_rows, pa.int64())
+                )
             p = f"{tmp}/{i:02d}_{table}.parquet"
             pq.write_table(sl, p)
             os.utime(p, (i, i))  # the file source orders by modification time
@@ -361,19 +380,32 @@ def streaming_dedup_minhash(spark, sf_dir):
     return out.distinct().orderBy("a", "b")
 
 
-def _minhash_pair_stream(spark, sf_dir, staging_dir: str | None = None):
+def _minhash_pair_stream(
+    spark, sf_dir, staging_dir: str | None = None, ttl_s: int | None = None
+):
+    """``ttl_s=None`` → the NoTimeout bounded-replay form. With a TTL, each
+    bucket member carries its arrival time: members older than
+    ``watermark − ttl`` are pruned at every touch (so new docs only pair
+    against the live window), a shard whose members ALL aged out removes its
+    state row, and a fully idle shard is evicted whole via
+    ``EventTimeTimeout`` — state is O(docs per TTL window), Flink's
+    ``table.exec.state.ttl`` on its dedup operators. Eviction is one batch
+    delayed (the watermark is the previous batch's), same as Flink."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from .llm import BAND_ROWS, N_HASHES, NGRAMS, WORDS, shingled_docs
 
     n_bands = N_HASHES // BAND_ROWS
+    extra = () if ttl_s is None else ("arrival_us",)
     docs = _staged_table_stream(
         spark, sf_dir, "documents", "doc_id", "doc_id bigint, text string",
         staging_dir=staging_dir,
+        arrival_step_s=None if ttl_s is None else 1,
     )
     shingled = docs.select(
         "doc_id",
+        *extra,
         F.expr(NGRAMS.format(ws=WORDS, k=5)).alias("shingles"),
     ).filter(F.size("shingles") > 0)
     # per-row MinHash: hash each shingle string once to a fixed-width long,
@@ -391,7 +423,9 @@ def _minhash_pair_stream(spark, sf_dir, staging_dir: str | None = None):
     # explode-of-singleton is the optimizer BARRIER: a Generate node
     # materializes `sig` once per row, so the band projection's four
     # element_at references read an attribute, not four copies of the fold
-    sig = shingled.select("doc_id", F.explode(F.array(F.expr(sig_expr))).alias("sig"))
+    sig = shingled.select(
+        "doc_id", *extra, F.explode(F.array(F.expr(sig_expr))).alias("sig")
+    )
     band_expr = (
         f"transform(sequence(0, {n_bands - 1}), b -> named_struct("
         "'band', b, 'bh', xxhash64("
@@ -400,8 +434,10 @@ def _minhash_pair_stream(spark, sf_dir, staging_dir: str | None = None):
         )
         + ")))"
     )
-    bands = sig.select("doc_id", F.explode(F.expr(band_expr)).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    bands = sig.select(
+        "doc_id", *extra, F.explode(F.expr(band_expr)).alias("bb")
+    ).select(
+        "doc_id", *extra, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
 
     def bucket_pairs(key, pdfs, state):
@@ -440,6 +476,67 @@ def _minhash_pair_stream(spark, sf_dir, staging_dir: str | None = None):
         if pairs:
             yield pd.DataFrame(pairs, columns=["a", "b"], dtype="int64")
 
+    def bucket_pairs_ttl(key, pdfs, state):
+        # TTL form: members carry arrival ms; stale members are pruned at
+        # every touch, empty shards drop their state row, idle shards are
+        # evicted whole on event-time timeout. State is O(live window).
+        if state.hasTimedOut:
+            state.remove()
+            return
+        store: dict[int, tuple[list[int], list[int]]] = {}
+        if state.exists:
+            bhs, cnts, flat, mts = state.get
+            off = 0
+            for h, c in zip(bhs, cnts):
+                store[int(h)] = (
+                    [int(x) for x in flat[off : off + c]],
+                    [int(m) for m in mts[off : off + c]],
+                )
+                off += c
+        cutoff_ms = state.getCurrentWatermarkMs() - ttl_s * 1000
+        for h in list(store):
+            mem, ts = store[h]
+            keep = [(d, m) for d, m in zip(mem, ts) if m > cutoff_ms]
+            if keep:
+                store[h] = ([d for d, _ in keep], [m for _, m in keep])
+            else:
+                del store[h]
+        pairs = []
+        for pdf in pdfs:
+            for bh, d, aus in zip(pdf["bh"], pdf["doc_id"], pdf["arrival_us"]):
+                mem, ts = store.setdefault(int(bh), ([], []))
+                d = int(d)
+                if d in mem:  # replayed arrival
+                    continue
+                pairs.extend((min(d, m), max(d, m)) for m in mem)
+                mem.append(d)
+                ts.append(int(aus) // 1000)
+                if len(mem) > STREAM_BUCKET_CAP:
+                    raise ValueError(
+                        f"streaming_dedup_minhash_ttl: LSH bucket {key} "
+                        f"exceeds {STREAM_BUCKET_CAP} members within one TTL "
+                        "window — salt-split or pre-filter boilerplate"
+                    )
+        if store:
+            state.update(
+                (
+                    list(store.keys()),
+                    [len(v[0]) for v in store.values()],
+                    [x for v in store.values() for x in v[0]],
+                    [m for v in store.values() for m in v[1]],
+                )
+            )
+            newest_ms = max(m for v in store.values() for m in v[1])
+            # evict the whole shard once its newest member ages out (strictly
+            # above the watermark, which Spark requires of event-time timers)
+            state.setTimeoutTimestamp(
+                max(newest_ms + ttl_s * 1000 + 1, state.getCurrentWatermarkMs() + 1)
+            )
+        else:
+            state.remove()
+        if pairs:
+            yield pd.DataFrame(pairs, columns=["a", "b"], dtype="int64")
+
     # Group by (band, shard-of-bucket), NOT (band, bucket): Python is invoked
     # once PER GROUP per trigger, and (band, bucket) keys are ~1 group per
     # input row (measured ~2 ms/group ⇒ the state op dominated end-to-end).
@@ -448,14 +545,26 @@ def _minhash_pair_stream(spark, sf_dir, staging_dir: str | None = None):
     # covers its whole shard (state I/O per trigger grows from
     # O(touched buckets) toward O(all state) as shards shrink). At 100 TB,
     # raise shards so groups ≫ cores and per-shard state stays bounded.
-    cand = bands.withColumn(
+    sharded = bands.withColumn(
         "shard", F.pmod("bh", F.lit(STREAM_BUCKET_SHARDS)).cast("int")
-    ).groupBy("band", "shard").applyInPandasWithState(
-        bucket_pairs,
+    )
+    if ttl_s is not None:
+        # the watermark ATTRIBUTE must reach the state op's input (Spark
+        # tags the column, not just the plan), so it is declared on the
+        # final pre-group projection — equivalent placement: everything
+        # upstream is row-wise
+        sharded = sharded.withColumn(
+            "ev_time", F.timestamp_micros(F.col("arrival_us"))
+        ).withWatermark("ev_time", "0 seconds")
+    cand = sharded.groupBy("band", "shard").applyInPandasWithState(
+        bucket_pairs if ttl_s is None else bucket_pairs_ttl,
         "a long, b long",
-        "bhs array<long>, cnts array<int>, members array<long>",
+        "bhs array<long>, cnts array<int>, members array<long>"
+        + ("" if ttl_s is None else ", mts array<long>"),
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.NoTimeout
+        if ttl_s is None
+        else GroupStateTimeout.EventTimeTimeout,
     )
     # exact verification: STREAM-STATIC join against the corpus shingle sets
     # (same expressions as the batch _verify_pairs, minus the sort — ORDER BY
@@ -498,6 +607,17 @@ def streaming_dedup_embedding(spark, sf_dir):
     80×). Exact fp64 cosine verification is a broadcast stream-static
     join — the fp64 corpus never enters the state store, matching the
     batch contract that only the signature stage touches embeddings."""
+    out = _run_to_memory(_embedding_pair_stream(spark, sf_dir), "append")
+    return out.distinct().orderBy("a", "b")
+
+
+def _embedding_pair_stream(spark, sf_dir, ttl_s: int | None = None):
+    """The unsinked verified-pair stream behind ``streaming_dedup_embedding``
+    (+ its TTL'd form). ``ttl_s=None`` → NoTimeout bounded-replay state;
+    with a TTL, bucket members carry arrival ms and are pruned past
+    ``watermark − ttl``, empty shards drop their state row, idle shards
+    evict whole on ``EventTimeTimeout`` — the same contract as
+    ``_minhash_pair_stream``'s TTL mode."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -513,7 +633,8 @@ def streaming_dedup_embedding(spark, sf_dir):
 
     bits, bands = CLUSTER_LSH_BITS, CLUSTER_LSH_BANDS
     raw = _staged_table_stream(
-        spark, sf_dir, "embeddings", "vec_id", "vec_id bigint, embedding array<float>"
+        spark, sf_dir, "embeddings", "vec_id", "vec_id bigint, embedding array<float>",
+        arrival_step_s=None if ttl_s is None else 1,
     )
 
     def signatures(batches):
@@ -533,19 +654,22 @@ def streaming_dedup_embedding(spark, sf_dir):
                 bits_m[:, k * bits : (k + 1) * bits] @ weights for k in range(bands)
             ]
             sig_mat = np.stack(sigs, axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "sigs": list(sig_mat),
-                    "sigpack": [s.astype("<u2").tobytes() for s in sig_mat],
-                }
-            )
+            cols = {
+                "vec_id": pdf["vec_id"],
+                "sigs": list(sig_mat),
+                "sigpack": [s.astype("<u2").tobytes() for s in sig_mat],
+            }
+            if ttl_s is not None:
+                cols["arrival_us"] = pdf["arrival_us"]
+            yield pd.DataFrame(cols)
 
-    sigged = raw.mapInPandas(
-        signatures, "vec_id long, sigs array<long>, sigpack binary"
+    sig_schema = "vec_id long, sigs array<long>, sigpack binary" + (
+        "" if ttl_s is None else ", arrival_us long"
     )
+    extra = () if ttl_s is None else ("arrival_us",)
+    sigged = raw.mapInPandas(signatures, sig_schema)
     rows = sigged.select(
-        "vec_id", F.posexplode("sigs").alias("band", "sig"), "sigpack"
+        "vec_id", F.posexplode("sigs").alias("band", "sig"), "sigpack", *extra
     ).select(
         "vec_id",
         "band",
@@ -554,7 +678,15 @@ def streaming_dedup_embedding(spark, sf_dir):
         # holds more signature payload than the dedup rule needs
         F.expr("substring(sigpack, 1, 2 * band)").alias("prefix"),
         F.pmod("sig", F.lit(STREAM_BUCKET_SHARDS)).cast("int").alias("shard"),
+        *extra,
     )
+    if ttl_s is not None:
+        # watermark declared AFTER mapInPandas: the signature stage replaces
+        # every attribute, so a pre-map watermark tag would not survive to
+        # the state op's input (Spark requires the tagged column there)
+        rows = rows.withColumn(
+            "ev_time", F.timestamp_micros(F.col("arrival_us"))
+        ).withWatermark("ev_time", "0 seconds")
 
     def bucket_pairs(key, pdfs, state):
         store: dict[int, tuple[list[int], list[bytes]]] = {}
@@ -603,12 +735,89 @@ def streaming_dedup_embedding(spark, sf_dir):
         if pairs:
             yield pd.DataFrame(pairs, columns=["a", "b"], dtype="int64")
 
+    def bucket_pairs_ttl(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        store: dict[int, tuple[list[int], list[bytes], list[int]]] = {}
+        if state.exists:
+            sigs_s, cnts, ids_s, prefs, mts = state.get
+            off = 0
+            for sg, c in zip(sigs_s, cnts):
+                store[int(sg)] = (
+                    [int(x) for x in ids_s[off : off + c]],
+                    [bytes(p) for p in prefs[off : off + c]],
+                    [int(m) for m in mts[off : off + c]],
+                )
+                off += c
+        cutoff_ms = state.getCurrentWatermarkMs() - ttl_s * 1000
+        for sg in list(store):
+            ids, prefs_m, ts = store[sg]
+            keep = [
+                (d, p, m) for d, p, m in zip(ids, prefs_m, ts) if m > cutoff_ms
+            ]
+            if keep:
+                store[sg] = (
+                    [d for d, _, _ in keep],
+                    [p for _, p, _ in keep],
+                    [m for _, _, m in keep],
+                )
+            else:
+                del store[sg]
+        pairs = []
+        for pdf in pdfs:
+            order = pdf.sort_values("vec_id")
+            for sg, d, pref, aus in zip(
+                order["sig"], order["vec_id"], order["prefix"], order["arrival_us"]
+            ):
+                d, pref = int(d), bytes(pref)
+                ids, prefs_m, ts = store.setdefault(int(sg), ([], [], []))
+                if d in ids:
+                    continue
+                if pref:
+                    pu = np.frombuffer(pref, dtype="<u2")
+                    for m, mp in zip(ids, prefs_m):
+                        if not (pu == np.frombuffer(mp, dtype="<u2")).any():
+                            pairs.append((min(d, m), max(d, m)))
+                else:
+                    pairs.extend((min(d, m), max(d, m)) for m in ids)
+                ids.append(d)
+                prefs_m.append(pref)
+                ts.append(int(aus) // 1000)
+                if len(ids) > STREAM_BUCKET_CAP:
+                    raise ValueError(
+                        f"streaming_dedup_embedding_ttl: LSH bucket {key} "
+                        f"exceeds {STREAM_BUCKET_CAP} members within one TTL "
+                        "window — raise CLUSTER_LSH_BITS or pre-filter"
+                    )
+        if store:
+            state.update(
+                (
+                    list(store.keys()),
+                    [len(v[0]) for v in store.values()],
+                    [x for v in store.values() for x in v[0]],
+                    [p for v in store.values() for p in v[1]],
+                    [m for v in store.values() for m in v[2]],
+                )
+            )
+            newest_ms = max(m for v in store.values() for m in v[2])
+            state.setTimeoutTimestamp(
+                max(newest_ms + ttl_s * 1000 + 1, state.getCurrentWatermarkMs() + 1)
+            )
+        else:
+            state.remove()
+        if pairs:
+            yield pd.DataFrame(pairs, columns=["a", "b"], dtype="int64")
+
     cand = rows.groupBy("band", "shard").applyInPandasWithState(
-        bucket_pairs,
+        bucket_pairs if ttl_s is None else bucket_pairs_ttl,
         "a long, b long",
-        "sigs array<long>, cnts array<int>, ids array<long>, prefs array<binary>",
+        "sigs array<long>, cnts array<int>, ids array<long>, prefs array<binary>"
+        + ("" if ttl_s is None else ", mts array<long>"),
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.NoTimeout
+        if ttl_s is None
+        else GroupStateTimeout.EventTimeTimeout,
     )
     ea = _with_norm(load_table(spark, sf_dir, "embeddings"), "a")
     eb = _with_norm(load_table(spark, sf_dir, "embeddings"), "b")
@@ -620,8 +829,7 @@ def streaming_dedup_embedding(spark, sf_dir):
         .filter(F.col("sim") >= CLUSTER_SIM_T)
         .select("a", "b", F.round("sim", 6).alias("sim"))
     )
-    out = _run_to_memory(verified, "append")
-    return out.distinct().orderBy("a", "b")
+    return verified
 
 
 def _staged_events_stream(spark, sf_dir):
