@@ -1681,7 +1681,11 @@ def events_markov_transitions_stream(spark, sf_dir):
     100 TB/continuous shape: state per user is ONE string regardless of
     volume; emission per trigger is bounded by the user's distinct
     transition pairs; the final aggregate's cardinality is the type-pair
-    domain. Nothing driver-side."""
+    domain. Nothing driver-side. State-bound note: the per-key payload is
+    the smallest possible (one enum-like string); a TTL here would silently
+    drop the boundary transition of a returning user, so the NoTimeout
+    trade (≈bytes × |users|) is deliberate — at Flink parity, deployments
+    that must bound it set a state TTL and accept the same undercount."""
     from .streaming import _run_to_memory
 
     res = markov_delta_stream(spark, sf_dir)
@@ -2042,7 +2046,9 @@ def streaming_budget_curation(spark, sf_dir):
 
     100 TB/continuous shape: state per source is one counter; per-trigger
     Python work is a vectorized cumsum over the trigger's rows per source;
-    admitted rows stream out append-mode with no post-processing.""".format(
+    admitted rows stream out append-mode with no post-processing.
+    State-bound note: keyed by SOURCE (a curated, closed set), one long per
+    key — bounded by construction, no TTL needed (NoTimeout correct).""".format(
         b=CURATION_TOKEN_BUDGET
     )
     from .streaming import _run_to_memory

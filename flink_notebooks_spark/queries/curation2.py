@@ -300,7 +300,9 @@ def sample_per_source_stream(spark, sf_dir, staging_dir=None):
     """The stateful bottom-K-by-hash reservoir stream behind
     ``streaming_sample_per_source`` — factored out so the checkpoint-restart
     test (tests/test_curation2.py) can drive it through the shared two-phase
-    harness with a pinned staging dir."""
+    harness with a pinned staging dir. State-bound note: keyed by SOURCE (a
+    curated, closed set) with exactly K (hash, id) pairs per key — bounded
+    by construction, no TTL needed (NoTimeout is correct here)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 

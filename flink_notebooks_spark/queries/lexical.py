@@ -800,7 +800,9 @@ def knn_topk_stream(spark, sf_dir, staging_dir=None):
     an empty corpus — exposed so the checkpoint-restart test can run it
     against a parquet sink in two phases with held-back staging slices;
     ``staging_dir`` pins the staged slices a restarted query's checkpoint
-    references."""
+    references. State-bound note: keyed by a FIXED shard count with at most
+    k candidates per (query, shard) — bounded by construction, no TTL
+    needed (NoTimeout is correct here)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout

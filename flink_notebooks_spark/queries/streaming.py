@@ -372,8 +372,10 @@ def streaming_dedup_minhash(spark, sf_dir):
     hash-partitioned across executors by bucket key; the bucket cap raises
     loudly at {cap} members (the batch path's hot-bucket contract — at
     scale, salt-split or drop boilerplate buckets upstream). Bounded replay
-    uses NoTimeout; an unbounded run would put a TTL on bucket state
-    instead. Duplicate candidate emissions (same pair caught by several
+    uses NoTimeout; the production (unbounded-stream) form is
+    ``streaming_dedup_minhash_ttl`` (queries/streaming3.py), which TTLs the
+    bucket state to the live ingestion window via EventTimeTimeout.
+    Duplicate candidate emissions (same pair caught by several
     bands/triggers) are collapsed after the sink — the verified rows are
     identical, so DISTINCT is exact.""".format(cap=STREAM_BUCKET_CAP)
     out = _run_to_memory(_minhash_pair_stream(spark, sf_dir), "append")
