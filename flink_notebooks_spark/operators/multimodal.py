@@ -9,10 +9,13 @@ serialization.
 Decode is two-layered:
 
 * **Container headers are parsed for real** (``sniff_header``) — PNG IHDR,
-  JPEG SOFn, GIF logical screen descriptor, and the WAV ``fmt `` chunk are
-  pure-stdlib ``struct`` reads, so width/height/channels/sample_rate need no
-  codec library at all. This is the layer a 100 TB curation pipeline actually
-  filters on (resolution gates, aspect-ratio gates, sample-rate gates).
+  JPEG SOFn, GIF logical screen descriptor, the WAV ``fmt `` chunk, the
+  ISO-BMFF (MP4) ``mvhd``/``tkhd`` boxes (timescale, duration, track
+  dimensions), and the MP3 frame header (version/layer/rate/mode bits, with
+  ID3v2 tag skip) are pure-stdlib ``struct`` reads, so width/height/channels/
+  sample_rate/duration need no codec library at all. This is the layer a
+  100 TB curation pipeline actually filters on (resolution gates,
+  aspect-ratio gates, sample-rate gates, duration gates).
 * **Pixel/sample decode is STUBBED** — image/audio codec libraries are not
   available in this environment. With ``fake=True`` (default) pixel-level
   stats are deterministic synthetic values derived from the payload hash
@@ -48,15 +51,40 @@ N_FEATURES = 8  # fixed feature-vector width emitted by extract_features
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 # JPEG SOFn markers: C0–CF minus DHT (C4), JPGn (C8), DAC (CC)
 _JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+# MPEG audio sample rates by version bits (ISO 11172-3 / 13818-3):
+# version field 3=MPEG1, 2=MPEG2, 0=MPEG2.5 (1 is reserved)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for ISO-BMFF boxes in
+    buf[start:end] (ISO 14496-12 §4.2: u32 size + 4cc, size==1 → u64
+    largesize, size==0 → to end). Stops on any malformed size."""
+    pos = start
+    while pos + 8 <= end:
+        size, btype = struct.unpack(">I4s", buf[pos : pos + 8])
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            size = struct.unpack(">Q", buf[pos + 8 : pos + 16])[0]
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr:  # malformed — a box can't be smaller than its header
+            return
+        yield btype, pos + hdr, min(pos + size, end)
+        pos += size
 
 
 def sniff_header(payload: bytes) -> dict | None:
     """Parse REAL container headers with stdlib ``struct`` only — no codec
     library. Returns ``{"fmt", "kind", "width", "height", "channels",
-    "sample_rate"}`` (absent fields None) for PNG / JPEG / GIF / WAV
-    payloads, None for unknown magics. Malformed payloads with a known magic
-    also return None (treated as undecodable, not as a crash — at 100 TB a
-    corrupt file must never kill the stage)."""
+    "sample_rate", "duration_s"}`` (absent fields None) for PNG / JPEG /
+    GIF / WAV / MP4 (ISO-BMFF ``mvhd``/``tkhd``) / MP3 payloads, None for
+    unknown magics. Malformed payloads with a known magic also return None
+    (treated as undecodable, not as a crash — at 100 TB a corrupt file must
+    never kill the stage)."""
     try:
         if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
             # 8-byte signature, 4-byte length, 'IHDR', then w/h (u32 BE),
@@ -66,6 +94,7 @@ def sniff_header(payload: bytes) -> dict | None:
             return {
                 "fmt": "png", "kind": "image", "width": w, "height": h,
                 "channels": _PNG_CHANNELS.get(color_type), "sample_rate": None,
+                "duration_s": None,
             }
         if payload[:2] == b"\xff\xd8":  # JPEG SOI; walk segments to SOFn
             pos = 2
@@ -88,6 +117,7 @@ def sniff_header(payload: bytes) -> dict | None:
                     return {
                         "fmt": "jpeg", "kind": "image", "width": w, "height": h,
                         "channels": payload[pos + 9], "sample_rate": None,
+                        "duration_s": None,
                     }
                 pos += 2 + seg_len
             return None
@@ -97,6 +127,7 @@ def sniff_header(payload: bytes) -> dict | None:
             return {
                 "fmt": "gif", "kind": "image", "width": w, "height": h,
                 "channels": 3, "sample_rate": None,  # palette entries are RGB
+                "duration_s": None,
             }
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             pos = 12  # walk chunks to 'fmt ' (sizes pad to even)
@@ -110,9 +141,80 @@ def sniff_header(payload: bytes) -> dict | None:
                     return {
                         "fmt": "wav", "kind": "audio", "width": None, "height": None,
                         "channels": n_ch, "sample_rate": rate,
+                        "duration_s": None,
                     }
                 pos += 8 + size + (size & 1)
             return None
+        if len(payload) >= 12 and payload[4:8] == b"ftyp":
+            # ISO-BMFF (MP4/MOV): walk top-level boxes to moov, read mvhd's
+            # timescale+duration (version 0: u32 pair after 8 bytes of
+            # ctime/mtime; version 1: u32+u64 after u64 pair) and the first
+            # visual trak's tkhd width/height (16.16 fixed point at +76 (v0)
+            # / +88 (v1) into the box payload) — pure big-endian reads
+            width = height = None
+            duration = None
+            for btype, s, e in _mp4_boxes(payload, 0, len(payload)):
+                if btype != b"moov":
+                    continue
+                for bt2, s2, e2 in _mp4_boxes(payload, s, e):
+                    if bt2 == b"mvhd" and duration is None:
+                        if payload[s2] == 1:
+                            tscale, dur = struct.unpack(
+                                ">IQ", payload[s2 + 20 : s2 + 32]
+                            )
+                        else:
+                            tscale, dur = struct.unpack(
+                                ">II", payload[s2 + 12 : s2 + 20]
+                            )
+                        if tscale:
+                            duration = dur / tscale
+                    elif bt2 == b"trak" and width is None:
+                        for bt3, s3, _e3 in _mp4_boxes(payload, s2, e2):
+                            if bt3 == b"tkhd":
+                                off = s3 + (88 if payload[s3] == 1 else 76)
+                                w16, h16 = struct.unpack(
+                                    ">II", payload[off : off + 8]
+                                )
+                                if w16 and h16:  # audio traks carry 0×0
+                                    width, height = w16 >> 16, h16 >> 16
+            if duration is None and width is None:
+                return None  # ftyp magic but no readable moov — malformed
+            return {
+                "fmt": "mp4", "kind": "video", "width": width, "height": height,
+                "channels": None, "sample_rate": None, "duration_s": duration,
+            }
+        mp3_pos = None
+        if payload[:3] == b"ID3" and len(payload) >= 10:
+            # ID3v2 tag: syncsafe u28 size at offset 6, frame follows
+            sz = payload[6:10]
+            if not any(b & 0x80 for b in sz):
+                mp3_pos = 10 + (
+                    (sz[0] << 21) | (sz[1] << 14) | (sz[2] << 7) | sz[3]
+                )
+        elif (
+            len(payload) >= 4
+            and payload[0] == 0xFF
+            and payload[1] & 0xE0 == 0xE0
+        ):
+            mp3_pos = 0
+        if mp3_pos is not None:
+            if mp3_pos + 4 > len(payload) or payload[mp3_pos] != 0xFF or (
+                payload[mp3_pos + 1] & 0xE0
+            ) != 0xE0:
+                return None  # tag promised a frame that isn't there
+            b1, b2, b3 = payload[mp3_pos + 1 : mp3_pos + 4]
+            ver = (b1 >> 3) & 3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1 reserved
+            layer = (b1 >> 1) & 3  # 1 = Layer III
+            sr_idx = (b2 >> 2) & 3
+            if ver == 1 or layer != 1 or sr_idx == 3:
+                return None  # reserved version / not Layer III / bad rate
+            return {
+                "fmt": "mp3", "kind": "audio", "width": None, "height": None,
+                # mode bits: 3 = single channel (ISO 11172-3 §2.4.1.3)
+                "channels": 1 if (b3 >> 6) == 3 else 2,
+                "sample_rate": _MP3_RATES[ver][sr_idx],
+                "duration_s": None,  # needs the full frame walk / Xing tag
+            }
     except (struct.error, IndexError):
         return None
     return None
@@ -226,20 +328,39 @@ def extract_features(df: DataFrame, id_col: str = "doc_id", fake: bool = True) -
     return pruned.mapInPandas(run, f"{id_col} long, features array<double>")
 
 
+# frame-index estimation when the container carries only a duration (mvhd
+# has no frame count — that would need an stts/stsz walk): assume a nominal
+# fps. Sampling INDICES scale linearly with fps, so a wrong nominal changes
+# density, never correctness of the plumbing.
+NOMINAL_FPS = 30
+
+
 def frame_sample(
     df: DataFrame, id_col: str = "doc_id", every: int = 10, fake: bool = True
 ) -> DataFrame:
     """video payload → one row per sampled frame index (explode-shaped
-    mapInPandas; the fake derives a frame count from payload length)."""
+    mapInPandas). For containers whose header yields a REAL duration (MP4
+    ``mvhd`` via sniff_header), ``n_frames = duration × NOMINAL_FPS`` — a
+    header-derived count, no codec needed; otherwise the fake derives a
+    count from payload length (``fake=False`` raises there, marking where
+    ffmpeg/pyav would plug in)."""
     pruned = df.select(id_col, "payload")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, frames = [], []
             for i, p in zip(pdf[id_col], pdf["payload"]):
-                if not fake:
-                    raise NotImplementedError("real frame sampling needs ffmpeg/pyav")
-                n_frames = max(1, len(p) // 64)
+                p = bytes(p)
+                hdr = sniff_header(p) if p else None
+                if hdr is not None and hdr.get("duration_s"):
+                    n_frames = max(1, int(hdr["duration_s"] * NOMINAL_FPS))
+                elif not fake:
+                    raise NotImplementedError(
+                        "real frame sampling of containers without a parsed "
+                        "duration needs ffmpeg/pyav"
+                    )
+                else:
+                    n_frames = max(1, len(p) // 64)
                 for k in range(0, n_frames, every):
                     ids.append(i)
                     frames.append(k)

@@ -95,20 +95,20 @@ def _wav(n_ch, rate):
 def test_sniff_header_png_jpeg_gif_wav():
     assert mm.sniff_header(_png(640, 480, color_type=6)) == {
         "fmt": "png", "kind": "image", "width": 640, "height": 480,
-        "channels": 4, "sample_rate": None,
+        "channels": 4, "sample_rate": None, "duration_s": None,
     }
     assert mm.sniff_header(_png(1, 99999, color_type=0))["channels"] == 1
     assert mm.sniff_header(_jpeg(222, 333)) == {
         "fmt": "jpeg", "kind": "image", "width": 222, "height": 333,
-        "channels": 3, "sample_rate": None,
+        "channels": 3, "sample_rate": None, "duration_s": None,
     }
     assert mm.sniff_header(_gif(320, 200)) == {
         "fmt": "gif", "kind": "image", "width": 320, "height": 200,
-        "channels": 3, "sample_rate": None,
+        "channels": 3, "sample_rate": None, "duration_s": None,
     }
     assert mm.sniff_header(_wav(2, 44100)) == {
         "fmt": "wav", "kind": "audio", "width": None, "height": None,
-        "channels": 2, "sample_rate": 44100,
+        "channels": 2, "sample_rate": 44100, "duration_s": None,
     }
 
 
@@ -148,3 +148,121 @@ def test_decode_uses_real_headers_through_spark(spark):
     assert real[1]["width"] == 640 and real[1]["mean_intensity"] is None
     with pytest.raises(Exception, match="NotImplementedError|pixel/sample decode"):
         mm.decode(df, fake=False).collect()
+
+
+# --- MP4 (ISO-BMFF 14496-12: ftyp + moov/mvhd + trak/tkhd) and MP3 ----------
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _mvhd(timescale, duration, version=0):
+    if version:
+        body = bytes([1, 0, 0, 0]) + b"\x00" * 16 + struct.pack(
+            ">IQ", timescale, duration
+        )
+    else:
+        body = bytes([0, 0, 0, 0]) + b"\x00" * 8 + struct.pack(
+            ">II", timescale, duration
+        )
+    return _box(b"mvhd", body + b"\x00" * 80)  # rate/volume/matrix padding
+
+
+def _tkhd(w, h, version=0):
+    # version/flags + (v0: 2×u32 times, u32 id, u32 rsvd, u32 duration;
+    # v1: 2×u64 times, u32 id, u32 rsvd, u64 duration) + 8 rsvd + layer/
+    # group/volume/rsvd (8) + matrix (36) + width/height as 16.16
+    lead = 20 if version == 0 else 32
+    body = (
+        bytes([version, 0, 0, 0]) + b"\x00" * lead + b"\x00" * 8 + b"\x00" * 8
+        + b"\x00" * 36 + struct.pack(">II", w << 16, h << 16)
+    )
+    return _box(b"tkhd", body)
+
+
+def _mp4(w=1920, h=1080, timescale=600, duration=6000, version=0, audio_first=True):
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    traks = []
+    if audio_first:  # an audio trak carries 0x0 — must be skipped
+        traks.append(_box(b"trak", _tkhd(0, 0, version)))
+    traks.append(_box(b"trak", _tkhd(w, h, version)))
+    moov = _box(b"moov", _mvhd(timescale, duration, version) + b"".join(traks))
+    return ftyp + moov + _box(b"mdat", b"\x00" * 32)
+
+
+def _mp3(mono=False, mpeg1=True, id3_size=0):
+    # frame header: sync FFE + version/layer bits + rate index 0 + mode
+    b1 = 0xE0 | ((3 if mpeg1 else 2) << 3) | (1 << 1)  # Layer III
+    b3 = 0xC0 if mono else 0x00
+    frame = bytes([0xFF, b1, 0x00, b3]) + b"\x00" * 16
+    if id3_size:
+        tag = b"ID3\x04\x00\x00" + bytes(
+            [(id3_size >> 21) & 0x7F, (id3_size >> 14) & 0x7F,
+             (id3_size >> 7) & 0x7F, id3_size & 0x7F]
+        ) + b"\x00" * id3_size
+        return tag + frame
+    return frame
+
+
+def test_sniff_header_mp4_mvhd_tkhd():
+    got = mm.sniff_header(_mp4())
+    assert got == {
+        "fmt": "mp4", "kind": "video", "width": 1920, "height": 1080,
+        "channels": None, "sample_rate": None, "duration_s": 10.0,
+    }
+    # version-1 boxes (64-bit times) read at their shifted offsets
+    v1 = mm.sniff_header(_mp4(w=640, h=360, timescale=90000, duration=45000, version=1))
+    assert (v1["width"], v1["height"], v1["duration_s"]) == (640, 360, 0.5)
+
+
+def test_sniff_header_mp4_truncation_and_malformed():
+    full = _mp4()
+    assert mm.sniff_header(full[:16]) is None  # ftyp magic, no moov
+    # truncating into moov loses mvhd/tkhd → undecodable, never a crash
+    assert mm.sniff_header(full[:40]) is None
+    # a box whose declared size is smaller than its header stops the walk:
+    # corrupting mvhd's SIZE field (first box inside moov, at offset 32)
+    # kills the whole moov parse → None, never a crash or a bogus read
+    bad = full[:32] + struct.pack(">I", 3) + full[36:]
+    assert mm.sniff_header(bad) is None
+
+
+def test_sniff_header_mp3_variants():
+    assert mm.sniff_header(_mp3()) == {
+        "fmt": "mp3", "kind": "audio", "width": None, "height": None,
+        "channels": 2, "sample_rate": 44100, "duration_s": None,
+    }
+    assert mm.sniff_header(_mp3(mono=True))["channels"] == 1
+    assert mm.sniff_header(_mp3(mpeg1=False))["sample_rate"] == 22050
+    # ID3v2-tagged stream: syncsafe size skip lands on the first frame
+    tagged = mm.sniff_header(_mp3(id3_size=200))
+    assert tagged is not None and tagged["fmt"] == "mp3"
+    # tag promising a frame past EOF → None, not a crash
+    assert mm.sniff_header(_mp3(id3_size=200)[:150]) is None
+    # reserved version bits (0b01) are not MP3: 0xEA = sync|ver=01|layer=III
+    assert mm.sniff_header(bytes([0xFF, 0xEA, 0, 0]) + b"\x00" * 8) is None
+
+
+def test_frame_sample_derives_count_from_mvhd_duration(spark):
+    # 10 s at NOMINAL_FPS=30 → 300 frames → every 60th = indices 0..240
+    df = mm.attach_payload(
+        spark.createDataFrame([(1, _mp4()), (2, b"\x00" * 300)], "doc_id long, img binary"),
+        "img", kind="video",
+    )
+    rows = mm.frame_sample(df, every=60).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert sorted(by_id[1]) == [0, 60, 120, 180, 240]
+    # non-container payloads keep the length-derived fake under fake=True
+    assert sorted(by_id[2]) == [0]
+    # ...and honestly refuse under fake=False while the MP4 still works
+    df_mp4_only = mm.attach_payload(
+        spark.createDataFrame([(1, _mp4())], "doc_id long, img binary"), "img", kind="video"
+    )
+    real = mm.frame_sample(df_mp4_only, every=60, fake=False).collect()
+    assert len(real) == 5
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|frame sampling"):
+        mm.frame_sample(df, every=60, fake=False).collect()
