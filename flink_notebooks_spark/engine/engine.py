@@ -40,23 +40,32 @@ STREAMING = "streaming"
 
 
 def _grouping_cols(df: DataFrame) -> list[str] | None:
-    """Grouping-key column names of a streaming aggregate, or None.
+    """Grouping-key column names of a streaming aggregate OR keyed-state
+    operator, or None.
 
-    Walks the analyzed logical plan to the first Aggregate node and returns
-    its grouping attributes IF they all survive into the output schema by
-    name — the condition under which per-key changelog diffing (statement.
-    changelog_entries) is sound. Plans that rename/drop keys (e.g. window
-    aggs projecting window.start) fall back to INSERT-only kinds, which is
-    what the reference client renders anyway (it ignores ``kind`` —
-    flinkNotebookController.ts:347-358)."""
+    Walks the analyzed logical plan to the first Aggregate /
+    FlatMapGroupsInPandasWithState node and returns its grouping attributes
+    IF they all survive into the output schema by name — the condition under
+    which per-key changelog diffing (statement.changelog_entries) is sound.
+    Keyed-state ops (applyInPandasWithState — the TTL'd funnel/retention/
+    sessionize family) emit per-key revision rows in update mode, exactly
+    the shape the diff reconstructs ±U kinds from. Plans that rename/drop
+    keys (e.g. window aggs projecting window.start) fall back to INSERT-only
+    kinds, which is what the reference client renders anyway (it ignores
+    ``kind`` — flinkNotebookController.ts:347-358)."""
     try:
         from collections import deque
 
         q = deque([df._jdf.queryExecution().analyzed()])  # noqa: SLF001
         while q:
             node = q.popleft()
-            if node.getClass().getSimpleName() == "Aggregate":
-                exprs = node.groupingExpressions()
+            kind = node.getClass().getSimpleName()
+            if kind in ("Aggregate", "FlatMapGroupsInPandasWithState"):
+                exprs = (
+                    node.groupingExpressions()
+                    if kind == "Aggregate"
+                    else node.groupingAttributes()
+                )
                 names = []
                 for i in range(exprs.size()):
                     e = exprs.apply(i)
@@ -263,6 +272,24 @@ class Engine:
     def execute_script(self, text: str) -> list[Statement]:
         """Execute a multi-statement script/cell (top-level ';' split)."""
         return [self.execute_sql(s) for s in split_statements(text)]
+
+    def execute_stream_df(self, df: DataFrame) -> Statement:
+        """Run an arbitrary streaming DataFrame through the statement
+        protocol — token pages, pause/resume/cancel, and changelog-kind
+        reconstruction (statement.changelog_entries), exactly like a
+        streaming SELECT. This is the embedding surface for operators the
+        SQL dialect can't express (the registered applyInPandasWithState
+        queries: TTL'd funnel/retention/sessionize, streaming dedup):
+        their per-key revision rows ride update mode, and _grouping_cols
+        reads the keyed-state operator's grouping attributes, so the
+        gateway serves Flink-style INSERT / UPDATE_BEFORE / UPDATE_AFTER
+        rows for them (reference models/types.ts:24-27)."""
+        if not df.isStreaming:
+            stmt: Statement = BatchStatement(df)
+        else:
+            stmt = self._start_streaming_select(df)
+        self.statements.append(stmt)
+        return stmt
 
     # ---- DDL ----------------------------------------------------------------
     def _exec_create_table(self, p: Parsed) -> Statement:

@@ -128,6 +128,25 @@ class Gateway:
             self.ops[(h, stmt.statement_id)] = stmt
         return {"operationHandle": stmt.statement_id}
 
+    def submit_stream(self, h: str, df) -> dict:
+        """Register an arbitrary (streaming) DataFrame as an operation of
+        session ``h`` — the in-process embedding surface for the registered
+        python-defined stateful queries (TTL'd funnel/sessionize, streaming
+        dedup), whose results are then fetched over the SAME HTTP result
+        protocol as SQL statements, changelog kinds included. Mirrors
+        execute_statement's session-close race handling."""
+        eng = self.manager.get(h)
+        stmt = eng.execute_stream_df(df)
+        with self._lock:
+            if h not in self.manager.sessions:
+                try:
+                    stmt.cancel()
+                except Exception:  # noqa: BLE001 — the 404 is the signal
+                    pass
+                raise KeyError(f"session {h} closed while statement was starting")
+            self.ops[(h, stmt.statement_id)] = stmt
+        return {"operationHandle": stmt.statement_id}
+
     def _stmt(self, h: str, op: str) -> Statement:
         with self._lock:
             stmt = self.ops.get((h, op))

@@ -660,3 +660,57 @@ def test_execute_statement_vs_close_session_race(gw_obj):
     for code, payload in outcomes:
         assert code in (200, 404), (code, payload)  # registered-then-killed | late
     _await_no_active_streams(session_sparks)
+
+
+def test_ttl_stateful_stream_serves_changelog_kinds(gw_obj, spark, sf_dir):
+    """A TTL'd keyed-state stream (the round-11 funnel with EventTimeTimeout
+    eviction) submitted through the gateway must serve Flink-style changelog
+    rows over the SAME HTTP result protocol as SQL statements (reference
+    models/types.ts:24-27): per-user revision rows arrive as INSERT for a
+    user's first revision and correctly PAIRED UPDATE_BEFORE/UPDATE_AFTER
+    for later ones — the before row is the user's previous revision, the
+    after row the new one, adjacent and key-matched."""
+    import time
+
+    from flink_notebooks_spark.queries.corpus import _funnel_state_stream
+    from flink_notebooks_spark.queries.streaming3 import EVENTS_STATE_HORIZON_S
+
+    base, gateway = gw_obj
+    h = call("POST", f"{base}/v1/sessions",
+             {"properties": {"execution.runtime-mode": "streaming"}})["sessionHandle"]
+    df = _funnel_state_stream(spark, sf_dir, horizon_s=EVENTS_STATE_HORIZON_S)
+    op = gateway.submit_stream(h, df)["operationHandle"]
+    try:
+        rows, cols = [], None
+        url = f"{base}/v1/sessions/{h}/operations/{op}/result/0"
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            page = call("GET", url)
+            rows.extend(page["results"]["data"])
+            if page["results"]["columns"]:
+                cols = [c["name"] for c in page["results"]["columns"]]
+            if page["resultType"] == "EOS":
+                break
+            url = base + page["nextResultUri"]
+            if sum(1 for r in rows if r["kind"] == "UPDATE_BEFORE") >= 5:
+                break
+            time.sleep(0.3)
+    finally:
+        call("DELETE", f"{base}/v1/sessions/{h}/operations/{op}")
+        call("DELETE", f"{base}/v1/sessions/{h}")
+
+    kinds = [r["kind"] for r in rows]
+    assert "INSERT" in kinds
+    ub_idx = [i for i, k in enumerate(kinds) if k == "UPDATE_BEFORE"]
+    assert len(ub_idx) >= 5  # the 4-trigger replay revises users repeatedly
+    ui, ri = cols.index("user_id"), cols.index("rev")
+    for i in ub_idx:
+        assert kinds[i + 1] == "UPDATE_AFTER"  # ±U strictly adjacent
+        before, after = rows[i]["fields"], rows[i + 1]["fields"]
+        assert before[ui] == after[ui]  # same key
+        assert after[ri] > before[ri]  # the after row is the newer revision
+    # first row of any user must be an INSERT (no orphan updates)
+    first_kind = {}
+    for r in rows:
+        first_kind.setdefault(r["fields"][ui], r["kind"])
+    assert set(first_kind.values()) == {"INSERT"}
