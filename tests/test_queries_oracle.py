@@ -27,6 +27,10 @@ def test_all_queries_have_entries():
         "dedup_minhash_lsh",
         "streaming_dedup_minhash",
         "streaming_dedup_embedding",
+        # TTL'd forms of the two above — same probabilistic candidates;
+        # exact parity with the unbounded forms pinned in test_streaming3
+        "streaming_dedup_minhash_ttl",
+        "streaming_dedup_embedding_ttl",
         "dedup_embedding_clusters_lsh",
         "dedup_simhash",
         "ann_lsh_topk",

@@ -94,6 +94,14 @@ HEADLINE = [
     ("rrf_fusion", "rank fusion: constant-size epilogue over the shared shortlist"),
     ("vocab_coverage", "fixed-size broadcast vocabulary, one explode + membership probe"),
     ("pretrain_mix_pipeline", "five-stage capstone: map-side gates, hashed dedup window, cached-token NLL, integer terciles, md5-coin mixing"),
+    ("q49_tpch_q6", "pure scan-aggregate: three range predicates pushed, single-partition sum"),
+    ("q50_tpch_q8", "8-way market-share join: selective filters pushed pre-join, dims broadcast"),
+    ("q51_tpch_q9", "profit rollup: contains-LIKE pushed, partsupp-analog aggregate joined back"),
+    ("q52_tpch_q11", "group-vs-global threshold: persisted value view, 1-row broadcast NLJ"),
+    ("q53_tpch_q12", "priority buckets: 2-value IN + year window pushed, 2-group CASE counts"),
+    ("q54_tpch_q14", "conditional-agg ratio: month filter pushed, one single-partition final"),
+    ("q55_tpch_q16", "NOT IN as null-aware broadcast anti join + COUNT DISTINCT rollup"),
+    ("q56_tpch_q19", "disjunctive OR-of-ANDs: per-side implications pushed to BOTH scans"),
 ]
 
 
