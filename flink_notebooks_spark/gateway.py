@@ -112,14 +112,14 @@ class Gateway:
             eng.close()
         return {"status": "CLOSED"}
 
-    def execute_statement(self, h: str, statement: str) -> dict:
-        eng = self.manager.get(h)
-        stmt = eng.execute_sql(statement)
+    def _register(self, h: str, stmt: Statement) -> dict:
+        """Register a just-started statement under its session — ONE copy of
+        the session-close race handling (close_session's atomic pop+purge
+        pairs with this check): a session closed while the statement was
+        starting means its close() ran against the engine's statement list
+        before this statement registered — cancel it here or it leaks."""
         with self._lock:
             if h not in self.manager.sessions:
-                # the session closed while the statement was starting; its
-                # close() ran against the engine's statement list before this
-                # statement registered — cancel it here or it leaks
                 try:
                     stmt.cancel()
                 except Exception:  # noqa: BLE001 — the 404 is the signal
@@ -128,24 +128,18 @@ class Gateway:
             self.ops[(h, stmt.statement_id)] = stmt
         return {"operationHandle": stmt.statement_id}
 
+    def execute_statement(self, h: str, statement: str) -> dict:
+        eng = self.manager.get(h)
+        return self._register(h, eng.execute_sql(statement))
+
     def submit_stream(self, h: str, df) -> dict:
         """Register an arbitrary (streaming) DataFrame as an operation of
         session ``h`` — the in-process embedding surface for the registered
         python-defined stateful queries (TTL'd funnel/sessionize, streaming
         dedup), whose results are then fetched over the SAME HTTP result
-        protocol as SQL statements, changelog kinds included. Mirrors
-        execute_statement's session-close race handling."""
+        protocol as SQL statements, changelog kinds included."""
         eng = self.manager.get(h)
-        stmt = eng.execute_stream_df(df)
-        with self._lock:
-            if h not in self.manager.sessions:
-                try:
-                    stmt.cancel()
-                except Exception:  # noqa: BLE001 — the 404 is the signal
-                    pass
-                raise KeyError(f"session {h} closed while statement was starting")
-            self.ops[(h, stmt.statement_id)] = stmt
-        return {"operationHandle": stmt.statement_id}
+        return self._register(h, eng.execute_stream_df(df))
 
     def _stmt(self, h: str, op: str) -> Statement:
         with self._lock:

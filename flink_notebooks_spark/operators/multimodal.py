@@ -179,8 +179,11 @@ def sniff_header(payload: bytes) -> dict | None:
                                     width, height = w16 >> 16, h16 >> 16
             if duration is None and width is None:
                 return None  # ftyp magic but no readable moov — malformed
+            # no visual trak (every tkhd 0×0) = audio-only ISO-BMFF (M4A):
+            # classify by the same signal the 0×0-skip above already reads
             return {
-                "fmt": "mp4", "kind": "video", "width": width, "height": height,
+                "fmt": "mp4", "kind": "video" if width is not None else "audio",
+                "width": width, "height": height,
                 "channels": None, "sample_rate": None, "duration_s": duration,
             }
         mp3_pos = None

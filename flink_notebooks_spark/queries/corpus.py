@@ -778,8 +778,17 @@ def _anomaly_scan_stream(spark, sf_dir, horizon_s: int | None = None):
             counts = {h: c for h, c in counts.items() if h + hour_us > cutoff_us}
         rev += 1
         items = sorted(counts.items())
+        if horizon_s is not None and not items:
+            # every hour aged out (e.g. an all-late batch): removing the
+            # row — not updating an empty one — is what keeps the key count
+            # bounded; an empty update would be a zombie row with no timer
+            state.remove()
+            yield pd.DataFrame(
+                [], columns=["event_type", "h_us", "c", "z", "rev"]
+            )
+            return
         state.update((rev, [h for h, _ in items], [c for _, c in items]))
-        if horizon_s is not None and items:
+        if horizon_s is not None:
             # whole-key eviction once the newest retained hour ages out
             state.setTimeoutTimestamp(
                 (items[-1][0] + hour_us) // 1000 + horizon_s * 1000 + 1

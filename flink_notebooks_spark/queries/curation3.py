@@ -22,17 +22,17 @@ from ._registry import query
 from .llm import (
     SQL_JACCARD_CAND_CTES,
     SQL_SHINGLE_CTES,
+    _DOC_HASH,
     _connected_components,
     jaccard_pairs_df,
 )
 
-# md5-lower-64 of the CLUSTER id (the curation_split portable-hash
-# convention, over the component instead of the doc key)
-_CLUSTER_HASH = (
-    "CAST(conv(concat_ws('', transform(sequence(15, 0, -1), "
-    "i -> substring(md5(CAST(cluster AS STRING)), 17 + i*2, 2))), 16, 10) "
-    "AS DECIMAL(20,0))"
-)
+# md5-lower-64 of the CLUSTER id / doc id — the single parameterized
+# portable-hash expression (llm._DOC_HASH), NOT a re-derivation: the
+# byte-reversal trick must stay byte-identical to DuckDB md5_number_lower
+# everywhere (see the parity-traps notes)
+_CLUSTER_HASH = _DOC_HASH.format(key="CAST(cluster AS STRING)")
+_DOCKEY_HASH = _DOC_HASH.format(key="CAST(doc_id AS STRING)")
 
 # the components + cluster CTEs shared by both oracles: verified pairs →
 # undirected reachability → min-reachable label; singletons label themselves
@@ -136,14 +136,7 @@ def split_leakage_report(spark, sf_dir):
     joins keyed on the ids, aggregate cardinality ≤ 6 (split pairs)."""
     pairs = jaccard_pairs_df(spark, sf_dir).select("a", "b")
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    bucket = (
-        F.expr(
-            "CAST(conv(concat_ws('', transform(sequence(15, 0, -1), "
-            "i -> substring(md5(CAST(doc_id AS STRING)), 17 + i*2, 2))), 16, 10) "
-            "AS DECIMAL(20,0))"
-        )
-        % 100
-    )
+    bucket = F.expr(_DOCKEY_HASH) % 100
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )

@@ -206,9 +206,10 @@ def streaming_interval_join(spark, sf_dir):
     return out.groupBy("p_id").agg(F.count("*").alias("n_clicks")).orderBy("p_id")
 
 
-@query(
-    "streaming_stateful_sessionize",
-    oracle=f"""
+# shared by the NoTimeout form below and the TTL'd form in streaming3.py —
+# the two must verify against the SAME ground truth for their output-parity
+# claim to mean anything
+SESSIONIZE_ORACLE = """
     WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
     f AS (SELECT *, CASE WHEN ts_us - LAG(ts_us) OVER
                     (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000
@@ -217,8 +218,10 @@ def streaming_interval_join(spark, sf_dir):
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM f)
     SELECT user_id, sid, COUNT(*) AS n_events, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
     FROM s GROUP BY user_id, sid ORDER BY user_id, sid
-    """,
-)
+    """
+
+
+@query("streaming_stateful_sessionize", oracle=SESSIONIZE_ORACLE)
 def streaming_stateful_sessionize(spark, sf_dir):
     """Custom stateful streaming operator (SURVEY.md T9/W9 class):
     ``applyInPandasWithState`` sessionization — arbitrary per-key state, the
@@ -303,7 +306,20 @@ def _staged_table_stream(
     else:
         tmp = staging_dir
         os.makedirs(tmp, exist_ok=True)
-    if not any(f.endswith(".parquet") for f in os.listdir(tmp)):
+    staged = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+    if staged:
+        # reused staging (pinned staging_dir) must match the requested shape:
+        # silently reading files staged WITHOUT arrival_us under a schema
+        # that declares it would fill nulls and crash the TTL state op
+        have = "arrival_us" in pq.read_schema(f"{tmp}/{sorted(staged)[0]}").names
+        if have != (arrival_step_s is not None):
+            raise ValueError(
+                f"staging dir {tmp} was populated "
+                f"{'with' if have else 'without'} arrival_us but this call "
+                f"requests the {'non-' if have else ''}TTL shape — use a "
+                "separate staging_dir per variant"
+            )
+    else:
         tbl = pq.read_table(f"{sf_dir}/{table}.parquet", columns=cols).sort_by(
             sort_col
         )

@@ -47,6 +47,7 @@ from .corpus import (
 )
 from .llm import RETENTION_ORACLE
 from .streaming import (
+    SESSIONIZE_ORACLE,
     _embedding_pair_stream,
     _minhash_pair_stream,
     _run_to_memory,
@@ -105,19 +106,7 @@ def streaming_events_anomaly_ttl(spark, sf_dir):
     return _anomaly_latest(_run_to_memory(res, "update"))
 
 
-@query(
-    "streaming_stateful_sessionize_ttl",
-    oracle="""
-    WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
-    f AS (SELECT *, CASE WHEN ts_us - LAG(ts_us) OVER
-                    (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000
-                    THEN 1 ELSE 0 END AS nf FROM b),
-    s AS (SELECT *, CAST(1 + SUM(nf) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM f)
-    SELECT user_id, sid, COUNT(*) AS n_events, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
-    FROM s GROUP BY user_id, sid ORDER BY user_id, sid
-    """,
-)
+@query("streaming_stateful_sessionize_ttl", oracle=SESSIONIZE_ORACLE)
 def streaming_stateful_sessionize_ttl(spark, sf_dir):
     """``streaming_stateful_sessionize`` in its CANONICAL production form:
     the session gap IS the state TTL. The open session lives in keyed state;

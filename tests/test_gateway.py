@@ -692,7 +692,14 @@ def test_ttl_stateful_stream_serves_changelog_kinds(gw_obj, spark, sf_dir):
             if page["resultType"] == "EOS":
                 break
             url = base + page["nextResultUri"]
-            if sum(1 for r in rows if r["kind"] == "UPDATE_BEFORE") >= 5:
+            # only stop on a COMPLETE pair tail: a UB whose UA sits in the
+            # next unfetched page would make the adjacency assert read past
+            # the collected rows
+            if (
+                sum(1 for r in rows if r["kind"] == "UPDATE_BEFORE") >= 5
+                and rows
+                and rows[-1]["kind"] != "UPDATE_BEFORE"
+            ):
                 break
             time.sleep(0.3)
     finally:

@@ -213,6 +213,12 @@ def test_sniff_header_mp4_mvhd_tkhd():
     # version-1 boxes (64-bit times) read at their shifted offsets
     v1 = mm.sniff_header(_mp4(w=640, h=360, timescale=90000, duration=45000, version=1))
     assert (v1["width"], v1["height"], v1["duration_s"]) == (640, 360, 0.5)
+    # audio-only ISO-BMFF (M4A: no visual trak, every tkhd 0×0) → audio
+    ftyp = _box(b"ftyp", b"M4A \x00\x00\x02\x00isom")
+    moov = _box(b"moov", _mvhd(600, 3000) + _box(b"trak", _tkhd(0, 0)))
+    m4a = mm.sniff_header(ftyp + moov)
+    assert m4a["kind"] == "audio" and m4a["duration_s"] == 5.0
+    assert m4a["width"] is None
 
 
 def test_sniff_header_mp4_truncation_and_malformed():

@@ -35,14 +35,23 @@ def _load(path: str) -> dict:
 
 
 def main(argv: list[str]) -> int:
-    args = [a for a in argv if not a.startswith("--")]
+    threshold = 0.25
+    args: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--threshold"):
+            if "=" in a:
+                threshold = float(a.split("=", 1)[1])
+            else:  # space-separated form: consume the next token
+                i += 1
+                threshold = float(argv[i])
+        elif not a.startswith("--"):
+            args.append(a)
+        i += 1
     if len(args) != 2:
         print(__doc__)
         return 0
-    threshold = 0.25
-    for a in argv:
-        if a.startswith("--threshold"):
-            threshold = float(a.split("=", 1)[1]) if "=" in a else threshold
     old, new = _load(args[0]), _load(args[1])
     po = old.get("bench_protocol", "pre-v2 (untagged)")
     pn = new.get("bench_protocol", "pre-v2 (untagged)")
@@ -58,14 +67,15 @@ def main(argv: list[str]) -> int:
     shared = sorted(set(qo) & set(qn))
     so = sum(qo[k] for k in shared if qo[k] >= 0)
     sn = sum(qn[k] for k in shared if qn[k] >= 0)
+    pct = f"  ({(sn - so) / so * 100:+.1f}%)" if so > 0 else ""
     print(
         f"shared entries: {len(shared)}  old total {so:.1f}s  new total "
-        f"{sn:.1f}s  ({(sn - so) / so * 100:+.1f}%)"
+        f"{sn:.1f}s{pct}"
     )
     moved = []
     for k in shared:
         a, b = qo[k], qn[k]
-        if a < 0 or b < 0 or max(a, b) < 0.2:
+        if a <= 0 or b < 0 or max(a, b) < 0.2:
             continue
         rel = (b - a) / a
         if abs(rel) >= threshold:
