@@ -102,6 +102,8 @@ HEADLINE = [
     ("q54_tpch_q14", "conditional-agg ratio: month filter pushed, one single-partition final"),
     ("q55_tpch_q16", "NOT IN as null-aware broadcast anti join + COUNT DISTINCT rollup"),
     ("q56_tpch_q19", "disjunctive OR-of-ANDs: per-side implications pushed to BOTH scans"),
+    ("curation_split_leakage_safe", "cluster-consistent split: components label join + map-side hash bucket"),
+    ("split_leakage_report", "near-dup pairs × split assignment: two id-keyed joins, ≤6-row aggregate"),
 ]
 
 
