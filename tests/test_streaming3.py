@@ -333,6 +333,29 @@ def test_embedding_dedup_ttl_evicts_aged_signatures(spark, tmp_path):
     assert _final_state_rows(q_t) < _final_state_rows(q_e)
 
 
+def test_staging_shape_mismatch_raises_loudly(spark, tmp_path):
+    """A pinned staging dir populated WITHOUT arrival_us must refuse a later
+    TTL-shaped read (and vice versa) — silently reading nulls into the TTL
+    state op would crash mid-stream with an opaque NaN cast instead."""
+    from flink_notebooks_spark.queries.streaming import _staged_table_stream
+
+    sf = _dedup_docs_dir(tmp_path)
+    staging = str(tmp_path / "staged")
+    schema = "doc_id bigint, text string"
+    _staged_table_stream(spark, sf, "documents", "doc_id", schema,
+                         staging_dir=staging)
+    with pytest.raises(ValueError, match="arrival_us"):
+        _staged_table_stream(spark, sf, "documents", "doc_id", schema,
+                             staging_dir=staging, arrival_step_s=1)
+    # and the reverse direction
+    staging2 = str(tmp_path / "staged2")
+    _staged_table_stream(spark, sf, "documents", "doc_id", schema,
+                         staging_dir=staging2, arrival_step_s=1)
+    with pytest.raises(ValueError, match="arrival_us"):
+        _staged_table_stream(spark, sf, "documents", "doc_id", schema,
+                             staging_dir=staging2)
+
+
 def test_ttl_and_exact_dedup_agree_on_bounded_replay(spark, sf_dir):
     """Registered-query parity: the full fixture replay sits inside one TTL
     window, so the TTL'd dedups must emit EXACTLY the unbounded forms'
