@@ -77,14 +77,22 @@ the total-repetition set is a single interval: ``((A B)+)*`` ≡
 ``((A B){a,b}){m,}`` when gap-free (max(m,1)·(b−a) ≥ a−1, so e.g.
 ``((A B){1,2})+`` ≡ ``(A B)+``) — all collapsed at parse time — and
 bounded×bounded ``((A B){a,b}){m,n}`` expands the outer count into
-consecutive copies. Not supported (raise): total sets with GAPS
-(``((A B){2})+`` = even counts only; ``((A B){2,})*`` = {0} ∪ [2,∞)),
-mixed greediness where BOTH levels have a repetition choice, deeper
-nesting (a quantified group containing another quantified group plus
-other members, ``((A B)+ C)+``), and groups able to match empty under
-unbounded repetition (``(A? B?)+``, ``((A B)*)+`` — Flink's CEP
-compiler rejects empty-matching repetition with its own error, so those
-raises are parity) — each raises rather than silently diverging.
+consecutive copies. The REMAINING nested shapes — total-repetition sets
+with GAPS (``((A B){2})+`` = even counts only; ``((A B){2,})*`` =
+{0} ∪ [2,∞)), mixed greediness where BOTH levels have a repetition
+choice (``((A B)+?)*``), and quantified groups CONTAINING quantified
+groups (``((A B)+ C)+``, any depth) — run on the nested-tree path
+(``spec.nested``): the pattern parses into a PatternTerm/NestedGroup
+tree and the matcher enumerates flat expansions per attempt in
+greediest-first preference (leftmost group's count outermost, each
+level honoring its own greediness), sharing the ordinary backtracker,
+measures, SKIP, WITHIN, and the streaming frontier rule; per-start
+attempts are capped loudly (``_MAX_GROUP_ATTEMPTS``). Still rejected
+(raise): groups able to match empty under unbounded repetition
+(``(A? B?)+``, ``((A B)*)+`` — Flink's CEP compiler rejects
+empty-matching repetition with its own error, so the raise is parity)
+and '|' alternation of multi-variable SEQUENCES (Flink's '|'
+alternates single variables).
 
 Scale design (the 100 TB argument):
 
@@ -159,6 +167,128 @@ class GroupTerm:
 
 
 @dataclass
+class NestedGroup:
+    """Arbitrarily NESTED quantified sequence group — the fallback
+    representation for the shapes the flat expansion cannot express:
+    gap-total repetition sets (``((A B){2})+`` matches only even totals),
+    mixed greediness across levels (``((A B)+?)*``), and quantified groups
+    containing quantified groups (``((A B)+ C)+``). ``seq`` members are
+    PatternTerm or NestedGroup; ``hi is None`` means unbounded. The matcher
+    never walks this structure directly — ``_nested_flats`` enumerates flat
+    PatternTerm expansions per match attempt (leftmost group's repetition
+    count varying outermost, greedy levels most-reps-first), and each flat
+    candidate runs through the ordinary ``_match_starting_at`` backtracker,
+    so measures / SKIP / DEFINE semantics are identical to every other
+    pattern class. Flink CEP compiles these same shapes into its NFA
+    (reference: stock Flink 1.20 via flink-runtime/build.gradle:37-38);
+    count-enumeration over the same repetition space reaches the same
+    match set under the engine's documented greediest-first preference."""
+
+    seq: list  # list[PatternTerm | NestedGroup]
+    lo: int
+    hi: int | None  # None = unbounded
+    greedy: bool = True  # False = reluctant: fewest repetitions first
+
+    @property
+    def vars(self) -> list[str]:
+        return [v for t in self.seq for v in t.vars]
+
+    @property
+    def min_rows_rep(self) -> int:  # minimum rows ONE repetition consumes
+        return _seq_min_rows(self.seq)
+
+    @property
+    def lo_rows(self) -> int:  # minimum rows the whole group consumes
+        return self.lo * self.min_rows_rep
+
+
+def _seq_min_rows(seq) -> int:
+    """Minimum rows a term sequence must consume (0 if all optional)."""
+    total = 0
+    for t in seq:
+        total += t.lo_rows if isinstance(t, NestedGroup) else t.lo
+    return total
+
+
+def _nested_representative(seq) -> list:
+    """One flat PatternTerm expansion covering EVERY variable in the tree
+    (each group unrolled max(lo, 1) times) — used for spec.pattern so
+    variable collection and SKIP TO validation see all variables; never
+    used for matching (spec.nested drives the matcher)."""
+    out: list[PatternTerm] = []
+    for t in seq:
+        if isinstance(t, NestedGroup):
+            body = _nested_representative(t.seq)
+            out.extend(body * max(t.lo, 1))
+        else:
+            out.append(t)
+    return out
+
+
+def _nested_first_term(seq):
+    """The leftmost term every parse of ``seq`` must begin with, or None
+    when the first position is ambiguous (leading optional term/group)."""
+    if not seq:
+        return None
+    t = seq[0]
+    if isinstance(t, NestedGroup):
+        return _nested_first_term(t.seq) if t.lo >= 1 else None
+    return t
+
+
+def _nested_flats(seq, rows_avail: int, probe_past: bool):
+    """Yield flat PatternTerm expansions of a nested-group term sequence,
+    in the engine's preference order: the LEFTMOST group's repetition count
+    varies outermost (matching the bounded expansion's itertools.product
+    convention), greedy groups most-reps-first, reluctant fewest-first.
+    ``rows_avail`` bounds unbounded counts (a repetition consuming
+    ``min_rows_rep`` rows can repeat at most avail // min_rows_rep times
+    after the rest of the sequence takes its minimum) — a PRUNE only; the
+    flat backtracker still validates every candidate against the data.
+
+    ``probe_past`` is the streaming frontier rule: each unbounded group
+    also probes ONE count past what the frame can hold, LAST (greedy
+    counts descend, so the probe is yielded first and fails fast into the
+    frontier flag; reluctant counts ascend, so it naturally sits last) —
+    the probe cannot succeed but reports frontier contact exactly when
+    appended rows could fit another repetition, the signal require_closed
+    needs (same convention as the one-level group entries)."""
+    gi = next(
+        (i for i, t in enumerate(seq) if isinstance(t, NestedGroup)), None
+    )
+    if gi is None:
+        yield list(seq)
+        return
+    pre, g, rest = list(seq[:gi]), seq[gi], list(seq[gi + 1 :])
+    other_min = sum(t.lo for t in pre) + _seq_min_rows(rest)
+    one = g.min_rows_rep
+    avail = rows_avail - other_min
+    if avail < 0:
+        kmax = -1  # even zero repetitions leave no room for the rest
+    elif g.hi is not None:
+        kmax = g.hi if one == 0 else min(g.hi, avail // one)
+    else:
+        kmax = avail // one
+    if probe_past:
+        # one count past frame capacity (clamped to hi for bounded groups,
+        # floored at lo) — the candidate runs out of input inside
+        # _match_starting_at and flags frontier contact instead of matching
+        k_hi = max(kmax + 1, g.lo)
+        if g.hi is not None:
+            k_hi = max(min(k_hi, g.hi), g.lo)
+    else:
+        k_hi = kmax
+        if k_hi < g.lo:
+            return  # infeasible: the frame cannot hold the minimum repetitions
+    counts = (
+        range(k_hi, g.lo - 1, -1) if g.greedy else range(g.lo, k_hi + 1)
+    )
+    for k in counts:
+        body_k = [t for _ in range(k) for t in g.seq]
+        yield from _nested_flats(pre + body_k + rest, rows_avail, probe_past)
+
+
+@dataclass
 class MatchSpec:
     partition_by: list[str]
     order_by: list[str]
@@ -176,6 +306,11 @@ class MatchSpec:
     # raw PATTERN (...) source text, kept so resource-budget errors can NAME
     # the pattern that tripped them (None for programmatically-built specs)
     pattern_text: str | None = None
+    # NESTED quantified-group tree (list[PatternTerm | NestedGroup]) — set
+    # only for the shapes the flat expansion can't express; when set,
+    # ``pattern`` holds a representative flat unroll (variable collection /
+    # SKIP TO validation) and the matcher enumerates flats per attempt
+    nested: list | None = None
     variables: list[str] = field(default_factory=list)
 
     def __post_init__(self):
@@ -514,6 +649,137 @@ def _tokenize_flat(src: str) -> list[PatternTerm]:
 
 
 
+def _parse_pattern_tree(src: str) -> list:
+    """Recursive-descent parse of a PATTERN body into a PatternTerm /
+    NestedGroup tree — the FALLBACK path for the nested shapes the flat
+    expansion rejects (gap-total repetition sets, mixed greediness across
+    levels, quantified groups containing quantified groups). Grammar:
+
+        seq   := item+
+        item  := (VAR | '(' branch ('|' branch)* ')') quant? '?'?
+        quant := '+' | '*' | '?' | '{m}' | '{m,}' | '{m,n}'
+
+    '|' is Flink's VARIABLE alternation — every branch must be a single
+    unquantified variable; alternation of sequences is not in the engine's
+    grammar anywhere, and raises the same loud NotImplementedError here.
+    Un-quantified groups are pure sequence grouping and splice into the
+    parent. An UNBOUNDED quantifier over a body that can match empty
+    (every member optional) would never terminate — rejected exactly like
+    the flat path (Flink CEP rejects empty-matching repetition too)."""
+    pos = 0
+    n = len(src)
+
+    def skip_ws():
+        nonlocal pos
+        while pos < n and src[pos].isspace():
+            pos += 1
+
+    def parse_quant():
+        """(lo, hi, greedy) after an item; (1, 1, True) when absent."""
+        nonlocal pos
+        skip_ws()
+        if pos >= n:
+            return 1, 1, True
+        ch = src[pos]
+        if ch in "+*":
+            pos += 1
+            lo, hi = (1, None) if ch == "+" else (0, None)
+        elif ch == "?":
+            pos += 1
+            lo, hi = 0, 1
+        elif ch == "{":
+            m = re.match(r"\{(\d+)(,(\d*))?\}", src[pos:])
+            if not m:
+                raise ValueError(
+                    f"MATCH_RECOGNIZE: bad quantifier near {src[pos:pos+12]!r}"
+                )
+            pos += m.end()
+            lo = int(m.group(1))
+            hi = lo if m.group(2) is None else (
+                int(m.group(3)) if m.group(3) else None
+            )
+            if hi is not None and hi < lo:
+                raise ValueError(
+                    f"MATCH_RECOGNIZE: bad quantifier {m.group(0)!r}"
+                )
+        else:
+            return 1, 1, True
+        greedy = True
+        if pos < n and src[pos] == "?":  # reluctant marker
+            pos += 1
+            greedy = False
+        return lo, hi, greedy
+
+    def parse_item() -> list:
+        """One item → list of tree terms (a spliced group returns many)."""
+        nonlocal pos
+        if src[pos] == "(":
+            pos += 1
+            branches = [parse_seq(")|")]
+            while pos < n and src[pos] == "|":
+                pos += 1
+                branches.append(parse_seq(")|"))
+            skip_ws()
+            if pos >= n or src[pos] != ")":
+                raise ValueError("MATCH_RECOGNIZE: unbalanced '(' in PATTERN")
+            pos += 1
+            lo, hi, greedy = parse_quant()
+            if len(branches) > 1:
+                # variable alternation (A|B|...): single bare vars only
+                vars_: list[str] = []
+                for b in branches:
+                    if not (
+                        len(b) == 1
+                        and isinstance(b[0], PatternTerm)
+                        and len(b[0].vars) == 1
+                        and b[0].lo == 1
+                        and b[0].hi == 1
+                    ):
+                        raise NotImplementedError(
+                            "MATCH_RECOGNIZE: alternation of sequences in "
+                            "PATTERN is not supported (Flink's '|' "
+                            "alternates single variables)"
+                        )
+                    vars_.append(b[0].vars[0])
+                return [PatternTerm(vars_, lo, hi, greedy)]
+            body = branches[0]
+            if not body:
+                raise ValueError("MATCH_RECOGNIZE: empty group in PATTERN")
+            if lo == 1 and hi == 1 and greedy:
+                return body  # pure sequence grouping: splice
+            if hi is None and _seq_min_rows(body) == 0:
+                raise ValueError(
+                    "MATCH_RECOGNIZE: the group repeats a body that can "
+                    "match EMPTY under an unbounded quantifier — its "
+                    "repetition would never terminate (Flink's CEP "
+                    "compiler rejects empty-matching repetition too)"
+                )
+            return [NestedGroup(body, lo, hi, greedy)]
+        m = re.match(r"\w+", src[pos:])
+        if not m:
+            raise ValueError(
+                f"MATCH_RECOGNIZE: bad pattern near {src[pos:pos+12]!r}"
+            )
+        pos += m.end()
+        lo, hi, greedy = parse_quant()
+        return [PatternTerm([m.group(0).upper()], lo, hi, greedy)]
+
+    def parse_seq(stop_chars: str) -> list:
+        items: list = []
+        while True:
+            skip_ws()
+            if pos >= n or src[pos] in stop_chars:
+                return items
+            items.extend(parse_item())
+
+    out = parse_seq("")
+    if pos < n:
+        raise ValueError(f"MATCH_RECOGNIZE: bad pattern near {src[pos:]!r}")
+    if not out:
+        raise ValueError("MATCH_RECOGNIZE: empty PATTERN")
+    return out
+
+
 def parse_match_recognize(clause: str) -> MatchSpec:
     """Parse the text INSIDE ``MATCH_RECOGNIZE ( ... )``."""
     all_rows = bool(re.search(r"\bALL\s+ROWS\s+PER\s+MATCH\b", clause, re.IGNORECASE))
@@ -674,45 +940,73 @@ def parse_match_recognize(clause: str) -> MatchSpec:
             pattern = variant_lists[0]
             alternatives = variant_lists
         pat_src = ""
+    nested = None
     if not permute and alternatives is None:
-        pat_src = _collapse_nested_groups(pat_src)
-        src2, ubs = _extract_unbounded_groups(pat_src)
-        if re.search(r"\([^()]*\x00G", src2):
-            raise NotImplementedError(
-                "MATCH_RECOGNIZE: a quantified group containing another "
-                "quantified group (e.g. ((A B)+ C)+) is not supported"
-            )
-        group_terms = []
-        for body_src, lo, greedy in ubs:
-            body_terms = _tokenize_flat(body_src)
-            if sum(t.lo for t in body_terms) == 0:
-                raise ValueError(
-                    f"MATCH_RECOGNIZE: sequence group ({body_src}) can match "
-                    "empty (every member is optional) — its unbounded "
-                    "repetition would never terminate"
+        try:
+            collapsed = _collapse_nested_groups(pat_src)
+            src2, ubs = _extract_unbounded_groups(collapsed)
+            if re.search(r"\([^()]*\x00G", src2):
+                raise NotImplementedError(
+                    "MATCH_RECOGNIZE: a quantified group containing another "
+                    "quantified group (e.g. ((A B)+ C)+) has no flat "
+                    "expansion"
                 )
-            group_terms.append(GroupTerm(body_terms, lo, greedy))
-        variant_terms = []
-        has_group = False
-        for v in _expand_seq_groups(src2):
-            if ubs and _GROUP_SENT_RE.search(v):
-                terms = []
-                pos = 0
-                for sm in _GROUP_SENT_RE.finditer(v):
-                    terms += _tokenize_flat(v[pos : sm.start()])
-                    terms.append(group_terms[int(sm.group(1))])
-                    pos = sm.end()
-                terms += _tokenize_flat(v[pos:])
-                has_group = True
-            else:
-                terms = _tokenize_flat(v)
-            if terms:
-                variant_terms.append(terms)
-        if not variant_terms:
-            raise ValueError("MATCH_RECOGNIZE: empty PATTERN")
-        pattern = variant_terms[0]
-        if len(variant_terms) > 1 or has_group:
-            alternatives = variant_terms
+            group_terms = []
+            for body_src, lo, greedy in ubs:
+                body_terms = _tokenize_flat(body_src)
+                if sum(t.lo for t in body_terms) == 0:
+                    raise ValueError(
+                        f"MATCH_RECOGNIZE: sequence group ({body_src}) can match "
+                        "empty (every member is optional) — its unbounded "
+                        "repetition would never terminate"
+                    )
+                group_terms.append(GroupTerm(body_terms, lo, greedy))
+            variant_terms = []
+            has_group = False
+            for v in _expand_seq_groups(src2):
+                if ubs and _GROUP_SENT_RE.search(v):
+                    terms = []
+                    pos = 0
+                    for sm in _GROUP_SENT_RE.finditer(v):
+                        terms += _tokenize_flat(v[pos : sm.start()])
+                        terms.append(group_terms[int(sm.group(1))])
+                        pos = sm.end()
+                    terms += _tokenize_flat(v[pos:])
+                    has_group = True
+                else:
+                    terms = _tokenize_flat(v)
+                if terms:
+                    variant_terms.append(terms)
+            if not variant_terms:
+                raise ValueError("MATCH_RECOGNIZE: empty PATTERN")
+            pattern = variant_terms[0]
+            if len(variant_terms) > 1 or has_group:
+                alternatives = variant_terms
+        except NotImplementedError:
+            # Every NotImplementedError the flat compile raises is a nested-
+            # quantified-group shape (gap-total sets, mixed greediness,
+            # groups containing quantified groups, deep nesting) — exactly
+            # what the tree path expresses. Genuinely unsupported shapes
+            # (empty-matching body under an unbounded quantifier, sequence
+            # alternation) re-raise from _parse_pattern_tree itself.
+            nested = _parse_pattern_tree(pat_src)
+            pattern = _nested_representative(nested)
+        except ValueError as flat_err:
+            # The flat tokenizer's "bad pattern" / variant-explosion errors
+            # also fire on LEGAL nested shapes its grammar can't see (e.g.
+            # '|' inside a nested group, or a bounded expansion too large
+            # to enumerate at parse time). Re-parse with the tree grammar:
+            # a clean tree parse supersedes the flat error (the per-attempt
+            # expansion handles the shape under the match-time caps); a
+            # tree NotImplementedError is the more specific diagnosis; any
+            # other tree failure restores the ORIGINAL flat error.
+            try:
+                nested = _parse_pattern_tree(pat_src)
+            except NotImplementedError:
+                raise
+            except Exception:
+                raise flat_err from None
+            pattern = _nested_representative(nested)
     if not pattern:
         raise ValueError("MATCH_RECOGNIZE: empty PATTERN")
 
@@ -790,6 +1084,7 @@ def parse_match_recognize(clause: str) -> MatchSpec:
         permute=permute,
         alternatives=alternatives,
         pattern_text=pat_src.strip(),
+        nested=nested,
     )
 
 
@@ -1413,6 +1708,7 @@ def _fast_eligible(spec: MatchSpec, measures) -> bool:
         or spec.within_ms
         or spec.permute
         or spec.alternatives
+        or spec.nested
     ):
         return False
     terms = spec.pattern
@@ -1771,6 +2067,11 @@ def _run_matches(
             perm = list(perm)
             tb, pd_ = term_data(perm)
             alts.append(("flat", perm, tb, pd_))
+    elif spec.nested:
+        # nested quantified groups: flats enumerate per attempt
+        # (_nested_flats), so there is exactly one entry and no shared
+        # term columns
+        alts = [("nested", spec.nested, 0)]
     elif spec.alternatives:
         # sequence-group expansions, greediest first: the first variant
         # that matches at a start wins (outermost-quantifier greed).
@@ -1803,6 +2104,11 @@ def _run_matches(
 
     # unbounded-group flattenings, cached per (variant, rep-vector)
     flat_cache: dict[tuple, tuple] = {}
+    # nested-entry term_data, cached per flat candidate (id-tuple of its
+    # term objects — the tree's term objects are reused across yields, so
+    # identical expansions hit the cache; scoped to THIS frame because the
+    # cached boolean columns belong to this pdf)
+    nested_cache: dict[tuple, tuple] = {}
 
     def group_flat(eid, segs, grps, ks):
         got = flat_cache.get((eid, ks))
@@ -1824,6 +2130,22 @@ def _run_matches(
             if pat[0].lo >= 1 and tb[0] is not None:
                 return tb[0]
             return None
+        if kind == "nested":
+            lead = _nested_first_term(entry[1])
+            if (
+                lead is None
+                or lead.lo < 1
+                or (stateful and any(x in stateful for x in lead.vars))
+            ):
+                return None
+            key = tuple(lead.vars)
+            col = or_memo.get(key)
+            if col is None:
+                col = bools[lead.vars[0]]
+                for v in lead.vars[1:]:
+                    col = col | bools[v]
+                or_memo[key] = col
+            return col
         _, segs, grps, _ = entry
         lead = (
             segs[0][0]
@@ -2006,6 +2328,39 @@ def _run_matches(
                 if hit is not None:
                     return hit, ap
                 continue
+            if entry[0] == "nested":
+                # nested quantified groups: enumerate flat expansions in
+                # preference order; every candidate is a full backtracking
+                # attempt (no positional pre-pruning here — the shape class
+                # is exotic and the attempt cap is the loud backstop)
+                attempts = 0
+                for pat_k in _nested_flats(entry[1], n - i, fcell is not None):
+                    if not pat_k:
+                        continue  # all-zero repetition counts: empty match
+                    attempts += 1
+                    if attempts > _MAX_GROUP_ATTEMPTS:
+                        pat_txt = (
+                            f" [PATTERN ({spec.pattern_text})]"
+                            if spec.pattern_text
+                            else ""
+                        )
+                        raise ValueError(
+                            "MATCH_RECOGNIZE: nested-group repetition probe "
+                            f"exceeds {_MAX_GROUP_ATTEMPTS} attempts at one "
+                            f"start{pat_txt}; bound the group quantifiers, "
+                            "e.g. {m,n}"
+                        )
+                    ckey = tuple(id(t) for t in pat_k)
+                    got = nested_cache.get(ckey)
+                    if got is None:
+                        got = nested_cache[ckey] = term_data(pat_k)
+                    tb_k, pd_k = got
+                    hit = _match_starting_at(
+                        tb_k, pat_k, n, i, pd_k, within_ok, fcell
+                    )
+                    if hit is not None:
+                        return hit, pat_k
+                continue
             _, segs, grps, eid = entry
             if fcell is None and last_cl is not None and last_cl < i:
                 continue  # no closer remains in the frame (batch: final)
@@ -2128,6 +2483,7 @@ def _run_matches(
             starts = np.flatnonzero(u)
     elif (
         not spec.alternatives  # variants may lead with different terms
+        and term_bools is not None  # nested entries have no shared columns
         and pattern[0].lo >= 1
         and term_bools[0] is not None
     ):

@@ -850,14 +850,16 @@ def _embedding_pair_stream(spark, sf_dir, ttl_s: int | None = None):
     return verified
 
 
-def _staged_events_stream(spark, sf_dir):
+def _staged_events_stream(spark, sf_dir, with_value: bool = False):
     """Stage the events table for a terminating streaming replay: the
     events file first, then a single far-future sentinel row on its own
     key (user_id=-1) — the bounded-input analog of Flink's end-of-input
     MAX_WATERMARK. Processing the sentinel advances the GLOBAL watermark
     past every real key's close_after deadline, so idle keys' held tail
     matches conclude in the final no-data batch. Shared by every
-    streaming MATCH_RECOGNIZE query over the events table."""
+    streaming MATCH_RECOGNIZE query over the events table (and, with
+    ``with_value=True``, the streaming OVER aggregations, which read the
+    ``value`` measure column too)."""
     import datetime
     import os
     import tempfile
@@ -923,7 +925,14 @@ def _staged_events_stream(spark, sf_dir):
     stream = (
         stream_ts_cols(raw)
         .withWatermark("ev_time", "0 seconds")
-        .select("user_id", "event_id", "ev_time", "ts_us", "event_type")
+        .select(
+            "user_id",
+            "event_id",
+            "ev_time",
+            "ts_us",
+            "event_type",
+            *(["value"] if with_value else []),
+        )
     )
     return stream
 

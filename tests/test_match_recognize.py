@@ -2598,23 +2598,110 @@ def test_nested_group_quantifier_collapse_fuzz(spark):
 
 def test_nested_group_quantifier_residual_raises(spark):
     """The genuinely inexpressible nested shapes still raise loudly:
-    gap total sets (((A B){2})+ = even counts; ((A B){2,})* = {0}∪[2,∞))
-    and mixed greediness."""
-    for pat, msg in [
-        ("PATTERN (((A B){2})+ C)", "gaps"),
-        ("PATTERN (((A B){2,})* C)", "gap total set"),
-        ("PATTERN (((A B)+?)* C)", "mixed greediness"),
-        # empty-matching inner under unbounded outer: Flink CEP parity
-        ("PATTERN (((A B)*)+ C)", "EMPTY"),
-        ("PATTERN (((A B)*)* C)", "EMPTY"),
-        # deeper nesting raises cleanly, not a cryptic bad-pattern error
-        ("PATTERN (((A B)+ C)+)", "containing another quantified group"),
-        ("PATTERN ((((C D)+ X)+)*)", "containing another quantified group"),
+    an unbounded quantifier over a body that can match EMPTY would never
+    terminate (Flink CEP rejects empty-matching repetition too), and '|'
+    alternates single variables, never sequences."""
+    for pat, err, msg in [
+        # empty-matching repetition is an INVALID pattern (ValueError, the
+        # same class as the one-level (A? B?)+ rejection), not a gap
+        ("PATTERN (((A B)*)+ C)", ValueError, "EMPTY"),
+        ("PATTERN (((A B)*)* C)", ValueError, "EMPTY"),
+        ("PATTERN (((A? B?)+ C)+)", ValueError, "EMPTY"),
+        (
+            "PATTERN (((A B | C D)+ X)+)",
+            NotImplementedError,
+            "alternation of sequences",
+        ),
     ]:
-        with pytest.raises(NotImplementedError, match=msg):
+        with pytest.raises(err, match=msg):
             parse_match_recognize(
                 f"ORDER BY t MEASURES COUNT(A.*) AS n {pat} DEFINE A AS x=1"
             )
+
+
+def test_nested_group_quantifier_gap_shapes_regex_fuzz(spark):
+    """The previously-rejected nested shapes — gap-total repetition sets
+    (((A B){2})+ matches only even pair counts), mixed greediness across
+    levels, and quantified groups containing quantified groups — now match
+    via the per-attempt tree expansion (spec.nested). Oracle: Python's
+    ``re`` over the tag string with the engine's own scan-and-skip-past
+    loop; with tag-disjoint defines, a match's measures are pure functions
+    of its span, so regex backtracking and the engine's count enumeration
+    must agree on every emitted row. 300 random sequences per shape with a
+    planted (view click)^4 purchase burst so every shape really fires."""
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    meas = (
+        "MEASURES COUNT(A.*) AS n_a, FIRST(A.ts_us) AS a0, "
+        "LAST(C.ts_us) AS c_at"
+    )
+    head = f"PARTITION BY user_id ORDER BY ts_us, event_id {meas} "
+    tail = (
+        " DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click',"
+        " C AS C.event_type = 'purchase', D AS D.event_type = 'other'"
+    )
+    shapes = [
+        ("PATTERN (((A B){2})+ C)", r"((?:ab){2})+c"),
+        ("PATTERN (((A B){2,})* C)", r"((?:ab){2,})*c"),
+        ("PATTERN (((A B)+?)* C)", r"((?:ab)+?)*c"),
+        ("PATTERN (((A B)+ C)+)", r"((?:ab)+c)+"),
+        ("PATTERN (((A B)+ C)+ D)", r"((?:ab)+c)+d"),
+    ]
+    char = {"view": "a", "click": "b", "purchase": "c", "other": "d"}
+
+    def _burst(seed, n):
+        rng = np.random.default_rng(seed)
+        tags = list(rng.choice(["view", "click", "purchase", "other"], size=n))
+        burst = ["view", "click"] * int(rng.integers(4, 6)) + ["purchase"]
+        at = int(rng.integers(0, n))
+        tags = tags[:at] + burst + tags[at:]
+        return pd.DataFrame(
+            {
+                "user_id": 1,
+                "event_id": np.arange(len(tags)),
+                "ts_us": np.arange(len(tags)) * 1000,
+                "event_type": tags,
+            }
+        )
+
+    def regex_oracle(tags, rx):
+        s = "".join(char[t] for t in tags)
+        out = []
+        i = 0
+        while i < len(s):
+            m = rx.match(s, i)
+            if m is None or m.end() <= i:
+                i += 1
+                continue
+            span = range(i, m.end())
+            rows_a = [r for r in span if s[r] == "a"]
+            rows_c = [r for r in span if s[r] == "c"]
+            out.append(
+                (
+                    1,
+                    len(rows_a),
+                    rows_a[0] * 1000 if rows_a else None,
+                    rows_c[-1] * 1000 if rows_c else None,
+                )
+            )
+            i = m.end()
+        return out
+
+    for pat, rx_src in shapes:
+        spec = parse_match_recognize(f"ORDER BY t {meas} {pat} DEFINE A AS x=1")
+        assert spec.nested is not None, pat  # really the tree path
+        rx = _re.compile(rx_src)
+        n_m = 0
+        for seed in range(300):
+            pdf = _burst(seed, 14)
+            got = _pandas_matches(pdf.copy(), head + pat + tail, _GRP_DEFINES)
+            want = regex_oracle(list(pdf["event_type"]), rx)
+            assert got == want, (pat, seed, got, want)
+            n_m += len(got)
+        assert n_m > 50, pat  # the planted burst guarantees real matches
 
 
 def test_nested_group_streaming_matches_batch(spark, tmp_path):
@@ -2638,6 +2725,56 @@ def test_nested_group_streaming_matches_batch(spark, tmp_path):
         for _ in range(rng.randint(2, 3)):
             for _ in range(rng.randint(1, 3)):
                 tags += ["view", "click"]
+            if rng.random() < 0.8:
+                tags.append("purchase")
+            tags += [rng.choice(["other", "view"])] * rng.randint(0, 1)
+        for i, t in enumerate(tags):
+            rows.append(dict(user_id=uid, ts_s=10 * (i + 1), event_type=t))
+    batch = spark.createDataFrame(
+        [(r["user_id"], r["ts_s"], r["event_type"]) for r in rows],
+        "user_id long, ts_s long, event_type string",
+    ).withColumn("ev_time", F.timestamp_seconds("ts_s"))
+    want = {
+        tuple(r)
+        for r in match_recognize(batch, clause.replace("ev_time", "ts_s")).collect()
+    }
+    assert len(want) > 2
+    rows.sort(key=lambda r: (r["ts_s"], r["user_id"]))
+    cut = len(rows) // 2
+    files = [
+        rows[:cut], rows[cut:],
+        [dict(user_id=99, ts_s=10000, event_type="other")],
+    ]
+    got = _mr_stream_run(
+        spark, tmp_path, files, clause, close_after="1 second",
+        schema="user_id long, ts_s long, event_type string, ev_time timestamp",
+    )
+    assert got == want
+
+
+def test_nested_group_gap_shape_streaming_matches_batch(spark, tmp_path):
+    """A genuinely NON-collapsible nested shape on STREAMING input:
+    ((A B){2})+ C has a gap-total repetition set (even pair counts only),
+    so the keyed-state matcher runs the spec.nested tree path — including
+    the frontier probe that holds a match whose next (A B){2} block could
+    still arrive. Streaming must equal the batch parse across micro-batch
+    splits."""
+    import random
+
+    rng = random.Random(171)
+    clause = """
+    PARTITION BY user_id ORDER BY ev_time
+    MEASURES FIRST(A.ts_s) AS a0, COUNT(A.*) AS n_a, LAST(C.ts_s) AS c_at
+    PATTERN (((A B){2})+ C)
+    DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click',
+           C AS C.event_type = 'purchase'
+    """
+    assert parse_match_recognize(clause).nested is not None
+    rows = []
+    for uid in range(1, 5):
+        tags = []
+        for _ in range(rng.randint(2, 3)):
+            tags += ["view", "click"] * rng.randint(1, 4)  # odd counts too
             if rng.random() < 0.8:
                 tags.append("purchase")
             tags += [rng.choice(["other", "view"])] * rng.randint(0, 1)
