@@ -39,6 +39,24 @@ BATCH = "batch"
 STREAMING = "streaming"
 
 
+def _split_top_level_commas(s: str) -> list[str]:
+    """SELECT-list split on commas outside parentheses."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return [p for p in (x.strip() for x in parts) if p]
+
+
 def _grouping_cols(df: DataFrame) -> list[str] | None:
     """Grouping-key column names of a streaming aggregate OR keyed-state
     operator, or None.
@@ -952,6 +970,9 @@ class Engine:
             if tj.isStreaming:
                 return self._start_streaming_select(tj)
             return BatchStatement(tj)
+        ov = self._try_streaming_over(p.sql)
+        if ov is not None:
+            return self._start_streaming_select(ov)
         df = self.spark.sql(rewrite_flink_dialect(p.sql))
         if df.isStreaming:
             return self._start_streaming_select(df)
@@ -1034,6 +1055,219 @@ class Engine:
             rf"\b({palias}|{dalias})\s*\.\s*", "", m.group("rest") or ""
         )
         return self.spark.sql(f"SELECT {sel} FROM __tj_result {rest}")
+
+    _OVER_SPEC = __import__("re").compile(
+        r"^\s*PARTITION\s+BY\s+(?P<part>.+?)\s+ORDER\s+BY\s+"
+        r"(?P<ord>[\w.`]+)(?:\s+ASC)?\s+(?P<mode>RANGE|ROWS)\s+BETWEEN\s+"
+        r"(?:(?P<unb>UNBOUNDED)|INTERVAL\s+'(?P<iv>\d+(?:\.\d+)?)'\s+"
+        r"(?P<unit>MILLISECOND|SECOND|MINUTE|HOUR|DAY)S?|(?P<nrows>\d+))"
+        r"\s+PRECEDING\s+AND\s+CURRENT\s+ROW\s*$",
+        __import__("re").IGNORECASE | __import__("re").DOTALL,
+    )
+    _OVER_AGG_ITEM = __import__("re").compile(
+        r"^(?P<func>\w+)\s*\(\s*(?P<arg>\*|[\w.`]+)\s*\)\s*"
+        r"\x00W(?P<w>\d+)\x00\s+AS\s+(?P<alias>\w+)$",
+        __import__("re").IGNORECASE,
+    )
+    _OVER_CARRY_ITEM = __import__("re").compile(
+        r"^(?P<col>[\w.`]+)(?:\s+AS\s+(?P<alias>\w+))?$",
+        __import__("re").IGNORECASE,
+    )
+
+    def _try_streaming_over(self, sql: str):
+        """Event-time OVER aggregation on a STREAMING table (SURVEY.md §2.6
+        W4-W6 streaming forms — Flink runs rowtime OVER windows on streams,
+        stock planner via reference flink-runtime/build.gradle:37; Spark's
+        Structured Streaming rejects window functions outright with
+        NON_TIME_WINDOW_NOT_SUPPORTED_IN_STREAMING). Canonical form:
+
+            SELECT k, rowtime, SUM(x) OVER w AS s, ... FROM t [WHERE ...]
+            -- every w = (PARTITION BY k ORDER BY rowtime
+            --            RANGE|ROWS BETWEEN <bound> PRECEDING AND CURRENT ROW)
+
+        executes via operators.over_window.streaming_over_window (keyed row
+        buffer, watermark-mature in-order emission, frame-horizon state).
+        Flink's own streaming restrictions are enforced loudly: all OVER
+        specs in one SELECT must be identical, and ORDER BY must be the
+        table's time attribute (its WATERMARK column). Returns None for
+        batch tables (Spark's native OVER handles those) and for shapes
+        outside the canonical form (joins, GROUP BY, subqueries — the
+        fallback's error then names the real limitation)."""
+        import re as _re
+
+        from pyspark.sql import functions as F
+
+        from ..operators.over_window import OverAgg, streaming_over_window
+
+        if not _re.search(r"\bOVER\s*\(", sql, _re.IGNORECASE):
+            return None
+        # mask balanced OVER (...) spans so top-level parsing can't trip on
+        # the parens/commas/ORDER BY inside the window specs
+        specs: list[str] = []
+        masked = []
+        i, n = 0, len(sql)
+        while i < n:
+            m = _re.compile(r"\bOVER\s*\(", _re.IGNORECASE).search(sql, i)
+            if m is None:
+                masked.append(sql[i:])
+                break
+            depth, j = 1, m.end()
+            while j < n and depth:
+                depth += {"(": 1, ")": -1}.get(sql[j], 0)
+                j += 1
+            if depth:
+                return None  # unbalanced — let the fallback error
+            masked.append(sql[i : m.start()])
+            masked.append(f"\x00W{len(specs)}\x00")
+            specs.append(sql[m.end() : j - 1].strip())
+            i = j
+        msql = "".join(masked)
+        q = _re.match(
+            r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<tbl>[\w.`]+)"
+            r"(?:\s+(?:AS\s+)?(?P<alias>(?!WHERE\b)\w+))?"
+            r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+            msql,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if q is None or _re.search(
+            r"\b(JOIN|GROUP\s+BY|UNION|HAVING|LIMIT|ORDER\s+BY|MATCH_RECOGNIZE)\b",
+            msql,
+            _re.IGNORECASE,
+        ):
+            return None  # outside the canonical single-table OVER form
+        name = q.group("tbl").split(".")[-1].strip("`")
+        tdef = self.tables.get(name)
+        if tdef is None:
+            return None
+        try:
+            base = self.spark.table(name)
+        except Exception:  # noqa: BLE001 - unresolvable → fallback errors
+            return None
+        if not base.isStreaming:
+            return None  # Spark executes batch OVER natively
+        norm = {_re.sub(r"\s+", " ", s).strip().upper() for s in specs}
+        if len(norm) > 1:
+            raise ValueError(
+                "streaming OVER: all OVER windows in one SELECT must be "
+                "identical on a streaming table (Flink's restriction)"
+            )
+        sp = self._OVER_SPEC.match(specs[0])
+        if sp is None:
+            raise NotImplementedError(
+                "streaming OVER: only PARTITION BY ... ORDER BY <rowtime> "
+                "RANGE|ROWS BETWEEN <bound>|UNBOUNDED PRECEDING AND CURRENT "
+                "ROW is supported on streaming tables (Flink's streaming "
+                f"OVER envelope); got: OVER ({specs[0]})"
+            )
+        alias = q.group("alias")
+        strip_alias = (
+            (lambda s: _re.sub(rf"\b{alias}\s*\.\s*", "", s))
+            if alias
+            else (lambda s: s)
+        )
+        ord_col = strip_alias(sp.group("ord")).split(".")[-1].strip("`")
+        if tdef.watermark is None or ord_col != tdef.watermark.column:
+            raise ValueError(
+                f"streaming OVER: ORDER BY {ord_col} must be the table's "
+                "time attribute (its WATERMARK column"
+                + (
+                    f", here {tdef.watermark.column!r}"
+                    if tdef.watermark
+                    else " — this table declares none"
+                )
+                + ") — Flink's streaming OVER requirement"
+            )
+        mode = sp.group("mode").upper()
+        if sp.group("unb"):
+            frame = ("unbounded", mode.lower())
+        elif mode == "ROWS":
+            if sp.group("nrows") is None:
+                raise NotImplementedError(
+                    "streaming OVER: ROWS frames take an integer bound"
+                )
+            frame = ("rows", int(sp.group("nrows")))
+        else:
+            if sp.group("iv") is None:
+                raise NotImplementedError(
+                    "streaming OVER: RANGE frames take an INTERVAL bound"
+                )
+            unit_us = {
+                "MILLISECOND": 1_000,
+                "SECOND": 1_000_000,
+                "MINUTE": 60_000_000,
+                "HOUR": 3_600_000_000,
+                "DAY": 86_400_000_000,
+            }[sp.group("unit").upper()]
+            frame = ("range", int(float(sp.group("iv")) * unit_us))
+        part_cols = [
+            strip_alias(c).strip().strip("`")
+            for c in sp.group("part").split(",")
+        ]
+        dtypes = dict(base.dtypes)
+        items = _split_top_level_commas(q.group("sel"))
+        aggs: list[OverAgg] = []
+        carries: list[tuple[str, str]] = []  # (source col, output alias)
+        post: list = []  # (kind, payload) in output order
+        for it in items:
+            it = it.strip()
+            am = self._OVER_AGG_ITEM.match(it)
+            if am:
+                func = am.group("func").lower()
+                arg = strip_alias(am.group("arg")).split(".")[-1].strip("`")
+                aggs.append(
+                    OverAgg(func, None if arg == "*" else arg, am.group("alias"))
+                )
+                post.append(("agg", am.group("alias")))
+                continue
+            cm = self._OVER_CARRY_ITEM.match(it)
+            if cm is None or "\x00" in it:
+                raise NotImplementedError(
+                    "streaming OVER: SELECT items must be plain columns or "
+                    f"AGG(col) OVER (...) AS alias; got {it!r}"
+                )
+            col = strip_alias(cm.group("col")).split(".")[-1].strip("`")
+            if col not in dtypes:
+                return None  # unknown column → let the fallback error
+            out_name = cm.group("alias") or col
+            if str(dtypes[col]).startswith("timestamp") and col != ord_col:
+                raise NotImplementedError(
+                    "streaming OVER: only the rowtime attribute may be a "
+                    f"timestamp SELECT column here (got {col})"
+                )
+            carries.append((col, out_name))
+            post.append(("carry", (col, out_name)))
+        if not aggs:
+            return None  # no windowed aggregate → not this path
+        where = q.group("where")
+        if where:
+            base = base.filter(F.expr(strip_alias(where)))
+        proj = base.withColumn("__ts_us", F.unix_micros(F.col(ord_col)))
+        op_carry: list[str] = []
+        for col, _ in carries:
+            src = "__ts_us" if col == ord_col else col
+            if src not in op_carry:
+                op_carry.append(src)
+        out = streaming_over_window(
+            proj,
+            partition_by=part_cols,
+            time_us_col="__ts_us",
+            frame=frame,
+            aggs=aggs,
+            carry=op_carry,
+        )
+        sel_exprs = []
+        for kind, payload in post:
+            if kind == "agg":
+                sel_exprs.append(F.col(payload))
+            else:
+                col, out_name = payload
+                if col == ord_col:
+                    sel_exprs.append(
+                        F.timestamp_micros(F.col("__ts_us")).alias(out_name)
+                    )
+                else:
+                    sel_exprs.append(F.col(col).alias(out_name))
+        return out.select(*sel_exprs)
 
     def _exec_explain(self, p: Parsed) -> Statement:
         """Flink EXPLAIN dialect → Spark explain modes:

@@ -367,6 +367,105 @@ def test_streaming_match_recognize_through_sql(spark, tmp_path):
     assert got == [[1, 10, 40, 2]]
 
 
+def _over_events_table(spark, tmp_path, name):
+    import pandas as pd
+
+    from flink_notebooks_spark.engine import Engine
+
+    rows = [
+        {"user_id": 1, "ts_s": 10, "amount": 1.5},
+        {"user_id": 1, "ts_s": 20, "amount": 2.0},
+        {"user_id": 1, "ts_s": 40, "amount": 3.0},
+        {"user_id": 2, "ts_s": 10, "amount": 5.0},
+        # far-future row advances the watermark so every real row matures
+        {"user_id": 99, "ts_s": 10_000, "amount": 0.0},
+    ]
+    pdf = pd.DataFrame(rows)
+    pdf["ev_time"] = pd.to_datetime(pdf["ts_s"], unit="s").astype("datetime64[us]")
+    pdf.to_parquet(f"{tmp_path}/events.parquet")
+    eng = Engine(spark)
+    eng.execute_sql(
+        f"""CREATE TABLE {name} (
+              user_id BIGINT, ts_s BIGINT, amount DOUBLE, ev_time TIMESTAMP_LTZ(3),
+              WATERMARK FOR ev_time AS ev_time - INTERVAL '0' SECOND
+            ) WITH ('connector'='filesystem','path'='{tmp_path}','format'='parquet')"""
+    )
+    return eng
+
+
+def _fetch_rows(stmt, want, timeout_s=90):
+    import time
+
+    got, t0 = [], time.time()
+    while len(got) < want and time.time() - t0 < timeout_s:
+        page = stmt.fetch(0, max_rows=100)
+        got = [r["fields"] for r in page.data]
+        time.sleep(0.5)
+    stmt.cancel()
+    return sorted(got)
+
+
+def test_streaming_over_range_through_sql(spark, tmp_path):
+    """Event-time RANGE OVER on a STREAMING table through the engine's SQL
+    surface (Flink's rowtime OVER; Spark alone raises
+    NON_TIME_WINDOW_NOT_SUPPORTED_IN_STREAMING): each row emits once when
+    the watermark passes it, aggregated over its trailing 15 s frame."""
+    eng = _over_events_table(spark, tmp_path, "ovr")
+    stmt = eng.execute_sql(
+        """SELECT user_id, ts_s,
+                  SUM(amount) OVER (PARTITION BY user_id ORDER BY ev_time
+                      RANGE BETWEEN INTERVAL '15' SECOND PRECEDING AND CURRENT ROW) AS s,
+                  COUNT(*) OVER (PARTITION BY user_id ORDER BY ev_time
+                      RANGE BETWEEN INTERVAL '15' SECOND PRECEDING AND CURRENT ROW) AS c
+           FROM ovr"""
+    )
+    got = _fetch_rows(stmt, want=4)
+    eng.close()
+    assert got == [
+        [1, 10, 1.5, 1],
+        [1, 20, 3.5, 2],  # 10 s row inside the 15 s frame
+        [1, 40, 3.0, 1],  # both prior rows aged out of the frame
+        [2, 10, 5.0, 1],
+    ]
+
+
+def test_streaming_over_unbounded_and_restrictions(spark, tmp_path):
+    """UNBOUNDED PRECEDING runs with O(1) running-accumulator state; the
+    Flink streaming restrictions raise loudly: mismatched OVER specs in one
+    SELECT, and ORDER BY on a non-time-attribute column."""
+    import pytest
+
+    eng = _over_events_table(spark, tmp_path, "ovu")
+    stmt = eng.execute_sql(
+        """SELECT user_id, ts_s,
+                  SUM(amount) OVER (PARTITION BY user_id ORDER BY ev_time
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+           FROM ovu WHERE user_id < 99"""
+    )
+    got = _fetch_rows(stmt, want=4)
+    assert got == [
+        [1, 10, 1.5],
+        [1, 20, 3.5],
+        [1, 40, 6.5],  # running sum never ages out
+        [2, 10, 5.0],
+    ]
+    with pytest.raises(ValueError, match="must be identical"):
+        eng.execute_sql(
+            """SELECT SUM(amount) OVER (PARTITION BY user_id ORDER BY ev_time
+                   RANGE BETWEEN INTERVAL '15' SECOND PRECEDING AND CURRENT ROW) AS a,
+                  SUM(amount) OVER (PARTITION BY user_id ORDER BY ev_time
+                   RANGE BETWEEN INTERVAL '30' SECOND PRECEDING AND CURRENT ROW) AS b
+               FROM ovu"""
+        )
+    with pytest.raises(ValueError, match="time attribute"):
+        eng.execute_sql(
+            """SELECT SUM(amount) OVER (PARTITION BY user_id ORDER BY ts_s
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS a
+               FROM ovu"""
+        )
+    eng.close()
+
+
 def test_incremental_topn_bounded_per_trigger(spark, tmp_path):
     """Streaming Top-N must be incremental: with several micro-batches, each
     trigger transfers at most N rows to the merge (no complete-mode re-sort
