@@ -850,7 +850,9 @@ def _embedding_pair_stream(spark, sf_dir, ttl_s: int | None = None):
     return verified
 
 
-def _staged_events_stream(spark, sf_dir, with_value: bool = False):
+def _staged_events_stream(
+    spark, sf_dir, with_value: bool = False, sentinel_gap_s: int = 3600
+):
     """Stage the events table for a terminating streaming replay: the
     events file first, then a single far-future sentinel row on its own
     key (user_id=-1) — the bounded-input analog of Flink's end-of-input
@@ -890,7 +892,10 @@ def _staged_events_stream(spark, sf_dir, with_value: bool = False):
         )
     else:  # raw-nano int stats
         max_us = int(max_ts) // 1000
-    sentinel_us = max_us + 3_600_000_000  # one hour past the last real event
+    # default: one hour past the last real event; callers whose timers
+    # anchor to wider windows (window Top-N's 6 h tumble) pass a gap that
+    # clears every window end
+    sentinel_us = max_us + sentinel_gap_s * 1_000_000
     schema_str = events_stream_schema(events_path)
     # the sentinel is its own key (user_id=-1): processing it advances the
     # GLOBAL watermark past every real key's close_after deadline, so idle

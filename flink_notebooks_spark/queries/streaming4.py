@@ -301,3 +301,104 @@ def _window_join_stream(spark, sf_dir, staging_dir=None, window_s=None):
         "view_id",
         "purchase_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# Window Top-N — Flink's window TVF Top-N (`SELECT * FROM (SELECT *,
+# ROW_NUMBER() OVER (PARTITION BY window_start ORDER BY cnt DESC) rn FROM
+# TUMBLE(...) GROUP BY ...) WHERE rn <= N`), the per-closed-window ranking
+# form (distinct from W7's CONTINUOUS streaming Top-N). Spark-first: an
+# APPEND-mode windowed aggregation emits a window's rows exactly once, all
+# in the micro-batch where the watermark closes it — so ranking inside that
+# batch, grouped by window, is EXACT with O(1) retained ranking state.
+# ---------------------------------------------------------------------------
+WTOPN_N = 3
+
+
+@query(
+    "streaming_window_topn",
+    oracle=f"""
+    WITH c AS (
+      SELECT (epoch_us(ts) // (CAST({WJOIN_WINDOW_S} AS BIGINT) * 1000000))
+               * {WJOIN_WINDOW_S} AS w_start,
+             event_type, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY w_start
+                    ORDER BY cnt DESC, event_type) AS rk FROM c)
+    SELECT w_start, event_type, cnt, rk FROM r WHERE rk <= {WTOPN_N}
+    ORDER BY w_start, rk
+    """,
+)
+def streaming_window_topn(spark, sf_dir):
+    """Streaming window Top-N: the busiest event types per closed 6 h
+    tumbling window. One keyed-state operator, keyed by WINDOW START —
+    exactly Flink's WindowRank operator shape: per-type counts accumulate
+    in the window's state row, an event-time timer fires when the
+    watermark passes the window end, the ranked top N emit, and the
+    window's state is removed (Spark rejects a second stateful stage after
+    a streaming aggregation, so agg-then-rank cannot compose — the single
+    operator IS the supported composition). State = live windows x types;
+    every window's state is freed at close, so retention equals the
+    watermark lag. Ties break on event_type (deterministic, matching the
+    oracle)."""
+    out = _run_to_memory(_window_topn_stream(spark, sf_dir), "append", partitions=4)
+    return out.orderBy("w_start", "rk")
+
+
+def _window_topn_stream(spark, sf_dir):
+    """The unsinked window Top-N stream (tests attach their own sink and
+    assert the closed-window state really frees)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    w_us = WJOIN_WINDOW_S * 1_000_000
+    w_ms = WJOIN_WINDOW_S * 1000
+    events = (
+        # sentinel 7 h out: past every 6 h window end, so each window's
+        # close timer really fires and the replay matches the batch oracle.
+        # The sentinel row is NOT filtered here: a pre-stateful filter gets
+        # pushed below the watermark node and the sentinel then never
+        # advances the watermark (observed: the last window never closes) —
+        # it is excluded inside the state function instead.
+        _staged_events_stream(spark, sf_dir, sentinel_gap_s=WJOIN_WINDOW_S + 3600)
+        .select(
+            "ev_time",
+            "event_type",
+            (F.expr(f"ts_us div {w_us}") * WJOIN_WINDOW_S).alias("w_start"),
+        )
+    )
+
+    def rank_window(key, pdfs, state):
+        if state.hasTimedOut:
+            types, cnts = state.get
+            state.remove()
+            pdf = pd.DataFrame({"event_type": types, "cnt": cnts}).sort_values(
+                ["cnt", "event_type"], ascending=[False, True]
+            )
+            top = pdf.head(WTOPN_N).reset_index(drop=True)
+            top.insert(0, "w_start", key[0])
+            top["rk"] = range(1, len(top) + 1)
+            yield top[["w_start", "event_type", "cnt", "rk"]]
+            return
+        counts: dict[str, int] = {}
+        if state.exists:
+            types, cnts = state.get
+            counts = dict(zip(types, (int(c) for c in cnts)))
+        for chunk in pdfs:
+            chunk = chunk[chunk["event_type"] != "__close__"]  # the sentinel
+            for t, c in chunk.groupby("event_type").size().items():
+                counts[t] = counts.get(t, 0) + int(c)
+        state.update((list(counts), [counts[t] for t in counts]))
+        # fire when the watermark passes the window end (strictly above the
+        # current watermark, as Spark requires of event-time timers)
+        state.setTimeoutTimestamp(
+            max(int(key[0]) * 1000 + w_ms + 1, state.getCurrentWatermarkMs() + 1)
+        )
+
+    return events.groupBy("w_start").applyInPandasWithState(
+        rank_window,
+        "w_start long, event_type string, cnt long, rk long",
+        "types array<string>, cnts array<long>",
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

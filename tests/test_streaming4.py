@@ -252,3 +252,16 @@ def test_over_agg_state_evicts_to_live_window(spark, tmp_path):
     assert emitted.count() == len(wave1)  # nothing mature was lost
     # and the mid key's row emitted too (idle eviction happened AFTER emit)
     assert out.filter(F.col("user_id") == 777).count() == 1
+
+
+def test_window_topn_state_frees_on_window_close(spark, sf_dir):
+    """Every closed window's ranking state is removed when its timer fires:
+    on the sentinel-terminated replay the final state holds exactly the
+    sentinel's own window row (whose close time the stream never reaches) —
+    not one row per window ever seen."""
+    from flink_notebooks_spark.queries.streaming4 import _window_topn_stream
+
+    out, q = _run_stream(_window_topn_stream(spark, sf_dir), "append", spark)
+    assert _final_state_rows(q) == 1  # only the sentinel's window remains
+    # and every real window emitted (>= 100 windows at sf0.01)
+    assert out.select("w_start").distinct().count() >= 100
