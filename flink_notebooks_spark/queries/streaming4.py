@@ -402,3 +402,58 @@ def _window_topn_stream(spark, sf_dir):
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Window deduplication — Flink's window TVF dedup (`SELECT * FROM (SELECT *,
+# ROW_NUMBER() OVER (PARTITION BY window_start, k ORDER BY rowtime) rn FROM
+# TUMBLE(...)) WHERE rn = 1`): the FIRST row per key per window. Spark-first:
+# this is just an append-mode windowed MIN_BY aggregation — all JVM, no
+# custom state code, window state freed at close by the engine itself.
+# ---------------------------------------------------------------------------
+@query(
+    "streaming_window_dedup",
+    oracle=f"""
+    WITH r AS (
+      SELECT (epoch_us(ts) // (CAST({WJOIN_WINDOW_S} AS BIGINT) * 1000000))
+               * {WJOIN_WINDOW_S} AS w_start,
+             user_id, event_id, epoch_us(ts) AS ts_us,
+             ROW_NUMBER() OVER (
+               PARTITION BY (epoch_us(ts) // (CAST({WJOIN_WINDOW_S} AS BIGINT) * 1000000)),
+                            user_id
+               ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events)
+    SELECT w_start, user_id, event_id AS first_event_id, ts_us AS first_ts_us
+    FROM r WHERE rn = 1 ORDER BY w_start, user_id
+    """,
+)
+def streaming_window_dedup(spark, sf_dir):
+    """Streaming window deduplication (Flink's window TVF dedup): the first
+    event per (6 h tumbling window, user), ordered by (event time,
+    event_id). Pure built-in composition — an append-mode windowed
+    ``min_by`` aggregation, whole-stage-codegen JVM all the way, with the
+    window's aggregation state freed by the engine when the watermark
+    closes it. No custom state code at all: when Spark's operators CAN
+    express a Flink feature, composition beats a hand-rolled stateful op."""
+    win = f"{WJOIN_WINDOW_S} seconds"
+    # pack the (ts_us, event_id) order key so ONE min_by decides both the
+    # dedup winner and the emitted columns atomically (tie-broken exactly
+    # like the oracle's ROW_NUMBER ordering)
+    dedup = (
+        _staged_events_stream(spark, sf_dir)
+        .groupBy(F.window("ev_time", win).alias("w"), "user_id")
+        .agg(
+            F.min_by(
+                F.struct("ts_us", "event_id"),
+                F.struct("ts_us", "event_id"),
+            ).alias("first"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("w_start"),
+            "user_id",
+            F.col("first.event_id").alias("first_event_id"),
+            F.col("first.ts_us").alias("first_ts_us"),
+        )
+    )
+    out = _run_to_memory(dedup, "append", partitions=4)
+    return out.filter(F.col("user_id") >= 0).orderBy("w_start", "user_id")
