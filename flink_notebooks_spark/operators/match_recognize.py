@@ -70,7 +70,10 @@ multi-variable terms. MULTIPLE unbounded groups
 in one pattern also work — each flattens independently, the leftmost
 group's repetition count varying outermost — and UNBOUNDED group
 repetition inside PERMUTE works too (the ordering's variant carries a
-GroupTerm, flattened per attempt like any unbounded group). NESTED
+GroupTerm, flattened per attempt like any unbounded group), as do
+NESTED groups inside a PERMUTE element (``PERMUTE(((A B)+ C), D)`` —
+the element parses as a tree and each ordering's variant runs the
+nested per-attempt expansion). NESTED
 quantifiers on a group wrapping exactly one quantified group work where
 the total-repetition set is a single interval: ``((A B)+)*`` ≡
 ``(A B)*``, ``((A B){a,}){m,}`` ≡ ``(A B){a·max(m,1),}``,
@@ -830,11 +833,14 @@ def parse_match_recognize(clause: str) -> MatchSpec:
             if gm and " " in gm.group(1).strip() and "|" not in gm.group(1):
                 body_src, quant = gm.group(1).strip(), gm.group(2)
                 if "(" in body_src:
-                    raise NotImplementedError(
-                        f"MATCH_RECOGNIZE: PERMUTE element {el!r} — nested "
-                        "groups inside a PERMUTE group element are not "
-                        "supported"
-                    )
+                    # NESTED groups inside a PERMUTE element: parse the
+                    # whole element as a tree; the ordering's variant then
+                    # carries NestedGroup terms and the matcher routes it
+                    # through the per-attempt tree expansion (same path as
+                    # nested groups outside PERMUTE)
+                    el_variants.append([_parse_pattern_tree(el)])
+                    any_group = True
+                    continue
                 if quant in ("+", "*") or (
                     gm.group(4) is not None and gm.group(5) == ""
                 ):
@@ -2080,6 +2086,18 @@ def _run_matches(
         # group's repetition count varying outermost.
         alts = []
         for eid, variant in enumerate(spec.alternatives):
+            if any(isinstance(t, NestedGroup) for t in variant):
+                # a nested-group-bearing variant (PERMUTE with a nested
+                # element) expands per attempt; coexisting GroupTerms are
+                # the same thing with hi=None — normalize and share the path
+                seq = [
+                    NestedGroup(t.body, t.lo, None, t.greedy)
+                    if isinstance(t, GroupTerm)
+                    else t
+                    for t in variant
+                ]
+                alts.append(("nested", seq, eid))
+                continue
             if not any(isinstance(t, GroupTerm) for t in variant):
                 tb, pd_ = term_data(variant)
                 alts.append(("flat", variant, tb, pd_))

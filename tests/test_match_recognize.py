@@ -1201,12 +1201,18 @@ def test_permute_group_elements_expand_to_alternatives(spark):
     )
     assert spec2.permute and spec2.alternatives is None
     assert [t.vars for t in spec2.pattern] == [["A", "B"], ["C"]]
-    # nested sequence groups inside a PERMUTE group element still raise
-    with pytest.raises(NotImplementedError, match="PERMUTE element"):
-        parse_match_recognize(
-            "ORDER BY ts_s MEASURES A.ts_s AS x "
-            "PATTERN (PERMUTE (((A B) C), D)) DEFINE A AS A.ts_s > 0"
-        )
+    # nested sequence groups inside a PERMUTE group element now parse into
+    # nested-tree variants (previously a loud raise)
+    spec3 = parse_match_recognize(
+        "ORDER BY ts_s MEASURES A.ts_s AS x "
+        "PATTERN (PERMUTE (((A B)+ C), D)) DEFINE A AS A.ts_s > 0"
+    )
+    assert spec3.alternatives is not None and len(spec3.alternatives) == 2
+    from flink_notebooks_spark.operators.match_recognize import NestedGroup
+
+    assert any(
+        isinstance(t, NestedGroup) for v in spec3.alternatives for t in v
+    )
 
 
 def test_permute_quantified_elements(spark):
@@ -2750,6 +2756,77 @@ def test_nested_group_streaming_matches_batch(spark, tmp_path):
         schema="user_id long, ts_s long, event_type string, ev_time timestamp",
     )
     assert got == want
+
+
+def test_permute_nested_group_element_regex_fuzz(spark):
+    """PERMUTE with a NESTED-group element (previously a loud raise):
+    oracle = the ordering-by-ordering regex alternation — at each start the
+    first permutation (lexicographic) whose regex matches wins, mirroring
+    the engine's entry preference. 300 random sequences per shape."""
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    meas = "MEASURES COUNT(A.*) AS n_a, COUNT(C.*) AS n_c"
+    head = f"PARTITION BY user_id ORDER BY ts_us, event_id {meas} "
+    tail = (
+        " DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click',"
+        " C AS C.event_type = 'purchase', D AS D.event_type = 'other'"
+    )
+    char = {"view": "a", "click": "b", "purchase": "c", "other": "d"}
+    shapes = [
+        (
+            "PATTERN (PERMUTE (((A B)+ C), D))",
+            [r"((?:ab)+c)d", r"d((?:ab)+c)"],
+        ),
+        (
+            "PATTERN (PERMUTE ((((A B)+ C){1,2}), D))",
+            [r"((?:ab)+c){1,2}d", r"d((?:ab)+c){1,2}"],
+        ),
+    ]
+
+    def _mix(seed, n):
+        rng = np.random.default_rng(seed)
+        tags = list(rng.choice(["view", "click", "purchase", "other"], size=n))
+        at = int(rng.integers(0, n))
+        burst = ["view", "click"] * int(rng.integers(1, 3)) + ["purchase", "other"]
+        tags = tags[:at] + burst + tags[at:]
+        return pd.DataFrame(
+            {
+                "user_id": 1,
+                "event_id": np.arange(len(tags)),
+                "ts_us": np.arange(len(tags)) * 1000,
+                "event_type": tags,
+            }
+        )
+
+    def oracle(tags, rxs):
+        s = "".join(char[t] for t in tags)
+        out, i = [], 0
+        while i < len(s):
+            m = next(
+                (mm for rx in rxs if (mm := rx.match(s, i)) and mm.end() > i),
+                None,
+            )
+            if m is None:
+                i += 1
+                continue
+            span = s[i : m.end()]
+            out.append((1, span.count("a"), span.count("c")))
+            i = m.end()
+        return out
+
+    for pat, rx_srcs in shapes:
+        rxs = [_re.compile(r) for r in rx_srcs]
+        n_m = 0
+        for seed in range(300):
+            pdf = _mix(seed, 10)
+            got = _pandas_matches(pdf.copy(), head + pat + tail, _GRP_DEFINES)
+            want = oracle(list(pdf["event_type"]), rxs)
+            assert got == want, (pat, seed, got, want)
+            n_m += len(got)
+        assert n_m > 100, pat
 
 
 def test_nested_group_gap_shape_streaming_matches_batch(spark, tmp_path):
