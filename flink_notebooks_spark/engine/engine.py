@@ -25,6 +25,7 @@ from ..session import get_spark, tune
 from ..sources import build_source, connectors
 from ..sources import filesystem as fs_sink
 from .ddl import Parsed, TableDef, parse_statement, split_statements
+from .types import _split_top
 from .window_sql import rewrite_flink_dialect
 from .statement import (
     BatchStatement,
@@ -37,24 +38,6 @@ from .statement import (
 
 BATCH = "batch"
 STREAMING = "streaming"
-
-
-def _split_top_level_commas(s: str) -> list[str]:
-    """SELECT-list split on commas outside parentheses."""
-    parts, depth, cur = [], 0, []
-    for ch in s:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
-            parts.append("".join(cur))
-            cur = []
-        else:
-            cur.append(ch)
-    if cur:
-        parts.append("".join(cur))
-    return [p for p in (x.strip() for x in parts) if p]
 
 
 def _grouping_cols(df: DataFrame) -> list[str] | None:
@@ -1106,8 +1089,9 @@ class Engine:
         specs: list[str] = []
         masked = []
         i, n = 0, len(sql)
+        over_open = _re.compile(r"\bOVER\s*\(", _re.IGNORECASE)
         while i < n:
-            m = _re.compile(r"\bOVER\s*\(", _re.IGNORECASE).search(sql, i)
+            m = over_open.search(sql, i)
             if m is None:
                 masked.append(sql[i:])
                 break
@@ -1204,7 +1188,7 @@ class Engine:
             for c in sp.group("part").split(",")
         ]
         dtypes = dict(base.dtypes)
-        items = _split_top_level_commas(q.group("sel"))
+        items = _split_top(q.group("sel"))
         aggs: list[OverAgg] = []
         carries: list[tuple[str, str]] = []  # (source col, output alias)
         post: list = []  # (kind, payload) in output order
@@ -1239,8 +1223,15 @@ class Engine:
         if not aggs:
             return None  # no windowed aggregate → not this path
         where = q.group("where")
+        keep_col = None
         if where:
-            base = base.filter(F.expr(strip_alias(where)))
+            # a plain .filter would be pushed below the watermark node and
+            # filtered-out rows would stop advancing the watermark (Flink's
+            # watermark is source metadata and flows through WHERE); mark
+            # rows instead and let the operator discard them after they
+            # have advanced the watermark
+            keep_col = "__keep"
+            base = base.withColumn(keep_col, F.expr(strip_alias(where)))
         proj = base.withColumn("__ts_us", F.unix_micros(F.col(ord_col)))
         op_carry: list[str] = []
         for col, _ in carries:
@@ -1254,6 +1245,11 @@ class Engine:
             frame=frame,
             aggs=aggs,
             carry=op_carry,
+            # ROWS frames need a total order on rowtime ties: the carried
+            # non-time columns give a stable (if arbitrary) tie order;
+            # Flink leaves rowtime ties implementation-defined too
+            tiebreak=[c for c in op_carry if c != "__ts_us"],
+            keep_col=keep_col,
         )
         sel_exprs = []
         for kind, payload in post:

@@ -71,6 +71,7 @@ def streaming_over_window(
     carry: list[str],
     tiebreak: list[str] = (),
     idle_horizon_s: int = 90 * 86_400,
+    keep_col: str | None = None,
 ) -> DataFrame:
     """Apply a streaming OVER window to ``df`` (a WATERMARKED streaming
     DataFrame — the watermark timestamp column must still be present).
@@ -84,6 +85,14 @@ def streaming_over_window(
     ``("unbounded",)`` — RANGE UNBOUNDED PRECEDING, running aggregates with
     O(1) retained state per key. ``carry``: input columns copied onto each
     output row. Output schema: carry columns (input types) + agg aliases.
+
+    ``keep_col``: optional boolean column — rows where it is false are
+    DISCARDED on arrival inside the operator, after they have advanced the
+    watermark. This is how a SQL ``WHERE`` before a streaming OVER must be
+    applied: a plain ``.filter`` gets pushed below the watermark node, so
+    filtered-out rows stop advancing the watermark and downstream rows
+    stall (Flink's watermark is source-generated metadata and flows
+    through filters; this reproduces that semantic).
     """
     import numpy as np
     import pandas as pd
@@ -132,6 +141,10 @@ def streaming_over_window(
         col_state.append((c, t[0], t[1]))
     state_fields = [f"b{i} array<{t}>" for i, (_, t, _) in enumerate(col_state)]
     state_fields.append("n_ctx bigint")
+    # newest event time ever seen on this key — anchors the idle-eviction
+    # deadline (a maturation timer must NOT evict a key whose context is
+    # still inside the frame horizon)
+    state_fields.append("last_ts bigint")
     # UNBOUNDED accumulators, one slot per agg: exact int64 lane for
     # integer columns, float lane for doubles, count lane for COUNT/AVG
     state_fields += ["acc_n array<bigint>", "acc_l array<bigint>", "acc_d array<double>"]
@@ -171,16 +184,24 @@ def streaming_over_window(
                 _np(col_state[i][2], got[i]) for i in range(n_bufs)
             ]
             n_ctx = int(got[n_bufs])
-            acc_n = list(got[n_bufs + 1])
-            acc_l = list(got[n_bufs + 2])
-            acc_d = list(got[n_bufs + 3])
+            last_ts = int(got[n_bufs + 1])
+            acc_n = list(got[n_bufs + 2])
+            acc_l = list(got[n_bufs + 3])
+            acc_d = list(got[n_bufs + 4])
         else:
             bufs = [_np(k2, []) for _, _, k2 in col_state]
             n_ctx = 0
+            last_ts = -(1 << 62)
             acc_n = [0] * len(agg_specs)
             acc_l = [0] * len(agg_specs)
             acc_d = [0.0] * len(agg_specs)
         chunks = [c for c in pdfs if len(c)]
+        if keep_col is not None:
+            chunks = [
+                kept
+                for c in chunks
+                if len(kept := c[c[keep_col].fillna(False).astype(bool)])
+            ]
         if chunks:
             new = pd.concat(chunks, ignore_index=True)
             for name, _, k2 in col_state:
@@ -203,8 +224,14 @@ def streaming_over_window(
             ]
         ts = bufs[0]
         n = len(ts)
+        if n:
+            last_ts = max(last_ts, int(ts[-1]))
         wm_us = state.getCurrentWatermarkMs() * 1000
-        m = n_ctx + int(np.searchsorted(ts[n_ctx:], wm_us, side="right"))
+        # finalize strictly-mature rows only (ts < wm): Spark's late filter
+        # still ADMITS a row at ts == wm, so emitting at the boundary could
+        # miss an equal-timestamp peer arriving in a later micro-batch —
+        # its RANGE frame and the already-emitted row's would disagree
+        m = n_ctx + int(np.searchsorted(ts[n_ctx:], wm_us, side="left"))
         out = None
         if m > n_ctx:
             col_of = {name: bufs[i] for i, (name, _, _) in enumerate(col_state)}
@@ -280,7 +307,9 @@ def streaming_over_window(
                     else:
                         acc_d[ai] = float(prior)
         if kind == "range":
-            keep_from = int(np.searchsorted(ts[:m], wm_us - range_us, "right"))
+            # side="left": a row at exactly wm - range is still inside the
+            # frame of a future row arriving at exactly ts == wm
+            keep_from = int(np.searchsorted(ts[:m], wm_us - range_us, "left"))
         elif kind == "rows":
             keep_from = max(0, m - rows_k)
         else:
@@ -290,12 +319,19 @@ def streaming_over_window(
         has_state = len(bufs[0]) > 0 or (
             kind == "unbounded" and any(acc_n)
         )
+        # idle deadline: the key's NEWEST event + horizon. A maturation
+        # timer can fire long before that (another key advanced the
+        # watermark) — it must not evict context still inside the frame
+        # horizon, nor UNBOUNDED running accumulators
+        idle = wm_us >= last_ts + horizon_ms * 1000
         if not has_state:
-            state.remove()
+            if state.exists:
+                state.remove()
         elif (
             state.hasTimedOut
             and not chunks
             and n_ctx == len(bufs[0])  # nothing pending: context/accs only
+            and idle
         ):
             state.remove()  # idle horizon reached — Flink state TTL
         else:
@@ -303,6 +339,7 @@ def streaming_over_window(
                 (
                     *[b.tolist() for b in bufs],
                     n_ctx,
+                    last_ts,
                     acc_n,
                     acc_l,
                     acc_d,
@@ -314,7 +351,12 @@ def streaming_over_window(
                     max(int(bufs[0][n_ctx]) // 1000 + 1, wm_ms + 1)
                 )
             else:
-                state.setTimeoutTimestamp(wm_ms + horizon_ms)
+                # wake at the idle deadline (anchored to last activity,
+                # not the current watermark — re-arming on wm would defer
+                # eviction forever on a busy stream)
+                state.setTimeoutTimestamp(
+                    max(last_ts // 1000 + horizon_ms + 1, wm_ms + 1)
+                )
         if out is not None:
             yield out
 

@@ -440,7 +440,10 @@ def streaming_window_dedup(spark, sf_dir):
     # dedup winner and the emitted columns atomically (tie-broken exactly
     # like the oracle's ROW_NUMBER ordering)
     dedup = (
-        _staged_events_stream(spark, sf_dir)
+        # sentinel 7 h out: the append-mode agg emits a window only when the
+        # watermark passes its END, up to 6 h past the last real event — the
+        # default 1 h gap would close the final window only by luck
+        _staged_events_stream(spark, sf_dir, sentinel_gap_s=WJOIN_WINDOW_S + 3600)
         .groupBy(F.window("ev_time", win).alias("w"), "user_id")
         .agg(
             F.min_by(

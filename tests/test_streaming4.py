@@ -265,3 +265,61 @@ def test_window_topn_state_frees_on_window_close(spark, sf_dir):
     assert _final_state_rows(q) == 1  # only the sentinel's window remains
     # and every real window emitted (>= 100 windows at sf0.01)
     assert out.select("w_start").distinct().count() >= 100
+
+
+def test_over_agg_quiet_batch_keeps_frame_context(spark, tmp_path):
+    """A maturation timer firing on a QUIET batch (another key advanced the
+    watermark) must not evict a key whose emitted rows are still inside the
+    frame horizon: a later row's frame has to include them. Previously the
+    idle-eviction branch conflated the two timers and removed the state."""
+    from flink_notebooks_spark.queries.streaming4 import _over_state_stream
+
+    t0 = 1_000_000
+    f1 = [(1, t0, 7, 10.0), (2, t0 + 10, 8, 1.0)]          # key 7 + noise
+    f2 = [(3, t0 + 3_600, 8, 1.0)]                          # quiet for key 7
+    f3 = [(4, t0 + 6_000, 7, 5.0)]                          # within 2 h of t0
+    flush = [(9, t0 + 40 * 86_400, 777, 0.0)]
+    staged = _staged_stream(spark, tmp_path, [f1, f2, f3, flush])
+    out, _ = _run_stream(
+        _over_state_stream(
+            spark, None, "range", horizon_s=HORIZON_S, range_us=RANGE_US,
+            staged=staged,
+        ),
+        "append",
+        spark,
+    )
+    got = {
+        (r.event_id, r.w_cnt, r.w_sum_cents)
+        for r in out.filter(F.col("user_id") == 7).collect()
+    }
+    # the t0+6000 row's frame must still see the t0 row (cnt 2, 10.00+5.00)
+    assert got == {(1, 1, 1000), (4, 2, 1500)}
+
+
+def test_over_agg_equal_ts_peer_across_batches(spark, tmp_path):
+    """RANGE peers with the same timestamp that arrive in DIFFERENT
+    micro-batches get identical peer-inclusive aggregates: a row is
+    finalized only once the watermark strictly passes its event time, so a
+    boundary peer (ts == watermark, still admitted by Spark's late filter)
+    cannot be missed from an already-emitted row's frame."""
+    from flink_notebooks_spark.queries.streaming4 import _over_state_stream
+
+    t0 = 1_000_000
+    f1 = [(1, t0, 5, 1.0)]
+    f2 = [(2, t0, 5, 2.0), (3, t0 + 60, 5, 4.0)]  # peer at ts == watermark
+    flush = [(9, t0 + 40 * 86_400, 777, 0.0)]
+    staged = _staged_stream(spark, tmp_path, [f1, f2, flush])
+    out, _ = _run_stream(
+        _over_state_stream(
+            spark, None, "range", horizon_s=HORIZON_S, range_us=RANGE_US,
+            staged=staged,
+        ),
+        "append",
+        spark,
+    )
+    got = {
+        (r.event_id, r.w_cnt, r.w_sum_cents)
+        for r in out.filter(F.col("user_id") == 5).collect()
+    }
+    # both peers count each other; the later row sees all three
+    assert got == {(1, 2, 300), (2, 2, 300), (3, 3, 700)}
