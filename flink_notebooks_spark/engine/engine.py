@@ -1057,6 +1057,38 @@ class Engine:
         __import__("re").IGNORECASE,
     )
 
+    def _state_ttl_s(self) -> int | None:
+        """Flink's ``table.exec.state.ttl`` session property (SET 'table.
+        exec.state.ttl' = '1 h' / '3600 s' / '60 min' / plain ms) → seconds,
+        or None when unset. Bounds the idle-key state of the streaming OVER
+        operator the same way Flink's knob bounds its stateful operators."""
+        import re as _re
+
+        raw = self.properties.get("table.exec.state.ttl")
+        if raw is None:
+            return None
+        m = _re.fullmatch(
+            r"\s*(\d+)\s*(ms|s|sec|second|seconds|min|minute|minutes|"
+            r"h|hour|hours|d|day|days)?\s*",
+            str(raw),
+            _re.IGNORECASE,
+        )
+        if m is None:
+            raise ValueError(
+                f"table.exec.state.ttl: cannot parse {raw!r} (use Flink "
+                "duration syntax, e.g. '1 h', '30 min', '3600 s', or ms)"
+            )
+        n = int(m.group(1))
+        unit = (m.group(2) or "ms").lower()
+        scale = {
+            "ms": 1 / 1000,
+            "s": 1, "sec": 1, "second": 1, "seconds": 1,
+            "min": 60, "minute": 60, "minutes": 60,
+            "h": 3600, "hour": 3600, "hours": 3600,
+            "d": 86400, "day": 86400, "days": 86400,
+        }[unit]
+        return max(1, int(n * scale))
+
     def _try_streaming_over(self, sql: str):
         """Event-time OVER aggregation on a STREAMING table (SURVEY.md §2.6
         W4-W6 streaming forms — Flink runs rowtime OVER windows on streams,
@@ -1250,6 +1282,11 @@ class Engine:
             # Flink leaves rowtime ties implementation-defined too
             tiebreak=[c for c in op_carry if c != "__ts_us"],
             keep_col=keep_col,
+            **(
+                {"idle_horizon_s": self._state_ttl_s()}
+                if self._state_ttl_s() is not None
+                else {}
+            ),
         )
         sel_exprs = []
         for kind, payload in post:

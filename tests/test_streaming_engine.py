@@ -1019,3 +1019,40 @@ def test_cancel_is_terminal_before_stop_completes():
     page = stmt.fetch(0)
     assert page.result_type in ("PAYLOAD", "NOT_READY", "EOS")
     assert stmt.state == "CANCELED"
+
+
+def test_streaming_over_honors_state_ttl_property(spark, tmp_path, monkeypatch):
+    """Flink's `SET 'table.exec.state.ttl' = ...` bounds the streaming OVER
+    operator's idle-key horizon: the engine parses the Flink duration
+    syntax and passes it through (the eviction behavior itself is pinned at
+    the operator level in tests/test_streaming4.py)."""
+    eng = _over_events_table(spark, tmp_path, "ovttl")
+    eng.execute_sql("SET 'table.exec.state.ttl' = '30 min'")
+    seen = {}
+    from flink_notebooks_spark.operators import over_window as ow
+
+    orig = ow.streaming_over_window
+
+    def spy(*a, **kw):
+        seen.update(kw)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(ow, "streaming_over_window", spy)
+    stmt = eng.execute_sql(
+        """SELECT user_id, SUM(amount) OVER (PARTITION BY user_id ORDER BY ev_time
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+           FROM ovttl"""
+    )
+    stmt.cancel()
+    assert seen.get("idle_horizon_s") == 1800
+    # bad duration syntax raises at SET-use time, loudly
+    eng.execute_sql("SET 'table.exec.state.ttl' = 'soon'")
+    import pytest
+
+    with pytest.raises(ValueError, match="state.ttl"):
+        eng.execute_sql(
+            """SELECT SUM(amount) OVER (PARTITION BY user_id ORDER BY ev_time
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+               FROM ovttl"""
+        )
+    eng.close()
