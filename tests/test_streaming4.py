@@ -58,7 +58,7 @@ def _staged_stream(spark, tmp_path, files):
     from flink_notebooks_spark.io import events_stream_schema, stream_ts_cols
 
     d = tmp_path / "stage"
-    d.mkdir()
+    d.mkdir(parents=True)
     for i, rows in enumerate(files):
         p = str(d / f"{i:02d}_part.parquet")
         _write_events(p, rows)
@@ -323,3 +323,54 @@ def test_over_agg_equal_ts_peer_across_batches(spark, tmp_path):
     }
     # both peers count each other; the later row sees all three
     assert got == {(1, 2, 300), (2, 2, 300), (3, 3, 700)}
+
+
+def test_over_agg_random_multibatch_fuzz(spark, tmp_path):
+    """Randomized multi-batch replays vs the pandas reference, all three
+    frame kinds: random users, heavy timestamp collisions (ties straddle
+    batch boundaries — the exact surface of the boundary bugs the review
+    caught), random 2-decimal values, random contiguous batch splits.
+    Time-ordered splits keep every row non-late, so the operator must
+    reproduce the batch frames EXACTLY."""
+    import numpy as np
+
+    from flink_notebooks_spark.queries.streaming4 import _over_state_stream
+
+    t0 = 1_000_000
+    for seed in range(8):
+        rng = np.random.default_rng(seed)
+        rows = []
+        for eid in range(40):
+            rows.append(
+                (
+                    eid,
+                    t0 + int(rng.integers(0, 20)) * 1800,  # many exact ties
+                    int(rng.integers(1, 4)),
+                    round(float(rng.integers(0, 2000)) / 100, 2),
+                )
+            )
+        rows.sort(key=lambda r: (r[1], r[0]))
+        cuts = sorted(rng.choice(range(1, len(rows)), size=2, replace=False))
+        files = [
+            rows[: cuts[0]],
+            rows[cuts[0] : cuts[1]],
+            rows[cuts[1] :],
+            [(999, t0 + 40 * 86_400, 777, 0.0)],
+        ]
+        for frame in ("range", "rows"):
+            staged = _staged_stream(
+                spark, tmp_path / f"s{seed}_{frame}", files
+            )
+            out, _ = _run_stream(
+                _over_state_stream(
+                    spark, None, frame, horizon_s=HORIZON_S,
+                    range_us=RANGE_US, rows_k=ROWS_K, staged=staged,
+                ),
+                "append",
+                spark,
+            )
+            got = sorted(
+                tuple(r)
+                for r in out.filter(F.col("user_id") < 100).collect()
+            )
+            assert got == _pandas_over(rows, frame), (seed, frame)
