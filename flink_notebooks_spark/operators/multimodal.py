@@ -81,7 +81,8 @@ def sniff_header(payload: bytes) -> dict | None:
     """Parse REAL container headers with stdlib ``struct`` only — no codec
     library. Returns ``{"fmt", "kind", "width", "height", "channels",
     "sample_rate", "duration_s"}`` (absent fields None) for PNG / JPEG /
-    GIF / WAV / MP4 (ISO-BMFF ``mvhd``/``tkhd``) / MP3 payloads, None for
+    GIF / WAV / MP4 (ISO-BMFF ``mvhd``/``tkhd``) / MP3 / FLAC (STREAMINFO)
+    / Ogg (Vorbis + Opus identification headers) payloads, None for
     unknown magics. Malformed payloads with a known magic also return None
     (treated as undecodable, not as a crash — at 100 TB a corrupt file must
     never kill the stage)."""
@@ -185,6 +186,57 @@ def sniff_header(payload: bytes) -> dict | None:
                 "fmt": "mp4", "kind": "video" if width is not None else "audio",
                 "width": width, "height": height,
                 "channels": None, "sample_rate": None, "duration_s": duration,
+            }
+        if payload[:4] == b"fLaC":
+            # FLAC: 4-byte magic, then metadata blocks; the FIRST must be
+            # STREAMINFO (type 0, 34 bytes). Its tail packs, big-endian:
+            # sample_rate u20 | channels-1 u3 | bits-1 u5 | total_samples u36
+            # starting at STREAMINFO offset 10 (after min/max block+frame
+            # sizes) = payload offset 8 + 10 = 18.
+            if len(payload) < 26 or (payload[4] & 0x7F) != 0:
+                return None  # first block is not STREAMINFO — malformed
+            blk_len = int.from_bytes(payload[5:8], "big")
+            if blk_len < 34:
+                return None
+            packed = int.from_bytes(payload[18:26], "big")
+            rate = packed >> 44
+            n_ch = ((packed >> 41) & 0x7) + 1
+            total = packed & ((1 << 36) - 1)
+            if rate == 0:
+                return None  # 0 is invalid for audio streams (spec)
+            return {
+                "fmt": "flac", "kind": "audio", "width": None, "height": None,
+                "channels": n_ch, "sample_rate": rate,
+                "duration_s": total / rate if total else None,
+            }
+        if payload[:4] == b"OggS":
+            # Ogg: 27-byte page header + segment table; the first page's
+            # payload is the codec identification header. Vorbis: packtype
+            # 0x01 + 'vorbis', channels u8 @+11, rate u32 LE @+12. Opus:
+            # 'OpusHead', channels u8 @+9, input rate u32 LE @+12 (Opus
+            # always decodes at 48 kHz; the header stores the input rate —
+            # report the header's value, which is what the container says).
+            if len(payload) < 28:
+                return None
+            nseg = payload[26]
+            body = 27 + nseg  # first packet starts after the segment table
+            ident = payload[body : body + 30]
+            if ident[:7] == b"\x01vorbis":
+                n_ch = ident[11]
+                rate = struct.unpack("<I", ident[12:16])[0]
+                fmt = "ogg-vorbis"
+            elif ident[:8] == b"OpusHead":
+                n_ch = ident[9]
+                rate = struct.unpack("<I", ident[12:16])[0]
+                fmt = "ogg-opus"
+            else:
+                return None  # OggS magic but no readable codec ident
+            if rate == 0:
+                return None
+            return {
+                "fmt": fmt, "kind": "audio", "width": None, "height": None,
+                "channels": n_ch, "sample_rate": rate,
+                "duration_s": None,  # needs the last page's granulepos
             }
         mp3_pos = None
         if payload[:3] == b"ID3" and len(payload) >= 10:

@@ -272,3 +272,66 @@ def test_frame_sample_derives_count_from_mvhd_duration(spark):
 
     with _pytest.raises(Exception, match="NotImplementedError|frame sampling"):
         mm.frame_sample(df, every=60, fake=False).collect()
+
+
+def _flac(rate=44100, ch=2, bits=16, total=441_000, first_type=0, blk_len=34):
+    packed = (rate << 44) | ((ch - 1) << 41) | ((bits - 1) << 36) | total
+    return (
+        b"fLaC"
+        + bytes([0x80 | first_type])
+        + blk_len.to_bytes(3, "big")
+        + b"\x00" * 10  # block/frame size fields
+        + packed.to_bytes(8, "big")
+        + b"\x00" * 16  # md5 signature
+    )
+
+
+def _ogg(ident: bytes) -> bytes:
+    # one Ogg page: 27-byte header, nseg=1, one segment holding `ident`
+    return (
+        b"OggS" + b"\x00" + b"\x02" + b"\x00" * 20
+        + bytes([1, len(ident)])
+        + ident
+    )
+
+
+def test_sniff_header_flac_streaminfo():
+    from flink_notebooks_spark.operators.multimodal import sniff_header
+
+    got = sniff_header(_flac())
+    assert got == {
+        "fmt": "flac", "kind": "audio", "width": None, "height": None,
+        "channels": 2, "sample_rate": 44100, "duration_s": 10.0,
+    }
+    # unknown total samples (0) -> duration None
+    assert sniff_header(_flac(total=0))["duration_s"] is None
+    # malformed: first block not STREAMINFO / short block / zero rate /
+    # truncated magic-only payload
+    assert sniff_header(_flac(first_type=4)) is None
+    assert sniff_header(_flac(blk_len=20)) is None
+    assert sniff_header(_flac(rate=0)) is None
+    assert sniff_header(b"fLaC\x80") is None
+
+
+def test_sniff_header_ogg_vorbis_and_opus():
+    from flink_notebooks_spark.operators.multimodal import sniff_header
+
+    vorbis = (
+        b"\x01vorbis" + (0).to_bytes(4, "little")
+        + bytes([2]) + (44100).to_bytes(4, "little") + b"\x00" * 13
+    )
+    got = sniff_header(_ogg(vorbis))
+    assert (got["fmt"], got["kind"], got["channels"], got["sample_rate"]) == (
+        "ogg-vorbis", "audio", 2, 44100,
+    )
+    opus = (
+        b"OpusHead" + bytes([1, 1]) + (312).to_bytes(2, "little")
+        + (48000).to_bytes(4, "little") + b"\x00" * 10
+    )
+    got = sniff_header(_ogg(opus))
+    assert (got["fmt"], got["channels"], got["sample_rate"]) == (
+        "ogg-opus", 1, 48000,
+    )
+    # OggS magic with an unreadable codec ident / truncation -> None
+    assert sniff_header(_ogg(b"\x03somethingelse" + b"\x00" * 20)) is None
+    assert sniff_header(b"OggS\x00\x02") is None
