@@ -1058,36 +1058,24 @@ class Engine:
     )
 
     def _state_ttl_s(self) -> int | None:
-        """Flink's ``table.exec.state.ttl`` session property (SET 'table.
-        exec.state.ttl' = '1 h' / '3600 s' / '60 min' / plain ms) → seconds,
-        or None when unset. Bounds the idle-key state of the streaming OVER
-        operator the same way Flink's knob bounds its stateful operators."""
-        import re as _re
-
+        """Flink's ``table.exec.state.ttl`` session property → idle-horizon
+        seconds for the streaming OVER operator: Flink duration syntax via
+        the SHARED parser (every TimeUtils unit alias; bare number = ms),
+        ``'0'`` = Flink's explicit TTL-DISABLED value (state never cleaned
+        → idle eviction off), None when the property is unset."""
         raw = self.properties.get("table.exec.state.ttl")
         if raw is None:
             return None
-        m = _re.fullmatch(
-            r"\s*(\d+)\s*(ms|s|sec|second|seconds|min|minute|minutes|"
-            r"h|hour|hours|d|day|days)?\s*",
-            str(raw),
-            _re.IGNORECASE,
-        )
-        if m is None:
+        from ..operators.match_recognize import _duration_ms
+
+        try:
+            ms = _duration_ms(str(raw))
+        except ValueError:
             raise ValueError(
                 f"table.exec.state.ttl: cannot parse {raw!r} (use Flink "
                 "duration syntax, e.g. '1 h', '30 min', '3600 s', or ms)"
-            )
-        n = int(m.group(1))
-        unit = (m.group(2) or "ms").lower()
-        scale = {
-            "ms": 1 / 1000,
-            "s": 1, "sec": 1, "second": 1, "seconds": 1,
-            "min": 60, "minute": 60, "minutes": 60,
-            "h": 3600, "hour": 3600, "hours": 3600,
-            "d": 86400, "day": 86400, "days": 86400,
-        }[unit]
-        return max(1, int(n * scale))
+            ) from None
+        return 0 if ms == 0 else max(1, (ms + 999) // 1000)
 
     def _try_streaming_over(self, sql: str):
         """Event-time OVER aggregation on a STREAMING table (SURVEY.md §2.6
@@ -1220,7 +1208,7 @@ class Engine:
             for c in sp.group("part").split(",")
         ]
         dtypes = dict(base.dtypes)
-        items = _split_top(q.group("sel"))
+        items = _split_top(q.group("sel"), angle=False)
         aggs: list[OverAgg] = []
         carries: list[tuple[str, str]] = []  # (source col, output alias)
         post: list = []  # (kind, payload) in output order
@@ -1282,11 +1270,7 @@ class Engine:
             # Flink leaves rowtime ties implementation-defined too
             tiebreak=[c for c in op_carry if c != "__ts_us"],
             keep_col=keep_col,
-            **(
-                {"idle_horizon_s": self._state_ttl_s()}
-                if self._state_ttl_s() is not None
-                else {}
-            ),
+            **({"idle_horizon_s": ttl} if (ttl := self._state_ttl_s()) is not None else {}),
         )
         sel_exprs = []
         for kind, payload in post:

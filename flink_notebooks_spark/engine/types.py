@@ -18,13 +18,18 @@ class TypeParseError(ValueError):
     pass
 
 
-def _split_top(s: str, sep: str = ",") -> list[str]:
-    """Split on separators that are not nested inside (), <>, or quotes."""
+def _split_top(s: str, sep: str = ",", angle: bool = True) -> list[str]:
+    """Split on separators that are not nested inside (), <> (or quotes).
+
+    ``angle=False`` treats < and > as ordinary characters — required for
+    SQL SELECT lists, where they are comparison operators, not brackets."""
     parts, depth, cur = [], 0, []
+    opens = "(<" if angle else "("
+    closes = ")>" if angle else ")"
     for ch in s:
-        if ch in "(<":
+        if ch in opens:
             depth += 1
-        elif ch in ")>":
+        elif ch in closes:
             depth -= 1
         if ch == sep and depth == 0:
             parts.append("".join(cur).strip())

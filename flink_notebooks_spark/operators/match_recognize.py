@@ -2688,15 +2688,31 @@ def match_recognize(df: DataFrame, clause_or_spec) -> DataFrame:
     )
 
 
-_DURATION = re.compile(r"^\s*(\d+(?:\.\d+)?)\s*(ms|milliseconds?|s|seconds?|m|minutes?|h|hours?)\s*$", re.IGNORECASE)
-_DUR_MS = {"ms": 1, "millisecond": 1, "s": 1000, "second": 1000, "m": 60_000, "minute": 60_000, "h": 3_600_000, "hour": 3_600_000}
+# Flink TimeUtils duration syntax: every unit alias Flink accepts, plus the
+# bare-number form (= milliseconds). Shared by the match-recognize
+# close-after property and the engine's table.exec.state.ttl knob.
+_DURATION = re.compile(
+    r"^\s*(\d+(?:\.\d+)?)\s*"
+    r"(ms|millis?|milliseconds?|s|secs?|seconds?|m|mins?|minutes?|"
+    r"h|hrs?|hours?|d|days?)?\s*$",
+    re.IGNORECASE,
+)
+_DUR_MS = {
+    "ms": 1, "milli": 1, "millis": 1, "millisecond": 1, "milliseconds": 1,
+    "s": 1000, "sec": 1000, "secs": 1000, "second": 1000, "seconds": 1000,
+    "m": 60_000, "min": 60_000, "mins": 60_000,
+    "minute": 60_000, "minutes": 60_000,
+    "h": 3_600_000, "hr": 3_600_000, "hrs": 3_600_000,
+    "hour": 3_600_000, "hours": 3_600_000,
+    "d": 86_400_000, "day": 86_400_000, "days": 86_400_000,
+}
 
 
 def _duration_ms(text: str) -> int:
     m = _DURATION.match(text)
     if not m:
         raise ValueError(f"bad duration: {text!r}")
-    unit = m.group(2).lower().rstrip("s") or "s"
+    unit = (m.group(2) or "ms").lower()
     return int(float(m.group(1)) * _DUR_MS[unit])
 
 

@@ -231,8 +231,8 @@ def sniff_header(payload: bytes) -> dict | None:
                 fmt = "ogg-opus"
             else:
                 return None  # OggS magic but no readable codec ident
-            if rate == 0:
-                return None
+            if rate == 0 or n_ch == 0:
+                return None  # both are spec-invalid (Vorbis I / OpusHead)
             return {
                 "fmt": fmt, "kind": "audio", "width": None, "height": None,
                 "channels": n_ch, "sample_rate": rate,

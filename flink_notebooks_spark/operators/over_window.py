@@ -86,6 +86,10 @@ def streaming_over_window(
     O(1) retained state per key. ``carry``: input columns copied onto each
     output row. Output schema: carry columns (input types) + agg aliases.
 
+    ``idle_horizon_s = 0`` disables idle-key eviction entirely (Flink's
+    ``table.exec.state.ttl = 0`` — state is never cleaned); positive values
+    evict a key once the watermark passes its newest event + horizon.
+
     ``keep_col``: optional boolean column — rows where it is false are
     DISCARDED on arrival inside the operator, after they have advanced the
     watermark. This is how a SQL ``WHERE`` before a streaming OVER must be
@@ -323,7 +327,7 @@ def streaming_over_window(
         # timer can fire long before that (another key advanced the
         # watermark) — it must not evict context still inside the frame
         # horizon, nor UNBOUNDED running accumulators
-        idle = wm_us >= last_ts + horizon_ms * 1000
+        idle = horizon_ms > 0 and wm_us >= last_ts + horizon_ms * 1000
         if not has_state:
             if state.exists:
                 state.remove()
@@ -350,10 +354,11 @@ def streaming_over_window(
                 state.setTimeoutTimestamp(
                     max(int(bufs[0][n_ctx]) // 1000 + 1, wm_ms + 1)
                 )
-            else:
+            elif horizon_ms > 0:
                 # wake at the idle deadline (anchored to last activity,
                 # not the current watermark — re-arming on wm would defer
-                # eviction forever on a busy stream)
+                # eviction forever on a busy stream); horizon 0 = TTL
+                # disabled: set no timer, the key's state persists
                 state.setTimeoutTimestamp(
                     max(last_ts // 1000 + horizon_ms + 1, wm_ms + 1)
                 )

@@ -1045,6 +1045,15 @@ def test_streaming_over_honors_state_ttl_property(spark, tmp_path, monkeypatch):
     )
     stmt.cancel()
     assert seen.get("idle_horizon_s") == 1800
+    # Flink TimeUtils aliases parse ('5 m' = 5 minutes); '0' is Flink's
+    # TTL-DISABLED value → idle eviction off (horizon 0), not 1 second
+    eng.execute_sql("SET 'table.exec.state.ttl' = '5 m'")
+    assert eng._state_ttl_s() == 300
+    eng.execute_sql("SET 'table.exec.state.ttl' = '0'")
+    assert eng._state_ttl_s() == 0
+    eng.execute_sql("SET 'table.exec.state.ttl' = '1500'")  # bare ms
+    assert eng._state_ttl_s() == 2  # rounded UP, never down to disabled
+    eng.execute_sql("SET 'table.exec.state.ttl' = '30 min'")
     # bad duration syntax raises at SET-use time, loudly
     eng.execute_sql("SET 'table.exec.state.ttl' = 'soon'")
     import pytest
