@@ -1065,3 +1065,46 @@ def test_streaming_over_honors_state_ttl_property(spark, tmp_path, monkeypatch):
                FROM ovttl"""
         )
     eng.close()
+
+
+def test_streaming_window_tvf_join_through_sql(spark, tmp_path):
+    """Flink's window TVF JOIN — `TABLE(TUMBLE(l)) JOIN TABLE(TUMBLE(r)) ON
+    window + key` — executes on a STREAMING table through the existing TVF
+    rewrite (each TVF becomes a subquery deriving the window from the
+    already-WATERMARKED rowtime, so the native stream-stream equi-join
+    gets watermarked inputs): same-window pairs join, cross-window pairs
+    don't. The DataFrame-level state-eviction proof for this plan shape is
+    tests/test_streaming4.py::test_window_join_state_evicts_closed_windows."""
+    import pandas as pd
+
+    from flink_notebooks_spark.engine import Engine
+
+    rows = [
+        {"user_id": 1, "ts_s": 10, "event_type": "view"},
+        {"user_id": 1, "ts_s": 20, "event_type": "purchase"},
+        {"user_id": 2, "ts_s": 10, "event_type": "view"},
+        {"user_id": 2, "ts_s": 4000, "event_type": "purchase"},  # next window
+        {"user_id": 99, "ts_s": 100_000, "event_type": "other"},  # wm advance
+    ]
+    pdf = pd.DataFrame(rows)
+    pdf["ev_time"] = pd.to_datetime(pdf["ts_s"], unit="s").astype("datetime64[us]")
+    pdf.to_parquet(f"{tmp_path}/events.parquet")
+    eng = Engine(spark)
+    eng.execute_sql(
+        f"""CREATE TABLE wjtvf (
+              user_id BIGINT, ts_s BIGINT, event_type STRING, ev_time TIMESTAMP_LTZ(3),
+              WATERMARK FOR ev_time AS ev_time - INTERVAL '0' SECOND
+            ) WITH ('connector'='filesystem','path'='{tmp_path}','format'='parquet')"""
+    )
+    stmt = eng.execute_sql(
+        """SELECT L.user_id, L.ts_s AS view_s, R.ts_s AS purchase_s
+           FROM TABLE(TUMBLE(TABLE wjtvf, DESCRIPTOR(ev_time), INTERVAL '1' HOUR)) L
+           JOIN TABLE(TUMBLE(TABLE wjtvf, DESCRIPTOR(ev_time), INTERVAL '1' HOUR)) R
+             ON L.window_start = R.window_start AND L.user_id = R.user_id
+           WHERE L.event_type = 'view' AND R.event_type = 'purchase'"""
+    )
+    assert stmt.is_streaming
+    got = _fetch_rows(stmt, want=1)
+    eng.close()
+    # only user 1's pair shares a window; user 2's purchase is 4000 s away
+    assert got == [[1, 10, 20]]
