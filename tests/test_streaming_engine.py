@@ -1108,3 +1108,44 @@ def test_streaming_window_tvf_join_through_sql(spark, tmp_path):
     eng.close()
     # only user 1's pair shares a window; user 2's purchase is 4000 s away
     assert got == [[1, 10, 20]]
+
+
+def test_streaming_interval_join_through_sql(spark, tmp_path):
+    """Flink's interval-join SQL — `ON l.k = r.k AND r.ev BETWEEN l.ev AND
+    l.ev + INTERVAL` — executes on STREAMING tables through the plain SQL
+    path (Spark's native stream-stream join with a time-range condition
+    over the tables' declared watermarks): in-range pairs join, out-of-
+    range pairs don't."""
+    import pandas as pd
+
+    from flink_notebooks_spark.engine import Engine
+
+    rows = [
+        {"user_id": 1, "ts_s": 10, "event_type": "view"},
+        {"user_id": 1, "ts_s": 40, "event_type": "purchase"},   # +30 s: in
+        {"user_id": 2, "ts_s": 10, "event_type": "view"},
+        {"user_id": 2, "ts_s": 200, "event_type": "purchase"},  # +190 s: out
+        {"user_id": 99, "ts_s": 100_000, "event_type": "other"},
+    ]
+    pdf = pd.DataFrame(rows)
+    pdf["ev_time"] = pd.to_datetime(pdf["ts_s"], unit="s").astype("datetime64[us]")
+    pdf.to_parquet(f"{tmp_path}/events.parquet")
+    eng = Engine(spark)
+    eng.execute_sql(
+        f"""CREATE TABLE ivj (
+              user_id BIGINT, ts_s BIGINT, event_type STRING, ev_time TIMESTAMP_LTZ(3),
+              WATERMARK FOR ev_time AS ev_time - INTERVAL '0' SECOND
+            ) WITH ('connector'='filesystem','path'='{tmp_path}','format'='parquet')"""
+    )
+    stmt = eng.execute_sql(
+        """SELECT L.user_id, L.ts_s AS view_s, R.ts_s AS purchase_s
+           FROM ivj L JOIN ivj R
+             ON L.user_id = R.user_id
+            AND R.ev_time BETWEEN L.ev_time
+                              AND L.ev_time + INTERVAL '1' MINUTE
+           WHERE L.event_type = 'view' AND R.event_type = 'purchase'"""
+    )
+    assert stmt.is_streaming
+    got = _fetch_rows(stmt, want=1)
+    eng.close()
+    assert got == [[1, 10, 40]]
