@@ -537,6 +537,35 @@ def _build_array_slice(inner: str, flag: str | None) -> str:
     raise ValueError(f"ARRAY_SLICE: expected 2 or 3 arguments, got {len(args)}")
 
 
+def _rewrite_str_to_map(sql: str) -> str:
+    """Flink STR_TO_MAP default delimiters are ',' and '=' (Spark's
+    str_to_map defaults to ',' and ':') — make the ONE-argument form's
+    delimiters explicit; 2/3-argument forms pass through unchanged.
+    Single forward pass (the output still contains the function name, so
+    the generic rescan-from-the-start rewriter would never terminate)."""
+    pat = re.compile(r"\bSTR_TO_MAP\s*\(", re.IGNORECASE)
+    out, pos = [], 0
+    while True:
+        m = pat.search(sql, pos)
+        if m is None:
+            out.append(sql[pos:])
+            return "".join(out)
+        if _in_string(sql, m.start()):
+            out.append(sql[pos : m.end()])
+            pos = m.end()
+            continue
+        open_i = m.end() - 1
+        close_i = _match_delim(sql, open_i, "(", ")")
+        inner = sql[open_i + 1 : close_i]
+        args = [a.strip() for a in _split_args(inner)]
+        out.append(sql[pos : m.start()])
+        if len(args) == 1:
+            out.append(f"str_to_map({args[0]}, ',', '=')")
+        else:
+            out.append(f"str_to_map({inner})")
+        pos = close_i + 1
+
+
 def rewrite_scalar_syntax(sql: str) -> str:
     """Apply the Flink scalar-syntax rewrites above (text-level,
     string-literal aware)."""
@@ -553,6 +582,8 @@ def rewrite_scalar_syntax(sql: str) -> str:
         if re.search(rf"\b{name}\s*\(", sql, re.IGNORECASE):
             sql = _rewrite_json_fn(sql, name, build)
     sql = re.sub(r"\bARRAY_CONCAT\s*\(", "concat(", sql, flags=re.IGNORECASE)
+    if re.search(r"\bSTR_TO_MAP\s*\(", sql, re.IGNORECASE):
+        sql = _rewrite_str_to_map(sql)
     # Flink's COLLECT multiset aggregate → the closest Spark aggregate
     # (collect_list; multiset multiplicity is preserved, order is not part
     # of either contract)

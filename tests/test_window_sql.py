@@ -134,3 +134,22 @@ def test_scalar_rewrite_comment_aware():
     assert rs(
         "SELECT JSON_OBJECT(KEY 'a' VALUE x, -- it's fine\n KEY 'b' VALUE y) FROM t"
     ).count("named_struct") == 1
+
+
+def test_str_to_map_default_delimiters():
+    """Flink's one-argument STR_TO_MAP defaults to ',' pair / '=' key-value
+    delimiters (Spark's str_to_map defaults to ':') — the rewrite makes
+    them explicit; explicit-delimiter forms and string literals containing
+    the function name pass through untouched."""
+    from flink_notebooks_spark.engine.window_sql import rewrite_scalar_syntax
+
+    got = rewrite_scalar_syntax("SELECT STR_TO_MAP('k1=v1,k2=v2') AS m")
+    assert "str_to_map('k1=v1,k2=v2', ',', '=')" in got
+    got = rewrite_scalar_syntax("SELECT STR_TO_MAP(x, ';', ':') AS m")
+    assert "str_to_map(x, ';', ':')" in got
+    got = rewrite_scalar_syntax("SELECT 'STR_TO_MAP(x)' AS lit")
+    assert "'STR_TO_MAP(x)'" in got
+    # nested call with a comma INSIDE the single argument still counts as
+    # one argument (paren-aware split)
+    got = rewrite_scalar_syntax("SELECT STR_TO_MAP(concat(a, b)) AS m")
+    assert "str_to_map(concat(a, b), ',', '=')" in got
