@@ -566,6 +566,43 @@ def _rewrite_str_to_map(sql: str) -> str:
         pos = close_i + 1
 
 
+# SQL/JSON predicate: <operand> IS [NOT] JSON [VALUE|SCALAR|ARRAY|OBJECT]
+# (Flink supports the SQL:2016 form; Spark has no IS JSON). The operand
+# capture covers the common shapes — a string literal, a (qualified)
+# column, a simple function call, or a parenthesized expression; exotic
+# operands keep Spark's parse error, which names the construct.
+_IS_JSON = re.compile(
+    r"((?:[\w.`]+\s*\([^()]*\))|'(?:[^']|'')*'|\([^()]*\)|[\w.`]+)"
+    r"\s+IS\s+(NOT\s+)?JSON(?:\s+(VALUE|SCALAR|ARRAY|OBJECT))?\b",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_is_json(sql: str) -> str:
+    def repl(m: re.Match) -> str:
+        # never rewrite inside a string literal (the keyword match or the
+        # operand could sit mid-literal and corrupt it)
+        if _in_string(sql, m.start()) or _in_string(sql, m.end() - 1):
+            return m.group(0)
+        x, neg, kind = m.group(1), m.group(2), (m.group(3) or "VALUE").upper()
+        valid = f"try_parse_json({x}) IS NOT NULL"
+        lead = f"left(ltrim({x}), 1)"
+        if kind == "OBJECT":
+            cond = f"({valid} AND {lead} = '{{')"
+        elif kind == "ARRAY":
+            cond = f"({valid} AND {lead} = '[')"
+        elif kind == "SCALAR":
+            cond = f"({valid} AND {lead} NOT IN ('{{', '['))"
+        else:  # VALUE / bare IS JSON
+            cond = f"({valid})"
+        # SQL:2016 / Flink: IS JSON on NULL is FALSE (and IS NOT JSON TRUE)
+        # — try_parse_json(NULL) IS NOT NULL is already FALSE, and the
+        # negated form wraps the whole condition
+        return f"(NOT {cond})" if neg else cond
+
+    return _IS_JSON.sub(repl, sql)
+
+
 def rewrite_scalar_syntax(sql: str) -> str:
     """Apply the Flink scalar-syntax rewrites above (text-level,
     string-literal aware)."""
@@ -584,6 +621,8 @@ def rewrite_scalar_syntax(sql: str) -> str:
     sql = re.sub(r"\bARRAY_CONCAT\s*\(", "concat(", sql, flags=re.IGNORECASE)
     if re.search(r"\bSTR_TO_MAP\s*\(", sql, re.IGNORECASE):
         sql = _rewrite_str_to_map(sql)
+    if re.search(r"\bIS\s+(NOT\s+)?JSON\b", sql, re.IGNORECASE):
+        sql = _rewrite_is_json(sql)
     # Flink's COLLECT multiset aggregate → the closest Spark aggregate
     # (collect_list; multiset multiplicity is preserved, order is not part
     # of either contract)

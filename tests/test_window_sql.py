@@ -153,3 +153,24 @@ def test_str_to_map_default_delimiters():
     # one argument (paren-aware split)
     got = rewrite_scalar_syntax("SELECT STR_TO_MAP(concat(a, b)) AS m")
     assert "str_to_map(concat(a, b), ',', '=')" in got
+
+
+def test_is_json_predicate_rewrite():
+    """SQL:2016 `IS [NOT] JSON [VALUE|SCALAR|ARRAY|OBJECT]` (Flink supports
+    it; Spark has no IS JSON) rewrites onto try_parse_json + a lead-char
+    check; NULL input is FALSE (Flink semantics); string literals holding
+    the words pass through."""
+    from flink_notebooks_spark.engine.window_sql import rewrite_scalar_syntax
+
+    got = rewrite_scalar_syntax("SELECT x IS JSON AS a")
+    assert "try_parse_json(x) IS NOT NULL" in got and "IS JSON" not in got
+    got = rewrite_scalar_syntax("SELECT x IS NOT JSON OBJECT AS a")
+    assert got.count("NOT") >= 1 and "= '{'" in got
+    got = rewrite_scalar_syntax("SELECT col IS JSON ARRAY AS a")
+    assert "= '['" in got
+    # unrelated SQL untouched; the predicate never fires INSIDE a literal
+    assert rewrite_scalar_syntax("SELECT 1 AS a") == "SELECT 1 AS a"
+    s = "SELECT 'this IS JSON maybe' AS s"
+    assert rewrite_scalar_syntax(s) == s
+    got = rewrite_scalar_syntax("SELECT '{}' IS JSON AS b")
+    assert "try_parse_json('{}')" in got
