@@ -566,6 +566,24 @@ def _rewrite_str_to_map(sql: str) -> str:
         pos = close_i + 1
 
 
+def _build_element(inner: str, flag: str | None) -> str:
+    """Flink ELEMENT(arr): the sole element of a single-element array —
+    NULL for empty, runtime error for more than one (Flink semantics)."""
+    return (
+        f"IF(size({inner}) > 1, "
+        "raise_error('ELEMENT(): array has more than one element'), "
+        f"try_element_at({inner}, 1))"
+    )
+
+
+def _build_row_ctor(inner: str, flag: str | None) -> str:
+    """Flink ROW(a, b, ...) constructor → named_struct with Flink's
+    conventional f0, f1, ... field names."""
+    args = [a.strip() for a in _split_args(inner)]
+    pairs = ", ".join(f"'f{i}', {a}" for i, a in enumerate(args))
+    return f"named_struct({pairs})"
+
+
 # SQL/JSON predicate: <operand> IS [NOT] JSON [VALUE|SCALAR|ARRAY|OBJECT]
 # (Flink supports the SQL:2016 form; Spark has no IS JSON). The operand
 # capture covers the common shapes — a string literal, a (qualified)
@@ -623,6 +641,10 @@ def rewrite_scalar_syntax(sql: str) -> str:
         sql = _rewrite_str_to_map(sql)
     if re.search(r"\bIS\s+(NOT\s+)?JSON\b", sql, re.IGNORECASE):
         sql = _rewrite_is_json(sql)
+    if re.search(r"\bELEMENT\s*\(", sql, re.IGNORECASE):
+        sql = _rewrite_json_fn(sql, "ELEMENT", _build_element)
+    if re.search(r"\bROW\s*\(", sql, re.IGNORECASE):
+        sql = _rewrite_json_fn(sql, "ROW", _build_row_ctor)
     # Flink's COLLECT multiset aggregate → the closest Spark aggregate
     # (collect_list; multiset multiplicity is preserved, order is not part
     # of either contract)

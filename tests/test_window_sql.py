@@ -174,3 +174,19 @@ def test_is_json_predicate_rewrite():
     assert rewrite_scalar_syntax(s) == s
     got = rewrite_scalar_syntax("SELECT '{}' IS JSON AS b")
     assert "try_parse_json('{}')" in got
+
+
+def test_element_and_row_constructor_rewrites():
+    """Flink's ELEMENT(arr) (sole element: NULL for empty, error for >1)
+    and the ROW(a, b, ...) constructor (f0/f1... field names) rewrite onto
+    Spark primitives; ROW_NUMBER and frame keywords are untouched."""
+    from flink_notebooks_spark.engine.window_sql import rewrite_scalar_syntax
+
+    got = rewrite_scalar_syntax("SELECT ELEMENT(arr) AS v")
+    assert "try_element_at(arr, 1)" in got and "raise_error" in got
+    got = rewrite_scalar_syntax("SELECT ROW(1, 'a') AS r")
+    assert "named_struct('f0', 1, 'f1', 'a')" in got
+    s = "SELECT ROW_NUMBER() OVER (ORDER BY x) AS rn"
+    assert rewrite_scalar_syntax(s) == s
+    s2 = "SELECT SUM(x) OVER (ORDER BY t ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s"
+    assert rewrite_scalar_syntax(s2) == s2
