@@ -62,11 +62,10 @@ def rewrite_temporal_join(sql: str) -> str:
     explosion); wiring that into arbitrary SQL would need a Catalyst rule,
     documented as the J7 limitation in SURVEY.md §7.3.
     """
-    return re.sub(
+    return _sub_code(
         r"\bFOR\s+SYSTEM_TIME\s+AS\s+OF\s+[`\w.]+(\s*\(\s*\))?",
         " ",
         sql,
-        flags=re.IGNORECASE,
     )
 
 
@@ -199,37 +198,33 @@ def rewrite_group_windows(sql: str) -> str:
     # selectors first (TUMBLE_START before TUMBLE so prefixes don't collide)
     def sel(prefix: str, target: str) -> None:
         nonlocal sql
-        sql = re.sub(
+        sql = _sub_code(
             rf"\b{prefix}_(START|END)\s*\(([^()]*)\)",
             lambda m: f"{target}.{'start' if m.group(1).upper() == 'START' else 'end'}",
             sql,
-            flags=re.IGNORECASE,
         )
 
     sel("TUMBLE", "window")
     sel("HOP", "window")
     sel("SESSION", "session_window")
 
-    sql = re.sub(
+    sql = _sub_code(
         rf"\bTUMBLE\s*\(\s*{_COL}\s*,\s*{_IVL}\s*\)",
         lambda m: f"window({m.group(1)}, {_dur(m.group(2), m.group(3))})",
         sql,
-        flags=re.IGNORECASE,
     )
-    sql = re.sub(
+    sql = _sub_code(
         rf"\bHOP\s*\(\s*{_COL}\s*,\s*{_IVL}\s*,\s*{_IVL}\s*\)",
         lambda m: (
             f"window({m.group(1)}, {_dur(m.group(4), m.group(5))}, "
             f"{_dur(m.group(2), m.group(3))})"
         ),
         sql,
-        flags=re.IGNORECASE,
     )
-    sql = re.sub(
+    sql = _sub_code(
         rf"\bSESSION\s*\(\s*{_COL}\s*,\s*{_IVL}\s*\)",
         lambda m: f"session_window({m.group(1)}, {_dur(m.group(2), m.group(3))})",
         sql,
-        flags=re.IGNORECASE,
     )
     return sql
 
@@ -322,6 +317,20 @@ def _in_string(sql: str, pos: int) -> bool:
             continue
         j += 1
     return False
+
+
+def _sub_code(pattern, repl, sql: str, flags=re.IGNORECASE) -> str:
+    """``re.sub`` that leaves matches inside string literals / comments
+    untouched — the guard every text-level rewrite needs (a literal
+    ``'COLLECT(x'`` or a comment holding ``ARRAY[`` must survive verbatim).
+    ``repl`` may be a string (backref-expanded) or a callable."""
+
+    def guard(m: re.Match) -> str:
+        if _in_string(sql, m.start()):
+            return m.group(0)
+        return repl(m) if callable(repl) else m.expand(repl)
+
+    return re.sub(pattern, guard, sql, flags=flags)
 
 
 def _split_args(s: str) -> list[str]:
@@ -604,7 +613,12 @@ def _rewrite_is_json(sql: str) -> str:
             return m.group(0)
         x, neg, kind = m.group(1), m.group(2), (m.group(3) or "VALUE").upper()
         valid = f"try_parse_json({x}) IS NOT NULL"
-        lead = f"left(ltrim({x}), 1)"
+        # JSON whitespace is space/tab/LF/CR (RFC 8259); ltrim() strips only
+        # spaces, so '\n{}' would misclassify. The \t escapes survive both
+        # settings of spark.sql.parser.escapedStringLiterals: processed they
+        # become literal chars in the regex class, unprocessed they are
+        # regex escapes for the same chars.
+        lead = f"left(regexp_replace({x}, '^[ \\t\\n\\r]+', ''), 1)"
         if kind == "OBJECT":
             cond = f"({valid} AND {lead} = '{{')"
         elif kind == "ARRAY":
@@ -636,7 +650,7 @@ def rewrite_scalar_syntax(sql: str) -> str:
     ):
         if re.search(rf"\b{name}\s*\(", sql, re.IGNORECASE):
             sql = _rewrite_json_fn(sql, name, build)
-    sql = re.sub(r"\bARRAY_CONCAT\s*\(", "concat(", sql, flags=re.IGNORECASE)
+    sql = _sub_code(r"\bARRAY_CONCAT\s*\(", "concat(", sql)
     if re.search(r"\bSTR_TO_MAP\s*\(", sql, re.IGNORECASE):
         sql = _rewrite_str_to_map(sql)
     if re.search(r"\bIS\s+(NOT\s+)?JSON\b", sql, re.IGNORECASE):
@@ -648,9 +662,9 @@ def rewrite_scalar_syntax(sql: str) -> str:
     # Flink's COLLECT multiset aggregate → the closest Spark aggregate
     # (collect_list; multiset multiplicity is preserved, order is not part
     # of either contract)
-    sql = re.sub(r"\bCOLLECT\s*\(", "collect_list(", sql, flags=re.IGNORECASE)
-    sql = re.sub(r"\bARRAY_REVERSE\s*\(", "reverse(", sql, flags=re.IGNORECASE)
-    sql = re.sub(r"\bMAP_UNION\s*\(", "map_concat(", sql, flags=re.IGNORECASE)
+    sql = _sub_code(r"\bCOLLECT\s*\(", "collect_list(", sql)
+    sql = _sub_code(r"\bARRAY_REVERSE\s*\(", "reverse(", sql)
+    sql = _sub_code(r"\bMAP_UNION\s*\(", "map_concat(", sql)
     if re.search(r"\bARRAY_SLICE\s*\(", sql, re.IGNORECASE):
         sql = _rewrite_json_fn(sql, "ARRAY_SLICE", _build_array_slice)
     # TO_TIMESTAMP_LTZ(numeric, precision): Flink's epoch form — Spark's
@@ -671,14 +685,13 @@ def rewrite_scalar_syntax(sql: str) -> str:
     )
     # Flink's niladic time attributes; Spark needs the call form. LOCALTIME
     # returns Flink's TIME — mapped to STRING like the TIME type itself.
-    sql = re.sub(
-        r"\bLOCALTIMESTAMP\b(?!\s*\()", "localtimestamp()", sql, flags=re.IGNORECASE
+    sql = _sub_code(
+        r"\bLOCALTIMESTAMP\b(?!\s*\()", "localtimestamp()", sql
     )
-    sql = re.sub(
+    sql = _sub_code(
         r"\bLOCALTIME\b(?!\s*\()",
         "date_format(localtimestamp(), 'HH:mm:ss')",
         sql,
-        flags=re.IGNORECASE,
     )
     return sql
 

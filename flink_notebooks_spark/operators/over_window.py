@@ -18,7 +18,8 @@ state shape Flink's OverAggregate keeps — with
   for ROWS, or (UNBOUNDED PRECEDING) nothing at all, because finalized
   rows fold into O(1) running accumulators;
 * idle-key eviction: a key with nothing pending evicts whole on an
-  event-time timer after ``idle_horizon_s`` (Flink ``table.exec.state.ttl``;
+  event-time timer after ``idle_horizon_s`` (off by default, matching
+  Flink's ``table.exec.state.ttl = 0`` default;
   a row arriving later restarts with an empty frame — the standard TTL
   divergence).
 
@@ -70,7 +71,7 @@ def streaming_over_window(
     aggs: list[OverAgg],
     carry: list[str],
     tiebreak: list[str] = (),
-    idle_horizon_s: int = 90 * 86_400,
+    idle_horizon_s: int = 0,
     keep_col: str | None = None,
 ) -> DataFrame:
     """Apply a streaming OVER window to ``df`` (a WATERMARKED streaming
@@ -86,9 +87,11 @@ def streaming_over_window(
     O(1) retained state per key. ``carry``: input columns copied onto each
     output row. Output schema: carry columns (input types) + agg aliases.
 
-    ``idle_horizon_s = 0`` disables idle-key eviction entirely (Flink's
-    ``table.exec.state.ttl = 0`` — state is never cleaned); positive values
-    evict a key once the watermark passes its newest event + horizon.
+    ``idle_horizon_s = 0`` — the DEFAULT — disables idle-key eviction
+    entirely, matching Flink's default ``table.exec.state.ttl = 0`` (state
+    is never cleaned); positive values evict a key once the watermark
+    passes its newest event + horizon. The engine passes the session
+    property through when set; standalone callers must opt in.
 
     ``keep_col``: optional boolean column — rows where it is false are
     DISCARDED on arrival inside the operator, after they have advanced the

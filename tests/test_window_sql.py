@@ -174,6 +174,10 @@ def test_is_json_predicate_rewrite():
     assert rewrite_scalar_syntax(s) == s
     got = rewrite_scalar_syntax("SELECT '{}' IS JSON AS b")
     assert "try_parse_json('{}')" in got
+    # lead-char check strips ALL JSON whitespace (RFC 8259: space, tab,
+    # LF, CR) — ltrim() strips only spaces, so '\n{}' would misclassify
+    got = rewrite_scalar_syntax("SELECT x IS JSON OBJECT AS a")
+    assert "regexp_replace" in got and "ltrim" not in got
 
 
 def test_element_and_row_constructor_rewrites():
