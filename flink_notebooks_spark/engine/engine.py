@@ -144,6 +144,11 @@ class Engine:
         self._listeners: list = []
         self._checkpoint_root = tempfile.mkdtemp(prefix="fns-ckpt-")
         self._default_tz = self.spark.conf.get("spark.sql.session.timeZone")
+        # a fresh engine session starts with Flink's TTL default (disabled);
+        # clear any mirror a previous engine left on the shared SparkSession
+        from ..io import STATE_TTL_CONF
+
+        self.spark.conf.unset(STATE_TTL_CONF)
         self._register_flink_builtins()
 
     # Flink SQL built-ins Spark lacks under those names, provided as
@@ -505,6 +510,26 @@ class Engine:
         self.properties[p.key] = p.value
         if p.key == "execution.runtime-mode":
             self._refresh_views()
+        elif p.key == "table.exec.state.ttl":
+            # mirror into the Spark session conf so keyed-state stream
+            # builders created after this SET — including ones submitted
+            # through the embedding surface (execute_stream_df) — pick the
+            # horizon up (io.session_state_ttl_s), Flink's session-scoped
+            # semantics. Validation stays LAZY like Flink's SET (the pinned
+            # contract: a bad duration errors at first use, not at SET) —
+            # an unparsable value mirrors as an error sentinel so the
+            # embedded surface raises just as loudly as the SQL one.
+            from ..io import STATE_TTL_CONF
+
+            try:
+                ttl_s = self._state_ttl_s()
+            except ValueError:
+                self.spark.conf.set(STATE_TTL_CONF, f"ERR:{p.value}")
+            else:
+                self.spark.conf.set(
+                    STATE_TTL_CONF,
+                    "0" if ttl_s in (0, None) else str(ttl_s * 1000),
+                )
         elif p.key == "table.local-time-zone":
             # Flink's session time zone ↔ Spark's — timestamps with local
             # time zone render/parse in this zone
@@ -517,14 +542,19 @@ class Engine:
         return ok_statement("OK")
 
     def _exec_reset(self, p: Parsed) -> Statement:
+        from ..io import STATE_TTL_CONF
+
         if p.key:
             self.properties.pop(p.key, None)
             if p.key == "table.local-time-zone":
                 self.spark.conf.set(
                     "spark.sql.session.timeZone", self._default_tz
                 )
+            elif p.key == "table.exec.state.ttl":
+                self.spark.conf.unset(STATE_TTL_CONF)
         else:
             self.spark.conf.set("spark.sql.session.timeZone", self._default_tz)
+            self.spark.conf.unset(STATE_TTL_CONF)
             self.properties = {"execution.runtime-mode": STREAMING}
         return ok_statement("OK")
 
@@ -939,6 +969,9 @@ class Engine:
 
         if "OPTIONS" in p.sql.upper():
             p = Parsed(**{**p.__dict__, "sql": self._apply_options_hints(p.sql)})
+        cw = self._try_current_watermark(p.sql)
+        if cw is not None:
+            return cw
         mr = sql_match_recognize(
             self.spark,
             p.sql,
@@ -1164,11 +1197,21 @@ class Engine:
                 f"OVER envelope); got: OVER ({specs[0]})"
             )
         alias = q.group("alias")
-        strip_alias = (
-            (lambda s: _re.sub(rf"\b{alias}\s*\.\s*", "", s))
-            if alias
-            else (lambda s: s)
-        )
+        if alias:
+            from .window_sql import _in_string
+
+            _alias_re = _re.compile(rf"\b{_re.escape(alias)}\s*\.\s*")
+
+            def strip_alias(s: str) -> str:
+                # identifier positions only — never rewrite inside a string
+                # literal (WHERE note = 't.x' must keep its literal intact)
+                return _alias_re.sub(
+                    lambda m: "" if not _in_string(s, m.start()) else m.group(0),
+                    s,
+                )
+
+        else:
+            strip_alias = lambda s: s  # noqa: E731
         ord_col = strip_alias(sp.group("ord")).split(".")[-1].strip("`")
         if tdef.watermark is None or ord_col != tdef.watermark.column:
             raise ValueError(
@@ -1203,10 +1246,16 @@ class Engine:
                 "DAY": 86_400_000_000,
             }[sp.group("unit").upper()]
             frame = ("range", int(float(sp.group("iv")) * unit_us))
-        part_cols = [
-            strip_alias(c).strip().strip("`")
-            for c in sp.group("part").split(",")
-        ]
+        part_cols = []
+        for c in _split_top(sp.group("part"), angle=False):
+            c = strip_alias(c).strip().strip("`")
+            if not _re.fullmatch(r"[\w.`]+", c):
+                raise NotImplementedError(
+                    "streaming OVER: PARTITION BY items must be plain "
+                    f"columns (got expression {c!r}) — project the "
+                    "expression in a view first"
+                )
+            part_cols.append(c.split(".")[-1].strip("`"))
         dtypes = dict(base.dtypes)
         items = _split_top(q.group("sel"), angle=False)
         aggs: list[OverAgg] = []
@@ -1324,11 +1373,134 @@ class Engine:
             )
         return BatchStatement(self.spark.sql(f"EXPLAIN {body}"))
 
-    def _start_streaming_select(self, df: DataFrame) -> StreamingStatement:
+    _CW_ITEM = __import__("re").compile(
+        r"\bCURRENT_WATERMARK\s*\(\s*(?P<col>[`\w.]+)\s*\)\s+AS\s+(?P<alias>\w+)",
+        __import__("re").IGNORECASE,
+    )
+
+    def _try_current_watermark(self, sql: str) -> Statement | None:
+        """Flink's ``CURRENT_WATERMARK(rowtime)`` built-in (stock planner,
+        reference flink-runtime/build.gradle:37), emulated through the
+        engine's micro-batch plumbing. Spark exposes no per-operator
+        watermark to SQL expressions, but the engine OWNS each streaming
+        statement's foreachBatch: the supported form — a top-level SELECT
+        item ``CURRENT_WATERMARK(col) AS alias`` — is planned as a NULL
+        timestamp placeholder and overwritten per micro-batch with the
+        in-flight execution's ``batchWatermarkMs`` — the EXACT operator
+        watermark Spark's stateful operators use for that trigger (the
+        public ``lastProgress`` is one batch behind; it remains the
+        fallback if the JVM internals drift). NULL until a first batch
+        establishes a watermark, Flink's behavior before any
+        watermark is emitted. Batch queries raise, like Flink outside
+        streaming; non-item positions (WHERE lateness predicates) raise
+        with guidance — a per-ROW watermark comparison is not emulable
+        from outside the plan."""
+        import re as _re
+
+        from .window_sql import _in_string
+
+        hits = [
+            m
+            for m in _re.finditer(r"\bCURRENT_WATERMARK\s*\(", sql, _re.IGNORECASE)
+            if not _in_string(sql, m.start())
+        ]
+        if not hits:
+            return None
+        items = [
+            m for m in self._CW_ITEM.finditer(sql) if not _in_string(sql, m.start())
+        ]
+        if len(items) != len(hits):
+            raise NotImplementedError(
+                "CURRENT_WATERMARK is supported as a top-level SELECT item "
+                "with an explicit alias (CURRENT_WATERMARK(ts) AS wm); other "
+                "positions (WHERE predicates, expressions) cannot be "
+                "evaluated per-row from outside the plan — emit the wm "
+                "column and filter in a follow-up query instead"
+            )
+        aliases: list[str] = []
+        out = sql
+        for m in reversed(items):
+            aliases.append(m.group("alias"))
+            out = (
+                out[: m.start()]
+                + f"CAST(NULL AS TIMESTAMP) AS {m.group('alias')}"
+                + out[m.end() :]
+            )
+        # best-effort Flink-parity argument check: when the FROM table is a
+        # session table, the argument must be its declared time attribute
+        tm = _re.search(r"\bFROM\s+([\w.`]+)", sql, _re.IGNORECASE)
+        tdef = self.tables.get(tm.group(1).split(".")[-1].strip("`")) if tm else None
+        if tdef is not None:
+            for m in items:
+                col = m.group("col").split(".")[-1].strip("`")
+                if tdef.watermark is None or col != tdef.watermark.column:
+                    raise ValueError(
+                        f"CURRENT_WATERMARK({col}): argument must be the "
+                        "table's declared WATERMARK time attribute"
+                        + (
+                            f" (here {tdef.watermark.column!r})"
+                            if tdef.watermark
+                            else " — this table declares none"
+                        )
+                    )
+        df = self.spark.sql(rewrite_flink_dialect(out))
+        if not df.isStreaming:
+            raise ValueError(
+                "CURRENT_WATERMARK: only defined on a streaming query over "
+                "a watermarked time attribute (Flink raises outside "
+                "streaming too)"
+            )
+
+        def fix(bdf: DataFrame, q) -> DataFrame:
+            from datetime import datetime, timezone
+
+            wm = None
+            wm_ms = 0
+            try:
+                # the in-flight IncrementalExecution's batchWatermarkMs IS
+                # the operator watermark of the CURRENT micro-batch — exact,
+                # unlike lastProgress (previous trigger's INPUT watermark,
+                # one batch behind)
+                wm_ms = (
+                    q._jsq.streamingQuery()  # noqa: SLF001
+                    .lastExecution()
+                    .offsetSeqMetadata()
+                    .batchWatermarkMs()
+                ) if q is not None else 0
+            except Exception:  # noqa: BLE001 - internals drift → progress
+                try:
+                    lp = q.lastProgress if q is not None else None
+                except Exception:  # noqa: BLE001 - mid-teardown → no wm
+                    lp = None
+                s = ((lp or {}).get("eventTime") or {}).get("watermark")
+                if s:
+                    dt = datetime.fromisoformat(s.replace("Z", "+00:00"))
+                    wm_ms = int(dt.timestamp() * 1000)
+            if wm_ms:  # 0 = no watermark yet → NULL (Flink's behavior)
+                wm = datetime.fromtimestamp(wm_ms / 1000, tz=timezone.utc)
+            for a in aliases:
+                bdf = bdf.withColumn(a, F.lit(wm).cast("timestamp"))
+            return bdf
+
+        return self._start_streaming_select(df, batch_fix=fix)
+
+    def _start_streaming_select(
+        self, df: DataFrame, batch_fix=None
+    ) -> StreamingStatement:
         ckpt = f"{self._checkpoint_root}/{uuid.uuid4().hex}"
         mode_holder: dict = {}
+        qh: dict = {}
 
         def start(on_batch):
+            cb = on_batch
+            if batch_fix is not None:
+                # per-micro-batch result post-processing (CURRENT_WATERMARK
+                # substitution) — sees the live query handle for progress;
+                # a first batch racing the handle publication gets None,
+                # which is correct (no progress → no watermark yet)
+                def cb(bdf, bid):
+                    on_batch(batch_fix(bdf, qh.get("q")), bid)
+
             last_err = None
             # append works for non-aggregating plans; update for aggregates;
             # complete for sorted/limited aggregates — mirrors Flink's
@@ -1337,12 +1509,14 @@ class Engine:
                 mode_holder["mode"] = mode  # set BEFORE start: first micro-
                 # batch can fire as soon as start() returns
                 try:
-                    return (
+                    q = (
                         df.writeStream.outputMode(mode)
                         .option("checkpointLocation", f"{ckpt}-{mode}")
-                        .foreachBatch(on_batch)
+                        .foreachBatch(cb)
                         .start()
                     )
+                    qh["q"] = q
+                    return q
                 except Exception as e:  # noqa: BLE001
                     last_err = e
             raise last_err
@@ -1469,6 +1643,12 @@ class Engine:
                     s.cancel()
                 except Exception:  # noqa: BLE001
                     pass
+        try:
+            from ..io import STATE_TTL_CONF
+
+            self.spark.conf.unset(STATE_TTL_CONF)
+        except Exception:  # noqa: BLE001 - session may already be stopped
+            pass
 
 
 class SessionManager:

@@ -73,6 +73,7 @@ def changelog_entries(
     key_idx: list[int],
     mode: str,
     seen: dict[tuple, list[Any]],
+    exhaustive: bool = True,
 ) -> list[dict[str, Any]]:
     """Reconstruct Flink's changelog row kinds from micro-batch output.
 
@@ -84,11 +85,16 @@ def changelog_entries(
     UPDATE_BEFORE(old) + UPDATE_AFTER(new). In ``complete`` mode the batch is
     the whole result, so groups that vanished additionally emit DELETE and
     unchanged groups are not re-emitted. State is one row per distinct group
-    key, and that is a HARD bound of MAX_STREAM_ROWS + one batch: every new
-    key emits an INSERT into the client buffer, and once the buffer
-    saturates the statement stops calling this function entirely (see
+    key, HARD-bounded at 2 × MAX_STREAM_ROWS: every new key emits an INSERT
+    into the client buffer (≤ MAX total before saturation), the caller caps
+    ``rows`` at MAX_STREAM_ROWS per trigger, and once the buffer saturates
+    the statement stops calling this function entirely (see
     StreamingStatement.on_batch) — matching the reference client, which
     caps displayed rows at the same 10k (flinkNotebookController.ts:428).
+
+    ``exhaustive=False`` marks ``rows`` as a transfer-capped PARTIAL batch:
+    complete-mode DELETE reconstruction is suppressed (an absent key may sit
+    past the cap, not be gone).
     """
     out: list[dict[str, Any]] = []
     snapshot: set[tuple] = set()
@@ -105,7 +111,11 @@ def changelog_entries(
             out.append({"kind": "UPDATE_AFTER", "fields": fields})
             seen[key] = fields
         # unchanged (complete-mode re-emission): nothing to report
-    if mode == "complete":
+    if mode == "complete" and exhaustive:
+        # DELETE = key vanished from the complete snapshot. Only decidable
+        # when ``rows`` IS the whole snapshot — a transfer-capped partial
+        # batch (exhaustive=False) must not DELETE keys that may simply sit
+        # past the cap.
         for key in [k for k in seen if k not in snapshot]:
             out.append({"kind": "DELETE", "fields": seen.pop(key)})
     return out
@@ -288,10 +298,27 @@ class StreamingStatement(Statement):
                         self.truncated = True
                 return
             if changelog:
-                # kind reconstruction diffs against _seen, so it needs the
-                # whole batch — room only bounds what gets buffered below
-                rows = batch_df.collect()
-                entries = changelog_entries(rows, self._key_idx, mode, self._seen)
+                # kind reconstruction diffs against _seen, which wants the
+                # whole batch — but the transfer must stay BOUNDED (the only
+                # otherwise-unbounded driver collect in the repo). Cap at
+                # MAX_STREAM_ROWS + 1: any batch that fits the client cap
+                # diffs exactly (every realistic notebook result), and a
+                # bigger one could never fully serve anyway. When the cap
+                # trips, the diff is non-exhaustive: changed keys beyond the
+                # cap are skipped this trigger (their _seen value stays the
+                # last EMITTED one, so a later UPDATE_BEFORE still matches
+                # what the client materialized), complete-mode DELETE
+                # detection is suppressed (a key absent from a partial
+                # snapshot may exist past the cap), and truncated is set
+                # CONSERVATIVELY — output may have been dropped.
+                rows = batch_df.limit(MAX_STREAM_ROWS + 1).collect()
+                capped = len(rows) > MAX_STREAM_ROWS
+                if capped:
+                    rows = rows[:MAX_STREAM_ROWS]
+                    self.truncated = True
+                entries = changelog_entries(
+                    rows, self._key_idx, mode, self._seen, exhaustive=not capped
+                )
             else:
                 # append mode: rows are independent — fetch just enough to
                 # fill the buffer, +1 so the truncation flag still trips on

@@ -142,3 +142,37 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view (for the SQL surface)."""
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+# conf key the engine's SET handler mirrors `table.exec.state.ttl` into, so
+# keyed-state builders created AFTER the SET pick up the session TTL even
+# when submitted through the embedding surface (execute_stream_df)
+STATE_TTL_CONF = "spark.flink_notebooks.state.ttl.ms"
+
+
+def session_state_ttl_s(spark: SparkSession) -> int | None:
+    """Resolve Flink's ``table.exec.state.ttl`` session property for a
+    keyed-state stream builder.
+
+    The engine mirrors the property into ``STATE_TTL_CONF`` (milliseconds,
+    already parsed) on SET and removes it on RESET — session-scoped, like
+    Flink, where the TTL applies to every stateful operator of queries
+    planned while it is set. Returns idle-horizon seconds (rounded up, min
+    1), or None when the property is unset or explicitly ``'0'`` (Flink's
+    TTL-DISABLED default: state is never cleaned)."""
+    try:
+        raw = spark.conf.get(STATE_TTL_CONF, None)
+    except Exception:  # noqa: BLE001 - conf surface unavailable → unset
+        raw = None
+    if raw is None or raw == "":
+        return None
+    if raw.startswith("ERR:"):
+        # the engine mirrors unparsable SET values as a sentinel so the
+        # embedding surface errors as loudly as the SQL surface (where the
+        # pinned contract raises at first use, not at SET)
+        raise ValueError(
+            f"table.exec.state.ttl: cannot parse {raw[4:]!r} (use Flink "
+            "duration syntax, e.g. '1 h', '30 min', '3600 s', or ms)"
+        )
+    ms = int(raw)
+    return None if ms == 0 else max(1, (ms + 999) // 1000)

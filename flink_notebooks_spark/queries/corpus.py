@@ -731,8 +731,10 @@ def _anomaly_scan_stream(spark, sf_dir, horizon_s: int | None = None):
     """The keyed state op behind ``streaming_events_anomaly`` and its TTL'd
     form. Per-type state is the running hour→count table plus moments.
 
-    ``horizon_s=None`` → ``NoTimeout`` (the bounded-replay form — state
-    holds every hour ever seen). With a horizon, the state is CONTENT-TTL'd:
+    ``horizon_s=None`` → the session's ``table.exec.state.ttl`` when set
+    through the engine (io.session_state_ttl_s), else ``NoTimeout`` (the
+    bounded-replay form — state holds every hour ever seen). With a
+    horizon, the state is CONTENT-TTL'd:
     the key domain (|event types|) is bounded, but the hour table grows with
     elapsed time, so each revision prunes hours whose end fell behind
     ``watermark − horizon`` (Flink's ``table.exec.state.ttl`` analog —
@@ -744,7 +746,14 @@ def _anomaly_scan_stream(spark, sf_dir, horizon_s: int | None = None):
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    from ..io import events_stream_schema, stream_ts_cols
+    from ..io import (
+        events_stream_schema,
+        session_state_ttl_s,
+        stream_ts_cols,
+    )
+
+    if horizon_s is None:
+        horizon_s = session_state_ttl_s(spark)
     from .streaming import _staged_table_stream
 
     schema = events_stream_schema(f"{sf_dir}/events.parquet")
@@ -943,7 +952,10 @@ def quality_classifier(spark, sf_dir):
 # ---------------------------------------------------------------------------
 def _funnel_state_stream(spark, sf_dir, horizon_s: int | None = None):
     """The per-user keyed state op behind ``streaming_events_funnel`` and
-    its TTL'd form. ``horizon_s=None`` → ``NoTimeout`` (bounded replay);
+    its TTL'd form. ``horizon_s=None`` → the session's
+    ``table.exec.state.ttl`` when set through the engine
+    (io.session_state_ttl_s — Flink's knob applies to every stateful op
+    planned while set), else ``NoTimeout`` (bounded replay);
     with a horizon, a user idle past ``last activity + horizon`` is evicted
     whole via ``EventTimeTimeout`` — the attribution-horizon semantics of
     Flink's ``table.exec.state.ttl``. Eviction loses nothing already
@@ -953,7 +965,14 @@ def _funnel_state_stream(spark, sf_dir, horizon_s: int | None = None):
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    from ..io import events_stream_schema, stream_ts_cols
+    from ..io import (
+        events_stream_schema,
+        session_state_ttl_s,
+        stream_ts_cols,
+    )
+
+    if horizon_s is None:
+        horizon_s = session_state_ttl_s(spark)
     from .streaming import _staged_table_stream
 
     schema = events_stream_schema(f"{sf_dir}/events.parquet")
@@ -1333,7 +1352,9 @@ def streaming_quality_filter(spark, sf_dir):
 # ---------------------------------------------------------------------------
 def _retention_state_stream(spark, sf_dir, horizon_s: int | None = None):
     """The per-user keyed state op behind ``streaming_events_retention`` and
-    its TTL'd form. ``horizon_s=None`` → ``NoTimeout``. With a horizon, a
+    its TTL'd form. ``horizon_s=None`` → the session's
+    ``table.exec.state.ttl`` when set through the engine
+    (io.session_state_ttl_s), else ``NoTimeout``. With a horizon, a
     user's state is evicted once the watermark passes ``cohort start +
     horizon`` (deferred while the user is still actively re-setting it):
     past the offset window the bitmask is FROZEN — no later event can set a
@@ -1344,7 +1365,14 @@ def _retention_state_stream(spark, sf_dir, horizon_s: int | None = None):
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    from ..io import events_stream_schema, stream_ts_cols
+    from ..io import (
+        events_stream_schema,
+        session_state_ttl_s,
+        stream_ts_cols,
+    )
+
+    if horizon_s is None:
+        horizon_s = session_state_ttl_s(spark)
     from .llm import RETENTION_MAX_OFFSET
     from .streaming import _staged_table_stream
 

@@ -401,7 +401,9 @@ def streaming_dedup_minhash(spark, sf_dir):
 def _minhash_pair_stream(
     spark, sf_dir, staging_dir: str | None = None, ttl_s: int | None = None
 ):
-    """``ttl_s=None`` → the NoTimeout bounded-replay form. With a TTL, each
+    """``ttl_s=None`` → the session's ``table.exec.state.ttl`` when set
+    through the engine (io.session_state_ttl_s), else the NoTimeout
+    bounded-replay form. With a TTL, each
     bucket member carries its arrival time: members older than
     ``watermark − ttl`` are pruned at every touch (so new docs only pair
     against the live window), a shard whose members ALL aged out removes its
@@ -412,8 +414,11 @@ def _minhash_pair_stream(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    from ..io import session_state_ttl_s
     from .llm import BAND_ROWS, N_HASHES, NGRAMS, WORDS, shingled_docs
 
+    if ttl_s is None:
+        ttl_s = session_state_ttl_s(spark)
     n_bands = N_HASHES // BAND_ROWS
     extra = () if ttl_s is None else ("arrival_us",)
     docs = _staged_table_stream(
@@ -631,7 +636,9 @@ def streaming_dedup_embedding(spark, sf_dir):
 
 def _embedding_pair_stream(spark, sf_dir, ttl_s: int | None = None):
     """The unsinked verified-pair stream behind ``streaming_dedup_embedding``
-    (+ its TTL'd form). ``ttl_s=None`` → NoTimeout bounded-replay state;
+    (+ its TTL'd form). ``ttl_s=None`` → the session's
+    ``table.exec.state.ttl`` when set through the engine
+    (io.session_state_ttl_s), else NoTimeout bounded-replay state;
     with a TTL, bucket members carry arrival ms and are pruned past
     ``watermark − ttl``, empty shards drop their state row, idle shards
     evict whole on ``EventTimeTimeout`` — the same contract as
@@ -640,6 +647,7 @@ def _embedding_pair_stream(spark, sf_dir, ttl_s: int | None = None):
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    from ..io import session_state_ttl_s
     from .llm import (
         _DOT,
         _with_norm,
@@ -649,6 +657,8 @@ def _embedding_pair_stream(spark, sf_dir, ttl_s: int | None = None):
         CLUSTER_SIM_T,
     )
 
+    if ttl_s is None:
+        ttl_s = session_state_ttl_s(spark)
     bits, bands = CLUSTER_LSH_BITS, CLUSTER_LSH_BANDS
     raw = _staged_table_stream(
         spark, sf_dir, "embeddings", "vec_id", "vec_id bigint, embedding array<float>",

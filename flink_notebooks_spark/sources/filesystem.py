@@ -45,6 +45,11 @@ def _reader_opts(table) -> dict[str, str]:
         opts["header"] = table.options.get("csv.include-header", "true")
         if "csv.field-delimiter" in table.options:
             opts["sep"] = table.options["csv.field-delimiter"]
+    # engine extension (no Flink filesystem-connector equivalent): bound the
+    # files per micro-batch so multi-file replays produce deterministic
+    # watermark progressions — maps onto Spark's maxFilesPerTrigger
+    if "source.max-files-per-trigger" in table.options:
+        opts["maxFilesPerTrigger"] = table.options["source.max-files-per-trigger"]
     return opts
 
 

@@ -4,6 +4,7 @@ and the job monitor (T6/T7)."""
 
 from __future__ import annotations
 
+import os
 import time
 
 import pytest
@@ -310,6 +311,84 @@ def test_partial_pages_do_not_strand_rows():
     assert stmt.fetch(p1.next_token).result_type == "EOS"
 
 
+def test_changelog_transfer_bounded_on_oversized_trigger(spark, monkeypatch):
+    """One update-mode trigger with more changed keys than MAX_STREAM_ROWS
+    must NOT materialize the whole micro-batch on the driver: the collect is
+    limit-capped at MAX_STREAM_ROWS + 1, the buffer fills to the cap, the
+    _seen key map stays bounded by the cap, and `truncated` reports honestly
+    that serveable output was dropped. A post-saturation trigger transfers
+    nothing at all."""
+    from flink_notebooks_spark.engine import statement as st
+
+    monkeypatch.setattr(st, "MAX_STREAM_ROWS", 40)
+
+    class FakeQuery:
+        isActive = True
+
+        def exception(self):
+            return None
+
+        def stop(self):
+            self.isActive = False
+
+    class SpyDF:
+        """Counts driver transfers; delegates everything else."""
+
+        def __init__(self, df):
+            self._df = df
+            self.limits: list[int] = []
+            self.full_collects = 0
+
+        def limit(self, n):
+            self.limits.append(n)
+            return self._df.limit(n)
+
+        def collect(self):
+            self.full_collects += 1
+            return self._df.collect()
+
+        def __getattr__(self, a):
+            return getattr(self._df, a)
+
+    big = spark.createDataFrame([(i, 1) for i in range(100)], "k int, v int")
+    captured = {}
+
+    def start_fn(on_batch):
+        captured["on_batch"] = on_batch
+        return FakeQuery()
+
+    stmt = st.StreamingStatement(
+        big, start_fn, changelog_keys=["k"], mode_holder={"mode": "update"}
+    )
+    spy = SpyDF(big)
+    captured["on_batch"](spy, 0)
+    assert spy.limits == [41]  # MAX_STREAM_ROWS + 1 — the only transfer
+    assert spy.full_collects == 0  # never the whole batch
+    assert len(stmt._buffer) == 40 and stmt.truncated
+    assert len(stmt._seen) <= 40  # state bounded by the cap too
+    # post-saturation trigger: short-circuits without any transfer at all
+    spy2 = SpyDF(big)
+    captured["on_batch"](spy2, 1)
+    assert spy2.limits == [] and spy2.full_collects == 0
+    # dropped keys keep their last-EMITTED value in _seen, so a later
+    # UPDATE_BEFORE for a key served now still matches the client's view
+    served_keys = {r["fields"][0] for r in stmt._buffer}
+    assert served_keys == {k[0] for k in stmt._seen}
+
+
+def test_changelog_entries_partial_snapshot_suppresses_deletes():
+    """Complete-mode DELETE reconstruction needs the WHOLE snapshot: with a
+    transfer-capped partial batch (exhaustive=False) a key absent from the
+    visible rows may simply sit past the cap and must not emit DELETE."""
+    from flink_notebooks_spark.engine.statement import changelog_entries
+
+    seen = {("a",): ["a", 1], ("b",): ["b", 2]}
+    out = changelog_entries([["a", 1]], [0], "complete", seen, exhaustive=False)
+    assert out == [] and ("b",) in seen  # no spurious DELETE
+    out = changelog_entries([["a", 1]], [0], "complete", seen, exhaustive=True)
+    assert [e["kind"] for e in out] == ["DELETE"] and ("b",) not in seen
+
+
 def test_streaming_match_recognize_through_sql(spark, tmp_path):
     """MATCH_RECOGNIZE on a STREAMING table through the engine's SQL
     surface: keyed state, frontier emission, and the
@@ -462,6 +541,41 @@ def test_streaming_over_unbounded_and_restrictions(spark, tmp_path):
             """SELECT SUM(amount) OVER (PARTITION BY user_id ORDER BY ts_s
                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS a
                FROM ovu"""
+        )
+    eng.close()
+
+
+def test_streaming_over_alias_literals_and_partition_exprs(spark, tmp_path):
+    """Two streaming-OVER SQL-surface edge cases: (1) a table alias is only
+    stripped at identifier positions — a string literal containing 't.'
+    in the WHERE clause must survive verbatim (a blind regex sub would
+    rewrite substr('t.',1,1)='t' into substr('',1,1)='t' and silently
+    filter everything out); (2) a PARTITION BY expression (not a plain
+    column) raises a clear unsupported-shape error instead of shredding on
+    bare commas into a misleading unknown-column failure."""
+    import pytest
+
+    eng = _over_events_table(spark, tmp_path, "ova")
+    stmt = eng.execute_sql(
+        """SELECT t.user_id, t.ts_s,
+                  SUM(t.amount) OVER (PARTITION BY t.user_id ORDER BY t.ev_time
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+           FROM ova t WHERE substr('t.', 1, 1) = 't' AND t.user_id < 99"""
+    )
+    got = _fetch_rows(stmt, want=4)
+    assert got == [
+        [1, 10, 1.5],
+        [1, 20, 3.5],
+        [1, 40, 6.5],
+        [2, 10, 5.0],
+    ]
+    with pytest.raises(NotImplementedError, match="plain columns"):
+        eng.execute_sql(
+            """SELECT user_id,
+                      SUM(amount) OVER (PARTITION BY greatest(user_id, ts_s)
+                          ORDER BY ev_time
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+               FROM ova"""
         )
     eng.close()
 
@@ -1065,6 +1179,116 @@ def test_streaming_over_honors_state_ttl_property(spark, tmp_path, monkeypatch):
                FROM ovttl"""
         )
     eng.close()
+
+
+def test_current_watermark_through_sql(spark, tmp_path):
+    """Flink's CURRENT_WATERMARK(rowtime) built-in, emulated per micro-batch
+    (the engine owns each streaming statement's foreachBatch; Spark exposes
+    no per-operator watermark to SQL). Three single-file micro-batches: rows
+    of batch 1 see NULL (no watermark yet — Flink's behavior), each later
+    batch sees the previous batches' max event time (delay '0'), which IS
+    the watermark Spark's operators use for that trigger. Batch queries and
+    non-SELECT-item positions raise loudly."""
+    import pandas as pd
+    import pytest
+
+    from flink_notebooks_spark.engine import Engine
+
+    files = [
+        [(1, 10, 1.0), (1, 20, 2.0)],
+        [(1, 30, 3.0)],
+        [(99, 10_000, 0.0)],
+    ]
+    for i, rows in enumerate(files):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts_s", "amount"])
+        pdf["ev_time"] = pd.to_datetime(pdf["ts_s"], unit="s").astype(
+            "datetime64[us]"
+        )
+        path = f"{tmp_path}/f{i}.parquet"
+        pdf.to_parquet(path)
+        os.utime(path, (1_000_000_000 + i, 1_000_000_000 + i))  # stable order
+    eng = Engine(spark)
+    eng.execute_sql(
+        f"""CREATE TABLE cwev (
+              user_id BIGINT, ts_s BIGINT, amount DOUBLE, ev_time TIMESTAMP_LTZ(3),
+              WATERMARK FOR ev_time AS ev_time - INTERVAL '0' SECOND
+            ) WITH ('connector'='filesystem','path'='{tmp_path}','format'='parquet',
+                    'source.max-files-per-trigger'='1')"""
+    )
+    stmt = eng.execute_sql(
+        "SELECT user_id, ts_s, ev_time, CURRENT_WATERMARK(ev_time) AS wm FROM cwev"
+    )
+    # token-following poll (fetch(0) pages freeze idempotently by design;
+    # rows from later micro-batches live behind later tokens)
+    got = [r["fields"] for r in poll_rows(stmt, want=4, timeout=90)]
+    stmt.cancel()
+    by_ts = {r[1]: r for r in got}
+    ev = {ts: r[2] for ts, r in by_ts.items()}
+    wm = {ts: r[3] for ts, r in by_ts.items()}
+    assert wm[10] is None and wm[20] is None  # first batch: no watermark yet
+    assert wm[30] == ev[20]  # batch 2's input watermark = batch 1 max ts
+    assert wm[10_000] == ev[30]  # batch 3's = batch 2 max ts
+    # batch mode raises, like Flink outside streaming
+    eng.execute_sql("SET 'execution.runtime-mode' = 'batch'")
+    with pytest.raises(ValueError, match="streaming"):
+        eng.execute_sql("SELECT CURRENT_WATERMARK(ev_time) AS wm FROM cwev")
+    eng.execute_sql("SET 'execution.runtime-mode' = 'streaming'")
+    # non-item positions are a loud unsupported shape, not silent nonsense
+    with pytest.raises(NotImplementedError, match="SELECT item"):
+        eng.execute_sql(
+            "SELECT user_id FROM cwev WHERE ev_time > CURRENT_WATERMARK(ev_time)"
+        )
+    # the argument must be the declared time attribute (Flink-parity check)
+    with pytest.raises(ValueError, match="time attribute"):
+        eng.execute_sql("SELECT CURRENT_WATERMARK(amount) AS wm FROM cwev")
+    eng.close()
+
+
+def test_state_ttl_property_reaches_embedded_keyed_state_builders(spark, sf_dir):
+    """`SET 'table.exec.state.ttl'` is session-scoped like Flink's: the
+    engine mirrors it into the Spark session conf, and every open-key-domain
+    keyed-state builder (funnel/retention/anomaly/near-dup dedup) resolves a
+    default horizon from it — so a notebook user who builds a stream AFTER
+    the SET and submits it through execute_stream_df gets the bounded-state
+    form, not a per-query constant. Structural witness: the TTL path adds
+    the watermark node the EventTimeTimeout timers need; eviction behavior
+    itself is pinned by the two-wave proofs in tests/test_streaming3.py."""
+    from flink_notebooks_spark.engine import Engine
+    from flink_notebooks_spark.io import session_state_ttl_s
+    from flink_notebooks_spark.queries.corpus import _funnel_state_stream
+
+    def has_wm(df):
+        return "EventTimeWatermark" in df._jdf.queryExecution().analyzed().toString()
+
+    eng = Engine(spark)
+    try:
+        # unset → Flink's default: TTL disabled, NoTimeout plan (no watermark)
+        assert session_state_ttl_s(spark) is None
+        assert not has_wm(_funnel_state_stream(spark, sf_dir))
+        eng.execute_sql("SET 'table.exec.state.ttl' = '1 h'")
+        assert session_state_ttl_s(spark) == 3600
+        assert has_wm(_funnel_state_stream(spark, sf_dir))  # TTL'd form now
+        # explicit '0' is Flink's TTL-DISABLED value → back to NoTimeout
+        eng.execute_sql("SET 'table.exec.state.ttl' = '0'")
+        assert session_state_ttl_s(spark) is None
+        assert not has_wm(_funnel_state_stream(spark, sf_dir))
+        # an unparsable value raises as loudly here as on the SQL surface
+        # (validation is lazy at SET, the pinned Flink-parity contract)
+        eng.execute_sql("SET 'table.exec.state.ttl' = 'soon'")
+        import pytest
+
+        with pytest.raises(ValueError, match="state.ttl"):
+            session_state_ttl_s(spark)
+        # RESET returns the session to the default
+        eng.execute_sql("RESET 'table.exec.state.ttl'")
+        assert session_state_ttl_s(spark) is None
+        # an explicit builder argument always wins over the session default
+        eng.execute_sql("SET 'table.exec.state.ttl' = '1 h'")
+        assert has_wm(_funnel_state_stream(spark, sf_dir, horizon_s=60))
+    finally:
+        eng.close()
+    # close() clears the mirror off the shared SparkSession
+    assert session_state_ttl_s(spark) is None
 
 
 def test_streaming_window_tvf_join_through_sql(spark, tmp_path):
