@@ -125,6 +125,37 @@ def main() -> None:
     )
     wq.awaitTermination()
 
+    # Per-entry micro-batch (trigger) counts: streaming replays at bench SFs
+    # are trigger-floor-dominated — ~1-3 s of per-micro-batch constants
+    # (trigger scheduling, state-store commit, Arrow round-trip) swamp the
+    # data-dependent part — so a wall-time delta on a streaming entry is
+    # only interpretable next to its trigger count (an extra eviction
+    # micro-batch reads as "1.5-2× slower" while the per-row cost is flat).
+    # Counting is via the listener bus; delivery is async, so counts are
+    # accurate to the rep boundary within listener-thread latency (ms) —
+    # exact for terminated availableNow replays, approximate never by more
+    # than the final event. Batch entries count 0.
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _TriggerCounter(StreamingQueryListener):
+        def __init__(self):
+            self.n = 0
+
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            self.n += 1
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    trigger_counter = _TriggerCounter()
+    spark.streams.addListener(trigger_counter)
+
     # Every query runs SPARK_GRAFT_BENCH_REPS measured times (default 3) and
     # reports the per-query median — single-run variance (JIT, page cache,
     # GC, machine CPU steal) was shown in r5 to swamp per-query deltas.
@@ -149,8 +180,10 @@ def main() -> None:
         )
         reps = 1
     runs: dict[str, list[float]] = {name: [] for name in QUERIES}
+    trig_runs: dict[str, list[int]] = {name: [] for name in QUERIES}
     for name, fn in QUERIES.items():
         for i in range(reps + 1):
+            n_trig0 = trigger_counter.n
             t0 = time.time()
             try:
                 df = fn(spark, SF_DIR)
@@ -161,6 +194,7 @@ def main() -> None:
                 dt = -1.0
             if i > 0:  # rep 0 is the discarded per-query warm-up
                 runs[name].append(dt)
+                trig_runs[name].append(trigger_counter.n - n_trig0)
             elif dt < 0:
                 # warm-up already failed — record the failure once and move
                 # on instead of paying `reps` more attempts
@@ -179,6 +213,9 @@ def main() -> None:
         return good[mid] if len(good) % 2 else round((good[mid - 1] + good[mid]) / 2, 3)
 
     timings = {name: median(xs) for name, xs in runs.items()}
+    # max over measured reps: replays are deterministic so reps agree; max
+    # is the conservative pick if a rep raced the async listener delivery
+    triggers = {name: (max(xs) if xs else 0) for name, xs in trig_runs.items()}
     # the one-time shared preparation is real work the engine does for the
     # dedup/text family — charge it explicitly instead of to whichever query
     # ran first
@@ -195,6 +232,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # per-entry micro-batch counts (0 = pure batch): a streaming entry's
+        # wall time is ~(triggers × 1-3 s floor) + data-dependent work at
+        # bench SFs, so comparers must read deltas next to these
+        "triggers": triggers,
         "sf": sf_of(SF_DIR),
         "n_queries": len(timings),
         "n_failed": len(timings) - len(ok),

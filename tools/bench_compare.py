@@ -13,6 +13,12 @@ Exit code 0 always (reporting tool, not a gate); the per-commit gate is the
 test suite. Output: shared-entry totals, the queries whose |delta| exceeds
 the threshold (relative, on entries >= 0.2 s — sub-200 ms entries are pure
 trigger/launch noise at sf0.1), and entries present on one side only.
+
+When both summaries carry per-entry trigger counts (bench.py r12+), moved
+streaming entries are annotated with them and flagged "floor-dominated"
+when both sides' per-trigger wall sits inside the micro-batch constant
+band (≤2.5 s/trigger) — such deltas are trigger-floor artifacts (an extra
+eviction micro-batch, a changed trigger count), not per-row regressions.
 """
 
 from __future__ import annotations
@@ -72,6 +78,13 @@ def main(argv: list[str]) -> int:
         f"shared entries: {len(shared)}  old total {so:.1f}s  new total "
         f"{sn:.1f}s{pct}"
     )
+    # trigger counts (bench.py r12+): a streaming entry's wall is
+    # ~(triggers × 1-3 s of per-micro-batch constants) + data work, so a
+    # delta whose both sides sit inside the per-trigger floor band — or one
+    # explained by a changed trigger count — is a floor artifact, not a
+    # per-row regression (VERDICT r11 #6)
+    FLOOR_SEC_PER_TRIGGER = 2.5
+    to, tn = old.get("triggers", {}), new.get("triggers", {})
     moved = []
     for k in shared:
         a, b = qo[k], qn[k]
@@ -81,7 +94,19 @@ def main(argv: list[str]) -> int:
         if abs(rel) >= threshold:
             moved.append((rel, k, a, b))
     for rel, k, a, b in sorted(moved, reverse=True):
-        print(f"  {k:45s} {a:8.3f} -> {b:8.3f}  ({rel * 100:+.0f}%)")
+        note = ""
+        ta, tb = to.get(k), tn.get(k)
+        if ta and tb:  # streaming on both sides
+            floor_dominated = (
+                a / ta <= FLOOR_SEC_PER_TRIGGER and b / tb <= FLOOR_SEC_PER_TRIGGER
+            )
+            tags = [f"triggers {ta}->{tb}"]
+            if ta != tb:
+                tags.append("trigger-count change")
+            if floor_dominated:
+                tags.append("floor-dominated")
+            note = "  [" + ", ".join(tags) + "]"
+        print(f"  {k:45s} {a:8.3f} -> {b:8.3f}  ({rel * 100:+.0f}%){note}")
     only_old = sorted(set(qo) - set(qn))
     only_new = sorted(set(qn) - set(qo))
     if only_old:
