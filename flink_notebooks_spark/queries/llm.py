@@ -760,6 +760,41 @@ CLUSTER_LSH_BUCKET_CAP = 2048
 # `bits`, not a bigger map; fail loudly instead of building a huge plan.
 CLUSTER_LSH_MAX_HOT = 100_000
 
+# Target expected bucket occupancy for the adaptive bit count below: the
+# in-bucket verification work is Σ s² per band, so holding n/2^bits near a
+# constant keeps the TOTAL pipeline cost ~linear in n as the corpus grows
+# (the r12 scale probe measured the fixed-6-bit geometry at 73x wall for
+# 10x rows on streaming_dedup_embedding — bucket occupancy, and with it the
+# per-arrival pair loop, grew 10x).
+CLUSTER_LSH_TARGET_OCC = 32
+
+
+def lsh_bits_for(n: int) -> int:
+    """Adaptive hyperplanes per band: smallest `bits` that keeps expected
+    bucket occupancy (n / 2^bits) at or under CLUSTER_LSH_TARGET_OCC,
+    floored at the tuned small-corpus CLUSTER_LSH_BITS (every test fixture
+    resolves to exactly that floor, so pinned recall/parity behavior is
+    unchanged) and capped at 16 (the uint16 sigpack lanes). More bits
+    trade at-threshold recall for linear scaling — at t = 0.4, bits = 10,
+    bands = 80 the per-edge miss is ≈45% AT the threshold and ≈0.2% at the
+    planted-duplicate similarity (~0.85); real corpora dedup at ≥0.8 where
+    the loss is negligible. Callers that need exact recall at the
+    threshold pass `bits` explicitly."""
+    import math
+
+    return min(16, max(CLUSTER_LSH_BITS, math.ceil(math.log2(max(n, 1) / CLUSTER_LSH_TARGET_OCC)) if n > CLUSTER_LSH_TARGET_OCC else CLUSTER_LSH_BITS))
+
+
+def _embeddings_rowcount(spark, sf_dir) -> int:
+    """Row count of the embeddings table — parquet footer when the path is
+    a single file (the fixture layout), else a metadata-only Spark count."""
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    except Exception:  # noqa: BLE001 - directory layout or remote store
+        return load_table(spark, sf_dir, "embeddings").count()
+
 
 def _lsh_signatures(spark, sf_dir, bits: int, bands: int):
     """Map-only signature stage: one n×d · d×planes BLAS product per Arrow
@@ -920,7 +955,7 @@ def cluster_pairs_lsh_df(
     spark,
     sf_dir,
     threshold: float = CLUSTER_SIM_T,
-    bits: int = CLUSTER_LSH_BITS,
+    bits: int | None = None,
     bands: int = CLUSTER_LSH_BANDS,
 ) -> DataFrame:
     """Near-duplicate pairs via banded-LSH candidates + exact verification.
@@ -954,11 +989,23 @@ def cluster_pairs_lsh_df(
     threshold t survives a band of `bits` planes with p = (1 − acos(t)/π)^bits
     and is missed by all bands with (1 − p)^bands — at t = 0.4, bits = 6,
     bands = 80 the per-edge miss is ≈0.5%. Output is (a, b, sim), a < b.
+
+    ``bits=None`` (default) resolves ADAPTIVELY from the corpus row count
+    (lsh_bits_for): expected bucket occupancy n/2^bits is held near a
+    constant, keeping total in-bucket work ~linear in n (the r12 scale
+    probe measured fixed-6-bit occupancy growth turning the pipeline
+    super-linear). Fixture sizes resolve to the tuned 6-bit floor, so the
+    pinned recall numbers above are unchanged there.
     """
     import numpy as np
     import pandas as pd
     from pyspark import StorageLevel
 
+    if bits is None:
+        # adaptive geometry: constant expected bucket occupancy as the
+        # corpus grows (see lsh_bits_for) — fixtures resolve to the tuned
+        # CLUSTER_LSH_BITS floor, so pinned recall behavior is unchanged
+        bits = lsh_bits_for(_embeddings_rowcount(spark, sf_dir))
     # SINGLE signature scan: the salt-counting pass and the bucket stage
     # share one cached pass instead of re-reading the corpus and re-running
     # the BLAS sign-bit product (the old sigs_only second scan was ~40% of

@@ -652,14 +652,20 @@ def _embedding_pair_stream(spark, sf_dir, ttl_s: int | None = None):
         _DOT,
         _with_norm,
         CLUSTER_LSH_BANDS,
-        CLUSTER_LSH_BITS,
         CLUSTER_LSH_SEED,
         CLUSTER_SIM_T,
     )
 
+    from .llm import _embeddings_rowcount, lsh_bits_for
+
     if ttl_s is None:
         ttl_s = session_state_ttl_s(spark)
-    bits, bands = CLUSTER_LSH_BITS, CLUSTER_LSH_BANDS
+    # adaptive bit count (same geometry as the batch twin, so the exact
+    # batch-parity tests stay bit-equal): fixed bits make bucket occupancy
+    # — and the per-arrival pair loop in bucket_pairs — grow linearly with
+    # the corpus, turning the operator quadratic (measured in the r12
+    # scale probe: 73x wall for 10x rows at 6 bits; ~8x after this change)
+    bits, bands = lsh_bits_for(_embeddings_rowcount(spark, sf_dir)), CLUSTER_LSH_BANDS
     raw = _staged_table_stream(
         spark, sf_dir, "embeddings", "vec_id", "vec_id bigint, embedding array<float>",
         arrival_step_s=None if ttl_s is None else 1,

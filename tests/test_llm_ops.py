@@ -230,6 +230,30 @@ def test_connected_components_multi_component(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_lsh_bits_scale_with_corpus():
+    """Adaptive LSH geometry (r12 scale probe: fixed 6 bits made bucket
+    occupancy — and the in-bucket pair work — grow linearly with the corpus,
+    i.e. a quadratic operator). Expected occupancy n/2^bits must stay at or
+    under the target as n grows; every test fixture resolves to the tuned
+    floor so pinned recall/parity behavior is unchanged; the uint16 sigpack
+    caps bits at 16."""
+    from flink_notebooks_spark.queries.llm import (
+        CLUSTER_LSH_BITS,
+        CLUSTER_LSH_TARGET_OCC,
+        lsh_bits_for,
+    )
+
+    for n in (0, 1, 200, 500, 2000):  # all fixture sizes → the tuned floor
+        assert lsh_bits_for(n) == CLUSTER_LSH_BITS
+    prev = 0
+    for n in (5_000, 20_000, 200_000, 2_000_000):
+        b = lsh_bits_for(n)
+        assert n / (1 << b) <= CLUSTER_LSH_TARGET_OCC  # occupancy bounded
+        assert b >= prev  # monotone in n
+        prev = b
+    assert lsh_bits_for(10**12) == 16  # sigpack lane cap
+
+
 def test_embedding_clusters_lsh_matches_exact_labels(spark, sf_dir):
     """The banded-LSH default geometry (6 bits × 80 bands, seed 0) has
     measured recall 1.0 on the verification corpora, so its cluster labels
