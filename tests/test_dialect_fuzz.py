@@ -189,28 +189,58 @@ def _gen_is_json(rng: random.Random):
     return f"({sql})", v
 
 
+def _gen_json_ctor(rng: random.Random):
+    """JSON_OBJECT / JSON_ARRAY (SQL:2016 ctors; Flink has them, Spark
+    spells them to_json(...)) — ints and simple strings only, so the JSON
+    text round-trips through json.loads for an order-preserving compare."""
+    if rng.random() < 0.5:
+        keys = [f"k{i}" for i in range(rng.randint(1, 3))]
+        vals = [rng.randint(0, 99) for _ in keys]
+        null_at = rng.randrange(len(keys)) if rng.random() < 0.4 else None
+        flag = rng.choice(["", " NULL ON NULL", " ABSENT ON NULL"])
+        parts, want = [], {}
+        for i, (k, v) in enumerate(zip(keys, vals)):
+            if i == null_at:
+                parts.append(f"KEY {_lit(k)} VALUE CAST(NULL AS INT)")
+                if flag != " ABSENT ON NULL":  # Flink default: NULL ON NULL
+                    want[k] = None
+            else:
+                parts.append(f"{_lit(k)} VALUE {v}")
+                want[k] = v
+        return f"JSON_OBJECT({', '.join(parts)}{flag})", want, "json"
+    vals = [rng.randint(0, 99) for _ in range(rng.randint(1, 4))]
+    null_at = rng.randrange(len(vals)) if rng.random() < 0.4 else None
+    items = [
+        "CAST(NULL AS INT)" if i == null_at else str(v)
+        for i, v in enumerate(vals)
+    ]
+    # Flink default ABSENT ON NULL: nulls drop from the array
+    want = [v for i, v in enumerate(vals) if i != null_at]
+    return f"JSON_ARRAY({', '.join(items)})", want, "json"
+
+
 def _gen_case(rng: random.Random):
     """→ (flink_sql, expected, kind). kind drives the comparison."""
     r = rng.random()
-    if r < 0.2:
+    if r < 0.18:
         v = _gen_str_value(rng)
         return _wrap_comments(rng, _lit(v)), v, "plain"
-    if r < 0.4:
+    if r < 0.36:
         sql, v = _gen_int(rng, 2)
         return _wrap_comments(rng, sql), v, "plain"
-    if r < 0.5:
+    if r < 0.46:
         sql, v = _gen_int_array(rng, 2)
         return _wrap_comments(rng, sql), v, "plain"
-    if r < 0.6:
+    if r < 0.56:
         sql, m, _ = _gen_map(rng, 1)
         return _wrap_comments(rng, sql), m, "plain"
-    if r < 0.72:
+    if r < 0.66:
         sql, v = _gen_str_to_map(rng)
         return _wrap_comments(rng, sql), v, "plain"
-    if r < 0.84:
+    if r < 0.78:
         sql, v = _gen_is_json(rng)
         return _wrap_comments(rng, sql), v, "plain"
-    if r < 0.92:  # ROW constructor → f0/f1-named struct
+    if r < 0.86:  # ROW constructor → f0/f1-named struct
         a, va = _gen_int(rng, 1)
         b = _gen_str_value(rng)
         return (
@@ -218,6 +248,9 @@ def _gen_case(rng: random.Random):
             {"f0": va, "f1": b},
             "row",
         )
+    if r < 0.94:
+        sql, v, kind = _gen_json_ctor(rng)
+        return _wrap_comments(rng, sql), v, kind
     # TO_TIMESTAMP_LTZ epoch form, value-compared via unix_micros
     n = rng.randint(0, 10_000)
     p = rng.choice([0, 3, 6])
@@ -246,6 +279,8 @@ def test_dialect_rewriter_composition_fuzz(spark):
             got = row[f"c{i}"]
             if kind == "row":
                 got = got.asDict() if got is not None else None
+            elif kind == "json":
+                got = json.loads(got) if got is not None else None
             if got != want:
                 failures.append((at + i, sql, want, got))
     assert not failures, f"{len(failures)} mismatches; first 5: {failures[:5]}"
