@@ -1373,65 +1373,75 @@ class Engine:
             )
         return BatchStatement(self.spark.sql(f"EXPLAIN {body}"))
 
-    _CW_ITEM = __import__("re").compile(
-        r"\bCURRENT_WATERMARK\s*\(\s*(?P<col>[`\w.]+)\s*\)\s+AS\s+(?P<alias>\w+)",
-        __import__("re").IGNORECASE,
-    )
-
     def _try_current_watermark(self, sql: str) -> Statement | None:
         """Flink's ``CURRENT_WATERMARK(rowtime)`` built-in (stock planner,
         reference flink-runtime/build.gradle:37), emulated through the
         engine's micro-batch plumbing. Spark exposes no per-operator
-        watermark to SQL expressions, but the engine OWNS each streaming
-        statement's foreachBatch: the supported form — a top-level SELECT
-        item ``CURRENT_WATERMARK(col) AS alias`` — is planned as a NULL
-        timestamp placeholder and overwritten per micro-batch with the
-        in-flight execution's ``batchWatermarkMs`` — the EXACT operator
-        watermark Spark's stateful operators use for that trigger (the
-        public ``lastProgress`` is one batch behind; it remains the
-        fallback if the JVM internals drift). NULL until a first batch
-        establishes a watermark, Flink's behavior before any
-        watermark is emitted. Batch queries raise, like Flink outside
-        streaming; non-item positions (WHERE lateness predicates) raise
-        with guidance — a per-ROW watermark comparison is not emulable
-        from outside the plan."""
+        watermark to SQL expressions, but the function is a per-micro-batch
+        CONSTANT, and the engine OWNS each streaming statement's
+        foreachBatch — so for the canonical single-table form
+        ``SELECT <items> FROM t [WHERE <pred>]`` the engine streams the
+        table's rows and evaluates the SELECT list and WHERE per batch with
+        the watermark substituted as a literal. That covers Flink's primary
+        uses: emitting the watermark (``CURRENT_WATERMARK(ts) AS wm``),
+        expressions over it (``ts - CURRENT_WATERMARK(ts)``), and lateness
+        predicates (``WHERE ts > CURRENT_WATERMARK(ts) - INTERVAL ...``).
+        The WHERE applies INSIDE foreachBatch, after rows advanced the
+        watermark — exactly Flink's semantics (the watermark is source
+        metadata and flows through filters).
+
+        The substituted value is the in-flight execution's
+        ``batchWatermarkMs`` — the EXACT operator watermark Spark's
+        stateful operators use for that trigger (the public
+        ``lastProgress`` is one batch behind; it remains the fallback if
+        the JVM internals drift). NULL until a first batch establishes a
+        watermark (Flink's behavior; NULL comparisons are UNKNOWN, so a
+        lateness WHERE drops every first-batch row, like Flink). Batch
+        queries raise, like Flink outside streaming; joins/aggregates with
+        CURRENT_WATERMARK raise with guidance."""
         import re as _re
 
         from .window_sql import _in_string
 
-        hits = [
+        call_re = _re.compile(
+            r"\bCURRENT_WATERMARK\s*\(\s*(?P<col>[`\w.]+)\s*\)", _re.IGNORECASE
+        )
+        raw_hits = [
             m
-            for m in _re.finditer(r"\bCURRENT_WATERMARK\s*\(", sql, _re.IGNORECASE)
+            for m in _re.finditer(r"\bCURRENT_WATERMARK\b", sql, _re.IGNORECASE)
             if not _in_string(sql, m.start())
         ]
-        if not hits:
+        if not raw_hits:
             return None
-        items = [
-            m for m in self._CW_ITEM.finditer(sql) if not _in_string(sql, m.start())
-        ]
-        if len(items) != len(hits):
+        calls = [m for m in call_re.finditer(sql) if not _in_string(sql, m.start())]
+        q = _re.match(
+            r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<tbl>[\w.`]+)"
+            r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+            sql,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if (
+            len(calls) != len(raw_hits)
+            or q is None
+            or _re.search(
+                r"\b(JOIN|GROUP\s+BY|UNION|HAVING|LIMIT|ORDER\s+BY|"
+                r"MATCH_RECOGNIZE|OVER)\b",
+                sql,
+                _re.IGNORECASE,
+            )
+        ):
             raise NotImplementedError(
-                "CURRENT_WATERMARK is supported as a top-level SELECT item "
-                "with an explicit alias (CURRENT_WATERMARK(ts) AS wm); other "
-                "positions (WHERE predicates, expressions) cannot be "
-                "evaluated per-row from outside the plan — emit the wm "
-                "column and filter in a follow-up query instead"
+                "CURRENT_WATERMARK is supported in the SELECT list and "
+                "WHERE of a single-table streaming SELECT (no JOIN/GROUP "
+                "BY/OVER/ORDER BY) with a plain column argument — emit the "
+                "watermark from such a query and compose downstream instead"
             )
-        aliases: list[str] = []
-        out = sql
-        for m in reversed(items):
-            aliases.append(m.group("alias"))
-            out = (
-                out[: m.start()]
-                + f"CAST(NULL AS TIMESTAMP) AS {m.group('alias')}"
-                + out[m.end() :]
-            )
-        # best-effort Flink-parity argument check: when the FROM table is a
-        # session table, the argument must be its declared time attribute
-        tm = _re.search(r"\bFROM\s+([\w.`]+)", sql, _re.IGNORECASE)
-        tdef = self.tables.get(tm.group(1).split(".")[-1].strip("`")) if tm else None
+        name = q.group("tbl").split(".")[-1].strip("`")
+        # Flink-parity argument check: the argument must be the table's
+        # declared time attribute
+        tdef = self.tables.get(name)
         if tdef is not None:
-            for m in items:
+            for m in calls:
                 col = m.group("col").split(".")[-1].strip("`")
                 if tdef.watermark is None or col != tdef.watermark.column:
                     raise ValueError(
@@ -1443,18 +1453,38 @@ class Engine:
                             else " — this table declares none"
                         )
                     )
-        df = self.spark.sql(rewrite_flink_dialect(out))
-        if not df.isStreaming:
+        try:
+            base = self.spark.table(name)
+        except Exception as e:  # noqa: BLE001
+            raise ValueError(f"CURRENT_WATERMARK: unknown table {name!r}") from e
+        if not base.isStreaming:
             raise ValueError(
                 "CURRENT_WATERMARK: only defined on a streaming query over "
                 "a watermarked time attribute (Flink raises outside "
                 "streaming too)"
             )
 
-        def fix(bdf: DataFrame, q) -> DataFrame:
-            from datetime import datetime, timezone
+        def sub_cw(text: str, lit: str) -> str:
+            return call_re.sub(
+                lambda m: m.group(0) if _in_string(text, m.start()) else lit,
+                text,
+            )
 
-            wm = None
+        sel, where = q.group("sel"), q.group("where")
+        sel_items = [
+            rewrite_flink_dialect(s)
+            for s in _split_top(sub_cw(sel, "CAST(NULL AS TIMESTAMP)"), angle=False)
+        ]
+        # schema/changelog probe: the projected shape the client sees (the
+        # streamed df below carries ALL table columns so the per-batch
+        # WHERE can reference ones the projection drops)
+        display_df = self.spark.sql(
+            f"SELECT {', '.join(sel_items)} FROM {name}"
+        )
+
+        def fix(bdf: DataFrame, qh) -> DataFrame:
+            from datetime import datetime
+
             wm_ms = 0
             try:
                 # the in-flight IncrementalExecution's batchWatermarkMs IS
@@ -1462,31 +1492,54 @@ class Engine:
                 # unlike lastProgress (previous trigger's INPUT watermark,
                 # one batch behind)
                 wm_ms = (
-                    q._jsq.streamingQuery()  # noqa: SLF001
+                    qh._jsq.streamingQuery()  # noqa: SLF001
                     .lastExecution()
                     .offsetSeqMetadata()
                     .batchWatermarkMs()
-                ) if q is not None else 0
+                ) if qh is not None else 0
             except Exception:  # noqa: BLE001 - internals drift → progress
                 try:
-                    lp = q.lastProgress if q is not None else None
+                    lp = qh.lastProgress if qh is not None else None
                 except Exception:  # noqa: BLE001 - mid-teardown → no wm
                     lp = None
                 s = ((lp or {}).get("eventTime") or {}).get("watermark")
                 if s:
                     dt = datetime.fromisoformat(s.replace("Z", "+00:00"))
                     wm_ms = int(dt.timestamp() * 1000)
-            if wm_ms:  # 0 = no watermark yet → NULL (Flink's behavior)
-                wm = datetime.fromtimestamp(wm_ms / 1000, tz=timezone.utc)
-            for a in aliases:
-                bdf = bdf.withColumn(a, F.lit(wm).cast("timestamp"))
-            return bdf
+            # 0 = no watermark yet → NULL (Flink; comparisons go UNKNOWN)
+            lit = f"timestamp_millis({wm_ms})" if wm_ms else "CAST(NULL AS TIMESTAMP)"
+            out = bdf
+            if where:
+                # the EXECUTED batch plan is what feeds the EventTimeWatermark
+                # operator's max-event-time stats — a lateness filter would
+                # otherwise stall the watermark FOREVER: while the watermark
+                # is NULL the predicate folds to a constant-false empty
+                # relation (the scan never runs, no stats, watermark stays
+                # NULL — self-perpetuating), and even past that, parquet
+                # pushdown of the predicate can skip rows at the scan so
+                # filtered-out rows would stop advancing the watermark
+                # (Flink's watermark is source metadata and flows through
+                # WHERE — the repo's thrice-hit gotcha). One count() forces a
+                # full unfiltered pass through the watermark operator first.
+                bdf.count()
+                out = out.filter(F.expr(rewrite_flink_dialect(sub_cw(where, lit))))
+            return out.selectExpr(
+                *[
+                    rewrite_flink_dialect(sub_cw(s, lit))
+                    for s in _split_top(sel, angle=False)
+                ]
+            )
 
-        return self._start_streaming_select(df, batch_fix=fix)
+        return self._start_streaming_select(base, batch_fix=fix, display_df=display_df)
 
     def _start_streaming_select(
-        self, df: DataFrame, batch_fix=None
+        self, df: DataFrame, batch_fix=None, display_df: DataFrame | None = None
     ) -> StreamingStatement:
+        """``display_df``: when ``batch_fix`` reshapes each micro-batch (the
+        CURRENT_WATERMARK path streams every table column so the per-batch
+        WHERE can see them, then projects), the statement's column schema
+        and changelog keys come from the RESHAPED form, not the streamed
+        plan."""
         ckpt = f"{self._checkpoint_root}/{uuid.uuid4().hex}"
         mode_holder: dict = {}
         qh: dict = {}
@@ -1521,8 +1574,9 @@ class Engine:
                     last_err = e
             raise last_err
 
+        shape = display_df if display_df is not None else df
         return StreamingStatement(
-            df, start, changelog_keys=_grouping_cols(df), mode_holder=mode_holder
+            shape, start, changelog_keys=_grouping_cols(shape), mode_holder=mode_holder
         )
 
     # ---- INSERT INTO jobs (reference jobMonitorProvider.ts:41-43) ---------

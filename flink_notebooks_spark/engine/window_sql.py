@@ -696,8 +696,36 @@ def rewrite_scalar_syntax(sql: str) -> str:
     return sql
 
 
+def _normalize_comments(sql: str) -> str:
+    """Strip comments under FLINK/CALCITE reading before Spark sees the text.
+
+    Flink's lexer ends a block comment at the FIRST ``*/`` and does not
+    nest; Spark's bracketed comments DO nest, so a Flink-valid query like
+    ``SELECT 1 /* a /* b */ AS x`` would die in Spark with
+    UNCLOSED_BRACKETED_COMMENT. Removing the comment spans (one space each,
+    Flink's token-separator semantics) makes the Flink-source reading hold
+    regardless. Optimizer hint comments (``/*+ ... */`` — both engines read
+    them) and string literals pass through verbatim."""
+    out, j, n = [], 0, len(sql)
+    while j < n:
+        nj = _skip_noncode(sql, j)
+        if nj is None:
+            out.append(sql[j])
+            j += 1
+            continue
+        span = sql[j:nj]
+        if span.startswith("'") or span.startswith("/*+"):
+            out.append(span)
+        else:
+            out.append(" ")
+        j = nj
+    return "".join(out)
+
+
 def rewrite_flink_dialect(sql: str) -> str:
     """The full Flink→Spark dialect chain for query text."""
+    if "--" in sql or "/*" in sql:
+        sql = _normalize_comments(sql)
     return rewrite_group_windows(
         rewrite_window_tvfs(rewrite_temporal_join(rewrite_scalar_syntax(sql)))
     )

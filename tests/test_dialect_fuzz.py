@@ -68,11 +68,13 @@ def _gen_str_value(rng: random.Random) -> str:
 
 
 def _comment_junk(rng: random.Random) -> str:
-    # no '*/' (would close the block comment) and no '/*' (Spark bracketed
-    # comments NEST — unlike Flink/Calcite, whose comments end at the first
-    # '*/'; the rewriter follows the Flink-source semantics, so nested
-    # comment text is out of the translation contract), no newline
-    frags = [f for f in TRICKY if "*/" not in f and "/*" not in f and "\n" not in f]
+    # no '*/' (would close the block comment under FLINK's non-nesting
+    # reading, which the rewriter implements); a bare '/*' inside is fine —
+    # Spark alone would demand a matching '*/' (nested comments), but the
+    # rewriter strips comments under Flink/Calcite semantics first
+    # (_normalize_comments), so the nesting divergence never reaches Spark.
+    # No newline (would end a line comment early).
+    frags = [f for f in TRICKY if "*/" not in f and "\n" not in f]
     return " ".join(rng.choice(frags) for _ in range(rng.randint(1, 2)))
 
 
@@ -284,6 +286,26 @@ def test_dialect_rewriter_composition_fuzz(spark):
             if got != want:
                 failures.append((at + i, sql, want, got))
     assert not failures, f"{len(failures)} mismatches; first 5: {failures[:5]}"
+
+
+def test_comments_normalize_to_flink_semantics(spark):
+    """Flink/Calcite block comments end at the FIRST '*/' and do not nest;
+    Spark's nest (UNCLOSED_BRACKETED_COMMENT otherwise). The rewriter strips
+    non-hint comments under the Flink reading, so a Flink-valid query with
+    '/*' inside a comment executes; '/*+ ...*/' hints and literals holding
+    comment markers pass through verbatim."""
+    from flink_notebooks_spark.engine.window_sql import rewrite_flink_dialect
+
+    rw = rewrite_flink_dialect("SELECT 1 /* a /* b */ AS x")
+    assert spark.sql(rw).first()["x"] == 1  # Flink reading: comment ends at */
+    rw = rewrite_flink_dialect("SELECT /* drop ARRAY[ me */ 2 AS y -- tail\n")
+    assert "ARRAY[" not in rw and spark.sql(rw).first()["y"] == 2
+    # optimizer hints survive (both engines read them)
+    rw = rewrite_flink_dialect("SELECT /*+ COALESCE(1) */ 3 AS z")
+    assert "/*+ COALESCE(1) */" in rw and spark.sql(rw).first()["z"] == 3
+    # literals holding comment markers are untouched
+    s = "SELECT '/* not a comment */ -- nor this' AS s"
+    assert rewrite_flink_dialect(s) == s
 
 
 @pytest.mark.parametrize(

@@ -1228,15 +1228,26 @@ def test_current_watermark_through_sql(spark, tmp_path):
     assert wm[10] is None and wm[20] is None  # first batch: no watermark yet
     assert wm[30] == ev[20]  # batch 2's input watermark = batch 1 max ts
     assert wm[10_000] == ev[30]  # batch 3's = batch 2 max ts
+    # WHERE lateness predicate — Flink's primary CURRENT_WATERMARK use:
+    # rows still advance the watermark (the filter applies inside
+    # foreachBatch), first-batch rows drop (NULL watermark → UNKNOWN),
+    # later batches keep rows newer than the batch watermark
+    stmt = eng.execute_sql(
+        "SELECT user_id, ts_s FROM cwev WHERE ev_time > CURRENT_WATERMARK(ev_time)"
+    )
+    kept = sorted(r["fields"][1] for r in poll_rows(stmt, want=2, timeout=90))
+    stmt.cancel()
+    assert kept == [30, 10_000]  # batch-1 rows (10, 20) dropped on NULL wm
     # batch mode raises, like Flink outside streaming
     eng.execute_sql("SET 'execution.runtime-mode' = 'batch'")
     with pytest.raises(ValueError, match="streaming"):
         eng.execute_sql("SELECT CURRENT_WATERMARK(ev_time) AS wm FROM cwev")
     eng.execute_sql("SET 'execution.runtime-mode' = 'streaming'")
-    # non-item positions are a loud unsupported shape, not silent nonsense
-    with pytest.raises(NotImplementedError, match="SELECT item"):
+    # non-canonical shapes are a loud unsupported error, not silent nonsense
+    with pytest.raises(NotImplementedError, match="single-table"):
         eng.execute_sql(
-            "SELECT user_id FROM cwev WHERE ev_time > CURRENT_WATERMARK(ev_time)"
+            "SELECT user_id, CURRENT_WATERMARK(ev_time) AS wm FROM cwev "
+            "GROUP BY user_id"
         )
     # the argument must be the declared time attribute (Flink-parity check)
     with pytest.raises(ValueError, match="time attribute"):
