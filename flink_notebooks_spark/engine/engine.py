@@ -1066,10 +1066,14 @@ class Engine:
         if not m.group("jtype"):  # INNER: drop probe rows with no version yet
             out = out.filter(F.col(version_col).isNotNull())
         out.createOrReplaceTempView("__tj_result")
-        sel = _re.sub(rf"\b({palias}|{dalias})\s*\.\s*", "", m.group("sel"))
-        rest = _re.sub(
-            rf"\b({palias}|{dalias})\s*\.\s*", "", m.group("rest") or ""
-        )
+        # identifier positions only — a string literal containing "p." or
+        # "d." must survive verbatim (same literal-safety contract as the
+        # streaming-OVER alias strip)
+        from .window_sql import _sub_code
+
+        strip = rf"\b({palias}|{dalias})\s*\.\s*"
+        sel = _sub_code(strip, "", m.group("sel"))
+        rest = _sub_code(strip, "", m.group("rest") or "")
         return self.spark.sql(f"SELECT {sel} FROM __tj_result {rest}")
 
     _OVER_SPEC = __import__("re").compile(

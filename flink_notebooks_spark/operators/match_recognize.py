@@ -1205,6 +1205,54 @@ _PREV_RE = re.compile(
 _IDENT_RE = re.compile(r"[A-Za-z_]\w*$")
 
 
+def _sql_literal_segments(text: str) -> list[tuple[bool, str]]:
+    """Split a DEFINE condition into SQL string literals ('' escapes) and
+    code segments: ``[(is_literal, segment), ...]``. Every textual
+    transform below must leave literal segments untouched — a condition
+    like ``A.tag = 'AND'`` must not have the literal's AND rewritten."""
+    segs: list[tuple[bool, str]] = []
+    j, n, start = 0, len(text), 0
+    while j < n:
+        if text[j] == "'":
+            k = j + 1
+            while k < n:
+                if text[k] == "'":
+                    if k + 1 < n and text[k + 1] == "'":
+                        k += 2
+                        continue
+                    break
+                k += 1
+            if j > start:
+                segs.append((False, text[start:j]))
+            end = min(k + 1, n)
+            segs.append((True, text[j:end]))
+            j = end
+            start = j
+        else:
+            j += 1
+    if start < n:
+        segs.append((False, text[start:]))
+    return segs
+
+
+def _map_code(text: str, fn) -> str:
+    """Apply ``fn`` to the non-literal segments of ``text``; string
+    literals pass through verbatim."""
+    return "".join(
+        seg if lit else fn(seg) for lit, seg in _sql_literal_segments(text)
+    )
+
+
+def _search_code(pattern, text: str):
+    """re.search over the non-literal segments only."""
+    for lit, seg in _sql_literal_segments(text):
+        if not lit:
+            m = pattern.search(seg) if hasattr(pattern, "search") else re.search(pattern, seg)
+            if m:
+                return m
+    return None
+
+
 def _compile_defines(df: DataFrame, spec: MatchSpec, defer_prev: bool = False):
     """Add one boolean column per pattern variable, evaluated JVM-side.
 
@@ -1238,8 +1286,12 @@ def _compile_defines(df: DataFrame, spec: MatchSpec, defer_prev: bool = False):
         if cond is None:
             df = df.withColumn(f"__mr_{v}", F.lit(True))
             continue
-        cross = any(re.search(rf"\b{o}\s*\.", cond) for o in other - {v})
-        nav = re.search(r"\b(FIRST|LAST)\s*\(", cond, re.IGNORECASE)
+        cross = any(
+            _search_code(re.compile(rf"\b{o}\s*\."), cond) for o in other - {v}
+        )
+        nav = _search_code(
+            re.compile(r"\b(FIRST|LAST)\s*\(", re.IGNORECASE), cond
+        )
         if cross or nav:
             # condition depends on the in-flight match (other variables'
             # mapped rows / FIRST/LAST navigation) — evaluated row-by-row
@@ -1249,14 +1301,18 @@ def _compile_defines(df: DataFrame, spec: MatchSpec, defer_prev: bool = False):
             )
             df = df.withColumn(f"__mr_{v}", F.lit(None).cast("boolean"))
             continue
-        # self-qualified columns (A.col) → bare columns
-        bare = re.sub(rf"\b{v}\s*\.\s*", "", cond)
-        if defer_prev and _PREV_RE.search(bare):
+        # self-qualified columns (A.col) → bare columns (literal-safe: a
+        # string literal containing "A." must survive verbatim)
+        bare = _map_code(cond, lambda s: re.sub(rf"\b{v}\s*\.\s*", "", s))
+        if defer_prev and _search_code(_PREV_RE, bare):
             deferred[v] = bare
             df = df.withColumn(f"__mr_{v}", F.lit(None).cast("boolean"))
             continue
-        bare = _PREV_RE.sub(
-            lambda m: f"lag({m.group(1)}, {m.group(2) or 1}) OVER ({over})", bare
+        bare = _map_code(
+            bare,
+            lambda s: _PREV_RE.sub(
+                lambda m: f"lag({m.group(1)}, {m.group(2) or 1}) OVER ({over})", s
+            ),
         )
         df = df.withColumn(f"__mr_{v}", F.expr(bare).cast("boolean"))
     return df, deferred, stateful
@@ -1307,45 +1363,57 @@ def _compile_stateful_cond(
     False rather than unknown, which only matters under NOT — where SQL
     would also reject the row unless the inner result was strictly false.
     """
-    expr = _NAV_RE.sub(
-        lambda m: _nav_sub(m, variables, cond),
-        cond,
-    )
-    expr = _PREV_QUAL_RE.sub(
-        lambda m: f"prev({m.group(2)!r}, {int(m.group(3) or 1)})", expr
-    )
-    for v in variables:
-        if v == var:
-            expr = re.sub(
-                rf"\b{v}\s*\.\s*([A-Za-z_]\w*)",
-                lambda m: f"cur({m.group(1)!r})",
-                expr,
-                flags=re.IGNORECASE,
-            )
-        else:
-            expr = re.sub(
-                rf"\b{v}\s*\.\s*([A-Za-z_]\w*)",
-                lambda m, v=v: f"nav({v!r}, {m.group(1)!r}, 'last', 0)",
-                expr,
-                flags=re.IGNORECASE,
-            )
-    # IS [NOT] NULL first, as single tokens, so the NOT rewrite below cannot
-    # touch the 'not' inside 'is not'
-    expr = re.sub(r"\bIS\s+NOT\s+NULL\b", " is__not__null", expr, flags=re.IGNORECASE)
-    expr = re.sub(r"\bIS\s+NULL\b", " is__null", expr, flags=re.IGNORECASE)
-    expr = re.sub(r"<>", "!=", expr)
-    expr = re.sub(r"(?<![<>!=])=(?!=)", "==", expr)
-    expr = re.sub(r"\bAND\b", " and ", expr, flags=re.IGNORECASE)
-    expr = re.sub(r"\bOR\b", " or ", expr, flags=re.IGNORECASE)
-    if re.search(r"\bNOT\b(?!\s*\()", expr, flags=re.IGNORECASE):
-        raise NotImplementedError(
-            f"MATCH_RECOGNIZE: DEFINE {var}: NOT must parenthesize its operand "
-            "in match-state conditions (NOT (...))"
+    def xform(expr: str) -> str:
+        # one CODE segment of the condition — string literals never enter
+        # here (a literal 'AND' / 'a=b' / 'X.c' must not be rewritten)
+        expr = _NAV_RE.sub(lambda m: _nav_sub(m, variables, cond), expr)
+        expr = _PREV_QUAL_RE.sub(
+            lambda m: f"prev({m.group(2)!r}, {int(m.group(3) or 1)})", expr
         )
-    # NOT (...) → the null-propagating sql_not(...) call
-    expr = re.sub(r"\bNOT\b", " sql_not", expr, flags=re.IGNORECASE)
-    expr = re.sub(r"\bNULL\b", "_N", expr, flags=re.IGNORECASE)
-    expr = expr.replace(" is__not__null", " is not _N").replace(" is__null", " is _N")
+        for v in variables:
+            if v == var:
+                expr = re.sub(
+                    rf"\b{v}\s*\.\s*([A-Za-z_]\w*)",
+                    lambda m: f"cur({m.group(1)!r})",
+                    expr,
+                    flags=re.IGNORECASE,
+                )
+            else:
+                expr = re.sub(
+                    rf"\b{v}\s*\.\s*([A-Za-z_]\w*)",
+                    lambda m, v=v: f"nav({v!r}, {m.group(1)!r}, 'last', 0)",
+                    expr,
+                    flags=re.IGNORECASE,
+                )
+        # IS [NOT] NULL first, as single tokens, so the NOT rewrite below
+        # cannot touch the 'not' inside 'is not'
+        expr = re.sub(
+            r"\bIS\s+NOT\s+NULL\b", " is__not__null", expr, flags=re.IGNORECASE
+        )
+        expr = re.sub(r"\bIS\s+NULL\b", " is__null", expr, flags=re.IGNORECASE)
+        expr = re.sub(r"<>", "!=", expr)
+        expr = re.sub(r"(?<![<>!=])=(?!=)", "==", expr)
+        expr = re.sub(r"\bAND\b", " and ", expr, flags=re.IGNORECASE)
+        expr = re.sub(r"\bOR\b", " or ", expr, flags=re.IGNORECASE)
+        if re.search(r"\bNOT\b(?!\s*\()", expr, flags=re.IGNORECASE):
+            raise NotImplementedError(
+                f"MATCH_RECOGNIZE: DEFINE {var}: NOT must parenthesize its "
+                "operand in match-state conditions (NOT (...))"
+            )
+        # NOT (...) → the null-propagating sql_not(...) call
+        expr = re.sub(r"\bNOT\b", " sql_not", expr, flags=re.IGNORECASE)
+        expr = re.sub(r"\bNULL\b", "_N", expr, flags=re.IGNORECASE)
+        return expr.replace(" is__not__null", " is not _N").replace(
+            " is__null", " is _N"
+        )
+
+    # SQL string literals become PYTHON literals via repr of the decoded
+    # value — this both protects their content from the keyword rewrites
+    # above and makes SQL's '' quote-escape valid for the Python eval
+    expr = "".join(
+        repr(seg[1:-1].replace("''", "'")) if lit else xform(seg)
+        for lit, seg in _sql_literal_segments(cond)
+    )
     import ast
 
     try:

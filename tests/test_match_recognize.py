@@ -3005,3 +3005,35 @@ def test_unbounded_group_long_run_fuzz_parity():
         assert unb == bnd, (seed, unb, bnd)
         n_matched += len(unb)
     assert n_matched > 20  # the fuzz produced real matches
+
+
+def test_define_string_literals_survive_rewrites(spark):
+    """Literal-safety for DEFINE compilation (the r12 blind-substitution
+    class): string literals containing rewrite triggers — a variable
+    qualifier ('A.'), keywords (AND), '=' — must survive both the batch
+    lag/bare-column path and the match-state Python compile; SQL's ''
+    quote-escape must reach the comparison decoded."""
+    df = _events(spark, [
+        (1, 1, "A.x"), (1, 2, "AND"), (1, 3, "don't"),
+        (2, 1, "AND"), (2, 2, "nope"),
+    ])
+    # batch path: self-qualifier strip + measure; literals hold triggers
+    out = match_recognize(
+        df,
+        "PARTITION BY user_id ORDER BY ts "
+        "MEASURES COUNT(*) AS n "
+        "PATTERN (A B) "
+        "DEFINE A AS A.etype = 'A.x', B AS B.etype = 'AND'",
+    ).collect()
+    assert [(r.user_id, r.n) for r in out] == [(1, 2)]
+    # match-state path (cross-variable ref forces the Python compile):
+    # literal with '' escape and keyword content compares correctly
+    out = match_recognize(
+        df,
+        "PARTITION BY user_id ORDER BY ts "
+        "MEASURES COUNT(*) AS n "
+        "PATTERN (A B) "
+        "DEFINE A AS A.etype = 'AND', B AS B.etype = 'don''t' "
+        "AND A.etype = 'AND'",
+    ).collect()
+    assert [(r.user_id, r.n) for r in out] == [(1, 2)]
