@@ -1534,6 +1534,23 @@ def _sql_bool_to_pandas(cond: str) -> str:
     are the one residual divergence from full SQL three-valued logic.
     """
 
+    # literal-safety: stash SQL string literals behind identifier-shaped
+    # placeholders so the keyword/paren scanning below can never fire
+    # inside one (a literal 'AND' or '(' would otherwise shred the parse);
+    # placeholders substitute back at return as PYTHON literals (repr of
+    # the decoded value — SQL's '' escape becomes eval-safe too). As
+    # comparison operands they ride the plain-column atom rail, which is
+    # exactly right: a literal is never null.
+    lits: list[str] = []
+
+    def _stash(seg: str) -> str:
+        lits.append(repr(seg[1:-1].replace("''", "'")))
+        return f" __litp{len(lits) - 1}__ "
+
+    cond = "".join(
+        _stash(seg) if lit else seg for lit, seg in _sql_literal_segments(cond)
+    )
+
     def split_top(text: str, word: str) -> list[str]:
         parts, depth, last = [], 0, 0
         for m in re.finditer(r"[()]|\b" + word + r"\b", text, re.IGNORECASE):
@@ -1601,7 +1618,10 @@ def _sql_bool_to_pandas(cond: str) -> str:
             )
         return "(" + atom + ")", "(~(" + atom + "))"
 
-    return rewrite(cond)[0]
+    out = rewrite(cond)[0]
+    if lits:
+        out = re.sub(r"__litp(\d+)__", lambda m: lits[int(m.group(1))], out)
+    return out
 
 
 # PREV expression arguments on the streaming path: column arithmetic only

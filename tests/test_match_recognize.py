@@ -3037,3 +3037,25 @@ def test_define_string_literals_survive_rewrites(spark):
         "AND A.etype = 'AND'",
     ).collect()
     assert [(r.user_id, r.n) for r in out] == [(1, 2)]
+
+
+def test_deferred_prev_conditions_are_literal_safe():
+    """The streaming deferred-PREV pandas translation must not let string
+    literals shred the keyword/paren scan, and SQL's '' escape must decode
+    for pandas.eval."""
+    import pandas as pd
+
+    from flink_notebooks_spark.operators.match_recognize import (
+        _sql_bool_to_pandas,
+    )
+
+    df = pd.DataFrame({"etype": ["AND", "don't", "(x)", "z"], "v": [2, 0, 0, 5]})
+    e = _sql_bool_to_pandas("etype = 'AND' AND v > 1")
+    assert list(df.eval(e)) == [True, False, False, False]
+    e = _sql_bool_to_pandas("etype = 'don''t' OR etype = '(x)'")
+    assert list(df.eval(e)) == [False, True, True, False]
+    df2 = pd.DataFrame({"etype": ["OR AND (", "z"]})
+    e = _sql_bool_to_pandas("etype = 'OR AND ('")
+    assert list(df2.eval(e)) == [True, False]
+    e = _sql_bool_to_pandas("NOT (etype = 'OR AND (')")
+    assert list(df2.eval(e)) == [False, True]
