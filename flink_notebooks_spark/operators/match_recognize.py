@@ -1545,7 +1545,7 @@ def _sql_bool_to_pandas(cond: str) -> str:
 
     def _stash(seg: str) -> str:
         lits.append(repr(seg[1:-1].replace("''", "'")))
-        return f" __litp{len(lits) - 1}__ "
+        return f"__litp{len(lits) - 1}__"
 
     cond = "".join(
         _stash(seg) if lit else seg for lit, seg in _sql_literal_segments(cond)
