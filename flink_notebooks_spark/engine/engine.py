@@ -144,11 +144,17 @@ class Engine:
         self._listeners: list = []
         self._checkpoint_root = tempfile.mkdtemp(prefix="fns-ckpt-")
         self._default_tz = self.spark.conf.get("spark.sql.session.timeZone")
-        # a fresh engine session starts with Flink's TTL default (disabled);
-        # clear any mirror a previous engine left on the shared SparkSession
-        from ..io import STATE_TTL_CONF
+        # a fresh engine session starts with Flink's TTL default (disabled) —
+        # clear any mirror a previous engine left on the shared SparkSession —
+        # unless the caller supplied table.exec.state.ttl as a construction-
+        # time property, which must reach the embedded keyed-state builders
+        # exactly like a SET would (same conf mirror, same lazy validation)
+        if "table.exec.state.ttl" in self.properties:
+            self._mirror_state_ttl_conf(self.properties["table.exec.state.ttl"])
+        else:
+            from ..io import STATE_TTL_CONF
 
-        self.spark.conf.unset(STATE_TTL_CONF)
+            self.spark.conf.unset(STATE_TTL_CONF)
         self._register_flink_builtins()
 
     # Flink SQL built-ins Spark lacks under those names, provided as
@@ -511,25 +517,7 @@ class Engine:
         if p.key == "execution.runtime-mode":
             self._refresh_views()
         elif p.key == "table.exec.state.ttl":
-            # mirror into the Spark session conf so keyed-state stream
-            # builders created after this SET — including ones submitted
-            # through the embedding surface (execute_stream_df) — pick the
-            # horizon up (io.session_state_ttl_s), Flink's session-scoped
-            # semantics. Validation stays LAZY like Flink's SET (the pinned
-            # contract: a bad duration errors at first use, not at SET) —
-            # an unparsable value mirrors as an error sentinel so the
-            # embedded surface raises just as loudly as the SQL one.
-            from ..io import STATE_TTL_CONF
-
-            try:
-                ttl_s = self._state_ttl_s()
-            except ValueError:
-                self.spark.conf.set(STATE_TTL_CONF, f"ERR:{p.value}")
-            else:
-                self.spark.conf.set(
-                    STATE_TTL_CONF,
-                    "0" if ttl_s in (0, None) else str(ttl_s * 1000),
-                )
+            self._mirror_state_ttl_conf(p.value)
         elif p.key == "table.local-time-zone":
             # Flink's session time zone ↔ Spark's — timestamps with local
             # time zone render/parse in this zone
@@ -540,6 +528,30 @@ class Engine:
             except Exception:  # noqa: BLE001  (static confs are not settable)
                 pass
         return ok_statement("OK")
+
+    def _mirror_state_ttl_conf(self, raw: str) -> None:
+        """Mirror ``table.exec.state.ttl`` into the Spark session conf so
+        keyed-state stream builders created after it lands — including ones
+        submitted through the embedding surface (execute_stream_df) — pick
+        the horizon up (io.session_state_ttl_s), Flink's session-scoped
+        semantics. Shared by SET and by construction-time ``properties=``
+        (both are Flink session configuration — split-brain between the two
+        paths would make the embedded builders silently ignore one of them).
+        Validation stays LAZY like Flink's SET (the pinned contract: a bad
+        duration errors at first use, not at SET) — an unparsable value
+        mirrors as an error sentinel so the embedded surface raises just as
+        loudly as the SQL one."""
+        from ..io import STATE_TTL_CONF
+
+        try:
+            ttl_s = self._state_ttl_s()
+        except ValueError:
+            self.spark.conf.set(STATE_TTL_CONF, f"ERR:{raw}")
+        else:
+            self.spark.conf.set(
+                STATE_TTL_CONF,
+                "0" if ttl_s in (0, None) else str(ttl_s * 1000),
+            )
 
     def _exec_reset(self, p: Parsed) -> Statement:
         from ..io import STATE_TTL_CONF
@@ -1424,16 +1436,16 @@ class Engine:
             sql,
             _re.IGNORECASE | _re.DOTALL,
         )
-        if (
-            len(calls) != len(raw_hits)
-            or q is None
-            or _re.search(
+        unsupported_kw = any(
+            not _in_string(sql, m.start())
+            for m in _re.finditer(
                 r"\b(JOIN|GROUP\s+BY|UNION|HAVING|LIMIT|ORDER\s+BY|"
                 r"MATCH_RECOGNIZE|OVER)\b",
                 sql,
                 _re.IGNORECASE,
             )
-        ):
+        )
+        if len(calls) != len(raw_hits) or q is None or unsupported_kw:
             raise NotImplementedError(
                 "CURRENT_WATERMARK is supported in the SELECT list and "
                 "WHERE of a single-table streaming SELECT (no JOIN/GROUP "
@@ -1489,19 +1501,28 @@ class Engine:
         def fix(bdf: DataFrame, qh) -> DataFrame:
             from datetime import datetime
 
-            wm_ms = 0
+            wm_ms = None  # None = no watermark established yet → NULL
             try:
                 # the in-flight IncrementalExecution's batchWatermarkMs IS
                 # the operator watermark of the CURRENT micro-batch — exact,
                 # unlike lastProgress (previous trigger's INPUT watermark,
-                # one batch behind)
-                wm_ms = (
+                # one batch behind). Spark's internals report "no watermark
+                # yet" as 0 (OffsetSeqMetadata default), which collides with
+                # a genuine epoch-0 watermark (event time at exactly
+                # 1970-01-01 + delay) — so a 0 here falls through to the
+                # progress string, which is only present once a watermark
+                # exists (it can legitimately parse to 0 ms).
+                v = (
                     qh._jsq.streamingQuery()  # noqa: SLF001
                     .lastExecution()
                     .offsetSeqMetadata()
                     .batchWatermarkMs()
                 ) if qh is not None else 0
+                if v:
+                    wm_ms = int(v)
             except Exception:  # noqa: BLE001 - internals drift → progress
+                pass
+            if wm_ms is None:
                 try:
                     lp = qh.lastProgress if qh is not None else None
                 except Exception:  # noqa: BLE001 - mid-teardown → no wm
@@ -1510,8 +1531,11 @@ class Engine:
                 if s:
                     dt = datetime.fromisoformat(s.replace("Z", "+00:00"))
                     wm_ms = int(dt.timestamp() * 1000)
-            # 0 = no watermark yet → NULL (Flink; comparisons go UNKNOWN)
-            lit = f"timestamp_millis({wm_ms})" if wm_ms else "CAST(NULL AS TIMESTAMP)"
+            lit = (
+                f"timestamp_millis({wm_ms})"
+                if wm_ms is not None
+                else "CAST(NULL AS TIMESTAMP)"
+            )
             out = bdf
             if where:
                 # the EXECUTED batch plan is what feeds the EventTimeWatermark

@@ -268,13 +268,26 @@ def _skip_string(sql: str, j: int) -> int:
 
 
 def _skip_noncode(sql: str, j: int) -> int | None:
-    """If sql[j] opens a string literal, a ``--`` line comment, or a
-    ``/* */`` block comment, return the index just past it; else None.
-    Keeps the quote-tracking scanners from misreading an apostrophe
-    inside a comment as a literal opener (which would flip the literal
-    state for everything after it)."""
+    """If sql[j] opens a string literal, a backtick-quoted identifier, a
+    ``--`` line comment, or a ``/* */`` block comment, return the index
+    just past it; else None. Keeps the quote-tracking scanners from
+    misreading an apostrophe inside a comment as a literal opener (which
+    would flip the literal state for everything after it). Backtick
+    identifiers are skipped like literals so a name such as ``` `x--y` ```
+    neither starts a comment nor gets rewritten (Spark doubles a backtick
+    inside the name: ``` `a``b` ```)."""
     if sql[j] == "'":
         return _skip_string(sql, j)
+    if sql[j] == "`":
+        k, n = j + 1, len(sql)
+        while k < n:
+            if sql[k] == "`":
+                if k + 1 < n and sql[k + 1] == "`":
+                    k += 2
+                    continue
+                return k + 1
+            k += 1
+        return n
     if sql.startswith("--", j):
         e = sql.find("\n", j)
         return len(sql) if e < 0 else e + 1
@@ -714,7 +727,9 @@ def _normalize_comments(sql: str) -> str:
             j += 1
             continue
         span = sql[j:nj]
-        if span.startswith("'") or span.startswith("/*+"):
+        if span.startswith(("'", "`", "/*+")):
+            # literals, backtick-quoted identifiers (a name like `x--y` is
+            # not a comment), and optimizer hints pass through verbatim
             out.append(span)
         else:
             out.append(" ")

@@ -1252,7 +1252,83 @@ def test_current_watermark_through_sql(spark, tmp_path):
     # the argument must be the declared time attribute (Flink-parity check)
     with pytest.raises(ValueError, match="time attribute"):
         eng.execute_sql("SELECT CURRENT_WATERMARK(amount) AS wm FROM cwev")
+    # keywords INSIDE string literals must not trip the unsupported-shape
+    # guard (ADVICE r12): this is a valid single-table lateness form
+    stmt = eng.execute_sql(
+        "SELECT user_id, ts_s FROM cwev "
+        "WHERE CAST(user_id AS STRING) <> 'ORDER BY' "
+        "AND ev_time > CURRENT_WATERMARK(ev_time)"
+    )
+    kept = sorted(r["fields"][1] for r in poll_rows(stmt, want=2, timeout=90))
+    stmt.cancel()
+    assert kept == [30, 10_000]
     eng.close()
+
+
+def test_current_watermark_at_epoch_zero(spark, tmp_path):
+    """A genuine 0 ms watermark (event time exactly 1970-01-01, delay '0')
+    is distinct from 'no watermark yet': Spark's internals report both as
+    batchWatermarkMs=0, so the engine disambiguates through the progress
+    string, which exists only once a watermark has been established (ADVICE
+    r12). The batch-2 row must see wm = epoch 0, not NULL."""
+    import pandas as pd
+
+    from flink_notebooks_spark.engine import Engine
+
+    for i, ts in enumerate([0, 100]):
+        pdf = pd.DataFrame({"user_id": [1], "ts_s": [ts]})
+        pdf["ev_time"] = pd.to_datetime(pdf["ts_s"], unit="s").astype(
+            "datetime64[us]"
+        )
+        path = f"{tmp_path}/f{i}.parquet"
+        pdf.to_parquet(path)
+        os.utime(path, (1_000_000_000 + i, 1_000_000_000 + i))
+    eng = Engine(spark)
+    eng.execute_sql(
+        f"""CREATE TABLE cwez (
+              user_id BIGINT, ts_s BIGINT, ev_time TIMESTAMP_LTZ(3),
+              WATERMARK FOR ev_time AS ev_time - INTERVAL '0' SECOND
+            ) WITH ('connector'='filesystem','path'='{tmp_path}','format'='parquet',
+                    'source.max-files-per-trigger'='1')"""
+    )
+    stmt = eng.execute_sql(
+        "SELECT ts_s, ev_time, CURRENT_WATERMARK(ev_time) AS wm FROM cwez"
+    )
+    got = [r["fields"] for r in poll_rows(stmt, want=2, timeout=90)]
+    stmt.cancel()
+    ev = {r[0]: r[1] for r in got}
+    wm = {r[0]: r[2] for r in got}
+    assert wm[0] is None  # first batch: genuinely no watermark yet
+    assert wm[100] == ev[0]  # batch 2's watermark IS epoch 0, not NULL
+    eng.close()
+
+
+def test_state_ttl_construction_property_reaches_builders(spark, sf_dir):
+    """table.exec.state.ttl passed as a CONSTRUCTION-TIME property (Flink's
+    EnvironmentSettings/flink-conf path) must reach the embedded keyed-state
+    builders exactly like a SET would — same conf mirror, same lazy
+    validation (ADVICE r12: previously only SET-issued TTLs were mirrored,
+    a split-brain between the two configuration surfaces)."""
+    import pytest
+
+    from flink_notebooks_spark.engine import Engine
+    from flink_notebooks_spark.io import session_state_ttl_s
+
+    eng = Engine(spark, properties={"table.exec.state.ttl": "2 h"})
+    try:
+        assert session_state_ttl_s(spark) == 7200
+    finally:
+        eng.close()
+    # close() clears the mirror; a TTL-less engine starts disabled
+    assert session_state_ttl_s(spark) is None
+    # an unparsable construction-time value raises lazily at first use,
+    # matching the SET surface's pinned contract
+    eng = Engine(spark, properties={"table.exec.state.ttl": "soon"})
+    try:
+        with pytest.raises(ValueError, match="state.ttl"):
+            session_state_ttl_s(spark)
+    finally:
+        eng.close()
 
 
 def test_state_ttl_property_reaches_embedded_keyed_state_builders(spark, sf_dir):

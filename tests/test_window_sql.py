@@ -136,6 +136,32 @@ def test_scalar_rewrite_comment_aware():
     ).count("named_struct") == 1
 
 
+def test_backtick_identifiers_survive_rewrites():
+    """Backtick-quoted identifiers are opaque names: `x--y` must not start
+    a line comment (regression: _normalize_comments truncated the statement
+    at the --), `a[1]` inside backticks must not become element_at, and an
+    apostrophe inside backticks must not flip the lexer's string state."""
+    from flink_notebooks_spark.engine.window_sql import (
+        rewrite_flink_dialect,
+        rewrite_scalar_syntax as rs,
+    )
+
+    assert rewrite_flink_dialect("SELECT `x--y` FROM t") == "SELECT `x--y` FROM t"
+    assert rewrite_flink_dialect("SELECT `a/*b*/c` FROM t") == (
+        "SELECT `a/*b*/c` FROM t"
+    )
+    assert rs("SELECT `a[1]`, b[1] FROM t") == (
+        "SELECT `a[1]`, element_at(b, 1) FROM t"
+    )
+    assert rs("SELECT `don't`, a[1] FROM t") == (
+        "SELECT `don't`, element_at(a, 1) FROM t"
+    )
+    # Spark escapes a backtick inside the name by doubling it
+    assert rs("SELECT `we``ird[1]`, a[1] FROM t") == (
+        "SELECT `we``ird[1]`, element_at(a, 1) FROM t"
+    )
+
+
 def test_str_to_map_default_delimiters():
     """Flink's one-argument STR_TO_MAP defaults to ',' pair / '=' key-value
     delimiters (Spark's str_to_map defaults to ':') — the rewrite makes
