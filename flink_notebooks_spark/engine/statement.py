@@ -93,8 +93,11 @@ def changelog_entries(
     caps displayed rows at the same 10k (flinkNotebookController.ts:428).
 
     ``exhaustive=False`` marks ``rows`` as a transfer-capped PARTIAL batch:
-    complete-mode DELETE reconstruction is suppressed (an absent key may sit
-    past the cap, not be gone).
+    complete-mode DELETE reconstruction is suppressed here (an absent key
+    may sit past the cap, not be gone) — the caller recovers EXACT deletes
+    distributedly instead (StreamingStatement._distributed_deletes diffs the
+    served-key set against the whole batch with an anti-join, shipping only
+    vanished keys to the driver).
     """
     out: list[dict[str, Any]] = []
     snapshot: set[tuple] = set()
@@ -263,6 +266,7 @@ class StreamingStatement(Statement):
             if changelog_keys and all(k in cols for k in changelog_keys)
             else None
         )
+        self._key_cols = list(changelog_keys) if self._key_idx is not None else None
         self._seen: dict[tuple, list[Any]] = {}
 
         def on_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -307,10 +311,11 @@ class StreamingStatement(Statement):
                 # trips, the diff is non-exhaustive: changed keys beyond the
                 # cap are skipped this trigger (their _seen value stays the
                 # last EMITTED one, so a later UPDATE_BEFORE still matches
-                # what the client materialized), complete-mode DELETE
-                # detection is suppressed (a key absent from a partial
-                # snapshot may exist past the cap), and truncated is set
-                # CONSERVATIVELY — output may have been dropped.
+                # what the client materialized), and truncated is set —
+                # output may have been dropped. Complete-mode DELETEs stay
+                # EXACT under the cap: absence of a served key from the
+                # whole snapshot is decided distributedly (anti-join; ships
+                # ≤ |served keys| rows, never the batch).
                 rows = batch_df.limit(MAX_STREAM_ROWS + 1).collect()
                 capped = len(rows) > MAX_STREAM_ROWS
                 if capped:
@@ -319,6 +324,12 @@ class StreamingStatement(Statement):
                 entries = changelog_entries(
                     rows, self._key_idx, mode, self._seen, exhaustive=not capped
                 )
+                if capped and mode == "complete" and self._seen:
+                    # DELETEs go FIRST: they retract rows the client already
+                    # materialized, so under the buffer-room slice below they
+                    # must win over INSERTs of new keys (which a complete
+                    # sink re-emits every trigger anyway)
+                    entries = self._distributed_deletes(batch_df) + entries
             else:
                 # append mode: rows are independent — fetch just enough to
                 # fill the buffer, +1 so the truncation flag still trips on
@@ -350,6 +361,35 @@ class StreamingStatement(Statement):
             self.error = str(e)
             self.finished_at = time.time()
             raise
+
+    def _distributed_deletes(self, batch_df: DataFrame) -> list[dict[str, Any]]:
+        """Exact complete-mode DELETE detection under the transfer cap: a
+        capped snapshot cannot prove a key's absence, but the served-key set
+        (``_seen`` — ≤ MAX_STREAM_ROWS keys by construction) CAN be diffed
+        against the WHOLE batch distributedly. A null-safe left-anti join
+        ships back only the keys that vanished from the complete snapshot —
+        never the batch — so the per-trigger transfer stays ≤ (cap + 1) rows
+        plus ≤ |served| key rows. Keys past the cap are in the batch, so the
+        anti-join never touches them."""
+        import functools
+
+        from pyspark.sql.types import StructType
+
+        spark = batch_df.sparkSession
+        key_schema = StructType([batch_df.schema[c] for c in self._key_cols])
+        seen_df = spark.createDataFrame(list(self._seen), key_schema)
+        batch_keys = batch_df.select(*self._key_cols)
+        cond = functools.reduce(
+            lambda a, b: a & b,
+            [seen_df[c].eqNullSafe(batch_keys[c]) for c in self._key_cols],
+        )
+        gone = seen_df.join(batch_keys, cond, "left_anti").collect()
+        out: list[dict[str, Any]] = []
+        for r in gone:
+            old = self._seen.pop(tuple(r), None)
+            if old is not None:
+                out.append({"kind": "DELETE", "fields": old})
+        return out
 
     # --- lifecycle (reference T5) ------------------------------------------
     def pause(self) -> None:

@@ -376,6 +376,71 @@ def test_changelog_transfer_bounded_on_oversized_trigger(spark, monkeypatch):
     assert served_keys == {k[0] for k in stmt._seen}
 
 
+def test_complete_mode_deletes_exact_under_transfer_cap(spark, monkeypatch):
+    """VERDICT r12 #3: an oversized complete-mode trigger keeps EXACT DELETE
+    semantics — absence of a served key from the whole snapshot is decided
+    by a distributed anti-join (ships only vanished keys), never by the
+    capped partial collect, and never by materializing the batch. Transfer
+    stays bounded: one limit(cap+1) collect plus ≤ |served| key rows."""
+    from flink_notebooks_spark.engine import statement as st
+
+    monkeypatch.setattr(st, "MAX_STREAM_ROWS", 40)
+
+    class FakeQuery:
+        isActive = True
+
+        def exception(self):
+            return None
+
+        def stop(self):
+            self.isActive = False
+
+    class SpyDF:
+        def __init__(self, df):
+            self._df = df
+            self.limits: list[int] = []
+            self.full_collects = 0
+
+        def limit(self, n):
+            self.limits.append(n)
+            return self._df.limit(n)
+
+        def collect(self):
+            self.full_collects += 1
+            return self._df.collect()
+
+        def __getattr__(self, a):
+            return getattr(self._df, a)
+
+    base = spark.createDataFrame([(i, i * 10) for i in range(5)], "k int, v int")
+    captured = {}
+
+    def start_fn(on_batch):
+        captured["on_batch"] = on_batch
+        return FakeQuery()
+
+    stmt = st.StreamingStatement(
+        base, start_fn, changelog_keys=["k"], mode_holder={"mode": "complete"}
+    )
+    # trigger 0: a 5-key complete snapshot, fits → 5 INSERTs served
+    captured["on_batch"](SpyDF(base), 0)
+    assert {r["fields"][0] for r in stmt._buffer} == set(range(5))
+    # trigger 1: 60-key snapshot (caps at 40) where keys 0-4 VANISHED —
+    # exact DELETEs must still be emitted, before new-key INSERTs
+    big = spark.createDataFrame(
+        [(i, i * 10) for i in range(5, 65)], "k int, v int"
+    )
+    spy = SpyDF(big)
+    captured["on_batch"](spy, 1)
+    assert spy.limits == [41] and spy.full_collects == 0  # bounded transfer
+    deletes = [r for r in stmt._buffer if r["kind"] == "DELETE"]
+    assert sorted(r["fields"] for r in deletes) == [[i, i * 10] for i in range(5)]
+    assert stmt.truncated  # inserts past the cap were genuinely dropped
+    assert len(stmt._buffer) <= 40
+    # the served-key map forgot the deleted keys and only them
+    assert all((i,) not in stmt._seen for i in range(5))
+
+
 def test_changelog_entries_partial_snapshot_suppresses_deletes():
     """Complete-mode DELETE reconstruction needs the WHOLE snapshot: with a
     transfer-capped partial batch (exhaustive=False) a key absent from the
