@@ -1389,6 +1389,277 @@ class Engine:
             )
         return BatchStatement(self.spark.sql(f"EXPLAIN {body}"))
 
+    @staticmethod
+    def _batch_watermark_ms(qh) -> int | None:
+        """The operator watermark of the CURRENT micro-batch in epoch ms, or
+        None when no watermark is established yet (Flink: CURRENT_WATERMARK
+        is NULL then). The in-flight IncrementalExecution's batchWatermarkMs
+        IS the exact value Spark's stateful operators use for that trigger
+        (the public lastProgress is one batch behind; it remains the
+        fallback if the JVM internals drift). Spark's internals report "no
+        watermark yet" as 0 (OffsetSeqMetadata default), which collides
+        with a genuine epoch-0 watermark — so a 0 falls through to the
+        progress string, which only exists once a watermark does (and can
+        legitimately parse to 0 ms)."""
+        from datetime import datetime
+
+        wm_ms = None
+        try:
+            v = (
+                qh._jsq.streamingQuery()  # noqa: SLF001
+                .lastExecution()
+                .offsetSeqMetadata()
+                .batchWatermarkMs()
+            ) if qh is not None else 0
+            if v:
+                wm_ms = int(v)
+        except Exception:  # noqa: BLE001 - internals drift → progress
+            pass
+        if wm_ms is None:
+            try:
+                lp = qh.lastProgress if qh is not None else None
+            except Exception:  # noqa: BLE001 - mid-teardown → no wm
+                lp = None
+            s = ((lp or {}).get("eventTime") or {}).get("watermark")
+            if s:
+                dt = datetime.fromisoformat(s.replace("Z", "+00:00"))
+                wm_ms = int(dt.timestamp() * 1000)
+        return wm_ms
+
+    # live-window cap for the CW-filtered windowed agg: driver merge state
+    # is one row per UNCLOSED window — bounded by the in-flight event-time
+    # span / window size, not by stream length. A corpus that somehow opens
+    # more simultaneously is a mis-sized window; fail loudly.
+    CW_WINDOW_AGG_MAX_LIVE = 100_000
+
+    def _cw_window_agg(self, sql: str, call_re, calls, raw_hits):
+        """The canonical Flink composition r12 left out (VERDICT #5): a
+        CURRENT_WATERMARK lateness filter feeding a window-TVF aggregation —
+
+            SELECT window_start, window_end, COUNT(*) AS c
+            FROM TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '10' SECOND))
+            WHERE ts > CURRENT_WATERMARK(ts) - INTERVAL '1' MINUTE
+            GROUP BY window_start, window_end
+
+        Spark cannot express the filter declaratively (no watermark in SQL
+        expressions), so the engine composes its two existing mechanisms:
+        the raw table streams (rows advance the watermark BEFORE the filter,
+        Flink's semantics), each micro-batch evaluates the full windowed
+        aggregation as a BATCH query with the watermark substituted as a
+        literal, and the per-window partials merge into a driver-side live-
+        window map (COUNT/SUM add, MIN/MAX fold, AVG as sum+count — the
+        algebraic aggregates; others raise). A window EMITS ONCE when the
+        operator watermark passes window_end — Flink's append-mode TVF
+        window semantics — then its state is dropped, so driver state is
+        one entry per UNCLOSED window (capped loudly). Late contributions
+        to already-closed windows are dropped, Spark/Flink's late-row rule.
+        Returns None when ``sql`` is not this shape (callers fall through
+        to the single-table path / the loud guard)."""
+        import re as _re
+
+        from .window_sql import _in_string
+
+        m = _re.match(
+            r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+TABLE\s*\(\s*TUMBLE\s*\(\s*"
+            r"(?:TABLE\s+|DATA\s*=>\s*TABLE\s+)?(?P<tbl>[\w.`]+)\s*,\s*"
+            r"(?:TIMECOL\s*=>\s*)?DESCRIPTOR\s*\(\s*(?P<tc>[`\w]+)\s*\)\s*,\s*"
+            r"(?:SIZE\s*=>\s*)?(?P<ivl>INTERVAL\s+'[^']+'\s+\w+)\s*\)\s*\)\s*"
+            r"WHERE\s+(?P<where>.+?)\s+GROUP\s+BY\s+(?P<grp>[\w`\s,]+?)\s*;?\s*$",
+            sql,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if m is None or len(calls) != len(raw_hits):
+            return None  # not this shape / odd CW form → the loud guard
+        grp = [g.strip().strip("`").lower() for g in m.group("grp").split(",")]
+        if sorted(grp) != ["window_end", "window_start"]:
+            return None
+        sel, where, ivl = m.group("sel"), m.group("where"), m.group("ivl")
+        tc = m.group("tc").strip("`")
+        if _re.search(r"\bCURRENT_WATERMARK\b", sel, _re.IGNORECASE):
+            raise NotImplementedError(
+                "CURRENT_WATERMARK inside the SELECT list of a windowed "
+                "aggregation is not emulated — use it in the WHERE (the "
+                "lateness-filter form) or emit it from a plain SELECT"
+            )
+        name = m.group("tbl").split(".")[-1].strip("`")
+        tdef = self.tables.get(name)
+        for c in calls:
+            col = c.group("col").split(".")[-1].strip("`")
+            if col != tc or (
+                tdef is not None
+                and (tdef.watermark is None or col != tdef.watermark.column)
+            ):
+                raise ValueError(
+                    f"CURRENT_WATERMARK({col}): argument must be the window "
+                    f"descriptor's time attribute (here {tc!r}, the table's "
+                    "declared WATERMARK column)"
+                )
+        try:
+            base = self.spark.table(name)
+        except Exception as e:  # noqa: BLE001
+            raise ValueError(f"CURRENT_WATERMARK: unknown table {name!r}") from e
+        if not base.isStreaming:
+            raise ValueError(
+                "CURRENT_WATERMARK: only defined on a streaming query over "
+                "a watermarked time attribute (Flink raises outside "
+                "streaming too)"
+            )
+
+        # classify the SELECT items: window keys pass through, algebraic
+        # aggregates get per-batch partials + a driver merge rule
+        AGG = _re.compile(
+            r"^(?P<fn>COUNT|SUM|MIN|MAX|AVG)\s*\((?P<arg>.+)\)\s+AS\s+(?P<alias>[`\w]+)$",
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        KEY = _re.compile(
+            r"^(?P<k>window_start|window_end)(?:\s+AS\s+(?P<alias>[`\w]+))?$",
+            _re.IGNORECASE,
+        )
+        out_plan = []  # ('key', 'window_start'|'window_end') | ('agg', fn, idx)
+        merge_items = ["window_start AS __ws", "window_end AS __we",
+                       "unix_millis(CAST(window_end AS TIMESTAMP)) AS __we_ms"]
+        n_agg = 0
+        for item in _split_top(sel, angle=False):
+            s = item.strip()
+            km = KEY.match(s)
+            if km:
+                out_plan.append(("key", km.group("k").lower()))
+                continue
+            am = AGG.match(s)
+            if am is None:
+                raise NotImplementedError(
+                    f"CURRENT_WATERMARK windowed aggregation: SELECT item "
+                    f"{s!r} — supported items are window_start, window_end, "
+                    "and aliased COUNT/SUM/MIN/MAX/AVG aggregates"
+                )
+            fn, arg = am.group("fn").upper(), am.group("arg")
+            if _re.match(r"^\s*DISTINCT\b", arg, _re.IGNORECASE):
+                raise NotImplementedError(
+                    "CURRENT_WATERMARK windowed aggregation: DISTINCT "
+                    "aggregates do not merge across micro-batches — "
+                    "deduplicate upstream instead"
+                )
+            if fn == "AVG":
+                merge_items.append(f"SUM({arg}) AS __a{n_agg}_s")
+                merge_items.append(f"COUNT({arg}) AS __a{n_agg}_c")
+            else:
+                merge_items.append(f"{fn}({arg}) AS __a{n_agg}")
+            out_plan.append(("agg", fn, n_agg))
+            n_agg += 1
+
+        view = f"__cw_win_{uuid.uuid4().hex[:12]}"
+        from_clause = (
+            f"FROM TABLE(TUMBLE(TABLE {view}, DESCRIPTOR({tc}), {ivl}))"
+        )
+
+        def sub_cw(text: str, lit: str) -> str:
+            return call_re.sub(
+                lambda mm: mm.group(0) if _in_string(text, mm.start()) else lit,
+                text,
+            )
+
+        merge_sql_t = (
+            f"SELECT {', '.join(merge_items)} {from_clause} "
+            "WHERE {w} GROUP BY window_start, window_end"
+        )
+        # display/schema probe: the user's projection over an empty batch
+        self.spark.createDataFrame([], base.schema).createOrReplaceTempView(view)
+        display_df = self.spark.sql(
+            rewrite_flink_dialect(
+                f"SELECT {sel} {from_clause} "
+                f"WHERE {sub_cw(where, 'CAST(NULL AS TIMESTAMP)')} "
+                "GROUP BY window_start, window_end"
+            )
+        )
+        out_schema = display_df.schema
+        live: dict = {}  # (ws, we) -> {"we_ms": int, "a{i}...": partials}
+
+        def _merge_val(fn: str, old, new):
+            if new is None:
+                return old
+            if old is None:
+                return new
+            if fn in ("COUNT", "SUM"):
+                return old + new
+            return min(old, new) if fn == "MIN" else max(old, new)
+
+        def fix(bdf: DataFrame, qh) -> DataFrame:
+            wm_ms = self._batch_watermark_ms(qh)
+            lit = (
+                f"timestamp_millis({wm_ms})"
+                if wm_ms is not None
+                else "CAST(NULL AS TIMESTAMP)"
+            )
+            # one unfiltered pass first: the scan feeding EventTimeWatermark
+            # must see every row or the lateness predicate starves the
+            # watermark forever (the single-table path's thrice-hit gotcha)
+            bdf.count()
+            # the micro-batch df is bound to foreachBatch's CLONED session —
+            # register and query the view there, not on self.spark (whose
+            # same-named view is the empty schema probe from setup)
+            bdf.createOrReplaceTempView(view)
+            rows = (
+                bdf.sparkSession.sql(
+                    rewrite_flink_dialect(merge_sql_t.format(w=sub_cw(where, lit)))
+                )
+                .limit(self.CW_WINDOW_AGG_MAX_LIVE + 1)
+                .collect()
+            )
+            if len(rows) > self.CW_WINDOW_AGG_MAX_LIVE:
+                raise RuntimeError(
+                    "CURRENT_WATERMARK windowed agg: one micro-batch touched "
+                    f"more than {self.CW_WINDOW_AGG_MAX_LIVE} windows — the "
+                    "window size is mis-sized for this stream's event-time "
+                    "span"
+                )
+            for r in rows:
+                key = (r["__ws"], r["__we"])
+                if key not in live and wm_ms is not None and r["__we_ms"] <= wm_ms:
+                    continue  # late row for an already-closed window: drop
+                st = live.setdefault(key, {"__we_ms": r["__we_ms"]})
+                for kind, *rest in out_plan:
+                    if kind != "agg":
+                        continue
+                    fn, i = rest
+                    if fn == "AVG":
+                        st[f"__a{i}_s"] = _merge_val(
+                            "SUM", st.get(f"__a{i}_s"), r[f"__a{i}_s"]
+                        )
+                        st[f"__a{i}_c"] = _merge_val(
+                            "COUNT", st.get(f"__a{i}_c"), r[f"__a{i}_c"]
+                        )
+                    else:
+                        st[f"__a{i}"] = _merge_val(fn, st.get(f"__a{i}"), r[f"__a{i}"])
+            if len(live) > self.CW_WINDOW_AGG_MAX_LIVE:
+                raise RuntimeError(
+                    "CURRENT_WATERMARK windowed agg: more than "
+                    f"{self.CW_WINDOW_AGG_MAX_LIVE} windows are live at once "
+                    "— the window size is mis-sized for this stream"
+                )
+            # emit (Flink append-mode TVF semantics) the windows the
+            # watermark just closed, then drop their state
+            emitted = []
+            if wm_ms is not None:
+                for key in sorted(k for k, st in live.items() if st["__we_ms"] <= wm_ms):
+                    st = live.pop(key)
+                    vals = []
+                    for kind, *rest in out_plan:
+                        if kind == "key":
+                            vals.append(key[0] if rest[0] == "window_start" else key[1])
+                        else:
+                            fn, i = rest
+                            if fn == "AVG":
+                                s, c = st.get(f"__a{i}_s"), st.get(f"__a{i}_c")
+                                vals.append(s / c if c else None)
+                            elif fn == "COUNT":
+                                vals.append(st.get(f"__a{i}") or 0)
+                            else:
+                                vals.append(st.get(f"__a{i}"))
+                    emitted.append(vals)
+            return self.spark.createDataFrame(emitted, out_schema)
+
+        return self._start_streaming_select(base, batch_fix=fix, display_df=display_df)
+
     def _try_current_watermark(self, sql: str) -> Statement | None:
         """Flink's ``CURRENT_WATERMARK(rowtime)`` built-in (stock planner,
         reference flink-runtime/build.gradle:37), emulated through the
@@ -1430,6 +1701,9 @@ class Engine:
         if not raw_hits:
             return None
         calls = [m for m in call_re.finditer(sql) if not _in_string(sql, m.start())]
+        win = self._cw_window_agg(sql, call_re, calls, raw_hits)
+        if win is not None:
+            return win
         q = _re.match(
             r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<tbl>[\w.`]+)"
             r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
@@ -1448,9 +1722,10 @@ class Engine:
         if len(calls) != len(raw_hits) or q is None or unsupported_kw:
             raise NotImplementedError(
                 "CURRENT_WATERMARK is supported in the SELECT list and "
-                "WHERE of a single-table streaming SELECT (no JOIN/GROUP "
-                "BY/OVER/ORDER BY) with a plain column argument — emit the "
-                "watermark from such a query and compose downstream instead"
+                "WHERE of a single-table streaming SELECT, and in the WHERE "
+                "of a TUMBLE-TVF windowed aggregation (COUNT/SUM/MIN/MAX/AVG "
+                "grouped by window_start, window_end) — other shapes: emit "
+                "the watermark from a supported query and compose downstream"
             )
         name = q.group("tbl").split(".")[-1].strip("`")
         # Flink-parity argument check: the argument must be the table's
@@ -1499,38 +1774,7 @@ class Engine:
         )
 
         def fix(bdf: DataFrame, qh) -> DataFrame:
-            from datetime import datetime
-
-            wm_ms = None  # None = no watermark established yet → NULL
-            try:
-                # the in-flight IncrementalExecution's batchWatermarkMs IS
-                # the operator watermark of the CURRENT micro-batch — exact,
-                # unlike lastProgress (previous trigger's INPUT watermark,
-                # one batch behind). Spark's internals report "no watermark
-                # yet" as 0 (OffsetSeqMetadata default), which collides with
-                # a genuine epoch-0 watermark (event time at exactly
-                # 1970-01-01 + delay) — so a 0 here falls through to the
-                # progress string, which is only present once a watermark
-                # exists (it can legitimately parse to 0 ms).
-                v = (
-                    qh._jsq.streamingQuery()  # noqa: SLF001
-                    .lastExecution()
-                    .offsetSeqMetadata()
-                    .batchWatermarkMs()
-                ) if qh is not None else 0
-                if v:
-                    wm_ms = int(v)
-            except Exception:  # noqa: BLE001 - internals drift → progress
-                pass
-            if wm_ms is None:
-                try:
-                    lp = qh.lastProgress if qh is not None else None
-                except Exception:  # noqa: BLE001 - mid-teardown → no wm
-                    lp = None
-                s = ((lp or {}).get("eventTime") or {}).get("watermark")
-                if s:
-                    dt = datetime.fromisoformat(s.replace("Z", "+00:00"))
-                    wm_ms = int(dt.timestamp() * 1000)
+            wm_ms = self._batch_watermark_ms(qh)
             lit = (
                 f"timestamp_millis({wm_ms})"
                 if wm_ms is not None

@@ -1388,6 +1388,76 @@ def test_current_watermark_through_sql(spark, tmp_path):
     eng.close()
 
 
+def test_current_watermark_lateness_filtered_window_agg(spark, tmp_path):
+    """VERDICT r12 #5: the canonical Flink composition — a CURRENT_WATERMARK
+    lateness filter feeding a TUMBLE-TVF windowed aggregation. The engine
+    evaluates the windowed agg per micro-batch with the watermark
+    substituted, merges per-window partials driver-side, and emits each
+    window ONCE when the operator watermark passes window_end (Flink's
+    append-mode TVF semantics). Late rows for already-closed windows drop;
+    unsupported aggregate shapes raise loudly."""
+    import pandas as pd
+    import pytest
+
+    from flink_notebooks_spark.engine import Engine
+
+    files = [
+        [(5, 1.0), (8, 2.0)],  # batch 1: wm NULL → kept via the IS NULL arm
+        [(12, 4.0)],  # batch 2 (wm=8): opens [10,20)
+        [(35, 8.0)],  # batch 3 (wm=12): closes [0,10) → emit c=2 s=3
+        [(60, 16.0), (3, 100.0)],  # batch 4 (wm=35): closes [10,20); ts=3 is
+        # late for the CLOSED [0,10) window → dropped by the window operator
+    ]
+    for i, rows in enumerate(files):
+        pdf = pd.DataFrame(rows, columns=["ts_s", "amount"])
+        pdf["ev_time"] = pd.to_datetime(pdf["ts_s"], unit="s").astype(
+            "datetime64[us]"
+        )
+        path = f"{tmp_path}/f{i}.parquet"
+        pdf.to_parquet(path)
+        os.utime(path, (1_000_000_000 + i, 1_000_000_000 + i))
+    eng = Engine(spark)
+    eng.execute_sql(
+        f"""CREATE TABLE cwwin (
+              ts_s BIGINT, amount DOUBLE, ev_time TIMESTAMP_LTZ(3),
+              WATERMARK FOR ev_time AS ev_time - INTERVAL '0' SECOND
+            ) WITH ('connector'='filesystem','path'='{tmp_path}','format'='parquet',
+                    'source.max-files-per-trigger'='1')"""
+    )
+    stmt = eng.execute_sql(
+        "SELECT window_start AS ws, window_end AS we, COUNT(*) AS c, "
+        "SUM(amount) AS s "
+        "FROM TABLE(TUMBLE(TABLE cwwin, DESCRIPTOR(ev_time), INTERVAL '10' SECOND)) "
+        "WHERE ev_time > CURRENT_WATERMARK(ev_time) - INTERVAL '1' MINUTE "
+        "   OR CURRENT_WATERMARK(ev_time) IS NULL "
+        "GROUP BY window_start, window_end"
+    )
+    got = [r["fields"] for r in poll_rows(stmt, want=2, timeout=120)]
+    stmt.cancel()
+    assert all(r["kind"] == "INSERT" for r in poll_rows(stmt, want=0, timeout=1) or [])
+    rows = sorted(got, key=lambda r: r[0])
+    # [0,10): the two first-batch rows; the late ts=3 row (amount 100) is NOT
+    # in the sum — its window had already closed
+    assert rows[0][2] == 2 and rows[0][3] == 3.0
+    # [10,20): the single batch-2 row
+    assert rows[1][2] == 1 and rows[1][3] == 4.0
+    assert rows[0][1] == rows[1][0]  # adjacent tumble windows
+    # unsupported aggregate shapes raise loudly, not silently wrong
+    with pytest.raises(NotImplementedError, match="DISTINCT"):
+        eng.execute_sql(
+            "SELECT window_start, window_end, COUNT(DISTINCT ts_s) AS c "
+            "FROM TABLE(TUMBLE(TABLE cwwin, DESCRIPTOR(ev_time), INTERVAL '10' SECOND)) "
+            "WHERE ev_time > CURRENT_WATERMARK(ev_time) GROUP BY window_start, window_end"
+        )
+    with pytest.raises(NotImplementedError, match="SELECT item"):
+        eng.execute_sql(
+            "SELECT window_start, window_end, percentile(ts_s, 0.5) AS p "
+            "FROM TABLE(TUMBLE(TABLE cwwin, DESCRIPTOR(ev_time), INTERVAL '10' SECOND)) "
+            "WHERE ev_time > CURRENT_WATERMARK(ev_time) GROUP BY window_start, window_end"
+        )
+    eng.close()
+
+
 def test_current_watermark_at_epoch_zero(spark, tmp_path):
     """A genuine 0 ms watermark (event time exactly 1970-01-01, delay '0')
     is distinct from 'no watermark yet': Spark's internals report both as
