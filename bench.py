@@ -22,6 +22,44 @@ from flink_notebooks_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _calib_jvm_sum(spark, _sf):
+    return spark.range(0, 50_000_000, 1, 32).selectExpr("sum(id * 3 + 1) AS s")
+
+
+def _calib_parquet_scan(spark, sf):
+    from flink_notebooks_spark.io import load_table
+
+    return load_table(spark, sf, "lineitem").selectExpr(
+        "sum(l_extendedprice * (1 - l_discount)) AS s", "count(*) AS n"
+    )
+
+
+def _calib_shuffle_agg(spark, _sf):
+    from pyspark.sql import functions as F  # noqa: N812
+
+    return (
+        spark.range(0, 8_000_000, 1, 32)
+        .selectExpr("id % 100000 AS k", "id AS v")
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"))
+        .selectExpr("count(*) AS n", "sum(s) AS t")
+    )
+
+
+# Fixed calibration jobs (VERDICT r12 #2): their code NEVER changes across
+# rounds, so cross-archive movement on them measures the HOST (CPU steal,
+# page cache, JVM/JIT variance), not the engine. bench_compare.py uses them
+# to separate "host moved X%" from residual per-entry deltas. Measured with
+# the same grouped-reps/median protocol as queries, once at the start and
+# once at the end of the run (drift WITHIN a run shows up as start/end
+# disagreement). DO NOT edit these bodies — that would break the baseline.
+CALIBRATION = {
+    "calib_jvm_sum": _calib_jvm_sum,  # pure whole-stage-codegen compute
+    "calib_parquet_scan": _calib_parquet_scan,  # scan + column decode
+    "calib_shuffle_agg": _calib_shuffle_agg,  # exchange + hash aggregate
+}
+
+
 def sf_of(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))
     try:
@@ -179,9 +217,40 @@ def main() -> None:
             file=sys.stderr,
         )
         reps = 1
+    def measure(fn) -> list[float]:
+        """reps measured runs after one discarded warm-up (same protocol as
+        the query loop); used for the calibration entries."""
+        out: list[float] = []
+        for i in range(reps + 1):
+            t0 = time.time()
+            try:
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                dt = round(time.time() - t0, 3)
+            except Exception as e:  # noqa: BLE001
+                print(f"bench: calibration failed: {str(e)[:200]}", file=sys.stderr)
+                dt = -1.0
+            if i > 0:
+                out.append(dt)
+        return out
+
+    calib_runs: dict[str, list[float]] = {
+        name: measure(fn) for name, fn in CALIBRATION.items()
+    }
+
+    # Query order is SHUFFLED per run (VERDICT r12 #2): with a fixed order,
+    # an entry's number silently depends on its position (what the previous
+    # 150 entries left in the page cache / JIT / GC state) — a bias that
+    # reads as a regression when registration order changes. Shuffling turns
+    # the bias into noise the per-entry warm-up rep and median absorb; the
+    # calibration entries above/below bracket whatever host drift remains.
+    import random
+
+    exec_order = list(QUERIES.items())
+    random.Random(time.time_ns()).shuffle(exec_order)
+
     runs: dict[str, list[float]] = {name: [] for name in QUERIES}
     trig_runs: dict[str, list[int]] = {name: [] for name in QUERIES}
-    for name, fn in QUERIES.items():
+    for name, fn in exec_order:
         for i in range(reps + 1):
             n_trig0 = trigger_counter.n
             t0 = time.time()
@@ -211,6 +280,11 @@ def main() -> None:
             return -1.0
         mid = len(good) // 2
         return good[mid] if len(good) % 2 else round((good[mid - 1] + good[mid]) / 2, 3)
+
+    # end-of-run calibration pass: start/end disagreement measures drift
+    # WITHIN this run (thermal, page-cache, competing load)
+    for name, fn in CALIBRATION.items():
+        calib_runs[f"{name}_end"] = measure(fn)
 
     timings = {name: median(xs) for name, xs in runs.items()}
     # max over measured reps: replays are deterministic so reps agree; max
@@ -242,6 +316,11 @@ def main() -> None:
         "rep_failures": rep_failures,
         "cpus": cpus,
         "reps": reps,
+        # fixed-code host-drift probes (never edited; *_end = the same jobs
+        # re-measured after the sweep). NOT in `queries`/`value`, so totals
+        # stay comparable with pre-r13 archives.
+        "calibration": {name: median(xs) for name, xs in calib_runs.items()},
+        "exec_order": "shuffled-per-run",
         # measurement protocol marker: grouped per-query reps with a
         # discarded warm-up rep (round 10+). Numbers from different
         # protocols are NOT comparable — the grouped-warmup protocol

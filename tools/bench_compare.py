@@ -78,6 +78,26 @@ def main(argv: list[str]) -> int:
         f"shared entries: {len(shared)}  old total {so:.1f}s  new total "
         f"{sn:.1f}s{pct}"
     )
+    # Host-drift separation (VERDICT r12 #2): the calibration entries are
+    # fixed-code jobs, so their cross-archive ratio measures the HOST.
+    # Per-entry deltas are then annotated with the drift-adjusted residual —
+    # the part the calibration does NOT explain.
+    import statistics
+
+    co = old.get("calibration") or {}
+    cn = new.get("calibration") or {}
+    calib_shared = sorted(k for k in co if k in cn and co[k] > 0 and cn[k] > 0)
+    drift = None
+    if calib_shared:
+        ratios = {k: cn[k] / co[k] for k in calib_shared}
+        drift = statistics.median(ratios.values())
+        detail = ", ".join(f"{k} x{v:.2f}" for k, v in sorted(ratios.items()))
+        print(f"host drift (fixed-code calibration): x{drift:.2f}  [{detail}]")
+    elif co or cn:
+        print(
+            "calibration present on one side only — host drift not "
+            "separable for this pair (first r13+ archive vs an older one)"
+        )
     # trigger counts (bench.py r12+): a streaming entry's wall is
     # ~(triggers × 1-3 s of per-micro-batch constants) + data work, so a
     # delta whose both sides sit inside the per-trigger floor band — or one
@@ -94,18 +114,23 @@ def main(argv: list[str]) -> int:
         if abs(rel) >= threshold:
             moved.append((rel, k, a, b))
     for rel, k, a, b in sorted(moved, reverse=True):
-        note = ""
+        tags = []
+        if drift is not None:
+            residual = (b / a) / drift - 1
+            tags.append(f"drift-adjusted {residual * 100:+.0f}%")
+            if abs(residual) < threshold:
+                tags.append("within host drift")
         ta, tb = to.get(k), tn.get(k)
         if ta and tb:  # streaming on both sides
             floor_dominated = (
                 a / ta <= FLOOR_SEC_PER_TRIGGER and b / tb <= FLOOR_SEC_PER_TRIGGER
             )
-            tags = [f"triggers {ta}->{tb}"]
+            tags.append(f"triggers {ta}->{tb}")
             if ta != tb:
                 tags.append("trigger-count change")
             if floor_dominated:
                 tags.append("floor-dominated")
-            note = "  [" + ", ".join(tags) + "]"
+        note = ("  [" + ", ".join(tags) + "]") if tags else ""
         print(f"  {k:45s} {a:8.3f} -> {b:8.3f}  ({rel * 100:+.0f}%){note}")
     only_old = sorted(set(qo) - set(qn))
     only_new = sorted(set(qn) - set(qo))
