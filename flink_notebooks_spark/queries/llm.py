@@ -1338,6 +1338,14 @@ def ann_lsh_topk(spark, sf_dir):
     """
     emb = load_table(spark, sf_dir, "embeddings")
     planes = lsh_planes_for(_embeddings_rowcount(spark, sf_dir))
+    # the per-vector sign-bit expression is the heavy stage (d × planes
+    # interpreted higher-order evals per row) — spread it across the
+    # executor cores BEFORE computing it: a single-parquet-file corpus
+    # otherwise arrives as ONE scan task and the whole signature map runs
+    # single-threaded (the r13 probe measured 222 s at 20k×256d exactly
+    # this way; at cluster scale the scan is already many-partitioned and
+    # this round-robin exchange is one narrow row shuffle of the vectors)
+    emb = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
     # hp(p, d) ∈ {−1, +1} from xxhash64(p, d); bucket bit p = sign of dot
     bucket_expr = F.expr(
         f"""
@@ -1566,6 +1574,10 @@ def ann_ivf_topk(spark, sf_dir):
     every fixture), so the per-query scan fraction SHRINKS ~1/√nlist as
     the corpus grows instead of staying a fixed 37%."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # spread the assignment stage (n × nlist interpreted dot products) —
+    # a single-file corpus otherwise runs it in ONE scan task (see the
+    # ann_lsh_topk note; same r13 probe finding)
+    emb = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
     base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embd"))
     corpus = base.withColumn(
         "nrm", F.expr(f"sqrt({_DOT.format(a='embd', b='embd')})")
