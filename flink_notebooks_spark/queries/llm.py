@@ -1359,11 +1359,19 @@ def ann_lsh_topk(spark, sf_dir):
     base = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embd")
     ).withColumn("bucket", bucket_expr)
-    corpus = base.select(
-        "vec_id",
-        "embd",
-        F.expr(f"sqrt({_DOT.format(a='embd', b='embd')})").alias("nrm"),
-        "bucket",
+    # persist the signed corpus: BOTH join sides read it (probes are the
+    # first TOPK_QUERY_IDS corpus rows), and — the r13 probe's second
+    # finding — without a persist boundary the join's implicit
+    # isnotnull(bucket) pushes below the repartition, re-evaluating the
+    # whole signature expression in a single pre-exchange scan task (the
+    # 217 s plan: the heavy aggregate ran twice, once on 1 core)
+    corpus = persist_for_self_join(
+        base.select(
+            "vec_id",
+            "embd",
+            F.expr(f"sqrt({_DOT.format(a='embd', b='embd')})").alias("nrm"),
+            "bucket",
+        )
     )
     # queries probe own bucket + every 1-bit flip (multiprobe)
     probes = (
