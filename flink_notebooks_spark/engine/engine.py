@@ -1434,7 +1434,7 @@ class Engine:
 
     def _cw_window_agg(self, sql: str, call_re, calls, raw_hits):
         """The canonical Flink composition r12 left out (VERDICT #5): a
-        CURRENT_WATERMARK lateness filter feeding a window-TVF aggregation —
+        CURRENT_WATERMARK lateness filter feeding a TUMBLE/HOP/CUMULATE window-TVF aggregation —
 
             SELECT window_start, window_end, COUNT(*) AS c
             FROM TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '10' SECOND))
@@ -1460,20 +1460,29 @@ class Engine:
         from .window_sql import _in_string
 
         m = _re.match(
-            r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+TABLE\s*\(\s*TUMBLE\s*\(\s*"
+            r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+TABLE\s*\(\s*"
+            r"(?P<fn>TUMBLE|HOP|CUMULATE|SESSION)\s*\(\s*"
             r"(?:TABLE\s+|DATA\s*=>\s*TABLE\s+)?(?P<tbl>[\w.`]+)\s*,\s*"
             r"(?:TIMECOL\s*=>\s*)?DESCRIPTOR\s*\(\s*(?P<tc>[`\w]+)\s*\)\s*,\s*"
-            r"(?:SIZE\s*=>\s*)?(?P<ivl>INTERVAL\s+'[^']+'\s+\w+)\s*\)\s*\)\s*"
+            r"(?P<tail>[^()]+?)\s*\)\s*\)\s*"
             r"WHERE\s+(?P<where>.+?)\s+GROUP\s+BY\s+(?P<grp>[\w`\s,]+?)\s*;?\s*$",
             sql,
             _re.IGNORECASE | _re.DOTALL,
         )
         if m is None or len(calls) != len(raw_hits):
             return None  # not this shape / odd CW form → the loud guard
+        fn_tvf = m.group("fn").upper()
+        if fn_tvf == "SESSION":
+            raise NotImplementedError(
+                "CURRENT_WATERMARK with a SESSION window TVF is not "
+                "emulated: per-batch session merging cannot stitch a "
+                "session that spans micro-batches — use TUMBLE/HOP/CUMULATE "
+                "or the native streaming SESSION path without the filter"
+            )
         grp = [g.strip().strip("`").lower() for g in m.group("grp").split(",")]
         if sorted(grp) != ["window_end", "window_start"]:
             return None
-        sel, where, ivl = m.group("sel"), m.group("where"), m.group("ivl")
+        sel, where, ivl = m.group("sel"), m.group("where"), m.group("tail")
         tc = m.group("tc").strip("`")
         if _re.search(r"\bCURRENT_WATERMARK\b", sel, _re.IGNORECASE):
             raise NotImplementedError(
@@ -1548,8 +1557,13 @@ class Engine:
             n_agg += 1
 
         view = f"__cw_win_{uuid.uuid4().hex[:12]}"
+        # ivl is the TVF's remaining argument tail verbatim (one interval
+        # for TUMBLE, slide+size for HOP, step+span for CUMULATE — the
+        # merge below is window-shape-agnostic: HOP rows contribute to
+        # size/slide windows, CUMULATE to their growing ends, and each
+        # (start, end) closes independently as the watermark passes it)
         from_clause = (
-            f"FROM TABLE(TUMBLE(TABLE {view}, DESCRIPTOR({tc}), {ivl}))"
+            f"FROM TABLE({fn_tvf}(TABLE {view}, DESCRIPTOR({tc}), {ivl}))"
         )
 
         def sub_cw(text: str, lit: str) -> str:
@@ -1614,8 +1628,12 @@ class Engine:
                 )
             for r in rows:
                 key = (r["__ws"], r["__we"])
-                if key not in live and wm_ms is not None and r["__we_ms"] <= wm_ms:
-                    continue  # late row for an already-closed window: drop
+                if wm_ms is not None and r["__we_ms"] <= wm_ms:
+                    # late: window end ≤ this batch's operator watermark —
+                    # Spark's stateful-agg rule (the watermark applies to
+                    # the WHOLE batch, so even a still-unclosed window takes
+                    # no contributions once the watermark passed its end)
+                    continue
                 st = live.setdefault(key, {"__we_ms": r["__we_ms"]})
                 for kind, *rest in out_plan:
                     if kind != "agg":

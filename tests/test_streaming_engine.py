@@ -1442,6 +1442,26 @@ def test_current_watermark_lateness_filtered_window_agg(spark, tmp_path):
     # [10,20): the single batch-2 row
     assert rows[1][2] == 1 and rows[1][3] == 4.0
     assert rows[0][1] == rows[1][0]  # adjacent tumble windows
+    # HOP: same composition, overlapping windows — each (start, end) closes
+    # independently. Windows of size 20 sliding by 10: the ts=5/8 rows land
+    # in [-10,10) and [0,20); by watermark 35 (batch 4) the closed windows
+    # are [-10,10) (c=2), [0,20) (c=3: ts 5,8,12), [10,20)... — assert the
+    # two earliest closures carry the right counts
+    stmt = eng.execute_sql(
+        "SELECT window_start AS ws, window_end AS we, COUNT(*) AS c "
+        "FROM TABLE(HOP(TABLE cwwin, DESCRIPTOR(ev_time), "
+        "INTERVAL '10' SECOND, INTERVAL '20' SECOND)) "
+        "WHERE ev_time > CURRENT_WATERMARK(ev_time) - INTERVAL '1' MINUTE "
+        "   OR CURRENT_WATERMARK(ev_time) IS NULL "
+        "GROUP BY window_start, window_end"
+    )
+    hop = sorted(
+        (r["fields"] for r in poll_rows(stmt, want=2, timeout=120)),
+        key=lambda r: r[0],
+    )
+    stmt.cancel()
+    assert hop[0][2] == 2  # [-10,10): ts 5, 8
+    assert hop[1][2] == 3  # [0,20): ts 5, 8, 12
     # unsupported aggregate shapes raise loudly, not silently wrong
     with pytest.raises(NotImplementedError, match="DISTINCT"):
         eng.execute_sql(
@@ -1453,6 +1473,13 @@ def test_current_watermark_lateness_filtered_window_agg(spark, tmp_path):
         eng.execute_sql(
             "SELECT window_start, window_end, percentile(ts_s, 0.5) AS p "
             "FROM TABLE(TUMBLE(TABLE cwwin, DESCRIPTOR(ev_time), INTERVAL '10' SECOND)) "
+            "WHERE ev_time > CURRENT_WATERMARK(ev_time) GROUP BY window_start, window_end"
+        )
+    # SESSION gap-merge cannot stitch sessions across micro-batches
+    with pytest.raises(NotImplementedError, match="SESSION"):
+        eng.execute_sql(
+            "SELECT window_start, window_end, COUNT(*) AS c "
+            "FROM TABLE(SESSION(TABLE cwwin, DESCRIPTOR(ev_time), INTERVAL '10' SECOND)) "
             "WHERE ev_time > CURRENT_WATERMARK(ev_time) GROUP BY window_start, window_end"
         )
     eng.close()
