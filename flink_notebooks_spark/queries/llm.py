@@ -1202,7 +1202,12 @@ def similarity_topk(spark, sf_dir):
     # the query batch is broadcast-able.
     emb = load_table(spark, sf_dir, "embeddings")
     q = _with_norm(emb.filter(F.col("vec_id") < TOPK_QUERY_IDS), "q")
-    c = _with_norm(emb, "c")
+    # spread the scoring scan: queries × d interpreted dot products per
+    # corpus row run inside the scan task, and a single-file corpus is ONE
+    # task (the r13 probe's ANN finding; same fix)
+    c = _with_norm(
+        emb.repartition(spark.sparkContext.defaultParallelism, "vec_id"), "c"
+    )
     dot = F.expr(_DOT.format(a="emb_q", b="emb_c"))
     sim = (dot / (F.col("norm_q") * F.col("norm_c"))).alias("sim_raw")
     scored = (
