@@ -1474,22 +1474,26 @@ IVF_TRAIN_SAMPLE = 256  # bounded driver-side k-means pool (bottom-k by hash)
 # the scan FRACTION shrinks ~1/√nlist as the corpus grows. Every fixture
 # (≤ 2k vectors) resolves to the 16/6 floor — pinned recall unchanged.
 IVF_TARGET_CELL_ROWS = 1024
-# Past this nlist the driver-side spherical k-means (32·nlist sample rows,
-# chunked BLAS assignment) stops being the right tool — a real deployment
-# switches to distributed training (pyspark.ml KMeans) and re-raises the
-# cap; at the cap a query scans nprobe·n/4096 ≈ 2.3% of rows.
+# Past this nlist the driver-side spherical k-means (16·nlist sample rows,
+# chunked BLAS assignment) stops being the right tool — ann_ivf_topk then
+# switches to DISTRIBUTED training (_ivf_train_distributed, pyspark.ml
+# KMeans over the whole corpus) and raises the cell cap to
+# IVF_DIST_MAX_CELLS; the corpus size where that engages is
+# IVF_MAX_CELLS · IVF_TARGET_CELL_ROWS ≈ 4.2M vectors.
 IVF_MAX_CELLS = 4096
+IVF_DIST_MAX_CELLS = 65536  # ≈ 67M..1e9+ vectors at the target occupancy
 
 
-def ivf_cells_for(n: int) -> int:
+def ivf_cells_for(n: int, cap: int = IVF_MAX_CELLS) -> int:
     """Smallest power-of-two nlist keeping expected rows/cell (n / nlist)
     at or under IVF_TARGET_CELL_ROWS — floored at the tuned small-corpus
-    IVF_CELLS, capped at IVF_MAX_CELLS (see the constants' notes)."""
+    IVF_CELLS, capped at ``cap`` (IVF_MAX_CELLS for driver-side training,
+    IVF_DIST_MAX_CELLS once the distributed trainer engages)."""
     import math
 
     if n <= IVF_CELLS * IVF_TARGET_CELL_ROWS:
         return IVF_CELLS
-    return min(IVF_MAX_CELLS, 1 << math.ceil(math.log2(n / IVF_TARGET_CELL_ROWS)))
+    return min(cap, 1 << math.ceil(math.log2(n / IVF_TARGET_CELL_ROWS)))
 
 
 def ivf_nprobe_for(nlist: int) -> int:
@@ -1569,8 +1573,37 @@ def _ivf_train(vectors, k: int = IVF_CELLS, iters: int = 8):
     return cents
 
 
+def _ivf_train_distributed(base, k: int, iters: int = 8):
+    """Spherical k-means over the WHOLE distributed corpus via pyspark.ml
+    KMeans — the beyond-IVF_MAX_CELLS training path the driver-side sampler
+    documents: no n×d matrix ever reaches the driver, only the (k, d)
+    centroid array (the broadcastable artifact, same contract as
+    _ivf_train). Inputs are L2-normalized JVM-side so Euclidean k-means
+    coincides with the spherical geometry the search stages use (on unit
+    vectors, argmin ‖x−c‖ = argmax x·c for unit c); centroids are
+    re-normalized on return. Deterministic via a fixed seed (k-means||
+    init)."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    nrm = F.greatest(
+        F.expr(f"sqrt({_DOT.format(a='embd', b='embd')})"), F.lit(1e-12)
+    )
+    train = base.withColumn("__n", nrm).select(
+        array_to_vector(F.expr("transform(embd, x -> x / __n)")).alias("features")
+    )
+    model = KMeans(k=k, maxIter=iters, seed=0, initMode="k-means||").fit(train)
+    # clusterCenters() returns numpy arrays on recent Spark, ml Vectors on
+    # older lines — normalize either
+    cents = np.asarray(
+        [c if isinstance(c, np.ndarray) else c.toArray() for c in model.clusterCenters()]
+    )
+    return cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+
 @query("ann_ivf_topk")
-def ann_ivf_topk(spark, sf_dir):
+def ann_ivf_topk(spark, sf_dir, distributed_train: bool | None = None):
     """IVF: partition the corpus into cells around spherical-k-means
     centroids trained on a bounded hash-stable sample — the
     ``IVF_TRAIN_SAMPLE`` vectors with the smallest ``xxhash64(vec_id)``
@@ -1595,11 +1628,22 @@ def ann_ivf_topk(spark, sf_dir):
     corpus = base.withColumn(
         "nrm", F.expr(f"sqrt({_DOT.format(a='embd', b='embd')})")
     )
-    nlist = ivf_cells_for(_embeddings_rowcount(spark, sf_dir))
-    nprobe = ivf_nprobe_for(nlist)
-    trained = _ivf_train(
-        _hash_stable_pool(base, ivf_train_sample_for(nlist)), k=nlist
+    n_rows = _embeddings_rowcount(spark, sf_dir)
+    if distributed_train is None:
+        # auto: past the driver trainer's corpus envelope (cap × target
+        # occupancy ≈ 4.2M vectors), train distributedly with the raised
+        # cell cap — the scale path the constants' notes describe
+        distributed_train = n_rows > IVF_MAX_CELLS * IVF_TARGET_CELL_ROWS
+    nlist = ivf_cells_for(
+        n_rows, cap=IVF_DIST_MAX_CELLS if distributed_train else IVF_MAX_CELLS
     )
+    nprobe = ivf_nprobe_for(nlist)
+    if distributed_train:
+        trained = _ivf_train_distributed(base, nlist)
+    else:
+        trained = _ivf_train(
+            _hash_stable_pool(base, ivf_train_sample_for(nlist)), k=nlist
+        )
     # unit centroids (c_nrm ≡ 1); join sites add the broadcast hint
     cents = spark.createDataFrame(
         [(i, [float(v) for v in c], 1.0) for i, c in enumerate(trained)],

@@ -120,6 +120,27 @@ def test_ann_adaptive_path_executes_on_fixture(spark, sf_dir, monkeypatch):
     assert recall >= 0.05, f"adaptive-LSH recall {recall:.2f} degenerate"
 
 
+def test_ivf_distributed_training_path(spark, sf_dir):
+    """The beyond-cap training path (pyspark.ml KMeans over the whole
+    corpus, no driver-side sample matrix) — engaged automatically past
+    ~4.2M vectors, forced here on the fixture: full top-k per query, exact
+    re-ranked sims, recall comparable to the driver-trained floor (k-means||
+    centroids differ from the first-k-init sampler's, so only the floor is
+    pinned, not equality)."""
+    from flink_notebooks_spark.queries.llm import ann_ivf_topk
+
+    exact = QUERIES["similarity_topk"](spark, sf_dir).toPandas()
+    ivf = ann_ivf_topk(spark, sf_dir, distributed_train=True).toPandas()
+    counts = ivf.groupby("q_id").size()
+    assert len(counts) == TOPK_QUERY_IDS and (counts == TOPK_K).all()
+    exact_sets = exact.groupby("q_id")["nn_id"].apply(set)
+    ivf_sets = ivf.groupby("q_id")["nn_id"].apply(set)
+    recall = sum(len(exact_sets[q] & ivf_sets[q]) for q in exact_sets.index) / (
+        TOPK_QUERY_IDS * TOPK_K
+    )
+    assert recall >= 0.3, f"distributed-IVF recall {recall:.2f} below floor"
+
+
 def test_ivf_recall_beats_lsh_floor(spark, sf_dir):
     """IVF with nprobe=4 of 16 cells scans ~25% of the corpus but recall
     should be far above that fraction (cells concentrate true neighbors)."""
