@@ -237,14 +237,21 @@ class StreamingStatement(Statement):
         start_fn,
         changelog_keys: list[str] | None = None,
         mode_holder: dict | None = None,
+        finish_fn=None,
     ):
         """``start_fn(foreach_batch) -> StreamingQuery`` so the engine
         controls trigger/output-mode selection. ``changelog_keys`` (grouping
         columns present in the output) enable UPDATE_BEFORE/UPDATE_AFTER/
         DELETE kind reconstruction for update/complete-mode results;
         ``mode_holder['mode']`` is set by the engine's start_fn to whichever
-        output mode the planner accepted."""
+        output mode the planner accepted. ``finish_fn() -> list[entry]``
+        runs ONCE when the query is first observed naturally FINISHED (not
+        canceled, not errored) and its entries append to the buffer —
+        Flink's bounded-source final-MAX_WATERMARK flush (a canceled Flink
+        job does not flush either, so cancel() skips it)."""
         super().__init__()
+        self._finish_fn = finish_fn
+        self._flushed = False
         self.is_streaming = True
         self._columns = _columns_of(df)
         self._buffer: list[dict[str, Any]] = []
@@ -301,6 +308,7 @@ class StreamingStatement(Statement):
                     if mode == "complete" or not batch_df.isEmpty():
                         self.truncated = True
                 return
+            delete_keys: list[tuple] = []
             if changelog:
                 # kind reconstruction diffs against _seen, which wants the
                 # whole batch — but the transfer must stay BOUNDED (the only
@@ -328,8 +336,14 @@ class StreamingStatement(Statement):
                     # DELETEs go FIRST: they retract rows the client already
                     # materialized, so under the buffer-room slice below they
                     # must win over INSERTs of new keys (which a complete
-                    # sink re-emits every trigger anyway)
-                    entries = self._distributed_deletes(batch_df) + entries
+                    # sink re-emits every trigger anyway). _seen is NOT
+                    # mutated here: the pop happens after the room slice, so
+                    # a DELETE cut off by the slice stays in _seen and the
+                    # next trigger's anti-join re-detects it (re-queued, not
+                    # lost).
+                    del_pairs = self._distributed_deletes(batch_df)
+                    delete_keys = [k for k, _ in del_pairs]
+                    entries = [e for _, e in del_pairs] + entries
             else:
                 # append mode: rows are independent — fetch just enough to
                 # fill the buffer, +1 so the truncation flag still trips on
@@ -351,6 +365,12 @@ class StreamingStatement(Statement):
                 if len(entries) > room:
                     self.truncated = True
                     entries = entries[:room]
+                # deletes are prepended, so the first min(len(delete_keys),
+                # len(entries)) entries are the DELETEs that survived the
+                # slice — only THOSE keys leave _seen (ADVICE r13: popping
+                # before the slice lost sliced-off DELETEs permanently)
+                for k in delete_keys[: len(entries)]:
+                    self._seen.pop(k, None)
                 self._buffer.extend(entries)
 
         try:
@@ -362,7 +382,9 @@ class StreamingStatement(Statement):
             self.finished_at = time.time()
             raise
 
-    def _distributed_deletes(self, batch_df: DataFrame) -> list[dict[str, Any]]:
+    def _distributed_deletes(
+        self, batch_df: DataFrame
+    ) -> list[tuple[tuple, dict[str, Any]]]:
         """Exact complete-mode DELETE detection under the transfer cap: a
         capped snapshot cannot prove a key's absence, but the served-key set
         (``_seen`` — ≤ MAX_STREAM_ROWS keys by construction) CAN be diffed
@@ -370,7 +392,12 @@ class StreamingStatement(Statement):
         ships back only the keys that vanished from the complete snapshot —
         never the batch — so the per-trigger transfer stays ≤ (cap + 1) rows
         plus ≤ |served| key rows. Keys past the cap are in the batch, so the
-        anti-join never touches them."""
+        anti-join never touches them.
+
+        Returns ``(key, entry)`` pairs WITHOUT mutating ``_seen`` — the
+        caller pops only the keys whose DELETE survived the buffer-room
+        slice, so a sliced-off retraction is re-detected next trigger
+        instead of being lost (ADVICE r13)."""
         import functools
 
         from pyspark.sql.types import StructType
@@ -384,11 +411,12 @@ class StreamingStatement(Statement):
             [seen_df[c].eqNullSafe(batch_keys[c]) for c in self._key_cols],
         )
         gone = seen_df.join(batch_keys, cond, "left_anti").collect()
-        out: list[dict[str, Any]] = []
+        out: list[tuple[tuple, dict[str, Any]]] = []
         for r in gone:
-            old = self._seen.pop(tuple(r), None)
+            key = tuple(r)
+            old = self._seen.get(key)
             if old is not None:
-                out.append({"kind": "DELETE", "fields": old})
+                out.append((key, {"kind": "DELETE", "fields": old}))
         return out
 
     # --- lifecycle (reference T5) ------------------------------------------
@@ -430,6 +458,24 @@ class StreamingStatement(Statement):
             if self.state == ERROR:
                 self.error = str(exc)
             self.finished_at = time.time()
+            if self.state == FINISHED and getattr(self, "_finish_fn", None) is not None:
+                with self._lock:
+                    flush, self._flushed = not self._flushed, True
+                if flush:
+                    try:
+                        extra = self._finish_fn() or []
+                    except Exception as e:  # noqa: BLE001 — flush failure
+                        # is a real query failure, not silently-empty output
+                        self.state = ERROR
+                        self.error = str(e)
+                        extra = []
+                    if extra:
+                        with self._lock:
+                            room = MAX_STREAM_ROWS - len(self._buffer)
+                            if len(extra) > room:
+                                self.truncated = True
+                                extra = extra[:room]
+                            self._buffer.extend(extra)
         with self._lock:
             start = self._offsets.get(token)
             if start is None:  # out-of-order token: nothing was served there

@@ -38,6 +38,22 @@ def engine(spark):
     eng.close()
 
 
+def wait_stream_idle(stmt, timeout: float = 30.0) -> None:
+    """Wait until no trigger is in flight and no data is pending, so a
+    subsequent query.stop() cannot interrupt a foreachBatch mid-collect
+    (which would surface as InterruptedException → statement ERROR instead
+    of the natural-FINISH path the flush tests pin)."""
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        try:
+            st = stmt.query.status
+        except Exception:  # noqa: BLE001 — already stopped
+            return
+        if not st.get("isTriggerActive") and not st.get("isDataAvailable"):
+            return
+        time.sleep(0.3)
+
+
 def poll_rows(stmt, want: int, timeout: float = 60.0):
     rows, token, t0 = [], 0, time.time()
     while len(rows) < want and time.time() - t0 < timeout:
@@ -439,6 +455,59 @@ def test_complete_mode_deletes_exact_under_transfer_cap(spark, monkeypatch):
     assert len(stmt._buffer) <= 40
     # the served-key map forgot the deleted keys and only them
     assert all((i,) not in stmt._seen for i in range(5))
+
+
+def test_sliced_off_deletes_are_requeued_not_lost(spark, monkeypatch):
+    """ADVICE r13: when buffer room is smaller than the DELETE count, the
+    sliced-off DELETEs must NOT leave _seen — popping before the slice lost
+    them permanently (client keeps a stale row; a reappearing key would be
+    re-served as a duplicate INSERT). Now only the DELETEs that actually
+    made it into the buffer pop their key; the rest stay in _seen so the
+    next trigger's anti-join re-detects them."""
+    from flink_notebooks_spark.engine import statement as st
+
+    monkeypatch.setattr(st, "MAX_STREAM_ROWS", 40)
+
+    class FakeQuery:
+        isActive = True
+
+        def exception(self):
+            return None
+
+        def stop(self):
+            self.isActive = False
+
+    base = spark.createDataFrame([(i, i * 10) for i in range(38)], "k int, v int")
+    captured = {}
+
+    def start_fn(on_batch):
+        captured["on_batch"] = on_batch
+        return FakeQuery()
+
+    stmt = st.StreamingStatement(
+        base, start_fn, changelog_keys=["k"], mode_holder={"mode": "complete"}
+    )
+    # trigger 0: 38-key snapshot fits → buffer 38, room left = 2
+    captured["on_batch"](base, 0)
+    assert len(stmt._buffer) == 38 and len(stmt._seen) == 38
+    # trigger 1: ALL 38 keys vanish, 65 brand-new keys appear (caps at 40)
+    # → 38 DELETEs prepended, but room is only 2: exactly 2 DELETEs serve
+    big = spark.createDataFrame(
+        [(i, i * 10) for i in range(100, 165)], "k int, v int"
+    )
+    captured["on_batch"](big, 1)
+    tail = stmt._buffer[38:]
+    assert len(tail) == 2 and all(r["kind"] == "DELETE" for r in tail)
+    assert stmt.truncated
+    # only the 2 SERVED deletes left _seen; the 36 sliced-off keys remain
+    served = {r["fields"][0] for r in tail}
+    remaining_old = {k[0] for k in stmt._seen if k[0] < 100}
+    assert remaining_old == set(range(38)) - served and len(remaining_old) == 36
+    # and the anti-join re-detects exactly those keys next trigger,
+    # without mutating _seen itself (the pop is the caller's job)
+    before = dict(stmt._seen)
+    redetected = {k[0] for k, _ in stmt._distributed_deletes(big)}
+    assert redetected == remaining_old and stmt._seen == before
 
 
 def test_changelog_entries_partial_snapshot_suppresses_deletes():
@@ -1475,13 +1544,250 @@ def test_current_watermark_lateness_filtered_window_agg(spark, tmp_path):
             "FROM TABLE(TUMBLE(TABLE cwwin, DESCRIPTOR(ev_time), INTERVAL '10' SECOND)) "
             "WHERE ev_time > CURRENT_WATERMARK(ev_time) GROUP BY window_start, window_end"
         )
-    # SESSION gap-merge cannot stitch sessions across micro-batches
-    with pytest.raises(NotImplementedError, match="SESSION"):
+    # SESSION now has a cross-batch gap-merge path (r14, VERDICT r13 #5) —
+    # e2e pinned in test_current_watermark_session_window_agg below; the
+    # former NotImplementedError raise is gone. PARTITION BY on a non-
+    # SESSION TVF still raises (Flink FLIP-403: only SESSION partitions).
+    with pytest.raises(ValueError, match="PARTITION BY"):
         eng.execute_sql(
             "SELECT window_start, window_end, COUNT(*) AS c "
-            "FROM TABLE(SESSION(TABLE cwwin, DESCRIPTOR(ev_time), INTERVAL '10' SECOND)) "
+            "FROM TABLE(TUMBLE(TABLE cwwin PARTITION BY ts_s, DESCRIPTOR(ev_time), INTERVAL '10' SECOND)) "
             "WHERE ev_time > CURRENT_WATERMARK(ev_time) GROUP BY window_start, window_end"
         )
+    eng.close()
+
+
+def test_current_watermark_keyed_window_agg_distributed_state(spark, tmp_path):
+    """VERDICT r13 #1: the common Flink form — a CURRENT_WATERMARK lateness
+    filter feeding a keyed TUMBLE-TVF aggregation (GROUP BY window_start,
+    window_end, user_id). Emit-once per (window, key) at watermark-pass,
+    late rows drop, and the windows × keys live state is ON DISK in a
+    window-end-partitioned parquet state table — never a driver map. When
+    the query terminates naturally, remaining live windows flush (Flink's
+    bounded-source final MAX_WATERMARK, ADVICE r13)."""
+    import glob as _glob
+
+    import pandas as pd
+
+    from flink_notebooks_spark.engine import Engine
+
+    files = [
+        # batch 1: wm NULL → kept via the IS NULL arm
+        [(5, "a", 1.0), (8, "b", 2.0), (5, "a", 3.0)],
+        [(12, "a", 4.0)],  # batch 2 (wm=8): opens [10,20)×a
+        [(35, "b", 8.0)],  # batch 3 (wm=12): closes [0,10) → a:(2,4), b:(1,2)
+        # batch 4 (wm=35): closes [10,20)×a; ts=3 is late for the CLOSED
+        # [0,10) window → dropped
+        [(60, "a", 16.0), (3, "a", 100.0)],
+    ]
+    for i, rows in enumerate(files):
+        pdf = pd.DataFrame(rows, columns=["ts_s", "user_id", "amount"])
+        pdf["ev_time"] = pd.to_datetime(pdf["ts_s"], unit="s").astype(
+            "datetime64[us]"
+        )
+        path = f"{tmp_path}/f{i}.parquet"
+        pdf.to_parquet(path)
+        os.utime(path, (1_000_000_000 + i, 1_000_000_000 + i))
+    eng = Engine(spark)
+    eng.execute_sql(
+        f"""CREATE TABLE cwkey (
+              ts_s BIGINT, user_id STRING, amount DOUBLE, ev_time TIMESTAMP_LTZ(3),
+              WATERMARK FOR ev_time AS ev_time - INTERVAL '0' SECOND
+            ) WITH ('connector'='filesystem','path'='{tmp_path}','format'='parquet',
+                    'source.max-files-per-trigger'='1')"""
+    )
+    stmt = eng.execute_sql(
+        "SELECT window_start AS ws, window_end AS we, user_id, COUNT(*) AS c, "
+        "SUM(amount) AS s, AVG(amount) AS a "
+        "FROM TABLE(TUMBLE(TABLE cwkey, DESCRIPTOR(ev_time), INTERVAL '10' SECOND)) "
+        "WHERE ev_time > CURRENT_WATERMARK(ev_time) - INTERVAL '1' MINUTE "
+        "   OR CURRENT_WATERMARK(ev_time) IS NULL "
+        "GROUP BY window_start, window_end, user_id"
+    )
+    got = [r["fields"] for r in poll_rows(stmt, want=3, timeout=120)]
+    rows = sorted(got, key=lambda r: (r[0], r[2]))
+    # [0,10): per-key counts/sums; the late ts=3 (amount 100) contributes
+    # to NOTHING — its window closed before it arrived
+    assert rows[0][2:] == ["a", 2, 4.0, 2.0]
+    assert rows[1][2:] == ["b", 1, 2.0, 2.0]
+    # [10,20)×a closed at wm=35
+    assert rows[2][2:] == ["a", 1, 4.0, 4.0]
+    # the live-window state is ON DISK: a window-end-partitioned parquet
+    # state table under the engine checkpoint root, with a partition dir
+    # per unclosed window end ([60,70) is live; [30,40) too unless the
+    # watermark-advance no-data batch already closed it)
+    parts = _glob.glob(f"{eng._checkpoint_root}/cw-state-*/__we_ms=*")
+    assert len(parts) >= 1, parts
+    # natural termination (NOT cancel) flushes the remaining live windows —
+    # Flink's bounded-source MAX_WATERMARK. Stopping the underlying query
+    # directly leaves state RUNNING with no exception, which is exactly how
+    # a bounded source's natural FINISH presents to fetch(). Wait for the
+    # trigger loop to go idle first so stop() cannot interrupt an in-flight
+    # foreachBatch (InterruptedException would read as ERROR, not FINISH).
+    wait_stream_idle(stmt)
+    stmt.query.stop()
+    allrows = [r["fields"] for r in poll_rows(stmt, want=5, timeout=60)]
+    # rows 4+5 arrive as (no-data batch close of [30,40)) + (flush of
+    # [60,70)), or both from the flush — order covered by the sort
+    tail = sorted(allrows[3:], key=lambda r: r[0])
+    assert tail[0][2:] == ["b", 1, 8.0, 8.0]  # [30,40)×b (ts=35)
+    assert tail[1][2:] == ["a", 1, 16.0, 16.0]  # [60,70)×a (ts=60)
+    assert stmt.state == "FINISHED"
+    # flushed state is dropped from disk too
+    assert _glob.glob(f"{eng._checkpoint_root}/cw-state-*/__we_ms=*") == []
+
+    # HOP keyed: overlapping windows close independently per (window, key)
+    stmt = eng.execute_sql(
+        "SELECT window_start AS ws, window_end AS we, user_id, COUNT(*) AS c "
+        "FROM TABLE(HOP(TABLE cwkey, DESCRIPTOR(ev_time), "
+        "INTERVAL '10' SECOND, INTERVAL '20' SECOND)) "
+        "WHERE ev_time > CURRENT_WATERMARK(ev_time) - INTERVAL '1' MINUTE "
+        "   OR CURRENT_WATERMARK(ev_time) IS NULL "
+        "GROUP BY window_start, window_end, user_id"
+    )
+    hop = sorted(
+        (r["fields"] for r in poll_rows(stmt, want=4, timeout=120)),
+        key=lambda r: (r[0], r[2]),
+    )
+    stmt.cancel()
+    # [-10,10): a→2 (ts 5,5), b→1 (ts 8); [0,20): a→3 (ts 5,5,12), b→1
+    assert [r[2:] for r in hop[:4]] == [["a", 2], ["b", 1], ["a", 3], ["b", 1]]
+    eng.close()
+
+
+def test_current_watermark_session_window_agg(spark, tmp_path):
+    """VERDICT r13 #5: CURRENT_WATERMARK lateness filter over a SESSION
+    window TVF (PARTITION BY key) — the composition the r12/r13 raise said
+    was impossible per-batch. Sessions STITCH ACROSS micro-batches (a
+    [20,30) partial from one batch merges with a [26,36) partial from the
+    next), emit once when the watermark passes session end (= last event +
+    gap), late partial sessions drop, and end-of-stream flushes the open
+    tail sessions."""
+    import pandas as pd
+
+    from flink_notebooks_spark.engine import Engine
+
+    gap = 10  # seconds
+    files = [
+        # batch 1 (wm NULL): a rows 5,8 → session [5,18); b row 7 → [7,17)
+        [(5, "a", 1.0), (8, "a", 2.0), (7, "b", 4.0)],
+        # batch 2 (wm=8): a row 20 → new session partial [20,30)
+        [(20, "a", 8.0)],
+        # batch 3 (wm=20): a row 26 merges CROSS-BATCH into [20,36);
+        # watermark 20 closes a:[5,18) (c=2, s=3) and b:[7,17) (c=1, s=4)
+        [(26, "a", 16.0)],
+        # batch 4 (wm=26): b row 60 opens [60,70); the late a row ts=3
+        # (partial session [3,13), end ≤ wm) drops entirely
+        [(60, "b", 32.0), (3, "a", 100.0)],
+    ]
+    for i, rows in enumerate(files):
+        pdf = pd.DataFrame(rows, columns=["ts_s", "user_id", "amount"])
+        pdf["ev_time"] = pd.to_datetime(pdf["ts_s"], unit="s").astype(
+            "datetime64[us]"
+        )
+        path = f"{tmp_path}/f{i}.parquet"
+        pdf.to_parquet(path)
+        os.utime(path, (1_000_000_000 + i, 1_000_000_000 + i))
+    eng = Engine(spark)
+    eng.execute_sql(
+        f"""CREATE TABLE cwsess (
+              ts_s BIGINT, user_id STRING, amount DOUBLE, ev_time TIMESTAMP_LTZ(3),
+              WATERMARK FOR ev_time AS ev_time - INTERVAL '0' SECOND
+            ) WITH ('connector'='filesystem','path'='{tmp_path}','format'='parquet',
+                    'source.max-files-per-trigger'='1')"""
+    )
+    stmt = eng.execute_sql(
+        "SELECT window_start AS ws, window_end AS we, user_id, COUNT(*) AS c, "
+        "SUM(amount) AS s "
+        f"FROM TABLE(SESSION(TABLE cwsess PARTITION BY user_id, "
+        f"DESCRIPTOR(ev_time), INTERVAL '{gap}' SECOND)) "
+        "WHERE ev_time > CURRENT_WATERMARK(ev_time) - INTERVAL '10' MINUTE "
+        "   OR CURRENT_WATERMARK(ev_time) IS NULL "
+        "GROUP BY window_start, window_end, user_id"
+    )
+    got = [r["fields"] for r in poll_rows(stmt, want=2, timeout=120)]
+    rows = sorted(got[:2], key=lambda r: r[2])
+    spans = [(int(r[0].timestamp()), int(r[1].timestamp())) for r in rows]
+    assert spans == [(5, 18), (7, 17)]  # end = last event + gap
+    assert rows[0][3:] == [2, 3.0]  # a: ts 5,8 — late ts=3 contributed 0
+    assert rows[1][3:] == [1, 4.0]  # b: ts 7
+    # natural FINISH flushes the open tail sessions — including the one
+    # stitched across batches 2+3 ([20,36), c=2: rows 20 and 26). Idle
+    # first so stop() cannot interrupt an in-flight trigger.
+    wait_stream_idle(stmt)
+    stmt.query.stop()
+    allrows = [r["fields"] for r in poll_rows(stmt, want=4, timeout=60)]
+    tail = sorted(allrows[2:], key=lambda r: r[2])
+    tspans = [(int(r[0].timestamp()), int(r[1].timestamp())) for r in tail]
+    assert tspans == [(20, 36), (60, 70)]
+    assert tail[0][3:] == [2, 24.0]  # a: cross-batch merged session
+    assert tail[1][3:] == [1, 32.0]  # b: [60,70)
+    assert stmt.state == "FINISHED"
+
+    # unkeyed SESSION (no PARTITION BY): global gap-merge across all rows
+    stmt = eng.execute_sql(
+        "SELECT window_start AS ws, window_end AS we, COUNT(*) AS c "
+        f"FROM TABLE(SESSION(TABLE cwsess, DESCRIPTOR(ev_time), "
+        f"INTERVAL '{gap}' SECOND)) "
+        "WHERE ev_time > CURRENT_WATERMARK(ev_time) - INTERVAL '10' MINUTE "
+        "   OR CURRENT_WATERMARK(ev_time) IS NULL "
+        "GROUP BY window_start, window_end"
+    )
+    # rows 5,7,8 merge into [5,18); rows 20,26 into [20,36); by wm=26 the
+    # first closes (c=3)
+    first = poll_rows(stmt, want=1, timeout=120)
+    f0 = first[0]["fields"]
+    assert (int(f0[0].timestamp()), int(f0[1].timestamp()), f0[2]) == (5, 18, 3)
+    stmt.cancel()
+    eng.close()
+
+
+def test_current_watermark_unkeyed_flush_on_natural_finish(spark, tmp_path):
+    """ADVICE r13: the unkeyed CW windowed agg also flushes its trailing
+    live windows when the query finishes naturally — the [30,40) and
+    [60,70) windows of the canonical fixture, which a cancel (Flink job
+    cancel) correctly does NOT flush."""
+    import pandas as pd
+
+    from flink_notebooks_spark.engine import Engine
+
+    files = [
+        [(5, 1.0), (8, 2.0)],
+        [(12, 4.0)],
+        [(35, 8.0)],
+        [(60, 16.0)],
+    ]
+    for i, rows in enumerate(files):
+        pdf = pd.DataFrame(rows, columns=["ts_s", "amount"])
+        pdf["ev_time"] = pd.to_datetime(pdf["ts_s"], unit="s").astype(
+            "datetime64[us]"
+        )
+        path = f"{tmp_path}/f{i}.parquet"
+        pdf.to_parquet(path)
+        os.utime(path, (1_000_000_000 + i, 1_000_000_000 + i))
+    eng = Engine(spark)
+    eng.execute_sql(
+        f"""CREATE TABLE cwflush (
+              ts_s BIGINT, amount DOUBLE, ev_time TIMESTAMP_LTZ(3),
+              WATERMARK FOR ev_time AS ev_time - INTERVAL '0' SECOND
+            ) WITH ('connector'='filesystem','path'='{tmp_path}','format'='parquet',
+                    'source.max-files-per-trigger'='1')"""
+    )
+    stmt = eng.execute_sql(
+        "SELECT window_start AS ws, window_end AS we, COUNT(*) AS c, "
+        "SUM(amount) AS s "
+        "FROM TABLE(TUMBLE(TABLE cwflush, DESCRIPTOR(ev_time), INTERVAL '10' SECOND)) "
+        "WHERE ev_time > CURRENT_WATERMARK(ev_time) - INTERVAL '1' MINUTE "
+        "   OR CURRENT_WATERMARK(ev_time) IS NULL "
+        "GROUP BY window_start, window_end"
+    )
+    assert len(poll_rows(stmt, want=2, timeout=120)) >= 2
+    wait_stream_idle(stmt)
+    stmt.query.stop()  # natural FINISH (bounded source), not cancel
+    allrows = [r["fields"] for r in poll_rows(stmt, want=4, timeout=60)]
+    tail = sorted(allrows[2:], key=lambda r: r[0])
+    assert [r[2:] for r in tail] == [[1, 8.0], [1, 16.0]]  # [30,40), [60,70)
+    assert stmt.state == "FINISHED"
     eng.close()
 
 

@@ -1,4 +1,4 @@
-"""Compare two bench.py summary JSONs, protocol-aware.
+"""Compare two bench.py summary JSONs, protocol-aware — with a regression GATE.
 
 Round 10 switched bench.py to grouped per-query reps with a discarded
 warm-up; numbers from the old interleaved protocol are systematically
@@ -8,23 +8,54 @@ unless --force, and reports per-query deltas over the shared entries only.
 
 Usage:
     python tools/bench_compare.py OLD.json NEW.json [--threshold 0.25] [--force]
+    python tools/bench_compare.py OLD.json NEW.json --gate
 
-Exit code 0 always (reporting tool, not a gate); the per-commit gate is the
-test suite. Output: shared-entry totals, the queries whose |delta| exceeds
-the threshold (relative, on entries >= 0.2 s — sub-200 ms entries are pure
-trigger/launch noise at sf0.1), and entries present on one side only.
+Default mode: exit code 0 always (reporting tool); the per-commit gate is
+the test suite. Output: shared-entry totals, the queries whose |delta|
+exceeds the threshold (relative, on entries >= 0.2 s — sub-200 ms entries
+are pure trigger/launch noise at sf0.1), and entries present on one side
+only.
+
+--gate mode (VERDICT r13 #3) encodes the noise band the r13 same-code A/B
+archive quantified (BENCH_LOCAL_r13_final vs _rep2: identical code,
+sub-second entries swinging ±140%, drift-adjusted totals moving ~+12%, while
+fixed-code calibration tracked the host at x0.94). It exits NONZERO only on
+evidence that same-code noise cannot produce:
+
+  * a PER-ENTRY regression that is simultaneously multi-second
+    (drift-adjusted slowdown >= GATE_ABS_SEC = 2.0 s) AND large relative
+    to its old wall (drift-adjusted >= GATE_REL = +50%) — excluding
+    streaming entries whose both sides sit inside the per-trigger floor
+    band with a changed trigger count (floor artifacts, VERDICT r11 #6);
+  * or a drift-adjusted SHARED-TOTAL regression >= GATE_TOTAL_REL = +20%
+    AND >= GATE_TOTAL_ABS_SEC = 5 s, computed over the entries NOT already
+    attributed above — the broad-small-regression catch (same-code A/B
+    moved ~+12%; 20% leaves headroom without masking a real slowdown).
+
+"Drift-adjusted" divides each new/old ratio by the median fixed-code
+calibration ratio, so a slower HOST never fails the gate and a faster host
+never hides a regression. Gating requires calibration entries on both
+sides (bench.py r13+); without them the gate exits 2 (cannot attribute a
+shift to code vs host — not a pass).
 
 When both summaries carry per-entry trigger counts (bench.py r12+), moved
 streaming entries are annotated with them and flagged "floor-dominated"
 when both sides' per-trigger wall sits inside the micro-batch constant
-band (≤2.5 s/trigger) — such deltas are trigger-floor artifacts (an extra
+band (<=2.5 s/trigger) — such deltas are trigger-floor artifacts (an extra
 eviction micro-batch, a changed trigger count), not per-row regressions.
 """
 
 from __future__ import annotations
 
 import json
+import statistics
 import sys
+
+FLOOR_SEC_PER_TRIGGER = 2.5
+GATE_ABS_SEC = 2.0  # drift-adjusted per-entry slowdown must exceed this …
+GATE_REL = 0.50  # … AND this relative share of the old wall
+GATE_TOTAL_REL = 0.20  # drift-adjusted shared-total regression ceiling …
+GATE_TOTAL_ABS_SEC = 5.0  # … that must also be multi-second in absolute
 
 
 def _load(path: str) -> dict:
@@ -38,6 +69,73 @@ def _load(path: str) -> dict:
         except json.JSONDecodeError:
             continue
     raise SystemExit(f"{path}: no JSON summary line found")
+
+
+def host_drift(old: dict, new: dict) -> float | None:
+    """Median new/old ratio of the shared fixed-code calibration entries —
+    the host's speed change between the two archives, measured on jobs
+    whose code cannot have changed. None when not separable."""
+    co = old.get("calibration") or {}
+    cn = new.get("calibration") or {}
+    shared = [k for k in co if k in cn and co[k] > 0 and cn[k] > 0]
+    if not shared:
+        return None
+    return statistics.median(cn[k] / co[k] for k in shared)
+
+
+def gate_failures(old: dict, new: dict) -> tuple[list[str], float | None]:
+    """The regressions the noise band cannot explain (see module doc).
+    Returns (failure messages, drift). Raises ValueError when the archives
+    carry no shared calibration (gate not computable)."""
+    drift = host_drift(old, new)
+    if drift is None:
+        raise ValueError(
+            "gate needs fixed-code calibration entries on BOTH archives "
+            "(bench.py r13+) to separate host drift from code regressions"
+        )
+    qo, qn = old["queries"], new["queries"]
+    to, tn = old.get("triggers", {}), new.get("triggers", {})
+    shared = sorted(set(qo) & set(qn))
+    fails: list[str] = []
+    attributed: set[str] = set()  # entry-failed or floor-explained
+    for k in shared:
+        a, b = qo[k], qn[k]
+        if a <= 0 or b < 0:
+            continue
+        adj = b / drift  # the wall this entry "would have" on the old host
+        if adj - a < GATE_ABS_SEC or (adj - a) / a < GATE_REL:
+            continue
+        ta, tb = to.get(k), tn.get(k)
+        if (
+            ta
+            and tb
+            and ta != tb
+            and a / ta <= FLOOR_SEC_PER_TRIGGER
+            and b / tb <= FLOOR_SEC_PER_TRIGGER
+        ):
+            attributed.add(k)  # trigger-floor artifact, not a regression
+            continue
+        attributed.add(k)
+        fails.append(
+            f"{k}: {a:.2f}s -> {b:.2f}s (drift-adjusted {adj:.2f}s, "
+            f"{(adj - a) / a * 100:+.0f}% and {adj - a:+.1f}s)"
+        )
+    # the total rule catches BROAD small regressions no single entry trips;
+    # entries already attributed above (failed or floor-explained) are
+    # excluded so one big mover doesn't double-report
+    both = [k for k in shared if qo[k] >= 0 and qn[k] >= 0 and k not in attributed]
+    so = sum(qo[k] for k in both)
+    sn = sum(qn[k] for k in both)
+    if (
+        so > 0
+        and sn / drift - so >= GATE_TOTAL_ABS_SEC
+        and (sn / drift - so) / so >= GATE_TOTAL_REL
+    ):
+        fails.append(
+            f"shared total: {so:.1f}s -> {sn:.1f}s (drift-adjusted "
+            f"{sn / drift:.1f}s, {(sn / drift - so) / so * 100:+.0f}%)"
+        )
+    return fails, drift
 
 
 def main(argv: list[str]) -> int:
@@ -68,6 +166,20 @@ def main(argv: list[str]) -> int:
             "(ADVICE r10). Pass --force to diff anyway; do not quote the "
             "result as a regression/improvement."
         )
+        return 2 if "--gate" in argv else 0
+    if "--gate" in argv:
+        try:
+            fails, drift = gate_failures(old, new)
+        except ValueError as e:
+            print(f"GATE NOT COMPUTABLE: {e}")
+            return 2
+        print(f"gate: host drift x{drift:.2f}", end="  ")
+        if fails:
+            print(f"FAIL ({len(fails)} regression(s) beyond the noise band):")
+            for f in fails:
+                print(f"  {f}")
+            return 1
+        print("PASS — no drift-adjusted multi-second regressions")
         return 0
     qo, qn = old["queries"], new["queries"]
     shared = sorted(set(qo) & set(qn))
@@ -82,18 +194,16 @@ def main(argv: list[str]) -> int:
     # fixed-code jobs, so their cross-archive ratio measures the HOST.
     # Per-entry deltas are then annotated with the drift-adjusted residual —
     # the part the calibration does NOT explain.
-    import statistics
-
-    co = old.get("calibration") or {}
-    cn = new.get("calibration") or {}
-    calib_shared = sorted(k for k in co if k in cn and co[k] > 0 and cn[k] > 0)
-    drift = None
-    if calib_shared:
-        ratios = {k: cn[k] / co[k] for k in calib_shared}
-        drift = statistics.median(ratios.values())
-        detail = ", ".join(f"{k} x{v:.2f}" for k, v in sorted(ratios.items()))
+    drift = host_drift(old, new)
+    if drift is not None:
+        co, cn = old["calibration"], new["calibration"]
+        detail = ", ".join(
+            f"{k} x{cn[k] / co[k]:.2f}"
+            for k in sorted(co)
+            if k in cn and co[k] > 0 and cn[k] > 0
+        )
         print(f"host drift (fixed-code calibration): x{drift:.2f}  [{detail}]")
-    elif co or cn:
+    elif old.get("calibration") or new.get("calibration"):
         print(
             "calibration present on one side only — host drift not "
             "separable for this pair (first r13+ archive vs an older one)"
@@ -103,7 +213,6 @@ def main(argv: list[str]) -> int:
     # delta whose both sides sit inside the per-trigger floor band — or one
     # explained by a changed trigger count — is a floor artifact, not a
     # per-row regression (VERDICT r11 #6)
-    FLOOR_SEC_PER_TRIGGER = 2.5
     to, tn = old.get("triggers", {}), new.get("triggers", {})
     moved = []
     for k in shared:

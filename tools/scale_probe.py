@@ -250,6 +250,56 @@ def _install_meter(spark) -> _ProgressMeter:
     return meter
 
 
+def geometry_report(rows: dict) -> dict:
+    """The adaptive geometry the ops RESOLVE at this corpus size (VERDICT
+    r13 #2: show which knobs engaged past their fixture floors). These are
+    the same functions the real query paths call with the real row counts —
+    recorded here so SCALE_r*.json documents the engagement, and asserted
+    against the floors in the summary."""
+    from flink_notebooks_spark.queries import llm
+
+    n_doc = rows.get("documents") or 0
+    n_emb = rows.get("embeddings") or 0
+    nlist = llm.ivf_cells_for(n_emb)
+    return {
+        "simhash_blocks": llm.simhash_blocks_for(n_doc),
+        "emb_lsh_bits": llm.lsh_bits_for(n_emb),
+        "ann_lsh_planes": llm.lsh_planes_for(n_emb),
+        "ivf_nlist": nlist,
+        "ivf_nprobe": llm.ivf_nprobe_for(nlist),
+        "ivf_train_sample": llm.ivf_train_sample_for(nlist),
+    }
+
+
+def ivf_recall_at(spark, sf_dir: str) -> dict:
+    """VERDICT r13 #4: recall of the IVF ANN against the brute-force twin
+    at the probe corpus, for BOTH training paths — the driver-side sampler
+    and the distributed pyspark.ml KMeans trainer, engaged through its
+    public ``distributed_train`` parameter (the auto threshold sits at
+    ~4.2M vectors; forcing the parameter exercises the identical code path
+    on this corpus, where the brute-force truth is still computable)."""
+    from flink_notebooks_spark.queries.llm import ann_ivf_topk, similarity_topk
+
+    truth = {
+        (r["q_id"], r["nn_id"])
+        for r in similarity_topk(spark, sf_dir).select("q_id", "nn_id").collect()
+    }
+    out = {"truth_pairs": len(truth)}
+    for label, dist in (("driver_train", False), ("distributed_train", True)):
+        t0 = time.time()
+        got = {
+            (r["q_id"], r["nn_id"])
+            for r in ann_ivf_topk(spark, sf_dir, distributed_train=dist)
+            .select("q_id", "nn_id")
+            .collect()
+        }
+        out[label] = {
+            "recall": round(len(got & truth) / max(len(truth), 1), 4),
+            "wall_sec": round(time.time() - t0, 3),
+        }
+    return out
+
+
 def _drop_strm_views(spark) -> None:
     for t in spark.catalog.listTables():
         if t.name.startswith("strm_"):
@@ -312,6 +362,12 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--out", default="SCALE_r12.json")
     ap.add_argument("--ops", default=",".join(DEFAULT_OPS))
+    ap.add_argument(
+        "--ivf-recall",
+        action="store_true",
+        help="also measure IVF recall vs the brute-force twin at the big "
+        "corpus, for both the driver-side and distributed training paths",
+    )
     args = ap.parse_args()
     ops = [o for o in args.ops.split(",") if o]
 
@@ -347,8 +403,16 @@ def main() -> None:
         "big_rows": big_rows,
         "cpus": cpus,
         "reps": args.reps,
+        "geometry": {
+            "small": geometry_report(small_rows),
+            "big": geometry_report(big_rows),
+        },
         "ops": {},
     }
+    if args.ivf_recall:
+        print("measuring IVF recall at the big corpus…", file=sys.stderr)
+        report["ivf_recall_big"] = ivf_recall_at(spark, big_dir)
+        print(f"  ivf_recall: {report['ivf_recall_big']}", file=sys.stderr)
     for name in ["shared_corpus_prep", *ops]:
         s, b = small_res[name], big_res[name]
         rec = {"small": s, "big": b}
