@@ -1610,10 +1610,11 @@ def ann_ivf_topk(spark, sf_dir, distributed_train: bool | None = None):
     (one distributed TakeOrdered: deterministic, and unbiased even when
     vec_ids correlate with source/ingest time, unlike an id-prefix pick).
     Each query scans only its nprobe nearest cells. The centroid
-    table is broadcast both for assignment and probing, so the corpus-side
-    plan is scan → broadcast-join → per-cell shuffle — no O(n·q) cross
-    join, and the cell assignment is reusable across query batches (in a
-    real deployment it is precomputed and bucketed on cell id).
+    matrix is broadcast for both assignment (a per-Arrow-batch BLAS GEMM —
+    see the in-line note) and probing, so the corpus-side plan is
+    scan → vectorized assign → per-cell shuffle — no O(n·q) cross join,
+    and the cell assignment is reusable across query batches (in a real
+    deployment it is precomputed and bucketed on cell id).
 
     Geometry is corpus-adaptive (VERDICT r12 #1): nlist/nprobe/sample
     resolve from the row count (ivf_cells_for — the 16/6/256 floor on
@@ -1649,17 +1650,44 @@ def ann_ivf_topk(spark, sf_dir, distributed_train: bool | None = None):
         [(i, [float(v) for v in c], 1.0) for i, c in enumerate(trained)],
         "cell long, c_emb array<double>, c_nrm double",
     )
-    c_sim = F.expr(_DOT.format(a="embd", b="c_emb")) / (F.col("nrm") * F.col("c_nrm"))
-    # nearest-centroid assignment: broadcast the centroids, max_by per vector
-    assigned = (
-        corpus.join(F.broadcast(cents))
-        .withColumn("c_sim", c_sim)
-        .groupBy("vec_id")
-        .agg(
-            F.expr("max_by(cell, named_struct('s', c_sim, 'c', -cell))").alias("cell"),
-        )
-        .withColumnRenamed("vec_id", "a_id")
+    # nearest-centroid assignment: one BLAS GEMM per Arrow batch against
+    # the broadcast (nlist, d) centroid matrix. The previous broadcast-join
+    # + max_by form evaluated n × nlist INTERPRETED array folds — fine at
+    # the 16-cell fixture floor, but the r14 factor-100 probe measured it
+    # as the op's bottleneck once the adaptive geometry engaged (256 cells
+    # × 200k vectors ≈ 13G interpreted scalar ops, ~70 s of the 48× wall
+    # ratio); the same FLOPs as a vectorized matmul are ~two orders
+    # cheaper. The row norm is a positive per-row scale, so it cannot
+    # change that row's argmax over cells (unit centroids) and is dropped;
+    # ties break to the LOWEST cell id (np.argmax returns the first
+    # maximum), matching the old max_by(cell, (sim, -cell)) order exactly.
+    import numpy as np
+
+    cmat = spark.sparkContext.broadcast(
+        np.ascontiguousarray(np.asarray(trained, dtype=np.float64))
     )
+
+    def _assign(it):
+        import pandas as pd
+
+        C = cmat.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            M = np.vstack(pdf["embd"].to_numpy())
+            yield pd.DataFrame(
+                {
+                    "a_id": pdf["vec_id"].to_numpy(),
+                    "cell": (M @ C.T).argmax(axis=1),
+                }
+            )
+
+    if np.asarray(trained).shape[0] == 0:  # empty corpus: no cells
+        assigned = spark.createDataFrame([], "a_id long, cell long")
+    else:
+        assigned = corpus.select("vec_id", "embd").mapInPandas(
+            _assign, "a_id long, cell long"
+        )
     assigned = assigned.join(
         corpus.select(F.col("vec_id").alias("a_id"), "embd", "nrm"), "a_id"
     )

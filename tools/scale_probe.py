@@ -95,6 +95,22 @@ def gen_embeddings(n: int, seed: int):
     vid = 0
     group = 0
     while vid < n:
+        # the FIRST allocation is always a max-size dup group: the ANN ops'
+        # fixed query batch is vec_id < TOPK_QUERY_IDS, and recall against
+        # the brute-force twin is only meaningful on CONTRASTED pairs (true
+        # sim ≥ the dedup threshold) — without this the queries can all be
+        # noise-floor singletons and recall measures nothing (one forced
+        # group among n leaves the dup-rate scale-invariance intact)
+        if vid == 0 and n >= 4:
+            c = rng.randn(EMB_DIM)
+            c /= np.linalg.norm(c)
+            for _ in range(4):
+                v = c + EMB_NOISE * rng.randn(EMB_DIM) / np.sqrt(EMB_DIM)
+                vecs[vid] = (v / np.linalg.norm(v)) * rng.uniform(0.8, 1.2)
+                labels[vid] = group
+                vid += 1
+            group += 1
+            continue
         if rng.rand() < EMB_GROUP_P and n - vid >= 2:
             size = min(int(rng.randint(2, 5)), n - vid)
             c = rng.randn(EMB_DIM)
@@ -128,7 +144,7 @@ def build_probe_corpus(small: str, out: str, factor: int) -> dict:
     import pyarrow.parquet as pq
 
     manifest_path = os.path.join(out, "_scale_manifest.json")
-    want = {"source": os.path.abspath(small), "factor": factor, "v": 3}
+    want = {"source": os.path.abspath(small), "factor": factor, "v": 4}
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             if json.load(f) == want:
@@ -271,20 +287,28 @@ def geometry_report(rows: dict) -> dict:
     }
 
 
-def ivf_recall_at(spark, sf_dir: str) -> dict:
+def ivf_recall_at(spark, sf_dir: str, sim_floor: float = 0.4) -> dict:
     """VERDICT r13 #4: recall of the IVF ANN against the brute-force twin
     at the probe corpus, for BOTH training paths — the driver-side sampler
     and the distributed pyspark.ml KMeans trainer, engaged through its
     public ``distributed_train`` parameter (the auto threshold sits at
     ~4.2M vectors; forcing the parameter exercises the identical code path
-    on this corpus, where the brute-force truth is still computable)."""
+    on this corpus, where the brute-force truth is still computable).
+
+    Recall reports twice: over ALL top-k truth pairs, and restricted to
+    CONTRASTED pairs (true sim ≥ ``sim_floor``, the dedup threshold). On
+    the synthetic probe corpus most of a query's exact top-10 sits at the
+    random-cosine noise floor, where cell locality carries no signal and
+    no ANN can (or needs to) recall — the contrasted recall is the metric
+    the dedup/retrieval uses actually depend on."""
     from flink_notebooks_spark.queries.llm import ann_ivf_topk, similarity_topk
 
-    truth = {
-        (r["q_id"], r["nn_id"])
-        for r in similarity_topk(spark, sf_dir).select("q_id", "nn_id").collect()
+    truth_rows = similarity_topk(spark, sf_dir).select("q_id", "nn_id", "sim").collect()
+    truth = {(r["q_id"], r["nn_id"]) for r in truth_rows}
+    contrasted = {
+        (r["q_id"], r["nn_id"]) for r in truth_rows if r["sim"] >= sim_floor
     }
-    out = {"truth_pairs": len(truth)}
+    out = {"truth_pairs": len(truth), "contrasted_pairs": len(contrasted)}
     for label, dist in (("driver_train", False), ("distributed_train", True)):
         t0 = time.time()
         got = {
@@ -295,6 +319,9 @@ def ivf_recall_at(spark, sf_dir: str) -> dict:
         }
         out[label] = {
             "recall": round(len(got & truth) / max(len(truth), 1), 4),
+            "recall_contrasted": round(
+                len(got & contrasted) / max(len(contrasted), 1), 4
+            ),
             "wall_sec": round(time.time() - t0, 3),
         }
     return out
@@ -306,7 +333,9 @@ def _drop_strm_views(spark) -> None:
             spark.catalog.dropTempView(t.name)
 
 
-def run_sweep(spark, meter, sf_dir: str, ops: list[str], reps: int) -> dict:
+def run_sweep(
+    spark, meter, sf_dir: str, ops: list[str], reps: int, preps: list[str] | None = None
+) -> dict:
     from flink_notebooks_spark.queries import QUERIES
     from flink_notebooks_spark.queries.corpus import _bm25_postings  # noqa: F401
     from flink_notebooks_spark.queries.llm import (
@@ -316,12 +345,24 @@ def run_sweep(spark, meter, sf_dir: str, ops: list[str], reps: int) -> dict:
         tokenized_docs,
     )
 
+    prep_fns = {
+        "tokenized": tokenized_docs,
+        "shingled": shingled_docs,
+        "jaccard_pairs": jaccard_pairs_df,
+        "cosine_pairs": cosine_pairs_df,
+    }
+    if preps is None:
+        preps = list(prep_fns)
     out = {}
     # the shared corpus-prep caches are charged explicitly, like bench.py —
-    # dedup entries then measure their own work, not the shared preparation
+    # dedup entries then measure their own work, not the shared preparation.
+    # `preps` restricts the set: the exact pair caches (jaccard/cosine) are
+    # O(n²)-family and only warranted when a probed op actually reads them —
+    # at factor 100 materializing an unused exact-GEMM pair table would
+    # dominate the whole probe.
     t0 = time.time()
-    for prep in (tokenized_docs, shingled_docs, jaccard_pairs_df, cosine_pairs_df):
-        prep(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    for pname in preps:
+        prep_fns[pname](spark, sf_dir).write.format("noop").mode("overwrite").save()
     out["shared_corpus_prep"] = {
         "wall_sec": round(time.time() - t0, 3),
         "triggers": 0,
@@ -363,6 +404,12 @@ def main() -> None:
     ap.add_argument("--out", default="SCALE_r12.json")
     ap.add_argument("--ops", default=",".join(DEFAULT_OPS))
     ap.add_argument(
+        "--preps",
+        default=None,
+        help="comma list of shared preps to materialize "
+        "(tokenized,shingled,jaccard_pairs,cosine_pairs); default all",
+    )
+    ap.add_argument(
         "--ivf-recall",
         action="store_true",
         help="also measure IVF recall vs the brute-force twin at the big "
@@ -391,8 +438,9 @@ def main() -> None:
     )
     wq.awaitTermination()
 
-    small_res = run_sweep(spark, meter, small_dir, ops, args.reps)
-    big_res = run_sweep(spark, meter, big_dir, ops, args.reps)
+    preps = [p for p in args.preps.split(",") if p] if args.preps else None
+    small_res = run_sweep(spark, meter, small_dir, ops, args.reps, preps)
+    big_res = run_sweep(spark, meter, big_dir, ops, args.reps, preps)
 
     report = {
         "factor": args.factor,
