@@ -95,7 +95,41 @@ def main(workdir: str) -> None:
         dt2, n2 = run("retry")
         assert n2 == n_cold, (n2, n_cold)
         rate = max(rate, N / dt2)
-    print(json.dumps({"rate": rate, "n_cold": int(n_cold), "n_warm": int(n_warm)}))
+    # Fixed-code host-speed probe (same idea as bench.py's CALIBRATION
+    # entries): an absolute rows/s floor silently assumes the host the floor
+    # was tuned on. Round 14's sandbox measured 4-10x slower than round 13's
+    # on the never-edited calibration jobs (calib_jvm_sum 0.106s -> ~1.0s at
+    # 32 cores, identical code) while single-core Python and aggregate
+    # multiprocess throughput were unchanged — the regression is specifically
+    # in SHORT PARALLEL JVM STAGES (task scheduling/wakeup overhead), which
+    # is also exactly what the per-trigger streaming path exercises, so the
+    # measured rate sank from ~230k to ~39-56k rows/s with identical
+    # operator code. The probe is the same never-edited JVM job as bench
+    # calib_jvm_sum, run in THIS session (cpus=4): one discarded JIT rep,
+    # then best of 3.
+    best = None
+    for i in range(4):
+        t0 = time.time()
+        (
+            spark.range(0, 50_000_000, 1, 32)
+            .selectExpr("sum(id * 3 + 1) AS s")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        el = time.time() - t0
+        if i > 0:
+            best = el if best is None else min(best, el)
+    print(
+        json.dumps(
+            {
+                "rate": rate,
+                "n_cold": int(n_cold),
+                "n_warm": int(n_warm),
+                "jvm_probe_s": round(best, 3),
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
