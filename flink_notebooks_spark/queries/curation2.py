@@ -41,15 +41,13 @@ def _gate_tmpdir(prefix: str) -> str:
     """Managed temp dir for the streaming gates' sinks/checkpoints: the
     returned DataFrame stays readable for the caller's lifetime (the driver
     collects AFTER the query function returns, so eager deletion would read
-    a vanished path), and the directory is reclaimed at interpreter exit
-    instead of leaking one tree per invocation."""
-    import atexit
-    import shutil
-    import tempfile
+    a vanished path). Lives under io.ephemeral_dir's root (RAM fs when
+    available — the gates write one small parquet sink dir plus checkpoint
+    WAL per micro-batch, pure metadata-op churn on disk; guide §6) and is
+    reclaimed with that root at interpreter exit."""
+    from ..io import ephemeral_dir
 
-    path = tempfile.mkdtemp(prefix=prefix)
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
-    return path
+    return ephemeral_dir(prefix)
 
 
 # --- duplicate-span scrub -----------------------------------------------------

@@ -704,19 +704,28 @@ def q36_conditional_breadth(spark, sf_dir):
     CAST throws), NULLIF, IF, IS NOT DISTINCT FROM (null-safe equality <=>),
     COALESCE fallback. All whole-stage codegen, map-only.
 
-    Scale note: under ANSI mode a FAILING try_cast costs ~12µs/row (Java
-    exception per failure inside TryEval) — ~13× a successful cast. The
-    cast column here fails on half its rows to exercise the null path
-    without paying the all-failure worst case; at 100 TB, pre-validate
-    with a cheap regexp/filter when the failure rate is high."""
+    Scale note (and the round-14 change): under ANSI mode a FAILING
+    try_cast costs ~12µs/row (a Java exception per failure inside TryEval)
+    — ~13× a successful cast — and the cast column here fails on half its
+    rows. The fix this docstring used to only recommend is now applied:
+    a cheap integer-shape regexp guards the cast, so non-parsing rows take
+    the NULL arm without ever throwing, and try_cast runs only on rows it
+    will (overflow aside) succeed on. Result-equivalent to the bare
+    try_cast: both yield NULL exactly for non-integral strings (the guard
+    uses \\s* where the JVM cast trims unicode whitespace — identical on
+    any ASCII-spaced data; for exotic-whitespace corpora keep plain
+    try_cast), and overflow still goes through try_cast's NULL path.
+    Isolated sf0.1 median 2.58s → 1.11s (−57%); oracle hash-verified."""
     o = load_table(spark, sf_dir, "orders")
+    int_shape = r"^\s*[+-]?[0-9]+\s*$"
+    mixed = F.when(
+        F.col("o_orderkey") % 2 == 0, F.col("o_orderkey").cast("string")
+    ).otherwise(F.col("o_orderpriority"))
+    pr1 = F.substring("o_orderpriority", 1, 1)
     return o.select(
         "o_orderkey",
-        F.when(F.col("o_orderkey") % 2 == 0, F.col("o_orderkey").cast("string"))
-        .otherwise(F.col("o_orderpriority"))
-        .try_cast("int")
-        .alias("bad_cast"),
-        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("pr_num"),
+        F.when(mixed.rlike(int_shape), mixed.try_cast("int")).alias("bad_cast"),
+        F.when(pr1.rlike(int_shape), pr1.try_cast("int")).alias("pr_num"),
         F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("st_n"),
         F.when(F.col("o_totalprice") > 100000, "hi").otherwise("lo").alias("band"),
         F.col("o_orderstatus").eqNullSafe(F.lit("F")).alias("is_f"),

@@ -55,7 +55,15 @@ def _run_to_memory(df: DataFrame, mode: str, partitions: int = 8) -> DataFrame:
     partition count is scoped down around query start (the conf is captured
     at start, so restoring it immediately after is safe). On a real cluster
     size this to the executor count via spark.sql.shuffle.partitions.
+
+    The checkpoint is explicit and UNIQUE under the ephemeral root
+    (io.ephemeral_dir): these replays used a throwaway temp checkpoint
+    anyway, and the state-store/WAL commits against it were ~25% of every
+    trigger on slow-metadata disks (round-14 probe; guide §6). A unique dir
+    per start also means a replay can never resume a previous run's offsets.
     """
+    from ..io import ephemeral_dir
+
     spark = df.sparkSession
     name = "strm_" + uuid.uuid4().hex[:12]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -65,6 +73,7 @@ def _run_to_memory(df: DataFrame, mode: str, partitions: int = 8) -> DataFrame:
             df.writeStream.format("memory")
             .queryName(name)
             .outputMode(mode)
+            .option("checkpointLocation", ephemeral_dir("ckpt_mem_"))
             .trigger(availableNow=True)
             .start()
         )
@@ -270,6 +279,10 @@ def streaming_stateful_sessionize(spark, sf_dir):
 # the TTL'd dedup variants have a watermark to evict against.
 ARRIVAL_T0_S = 1_000_000
 
+# staged-replay input files, memoized per (sf_dir, table, shape): see
+# _staged_table_stream — the files are deterministic, only inputs are shared
+_STAGING_MEMO: dict = {}
+
 
 def _staged_table_stream(
     spark,
@@ -289,20 +302,34 @@ def _staged_table_stream(
     restarted query can resume from a checkpoint that references it.
     ``arrival_step_s`` stamps every row of file i with a synthetic arrival
     time ``arrival_us = (ARRIVAL_T0_S + i*step) * 1e6`` (appended to the
-    schema) — the ingestion-time stand-in the TTL'd variants watermark on."""
+    schema) — the ingestion-time stand-in the TTL'd variants watermark on.
+
+    The staged files are a pure deterministic function of
+    ``(sf_dir, table, schema, n_files, arrival_step_s)``, so when no
+    explicit ``staging_dir`` is pinned they are staged ONCE per process
+    under the ephemeral root and reused by later calls (bench reps): the
+    streaming run itself always starts fresh (new checkpoint, new state) —
+    only the immutable input files are shared (~0.12-0.24s of driver-side
+    pyarrow read+sort+write per call otherwise, and the file-source listing
+    hits the RAM fs instead of disk)."""
     import os
     import re
-    import tempfile
 
     import pyarrow as pa
     import pyarrow.parquet as pq
+
+    from ..io import ephemeral_dir
 
     tune(spark)
     cols = [c.strip().split()[0] for c in re.split(r",(?![^<]*>)", schema)]
     if arrival_step_s is not None:
         schema = schema + ", arrival_us bigint"
+    memo_key = None
     if staging_dir is None:
-        tmp = tempfile.mkdtemp(prefix=f"fns-{table}stream-")
+        memo_key = (sf_dir, table, schema, n_files, arrival_step_s)
+        tmp = _STAGING_MEMO.get(memo_key)
+        if tmp is None:
+            tmp = ephemeral_dir(f"fns-{table}stream-")
     else:
         tmp = staging_dir
         os.makedirs(tmp, exist_ok=True)
@@ -336,6 +363,10 @@ def _staged_table_stream(
             p = f"{tmp}/{i:02d}_{table}.parquet"
             pq.write_table(sl, p)
             os.utime(p, (i, i))  # the file source orders by modification time
+    if memo_key is not None:
+        # memoize only once fully staged — a crash mid-staging must not
+        # poison later calls with a half-staged replay
+        _STAGING_MEMO[memo_key] = tmp
     # one file per trigger = ONE input partition per micro-batch; fan the
     # rows out before the (expensive) signature projection so it runs on
     # every core instead of one — the raw row exchange is trivia next to
@@ -877,17 +908,42 @@ def _staged_events_stream(
     matches conclude in the final no-data batch. Shared by every
     streaming MATCH_RECOGNIZE query over the events table (and, with
     ``with_value=True``, the streaming OVER aggregations, which read the
-    ``value`` measure column too)."""
+    ``value`` measure column too).
+
+    Staging is memoized per (sf_dir, with_value, sentinel_gap_s) — the
+    staged dir is a symlink plus a one-row deterministic sentinel file, so
+    bench reps reuse it; each replay still runs against a fresh checkpoint."""
     import datetime
     import os
-    import tempfile
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from ..io import ephemeral_dir
+
     tune(spark)
     events_path = f"{sf_dir}/events.parquet"
-    tmp = tempfile.mkdtemp(prefix="fns-mrstream-")
+    memo_key = (sf_dir, with_value, sentinel_gap_s, "mrstage")
+    tmp = _STAGING_MEMO.get(memo_key)
+    if tmp is not None:
+        raw = (
+            spark.readStream.schema(events_stream_schema(events_path))
+            .option("maxFilesPerTrigger", "1")
+            .parquet(tmp)
+        )
+        return (
+            stream_ts_cols(raw)
+            .withWatermark("ev_time", "0 seconds")
+            .select(
+                "user_id",
+                "event_id",
+                "ev_time",
+                "ts_us",
+                "event_type",
+                *(["value"] if with_value else []),
+            )
+        )
+    tmp = ephemeral_dir("fns-mrstream-")
     os.symlink(events_path, f"{tmp}/00_events.parquet")
     # order the replay: events file first, sentinel file second (the file
     # source orders by modification time)
@@ -937,6 +993,9 @@ def _staged_events_stream(
         ),
         f"{tmp}/99_sentinel.parquet",
     )
+    # memoize only once the dir is fully staged — a crash mid-staging must
+    # not poison later calls with a half-staged replay
+    _STAGING_MEMO[memo_key] = tmp
 
     raw = (
         spark.readStream.schema(schema_str)
@@ -1223,9 +1282,9 @@ def _incremental_topn(
     batch_sizes: list[int] = []
     own_state = exact_retractions and state_path is None
     if own_state:
-        import tempfile
+        from ..io import ephemeral_dir
 
-        state_path = tempfile.mkdtemp(prefix="topn_state_")
+        state_path = ephemeral_dir("topn_state_")
     touched: set[int] = set()  # buckets appended-to since last compaction
     exact_batches = [0]
 
@@ -1321,9 +1380,12 @@ def _incremental_topn(
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
     try:
+        from ..io import ephemeral_dir
+
         q = (
             agg_df.writeStream.foreachBatch(merge)
             .outputMode("update")
+            .option("checkpointLocation", ephemeral_dir("ckpt_topn_"))
             .trigger(availableNow=True)
             .start()
         )
@@ -1395,7 +1457,6 @@ def streaming_cdc_apply(spark, sf_dir):
     proving the continuous path reaches the same state as the one-shot
     ``apply_changelog``."""
     import os
-    import tempfile
 
     from pyspark.sql import types as T
 
@@ -1435,8 +1496,10 @@ def streaming_cdc_apply(spark, sf_dir):
     # the staged change FILES are a pure deterministic function of the
     # input table — reuse them across calls in one session (bench reps);
     # the streaming run itself always starts fresh (new state + checkpoint)
+    from ..io import ephemeral_dir
+
     memo_key = (spark.sparkContext.applicationId, sf_dir)
-    workdir = tempfile.mkdtemp(prefix="cdc_stream_")
+    workdir = ephemeral_dir("cdc_stream_")
     # the PREVIOUS invocation's state/checkpoint are superseded — delete
     # them so bench reps don't accumulate full state-table copies in /tmp
     import shutil
@@ -1447,8 +1510,10 @@ def streaming_cdc_apply(spark, sf_dir):
     _CDC_RUN_DIRS[memo_key] = workdir
     src = _CDC_STAGE_MEMO.get(memo_key)
     if src is None or not os.path.isdir(src):
-        src = os.path.join(workdir, "changes")
-        os.makedirs(src)
+        # staged OUTSIDE the per-run workdir: the workdir (state + ckpt) is
+        # deleted on the next invocation, but the change files are immutable
+        # inputs and survive for reuse across bench reps
+        src = ephemeral_dir("cdc_changes_")
         for i, df in enumerate(batches):
             # one file per change batch → one micro-batch per trigger;
             # mtimes pin the replay order (ts_ms makes the merge order-
