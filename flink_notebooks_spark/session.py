@@ -46,6 +46,47 @@ RUNTIME_CONFS = {
 _TUNE_WARNED: set[str] = set()
 
 
+def _scratch_local_dir(min_free_bytes: int = 8 * 1024**3) -> str | None:
+    """Resolve ``spark.local.dir`` (shuffle files, spill, DISK_ONLY blocks).
+
+    Priority: ``$SPARK_GRAFT_LOCAL_DIR`` (the production knob — point it at
+    the fast local NVMe/SSD scratch array, exactly what spark.local.dir is
+    for on a real cluster) → ``/dev/shm`` when writable with at least
+    ``min_free_bytes`` free → ``None`` (keep Spark's default tempdir).
+
+    Why (guide §6 — I/O placement; measured on the round-14 bench host):
+    every Exchange writes one data + one index file per map task, so a
+    stage's wall has a floor of 2·M file *creations*. On that host the
+    default tempdir (ext4) measured ~0.46 ms per small-file create vs
+    ~0.017 ms on the RAM fs — a trivial 2-stage shuffle (32 tasks) ran
+    545 ms vs 204 ms, and the fixed-code shuffle calibration 920 ms vs
+    548 ms, identical plans. The data here is scratch by definition
+    (shuffle blocks are re-creatable from lineage), so placement is free to
+    chase latency; the free-space floor keeps big-spill jobs off the RAM fs
+    unless the operator explicitly opts in via the env knob.
+
+    A per-process subdirectory is used and reclaimed at interpreter exit:
+    Spark cleans its blockmgr-*/spark-* dirs on SparkContext.stop(), but a
+    killed process would otherwise leak RAM-fs pages until reboot.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    base = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if base is None:
+        shm = "/dev/shm"
+        if not os.access(shm, os.W_OK):
+            return None
+        st = os.statvfs(shm)
+        if st.f_bavail * st.f_frsize < min_free_bytes:
+            return None
+        base = shm
+    d = tempfile.mkdtemp(prefix="fns-spark-local-", dir=base)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an existing session (idempotent).
 
@@ -96,6 +137,12 @@ def get_spark(app_name: str = "flink-notebooks-spark", cpus: int | None = None) 
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
+    # shuffle/spill scratch on the fastest local storage (static conf — must
+    # be set before the JVM starts; see _scratch_local_dir for the measured
+    # rationale and the $SPARK_GRAFT_LOCAL_DIR production knob)
+    local_dir = _scratch_local_dir()
+    if local_dir is not None:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
