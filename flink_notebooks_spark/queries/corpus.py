@@ -1539,6 +1539,27 @@ _CMS_HASH = (
 )
 
 
+def _cms_cols_py(word: str, d_rows: int = CMS_D, w: int = CMS_W) -> list[int]:
+    """The sketch's cell columns for one word, in Python — the bit-identical
+    twin of ``_CMS_HASH`` (low 16 hex chars of md5 over the UTF-8 bytes of
+    ``word|d``, byte-pairs reversed, read as hex, mod w). An independent
+    reimplementation of the portable-hash convention the DuckDB oracle
+    relies on; tests pin it against the SQL expression over the probe
+    dictionary and fuzzed words, so a drift in either formulation fails
+    loudly. (A round-14 experiment routed the STREAMING sketch's hashing
+    through this helper inside mapInPandas — measured no win once the
+    staged-replay fanout spread the Catalyst chain across cores, so the
+    streaming op stays pure JVM; the batch op pre-aggregates by word
+    instead, see token_freq_sketch.)"""
+    import hashlib
+
+    out = []
+    for d in range(d_rows):
+        low = hashlib.md5(f"{word}|{d}".encode()).hexdigest()[16:32]
+        out.append(int("".join(low[i : i + 2] for i in range(14, -2, -2)), 16) % w)
+    return out
+
+
 @query(
     "token_freq_sketch",
     oracle=f"""
@@ -1578,17 +1599,27 @@ def token_freq_sketch(spark, sf_dir):
     )
     t = tokenized_docs(spark, sf_dir)
     tok = t.select(F.explode("ws").alias("word"))
-    ingest = tok.select(
-        "word", F.explode(F.expr(f"sequence(0, {CMS_D - 1})")).alias("d")
+    # Heaps-law pre-aggregation (guide §2.3 — aggregate before the
+    # expensive work): the portable cell hash is an interpreted
+    # md5 → 16-substring → conv chain, and evaluating it per
+    # (occurrence, d) — O(N·D) evaluations — was the measured bulk of this
+    # entry's wall (round 14). Counting per WORD first is map-side
+    # combinable and vocabulary-sized (Heaps: |vocab| ≪ N at every corpus
+    # size), so the hash runs D·|vocab| times and the cells are summed
+    # from exact integer counts — bit-identical to the per-occurrence
+    # aggregate because addition is associative.
+    wc = tok.groupBy("word").agg(F.count("*").alias("cnt"))
+    ingest = wc.select(
+        "word", "cnt", F.explode(F.expr(f"sequence(0, {CMS_D - 1})")).alias("d")
     )
     col = (
         F.expr(_CMS_HASH.format(key="concat(word, '|', CAST(d AS STRING))"))
         % CMS_W
     )
     cells = (
-        ingest.select("d", col.alias("col"))
+        ingest.select("d", col.alias("col"), "cnt")
         .groupBy("d", "col")
-        .agg(F.count("*").alias("c"))
+        .agg(F.sum("cnt").alias("c"))
     )
     probes = spark.createDataFrame([(w,) for w in CMS_PROBES], "word string")
     pcell = probes.join(

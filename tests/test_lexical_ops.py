@@ -385,3 +385,65 @@ def test_streaming_similarity_topk_checkpoint_restart(spark, sf_dir, tmp_path):
     got = [tuple(r) for r in _knn_latest_topk(union).collect()]
     want = [tuple(r) for r in QUERIES["similarity_topk"](spark, sf_dir).collect()]
     assert got == want
+
+
+def test_cms_python_hash_matches_catalyst(spark):
+    """corpus._cms_cols_py must be bit-identical to the _CMS_HASH Catalyst
+    expression — an independent Python (hashlib) reimplementation of the
+    portable md5-lower-64 convention the DuckDB oracle recomputes in SQL;
+    one divergent cell silently shifts a probe estimate."""
+    import random
+    import string
+
+    from pyspark.sql import functions as F
+
+    from flink_notebooks_spark.queries.corpus import (
+        _CMS_HASH,
+        _cms_cols_py,
+        CMS_D,
+        CMS_PROBES,
+        CMS_W,
+    )
+
+    rng = random.Random(1405)
+    words = list(CMS_PROBES) + [
+        "".join(rng.choices(string.ascii_lowercase + string.digits, k=rng.randint(1, 24)))
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "word string").join(
+        spark.range(CMS_D).select(F.col("id").cast("int").alias("d"))
+    )
+    got = {
+        (r["word"], r["d"]): r["col"]
+        for r in df.select(
+            "word",
+            "d",
+            (
+                F.expr(_CMS_HASH.format(key="concat(word, '|', CAST(d AS STRING))"))
+                % CMS_W
+            ).cast("long").alias("col"),
+        ).collect()
+    }
+    for w in words:
+        cols = _cms_cols_py(w)
+        for d in range(CMS_D):
+            assert got[(w, d)] == cols[d], (w, d, got[(w, d)], cols[d])
+
+
+def test_streaming_cms_matches_batch_sketch(spark, sf_dir):
+    """The streaming sketch (per-occurrence stateful cell COUNT) must equal
+    the batch sketch (per-word pre-aggregate, then cell SUM of counts)
+    estimate-for-estimate after a bounded replay — both reduce to the same
+    D x W cell matrix, which is exactly the associativity claim the batch
+    rewrite rests on."""
+    from flink_notebooks_spark.queries import QUERIES
+
+    batch = {
+        r["word"]: r["est_count"]
+        for r in QUERIES["token_freq_sketch"](spark, sf_dir).collect()
+    }
+    stream = {
+        r["word"]: r["est_count"]
+        for r in QUERIES["streaming_token_freq_sketch"](spark, sf_dir).collect()
+    }
+    assert stream == batch and len(batch) > 0

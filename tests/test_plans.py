@@ -653,10 +653,12 @@ SHUFFLE_BUDGET = {
     # first-occurrence is a window over the gram partitioning, never a
     # self-join or join-back
     "token_ngram_novelty": 4,
-    # (d, col) cell aggregate (map-side combined) + probe-estimate agg +
-    # sort; probe set broadcasts — the sketch itself is the only
-    # corpus-sized shuffle input and it reduces to <= 4096 cells
-    "token_freq_sketch": 3,
+    # word pre-aggregate (map-side combined, vocabulary-sized output —
+    # added in r14 so the md5 cell hash runs D·|vocab| times instead of
+    # D·N) + (d, col) cell aggregate + probe-estimate agg + sort; probe
+    # set broadcasts — the one corpus-sized shuffle input is the word agg
+    # and it reduces to |vocab| rows map-side
+    "token_freq_sketch": 4,
     # bigram agg + unigram agg + two vocab-keyed join re-keys; the final
     # top-k is TakeOrdered (no exchange); N_uni/N_bi broadcast
     "pmi_collocations": 5,
