@@ -390,10 +390,39 @@ def _staged_table_stream(
 # band hash has collapsed (near-constant content) and silent O(members²)
 # pair emission would follow.
 STREAM_BUCKET_CAP = 100_000
-# State-key granularity: buckets are sharded pmod(bh, SHARDS) so one Python
+# State-key granularity: buckets are sharded pmod(bh, shards) so one Python
 # state-group call covers a shard of buckets, not a single bucket (see the
-# applyInPandasWithState comment in streaming_dedup_minhash).
-STREAM_BUCKET_SHARDS = 8
+# applyInPandasWithState comment in streaming_dedup_minhash). The shard
+# count is CORPUS-derived (like llm.lsh_bits_for), never the core count:
+# per-shard members ≈ live docs / shards, so this target bounds the state
+# blob one group call round-trips while keeping Python invocations per
+# trigger (bands × shards) as low as that bound allows — the fixed
+# per-group protocol cost (Arrow round-trip + state Row conversion) was
+# measured at ~2-3 ms, and a fixed shards=8 spent ~20% of the whole sf0.1
+# entry on it (r15 A/B: shards 8 → size-derived on the same data:
+# embedding cand stream 14.2 → 11.4 s, minhash 12.4 → 10.8 s).
+STREAM_SHARD_TARGET_MEMBERS = 4096
+
+
+def stream_bucket_shards(n_rows: int) -> int:
+    """Shards for a corpus of ``n_rows`` live documents: smallest count
+    that keeps expected members per (band, shard) group at or under
+    ``STREAM_SHARD_TARGET_MEMBERS`` (every band sees each live doc once).
+    Emitted pairs are shard-independent — sharding only sets state/call
+    granularity — so this dial never changes results, only constants."""
+    return max(1, -(-int(n_rows) // STREAM_SHARD_TARGET_MEMBERS))
+
+
+def _table_rowcount(spark, sf_dir, table: str) -> int:
+    """Row count of a corpus table — parquet footer when the path is a
+    single file (the fixture layout), else a metadata-only Spark count
+    (mirrors llm._embeddings_rowcount)."""
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
+    except Exception:  # noqa: BLE001 - directory layout or remote store
+        return load_table(spark, sf_dir, table).count()
 
 
 def minhash_pair_stream(spark, sf_dir, staging_dir: str | None = None):
@@ -600,13 +629,17 @@ def _minhash_pair_stream(
     # Group by (band, shard-of-bucket), NOT (band, bucket): Python is invoked
     # once PER GROUP per trigger, and (band, bucket) keys are ~1 group per
     # input row (measured ~2 ms/group ⇒ the state op dominated end-to-end).
-    # STREAM_BUCKET_SHARDS is the granularity dial: groups per trigger ≤
+    # The shard count is the granularity dial: groups per trigger ≤
     # bands × shards (Python overhead), while each group's state round-trip
     # covers its whole shard (state I/O per trigger grows from
-    # O(touched buckets) toward O(all state) as shards shrink). At 100 TB,
-    # raise shards so groups ≫ cores and per-shard state stays bounded.
+    # O(touched buckets) toward O(all state) as shards shrink). It is
+    # derived from the corpus size (stream_bucket_shards), so growth raises
+    # shards to keep per-shard state bounded while a notebook-scale corpus
+    # is not taxed bands×8 Python calls per trigger for state one call
+    # could carry.
+    shards = stream_bucket_shards(_table_rowcount(spark, sf_dir, "documents"))
     sharded = bands.withColumn(
-        "shard", F.pmod("bh", F.lit(STREAM_BUCKET_SHARDS)).cast("int")
+        "shard", F.pmod("bh", F.lit(shards)).cast("int")
     )
     if ttl_s is not None:
         # the watermark ATTRIBUTE must reach the state op's input (Spark
@@ -673,26 +706,39 @@ def streaming_dedup_embedding(spark, sf_dir):
 
 def _embedding_pair_stream(spark, sf_dir, ttl_s: int | None = None):
     """The unsinked verified-pair stream behind ``streaming_dedup_embedding``
-    (+ its TTL'd form). ``ttl_s=None`` → the session's
+    (+ its TTL'd form): the candidate stream plus the exact fp64 cosine
+    verification joins. ``ttl_s=None`` → the session's
     ``table.exec.state.ttl`` when set through the engine
     (io.session_state_ttl_s), else NoTimeout bounded-replay state;
     with a TTL, bucket members carry arrival ms and are pruned past
     ``watermark − ttl``, empty shards drop their state row, idle shards
     evict whole on ``EventTimeTimeout`` — the same contract as
     ``_minhash_pair_stream``'s TTL mode."""
+    from .llm import _DOT, _with_norm, CLUSTER_SIM_T
+
+    cand = _embedding_cand_stream(spark, sf_dir, ttl_s)
+    ea = _with_norm(load_table(spark, sf_dir, "embeddings"), "a")
+    eb = _with_norm(load_table(spark, sf_dir, "embeddings"), "b")
+    dot = F.expr(_DOT.format(a="emb_a", b="emb_b"))
+    return (
+        cand.join(F.broadcast(ea), "a")
+        .join(F.broadcast(eb), "b")
+        .withColumn("sim", dot / (F.col("norm_a") * F.col("norm_b")))
+        .filter(F.col("sim") >= CLUSTER_SIM_T)
+        .select("a", "b", F.round("sim", 6).alias("sim"))
+    )
+
+
+def _embedding_cand_stream(spark, sf_dir, ttl_s: int | None = None):
+    """The candidate (a, b) pair stream: staged replay → hyperplane
+    signatures → band/prefix rows → ONE shard-keyed stateful op (split from
+    the verify joins so the stages can be measured independently)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from ..io import session_state_ttl_s
-    from .llm import (
-        _DOT,
-        _with_norm,
-        CLUSTER_LSH_BANDS,
-        CLUSTER_LSH_SEED,
-        CLUSTER_SIM_T,
-    )
-
+    from .llm import CLUSTER_LSH_BANDS, CLUSTER_LSH_SEED
     from .llm import _embeddings_rowcount, lsh_bits_for
 
     if ttl_s is None:
@@ -702,7 +748,9 @@ def _embedding_pair_stream(spark, sf_dir, ttl_s: int | None = None):
     # — and the per-arrival pair loop in bucket_pairs — grow linearly with
     # the corpus, turning the operator quadratic (measured in the r12
     # scale probe: 73x wall for 10x rows at 6 bits; ~8x after this change)
-    bits, bands = lsh_bits_for(_embeddings_rowcount(spark, sf_dir)), CLUSTER_LSH_BANDS
+    n_vecs = _embeddings_rowcount(spark, sf_dir)
+    bits, bands = lsh_bits_for(n_vecs), CLUSTER_LSH_BANDS
+    shards = stream_bucket_shards(n_vecs)
     raw = _staged_table_stream(
         spark, sf_dir, "embeddings", "vec_id", "vec_id bigint, embedding array<float>",
         arrival_step_s=None if ttl_s is None else 1,
@@ -748,7 +796,7 @@ def _embedding_pair_stream(spark, sf_dir, ttl_s: int | None = None):
         # earlier-band prefix only (2 bytes per band) — the state never
         # holds more signature payload than the dedup rule needs
         F.expr("substring(sigpack, 1, 2 * band)").alias("prefix"),
-        F.pmod("sig", F.lit(STREAM_BUCKET_SHARDS)).cast("int").alias("shard"),
+        F.pmod("sig", F.lit(shards)).cast("int").alias("shard"),
         *extra,
     )
     if ttl_s is not None:
@@ -758,6 +806,86 @@ def _embedding_pair_stream(spark, sf_dir, ttl_s: int | None = None):
         rows = rows.withColumn(
             "ev_time", F.timestamp_micros(F.col("arrival_us"))
         ).withWatermark("ev_time", "0 seconds")
+
+    def _bucket_arrivals(pdfs, ttl: bool):
+        """One micro-batch's rows for this (band, shard) group, grouped by
+        bucket in vec_id order: yields (sig, vec_ids int64 array, prefix
+        bytes list[, arrival_us array]). Within-batch duplicate vec_ids are
+        dropped here (first kept) — the emitted-pair multiset is order- and
+        duplicate-independent, so grouping per bucket is exactly equivalent
+        to the old one-arrival-at-a-time walk."""
+        chunks = list(pdfs)
+        if not chunks:
+            return
+        batch = (chunks[0] if len(chunks) == 1 else pd.concat(chunks)).sort_values(
+            "vec_id"
+        )
+        for sg, grp in batch.groupby("sig", sort=False):
+            aids = grp["vec_id"].to_numpy(np.int64)
+            if len(aids) > 1:
+                keep = np.concatenate(([True], aids[1:] != aids[:-1]))
+                if not keep.all():
+                    grp = grp[keep]
+                    aids = aids[keep]
+            aprefs = [bytes(p) for p in grp["prefix"]]
+            if ttl:
+                yield int(sg), aids, aprefs, grp["arrival_us"].to_numpy(np.int64)
+            else:
+                yield int(sg), aids, aprefs, None
+
+    def _emit_bucket(ids, prefs_m, aids, aprefs, out):
+        """Insert one bucket's new arrivals and emit their candidate pairs,
+        vectorized: every row of a (band, shard) group carries the same
+        prefix width w = 2·band bytes, so member prefixes stack into ONE
+        (n, w/2) uint16 matrix and the first-agreeing-band rule is a single
+        numpy row-compare per arrival instead of an ``np.frombuffer`` per
+        (arrival, member) pair (guide §4.2 — the per-pair loop measured
+        ~2-3 s of every trigger at sf0.1). Emitted multiset is identical:
+        a pair is emitted by the arrival processed later, iff no earlier
+        band bucketed the two together — order-independent.
+
+        Returns the kept-arrival boolean mask (replayed vec_ids dropped);
+        mutates ids/prefs_m by appending the kept arrivals."""
+        m = len(ids)
+        if m:
+            ids_arr = np.asarray(ids, dtype=np.int64)
+            newmask = ~np.isin(aids, ids_arr)
+            if not newmask.any():
+                return newmask
+            if not newmask.all():
+                aids = aids[newmask]
+                aprefs = [p for p, kp in zip(aprefs, newmask) if kp]
+        else:
+            ids_arr = np.empty(0, dtype=np.int64)
+            newmask = np.ones(len(aids), dtype=bool)
+        k = len(aids)
+        w = len(aprefs[0]) // 2  # prefix lanes = band index, group-constant
+        ids_all = np.concatenate((ids_arr, aids))
+        if w:
+            P = np.empty((m + k, w), dtype="<u2")
+            if m:
+                P[:m] = np.frombuffer(b"".join(prefs_m), dtype="<u2").reshape(m, w)
+            P[m:] = np.frombuffer(b"".join(aprefs), dtype="<u2").reshape(k, w)
+        for i in range(k):
+            base = m + i
+            if not base:
+                continue
+            if w:
+                others = ids_all[:base][~(P[:base] == P[base]).any(axis=1)]
+            else:
+                others = ids_all[:base]
+            if others.size:
+                d = ids_all[base]
+                out.append(
+                    np.stack((np.minimum(others, d), np.maximum(others, d)), axis=1)
+                )
+        ids.extend(int(x) for x in aids)
+        prefs_m.extend(aprefs)
+        return newmask
+
+    def _pairs_df(out):
+        cat = np.concatenate(out)
+        return pd.DataFrame({"a": cat[:, 0], "b": cat[:, 1]})
 
     def bucket_pairs(key, pdfs, state):
         store: dict[int, tuple[list[int], list[bytes]]] = {}
@@ -770,31 +898,16 @@ def _embedding_pair_stream(spark, sf_dir, ttl_s: int | None = None):
                     [bytes(p) for p in prefs[off : off + c]],
                 )
                 off += c
-        pairs = []
-        for pdf in pdfs:
-            order = pdf.sort_values("vec_id")
-            for sg, d, pref in zip(order["sig"], order["vec_id"], order["prefix"]):
-                d, pref = int(d), bytes(pref)
-                ids, prefs_m = store.setdefault(int(sg), ([], []))
-                if d in ids:  # replayed arrival
-                    continue
-                if pref:
-                    pu = np.frombuffer(pref, dtype="<u2")
-                    for m, mp in zip(ids, prefs_m):
-                        # first-agreeing-band rule: an earlier band that
-                        # bucketed the pair together owns the emission
-                        if not (pu == np.frombuffer(mp, dtype="<u2")).any():
-                            pairs.append((min(d, m), max(d, m)))
-                else:
-                    pairs.extend((min(d, m), max(d, m)) for m in ids)
-                ids.append(d)
-                prefs_m.append(pref)
-                if len(ids) > STREAM_BUCKET_CAP:
-                    raise ValueError(
-                        f"streaming_dedup_embedding: LSH bucket {key} exceeds "
-                        f"{STREAM_BUCKET_CAP} members — raise CLUSTER_LSH_BITS "
-                        "or pre-filter degenerate embeddings"
-                    )
+        out: list = []
+        for sg, aids, aprefs, _ in _bucket_arrivals(pdfs, ttl=False):
+            ids, prefs_m = store.setdefault(sg, ([], []))
+            _emit_bucket(ids, prefs_m, aids, aprefs, out)
+            if len(ids) > STREAM_BUCKET_CAP:
+                raise ValueError(
+                    f"streaming_dedup_embedding: LSH bucket {key} exceeds "
+                    f"{STREAM_BUCKET_CAP} members — raise CLUSTER_LSH_BITS "
+                    "or pre-filter degenerate embeddings"
+                )
         state.update(
             (
                 list(store.keys()),
@@ -803,8 +916,8 @@ def _embedding_pair_stream(spark, sf_dir, ttl_s: int | None = None):
                 [p for v in store.values() for p in v[1]],
             )
         )
-        if pairs:
-            yield pd.DataFrame(pairs, columns=["a", "b"], dtype="int64")
+        if out:
+            yield _pairs_df(out)
 
     def bucket_pairs_ttl(key, pdfs, state):
         if state.hasTimedOut:
@@ -835,32 +948,17 @@ def _embedding_pair_stream(spark, sf_dir, ttl_s: int | None = None):
                 )
             else:
                 del store[sg]
-        pairs = []
-        for pdf in pdfs:
-            order = pdf.sort_values("vec_id")
-            for sg, d, pref, aus in zip(
-                order["sig"], order["vec_id"], order["prefix"], order["arrival_us"]
-            ):
-                d, pref = int(d), bytes(pref)
-                ids, prefs_m, ts = store.setdefault(int(sg), ([], [], []))
-                if d in ids:
-                    continue
-                if pref:
-                    pu = np.frombuffer(pref, dtype="<u2")
-                    for m, mp in zip(ids, prefs_m):
-                        if not (pu == np.frombuffer(mp, dtype="<u2")).any():
-                            pairs.append((min(d, m), max(d, m)))
-                else:
-                    pairs.extend((min(d, m), max(d, m)) for m in ids)
-                ids.append(d)
-                prefs_m.append(pref)
-                ts.append(int(aus) // 1000)
-                if len(ids) > STREAM_BUCKET_CAP:
-                    raise ValueError(
-                        f"streaming_dedup_embedding_ttl: LSH bucket {key} "
-                        f"exceeds {STREAM_BUCKET_CAP} members within one TTL "
-                        "window — raise CLUSTER_LSH_BITS or pre-filter"
-                    )
+        out: list = []
+        for sg, aids, aprefs, aus in _bucket_arrivals(pdfs, ttl=True):
+            ids, prefs_m, ts = store.setdefault(sg, ([], [], []))
+            newmask = _emit_bucket(ids, prefs_m, aids, aprefs, out)
+            ts.extend(int(x) // 1000 for x in aus[newmask])
+            if len(ids) > STREAM_BUCKET_CAP:
+                raise ValueError(
+                    f"streaming_dedup_embedding_ttl: LSH bucket {key} "
+                    f"exceeds {STREAM_BUCKET_CAP} members within one TTL "
+                    "window — raise CLUSTER_LSH_BITS or pre-filter"
+                )
         if store:
             state.update(
                 (
@@ -877,8 +975,8 @@ def _embedding_pair_stream(spark, sf_dir, ttl_s: int | None = None):
             )
         else:
             state.remove()
-        if pairs:
-            yield pd.DataFrame(pairs, columns=["a", "b"], dtype="int64")
+        if out:
+            yield _pairs_df(out)
 
     cand = rows.groupBy("band", "shard").applyInPandasWithState(
         bucket_pairs if ttl_s is None else bucket_pairs_ttl,
@@ -890,17 +988,7 @@ def _embedding_pair_stream(spark, sf_dir, ttl_s: int | None = None):
         if ttl_s is None
         else GroupStateTimeout.EventTimeTimeout,
     )
-    ea = _with_norm(load_table(spark, sf_dir, "embeddings"), "a")
-    eb = _with_norm(load_table(spark, sf_dir, "embeddings"), "b")
-    dot = F.expr(_DOT.format(a="emb_a", b="emb_b"))
-    verified = (
-        cand.join(F.broadcast(ea), "a")
-        .join(F.broadcast(eb), "b")
-        .withColumn("sim", dot / (F.col("norm_a") * F.col("norm_b")))
-        .filter(F.col("sim") >= CLUSTER_SIM_T)
-        .select("a", "b", F.round("sim", 6).alias("sim"))
-    )
-    return verified
+    return cand
 
 
 def _staged_events_stream(

@@ -269,9 +269,14 @@ def _dedup_docs_dir(tmp_path):
     return str(sf)
 
 
-def test_minhash_dedup_ttl_evicts_aged_signatures(spark, tmp_path):
+def test_minhash_dedup_ttl_evicts_aged_signatures(spark, tmp_path, monkeypatch):
+    from flink_notebooks_spark.queries import streaming as streaming_mod
     from flink_notebooks_spark.queries.streaming import _minhash_pair_stream
 
+    # pin fine shard granularity: with the corpus-derived default a 12-doc
+    # fixture collapses to 1 shard per band, so content pruning never empties
+    # a whole shard row and the row-count eviction proof below is vacuous
+    monkeypatch.setattr(streaming_mod, "STREAM_SHARD_TARGET_MEMBERS", 2)
     sf = _dedup_docs_dir(tmp_path)
     out_t, q_t = _run_stream(_minhash_pair_stream(spark, sf, ttl_s=1), "append", spark)
     out_e, q_e = _run_stream(_minhash_pair_stream(spark, sf), "append", spark)
@@ -318,9 +323,13 @@ def _dedup_embeddings_dir(tmp_path):
     return str(sf)
 
 
-def test_embedding_dedup_ttl_evicts_aged_signatures(spark, tmp_path):
+def test_embedding_dedup_ttl_evicts_aged_signatures(spark, tmp_path, monkeypatch):
+    from flink_notebooks_spark.queries import streaming as streaming_mod
     from flink_notebooks_spark.queries.streaming import _embedding_pair_stream
 
+    # fine shard granularity for the row-count eviction proof (see the
+    # minhash twin above)
+    monkeypatch.setattr(streaming_mod, "STREAM_SHARD_TARGET_MEMBERS", 2)
     sf = _dedup_embeddings_dir(tmp_path)
     out_t, q_t = _run_stream(
         _embedding_pair_stream(spark, sf, ttl_s=1), "append", spark
@@ -367,3 +376,18 @@ def test_ttl_and_exact_dedup_agree_on_bounded_replay(spark, sf_dir):
         b = QUERIES[base + "_ttl"](spark, sf_dir)
         assert a.schema == b.schema
         assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_stream_bucket_shards_scales_with_corpus():
+    """The shard dial is corpus-derived (bounds per-group state members),
+    never core-count-derived — r15's per-group overhead fix."""
+    from flink_notebooks_spark.queries.streaming import (
+        STREAM_SHARD_TARGET_MEMBERS,
+        stream_bucket_shards,
+    )
+
+    assert stream_bucket_shards(0) == 1
+    assert stream_bucket_shards(1) == 1
+    assert stream_bucket_shards(STREAM_SHARD_TARGET_MEMBERS) == 1
+    assert stream_bucket_shards(STREAM_SHARD_TARGET_MEMBERS + 1) == 2
+    assert stream_bucket_shards(100 * STREAM_SHARD_TARGET_MEMBERS) == 100
