@@ -45,6 +45,38 @@ RUNTIME_CONFS = {
 
 _TUNE_WARNED: set[str] = set()
 
+# Opt-in RocksDB state store for the stateful streaming operators
+# (SPARK_GRAFT_STATE_PROVIDER=rocksdb). The r15 A/B at sf0.1 measured it
+# flat-to-slower than the default HDFS-backed provider (heaviest entry
+# 15.0 vs 13.0 s; others within noise) because these replays' state fits
+# in memory and their checkpoints already sit on fast scratch — so it is
+# NOT the default. At 100 TB-class state (keyed state ≫ executor heap) the
+# RocksDB provider with changelog checkpointing is the right call: state
+# lives off-heap/on-disk and per-trigger commits upload a changelog
+# instead of a full snapshot. The conf is runtime-settable and captured at
+# each query start, so tune() is enough for driver-provided sessions too.
+_ROCKSDB_CONFS = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+        "true"
+    ),
+}
+
+
+def _state_store_confs() -> dict:
+    prov = os.environ.get("SPARK_GRAFT_STATE_PROVIDER", "").strip().lower()
+    if prov in ("", "hdfs", "default"):
+        return {}
+    if prov == "rocksdb":
+        return dict(_ROCKSDB_CONFS)
+    raise ValueError(
+        f"SPARK_GRAFT_STATE_PROVIDER={prov!r}: expected 'rocksdb', 'hdfs', "
+        "or unset"
+    )
+
 
 def _scratch_local_dir(min_free_bytes: int = 8 * 1024**3) -> str | None:
     """Resolve ``spark.local.dir`` (shuffle files, spill, DISK_ONLY blocks).
@@ -65,26 +97,97 @@ def _scratch_local_dir(min_free_bytes: int = 8 * 1024**3) -> str | None:
     chase latency; the free-space floor keeps big-spill jobs off the RAM fs
     unless the operator explicitly opts in via the env knob.
 
+    Spill-safety at scale (ADVICE r14 medium): the free-space check runs
+    ONCE at session start, and a RAM fs competes with the page cache and
+    the JVM heap for physical memory — a job whose shuffle/spill volume
+    approaches the headroom must NOT land here. Hardening:
+
+    * the RAM-fs default additionally requires headroom ≥ 1/8 of physical
+      RAM (not just the absolute floor) — the "margin relative to total
+      RAM" option from the advice; an r15 probe of a fast-NVMe host still
+      measured the RAM fs ~25% faster on a 64-task shuffle (0.60 vs
+      0.80 s), so making it opt-in would tax every host to protect the
+      big-spill case the margin + contract below already covers;
+    * ``SPARK_GRAFT_LOCAL_DIR=none`` (or ``default``) is an explicit
+      opt-out — Spark's default tempdir, no RAM fs, no probing;
+    * the production contract is documented in NOTES.md/README: **any
+      big-spill workload must set $SPARK_GRAFT_LOCAL_DIR to the node's
+      NVMe scratch array** — on a real cluster that is what
+      spark.local.dir is for, and tmpfs is never the right answer there.
+
     A per-process subdirectory is used and reclaimed at interpreter exit:
     Spark cleans its blockmgr-*/spark-* dirs on SparkContext.stop(), but a
-    killed process would otherwise leak RAM-fs pages until reboot.
+    killed process would otherwise leak RAM-fs pages until reboot — so
+    stale ``fns-spark-local-<pid>-*`` siblings whose owning process is gone
+    are swept at startup (the pid rides the dir name).
     """
     import atexit
     import shutil
     import tempfile
 
     base = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
-    if base is None:
+    if base is not None and not base.strip():
+        base = None  # empty/whitespace value means unset, not CWD
+    if base is not None and base.strip().lower() in ("none", "default"):
+        return None  # explicit opt-out: keep Spark's default tempdir
+    if base is not None:
+        # an explicit operator choice: create it if missing, and fail with
+        # the env var named instead of a bare mkdtemp FileNotFoundError
+        try:
+            os.makedirs(base, exist_ok=True)
+        except OSError as exc:
+            raise OSError(
+                f"SPARK_GRAFT_LOCAL_DIR={base!r} is not a usable directory: {exc}"
+            ) from exc
+    else:
         shm = "/dev/shm"
         if not os.access(shm, os.W_OK):
             return None
         st = os.statvfs(shm)
-        if st.f_bavail * st.f_frsize < min_free_bytes:
+        free = st.f_bavail * st.f_frsize
+        if free < max(min_free_bytes, _phys_ram_bytes() // 8):
             return None
         base = shm
-    d = tempfile.mkdtemp(prefix="fns-spark-local-", dir=base)
+    _sweep_stale_scratch(base)
+    d = tempfile.mkdtemp(prefix=f"fns-spark-local-{os.getpid()}-", dir=base)
     atexit.register(shutil.rmtree, d, ignore_errors=True)
     return d
+
+
+def _phys_ram_bytes() -> int:
+    """Physical RAM, 0 when not determinable (then only the absolute
+    free-space floor gates the RAM-fs choice)."""
+    try:
+        return os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    except (ValueError, OSError, AttributeError):
+        return 0
+
+
+def _sweep_stale_scratch(base: str) -> None:
+    """Remove fns-spark-local-<pid>-* siblings whose owning pid is gone —
+    atexit cleanup never runs on SIGKILL, and leaked RAM-fs pages both eat
+    memory and erode the startup free-space check (ADVICE r14)."""
+    import shutil
+
+    try:
+        names = os.listdir(base)
+    except OSError:
+        return
+    for name in names:
+        if not name.startswith("fns-spark-local-"):
+            continue
+        pid_part = name[len("fns-spark-local-"):].split("-", 1)[0]
+        if not pid_part.isdigit():
+            continue  # pre-r15 layout (no pid) — age unknown, leave it
+        pid = int(pid_part)
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+        except OSError:
+            continue  # pid exists under another uid, or not inspectable
 
 
 def tune(spark: SparkSession) -> SparkSession:
@@ -96,7 +199,8 @@ def tune(spark: SparkSession) -> SparkSession:
     warned about ONCE — environment drift must be loud, not a silent source
     of wrong answers.
     """
-    for k, v in RUNTIME_CONFS.items():
+    confs = {**RUNTIME_CONFS, **_state_store_confs()}
+    for k, v in confs.items():
         try:
             spark.conf.set(k, v)
         except Exception as exc:
