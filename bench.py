@@ -46,6 +46,81 @@ def _calib_shuffle_agg(spark, _sf):
     )
 
 
+def _calib_small_files(spark, _sf):
+    """Host small-file metadata latency: create+unlink 2000 tiny files on
+    the SYSTEM default tempdir (never the engine's resolved scratch — this
+    probes the HOST class, not the engine's placement choice). Round 14/15
+    showed this dimension moving 27x between hosts while the compute-bound
+    calibrations read ~1.1x — the drift the serial/trigger-floor entries
+    feel and the original calibration set was blind to (VERDICT r14 #1)."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="fns-calib-meta-") as d:
+        for i in range(2000):
+            p = os.path.join(d, f"f{i}")
+            with open(p, "wb") as f:
+                f.write(b"x")
+            os.unlink(p)
+    return spark.range(1)
+
+
+_CALIB_STREAM_DIR: list = []
+
+
+def _calib_stream_state(spark, _sf):
+    """Fixed stateful streaming micro-replay: 2 one-file micro-batches
+    through dropDuplicates into a memory sink — per-trigger scheduling,
+    state-store load/commit, WAL/offset-log writes. This is the floor under
+    every streaming bench entry; the compute calibrations never touch it
+    (VERDICT r14 #1: streaming entries drifted x1.4-1.6 between host
+    classes while calib_jvm_sum read x1.1). Staging is memoized per
+    process; every call runs a fresh query + checkpoint."""
+    import tempfile
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not _CALIB_STREAM_DIR:
+        d = tempfile.mkdtemp(prefix="fns-calib-stream-")
+        for i in range(2):
+            tbl = pa.table(
+                {"k": pa.array(range(i * 64, i * 64 + 64), pa.int64())}
+            )
+            p = f"{d}/{i:02d}.parquet"
+            pq.write_table(tbl, p)
+            os.utime(p, (i, i))
+        _CALIB_STREAM_DIR.append(d)
+    name = "calib_strm_" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix="fns-calib-ckpt-")
+    # pin the state partition count (captured at query start) so the fixed
+    # job is identical at every $SPARK_GRAFT_CPUS
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            spark.readStream.schema("k bigint")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(_CALIB_STREAM_DIR[0])
+            .dropDuplicates(["k"])
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    out = spark.table(name).groupBy().count()
+    spark.catalog.dropTempView(name)
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
 # Fixed calibration jobs (VERDICT r12 #2): their code NEVER changes across
 # rounds, so cross-archive movement on them measures the HOST (CPU steal,
 # page cache, JVM/JIT variance), not the engine. bench_compare.py uses them
@@ -53,10 +128,16 @@ def _calib_shuffle_agg(spark, _sf):
 # the same grouped-reps/median protocol as queries, once at the start and
 # once at the end of the run (drift WITHIN a run shows up as start/end
 # disagreement). DO NOT edit these bodies — that would break the baseline.
+# r15 adds two members for the dimensions the original three are blind to
+# (small-file metadata latency, the streaming trigger floor); they are
+# fixed from r15 on, and bench_compare keys drift on the INTERSECTION of
+# calibration names so archives without them still compare.
 CALIBRATION = {
     "calib_jvm_sum": _calib_jvm_sum,  # pure whole-stage-codegen compute
     "calib_parquet_scan": _calib_parquet_scan,  # scan + column decode
     "calib_shuffle_agg": _calib_shuffle_agg,  # exchange + hash aggregate
+    "calib_small_files": _calib_small_files,  # host metadata latency (r15+)
+    "calib_stream_state": _calib_stream_state,  # trigger floor (r15+)
 }
 
 

@@ -1533,6 +1533,14 @@ _SQL_CMS_PROBES = ", ".join(f"('{w}')" for w in CMS_PROBES)
 # md5-lower-64 of an arbitrary string expression, as used by curation_split:
 # Spark reverses the low 16 hex chars byte-pairwise and conv()s to decimal —
 # equal to DuckDB's md5_number_lower little-endian interpretation.
+# NOTE (ADVICE r14): sequence(15, 0, -1) deliberately over-runs the digest —
+# for i in 8..15 the substring start (17 + i*2 = 33..47) lies past the
+# 32-char md5 and resolves to '', so only the LOW 8 bytes are reversed.
+# That truncation is load-bearing (it IS the md5_number_lower low-64
+# semantics); the range is not dead and must not be "fixed" to 7..0.
+# _cms_cols_py's byte-pair reversal over [16:32] mirrors the same 8 bytes;
+# the pinned hashlib-vs-Catalyst fuzz test fails loudly if either side
+# drifts.
 _CMS_HASH = (
     "CAST(conv(concat_ws('', transform(sequence(15, 0, -1), "
     "i -> substring(md5({key}), 17 + i*2, 2))), 16, 10) AS DECIMAL(20,0))"

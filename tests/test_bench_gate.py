@@ -123,3 +123,72 @@ def test_gate_cli_exit_codes(tmp_path):
     assert run(str(nc), str(ok_new), "--gate").returncode == 2
     # default (non-gate) mode stays a pure reporting tool: exit 0
     assert run(str(ok_old), str(bad_new)).returncode == 0
+
+
+def test_stream_drift_adjusts_streaming_entries_only():
+    from bench_compare import stream_drift
+
+    calib_old = {"calib_jvm_sum": 1.0, "calib_stream_state": 1.0}
+    # the host's trigger-floor class got 2x slower while compute is flat —
+    # the r14 host-class shift the compute-only drift was blind to
+    calib_new = {"calib_jvm_sum": 1.0, "calib_stream_state": 2.0}
+    old = _archive(
+        {"strm": 5.0, "batch": 5.0},
+        calib=calib_old,
+        triggers={"strm": 4, "batch": 0},
+    )
+    new = _archive(
+        {"strm": 10.0, "batch": 5.2},
+        calib=calib_new,
+        triggers={"strm": 4, "batch": 0},
+    )
+    assert stream_drift(old, new) == pytest.approx(2.0)
+    fails, drift = gate_failures(old, new)
+    # the streaming 2x is fully explained by the stream-floor drift; the
+    # batch entry is within noise — gate passes
+    assert fails == [] and drift == pytest.approx(1.0)
+
+
+def test_stream_drift_does_not_excuse_batch_regressions():
+    calib = {"calib_jvm_sum": 1.0, "calib_stream_state": 1.0}
+    calib_new = {"calib_jvm_sum": 1.0, "calib_stream_state": 2.0}
+    old = _archive({"batch": 5.0}, calib=calib, triggers={"batch": 0})
+    new = _archive({"batch": 10.0}, calib=calib_new, triggers={"batch": 0})
+    fails, _ = gate_failures(old, new)
+    assert len(fails) == 1 and "batch" in fails[0]
+
+
+def test_compute_drift_ignores_the_new_calibration_classes():
+    # a 10x metadata/stream shift must not drag the compute median
+    old = _archive(
+        {},
+        calib={
+            "calib_jvm_sum": 1.0,
+            "calib_parquet_scan": 1.0,
+            "calib_shuffle_agg": 1.0,
+            "calib_small_files": 1.0,
+            "calib_stream_state": 1.0,
+        },
+    )
+    new = _archive(
+        {},
+        calib={
+            "calib_jvm_sum": 1.0,
+            "calib_parquet_scan": 1.1,
+            "calib_shuffle_agg": 1.0,
+            "calib_small_files": 10.0,
+            "calib_stream_state": 10.0,
+        },
+    )
+    assert host_drift(old, new) == pytest.approx(1.0)
+
+
+def test_stream_drift_none_when_either_side_lacks_it():
+    from bench_compare import stream_drift
+
+    old = _archive({}, calib={"calib_jvm_sum": 1.0})
+    new = _archive(
+        {}, calib={"calib_jvm_sum": 1.0, "calib_stream_state": 1.5}
+    )
+    assert stream_drift(old, new) is None
+    assert stream_drift(new, new) == pytest.approx(1.0)

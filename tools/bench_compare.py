@@ -71,16 +71,43 @@ def _load(path: str) -> dict:
     raise SystemExit(f"{path}: no JSON summary line found")
 
 
+# the original (r13) calibration trio — the COMPUTE class. r15 added
+# calib_small_files (host metadata latency) and calib_stream_state (the
+# streaming trigger floor): different host dimensions that must not be
+# median-mixed into the compute drift, because the whole point of adding
+# them is that they move independently (r14: streaming entries drifted
+# x1.4-1.6 between host classes while the compute trio read x1.1).
+_COMPUTE_CALIB = ("calib_jvm_sum", "calib_parquet_scan", "calib_shuffle_agg")
+_STREAM_CALIB = "calib_stream_state"
+
+
 def host_drift(old: dict, new: dict) -> float | None:
-    """Median new/old ratio of the shared fixed-code calibration entries —
-    the host's speed change between the two archives, measured on jobs
-    whose code cannot have changed. None when not separable."""
+    """Median new/old ratio of the shared fixed-code COMPUTE calibration
+    entries — the host's speed change between the two archives, measured on
+    jobs whose code cannot have changed. None when not separable."""
     co = old.get("calibration") or {}
     cn = new.get("calibration") or {}
-    shared = [k for k in co if k in cn and co[k] > 0 and cn[k] > 0]
+    shared = [
+        k for k in co if k in cn and co[k] > 0 and cn[k] > 0 and k in _COMPUTE_CALIB
+    ]
+    if not shared:  # pre-r13 archives, or custom calibration sets
+        shared = [k for k in co if k in cn and co[k] > 0 and cn[k] > 0]
     if not shared:
         return None
     return statistics.median(cn[k] / co[k] for k in shared)
+
+
+def stream_drift(old: dict, new: dict) -> float | None:
+    """new/old ratio of the fixed stateful streaming micro-replay
+    (calib_stream_state, r15+) — the trigger-floor class's own host drift.
+    None when either archive predates it; callers then fall back to the
+    compute drift for streaming entries (the pre-r15 behavior)."""
+    co = old.get("calibration") or {}
+    cn = new.get("calibration") or {}
+    a, b = co.get(_STREAM_CALIB), cn.get(_STREAM_CALIB)
+    if a and b and a > 0 and b > 0:
+        return b / a
+    return None
 
 
 def gate_failures(old: dict, new: dict) -> tuple[list[str], float | None]:
@@ -93,8 +120,18 @@ def gate_failures(old: dict, new: dict) -> tuple[list[str], float | None]:
             "gate needs fixed-code calibration entries on BOTH archives "
             "(bench.py r13+) to separate host drift from code regressions"
         )
+    sdrift = stream_drift(old, new)
     qo, qn = old["queries"], new["queries"]
     to, tn = old.get("triggers", {}), new.get("triggers", {})
+
+    def drift_for(k: str) -> float:
+        # streaming entries (triggers on both sides) are adjusted by the
+        # trigger-floor calibration when both archives carry it — the class
+        # the compute drift is blind to (VERDICT r14 #1)
+        if sdrift is not None and to.get(k) and tn.get(k):
+            return sdrift
+        return drift
+
     shared = sorted(set(qo) & set(qn))
     fails: list[str] = []
     attributed: set[str] = set()  # entry-failed or floor-explained
@@ -102,7 +139,7 @@ def gate_failures(old: dict, new: dict) -> tuple[list[str], float | None]:
         a, b = qo[k], qn[k]
         if a <= 0 or b < 0:
             continue
-        adj = b / drift  # the wall this entry "would have" on the old host
+        adj = b / drift_for(k)  # this entry's wall "on the old host"
         if adj - a < GATE_ABS_SEC or (adj - a) / a < GATE_REL:
             continue
         ta, tb = to.get(k), tn.get(k)
@@ -126,14 +163,15 @@ def gate_failures(old: dict, new: dict) -> tuple[list[str], float | None]:
     both = [k for k in shared if qo[k] >= 0 and qn[k] >= 0 and k not in attributed]
     so = sum(qo[k] for k in both)
     sn = sum(qn[k] for k in both)
+    sn_adj = sum(qn[k] / drift_for(k) for k in both)
     if (
         so > 0
-        and sn / drift - so >= GATE_TOTAL_ABS_SEC
-        and (sn / drift - so) / so >= GATE_TOTAL_REL
+        and sn_adj - so >= GATE_TOTAL_ABS_SEC
+        and (sn_adj - so) / so >= GATE_TOTAL_REL
     ):
         fails.append(
             f"shared total: {so:.1f}s -> {sn:.1f}s (drift-adjusted "
-            f"{sn / drift:.1f}s, {(sn / drift - so) / so * 100:+.0f}%)"
+            f"{sn_adj:.1f}s, {(sn_adj - so) / so * 100:+.0f}%)"
         )
     return fails, drift
 
@@ -173,7 +211,9 @@ def main(argv: list[str]) -> int:
         except ValueError as e:
             print(f"GATE NOT COMPUTABLE: {e}")
             return 2
-        print(f"gate: host drift x{drift:.2f}", end="  ")
+        sd = stream_drift(old, new)
+        sd_note = f" stream-floor x{sd:.2f}" if sd is not None else ""
+        print(f"gate: host drift x{drift:.2f}{sd_note}", end="  ")
         if fails:
             print(f"FAIL ({len(fails)} regression(s) beyond the noise band):")
             for f in fails:
@@ -214,6 +254,7 @@ def main(argv: list[str]) -> int:
     # explained by a changed trigger count — is a floor artifact, not a
     # per-row regression (VERDICT r11 #6)
     to, tn = old.get("triggers", {}), new.get("triggers", {})
+    sdrift_r = stream_drift(old, new)
     moved = []
     for k in shared:
         a, b = qo[k], qn[k]
@@ -224,8 +265,13 @@ def main(argv: list[str]) -> int:
             moved.append((rel, k, a, b))
     for rel, k, a, b in sorted(moved, reverse=True):
         tags = []
-        if drift is not None:
-            residual = (b / a) / drift - 1
+        class_drift = (
+            sdrift_r
+            if sdrift_r is not None and to.get(k) and tn.get(k)
+            else drift
+        )
+        if class_drift is not None:
+            residual = (b / a) / class_drift - 1
             tags.append(f"drift-adjusted {residual * 100:+.0f}%")
             if abs(residual) < threshold:
                 tags.append("within host drift")
