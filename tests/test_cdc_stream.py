@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 import pyarrow as pa
@@ -52,6 +54,7 @@ def _run(spark, tmp_path, batches, n_buckets=4):
     return {r["id"]: r["v"] for r in snap.collect()}
 
 
+@pytest.mark.slow
 def test_stream_apply_upsert_and_delete(spark, tmp_path):
     """Multi-trigger create → update → delete reaches the same state as the
     batch apply_changelog over the full change set."""
@@ -71,6 +74,7 @@ def test_stream_apply_upsert_and_delete(spark, tmp_path):
     assert got == {1: "a2", 3: "c"}
 
 
+@pytest.mark.slow
 def test_stream_apply_tombstone_blocks_resurrection(spark, tmp_path):
     """A late-arriving OLDER image (smaller ts_ms in a later batch) must not
     resurrect a deleted key — the tombstone persists in state and wins on
@@ -221,6 +225,7 @@ def test_stream_apply_is_format_agnostic_canal(spark, tmp_path):
     assert {r["id"]: r["v"] for r in snap.collect()} == {1: "a2"}
 
 
+@pytest.mark.slow
 def test_stream_apply_continuous_trigger_soak(spark, tmp_path):
     """VERDICT r7 ask #6: the oracle queries replay with availableNow; the
     long-lived deployment mode is a processingTime trigger with batches

@@ -8,6 +8,8 @@ partitioning invariance, and the one-text-exchange plan contract.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from flink_notebooks_spark.io import load_table
@@ -74,6 +76,7 @@ def test_span_scrub_single_text_exchange(spark, sf_dir):
     )
 
 
+@pytest.mark.slow
 def test_perplexity_buckets_terciles_balanced(spark, sf_dir):
     """Within every source the three buckets differ in size by at most 1 and
     head's max NLL ≤ middle's min NLL ≤ tail's min NLL (rank-ordered
@@ -166,6 +169,7 @@ def test_mixture_sample_partitioning_invariant(spark, sf_dir):
     assert scattered == base
 
 
+@pytest.mark.slow
 def test_streaming_sample_matches_batch_exactly(spark, sf_dir):
     """Bottom-K-by-hash is mergeable: the staged 4-trigger replay's final
     state must equal the batch sample row for row (same hash order, same
@@ -177,6 +181,7 @@ def test_streaming_sample_matches_batch_exactly(spark, sf_dir):
     assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
 
 
+@pytest.mark.slow
 def test_pretrain_pipeline_stage_contracts(spark, sf_dir):
     """The capstone's output must satisfy every stage's contract at once:
     all sampled docs are English, pass the quality gate, are unique by
@@ -215,6 +220,7 @@ def test_pretrain_pipeline_no_text_in_exchanges(spark, sf_dir):
     assert count_text_exchanges(QUERIES["pretrain_mix_pipeline"](spark, sf_dir)) == 0
 
 
+@pytest.mark.slow
 def test_streaming_sample_per_source_checkpoint_restart(spark, sf_dir, tmp_path, duck):
     """VERDICT r9 #6: the per-source bottom-K-by-hash reservoir must survive
     a restart. Two-phase held-back replay (shared harness): phase 1 sees 2

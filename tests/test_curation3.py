@@ -5,11 +5,14 @@ leaks on the same corpus."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from flink_notebooks_spark.queries import QUERIES
 
 
+@pytest.mark.slow
 def test_safe_split_has_zero_cross_split_pairs(spark, sf_dir):
     from flink_notebooks_spark.queries.llm import jaccard_pairs_df
 

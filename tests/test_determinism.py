@@ -107,6 +107,7 @@ def _run_at(spark, sf_dir, name, partitions):
 
 
 @pytest.mark.parametrize("name", INVARIANT_QUERIES)
+@pytest.mark.slow
 def test_result_invariant_under_shuffle_parallelism(name, spark, sf_dir):
     lo = _run_at(spark, sf_dir, name, 3)
     hi = _run_at(spark, sf_dir, name, 48)

@@ -107,5 +107,6 @@ def empty_sf_dir(tmp_path_factory):
 
 
 @pytest.mark.parametrize("name", EMPTY_QUERIES)
+@pytest.mark.slow
 def test_query_on_empty_input_returns_empty(name, spark, empty_sf_dir):
     assert QUERIES[name](spark, empty_sf_dir).count() == 0

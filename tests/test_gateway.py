@@ -621,6 +621,7 @@ def test_close_session_with_live_operations_race(gw_obj):
     _await_no_active_streams([sess_spark])
 
 
+@pytest.mark.slow
 def test_execute_statement_vs_close_session_race(gw_obj):
     """Hammer the execute/close window: a thread POSTs a streaming statement
     while the main thread closes the session. Whatever interleaving occurs,
@@ -662,6 +663,7 @@ def test_execute_statement_vs_close_session_race(gw_obj):
     _await_no_active_streams(session_sparks)
 
 
+@pytest.mark.slow
 def test_ttl_stateful_stream_serves_changelog_kinds(gw_obj, spark, sf_dir):
     """A TTL'd keyed-state stream (the round-11 funnel with EventTimeTimeout
     eviction) submitted through the gateway must serve Flink-style changelog

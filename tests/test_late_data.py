@@ -17,6 +17,8 @@ window stays open (append emits a window exactly once, on close).
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import time
 
@@ -35,6 +37,7 @@ def _write(path: str, times_s: list[int]) -> None:
     pq.write_table(tbl, path)
 
 
+@pytest.mark.slow
 def test_late_rows_dropped_after_restart(spark, tmp_path):
     from flink_notebooks_spark.session import tune
 

@@ -9,6 +9,8 @@ algorithm, plus the fold-expression semantics the merge step relies on.
 
 from __future__ import annotations
 
+import pytest
+
 
 from collections import Counter
 
@@ -58,6 +60,7 @@ def _ref_bpe(word_counts: dict[str, int], n_merges: int) -> list[tuple]:
     return merges
 
 
+@pytest.mark.slow
 def test_bpe_train_matches_reference(spark, sf_dir, duck):
     rows = duck.execute(
         "SELECT word, COUNT(*) FROM (SELECT unnest("
@@ -100,6 +103,7 @@ def test_merge_fold_handles_multichar_and_eow(spark):
     assert out == [["ab", "c" + _BPE_EOW], ["c", "ab", "c"]]
 
 
+@pytest.mark.slow
 def test_bpe_merge_parity_fuzz(spark):
     """The SQL fold and the reference scan must agree on ANY symbol
     sequence, including the adversarial shapes the fixture lacks (runs of
@@ -168,6 +172,7 @@ def test_quantile_sketch_within_rank_tolerance(spark, sf_dir):
             assert lo <= r[col] <= hi, (r["source"], col, r[col], lo, hi)
 
 
+@pytest.mark.slow
 def test_streaming_budget_admission_chunk_order_safe(spark, sf_dir, duck):
     """admit() must concat-then-sort ALL Arrow chunks before the cumsum:
     with 16-row Arrow batches every source group spans multiple chunks in
@@ -189,6 +194,7 @@ def test_streaming_budget_admission_chunk_order_safe(spark, sf_dir, duck):
     assert got == want
 
 
+@pytest.mark.slow
 def test_streaming_markov_checkpoint_restart(spark, sf_dir, tmp_path):
     """Resume the Markov delta stream from its checkpoint: per-user
     last-type state must restore, no boundary transition may be lost or
@@ -262,6 +268,7 @@ def test_bpe_apply_matches_reference(spark, sf_dir, duck):
     assert got == want
 
 
+@pytest.mark.slow
 def test_bpe_batching_reduces_rounds(spark, sf_dir):
     """VERDICT r8 #2: one Spark job per merge serializes ~50k
     driver-scheduled jobs at production vocab sizes. The batched loop
@@ -277,6 +284,7 @@ def test_bpe_batching_reduces_rounds(spark, sf_dir):
     )
 
 
+@pytest.mark.slow
 def test_bpe_batched_loop_matches_sequential_fuzz(spark):
     """The batch selection must be EXACT on adversarial vocabularies —
     tiny alphabets force maximally-interacting top pairs (shared symbols,
@@ -306,6 +314,7 @@ def test_bpe_batched_loop_matches_sequential_fuzz(spark):
     check()
 
 
+@pytest.mark.slow
 def test_streaming_budget_curation_checkpoint_restart(spark, sf_dir, tmp_path, duck):
     """VERDICT r8 #5: the admission stream's per-source spent-counter must
     survive a restart. Deterministic two-phase split (the markov pattern):
@@ -340,6 +349,7 @@ def test_streaming_budget_curation_checkpoint_restart(spark, sf_dir, tmp_path, d
     assert got
 
 
+@pytest.mark.slow
 def test_streaming_similarity_topk_checkpoint_restart(spark, sf_dir, tmp_path):
     """VERDICT r8 #5: the per-shard running-top-k state must survive a
     restart. Two-phase held-back replay; the stream is an UPDATE-mode
@@ -430,6 +440,7 @@ def test_cms_python_hash_matches_catalyst(spark):
             assert got[(w, d)] == cols[d], (w, d, got[(w, d)], cols[d])
 
 
+@pytest.mark.slow
 def test_streaming_cms_matches_batch_sketch(spark, sf_dir):
     """The streaming sketch (per-occurrence stateful cell COUNT) must equal
     the batch sketch (per-word pre-aggregate, then cell SUM of counts)

@@ -3,6 +3,8 @@ verified against exact in-Spark baselines at test scale."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from flink_notebooks_spark.queries import QUERIES
@@ -35,6 +37,7 @@ def test_simhash_block_join_is_exact_for_hamming3(spark, sf_dir):
     assert not pdf.duplicated(["a", "b"]).any()
 
 
+@pytest.mark.slow
 def test_simhash_adaptive_blocks_output_invariant(spark, sf_dir):
     """VERDICT r12 #1: SimHash block geometry resolves from corpus size
     (simhash_blocks_for — B=4 on every fixture, growing only past ~2M docs
@@ -120,6 +123,7 @@ def test_ann_adaptive_path_executes_on_fixture(spark, sf_dir, monkeypatch):
     assert recall >= 0.05, f"adaptive-LSH recall {recall:.2f} degenerate"
 
 
+@pytest.mark.slow
 def test_ivf_distributed_training_path(spark, sf_dir):
     """The beyond-cap training path (pyspark.ml KMeans over the whole
     corpus, no driver-side sample matrix) — engaged automatically past
@@ -295,6 +299,7 @@ def test_tf_quality_features_broadcast_is_bounded(spark, sf_dir):
     )
 
 
+@pytest.mark.slow
 def test_connected_components_chain_converges_log_rounds(spark):
     """A 64-node chain is the adversarial case for min-label propagation
     (O(diameter) = 63 rounds); large-star/small-star must collapse it to a
@@ -343,6 +348,7 @@ def test_lsh_bits_scale_with_corpus():
     assert lsh_bits_for(10**12) == 16  # sigpack lane cap
 
 
+@pytest.mark.slow
 def test_embedding_clusters_lsh_matches_exact_labels(spark, sf_dir):
     """The banded-LSH default geometry (6 bits × 80 bands, seed 0) has
     measured recall 1.0 on the verification corpora, so its cluster labels
@@ -355,6 +361,7 @@ def test_embedding_clusters_lsh_matches_exact_labels(spark, sf_dir):
     assert lsh == exact
 
 
+@pytest.mark.slow
 def test_embedding_clusters_lsh_pairs_are_exact_subset(spark, sf_dir):
     """Verification inside each bucket is exact cosine: the LSH pair set can
     never contain a false positive — it is a subset of the exact threshold
@@ -372,6 +379,7 @@ def test_embedding_clusters_lsh_pairs_are_exact_subset(spark, sf_dir):
     assert lsh_pairs  # non-trivial at test scale
 
 
+@pytest.mark.slow
 def test_embedding_clusters_lsh_never_builds_allpairs_gemm(spark, sf_dir, monkeypatch):
     """Candidate mode must not touch the O(n²) block-GEMM pair source: the
     whole LSH cluster pipeline runs to completion with cosine_pairs_df
@@ -458,6 +466,7 @@ def test_profile_sketch_matches_exact_within_tolerance(spark, sf_dir):
         assert abs(s["n_distinct"] - e["n_distinct"]) <= max(1, 0.06 * e["n_distinct"])
 
 
+@pytest.mark.slow
 def test_knn_label_vote_ann_matches_recomputed_majority(spark, sf_dir):
     """The ANN-fed vote must EXACTLY equal an independent majority
     recomputation over the same ANN neighbor lists (pins the vote/argmax
@@ -544,6 +553,7 @@ def test_cluster_lsh_shuffle_payload_is_compact(spark, sf_dir):
         assert "emb" not in inp, f"vector payload crosses the exchange: {inp}"
 
 
+@pytest.mark.slow
 def test_cluster_lsh_single_signature_scan(spark, sf_dir, monkeypatch):
     """The salt-counting pass must derive from the SAME cached signature
     pass as the bucket stage — ONE corpus scan + ONE BLAS sign-bit product
@@ -587,6 +597,7 @@ def test_cluster_lsh_single_signature_scan(spark, sf_dir, monkeypatch):
     assert full.count() > 0
 
 
+@pytest.mark.slow
 def test_cluster_lsh_hot_bucket_split_bounded_and_exact(spark, tmp_path, monkeypatch):
     """Planted hot bucket: a corpus of IDENTICAL vectors collapses every
     band into one bucket — no static `bits` fixes that (identical vectors
@@ -758,6 +769,7 @@ def test_cluster_lsh_salt_plan_overload_raises(spark, sf_dir, monkeypatch):
         llm._lsh_salt_plan(sigged, cap=1)  # cap=1: every bucket is "hot"
 
 
+@pytest.mark.slow
 def test_source_kl_divergence_invariants(spark, sf_dir):
     """Gibbs' inequality: KL(source || corpus) >= 0 for every source (up to
     the 9-decimal term rounding), one row per source, token totals conserve
@@ -772,6 +784,7 @@ def test_source_kl_divergence_invariants(spark, sf_dir):
     assert pdf["n_tokens"].sum() == total
 
 
+@pytest.mark.slow
 def test_ann_scan_accumulates_across_arrow_batches(spark, sf_dir):
     """The PQ-family scans must merge per-query winners ACROSS Arrow
     batches and emit once per task (review r6: per-batch emission made the
@@ -982,6 +995,7 @@ def test_streaming_dedup_embedding_matches_batch(spark, sf_dir):
     assert any(a // step != b // step for a, b in zip(batch["a"], batch["b"]))
 
 
+@pytest.mark.slow
 def test_streaming_dedup_minhash_checkpoint_restart(spark, sf_dir, tmp_path):
     """Round 8 durability: kill the streaming dedup mid-replay and resume
     from its checkpoint — bucket state (shard-packed member lists) must

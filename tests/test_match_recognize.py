@@ -370,6 +370,7 @@ _FUNNEL = """
 """
 
 
+@pytest.mark.slow
 def test_streaming_mr_match_spans_micro_batches(spark, tmp_path):
     """A match whose rows arrive across two files must assemble from keyed
     state and emit exactly once — when a later mature row closes it."""
@@ -390,6 +391,7 @@ def test_streaming_mr_match_spans_micro_batches(spark, tmp_path):
     assert rows == {(1, 10, 40, 2)}
 
 
+@pytest.mark.slow
 def test_streaming_mr_frontier_holds_open_match(spark, tmp_path):
     """Without close_after, a match that consumes to the buffer end stays
     open (a later click could extend B+) — nothing may emit."""
@@ -404,6 +406,7 @@ def test_streaming_mr_frontier_holds_open_match(spark, tmp_path):
     assert rows == set()
 
 
+@pytest.mark.slow
 def test_streaming_mr_close_after_concludes_idle_key(spark, tmp_path):
     """With close_after, an idle key concludes its open tail match once the
     watermark passes its inactivity deadline (event time)."""
@@ -506,6 +509,7 @@ def test_vectorized_matcher_equals_general(seed, skip, pattern, meas):
     assert fmeta == gmeta
 
 
+@pytest.mark.slow
 def test_vectorized_matcher_throughput():
     """The stretch contract: the funnel-class matcher must sustain ≥1M
     rows/s single-threaded on a 10× events-scale stream (the scalar
@@ -556,6 +560,7 @@ _RISING = """
 """
 
 
+@pytest.mark.slow
 def test_streaming_prev_in_define_matches_batch(spark, tmp_path):
     """PREV in DEFINE on a streaming input (deferred per-key evaluation)
     must produce exactly the batch lag()-window result on replay."""
@@ -587,6 +592,7 @@ def test_streaming_prev_in_define_matches_batch(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_streaming_prev_carries_across_consumed_rows(spark, tmp_path):
     """A row's PREV may reference a row CONSUMED by an earlier emitted match
     in an earlier micro-batch — the keyed state must carry that context."""
@@ -613,6 +619,7 @@ def test_streaming_prev_carries_across_consumed_rows(spark, tmp_path):
     assert got == {(1, 2.0), (1, 3.0)}
 
 
+@pytest.mark.slow
 def test_streaming_prev_carries_across_consumed_rows_missing_second_closer(spark, tmp_path):
     """close_after must conclude a held match even when the rising row's
     PREV context row was consumed: timeout path also evaluates deferred
@@ -639,6 +646,7 @@ def test_streaming_prev_carries_across_consumed_rows_missing_second_closer(spark
     assert got == {(1, 2.0)}
 
 
+@pytest.mark.slow
 def test_streaming_cross_variable_define(spark, tmp_path):
     """Cross-variable DEFINE on streaming input: same keyed-state matcher,
     same NFA-condition semantics, emitted under the frontier rule."""
@@ -704,6 +712,7 @@ def test_skip_to_unknown_variable_rejected():
         )
 
 
+@pytest.mark.slow
 def test_streaming_prev_with_or_disjunct_matches_batch(spark, tmp_path):
     """A PREV-bearing comparison under OR: a null PREV kills only that
     atom, not the whole condition (first row must still match via the
@@ -851,6 +860,7 @@ def test_within_requires_timestamp_order(spark):
         )
 
 
+@pytest.mark.slow
 def test_streaming_within_matches_batch(spark, tmp_path):
     rows = [
         dict(user_id=1, ts_s=10, event_type="view"),
@@ -923,6 +933,7 @@ _PREV_EXPR = """
 """
 
 
+@pytest.mark.slow
 def test_streaming_prev_over_expression_matches_batch(spark, tmp_path):
     """PREV over a column-arithmetic expression (PREV(v + 1)) on streaming
     input: the shifted helper column must reproduce the batch
@@ -960,6 +971,7 @@ _NOT_PREV = """
 """
 
 
+@pytest.mark.slow
 def test_streaming_not_over_prev_matches_batch(spark, tmp_path):
     """NOT over a PREV-bearing subexpression: dual-rail Kleene evaluation
     makes NOT(unknown) unknown — the partition's FIRST row (null PREV) must
@@ -1015,6 +1027,7 @@ def test_bounded_quantifier_routes_through_fast_path():
     assert fast is not None and fast[1] > 0
 
 
+@pytest.mark.slow
 def test_streaming_matcher_throughput_envelope(tmp_path):
     """The keyed-state streaming matcher's per-key throughput ceiling,
     measured end-to-end (micro-batch lifecycle + state round-trip + Arrow +
@@ -1077,6 +1090,7 @@ _PREV_NAV = """
 """
 
 
+@pytest.mark.slow
 def test_streaming_prev_with_navigation_matches_batch(spark, tmp_path):
     """PREV combined with cross-variable navigation in ONE condition on
     streaming input (previously a NotImplementedError): rising runs anchored
@@ -1103,6 +1117,7 @@ def test_streaming_prev_with_navigation_matches_batch(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_streaming_stateful_prev_reads_consumed_context(spark, tmp_path):
     """A match-state condition's PREV may reference a row consumed by an
     earlier trigger's emitted match: the consumed-row carry is prepended as
@@ -1252,6 +1267,7 @@ def test_permute_quantified_elements(spark):
     assert got == {(1, 30, 2), (1, 40, 1)}
 
 
+@pytest.mark.slow
 def test_streaming_permute_matches_batch(spark, tmp_path):
     evs = ["b", "a", "a", "b", "c", "a", "b"]
     batch_got = {
@@ -1348,6 +1364,7 @@ def test_navigation_targets_group_member_rows_only(spark):
     assert got == {(1, 5.0)}
 
 
+@pytest.mark.slow
 def test_streaming_alternation_group_with_stateful_member(spark, tmp_path):
     rows = [
         dict(user_id=1, ts_s=10, event_type="s", v=2.0),
@@ -1460,6 +1477,7 @@ def test_single_var_group_flattens(spark):
     ]
 
 
+@pytest.mark.slow
 def test_streaming_sequence_group_matches_batch(spark, tmp_path):
     clause = """
         PARTITION BY user_id
@@ -1488,6 +1506,7 @@ def test_streaming_sequence_group_matches_batch(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_streaming_mr_state_survives_query_restart(spark, tmp_path):
     """A match spanning a query RESTART: the keyed state (row buffer +
     match counter + consumed-row carry) lives in the checkpoint, so a new
@@ -1711,6 +1730,7 @@ def test_two_unbounded_groups_match_and_greed(spark):
     assert [(r.n_a, r.n_c) for r in out2] == [(2, 1)]
 
 
+@pytest.mark.slow
 def test_two_unbounded_groups_streaming_matches_batch(spark, tmp_path):
     """Both repetition runs assemble across micro-batches in keyed state."""
     rows = _mr_stream_run(
@@ -1739,6 +1759,7 @@ def test_two_unbounded_groups_streaming_matches_batch(spark, tmp_path):
     assert rows == {(1, 2, 2)}
 
 
+@pytest.mark.slow
 def test_unbounded_group_streaming_matches_batch(spark, tmp_path):
     """Repetitions split across micro-batches assemble in keyed state; the
     result equals the batch parse (2 reps + closer)."""
@@ -1767,6 +1788,7 @@ def test_unbounded_group_streaming_matches_batch(spark, tmp_path):
     assert rows == {(1, 2, 50)}
 
 
+@pytest.mark.slow
 def test_streaming_holds_partial_group_repetition(spark, tmp_path):
     """Frontier rule for variant patterns: after (A B) the next A opens a
     SECOND repetition at the frame end — the 1-rep match must NOT emit
@@ -1870,6 +1892,7 @@ def test_permute_plain_variables_still_runtime_enumerated(spark):
     ]
 
 
+@pytest.mark.slow
 def test_permute_group_streaming_matches_batch(spark, tmp_path):
     """Group-bearing PERMUTE goes through the same keyed-state matcher:
     the C-first ordering assembled across micro-batches emits once."""
@@ -1952,6 +1975,7 @@ def test_nested_quantifier_empty_body_raises(spark):
         )
 
 
+@pytest.mark.slow
 def test_permute_alternation_group_element(spark):
     """PERMUTE((A|B), C): the alternation element matches either variable,
     in either order relative to C."""
@@ -1969,6 +1993,7 @@ def test_permute_alternation_group_element(spark):
     assert out == []
 
 
+@pytest.mark.slow
 def test_unbounded_group_stream_fuzz_parity(spark, tmp_path):
     """Randomized tag sequences over multiple keys, random micro-batch
     splits: streaming (A B)+ C must equal the batch parse exactly (the
@@ -2150,6 +2175,7 @@ def test_within_evict_to_rule():
     assert _within_evict_to(ts, 5_000, 30_000, 0, 4) == 0
 
 
+@pytest.mark.slow
 def test_streaming_within_evicts_dead_rows_keeps_answer(spark, tmp_path):
     """A never-matching old row is evicted from keyed state once its whole
     WITHIN window matures — and the later in-window match still emits
@@ -2196,6 +2222,7 @@ def test_reluctant_quantifier_takes_fewest(spark):
     assert [(r.n_b, r.c_at) for r in rel2] == [(1, 2)]
 
 
+@pytest.mark.slow
 def test_reluctant_quantifier_streaming_matches_batch(spark, tmp_path):
     rows = _mr_stream_run(
         spark,
@@ -2256,6 +2283,7 @@ def test_reluctant_group_quantifier_takes_fewest(spark):
     assert grd == [(1, 2, 1)]
 
 
+@pytest.mark.slow
 def test_reluctant_group_pandas_fuzz_vs_bounded(spark):
     """400 random sequences: (A B)+? C ≡ (A B){1,8}? C when 8 bounds the
     feasible repetitions — the reluctant unbounded probe must equal the
@@ -2342,6 +2370,7 @@ def _pandas_matches(pdf, clause, defines):
 _GRP_DEFINES = {"A": "view", "B": "click", "C": "purchase", "D": "other"}
 
 
+@pytest.mark.slow
 def test_unbounded_group_pandas_fuzz_vs_bounded(spark):
     """500 random sequences: (A B)+ C ≡ (A B){1,K} C when K bounds the
     feasible repetitions — pandas-level, exercising the per-attempt
@@ -2362,6 +2391,7 @@ def test_unbounded_group_pandas_fuzz_vs_bounded(spark):
     assert n_matched > 50  # the fuzz produced real matches
 
 
+@pytest.mark.slow
 def test_multi_group_pandas_fuzz_vs_bounded(spark):
     """300 random sequences: (A B)+ (C D)+ ≡ its bounded {1,6} expansion —
     the repetition-VECTOR enumeration equals the parse-time product."""
@@ -2564,6 +2594,7 @@ def test_permute_unbounded_group_ordering_preference(spark):
     assert out == [(1, 2, 1)]
 
 
+@pytest.mark.slow
 def test_nested_group_quantifier_collapse_fuzz(spark):
     """Nested quantifiers on multi-element groups (round 6 — previously a
     loud raise): interval-total shapes collapse exactly —
@@ -2641,6 +2672,7 @@ def test_nested_group_quantifier_residual_raises(spark):
             )
 
 
+@pytest.mark.slow
 def test_nested_group_quantifier_gap_shapes_regex_fuzz(spark):
     """The previously-rejected nested shapes — gap-total repetition sets
     (((A B){2})+ matches only even pair counts), mixed greediness across
@@ -2726,6 +2758,7 @@ def test_nested_group_quantifier_gap_shapes_regex_fuzz(spark):
         assert n_m > 50, pat  # the planted burst guarantees real matches
 
 
+@pytest.mark.slow
 def test_nested_group_streaming_matches_batch(spark, tmp_path):
     """Nested group quantifier on STREAMING input: ((A B)+)+ C collapses at
     parse time, so the keyed-state matcher sees the same GroupTerm pattern
@@ -2845,6 +2878,7 @@ def test_permute_nested_group_element_regex_fuzz(spark):
         assert n_m > 100, pat
 
 
+@pytest.mark.slow
 def test_nested_group_gap_shape_streaming_matches_batch(spark, tmp_path):
     """A genuinely NON-collapsible nested shape on STREAMING input:
     ((A B){2})+ C has a gap-total repetition set (even pair counts only),
@@ -2895,6 +2929,7 @@ def test_nested_group_gap_shape_streaming_matches_batch(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_unbounded_group_long_alternating_runs_never_trip_budget():
     """VERDICT r7 ask #7: ADVERSARIAL long-alternating-run inputs on the
     supported surface must complete under the DEFAULT budget — zero trips.
@@ -2969,6 +3004,7 @@ def test_unbounded_group_long_alternating_runs_never_trip_budget():
     )
 
 
+@pytest.mark.slow
 def test_unbounded_group_long_run_fuzz_parity():
     """Long-alternating-run FUZZ parity: random run lengths (20-48 reps),
     random closer placement/absence, interruptions — the positionally-

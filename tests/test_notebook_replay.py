@@ -81,6 +81,7 @@ def test_example_02_batch_notebook_replays(engine):
 
 
 @pytest.mark.skipif(not os.path.isdir(EXAMPLES), reason="reference not present")
+@pytest.mark.slow
 def test_example_01_streaming_notebook_replays(engine):
     nb = load(f"{EXAMPLES}/01-datagen-streaming.flinknb")
     # clickstream generates 2 rows/s (the notebook declares it); cap low

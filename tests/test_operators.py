@@ -7,6 +7,8 @@ corners: as-of tie-breaks and empty build sides, interval bounds
 
 from __future__ import annotations
 
+import pytest
+
 from flink_notebooks_spark.operators import (
     asof_join,
     cumulate_window,
@@ -71,6 +73,7 @@ def test_sequence_pattern_counts(spark):
     assert got == {1: ("vpvp", 2), 2: ("x", 0)}
 
 
+@pytest.mark.slow
 def test_salted_join_equals_plain_join(spark):
     from flink_notebooks_spark.operators import salted_join
 

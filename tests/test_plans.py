@@ -752,6 +752,7 @@ SHUFFLE_BUDGET = {
 
 
 @pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGET))
+@pytest.mark.slow
 def test_shuffle_budget_holds(name, spark, sf_dir):
     p = plan_of(spark, sf_dir, name)
     # live count — a materialized shared cache otherwise re-renders its

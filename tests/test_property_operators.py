@@ -4,6 +4,8 @@ test corpus can't enumerate (duplicate timestamps, empty sides, key skew)."""
 
 from __future__ import annotations
 
+import pytest
+
 import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -27,6 +29,7 @@ row = st.tuples(
     build=st.lists(row, min_size=0, max_size=12),
 )
 @_slow
+@pytest.mark.slow
 def test_asof_matches_bruteforce(spark, probe, build):
     pdf = pd.DataFrame(
         [(k, t, i) for i, (k, t) in enumerate(probe)], columns=["k", "t", "pid"]
@@ -64,6 +67,7 @@ def test_asof_matches_bruteforce(spark, probe, build):
     width=st.integers(min_value=1, max_value=15),
 )
 @_slow
+@pytest.mark.slow
 def test_interval_join_matches_bruteforce(spark, left, right, lo, width):
     hi = lo + width
     ldf = pd.DataFrame(
@@ -97,6 +101,7 @@ def test_interval_join_matches_bruteforce(spark, left, right, lo, width):
     mult=st.integers(min_value=1, max_value=4),
 )
 @_slow
+@pytest.mark.slow
 def test_hop_window_membership_invariants(spark, times, slide, mult):
     width = slide * mult
     df = spark.createDataFrame([(i, t) for i, t in enumerate(times)], "rid long, t long")
@@ -156,6 +161,7 @@ def _naive_match(symbols, pattern, skip_past=True):
     skip_past=st.booleans(),
 )
 @_slow
+@pytest.mark.slow
 def test_match_recognize_matches_naive(spark, symbols, quant, skip_past):
     """Pattern A B{q} C over arbitrary abc-strings: the Spark operator's
     match set equals an independent naive matcher's."""
@@ -256,6 +262,7 @@ def test_ddl_parse_render_parse_fixpoint(cols, pk, opts):
     assert t2.primary_key == t.primary_key
 
 
+@pytest.mark.slow
 def test_stateful_define_equals_jvm_eval(spark):
     """Equivalence fuzz: a self-referential DEFINE condition (no cross-var,
     no navigation) must produce identical matches whether evaluated as a

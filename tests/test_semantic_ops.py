@@ -201,6 +201,7 @@ def test_embedding_kmeans_matches_numpy_reference(spark, sf_dir):
     assert got == ref
 
 
+@pytest.mark.slow
 def test_embedding_kmeans_partition_invariance(spark, sf_dir, tmp_path):
     import pyspark.sql.functions as F
 

@@ -120,6 +120,7 @@ def _two_wave_events_dir(tmp_path, n1=8, n2=5):
     return str(sf), n1, n2
 
 
+@pytest.mark.slow
 def test_funnel_ttl_state_lands_at_live_wave(spark, tmp_path):
     from flink_notebooks_spark.queries.corpus import (
         _funnel_rollup,
@@ -141,6 +142,7 @@ def test_funnel_ttl_state_lands_at_live_wave(spark, tmp_path):
     assert row_t["n_purchase_users"] == n1 + n2
 
 
+@pytest.mark.slow
 def test_retention_ttl_state_lands_at_live_wave(spark, tmp_path):
     from flink_notebooks_spark.queries.corpus import (
         _retention_rollup,
@@ -161,6 +163,7 @@ def test_retention_ttl_state_lands_at_live_wave(spark, tmp_path):
     assert sum(r["n_users"] for r in a) >= n1 + n2
 
 
+@pytest.mark.slow
 def test_sessionize_ttl_state_ends_at_sentinel_only(spark, sf_dir):
     """On the sentinel-terminated replay every real user's session closes
     and evicts — final state is exactly the one sentinel key — and the
@@ -177,6 +180,7 @@ def test_sessionize_ttl_state_ends_at_sentinel_only(spark, sf_dir):
     assert got.exceptAll(ref).isEmpty() and ref.exceptAll(got).isEmpty()
 
 
+@pytest.mark.slow
 def test_anomaly_ttl_prunes_stale_hours(spark, tmp_path):
     """A wave-1 spike (z ≈ 3 within its wave) must vanish from the TTL'd
     run's final revision once the horizon passes, while the NoTimeout run
@@ -269,6 +273,7 @@ def _dedup_docs_dir(tmp_path):
     return str(sf)
 
 
+@pytest.mark.slow
 def test_minhash_dedup_ttl_evicts_aged_signatures(spark, tmp_path, monkeypatch):
     from flink_notebooks_spark.queries import streaming as streaming_mod
     from flink_notebooks_spark.queries.streaming import _minhash_pair_stream
@@ -323,6 +328,7 @@ def _dedup_embeddings_dir(tmp_path):
     return str(sf)
 
 
+@pytest.mark.slow
 def test_embedding_dedup_ttl_evicts_aged_signatures(spark, tmp_path, monkeypatch):
     from flink_notebooks_spark.queries import streaming as streaming_mod
     from flink_notebooks_spark.queries.streaming import _embedding_pair_stream

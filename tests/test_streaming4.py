@@ -127,6 +127,7 @@ def _three_batch_fixture():
 
 
 @pytest.mark.parametrize("frame", ["range", "rows"])
+@pytest.mark.slow
 def test_over_agg_cross_batch_frames_match_pandas(spark, tmp_path, frame):
     from flink_notebooks_spark.queries.streaming4 import _over_state_stream
 
@@ -149,6 +150,7 @@ def test_over_agg_cross_batch_frames_match_pandas(spark, tmp_path, frame):
     assert got == _pandas_over(rows, frame)
 
 
+@pytest.mark.slow
 def test_window_join_state_evicts_closed_windows(spark, tmp_path):
     """The windowed stream-stream join's state is bounded by the LIVE
     window: once the watermark passes a tumbling window's end, both sides'
@@ -222,6 +224,7 @@ def _write_events_typed(path, rows):
     pq.write_table(tbl, path)
 
 
+@pytest.mark.slow
 def test_over_agg_state_evicts_to_live_window(spark, tmp_path):
     """Frame-horizon retention + idle-key eviction: after the far-future
     sentinel file, wave-1 users' state rows are GONE (their context aged
@@ -267,6 +270,7 @@ def test_window_topn_state_frees_on_window_close(spark, sf_dir):
     assert out.select("w_start").distinct().count() >= 100
 
 
+@pytest.mark.slow
 def test_over_agg_quiet_batch_keeps_frame_context(spark, tmp_path):
     """A maturation timer firing on a QUIET batch (another key advanced the
     watermark) must not evict a key whose emitted rows are still inside the
@@ -296,6 +300,7 @@ def test_over_agg_quiet_batch_keeps_frame_context(spark, tmp_path):
     assert got == {(1, 1, 1000), (4, 2, 1500)}
 
 
+@pytest.mark.slow
 def test_over_agg_equal_ts_peer_across_batches(spark, tmp_path):
     """RANGE peers with the same timestamp that arrive in DIFFERENT
     micro-batches get identical peer-inclusive aggregates: a row is
@@ -325,6 +330,7 @@ def test_over_agg_equal_ts_peer_across_batches(spark, tmp_path):
     assert got == {(1, 2, 300), (2, 2, 300), (3, 3, 700)}
 
 
+@pytest.mark.slow
 def test_over_agg_random_multibatch_fuzz(spark, tmp_path):
     """Randomized multi-batch replays vs the pandas reference, all three
     frame kinds: random users, heavy timestamp collisions (ties straddle

@@ -93,6 +93,7 @@ def test_notebook01_streaming_select_and_cancel(engine):
     engine.execute_sql("DROP TABLE clickstream")
 
 
+@pytest.mark.slow
 def test_notebook01_tumbling_window_agg(engine):
     engine.execute_sql(STREAM_DDL)
     # examples/01:47 — 10s tumble per page_id; seconds-scale windows so the
@@ -140,6 +141,7 @@ def test_runtime_mode_switch_rematerializes(engine):
     engine.execute_sql("DROP TABLE modal")
 
 
+@pytest.mark.slow
 def test_notebook01_verbatim_flink_sql(engine):
     """The reference's flagship cell SQL, verbatim (examples/01:47) — the
     Flink group-window dialect is rewritten to Spark window()/selectors."""
@@ -209,6 +211,7 @@ def test_changelog_entries_pure():
     assert set(seen) == {("a",)}
 
 
+@pytest.mark.slow
 def test_streaming_agg_emits_update_kinds(engine):
     """A continuous GROUP BY count over streaming datagen runs in update
     mode; as keys repeat, the result pages must carry Flink's changelog
@@ -240,6 +243,7 @@ def test_streaming_agg_emits_update_kinds(engine):
         engine.execute_sql("DROP TABLE clickstream")
 
 
+@pytest.mark.slow
 def test_streaming_cumulate_tvf(engine):
     """CUMULATE windowing TVF on an unbounded table: the explode rewrite is
     stateless, the downstream agg runs in update mode, and counts for a
@@ -523,6 +527,7 @@ def test_changelog_entries_partial_snapshot_suppresses_deletes():
     assert [e["kind"] for e in out] == ["DELETE"] and ("b",) not in seen
 
 
+@pytest.mark.slow
 def test_streaming_match_recognize_through_sql(spark, tmp_path):
     """MATCH_RECOGNIZE on a STREAMING table through the engine's SQL
     surface: keyed state, frontier emission, and the
@@ -618,6 +623,7 @@ def _fetch_rows(stmt, want, timeout_s=90):
     return sorted(got)
 
 
+@pytest.mark.slow
 def test_streaming_over_range_through_sql(spark, tmp_path):
     """Event-time RANGE OVER on a STREAMING table through the engine's SQL
     surface (Flink's rowtime OVER; Spark alone raises
@@ -642,6 +648,7 @@ def test_streaming_over_range_through_sql(spark, tmp_path):
     ]
 
 
+@pytest.mark.slow
 def test_streaming_over_unbounded_and_restrictions(spark, tmp_path):
     """UNBOUNDED PRECEDING runs with O(1) running-accumulator state; the
     Flink streaming restrictions raise loudly: mismatched OVER specs in one
@@ -679,6 +686,7 @@ def test_streaming_over_unbounded_and_restrictions(spark, tmp_path):
     eng.close()
 
 
+@pytest.mark.slow
 def test_streaming_over_alias_literals_and_partition_exprs(spark, tmp_path):
     """Two streaming-OVER SQL-surface edge cases: (1) a table alias is only
     stripped at identifier positions — a string literal containing 't.'
@@ -813,6 +821,7 @@ def test_incremental_topn_retraction_safe_for_ranked_keys(spark, tmp_path):
     ]
 
 
+@pytest.mark.slow
 def test_incremental_topn_tracked_set_plateaus_under_churn(spark, tmp_path):
     """VERDICT r12 #4: the bounded-mode tracked set must PLATEAU under
     top-N membership churn instead of growing with its lifetime. Eight
@@ -1005,6 +1014,7 @@ def test_incremental_topn_exact_mode_empty_source(spark, tmp_path):
     assert rows == []
 
 
+@pytest.mark.slow
 def test_incremental_topn_exact_state_plateaus_under_churn(spark, tmp_path):
     """VERDICT r6/r7 #2: the key-complete exact-retraction state must be
     O(distinct keys + compact_every triggers of churn) ON DISK — NOT
@@ -1373,6 +1383,7 @@ def test_streaming_over_honors_state_ttl_property(spark, tmp_path, monkeypatch):
     eng.close()
 
 
+@pytest.mark.slow
 def test_current_watermark_through_sql(spark, tmp_path):
     """Flink's CURRENT_WATERMARK(rowtime) built-in, emulated per micro-batch
     (the engine owns each streaming statement's foreachBatch; Spark exposes
@@ -1457,6 +1468,7 @@ def test_current_watermark_through_sql(spark, tmp_path):
     eng.close()
 
 
+@pytest.mark.slow
 def test_current_watermark_lateness_filtered_window_agg(spark, tmp_path):
     """VERDICT r12 #5: the canonical Flink composition — a CURRENT_WATERMARK
     lateness filter feeding a TUMBLE-TVF windowed aggregation. The engine
@@ -1557,6 +1569,7 @@ def test_current_watermark_lateness_filtered_window_agg(spark, tmp_path):
     eng.close()
 
 
+@pytest.mark.slow
 def test_current_watermark_keyed_window_agg_distributed_state(spark, tmp_path):
     """VERDICT r13 #1: the common Flink form — a CURRENT_WATERMARK lateness
     filter feeding a keyed TUMBLE-TVF aggregation (GROUP BY window_start,
@@ -1655,6 +1668,7 @@ def test_current_watermark_keyed_window_agg_distributed_state(spark, tmp_path):
     eng.close()
 
 
+@pytest.mark.slow
 def test_current_watermark_session_window_agg(spark, tmp_path):
     """VERDICT r13 #5: CURRENT_WATERMARK lateness filter over a SESSION
     window TVF (PARTITION BY key) — the composition the r12/r13 raise said
@@ -1742,6 +1756,7 @@ def test_current_watermark_session_window_agg(spark, tmp_path):
     eng.close()
 
 
+@pytest.mark.slow
 def test_current_watermark_unkeyed_flush_on_natural_finish(spark, tmp_path):
     """ADVICE r13: the unkeyed CW windowed agg also flushes its trailing
     live windows when the query finishes naturally — the [30,40) and
@@ -1904,6 +1919,7 @@ def test_state_ttl_property_reaches_embedded_keyed_state_builders(spark, sf_dir)
     assert session_state_ttl_s(spark) is None
 
 
+@pytest.mark.slow
 def test_streaming_window_tvf_join_through_sql(spark, tmp_path):
     """Flink's window TVF JOIN — `TABLE(TUMBLE(l)) JOIN TABLE(TUMBLE(r)) ON
     window + key` — executes on a STREAMING table through the existing TVF
@@ -1947,6 +1963,7 @@ def test_streaming_window_tvf_join_through_sql(spark, tmp_path):
     assert got == [[1, 10, 20]]
 
 
+@pytest.mark.slow
 def test_streaming_interval_join_through_sql(spark, tmp_path):
     """Flink's interval-join SQL — `ON l.k = r.k AND r.ev BETWEEN l.ev AND
     l.ev + INTERVAL` — executes on STREAMING tables through the plain SQL
