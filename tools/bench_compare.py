@@ -88,7 +88,14 @@ def host_drift(old: dict, new: dict) -> float | None:
     co = old.get("calibration") or {}
     cn = new.get("calibration") or {}
     shared = [
-        k for k in co if k in cn and co[k] > 0 and cn[k] > 0 and k in _COMPUTE_CALIB
+        k
+        for k in co
+        if k in cn
+        and co[k] > 0
+        and cn[k] > 0
+        # start AND *_end samples of the compute trio both count — the
+        # end-of-run re-measure is half the within-run drift signal
+        and (k[:-4] if k.endswith("_end") else k) in _COMPUTE_CALIB
     ]
     if not shared:  # pre-r13 archives, or custom calibration sets
         shared = [k for k in co if k in cn and co[k] > 0 and cn[k] > 0]
@@ -104,10 +111,14 @@ def stream_drift(old: dict, new: dict) -> float | None:
     compute drift for streaming entries (the pre-r15 behavior)."""
     co = old.get("calibration") or {}
     cn = new.get("calibration") or {}
-    a, b = co.get(_STREAM_CALIB), cn.get(_STREAM_CALIB)
-    if a and b and a > 0 and b > 0:
-        return b / a
-    return None
+    ratios = [
+        cn[k] / co[k]
+        for k in (_STREAM_CALIB, _STREAM_CALIB + "_end")
+        if co.get(k) and cn.get(k) and co[k] > 0 and cn[k] > 0
+    ]
+    if not ratios:
+        return None
+    return statistics.median(ratios)
 
 
 def gate_failures(old: dict, new: dict) -> tuple[list[str], float | None]:
