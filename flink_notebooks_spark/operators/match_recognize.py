@@ -2872,7 +2872,12 @@ def _lex_sorted(df, cols) -> bool:
     return bool(np.all(less | eq))
 
 
-def match_recognize_stream(df: DataFrame, clause_or_spec, close_after: str | None = None) -> DataFrame:
+def match_recognize_stream(
+    df: DataFrame,
+    clause_or_spec,
+    close_after: str | None = None,
+    shards: int | None = None,
+) -> DataFrame:
     """MATCH_RECOGNIZE over a STREAMING DataFrame (SURVEY.md W9 streaming —
     the capability Flink declares via its CEP/planner runtime, reference
     flink-runtime/build.gradle:37).
@@ -3139,12 +3144,17 @@ def match_recognize_stream(df: DataFrame, clause_or_spec, close_after: str | Non
         if out_rows:
             yield pd.DataFrame(out_rows, columns=out_names)
 
-    return prepared.groupBy(*part_cols).applyInPandasWithState(
+    from .shard_state import apply_keyed_state
+
+    return apply_keyed_state(
+        prepared,
+        list(part_cols),
         run_stream,
         out_schema,
         "buf binary, mn long",
         "append",
-        GroupStateTimeout.EventTimeTimeout if close_ms is not None else GroupStateTimeout.NoTimeout,
+        "event" if close_ms is not None else "none",
+        shards=shards,
     )
 
 

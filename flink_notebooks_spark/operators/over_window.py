@@ -73,6 +73,7 @@ def streaming_over_window(
     tiebreak: list[str] = (),
     idle_horizon_s: int = 0,
     keep_col: str | None = None,
+    shards: int | None = None,
 ) -> DataFrame:
     """Apply a streaming OVER window to ``df`` (a WATERMARKED streaming
     DataFrame — the watermark timestamp column must still be present).
@@ -100,6 +101,13 @@ def streaming_over_window(
     filtered-out rows stop advancing the watermark and downstream rows
     stall (Flink's watermark is source-generated metadata and flows
     through filters; this reproduces that semantic).
+
+    ``shards``: when set, the operator runs SHARD-keyed (operators/
+    shard_state.py) — one Python invocation per shard of keys per
+    micro-batch instead of one per key, with per-key state/timer semantics
+    reproduced inside the shard (results identical by construction; pinned
+    by the shard_state parity tests). Pass a key-domain-derived count
+    (``shards_for_keys``); ``None`` keeps plain per-key grouping.
     """
     import numpy as np
     import pandas as pd
@@ -368,6 +376,12 @@ def streaming_over_window(
         if out is not None:
             yield out
 
+    if shards is not None:
+        from .shard_state import shard_keyed_state
+
+        return shard_keyed_state(
+            df, list(partition_by), over_fn, out_schema, "append", "event", shards
+        )
     return df.groupBy(*partition_by).applyInPandasWithState(
         over_fn,
         out_schema,

@@ -961,7 +961,9 @@ def quality_classifier(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # R10. streaming conversion funnel — per-user step state across triggers
 # ---------------------------------------------------------------------------
-def _funnel_state_stream(spark, sf_dir, horizon_s: int | None = None):
+def _funnel_state_stream(
+    spark, sf_dir, horizon_s: int | None = None, shards: int | None = None
+):
     """The per-user keyed state op behind ``streaming_events_funnel`` and
     its TTL'd form. ``horizon_s=None`` → the session's
     ``table.exec.state.ttl`` when set through the engine
@@ -1040,14 +1042,17 @@ def _funnel_state_stream(spark, sf_dir, horizon_s: int | None = None):
             columns=["user_id", "t1", "t2", "t3", "rev"],
         )
 
-    return stream.groupBy("user_id").applyInPandasWithState(
+    from ..operators.shard_state import apply_keyed_state
+
+    return apply_keyed_state(
+        stream,
+        ["user_id"],
         advance,
         "user_id long, t1 long, t2 long, t3 long, rev long",
         "rev long, t1 long, t2 long, t3 long",
         "update",
-        GroupStateTimeout.NoTimeout
-        if horizon_s is None
-        else GroupStateTimeout.EventTimeTimeout,
+        "none" if horizon_s is None else "event",
+        shards=shards,
     )
 
 
@@ -1103,9 +1108,9 @@ def streaming_events_funnel(spark, sf_dir):
     ``streaming_events_funnel_ttl`` (queries/streaming3.py), which evicts
     users idle past the attribution horizon via ``EventTimeTimeout``
     (same state fn, ``_funnel_state_stream``)."""
-    from .streaming import _run_to_memory
+    from .streaming import _keyed_shards, _run_to_memory
 
-    res = _funnel_state_stream(spark, sf_dir)
+    res = _funnel_state_stream(spark, sf_dir, shards=_keyed_shards(spark, sf_dir))
     return _funnel_rollup(_run_to_memory(res, "update"))
 
 
@@ -1361,7 +1366,9 @@ def streaming_quality_filter(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # R14. streaming cohort retention — per-user (cohort day, offset bitmask)
 # ---------------------------------------------------------------------------
-def _retention_state_stream(spark, sf_dir, horizon_s: int | None = None):
+def _retention_state_stream(
+    spark, sf_dir, horizon_s: int | None = None, shards: int | None = None
+):
     """The per-user keyed state op behind ``streaming_events_retention`` and
     its TTL'd form. ``horizon_s=None`` → the session's
     ``table.exec.state.ttl`` when set through the engine
@@ -1435,14 +1442,17 @@ def _retention_state_stream(spark, sf_dir, horizon_s: int | None = None):
             columns=["user_id", "first_us", "mask", "rev"],
         )
 
-    return stream.groupBy("user_id").applyInPandasWithState(
+    from ..operators.shard_state import apply_keyed_state
+
+    return apply_keyed_state(
+        stream,
+        ["user_id"],
         advance,
         "user_id long, first_us long, mask long, rev long",
         "rev long, first_us long, mask long",
         "update",
-        GroupStateTimeout.NoTimeout
-        if horizon_s is None
-        else GroupStateTimeout.EventTimeTimeout,
+        "none" if horizon_s is None else "event",
+        shards=shards,
     )
 
 
@@ -1489,9 +1499,11 @@ def streaming_events_retention(spark, sf_dir):
     production form is ``streaming_events_retention_ttl``
     (queries/streaming3.py), which evicts cohort state once the offset
     window is long closed (same state fn, ``_retention_state_stream``)."""
-    from .streaming import _run_to_memory
+    from .streaming import _keyed_shards, _run_to_memory
 
-    res = _retention_state_stream(spark, sf_dir)
+    res = _retention_state_stream(
+        spark, sf_dir, shards=_keyed_shards(spark, sf_dir)
+    )
     return _retention_rollup(spark, _run_to_memory(res, "update"))
 
 
@@ -1710,7 +1722,7 @@ def events_markov_transitions(spark, sf_dir):
 # R17. streaming Markov transition matrix — the transition counts maintained
 #      continuously; per-user state is ONE row (the last event seen)
 # ---------------------------------------------------------------------------
-def markov_delta_stream(spark, sf_dir, staging_dir=None):
+def markov_delta_stream(spark, sf_dir, staging_dir=None, shards=None):
     """The stateful transition-delta stream behind
     events_markov_transitions_stream, exposed for sink-agnostic runs (the
     checkpoint-restart test writes it to a parquet sink). Emits per-user
@@ -1749,12 +1761,17 @@ def markov_delta_stream(spark, sf_dir, staging_dir=None):
             columns=["from_type", "to_type", "n"],
         )
 
-    return stream.groupBy("user_id").applyInPandasWithState(
+    from ..operators.shard_state import apply_keyed_state
+
+    return apply_keyed_state(
+        stream,
+        ["user_id"],
         advance,
         "from_type string, to_type string, n long",
         "last_type string",
         "append",
-        GroupStateTimeout.NoTimeout,
+        "none",
+        shards=shards,
     )
 
 
@@ -1782,9 +1799,9 @@ def events_markov_transitions_stream(spark, sf_dir):
     drop the boundary transition of a returning user, so the NoTimeout
     trade (≈bytes × |users|) is deliberate — at Flink parity, deployments
     that must bound it set a state TTL and accept the same undercount."""
-    from .streaming import _run_to_memory
+    from .streaming import _keyed_shards, _run_to_memory
 
-    res = markov_delta_stream(spark, sf_dir)
+    res = markov_delta_stream(spark, sf_dir, shards=_keyed_shards(spark, sf_dir))
     deltas = _run_to_memory(res, "append")
     tr = deltas.groupBy("from_type", "to_type").agg(F.sum("n").alias("n"))
     # rename the totals' key: both branches read the same memory-sink view,

@@ -261,13 +261,18 @@ def streaming_stateful_sessionize(spark, sf_dir):
             sessions, columns=["user_id", "sid", "n_events", "start_us", "end_us"]
         )
 
+    from ..operators.shard_state import apply_keyed_state
+
     out_schema = "user_id long, sid long, n_events long, start_us long, end_us long"
-    sessions = stream.groupBy("user_id").applyInPandasWithState(
+    sessions = apply_keyed_state(
+        stream,
+        ["user_id"],
         sessionize,
         out_schema,
         "last_us long",  # state schema (persisted key state across batches)
         "update",
-        GroupStateTimeout.NoTimeout,
+        "none",
+        shards=_keyed_shards(spark, sf_dir),
     )
     out = _run_to_memory(sessions, "update")
     return out.orderBy("user_id", "sid")
@@ -423,6 +428,36 @@ def _table_rowcount(spark, sf_dir, table: str) -> int:
         return pq.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
     except Exception:  # noqa: BLE001 - directory layout or remote store
         return load_table(spark, sf_dir, table).count()
+
+
+def _keyed_shards(spark, sf_dir, table: str = "events") -> int | None:
+    """Shard count for the per-user/per-key streaming state ops run
+    shard-keyed (operators/shard_state.py): ``table``'s ROWCOUNT is a
+    conservative upper bound on the live key domain, so per-shard state
+    stays bounded at any scale (shards ≥ keys/SHARD_TARGET_KEYS), while a
+    notebook-scale replay collapses to ~cluster-parallelism shards — one
+    Python state call per core per trigger instead of one per key (~1.5k
+    user keys at sf0.1; the fixed per-call protocol cost was the dominant
+    term of every user-keyed entry, guide §4). Overshooting the key domain
+    is safe: empty shards are never invoked, so calls per trigger ≤
+    min(shards, keys with data) — never more than per-key grouping paid.
+
+    ``SPARK_GRAFT_KEYED_SHARDS``: ``off``/``none``/``0`` disables sharding
+    (per-key grouping, the pre-r15 shape) — an ops escape hatch and the
+    paired-A/B lever; a positive integer pins the count; unset derives it."""
+    import os
+
+    from ..operators.shard_state import shards_for_keys
+
+    env = os.environ.get("SPARK_GRAFT_KEYED_SHARDS", "").strip().lower()
+    if env in ("off", "none", "0"):
+        return None
+    if env.isdigit():
+        return int(env)
+    return shards_for_keys(
+        _table_rowcount(spark, sf_dir, table),
+        spark.sparkContext.defaultParallelism,
+    )
 
 
 def minhash_pair_stream(spark, sf_dir, staging_dir: str | None = None):

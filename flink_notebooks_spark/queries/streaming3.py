@@ -78,7 +78,14 @@ def streaming_events_funnel_ttl(spark, sf_dir):
     sink revision — and the horizon exceeds the fixture span, so the
     bounded replay equals the batch oracle exactly; the two-wave state
     proof is tests/test_streaming3.py."""
-    res = _funnel_state_stream(spark, sf_dir, horizon_s=EVENTS_STATE_HORIZON_S)
+    from .streaming import _keyed_shards
+
+    res = _funnel_state_stream(
+        spark,
+        sf_dir,
+        horizon_s=EVENTS_STATE_HORIZON_S,
+        shards=_keyed_shards(spark, sf_dir),
+    )
     return _funnel_rollup(_run_to_memory(res, "update"))
 
 
@@ -89,7 +96,14 @@ def streaming_events_retention_ttl(spark, sf_dir):
     ``cohort start + horizon`` — EXACT for the roll-up, because past the
     offset window no event can set another in-window bit. State is
     O(users per horizon), not O(users ever)."""
-    res = _retention_state_stream(spark, sf_dir, horizon_s=EVENTS_STATE_HORIZON_S)
+    from .streaming import _keyed_shards
+
+    res = _retention_state_stream(
+        spark,
+        sf_dir,
+        horizon_s=EVENTS_STATE_HORIZON_S,
+        shards=_keyed_shards(spark, sf_dir),
+    )
     return _retention_rollup(spark, _run_to_memory(res, "update"))
 
 
@@ -121,13 +135,20 @@ def streaming_stateful_sessionize_ttl(spark, sf_dir):
     unbounded streams: a user returning after eviction restarts session
     NUMBERING at 1 (the ordinal lives in the evicted state) — Flink's
     TTL'd dedup/CEP state resets identically."""
-    out = _run_to_memory(_sessionize_ttl_stream(spark, sf_dir), "append")
+    from .streaming import _keyed_shards
+
+    out = _run_to_memory(
+        _sessionize_ttl_stream(
+            spark, sf_dir, shards=_keyed_shards(spark, sf_dir)
+        ),
+        "append",
+    )
     # the end-of-input sentinel key (user_id = -1) never times out and never
     # emits; filter defensively anyway
     return out.filter(F.col("user_id") >= 0).orderBy("user_id", "sid")
 
 
-def _sessionize_ttl_stream(spark, sf_dir):
+def _sessionize_ttl_stream(spark, sf_dir, shards: int | None = None):
     """The unsinked TTL'd sessionizer — exposed so tests can attach their
     own sink and read ``numRowsTotal`` off the query's progress (the state
     ends at 1 row: the sentinel key; every real user evicted on close)."""
@@ -180,12 +201,17 @@ def _sessionize_ttl_stream(spark, sf_dir):
                 columns=["user_id", "sid", "n_events", "start_us", "end_us"],
             )
 
-    return stream.groupBy("user_id").applyInPandasWithState(
+    from ..operators.shard_state import apply_keyed_state
+
+    return apply_keyed_state(
+        stream,
+        ["user_id"],
         sessionize,
         "user_id long, sid long, n_events long, start_us long, end_us long",
         "sid long, n long, start_us long, last_us long",
         "append",
-        GroupStateTimeout.EventTimeTimeout,
+        "event",
+        shards=shards,
     )
 
 

@@ -41,7 +41,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ._registry import query
-from .streaming import _read_events_stream, _run_to_memory, _staged_events_stream
+from .streaming import (
+    _keyed_shards,
+    _read_events_stream,
+    _run_to_memory,
+    _staged_events_stream,
+)
 from .streaming3 import EVENTS_STATE_HORIZON_S as IDLE_HORIZON_S
 
 # RANGE frame: 2 days preceding, in µs. At the fixture's per-user density
@@ -50,6 +55,12 @@ from .streaming3 import EVENTS_STATE_HORIZON_S as IDLE_HORIZON_S
 OVER_RANGE_US = 2 * 86_400 * 1_000_000
 # ROWS frame: 5 preceding + current.
 OVER_ROWS_K = 5
+
+
+def _over_shards(spark, sf_dir) -> int:
+    """Shard count for the user-keyed OVER replays (see
+    streaming._keyed_shards for the derivation contract)."""
+    return _keyed_shards(spark, sf_dir, "events")
 
 def _over_state_stream(
     spark,
@@ -71,8 +82,13 @@ def _over_state_stream(
     from ..operators.over_window import OverAgg, streaming_over_window
 
     assert frame in ("range", "rows")
+    # shard-keyed only on the registered replay path: tests that stage
+    # their own waves (sf_dir=None) keep per-key grouping, so their
+    # state-row-count assertions still observe per-KEY eviction
+    shards = None
     if staged is None:
         staged = _staged_events_stream(spark, sf_dir, with_value=True)
+        shards = _over_shards(spark, sf_dir)
     stream = staged.select(
         "user_id",
         "event_id",
@@ -94,6 +110,7 @@ def _over_state_stream(
         carry=["user_id", "event_id", "ts_us"],
         tiebreak=["event_id"],
         idle_horizon_s=horizon_s,
+        shards=shards,
     )
 
 
@@ -202,6 +219,7 @@ def streaming_over_unbounded_agg(spark, sf_dir):
         carry=["user_id", "event_id", "ts_us"],
         tiebreak=["event_id"],
         idle_horizon_s=IDLE_HORIZON_S,
+        shards=_over_shards(spark, sf_dir),
     )
     out = _run_to_memory(res, "append")
     return out.filter(F.col("user_id") >= 0).orderBy(
