@@ -1140,12 +1140,38 @@ def cluster_pairs_lsh_df(
     # proxy (same rationale as cosine_pairs_df's pre-partition). The
     # map-side first-agreeing-band dedup means this is the only wide
     # exchange of vector payloads in the whole pipeline.
+    #
+    # Grouping granularity (guide §4): one Python call PER BUCKET was
+    # bands × 2^bits ≈ 5k calls of ~30 rows each at sf0.1 — the fixed
+    # per-call applyInPandas cost outweighed the tiny per-bucket GEMMs. The
+    # call key is therefore a HASH SHARD of buckets (one call per shard,
+    # the in-shard loop runs the same per-bucket kernel), sized to the
+    # cluster so every core gets work; pair emission is per-bucket either
+    # way, so the shard count can never change results. Data per call =
+    # bucket_rows/shards — the same per-task volume the old 4×parallelism
+    # repartition produced, just without ~40 function dispatches per task.
+    n_shards = 4 * spark.sparkContext.defaultParallelism
+
+    def shard_pairs(pdf):
+        outs = [
+            bucket_pairs(key, grp)
+            for key, grp in pdf.groupby(["band", "sig", "i", "j"], sort=False)
+        ]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return pd.DataFrame({"a": [], "b": []}, dtype="int64")
+        return pd.concat(outs, ignore_index=True)
+
     cand = (
-        buckets.repartition(
-            4 * spark.sparkContext.defaultParallelism, "band", "sig", "i", "j"
+        buckets.withColumn(
+            "bshard",
+            F.pmod(F.xxhash64("band", "sig", "i", "j"), F.lit(n_shards)).cast(
+                "int"
+            ),
         )
-        .groupBy("band", "sig", "i", "j")
-        .applyInPandas(bucket_pairs, "a long, b long")
+        .repartition(n_shards, "bshard")
+        .groupBy("bshard")
+        .applyInPandas(lambda key, pdf: shard_pairs(pdf), "a long, b long")
     )
     # exact fp64 verification on the candidate set only — candidates are
     # proportional to true near-duplicates, so this join-back moves orders

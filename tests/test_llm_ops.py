@@ -545,7 +545,9 @@ def test_cluster_lsh_shuffle_payload_is_compact(spark, sf_dir):
     bucket_exchanges = [
         block
         for block in buf.getvalue().split("\n\n")
-        if "Exchange" in block.split("\n")[0] and "hashpartitioning(band" in block
+        # the bucket exchange key is the bucket-shard hash (r15: one Python
+        # call per shard of buckets instead of per bucket)
+        if "Exchange" in block.split("\n")[0] and "hashpartitioning(bshard" in block
     ]
     assert bucket_exchanges, "bucket exchange not found in the plan"
     for block in bucket_exchanges:
