@@ -206,25 +206,18 @@ def main() -> None:
     # first pays the whole preparation and its number depends on
     # registration order (the round-4 driver-vs-local 10× spread on
     # dedup_ngram_jaccard was exactly this coupling).
-    from flink_notebooks_spark.queries.corpus import _bm25_postings
-    from flink_notebooks_spark.queries.llm import (
-        _word_freq_joined,
-        cosine_pairs_df,
-        jaccard_pairs_df,
-        shingled_docs,
-        tokenized_docs,
-    )
+    # r15: the materialization order moved into the engine
+    # (llm.warm_shared_caches) and overlaps the four INDEPENDENT leaf DAGs
+    # (jaccard incl. shingles, cosine, word-freq, bm25 postings) after the
+    # shared tokenization root — same six caches, same total work computed
+    # from parquet, same timed quantity (wall to materialize all shared
+    # caches); only the single-driver-thread serialization of
+    # first-materialization codegen is removed (paired A/B on the r15
+    # session-2 host: 20-25 s sequential vs 16-19 s overlapped).
+    from flink_notebooks_spark.queries.llm import warm_shared_caches
 
     t0 = time.time()
-    for prep in (
-        tokenized_docs,
-        shingled_docs,
-        jaccard_pairs_df,
-        cosine_pairs_df,
-        _word_freq_joined,  # shared by tf_quality_features + unigram_logprob
-        _bm25_postings,  # shared by bm25_topk + bm25_prf_hybrid
-    ):
-        prep(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    warm_shared_caches(spark, SF_DIR)
     shared_prep_sec = round(time.time() - t0, 3)
 
     # initialize the Structured-Streaming machinery (state-store providers,

@@ -101,6 +101,47 @@ def tokenized_docs(spark, sf_dir) -> DataFrame:
     return out.persist(StorageLevel.MEMORY_AND_DISK)
 
 
+def warm_shared_caches(spark, sf_dir) -> None:
+    """Materialize the shared corpus caches (tokenized/shingled docs,
+    verified jaccard pairs, cosine pairs, word-freq join, BM25 postings)
+    for a session — the cold-start path a notebook pays before its first
+    text/dedup query, and what the bench charges to ``shared_corpus_prep``.
+
+    The six caches form a shallow DAG: ``tokenized_docs`` is the shared
+    root; ``jaccard_pairs_df`` (which materializes ``shingled_docs``'s
+    cache en route through the cache manager), ``cosine_pairs_df``
+    (embeddings-rooted, independent), ``_word_freq_joined`` and
+    ``_bm25_postings`` only share that root. Materializing the root once
+    and then the four leaf DAGs CONCURRENTLY overlaps each job's
+    driver-side planning/codegen with the others' execution — cold-start
+    cost is dominated by first-materialization codegen (r15 decomposition:
+    ~2/3), which a single driver thread serializes. Concurrent jobs on one
+    SparkSession are the supported scheduler path, and the shared cached
+    blocks are computed once regardless (block-level get-or-compute), so
+    results and total work are unchanged — only the wall clock overlaps.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .corpus import _bm25_postings  # lazy: corpus imports from llm
+
+    def _mat(fn):
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    _mat(tokenized_docs)
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        futs = [
+            ex.submit(_mat, fn)
+            for fn in (
+                jaccard_pairs_df,
+                cosine_pairs_df,
+                _word_freq_joined,
+                _bm25_postings,
+            )
+        ]
+        for f in futs:
+            f.result()
+
+
 def shingled_docs(spark, sf_dir) -> DataFrame:
     """documents → (doc_id, shingles array<string>), persisted (referenced
     from ≥2 plan branches by every dedup operator: signature + verification,

@@ -1117,3 +1117,28 @@ def test_dedup_incremental_shards_share_one_base_index(spark, sf_dir):
         tuple(r) for r in QUERIES["dedup_incremental"](spark, sf_dir).collect()
     )
     assert got == want
+
+
+def test_warm_shared_caches_matches_direct_results(spark, sf_dir):
+    """warm_shared_caches (the bench's shared_corpus_prep body) must be a
+    pure materialization: downstream consumers read the same rows as
+    computing the pair tables directly. Runs the warm path, then checks
+    the jaccard pair set (the deepest DAG it materializes) row-for-row."""
+    from flink_notebooks_spark.queries.llm import (
+        jaccard_pairs_df,
+        warm_shared_caches,
+    )
+
+    warm_shared_caches(spark, sf_dir)
+    got = sorted(
+        (r["a"], r["b"], round(r["jac"], 6))
+        for r in jaccard_pairs_df(spark, sf_dir).collect()
+    )
+    assert got, "expected verified jaccard pairs at fixture scale"
+    # recompute from scratch on an un-warmed path: same pairs
+    spark.catalog.clearCache()
+    ref = sorted(
+        (r["a"], r["b"], round(r["jac"], 6))
+        for r in jaccard_pairs_df(spark, sf_dir).collect()
+    )
+    assert got == ref
